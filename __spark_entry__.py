@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: induce an ontology graph from the sf0.001
+relational tables and compute the class-hierarchy view.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2; every oracle is ANSI-ish SQL DuckDB 1.0 runs on the same
+inputs (fixture triples embedded as VALUES so both engines see identical
+rows; induced-graph oracles recompute from the relational parquet views).
 """
 
 from __future__ import annotations
@@ -12,27 +14,710 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orionbelt_ontology_builder_spark import fixtures as FX
+from orionbelt_ontology_builder_spark import model as M
+from orionbelt_ontology_builder_spark.operators import (
+    fixpoint,
+    lists,
+    mutations,
+    setops,
+    views,
+)
+from orionbelt_ontology_builder_spark.sources import relational
+
+SF0001 = "/root/testdata/sf0.001"
+
+# --------------------------------------------------------------------- #
+# SQL fragment helpers (DuckDB dialect)
+# --------------------------------------------------------------------- #
+
+RDF_TYPE = M.RDF.type
+OWL_CLASS = M.OWL.Class
+LBL = M.RDFS.label
+CMT = M.RDFS.comment
+SUB = M.RDFS.subClassOf
+
+
+def _ln(col: str) -> str:
+    """DuckDB local-name: after last '#', then after last '/'.
+
+    Mirrors model.local_name_col (reference ontology_manager.py:294-299).
+    """
+    return (
+        f"list_extract(string_split(list_extract(string_split({col}, '#'), -1), '/'), -1)"
+    )
+
+
+def _csv(expr: str) -> str:
+    return f"coalesce(string_agg(DISTINCT {expr}, ',' ORDER BY {expr}), '')"
+
+
+# --------------------------------------------------------------------- #
+# Spark-side query builders
+# --------------------------------------------------------------------- #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: relational->RDF induction + class-hierarchy view at sf0.001."""
+    triples = relational.induce_triples(spark, SF0001)
+    return views.get_class_hierarchy(triples)
+
+
+def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return views.get_statistics(FX.fixture_triples(spark, "populated_om"))
+
+
+def _q_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = views.get_classes(FX.fixture_triples(spark, "populated_om"))
+    return df.select(
+        "uri",
+        "name",
+        "label",
+        "comment",
+        F.concat_ws(",", "parents").alias("parents_csv"),
+        F.concat_ws(",", "children").alias("children_csv"),
+    )
+
+
+def _q_class_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = views.get_class_hierarchy(FX.fixture_triples(spark, "populated_om"))
+    return df.select("class_name", F.concat_ws(",", "children").alias("children_csv"))
+
+
+def _q_object_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = views.get_object_properties(FX.fixture_triples(spark, "populated_om"))
+    return df.select(
+        "uri",
+        "name",
+        "label",
+        "domain",
+        "range",
+        F.col("functional").cast("int").alias("functional"),
+        F.col("transitive").cast("int").alias("transitive"),
+        F.col("symmetric").cast("int").alias("symmetric"),
+    )
+
+
+def _q_data_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = views.get_data_properties(FX.fixture_triples(spark, "populated_om"))
+    return df.select(
+        "uri", "name", "label", "domain", "range",
+        F.col("functional").cast("int").alias("functional"),
+    )
+
+
+def _q_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = views.get_individuals(FX.fixture_triples(spark, "populated_om"))
+    return df.select(
+        "uri", "name", "label", F.concat_ws(",", "classes").alias("classes_csv")
+    )
+
+
+def _q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return views.search(FX.fixture_triples(spark, "populated_om"), "person").select(
+        "uri", "name", "entity_type", "match_field"
+    )
+
+
+def _q_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = views.get_concepts(FX.fixture_triples(spark, "skos_om"))
+    return df.select(
+        "uri",
+        "name",
+        "pref_label",
+        F.concat_ws(",", "broader").alias("broader_csv"),
+        F.concat_ws(",", "narrower").alias("narrower_csv"),
+        F.concat_ws(",", "schemes").alias("schemes_csv"),
+    )
+
+
+def _q_concept_schemes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return views.get_concept_schemes(FX.fixture_triples(spark, "skos_om")).select(
+        "uri", "name", "label", "concept_count"
+    )
+
+
+def _q_annotation_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return views.get_used_annotation_predicates(
+        FX.fixture_triples(spark, "populated_om")
+    )
+
+
+def _q_duplicate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = views.duplicate_labels(FX.fixture_triples(spark, "validation_om"))
+    return df.select(
+        "label", F.concat_ws(",", "resources").alias("resources_csv"), "n"
+    )
+
+
+def _q_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.diff_summary(
+        FX.fixture_triples(spark, "diff_a"), FX.fixture_triples(spark, "diff_b")
+    )
+
+
+def _q_detect_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.detect_conflicts(
+        FX.fixture_triples(spark, "diff_a"), FX.fixture_triples(spark, "diff_b")
+    )
+
+
+def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.classify_resources(
+        FX.fixture_triples(spark, "diff_a"), FX.fixture_triples(spark, "diff_b")
+    )
+
+
+def _q_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.merge_graphs(
+        FX.fixture_triples(spark, "diff_a"),
+        FX.fixture_triples(spark, "diff_b"),
+        setops.MERGE_OVERWRITE,
+    ).select("subj", "pred", "obj", "obj_kind")
+
+
+def _q_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.merge_graphs(
+        FX.fixture_triples(spark, "diff_a"),
+        FX.fixture_triples(spark, "diff_b"),
+        setops.MERGE,
+    ).select("subj", "pred", "obj", "obj_kind")
+
+
+def _q_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fixpoint.expand_superclasses(
+        FX.fixture_triples(spark, "populated_om"), M.RDFS.subClassOf
+    )
+
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = spark.createDataFrame(
+        [
+            ("e1", "e2"), ("e2", "e3"), ("e3", "e4"),
+            ("f1", "f2"),
+            ("g1", "g1"),
+            ("h1", "h2"), ("h3", "h2"), ("h3", "h4"), ("h5", "h4"),
+        ],
+        ["src", "dst"],
+    )
+    return fixpoint.connected_components(edges)
+
+
+def _q_broader_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cyc = FX.fixture_triples(spark, "skos_om").unionByName(
+        spark.createDataFrame(
+            [
+                M.t_uri(FX.BASE + "X", M.SKOS.broader, FX.BASE + "Y"),
+                M.t_uri(FX.BASE + "Y", M.SKOS.broader, FX.BASE + "X"),
+            ],
+            M.TRIPLES_SCHEMA,
+        )
+    )
+    return fixpoint.detect_broader_cycles(cyc, M.SKOS.broader)
+
+
+def _q_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = mutations.delete_resource(
+        FX.fixture_triples(spark, "populated_om"), FX.BASE + "Employee"
+    )
+    return out.select("subj", "pred", "obj", "obj_kind")
+
+
+def _q_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = mutations.rename_resource(
+        FX.fixture_triples(spark, "populated_om"),
+        FX.BASE + "Person",
+        FX.BASE + "Human",
+    )
+    return out.select("subj", "pred", "obj", "obj_kind")
+
+
+def _q_induced_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = relational.induce_triples(spark, sf_dir, include_individuals=False)
+    return (
+        triples.filter(F.col("pred") == SUB)
+        .select(
+            M.local_name_col(F.col("subj")).alias("child"),
+            M.local_name_col(F.col("obj")).alias("parent"),
+        )
+        .distinct()
+        .orderBy("child")
+    )
+
+
+def _q_induced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return views.get_statistics(relational.induce_triples(spark, sf_dir))
+
+
+def _q_induced_individuals_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = relational.induce_triples(spark, sf_dir)
+    return (
+        triples.filter(
+            (F.col("pred") == RDF_TYPE)
+            & F.col("obj").startswith(relational.BASE + "Nation_")
+        )
+        .groupBy(M.local_name_col(F.col("obj")).alias("class_name"))
+        .agg(F.count_distinct("subj").alias("n_individuals"))
+        .orderBy("class_name")
+    )
+
+
+def _q_induced_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = relational.induce_triples(spark, sf_dir, include_individuals=False)
+    return views.search(triples, "nation_1").select(
+        "uri", "name", "entity_type", "match_field"
+    )
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+        .select("c_custkey", "c_name", F.round("revenue", 2).alias("revenue"), "n_orders")
+    )
+
+
+def _q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("running_value", F.round(F.sum("value").over(w), 4))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn", "running_value")
+        .orderBy("user_id", "rn")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "stats_populated": _q_stats,
+        "classes_view": _q_classes,
+        "class_hierarchy": _q_class_hierarchy,
+        "object_properties_view": _q_object_properties,
+        "data_properties_view": _q_data_properties,
+        "individuals_view": _q_individuals,
+        "search_person": _q_search,
+        "concepts_view": _q_concepts,
+        "concept_schemes": _q_concept_schemes,
+        "annotation_predicates": _q_annotation_predicates,
+        "duplicate_labels": _q_duplicate_labels,
+        "diff_summary": _q_diff_summary,
+        "detect_conflicts": _q_detect_conflicts,
+        "classify_resources": _q_classify,
+        "merge_overwrite": _q_merge_overwrite,
+        "merge_union": _q_merge_union,
+        "superclass_closure": _q_closure,
+        "connected_components": _q_components,
+        "broader_cycles": _q_broader_cycles,
+        "delete_cascade": _q_delete_cascade,
+        "rename_resource": _q_rename,
+        "induced_hierarchy": _q_induced_hierarchy,
+        "induced_stats": _q_induced_stats,
+        "induced_individuals_per_class": _q_induced_individuals_per_class,
+        "induced_search": _q_induced_search,
+        "tpch_q1": _q_tpch_q1,
+        "top_customers": _q_top_customers,
+        "events_running": _q_events_running,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------- #
+# DuckDB oracles
+# --------------------------------------------------------------------- #
+
+
+def _fx(name: str) -> str:
+    return FX.fixture_cte(name)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pop = _fx("populated_om")
+    skos = _fx("skos_om")
+    val = _fx("validation_om")
+    da = FX.fixture_cte("diff_a", "a")
+    db = FX.fixture_cte("diff_b", "b")
+    ib = relational.BASE
+    conflict_list = ", ".join("'" + p + "'" for p in M.CONFLICT_PREDICATES)
+    structural_list = ", ".join("'" + p + "'" for p in sorted(M.STRUCTURAL_PREDICATES))
+
+    sql: dict[str, str] = {}
+
+    sql["stats_populated"] = f"""
+WITH {pop}
+SELECT
+  count(DISTINCT CASE WHEN pred='{RDF_TYPE}' AND obj='{OWL_CLASS}' THEN subj END) AS classes,
+  count(DISTINCT CASE WHEN pred='{RDF_TYPE}' AND obj='{M.OWL.ObjectProperty}' THEN subj END) AS object_properties,
+  count(DISTINCT CASE WHEN pred='{RDF_TYPE}' AND obj='{M.OWL.DatatypeProperty}' THEN subj END) AS data_properties,
+  count(DISTINCT CASE WHEN pred='{RDF_TYPE}' AND obj='{M.OWL.NamedIndividual}' THEN subj END) AS individuals,
+  count(DISTINCT CASE WHEN pred='{RDF_TYPE}' AND obj='{M.OWL.Restriction}' THEN subj END) AS restrictions,
+  count(DISTINCT CASE WHEN pred='{RDF_TYPE}' AND obj='{M.SKOS.ConceptScheme}' THEN subj END) AS concept_schemes,
+  count(DISTINCT CASE WHEN pred='{RDF_TYPE}' AND obj='{M.SKOS.Concept}' THEN subj END) AS concepts,
+  count(*) AS total_triples
+FROM triples
+"""
+
+    sql["classes_view"] = f"""
+WITH {pop},
+cls AS (SELECT DISTINCT subj FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{OWL_CLASS}' AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
+attrs AS (SELECT subj,
+                 min(CASE WHEN pred='{LBL}' THEN obj END) AS label,
+                 min(CASE WHEN pred='{CMT}' THEN obj END) AS comment,
+                 {_csv(f"CASE WHEN pred='{SUB}' THEN obj END")} AS parents_csv
+          FROM triples GROUP BY subj),
+kids AS (SELECT obj AS subj, {_csv('subj')} AS children_csv
+         FROM triples WHERE pred='{SUB}' GROUP BY obj)
+SELECT cls.subj AS uri, {_ln('cls.subj')} AS name, attrs.label, attrs.comment,
+       coalesce(attrs.parents_csv,'') AS parents_csv,
+       coalesce(kids.children_csv,'') AS children_csv
+FROM cls LEFT JOIN attrs ON cls.subj=attrs.subj LEFT JOIN kids ON cls.subj=kids.subj
+ORDER BY name
+"""
+
+    sql["class_hierarchy"] = f"""
+WITH {pop},
+cls AS (SELECT DISTINCT subj FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{OWL_CLASS}' AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
+edges AS (SELECT t.obj AS subj, t.subj AS child FROM triples t
+          WHERE t.pred='{SUB}' AND t.obj IN (SELECT subj FROM cls))
+SELECT {_ln('cls.subj')} AS class_name,
+       coalesce(string_agg(DISTINCT {_ln('edges.child')}, ',' ORDER BY {_ln('edges.child')}), '') AS children_csv
+FROM cls LEFT JOIN edges ON cls.subj=edges.subj
+GROUP BY cls.subj ORDER BY class_name
+"""
+
+    sql["object_properties_view"] = f"""
+WITH {pop},
+props AS (SELECT DISTINCT subj FROM triples WHERE pred='{RDF_TYPE}' AND obj='{M.OWL.ObjectProperty}')
+SELECT t.subj AS uri, {_ln('t.subj')} AS name,
+  min(CASE WHEN pred='{LBL}' THEN obj END) AS label,
+  coalesce(min(CASE WHEN pred='{M.RDFS.domain}' THEN obj END),
+           min(CASE WHEN pred='{M.SCHEMA_NS}domainIncludes' THEN obj END),
+           min(CASE WHEN pred='{M.GIST_NS}domainIncludes' THEN obj END)) AS domain,
+  coalesce(min(CASE WHEN pred='{M.RDFS.range}' THEN obj END),
+           min(CASE WHEN pred='{M.SCHEMA_NS}rangeIncludes' THEN obj END),
+           min(CASE WHEN pred='{M.GIST_NS}rangeIncludes' THEN obj END)) AS range,
+  max(CASE WHEN pred='{RDF_TYPE}' AND obj='{M.OWL.FunctionalProperty}' THEN 1 ELSE 0 END) AS functional,
+  max(CASE WHEN pred='{RDF_TYPE}' AND obj='{M.OWL.TransitiveProperty}' THEN 1 ELSE 0 END) AS transitive,
+  max(CASE WHEN pred='{RDF_TYPE}' AND obj='{M.OWL.SymmetricProperty}' THEN 1 ELSE 0 END) AS symmetric
+FROM triples t JOIN props USING (subj)
+GROUP BY t.subj ORDER BY name
+"""
+
+    sql["data_properties_view"] = f"""
+WITH {pop},
+props AS (SELECT DISTINCT subj FROM triples WHERE pred='{RDF_TYPE}' AND obj='{M.OWL.DatatypeProperty}')
+SELECT t.subj AS uri, {_ln('t.subj')} AS name,
+  min(CASE WHEN pred='{LBL}' THEN obj END) AS label,
+  coalesce(min(CASE WHEN pred='{M.RDFS.domain}' THEN obj END),
+           min(CASE WHEN pred='{M.SCHEMA_NS}domainIncludes' THEN obj END),
+           min(CASE WHEN pred='{M.GIST_NS}domainIncludes' THEN obj END)) AS domain,
+  min(CASE WHEN pred='{M.RDFS.range}' THEN obj END) AS range,
+  max(CASE WHEN pred='{RDF_TYPE}' AND obj='{M.OWL.FunctionalProperty}' THEN 1 ELSE 0 END) AS functional
+FROM triples t JOIN props USING (subj)
+GROUP BY t.subj ORDER BY name
+"""
+
+    sql["individuals_view"] = f"""
+WITH {pop},
+inds AS (SELECT DISTINCT subj FROM triples WHERE pred='{RDF_TYPE}' AND obj='{M.OWL.NamedIndividual}')
+SELECT t.subj AS uri, {_ln('t.subj')} AS name,
+  min(CASE WHEN pred='{LBL}' THEN obj END) AS label,
+  {_csv(f"CASE WHEN pred='{RDF_TYPE}' AND obj<>'{M.OWL.NamedIndividual}' THEN obj END")} AS classes_csv
+FROM triples t JOIN inds USING (subj)
+GROUP BY t.subj ORDER BY name
+"""
+
+    sql["search_person"] = f"""
+WITH {pop},
+typed AS (
+  SELECT subj, min(CASE obj
+      WHEN '{OWL_CLASS}' THEN 'class'
+      WHEN '{M.OWL.ObjectProperty}' THEN 'object_property'
+      WHEN '{M.OWL.DatatypeProperty}' THEN 'data_property'
+      WHEN '{M.OWL.NamedIndividual}' THEN 'individual' END) AS entity_type
+  FROM triples WHERE pred='{RDF_TYPE}'
+    AND obj IN ('{OWL_CLASS}','{M.OWL.ObjectProperty}','{M.OWL.DatatypeProperty}','{M.OWL.NamedIndividual}')
+  GROUP BY subj),
+attrs AS (SELECT subj,
+    min(CASE WHEN pred='{LBL}' THEN obj END) AS label,
+    min(CASE WHEN pred='{CMT}' THEN obj END) AS comment
+  FROM triples GROUP BY subj),
+ent AS (SELECT typed.subj, entity_type, {_ln('typed.subj')} AS name, label, comment
+        FROM typed LEFT JOIN attrs ON typed.subj=attrs.subj)
+SELECT subj AS uri, name, entity_type,
+  CASE WHEN lower(name) LIKE '%person%' THEN 'name'
+       WHEN lower(label) LIKE '%person%' THEN 'label'
+       WHEN lower(comment) LIKE '%person%' THEN 'comment' END AS match_field
+FROM ent
+WHERE lower(name) LIKE '%person%' OR lower(label) LIKE '%person%' OR lower(comment) LIKE '%person%'
+"""
+
+    sql["concepts_view"] = f"""
+WITH {skos},
+con AS (SELECT DISTINCT subj FROM triples WHERE pred='{RDF_TYPE}' AND obj='{M.SKOS.Concept}')
+SELECT t.subj AS uri, {_ln('t.subj')} AS name,
+  min(CASE WHEN pred='{M.SKOS.prefLabel}' THEN obj END) AS pref_label,
+  {_csv(f"CASE WHEN pred='{M.SKOS.broader}' THEN obj END")} AS broader_csv,
+  {_csv(f"CASE WHEN pred='{M.SKOS.narrower}' THEN obj END")} AS narrower_csv,
+  {_csv(f"CASE WHEN pred='{M.SKOS.inScheme}' THEN obj END")} AS schemes_csv
+FROM triples t JOIN con USING (subj)
+GROUP BY t.subj ORDER BY name
+"""
+
+    sql["concept_schemes"] = f"""
+WITH {skos},
+sch AS (SELECT DISTINCT subj FROM triples WHERE pred='{RDF_TYPE}' AND obj='{M.SKOS.ConceptScheme}'),
+attrs AS (SELECT subj,
+    min(CASE WHEN pred='{LBL}' THEN obj END) AS label,
+    min(CASE WHEN pred='{M.SKOS.prefLabel}' THEN obj END) AS pref_label
+  FROM triples GROUP BY subj),
+cnt AS (SELECT obj AS subj, count(*) AS concept_count FROM triples
+        WHERE pred='{M.SKOS.inScheme}' GROUP BY obj)
+SELECT sch.subj AS uri, {_ln('sch.subj')} AS name,
+       coalesce(pref_label, label) AS label,
+       coalesce(concept_count, 0) AS concept_count
+FROM sch LEFT JOIN attrs ON sch.subj=attrs.subj LEFT JOIN cnt ON sch.subj=cnt.subj
+ORDER BY name
+"""
+
+    sql["annotation_predicates"] = f"""
+WITH {pop}
+SELECT DISTINCT pred AS predicate, {_ln('pred')} AS predicate_name
+FROM triples
+WHERE pred NOT IN ({structural_list}) AND obj_kind <> 'bnode'
+ORDER BY lower({_ln('pred')})
+"""
+
+    sql["duplicate_labels"] = f"""
+WITH {val}
+SELECT obj AS label, {_csv('subj')} AS resources_csv, count(DISTINCT subj) AS n
+FROM triples WHERE pred='{LBL}'
+GROUP BY obj HAVING count(DISTINCT subj) > 1
+ORDER BY label
+"""
+
+    sql["diff_summary"] = f"""
+WITH {da}, {db},
+added AS (SELECT * FROM b EXCEPT ALL SELECT * FROM a),
+removed AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+unchanged AS (SELECT * FROM a INTERSECT SELECT * FROM b)
+SELECT
+ (SELECT count(*) FROM added WHERE NOT (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')) AS added,
+ (SELECT count(*) FROM removed WHERE NOT (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')) AS removed,
+ (SELECT count(*) FROM added WHERE (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')) AS added_bnode,
+ (SELECT count(*) FROM removed WHERE (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')) AS removed_bnode,
+ (SELECT count(*) FROM unchanged) AS unchanged
+"""
+
+    sql["detect_conflicts"] = f"""
+WITH {da}, {db}
+SELECT a.subj, a.pred,
+       min(a.obj) AS current_value, min(b.obj) AS incoming_value
+FROM a JOIN b ON a.subj=b.subj AND a.pred=b.pred AND a.obj<>b.obj
+WHERE a.pred IN ({conflict_list})
+GROUP BY a.subj, a.pred ORDER BY a.subj, a.pred
+"""
+
+    sql["classify_resources"] = f"""
+WITH {da}, {db},
+added AS (SELECT DISTINCT subj FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+          WHERE NOT (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')),
+removed AS (SELECT DISTINCT subj FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            WHERE NOT (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode'))
+SELECT coalesce(added.subj, removed.subj) AS resource,
+  CASE WHEN added.subj IS NOT NULL AND removed.subj IS NOT NULL THEN 'modified'
+       WHEN added.subj IS NOT NULL THEN 'added' ELSE 'removed' END AS change
+FROM added FULL OUTER JOIN removed ON added.subj=removed.subj
+ORDER BY resource
+"""
+
+    merge_overwrite_core = f"""
+conf_keys AS (SELECT DISTINCT subj, pred FROM b WHERE pred IN ({conflict_list})),
+kept AS (
+  SELECT * FROM a WHERE pred NOT IN ({conflict_list})
+  UNION ALL
+  SELECT * FROM a WHERE pred IN ({conflict_list})
+    AND NOT EXISTS (SELECT 1 FROM conf_keys k WHERE k.subj=a.subj AND k.pred=a.pred)
+),
+merged AS (SELECT DISTINCT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM b))
+"""
+    sql["merge_overwrite"] = f"""
+WITH {da}, {db}, {merge_overwrite_core}
+SELECT subj, pred, obj, obj_kind FROM merged
+"""
+
+    sql["merge_union"] = f"""
+WITH {da}, {db}
+SELECT DISTINCT subj, pred, obj, obj_kind FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+"""
+
+    sql["superclass_closure"] = f"""
+WITH RECURSIVE {pop},
+edges AS (SELECT subj AS src, obj AS dst FROM triples WHERE pred='{SUB}'),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst=e.src
+),
+nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges)
+SELECT src AS cls, dst AS ancestor FROM reach
+UNION
+SELECT n, n FROM nodes
+"""
+
+    sql["connected_components"] = """
+WITH RECURSIVE raw(src, dst) AS (VALUES
+  ('e1','e2'),('e2','e3'),('e3','e4'),
+  ('f1','f2'),
+  ('g1','g1'),
+  ('h1','h2'),('h3','h2'),('h3','h4'),('h5','h4')),
+sym AS (SELECT src AS u, dst AS v FROM raw WHERE src<>dst
+        UNION SELECT dst, src FROM raw WHERE src<>dst),
+nodes AS (SELECT DISTINCT u AS n FROM sym UNION SELECT DISTINCT v FROM sym
+          UNION SELECT src FROM raw UNION SELECT dst FROM raw),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m=s.u
+)
+SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+"""
+
+    sql["broader_cycles"] = f"""
+WITH RECURSIVE {skos},
+extra(subj, pred, obj) AS (VALUES
+  ('{FX.BASE}X','{M.SKOS.broader}','{FX.BASE}Y'),
+  ('{FX.BASE}Y','{M.SKOS.broader}','{FX.BASE}X')),
+alledges AS (
+  SELECT subj, obj FROM triples WHERE pred='{M.SKOS.broader}'
+  UNION SELECT subj, obj FROM extra),
+first_broader AS (SELECT subj AS src, min(obj) AS dst FROM alledges GROUP BY subj),
+reach(src, dst) AS (
+  SELECT src, dst FROM first_broader
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN first_broader e ON r.dst=e.src
+)
+SELECT DISTINCT src AS concept FROM reach WHERE src=dst ORDER BY concept
+"""
+
+    sql["delete_cascade"] = f"""
+WITH {pop}
+SELECT subj, pred, obj, obj_kind FROM triples
+WHERE subj <> '{FX.BASE}Employee'
+  AND NOT (obj = '{FX.BASE}Employee' AND obj_kind <> 'literal')
+"""
+
+    sql["rename_resource"] = f"""
+WITH {pop}
+SELECT DISTINCT
+  CASE WHEN subj='{FX.BASE}Person' THEN '{FX.BASE}Human' ELSE subj END AS subj,
+  pred,
+  CASE WHEN obj='{FX.BASE}Person' AND obj_kind='uri' THEN '{FX.BASE}Human' ELSE obj END AS obj,
+  obj_kind
+FROM triples
+"""
+
+    sql["induced_hierarchy"] = """
+SELECT DISTINCT 'Nation_' || n_name AS child, 'Region_' || r_name AS parent
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY child
+"""
+
+    sql["induced_stats"] = f"""
+SELECT
+  (SELECT count(DISTINCT 'Region_'||r_name) FROM region)
+    + (SELECT count(DISTINCT 'Nation_'||n_name) FROM nation) AS classes,
+  0 AS object_properties,
+  0 AS data_properties,
+  (SELECT count(DISTINCT c_custkey) FROM customer)
+    + (SELECT count(DISTINCT s_suppkey) FROM supplier) AS individuals,
+  0 AS restrictions,
+  0 AS concept_schemes,
+  0 AS concepts,
+  (SELECT 2*count(*) FROM region) + (SELECT 3*count(*) FROM nation)
+    + (SELECT 5*count(*) FROM customer) + (SELECT 4*count(*) FROM supplier) AS total_triples
+"""
+
+    sql["induced_individuals_per_class"] = """
+WITH typed AS (
+  SELECT 'customer_' || c_custkey AS ind, 'Nation_' || n_name AS class_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'supplier_' || s_suppkey, 'Nation_' || n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT class_name, count(DISTINCT ind) AS n_individuals
+FROM typed GROUP BY class_name ORDER BY class_name
+"""
+
+    sql["induced_search"] = f"""
+WITH cls AS (
+  SELECT '{ib}Region_'||r_name AS uri, 'Region_'||r_name AS name, r_name AS label FROM region
+  UNION ALL
+  SELECT '{ib}Nation_'||n_name, 'Nation_'||n_name, n_name FROM nation)
+SELECT uri, name, 'class' AS entity_type,
+  CASE WHEN lower(name) LIKE '%nation_1%' THEN 'name'
+       WHEN lower(label) LIKE '%nation_1%' THEN 'label' END AS match_field
+FROM cls
+WHERE lower(name) LIKE '%nation_1%' OR lower(label) LIKE '%nation_1%'
+"""
+
+    sql["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum(l_extendedprice) AS sum_base_price,
+  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sql["top_customers"] = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY sum(o_totalprice) DESC, c_custkey
+LIMIT 10
+"""
+
+    sql["events_running"] = """
+WITH w AS (
+  SELECT user_id, event_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+  FROM events)
+SELECT user_id, event_id, rn, running_value FROM w WHERE rn <= 3
+ORDER BY user_id, rn
+"""
+
+    return sql

@@ -1,0 +1,144 @@
+"""RDF collection (rdf:first / rdf:rest) reassembly (SURVEY.md §1.4, §2.2).
+
+The reference stores class expressions, property chains, hasKey,
+AllDifferent and disjointUnion members as rdflib ``Collection`` linked
+lists (``ontology_manager.py:1846-1954``).  Here the linked list is
+unrolled with an iterative position-assigning join (bounded by
+``max_len``), then reassembled into an ordered ``ArrayType`` per list
+head with ``collect_list`` sorted by position.
+
+Lists in ontologies are short (axiom members, property chains), so
+``max_len`` defaults small; each round is a broadcast-size join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import OWL, RDF
+
+
+def unroll_lists(triples: DataFrame, max_len: int = 32) -> DataFrame:
+    """(head, pos, item) for every rdf:first/rdf:rest list in the graph.
+
+    ``head`` is the first cons cell's node id; positions are 0-based.
+    """
+    firsts = triples.filter(F.col("pred") == RDF.first).select(
+        F.col("subj").alias("cell"), F.col("obj").alias("item")
+    )
+    rests = triples.filter(F.col("pred") == RDF.rest).select(
+        F.col("subj").alias("cell"), F.col("obj").alias("next")
+    )
+    # walk: start at every cell, then follow `rest` pointers, tagging position
+    frontier = firsts.select(
+        F.col("cell").alias("head"), F.col("cell"), F.lit(0).alias("pos")
+    )
+    out = frontier
+    for _ in range(max_len - 1):
+        frontier = (
+            frontier.join(rests, "cell")
+            .filter(F.col("next") != RDF.nil)
+            .select(
+                "head",
+                F.col("next").alias("cell"),
+                (F.col("pos") + 1).alias("pos"),
+            )
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    walked = out.join(firsts, "cell").select("head", "pos", "item")
+    # true heads = cells that are not the `rest` of any other cell
+    non_heads = rests.select(F.col("next").alias("head")).distinct()
+    return walked.join(non_heads, "head", "left_anti")
+
+
+def lists_as_arrays(triples: DataFrame, max_len: int = 32) -> DataFrame:
+    """(head, items ARRAY<STRING>) per list, order preserved."""
+    return (
+        unroll_lists(triples, max_len)
+        .groupBy("head")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("item")))
+                ),
+                lambda s: s["item"],
+            ).alias("items")
+        )
+    )
+
+
+def _axiom_lists(
+    triples: DataFrame, pred: str, max_len: int = 32
+) -> DataFrame:
+    """(owner, items) for list-valued axiom predicate ``pred``."""
+    owners = triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("owner"), F.col("obj").alias("head")
+    )
+    return owners.join(lists_as_arrays(triples, max_len), "head").select(
+        "owner", "items"
+    )
+
+
+def get_property_chains(triples: DataFrame) -> DataFrame:
+    """Decode ``owl:propertyChainAxiom`` lists
+    (reference ``ontology_manager.py:1850-1860``)."""
+    return _axiom_lists(triples, OWL.propertyChainAxiom).select(
+        F.col("owner").alias("property"), F.col("items").alias("chain")
+    ).orderBy("property")
+
+
+def get_class_expressions(triples: DataFrame) -> DataFrame:
+    """Decode unionOf/intersectionOf/oneOf members + direct complementOf
+    (reference ``ontology_manager.py:1888-1922``)."""
+    parts = []
+    for kind, pred in [
+        ("unionOf", OWL.unionOf),
+        ("intersectionOf", OWL.intersectionOf),
+        ("oneOf", OWL.oneOf),
+    ]:
+        parts.append(
+            _axiom_lists(triples, pred).select(
+                F.col("owner").alias("cls"),
+                F.lit(kind).alias("expression_type"),
+                F.col("items").alias("members"),
+            )
+        )
+    comp = triples.filter(F.col("pred") == OWL.complementOf).select(
+        F.col("subj").alias("cls"),
+        F.lit("complementOf").alias("expression_type"),
+        F.array(F.col("obj")).alias("members"),
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(comp).orderBy("cls", "expression_type")
+
+
+def get_all_different(triples: DataFrame) -> DataFrame:
+    """Decode ``owl:AllDifferent`` / ``owl:distinctMembers``
+    (reference ``:1934-1945``)."""
+    axioms = triples.filter(
+        (F.col("pred") == RDF.type) & (F.col("obj") == OWL.AllDifferent)
+    ).select(F.col("subj").alias("owner"))
+    return (
+        axioms.join(_axiom_lists(triples, OWL.distinctMembers), "owner")
+        .select(F.col("owner").alias("axiom"), F.col("items").alias("members"))
+        .orderBy("axiom")
+    )
+
+
+def get_has_keys(triples: DataFrame) -> DataFrame:
+    """Decode ``owl:hasKey`` (reference ``:1956-1972``)."""
+    return _axiom_lists(triples, OWL.hasKey).select(
+        F.col("owner").alias("cls"), F.col("items").alias("key_properties")
+    ).orderBy("cls")
+
+
+def get_disjoint_unions(triples: DataFrame) -> DataFrame:
+    """Decode ``owl:disjointUnionOf`` (reference ``:1983-1996``)."""
+    return _axiom_lists(triples, OWL.disjointUnionOf).select(
+        F.col("owner").alias("cls"), F.col("items").alias("members")
+    ).orderBy("cls")

@@ -1,0 +1,655 @@
+"""Read operators: entity views over the triples table (SURVEY.md §2.2-§2.6).
+
+Each function is a pure DataFrame transform ``triples -> view``.  Shapes:
+
+  * **type-filter**: ``pred = rdf:type AND obj = <kind>`` — prunes to the
+    entity list (pushed into the scan by Catalyst).
+  * **attribute assembly**: instead of N broadcast joins (one per attribute,
+    the literal translation of the reference's N index lookups per entity,
+    e.g. ``ontology_manager.py:896-931``), we do ONE conditional
+    aggregation pass: ``groupBy(subj).agg(min(when(pred=..., obj)))``.
+    One shuffle for all attributes — partial (map-side) aggregation makes
+    this scale linearly; at 100 TB this is the difference between 1 and N
+    shuffles of the full triples table.
+  * deterministic "first value": the reference relies on rdflib dict-order
+    for ``graph.value`` (``ontology_manager.py:497-498``); we pin ``min``
+    (documented divergence, tests never assert which of several wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model import (
+    GIST_NS,
+    OWL,
+    PROPERTY_CHARACTERISTICS,
+    RDF,
+    RDFS,
+    RESTRICTION_TYPES,
+    SCHEMA_NS,
+    SKOS,
+    STRUCTURAL_PREDICATES,
+    local_name_col,
+    type_slice,
+)
+
+# --------------------------------------------------------------------------
+# attribute-assembly primitives
+# --------------------------------------------------------------------------
+
+
+def _first(pred: str) -> Column:
+    """min(obj) where pred matches — deterministic ``graph.value``."""
+    return F.min(F.when(F.col("pred") == pred, F.col("obj")))
+
+
+def _all(pred: str) -> Column:
+    """sorted distinct objects where pred matches."""
+    return F.array_sort(
+        F.collect_set(F.when(F.col("pred") == pred, F.col("obj")))
+    )
+
+
+def _has_type(type_uri: str) -> Column:
+    """1-bit flag: subject carries ``rdf:type <type_uri>``."""
+    return F.max(
+        F.when((F.col("pred") == RDF.type) & (F.col("obj") == type_uri), True)
+    ).isNotNull()
+
+
+def subjects_of_type(triples: DataFrame, type_uri: str) -> DataFrame:
+    return type_slice(triples, type_uri)
+
+
+# --------------------------------------------------------------------------
+# classes (reference ontology_manager.py:487-528)
+# --------------------------------------------------------------------------
+
+
+def get_classes(triples: DataFrame) -> DataFrame:
+    """Named classes with label/comment/parents/children, sorted by name.
+
+    Reference ``get_classes`` (``ontology_manager.py:487-515``): skips
+    BNode classes, label/comment via first-match, parents = subClassOf
+    out-edges, children = in-edges.
+    """
+    classes = type_slice(triples, OWL.Class).filter(~F.col("subj").startswith("_:"))
+    attrs = (
+        triples.groupBy("subj")
+        .agg(
+            _first(RDFS.label).alias("label"),
+            _first(RDFS.comment).alias("comment"),
+            _all(RDFS.subClassOf).alias("parents"),
+        )
+    )
+    children = (
+        triples.filter(F.col("pred") == RDFS.subClassOf)
+        .groupBy("obj")
+        .agg(F.array_sort(F.collect_set("subj")).alias("children"))
+        .withColumnRenamed("obj", "subj")
+    )
+    return (
+        classes.join(attrs, "subj", "left")
+        .join(children, "subj", "left")
+        .select(
+            F.col("subj").alias("uri"),
+            local_name_col(F.col("subj")).alias("name"),
+            "label",
+            "comment",
+            F.coalesce("parents", F.array()).alias("parents"),
+            F.coalesce("children", F.array()).alias("children"),
+        )
+        .orderBy("name")
+    )
+
+
+def get_class_hierarchy(triples: DataFrame) -> DataFrame:
+    """{class -> [children]} adjacency incl. childless classes
+    (reference ``ontology_manager.py:517-528``)."""
+    classes = type_slice(triples, OWL.Class).filter(~F.col("subj").startswith("_:"))
+    edges = (
+        triples.filter(F.col("pred") == RDFS.subClassOf)
+        .select(F.col("obj").alias("subj"), F.col("subj").alias("child"))
+        .join(classes, "subj", "left_semi")
+    )
+    return (
+        classes.join(edges, "subj", "left")
+        .groupBy("subj")
+        .agg(
+            F.array_sort(
+                F.collect_set(local_name_col(F.col("child")))
+            ).alias("children")
+        )
+        .select(
+            local_name_col(F.col("subj")).alias("class_name"),
+            "children",
+        )
+        .orderBy("class_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# properties (reference ontology_manager.py:879-972)
+# --------------------------------------------------------------------------
+
+_SCHEMA_DOMAIN = SCHEMA_NS + "domainIncludes"
+_SCHEMA_RANGE = SCHEMA_NS + "rangeIncludes"
+_GIST_DOMAIN = GIST_NS + "domainIncludes"
+_GIST_RANGE = GIST_NS + "rangeIncludes"
+
+
+def get_object_properties(triples: DataFrame) -> DataFrame:
+    """Object properties with label/comment/domain/range (incl.
+    ``domainIncludes`` fallbacks, reference ``:898-911``), the 7
+    characteristic flags (``:915-928``), and inverseOf — in ONE
+    aggregation pass over the property subjects."""
+    props = type_slice(triples, OWL.ObjectProperty)
+    agg = triples.join(props, "subj", "left_semi").groupBy("subj").agg(
+        _first(RDFS.label).alias("label"),
+        _first(RDFS.comment).alias("comment"),
+        _first(RDFS.domain).alias("rdfs_domain"),
+        _first(_SCHEMA_DOMAIN).alias("schema_domain"),
+        _first(_GIST_DOMAIN).alias("gist_domain"),
+        _first(RDFS.range).alias("rdfs_range"),
+        _first(_SCHEMA_RANGE).alias("schema_range"),
+        _first(_GIST_RANGE).alias("gist_range"),
+        _first(OWL.inverseOf).alias("inverse_of"),
+        *[
+            _has_type(u).alias(flag)
+            for flag, u in PROPERTY_CHARACTERISTICS
+        ],
+    )
+    return agg.select(
+        F.col("subj").alias("uri"),
+        local_name_col(F.col("subj")).alias("name"),
+        "label",
+        "comment",
+        F.coalesce("rdfs_domain", "schema_domain", "gist_domain").alias("domain"),
+        F.coalesce("rdfs_range", "schema_range", "gist_range").alias("range"),
+        "inverse_of",
+        *[flag for flag, _ in PROPERTY_CHARACTERISTICS],
+    ).orderBy("name")
+
+
+def get_data_properties(triples: DataFrame) -> DataFrame:
+    """Datatype properties + functional flag
+    (reference ``ontology_manager.py:938-972``)."""
+    props = type_slice(triples, OWL.DatatypeProperty)
+    agg = triples.join(props, "subj", "left_semi").groupBy("subj").agg(
+        _first(RDFS.label).alias("label"),
+        _first(RDFS.comment).alias("comment"),
+        _first(RDFS.domain).alias("rdfs_domain"),
+        _first(_SCHEMA_DOMAIN).alias("schema_domain"),
+        _first(_GIST_DOMAIN).alias("gist_domain"),
+        _first(RDFS.range).alias("range"),
+        _has_type(OWL.FunctionalProperty).alias("functional"),
+    )
+    return agg.select(
+        F.col("subj").alias("uri"),
+        local_name_col(F.col("subj")).alias("name"),
+        "label",
+        "comment",
+        F.coalesce("rdfs_domain", "schema_domain", "gist_domain").alias("domain"),
+        "range",
+        "functional",
+    ).orderBy("name")
+
+
+# --------------------------------------------------------------------------
+# individuals (reference ontology_manager.py:1061-1097)
+# --------------------------------------------------------------------------
+
+
+def get_individuals(triples: DataFrame) -> DataFrame:
+    """Individuals + classes (excluding owl:NamedIndividual) + non-structural
+    property assertions, dedup by URI (reference ``:1064-1069``)."""
+    inds = type_slice(triples, OWL.NamedIndividual)
+    own = triples.join(inds, "subj", "left_semi")
+    agg = own.groupBy("subj").agg(
+        _first(RDFS.label).alias("label"),
+        _first(RDFS.comment).alias("comment"),
+        F.array_sort(
+            F.collect_set(
+                F.when(
+                    (F.col("pred") == RDF.type)
+                    & (F.col("obj") != OWL.NamedIndividual),
+                    F.col("obj"),
+                )
+            )
+        ).alias("classes"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("pred").isin(RDF.type, RDFS.label, RDFS.comment),
+                    F.concat_ws("=", F.col("pred"), F.col("obj")),
+                )
+            )
+        ).alias("assertions"),
+    )
+    return agg.select(
+        F.col("subj").alias("uri"),
+        local_name_col(F.col("subj")).alias("name"),
+        "label",
+        "comment",
+        "classes",
+        "assertions",
+    ).orderBy("name")
+
+
+# --------------------------------------------------------------------------
+# SKOS (reference ontology_manager.py:1396-1632)
+# --------------------------------------------------------------------------
+
+
+def get_concept_schemes(triples: DataFrame) -> DataFrame:
+    """Schemes + concept_count (in-edges of skos:inScheme)
+    (reference ``:1396-1416``)."""
+    schemes = type_slice(triples, SKOS.ConceptScheme)
+    attrs = triples.groupBy("subj").agg(
+        _first(RDFS.label).alias("label"),
+        _first(SKOS.prefLabel).alias("pref_label"),
+    )
+    counts = (
+        triples.filter(F.col("pred") == SKOS.inScheme)
+        .groupBy("obj")
+        .agg(F.count("*").alias("concept_count"))
+        .withColumnRenamed("obj", "subj")
+    )
+    return (
+        schemes.join(attrs, "subj", "left")
+        .join(counts, "subj", "left")
+        .select(
+            F.col("subj").alias("uri"),
+            local_name_col(F.col("subj")).alias("name"),
+            F.coalesce("pref_label", "label").alias("label"),
+            F.coalesce("concept_count", F.lit(0)).alias("concept_count"),
+        )
+        .orderBy("name")
+    )
+
+
+def get_concepts(triples: DataFrame, scheme: str | None = None) -> DataFrame:
+    """Concepts with prefLabel/definition/altLabels/broader/narrower/related/
+    schemes, optional scheme filter (reference ``:1480-1539``)."""
+    concepts = type_slice(triples, SKOS.Concept)
+    if scheme is not None:
+        in_scheme = triples.filter(
+            (F.col("pred") == SKOS.inScheme)
+            & (
+                (F.col("obj") == scheme)
+                | (local_name_col(F.col("obj")) == scheme)
+            )
+        ).select("subj")
+        concepts = concepts.join(in_scheme, "subj", "left_semi")
+    agg = triples.join(concepts, "subj", "left_semi").groupBy("subj").agg(
+        _first(SKOS.prefLabel).alias("pref_label"),
+        _first(SKOS.definition).alias("definition"),
+        _all(SKOS.altLabel).alias("alt_labels"),
+        _all(SKOS.broader).alias("broader"),
+        _all(SKOS.narrower).alias("narrower"),
+        _all(SKOS.related).alias("related"),
+        _all(SKOS.inScheme).alias("schemes"),
+    )
+    return agg.select(
+        F.col("subj").alias("uri"),
+        local_name_col(F.col("subj")).alias("name"),
+        "pref_label",
+        "definition",
+        "alt_labels",
+        "broader",
+        "narrower",
+        "related",
+        "schemes",
+    ).orderBy("name")
+
+
+def get_concept_hierarchy(triples: DataFrame) -> DataFrame:
+    """{concept -> narrower children} incl. leaves (reference ``:1618-1632``)."""
+    concepts = type_slice(triples, SKOS.Concept)
+    edges = (
+        triples.filter(F.col("pred") == SKOS.narrower)
+        .select("subj", F.col("obj").alias("child"))
+        .join(concepts, "subj", "left_semi")
+    )
+    return (
+        concepts.join(edges, "subj", "left")
+        .groupBy("subj")
+        .agg(
+            F.array_sort(
+                F.collect_set(local_name_col(F.col("child")))
+            ).alias("children")
+        )
+        .select(local_name_col(F.col("subj")).alias("concept_name"), "children")
+        .orderBy("concept_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# restrictions (reference ontology_manager.py:1138-1178)
+# --------------------------------------------------------------------------
+
+
+def get_restrictions(triples: DataFrame) -> DataFrame:
+    """Decode bnode restrictions: onProperty, first-matching type of the 9
+    ``RESTRICTION_TYPES`` (coalesce in declaration order, reference
+    ``:1156-1164``), value, onClass, and the classes the restriction is
+    applied to via subClassOf."""
+    rest = type_slice(triples, OWL.Restriction)
+    agg = triples.join(rest, "subj", "left_semi").groupBy("subj").agg(
+        _first(OWL.onProperty).alias("on_property"),
+        _first(OWL.onClass).alias("on_class"),
+        *[_first(u).alias(f"v_{name}") for name, u in RESTRICTION_TYPES],
+    )
+    rtype = F.coalesce(
+        *[
+            F.when(F.col(f"v_{name}").isNotNull(), F.lit(name))
+            for name, _ in RESTRICTION_TYPES
+        ]
+    )
+    rvalue = F.coalesce(*[F.col(f"v_{name}") for name, _ in RESTRICTION_TYPES])
+    applied = (
+        triples.filter(F.col("pred") == RDFS.subClassOf)
+        .select(F.col("obj").alias("subj"), F.col("subj").alias("applied_to"))
+        .groupBy("subj")
+        .agg(F.array_sort(F.collect_set("applied_to")).alias("applied_to"))
+    )
+    return (
+        agg.join(applied, "subj", "left")
+        .select(
+            F.col("subj").alias("bnode"),
+            "on_property",
+            rtype.alias("restriction_type"),
+            rvalue.alias("value"),
+            "on_class",
+            F.coalesce("applied_to", F.array()).alias("applied_to"),
+        )
+        .orderBy("bnode")
+    )
+
+
+# --------------------------------------------------------------------------
+# annotations (reference ontology_manager.py:1242-1320)
+# --------------------------------------------------------------------------
+
+
+def get_annotations(triples: DataFrame, resource: str) -> DataFrame:
+    """Non-structural, non-bnode-object annotations of one resource with
+    lang/datatype surfaced (reference ``:1242-1285``)."""
+    return (
+        triples.filter(
+            (F.col("subj") == resource)
+            & (~F.col("pred").isin(*STRUCTURAL_PREDICATES))
+            & (F.col("obj_kind") != "bnode")
+        )
+        .select(
+            F.col("pred").alias("predicate"),
+            local_name_col(F.col("pred")).alias("predicate_name"),
+            F.col("obj").alias("value"),
+            F.col("obj_lang").alias("lang"),
+            F.col("obj_dt").alias("datatype"),
+        )
+        .orderBy("predicate", "value")
+    )
+
+
+def get_used_annotation_predicates(triples: DataFrame) -> DataFrame:
+    """Distinct non-structural predicates in the whole graph
+    (reference ``:1287-1320``)."""
+    return (
+        triples.filter(
+            (~F.col("pred").isin(*STRUCTURAL_PREDICATES))
+            & (F.col("obj_kind") != "bnode")
+        )
+        .select("pred")
+        .distinct()
+        .select(
+            F.col("pred").alias("predicate"),
+            local_name_col(F.col("pred")).alias("predicate_name"),
+        )
+        .orderBy(F.lower(F.col("predicate_name")))
+    )
+
+
+# --------------------------------------------------------------------------
+# relations (reference ontology_manager.py:1722-1836)
+# --------------------------------------------------------------------------
+
+CLASS_RELATIONS = [RDFS.subClassOf, OWL.equivalentClass, OWL.disjointWith]
+PROPERTY_RELATIONS = [
+    RDFS.subPropertyOf,
+    OWL.equivalentProperty,
+    OWL.inverseOf,
+    OWL.propertyDisjointWith,
+]
+INDIVIDUAL_RELATIONS = [OWL.sameAs, OWL.differentFrom]
+
+
+def get_relations(
+    triples: DataFrame, preds: list[str], name: str | None = None
+) -> DataFrame:
+    """Enumerate relation pairs for a fixed vocab set, URIRef objects only,
+    optional subject-or-object name filter (reference ``:1758-1836``)."""
+    df = triples.filter(
+        F.col("pred").isin(*preds) & (F.col("obj_kind") == "uri")
+    ).filter(~F.col("subj").startswith("_:"))
+    if name is not None:
+        df = df.filter(
+            (local_name_col(F.col("subj")) == name)
+            | (local_name_col(F.col("obj")) == name)
+        )
+    return df.select(
+        local_name_col(F.col("subj")).alias("source"),
+        local_name_col(F.col("pred")).alias("relation"),
+        local_name_col(F.col("obj")).alias("target"),
+    ).orderBy("source", "relation", "target")
+
+
+# --------------------------------------------------------------------------
+# usages & delete impact (reference ontology_manager.py:2351-2396, 371-455)
+# --------------------------------------------------------------------------
+
+
+def get_resource_usages(triples: DataFrame, resource: str) -> DataFrame:
+    """Backlinks in the three index orientations: outbound (subj=x,
+    non-structural), inbound (obj=x, non-bnode subject), as-predicate
+    (reference ``:2351-2396``)."""
+    outbound = triples.filter(
+        (F.col("subj") == resource) & (~F.col("pred").isin(*STRUCTURAL_PREDICATES))
+    ).select(
+        F.lit("outbound").alias("direction"),
+        F.col("subj").alias("resource"),
+        "pred",
+        F.col("obj").alias("other"),
+    )
+    inbound = triples.filter(
+        (F.col("obj") == resource) & (~F.col("subj").startswith("_:"))
+    ).select(
+        F.lit("inbound").alias("direction"),
+        F.col("obj").alias("resource"),
+        "pred",
+        F.col("subj").alias("other"),
+    )
+    as_pred = triples.filter(F.col("pred") == resource).select(
+        F.lit("predicate").alias("direction"),
+        F.col("pred").alias("resource"),
+        F.col("pred").alias("pred"),
+        F.col("subj").alias("other"),
+    )
+    return outbound.unionByName(inbound).unionByName(as_pred).orderBy(
+        "direction", "pred", "other"
+    )
+
+
+def get_delete_impact(triples: DataFrame, resource: str) -> DataFrame:
+    """Pre-delete impact counts (reference ``:371-455``): subclasses,
+    instances, domain-of, range-of, inbound references, direct triples.
+    One row of counts via conditional aggregation (single pass)."""
+    touch = triples.filter(
+        (F.col("subj") == resource) | (F.col("obj") == resource) | (F.col("pred") == resource)
+    )
+    return touch.agg(
+        F.sum(
+            ((F.col("pred") == RDFS.subClassOf) & (F.col("obj") == resource)).cast("long")
+        ).alias("subclasses"),
+        F.sum(
+            ((F.col("pred") == RDF.type) & (F.col("obj") == resource)).cast("long")
+        ).alias("instances"),
+        F.sum(
+            ((F.col("pred") == RDFS.domain) & (F.col("obj") == resource)).cast("long")
+        ).alias("domain_of"),
+        F.sum(
+            ((F.col("pred") == RDFS.range) & (F.col("obj") == resource)).cast("long")
+        ).alias("range_of"),
+        F.sum((F.col("subj") == resource).cast("long")).alias("direct_triples"),
+        F.sum(
+            ((F.col("obj") == resource) & (F.col("subj") != resource)).cast("long")
+        ).alias("inbound_references"),
+        F.sum((F.col("pred") == resource).cast("long")).alias("as_predicate"),
+        F.count("*").alias("total_affected"),
+    )
+
+
+# --------------------------------------------------------------------------
+# statistics (reference ontology_manager.py:2868-2901)
+# --------------------------------------------------------------------------
+
+
+def get_statistics(triples: DataFrame) -> DataFrame:
+    """Entity-kind counts + total triples in ONE pass (conditional agg;
+    partial aggregation map-side).  Reference iterates the type index 7
+    times (``:2868-2901``); here it is a single scan."""
+    is_type = F.col("pred") == RDF.type
+
+    def cnt(kind: str) -> Column:
+        return F.count_distinct(
+            F.when(is_type & (F.col("obj") == kind), F.col("subj"))
+        )
+
+    return triples.agg(
+        cnt(OWL.Class).alias("classes"),
+        cnt(OWL.ObjectProperty).alias("object_properties"),
+        cnt(OWL.DatatypeProperty).alias("data_properties"),
+        cnt(OWL.NamedIndividual).alias("individuals"),
+        cnt(OWL.Restriction).alias("restrictions"),
+        cnt(SKOS.ConceptScheme).alias("concept_schemes"),
+        cnt(SKOS.Concept).alias("concepts"),
+        F.count("*").alias("total_triples"),
+    )
+
+
+# --------------------------------------------------------------------------
+# search (reference ontology_manager.py:2301-2347)
+# --------------------------------------------------------------------------
+
+_SEARCHABLE_TYPES = {
+    OWL.Class: "class",
+    OWL.ObjectProperty: "object_property",
+    OWL.DatatypeProperty: "data_property",
+    OWL.NamedIndividual: "individual",
+}
+
+
+def search(triples: DataFrame, query: str, limit: int | None = None) -> DataFrame:
+    """Case-insensitive substring search over name/label/comment of the four
+    entity kinds; match-field priority name > label > comment
+    (reference ``:2330-2336``); name-matches ranked first (``:2346``)."""
+    q = query.lower()
+    typed = (
+        triples.filter(
+            (F.col("pred") == RDF.type)
+            & F.col("obj").isin(*_SEARCHABLE_TYPES.keys())
+        )
+        .select(
+            "subj",
+            F.col("obj").alias("type_uri"),
+        )
+        .withColumn(
+            "entity_type",
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for u, k in _SEARCHABLE_TYPES.items()
+                        for x in (F.lit(u), F.lit(k))
+                    ]
+                ),
+                F.col("type_uri"),
+            ),
+        )
+        .drop("type_uri")
+        .dropDuplicates(["subj"])
+    )
+    attrs = triples.groupBy("subj").agg(
+        _first(RDFS.label).alias("label"),
+        _first(RDFS.comment).alias("comment"),
+    )
+    ent = typed.join(attrs, "subj", "left").select(
+        "subj",
+        "entity_type",
+        local_name_col(F.col("subj")).alias("name"),
+        "label",
+        "comment",
+    )
+    match_field = (
+        F.when(F.lower(F.col("name")).contains(q), F.lit("name"))
+        .when(F.lower(F.col("label")).contains(q), F.lit("label"))
+        .when(F.lower(F.col("comment")).contains(q), F.lit("comment"))
+    )
+    out = (
+        ent.withColumn("match_field", match_field)
+        .filter(F.col("match_field").isNotNull())
+        .select(
+            F.col("subj").alias("uri"),
+            "name",
+            "entity_type",
+            "match_field",
+            "label",
+        )
+        .orderBy(
+            (F.col("match_field") != "name").cast("int"),
+            F.lower(F.col("name")),
+        )
+    )
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+# --------------------------------------------------------------------------
+# namespace inference (reference ontology_manager.py:2261-2293)
+# --------------------------------------------------------------------------
+
+
+def infer_namespace(triples: DataFrame) -> DataFrame:
+    """Most frequent namespace among typed resources — top-1 groupBy.count.
+
+    The reference uses ``Counter.most_common`` (``:2261-2293``)."""
+    from ..model import namespace_col
+
+    typed = triples.filter(
+        (F.col("pred") == RDF.type) & (~F.col("subj").startswith("_:"))
+    ).select("subj")
+    return (
+        typed.withColumn("namespace", namespace_col(F.col("subj")))
+        .filter(F.length("namespace") > 0)
+        .groupBy("namespace")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "namespace")
+        .limit(1)
+    )
+
+
+def duplicate_labels(triples: DataFrame) -> DataFrame:
+    """Labels shared by >1 resource (reference ``:2834-2849``)."""
+    return (
+        triples.filter(F.col("pred") == RDFS.label)
+        .groupBy(F.col("obj").alias("label"))
+        .agg(
+            F.array_sort(F.collect_set("subj")).alias("resources"),
+            F.count_distinct("subj").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy("label")
+    )

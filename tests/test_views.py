@@ -1,0 +1,93 @@
+"""Mirrors the reference's manager-level read tests
+(/root/reference/tests/test_classes.py, test_skos.py, test_search.py)."""
+
+from __future__ import annotations
+
+from orionbelt_ontology_builder_spark.fixtures import BASE
+from orionbelt_ontology_builder_spark.operators import views
+
+
+def test_get_classes(populated_om):
+    rows = views.get_classes(populated_om).collect()
+    names = [r["name"] for r in rows]
+    assert names == ["Employee", "Organization", "Person"]
+    emp = next(r for r in rows if r["name"] == "Employee")
+    assert emp["label"] == "Employee"
+    assert emp["parents"] == [BASE + "Person"]
+    person = next(r for r in rows if r["name"] == "Person")
+    assert person["children"] == [BASE + "Employee"]
+
+
+def test_class_hierarchy(populated_om):
+    h = {r["class_name"]: r["children"] for r in views.get_class_hierarchy(populated_om).collect()}
+    assert h == {"Person": ["Employee"], "Organization": [], "Employee": []}
+
+
+def test_object_properties(populated_om):
+    rows = views.get_object_properties(populated_om).collect()
+    assert len(rows) == 1
+    wf = rows[0]
+    assert wf["name"] == "worksFor"
+    assert wf["domain"] == BASE + "Person"
+    assert wf["range"] == BASE + "Organization"
+    assert wf["functional"] is False
+
+
+def test_data_properties(populated_om):
+    rows = views.get_data_properties(populated_om).collect()
+    assert len(rows) == 1
+    assert rows[0]["name"] == "hasName"
+
+
+def test_individuals(populated_om):
+    rows = views.get_individuals(populated_om).collect()
+    assert [r["name"] for r in rows] == ["acme", "alice"]
+    alice = next(r for r in rows if r["name"] == "alice")
+    assert alice["classes"] == [BASE + "Employee"]
+
+
+def test_statistics(populated_om):
+    s = views.get_statistics(populated_om).collect()[0]
+    assert s["classes"] == 3
+    assert s["object_properties"] == 1
+    assert s["data_properties"] == 1
+    assert s["individuals"] == 2
+    assert s["total_triples"] == 20
+
+
+def test_search_ranks_name_first(populated_om):
+    rows = views.search(populated_om, "person").collect()
+    assert rows[0]["name"] == "Person"
+    assert rows[0]["match_field"] == "name"
+
+
+def test_concept_schemes(skos_om):
+    rows = views.get_concept_schemes(skos_om).collect()
+    assert len(rows) == 1
+    assert rows[0]["concept_count"] == 3
+
+
+def test_concepts(skos_om):
+    rows = views.get_concepts(skos_om).collect()
+    assert [r["name"] for r in rows] == ["Animal", "Cat", "Dog"]
+    dog = next(r for r in rows if r["name"] == "Dog")
+    assert dog["broader"] == [BASE + "Animal"]
+    animal = next(r for r in rows if r["name"] == "Animal")
+    assert sorted(animal["narrower"]) == [BASE + "Cat", BASE + "Dog"]
+
+
+def test_concept_hierarchy(skos_om):
+    h = {r["concept_name"]: r["children"] for r in views.get_concept_hierarchy(skos_om).collect()}
+    assert h == {"Animal": ["Cat", "Dog"], "Dog": [], "Cat": []}
+
+
+def test_infer_namespace(populated_om):
+    row = views.infer_namespace(populated_om).collect()[0]
+    assert row["namespace"] == BASE
+
+
+def test_delete_impact(populated_om):
+    imp = views.get_delete_impact(populated_om, BASE + "Employee").collect()[0]
+    assert imp["subclasses"] == 0
+    assert imp["instances"] == 1  # alice
+    assert imp["direct_triples"] == 3
