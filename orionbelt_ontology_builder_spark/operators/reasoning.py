@@ -1,0 +1,255 @@
+"""Forward-chaining RDFS / OWL-RL reasoning as a DataFrame fixpoint
+(SURVEY.md §2.9).
+
+The reference delegates to ``owlrl.DeductiveClosure(...).expand(graph)``
+(``ontology_manager.py:2853-2864``) — an in-memory rule loop.  Here each
+rule is a join producing candidate triples; a round unions all rule
+outputs, dedups, and subtracts the known set; the loop stops when a round
+yields nothing new.  ``localCheckpoint`` per round truncates lineage.
+
+Rule subset (covers the reference's test surface and the north-star
+needs — subclass/subproperty transitivity, type propagation, domain/range
+inference, inverse/symmetric/transitive properties, sameAs closure):
+
+  rdfs5   (p subPropertyOf q), (q subPropertyOf r)   -> (p subPropertyOf r)
+  rdfs7   (s p o), (p subPropertyOf q)               -> (s q o)
+  rdfs9   (s type c), (c subClassOf d)               -> (s type d)
+  rdfs11  (c subClassOf d), (d subClassOf e)         -> (c subClassOf e)
+  rdfs2   (s p o), (p domain c)                      -> (s type c)
+  rdfs3   (s p o:uri), (p range c)                   -> (o type c)
+  prp-inv (s p o), (p inverseOf q)                   -> (o q s)
+  prp-symp(s p o), (p type SymmetricProperty)        -> (o p s)
+  prp-trp (s p o), (o p v), (p type TransitiveProperty) -> (s p v)
+  eq-sym  (x sameAs y)                               -> (y sameAs x)
+  eq-trans(x sameAs y), (y sameAs z)                 -> (x sameAs z)
+
+Scale notes: schema-level slices (subClassOf, subPropertyOf, domain,
+range, property-characteristic sets) are tiny next to the instance data —
+every rule join broadcasts the schema side, so one reasoning round over
+N instance triples is a handful of broadcast joins + one distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import OWL, RDF, RDFS, TRIPLE_COLS
+
+
+def _as_triples(df: DataFrame, kind: str = "uri") -> DataFrame:
+    """(subj, pred, obj) -> full 6-col rows with uri object kind."""
+    return df.select(
+        "subj",
+        "pred",
+        "obj",
+        F.lit(kind).alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_dt"),
+    )
+
+
+def _round(triples: DataFrame) -> DataFrame:
+    """One application of every rule; returns candidate triples
+    (may include already-known ones — caller subtracts)."""
+    sub_class = triples.filter(F.col("pred") == RDFS.subClassOf).select(
+        F.col("subj").alias("c"), F.col("obj").alias("d")
+    )
+    sub_prop = triples.filter(F.col("pred") == RDFS.subPropertyOf).select(
+        F.col("subj").alias("p"), F.col("obj").alias("q")
+    )
+    domain = triples.filter(F.col("pred") == RDFS.domain).select(
+        F.col("subj").alias("p"), F.col("obj").alias("c")
+    )
+    range_ = triples.filter(F.col("pred") == RDFS.range).select(
+        F.col("subj").alias("p"), F.col("obj").alias("c")
+    )
+    types = triples.filter(F.col("pred") == RDF.type).select(
+        F.col("subj").alias("s"), F.col("obj").alias("c")
+    )
+    inverse = triples.filter(F.col("pred") == OWL.inverseOf).select(
+        F.col("subj").alias("p"), F.col("obj").alias("q")
+    )
+    symmetric = triples.filter(
+        (F.col("pred") == RDF.type) & (F.col("obj") == OWL.SymmetricProperty)
+    ).select(F.col("subj").alias("p"))
+    transitive = triples.filter(
+        (F.col("pred") == RDF.type) & (F.col("obj") == OWL.TransitiveProperty)
+    ).select(F.col("subj").alias("p"))
+    assertions = triples.filter(
+        ~F.col("pred").isin(RDF.type, RDFS.subClassOf, RDFS.subPropertyOf)
+    ).select("subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt")
+    same_as = triples.filter(F.col("pred") == OWL.sameAs).select(
+        F.col("subj").alias("x"), F.col("obj").alias("y")
+    )
+
+    out: list[DataFrame] = []
+
+    # rdfs11: subClassOf transitivity
+    out.append(
+        _as_triples(
+            sub_class.alias("a")
+            .join(F.broadcast(sub_class.alias("b")), F.col("a.d") == F.col("b.c"))
+            .select(
+                F.col("a.c").alias("subj"),
+                F.lit(RDFS.subClassOf).alias("pred"),
+                F.col("b.d").alias("obj"),
+            )
+        )
+    )
+    # rdfs5: subPropertyOf transitivity
+    out.append(
+        _as_triples(
+            sub_prop.alias("a")
+            .join(F.broadcast(sub_prop.alias("b")), F.col("a.q") == F.col("b.p"))
+            .select(
+                F.col("a.p").alias("subj"),
+                F.lit(RDFS.subPropertyOf).alias("pred"),
+                F.col("b.q").alias("obj"),
+            )
+        )
+    )
+    # rdfs9: type propagation up the hierarchy
+    out.append(
+        _as_triples(
+            types.join(F.broadcast(sub_class), types["c"] == sub_class["c"])
+            .select(
+                F.col("s").alias("subj"),
+                F.lit(RDF.type).alias("pred"),
+                F.col("d").alias("obj"),
+            )
+        )
+    )
+    # rdfs7: assertion propagation up subPropertyOf (keeps object term kind)
+    out.append(
+        assertions.join(F.broadcast(sub_prop), assertions["pred"] == sub_prop["p"])
+        .select("subj", F.col("q").alias("pred"), "obj", "obj_kind", "obj_lang", "obj_dt")
+    )
+    # rdfs2: domain -> subject type
+    out.append(
+        _as_triples(
+            assertions.join(F.broadcast(domain), assertions["pred"] == domain["p"])
+            .select(
+                F.col("subj"),
+                F.lit(RDF.type).alias("pred"),
+                F.col("c").alias("obj"),
+            )
+        )
+    )
+    # rdfs3: range -> object type (URI objects only)
+    out.append(
+        _as_triples(
+            assertions.filter(F.col("obj_kind") == "uri")
+            .join(F.broadcast(range_), assertions["pred"] == range_["p"])
+            .select(
+                F.col("obj").alias("subj"),
+                F.lit(RDF.type).alias("pred"),
+                F.col("c").alias("obj"),
+            )
+        )
+    )
+    # prp-inv
+    out.append(
+        _as_triples(
+            assertions.filter(F.col("obj_kind") == "uri")
+            .join(F.broadcast(inverse), assertions["pred"] == inverse["p"])
+            .select(
+                F.col("obj").alias("subj"),
+                F.col("q").alias("pred"),
+                F.col("subj").alias("obj"),
+            )
+        )
+    )
+    out.append(
+        _as_triples(
+            assertions.filter(F.col("obj_kind") == "uri")
+            .join(F.broadcast(inverse), assertions["pred"] == inverse["q"])
+            .select(
+                F.col("obj").alias("subj"),
+                F.col("p").alias("pred"),
+                F.col("subj").alias("obj"),
+            )
+        )
+    )
+    # prp-symp
+    out.append(
+        _as_triples(
+            assertions.filter(F.col("obj_kind") == "uri")
+            .join(F.broadcast(symmetric), assertions["pred"] == symmetric["p"])
+            .select(
+                F.col("obj").alias("subj"),
+                F.col("pred"),
+                F.col("subj").alias("obj"),
+            )
+        )
+    )
+    # prp-trp (self-join of transitive-property assertions)
+    trans_edges = assertions.join(
+        F.broadcast(transitive), assertions["pred"] == transitive["p"]
+    ).select("subj", "pred", "obj")
+    out.append(
+        _as_triples(
+            trans_edges.alias("a")
+            .join(
+                trans_edges.alias("b"),
+                (F.col("a.obj") == F.col("b.subj"))
+                & (F.col("a.pred") == F.col("b.pred")),
+            )
+            .select(
+                F.col("a.subj").alias("subj"),
+                F.col("a.pred").alias("pred"),
+                F.col("b.obj").alias("obj"),
+            )
+        )
+    )
+    # eq-sym + eq-trans
+    out.append(
+        _as_triples(
+            same_as.select(
+                F.col("y").alias("subj"),
+                F.lit(OWL.sameAs).alias("pred"),
+                F.col("x").alias("obj"),
+            )
+        )
+    )
+    out.append(
+        _as_triples(
+            same_as.alias("a")
+            .join(same_as.alias("b"), F.col("a.y") == F.col("b.x"))
+            .filter(F.col("a.x") != F.col("b.y"))
+            .select(
+                F.col("a.x").alias("subj"),
+                F.lit(OWL.sameAs).alias("pred"),
+                F.col("b.y").alias("obj"),
+            )
+        )
+    )
+
+    candidates = out[0]
+    for o in out[1:]:
+        candidates = candidates.unionByName(o)
+    return candidates.dropDuplicates(TRIPLE_COLS)
+
+
+def apply_reasoning(
+    triples: DataFrame, max_rounds: int = 20
+) -> tuple[DataFrame, int]:
+    """Expand to fixpoint; returns (expanded_triples, n_inferred) —
+    matching the reference's ``apply_reasoning`` return contract
+    (``ontology_manager.py:2853-2864``)."""
+    current = triples.dropDuplicates(TRIPLE_COLS).localCheckpoint(eager=True)
+    n0 = current.count()
+    for _ in range(max_rounds):
+        new = (
+            _round(current)
+            .exceptAll(current)
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        current = (
+            current.unionByName(new)
+            .dropDuplicates(TRIPLE_COLS)
+            .localCheckpoint(eager=True)
+        )
+    return current, current.count() - n0

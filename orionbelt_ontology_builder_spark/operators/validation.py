@@ -1,0 +1,303 @@
+"""Validation: OWL + SKOS rule queries (reference ``validate``
+``ontology_manager.py:2634-2851``, ``validate_skos`` ``:1634-1717``).
+
+Each rule is one declarative query emitting
+``(severity, issue_type, subject, message)`` rows; ``validate`` is their
+union — a pure batch job.  The expensive inputs (type slices, the
+superclass closure) are computed once and shared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import (
+    GIST_NS,
+    OWL,
+    RDF,
+    RDFS,
+    SCHEMA_NS,
+    SKOS,
+    local_name_col,
+    type_slice,
+)
+from .fixpoint import detect_broader_cycles, expand_superclasses
+
+_DOMAIN_PREDS = [RDFS.domain, SCHEMA_NS + "domainIncludes", GIST_NS + "domainIncludes"]
+_RANGE_PREDS = [RDFS.range, SCHEMA_NS + "rangeIncludes", GIST_NS + "rangeIncludes"]
+
+
+def _issue(df: DataFrame, severity: str, issue_type: str, message: str) -> DataFrame:
+    return df.select(
+        F.lit(severity).alias("severity"),
+        F.lit(issue_type).alias("issue_type"),
+        F.col("subj").alias("subject"),
+        F.concat(local_name_col(F.col("subj")), F.lit(": " + message)).alias("message"),
+    )
+
+
+def missing_labels(triples: DataFrame) -> DataFrame:
+    """Classes without rdfs:label or skos:prefLabel
+    (reference ``:2642``; negative test ``tests/test_validation.py:4``)."""
+    classes = type_slice(triples, OWL.Class).filter(~F.col("subj").startswith("_:"))
+    labeled = triples.filter(
+        F.col("pred").isin(RDFS.label, SKOS.prefLabel)
+    ).select("subj").distinct()
+    return _issue(
+        classes.join(labeled, "subj", "left_anti"),
+        "warning", "missing_label", "class has no label",
+    )
+
+
+def missing_domain_range(triples: DataFrame) -> DataFrame:
+    """Object/data properties lacking domain or range; ``domainIncludes``
+    variants count as present (reference ``:2662-2690``, fallback test
+    ``tests/test_validation.py:34-62``)."""
+    props = type_slice(triples, OWL.ObjectProperty).unionByName(
+        type_slice(triples, OWL.DatatypeProperty)
+    ).distinct()
+    has_domain = triples.filter(F.col("pred").isin(*_DOMAIN_PREDS)).select("subj").distinct()
+    has_range = triples.filter(F.col("pred").isin(*_RANGE_PREDS)).select("subj").distinct()
+    no_dom = _issue(
+        props.join(has_domain, "subj", "left_anti"),
+        "info", "missing_domain", "property has no domain",
+    )
+    no_rng = _issue(
+        props.join(has_range, "subj", "left_anti"),
+        "info", "missing_range", "property has no range",
+    )
+    return no_dom.unionByName(no_rng)
+
+
+def orphan_classes(triples: DataFrame) -> DataFrame:
+    """Classes not in the hierarchy (either position), not a domain/range
+    (incl. *Includes variants), with no instances, not referenced by
+    restrictions or equivalent/disjoint axioms (reference ``:2692-2758``).
+
+    Union of "used" projections -> one left_anti join."""
+    classes = type_slice(triples, OWL.Class).filter(~F.col("subj").startswith("_:"))
+    used = (
+        triples.filter(F.col("pred") == RDFS.subClassOf)
+        .select("subj")
+        .unionByName(
+            triples.filter(F.col("pred") == RDFS.subClassOf).select(
+                F.col("obj").alias("subj")
+            )
+        )
+        .unionByName(
+            triples.filter(F.col("pred").isin(*_DOMAIN_PREDS, *_RANGE_PREDS)).select(
+                F.col("obj").alias("subj")
+            )
+        )
+        .unionByName(
+            triples.filter(
+                (F.col("pred") == RDF.type)
+                & ~F.col("obj").startswith("http://www.w3.org/")
+            ).select(F.col("obj").alias("subj"))
+        )
+        .unionByName(
+            triples.filter(
+                F.col("pred").isin(
+                    OWL.onClass, OWL.someValuesFrom, OWL.allValuesFrom,
+                    OWL.equivalentClass, OWL.disjointWith, OWL.complementOf,
+                )
+            ).select(F.col("obj").alias("subj"))
+        )
+        .unionByName(
+            triples.filter(
+                F.col("pred").isin(OWL.equivalentClass, OWL.disjointWith)
+            ).select("subj")
+        )
+        .distinct()
+    )
+    return _issue(
+        classes.join(used, "subj", "left_anti"),
+        "warning", "orphan_class", "class is not connected to anything",
+    )
+
+
+def untyped_individuals(triples: DataFrame) -> DataFrame:
+    """Individuals typed ONLY owl:NamedIndividual (reference ``:2760-2770``;
+    test ``tests/test_validation.py:64``)."""
+    inds = type_slice(triples, OWL.NamedIndividual)
+    typed = (
+        triples.filter(
+            (F.col("pred") == RDF.type) & (F.col("obj") != OWL.NamedIndividual)
+        )
+        .select("subj")
+        .distinct()
+    )
+    return _issue(
+        inds.join(typed, "subj", "left_anti"),
+        "warning", "untyped_individual", "individual has no class",
+    )
+
+
+def duplicate_label_issues(triples: DataFrame) -> DataFrame:
+    """Labels shared by >1 resource (reference ``:2834-2849``)."""
+    dups = (
+        triples.filter(F.col("pred") == RDFS.label)
+        .groupBy("obj")
+        .agg(
+            F.count_distinct("subj").alias("n"),
+            F.array_sort(F.collect_set("subj")).alias("subjects"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    return dups.select(
+        F.lit("warning").alias("severity"),
+        F.lit("duplicate_label").alias("issue_type"),
+        F.explode("subjects").alias("subject"),
+        F.concat(F.lit("label '"), F.col("obj"), F.lit("' used by multiple resources")).alias("message"),
+    )
+
+
+def domain_range_mismatches(triples: DataFrame) -> DataFrame:
+    """For every individual assertion: is the property's domain in the
+    transitive superclass closure of the subject's types, and its range in
+    the closure of the object's types (reference ``:2787-2832``)?
+
+    assertions x property-domain x type-closure joins; the closure and the
+    domain/range maps are schema-sized -> broadcast; the only large input
+    is the assertion set itself.
+    """
+    closure = expand_superclasses(triples, RDFS.subClassOf)
+    types = triples.filter(F.col("pred") == RDF.type).select(
+        "subj", F.col("obj").alias("cls")
+    )
+    # type closure: every (individual, ancestor-class)
+    type_closure = (
+        types.join(closure, "cls", "left")
+        .select("subj", F.coalesce("ancestor", "cls").alias("cls"))
+        .distinct()
+    )
+    domain = triples.filter(F.col("pred") == RDFS.domain).select(
+        F.col("subj").alias("prop"), F.col("obj").alias("dcls")
+    )
+    range_ = triples.filter(F.col("pred") == RDFS.range).select(
+        F.col("subj").alias("prop"), F.col("obj").alias("rcls")
+    )
+    inds = type_slice(triples, OWL.NamedIndividual)
+    assertions = (
+        triples.join(inds, "subj", "left_semi")
+        .filter(
+            ~F.col("pred").isin(RDF.type, RDFS.label, RDFS.comment)
+            & ~F.col("pred").startswith("http://www.w3.org/")
+        )
+        .select("subj", "pred", "obj", "obj_kind")
+    )
+    dom_checked = (
+        assertions.join(F.broadcast(domain), assertions["pred"] == domain["prop"])
+        .join(
+            type_closure.withColumnRenamed("cls", "dcls"),
+            ["subj", "dcls"],
+            "left_anti",
+        )
+        .select("subj")
+        .distinct()
+    )
+    dom_issues = _issue(
+        dom_checked, "error", "domain_mismatch",
+        "assertion violates property domain",
+    )
+    rng_checked = (
+        assertions.filter(F.col("obj_kind") == "uri")
+        .join(F.broadcast(range_), assertions["pred"] == range_["prop"])
+        .join(
+            type_closure.select(
+                F.col("subj").alias("obj"), F.col("cls").alias("rcls")
+            ),
+            ["obj", "rcls"],
+            "left_anti",
+        )
+        .select(F.col("obj").alias("subj"))
+        .distinct()
+    )
+    rng_issues = _issue(
+        rng_checked, "error", "range_mismatch",
+        "assertion violates property range",
+    )
+    return dom_issues.unionByName(rng_issues)
+
+
+def validate(triples: DataFrame) -> DataFrame:
+    """Full OWL validation — union of the rule queries
+    (reference ``validate``, ``:2634-2851``)."""
+    out = (
+        missing_labels(triples)
+        .unionByName(missing_domain_range(triples))
+        .unionByName(orphan_classes(triples))
+        .unionByName(untyped_individuals(triples))
+        .unionByName(duplicate_label_issues(triples))
+        .unionByName(domain_range_mismatches(triples))
+    )
+    return out.orderBy("severity", "issue_type", "subject")
+
+
+# --------------------------------------------------------------------------
+# SKOS validation (reference ontology_manager.py:1634-1717)
+# --------------------------------------------------------------------------
+
+
+def validate_skos(triples: DataFrame) -> DataFrame:
+    concepts = type_slice(triples, SKOS.Concept)
+    schemes = type_slice(triples, SKOS.ConceptScheme)
+
+    has_pref = triples.filter(F.col("pred") == SKOS.prefLabel).select("subj").distinct()
+    missing_pref = _issue(
+        concepts.join(has_pref, "subj", "left_anti"),
+        "warning", "missing_prefLabel", "concept has no prefLabel",
+    )
+
+    # concept-not-in-scheme flagged only if schemes exist (reference :1660)
+    in_scheme = triples.filter(F.col("pred") == SKOS.inScheme).select("subj").distinct()
+    n_schemes = schemes.limit(1)
+    not_in_scheme = _issue(
+        concepts.join(in_scheme, "subj", "left_anti").join(
+            n_schemes.select(F.lit(1).alias("one")), F.lit(True), "left_semi"
+        ),
+        "info", "not_in_scheme", "concept not in any scheme",
+    )
+
+    # duplicate prefLabel per scheme (reference :1668-1683)
+    pref = triples.filter(F.col("pred") == SKOS.prefLabel).select(
+        "subj", F.col("obj").alias("pref_label")
+    )
+    scheme_of = triples.filter(F.col("pred") == SKOS.inScheme).select(
+        "subj", F.col("obj").alias("scheme")
+    )
+    dup_pref = (
+        pref.join(scheme_of, "subj")
+        .groupBy("scheme", "pref_label")
+        .agg(
+            F.count_distinct("subj").alias("n"),
+            F.array_sort(F.collect_set("subj")).alias("subjects"),
+        )
+        .filter(F.col("n") > 1)
+        .select(
+            F.lit("warning").alias("severity"),
+            F.lit("duplicate_prefLabel").alias("issue_type"),
+            F.explode("subjects").alias("subject"),
+            F.concat(
+                F.lit("prefLabel '"), F.col("pref_label"),
+                F.lit("' duplicated in scheme"),
+            ).alias("message"),
+        )
+    )
+
+    cycles = detect_broader_cycles(triples, SKOS.broader).select(
+        F.lit("error").alias("severity"),
+        F.lit("broader_cycle").alias("issue_type"),
+        F.col("concept").alias("subject"),
+        F.concat(
+            local_name_col(F.col("concept")), F.lit(": broader chain forms a cycle")
+        ).alias("message"),
+    )
+
+    return (
+        missing_pref.unionByName(not_in_scheme)
+        .unionByName(dup_pref)
+        .unionByName(cycles)
+        .orderBy("severity", "issue_type", "subject")
+    )

@@ -1,0 +1,45 @@
+"""Canonicalization: sameAs components -> canonical ids -> rewritten edges.
+
+Connected components (operators.fixpoint) merge alias surface forms; the
+canonical id of a component is its min member (deterministic).  Edge
+rewrite is two joins of the big edge table against the (small) mention ->
+canonical map — broadcast when it fits, shuffle-hash otherwise; AQE picks
+at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.fixpoint import connected_components
+
+
+def canonical_map(same_as: DataFrame) -> DataFrame:
+    """(mention, canonical) from verified sameAs pairs; the canonical
+    representative is the lexicographically smallest member."""
+    return connected_components(
+        same_as.select(F.col("m1").alias("src"), F.col("m2").alias("dst"))
+    ).select(F.col("node").alias("mention"), F.col("component").alias("canonical"))
+
+
+def rewrite_edges(raw_triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj surfaces through the canonical map (identity for
+    unmapped mentions), keeping lineage columns."""
+    m_subj = mapping.select(
+        F.col("mention").alias("subj_surface"), F.col("canonical").alias("subj_canon")
+    )
+    m_obj = mapping.select(
+        F.col("mention").alias("obj_surface"), F.col("canonical").alias("obj_canon")
+    )
+    return (
+        raw_triples.join(m_subj, "subj_surface", "left")
+        .join(m_obj, "obj_surface", "left")
+        .select(
+            F.coalesce("subj_canon", "subj_surface").alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", "obj_surface").alias("obj"),
+            "source_url",
+            "warc_ts",
+        )
+    )

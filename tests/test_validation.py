@@ -1,0 +1,94 @@
+"""Mirrors /root/reference/tests/test_validation.py + test_skos.py rules."""
+
+from __future__ import annotations
+
+import pytest
+
+from orionbelt_ontology_builder_spark.fixtures import BASE, fixture_triples
+from orionbelt_ontology_builder_spark.model import (
+    SCHEMA_NS,
+    SKOS,
+    TRIPLES_SCHEMA,
+    OWL,
+    RDF,
+    RDFS,
+    t_lit,
+    t_uri,
+)
+from orionbelt_ontology_builder_spark.operators import validation
+
+
+@pytest.fixture(scope="module")
+def issues(spark):
+    df = validation.validate(fixture_triples(spark, "validation_om"))
+    return [(r["issue_type"], r["subject"]) for r in df.collect()]
+
+
+def test_missing_label(issues):
+    assert ("missing_label", BASE + "NoLabel") in issues
+
+
+def test_orphan_class(issues):
+    assert ("orphan_class", BASE + "Orphan") in issues
+    assert ("orphan_class", BASE + "Person") not in issues
+
+
+def test_untyped_individual(issues):
+    assert ("untyped_individual", BASE + "ghost") in issues
+    assert ("untyped_individual", BASE + "alice") not in issues
+
+
+def test_duplicate_label(issues):
+    assert ("duplicate_label", BASE + "DupA") in issues
+    assert ("duplicate_label", BASE + "DupB") in issues
+
+
+def test_domain_mismatch(issues):
+    # acme (an Organization) used with worksFor whose domain is Person
+    assert ("domain_mismatch", BASE + "acme") in issues
+    # range side: worksFor range Organization, object is :Person (a class,
+    # not typed under Organization closure) -> range_mismatch on Person
+    assert ("range_mismatch", BASE + "Person") in issues
+
+
+def test_clean_graph_has_no_errors(spark, populated_om):
+    df = validation.validate(populated_om)
+    errors = df.filter(df.severity == "error").collect()
+    assert errors == []
+
+
+def test_domain_includes_fallback_not_flagged(spark):
+    # reference tests/test_validation.py:34-62 — schema:domainIncludes
+    # counts as a domain
+    rows = [
+        t_uri(BASE + "p", RDF.type, OWL.ObjectProperty),
+        t_uri(BASE + "p", SCHEMA_NS + "domainIncludes", BASE + "C"),
+        t_uri(BASE + "p", RDFS.range, BASE + "C"),
+    ]
+    df = validation.validate(spark.createDataFrame(rows, TRIPLES_SCHEMA))
+    types = {r["issue_type"] for r in df.collect()}
+    assert "missing_domain" not in types
+
+
+def test_skos_clean(skos_om):
+    df = validation.validate_skos(skos_om)
+    assert df.filter(df.severity == "error").count() == 0
+    assert (
+        df.filter(df.issue_type == "missing_prefLabel").count() == 0
+    )
+
+
+def test_skos_negative(spark, skos_om):
+    extra = spark.createDataFrame(
+        [
+            t_uri(BASE + "NoPref", RDF.type, SKOS.Concept),
+            t_uri(BASE + "X", SKOS.broader, BASE + "Y"),
+            t_uri(BASE + "Y", SKOS.broader, BASE + "X"),
+        ],
+        TRIPLES_SCHEMA,
+    )
+    df = validation.validate_skos(skos_om.unionByName(extra))
+    got = {(r["issue_type"], r["subject"]) for r in df.collect()}
+    assert ("missing_prefLabel", BASE + "NoPref") in got
+    assert ("broader_cycle", BASE + "X") in got
+    assert ("broader_cycle", BASE + "Y") in got
