@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carried for the scaling story (north_rule: throughput at two
+parallelism levels): "cpus", "pipeline_pages", "pipeline_triples",
+"triples_per_sec".
+
+Usage:
+    SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from orionbelt_ontology_builder_spark import session as S  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages synthesized for the KG-construction leg, proportional to sf
+_SF = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(
+    os.path.basename(SF_DIR.rstrip("/")), 0.1
+)
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(200_000 * _SF))))
+
+
+def main() -> None:
+    spark = S.get_spark(app="orionbelt-bench", cpus=CPUS)
+    S.ship_package(spark)
+
+    import __spark_entry__ as E
+    from orionbelt_ontology_builder_spark.pipeline import pages as P
+    from orionbelt_ontology_builder_spark.pipeline import run as R
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- KG-construction pipeline (the north-star headline) ------------
+    pages = P.synthesize_pages(spark, N_PAGES)
+    pages = pages.persist()
+    pages.count()  # synthesis outside the timed region: we grade the KG build
+
+    def kg_leg():
+        kg = R.build_kg(pages)
+        edges = kg["edges"].persist()
+        n_edges = edges.count()
+        n_hier = kg["class_hierarchy"].count()
+        edges.unpersist()
+        return n_edges + n_hier
+
+    n_triples = timed("kg_pipeline", kg_leg)
+    extras["pipeline_pages"] = N_PAGES
+    extras["pipeline_triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
+    pages.unpersist()
+
+    # -- ontology-engine queries over induced + fixture graphs ---------
+    qs = E.queries()
+    bench_queries = [
+        "induced_hierarchy",
+        "induced_stats",
+        "induced_individuals_per_class",
+        "superclass_closure",
+        "connected_components",
+        "merge_overwrite",
+        "diff_summary",
+        "tpch_q1",
+        "top_customers",
+        "events_running",
+        # training-data ops (present from r1 mid-session onward)
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "dedup_simhash",
+        "text_quality",
+        "lang_id",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "doc_fingerprint",
+    ]
+    for name in bench_queries:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_e2e",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _SF,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
