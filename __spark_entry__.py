@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 
 from orionbelt_ontology_builder_spark import fixtures as FX
 from orionbelt_ontology_builder_spark import model as M
+from orionbelt_ontology_builder_spark.datapipe import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from orionbelt_ontology_builder_spark.operators import (
     fixpoint,
     lists,
@@ -315,6 +321,74 @@ def _q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_band_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    return dedup.cosine_pairs(_embs(spark, sf_dir))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    return similarity.brute_topk(_embs(spark, sf_dir))
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_embs(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    return multimodal.extract_features(
+        multimodal.synthesize_media(_docs(spark, sf_dir))
+    )
+
+
+def _q_media_frames(spark, sf_dir):
+    return multimodal.sample_frames(
+        multimodal.synthesize_media(_docs(spark, sf_dir))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_populated": _q_stats,
@@ -345,6 +419,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_running": _q_events_running,
+        "text_token_counts": _q_text_token_counts,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -719,5 +807,20 @@ WITH w AS (
 SELECT user_id, event_id, rn, running_value FROM w WHERE rn <= 3
 ORDER BY user_id, rn
 """
+
+    sql["text_token_counts"] = textstats.token_counts_oracle()
+    sql["text_quality"] = textstats.quality_scores_oracle()
+    sql["lang_id"] = textstats.lang_id_oracle()
+    sql["doc_fingerprint"] = textstats.fingerprints_oracle()
+    sql["dedup_exact"] = dedup.exact_dedup_oracle()
+    sql["dedup_minhash_pairs"] = dedup.minhash_band_pairs_oracle()
+    sql["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle()
+    sql["dedup_simhash"] = dedup.simhash_oracle()
+    sql["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle()
+    sql["dedup_embedding_cosine"] = dedup.cosine_pairs_oracle()
+    sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
+    sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
+    sql["media_features"] = multimodal.extract_features_oracle()
+    sql["media_frames"] = multimodal.sample_frames_oracle()
 
     return sql

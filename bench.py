@@ -90,7 +90,9 @@ def main() -> None:
         "text_quality",
         "lang_id",
         "ann_cosine_topk",
-        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "dedup_embedding_cosine",
+        "media_features",
         "doc_fingerprint",
     ]
     for name in bench_queries:

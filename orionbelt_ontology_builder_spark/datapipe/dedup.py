@@ -1,0 +1,445 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join -> Jaccard verify), SimHash, n-gram Jaccard, and embedding-cosine
+near-dup, over ``documents(doc_id, text, ...)`` and
+``embeddings(vec_id, embedding, label)``.
+
+Scale design (the 100 TB story):
+
+* Signatures are **array-native Spark SQL** (``transform``/``array_min``
+  lambdas over the shingle array) — one narrow whole-stage-codegen
+  projection per document, no explode, no Python, no shuffle.
+* LSH candidate generation shuffles only the tiny
+  ``(doc_id, band_idx, band_hash)`` projection (grouping key = band
+  hash, uniformly distributed by construction), never the text.
+* Degenerate buckets (boilerplate shingles shared by millions of pages)
+  are capped at ``max_bucket`` members — the standard web-dedup skew
+  guard: a hot bucket otherwise produces O(n^2) candidate pairs on one
+  reducer.
+* Jaccard verification joins shingle arrays back **only for candidate
+  pairs** (a few per doc), so the quadratic step never materializes.
+
+The portable hash primitive is md5 (bit-identical in Spark and DuckDB),
+which makes every stage differentially testable against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import norm_col, norm_sql
+
+SHINGLE = 5          # character-shingle width
+MINHASH_K = 12       # signature length
+BANDS = 4            # LSH bands (rows per band = MINHASH_K // BANDS)
+ROWS = MINHASH_K // BANDS
+MAX_BUCKET = 50      # skew guard: drop degenerate LSH buckets
+SIMHASH_BITS = 24
+
+
+# ------------------------------------------------------------------ #
+# Exact dedup
+# ------------------------------------------------------------------ #
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """(text_hash, keeper_doc_id, n_docs): one row per distinct
+    normalized text; keeper = min doc_id.  Single hash-aggregate with
+    map-side partials — the canonical exact-dedup at any scale."""
+    return (
+        docs.select("doc_id", F.md5(norm_col()).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+def exact_dedup_oracle() -> str:
+    return f"""
+SELECT md5({norm_sql()}) AS text_hash,
+       min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY keeper_doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Shingles + MinHash signatures
+# ------------------------------------------------------------------ #
+
+
+def shingles_expr(norm: str = "norm", n: int = SHINGLE) -> str:
+    """Distinct character n-gram array (Spark SQL lambda, no explode)."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(1, length({norm})-{n - 1})),"
+        f" i -> substring({norm}, i, {n})))"
+    )
+
+
+def shingles_sql(norm: str, n: int = SHINGLE) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(1, len({norm})-{n - 1})),"
+        f" i -> substr({norm}, i, {n})))"
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sh, sig_0..sig_{{k-1}}, band_0..band_{{BANDS-1}}).
+
+    sig_i = min over shingles of md5('<i>:' || shingle) — k independent
+    hash families from one md5 core; band_j = md5(concat of its ROWS
+    signature slots).  Pure projection: cost O(k * shingles) per doc,
+    embarrassingly parallel.
+    """
+    d = docs.withColumn("norm", norm_col()).withColumn(
+        "sh", F.expr(shingles_expr())
+    )
+    for i in range(k):
+        d = d.withColumn(
+            f"sig_{i}",
+            F.expr(f"array_min(transform(sh, s -> md5(concat('{i}:', s))))"),
+        )
+    for b in range(BANDS):
+        cols = ", ".join(f"sig_{b * ROWS + r}" for r in range(ROWS))
+        d = d.withColumn(f"band_{b}", F.expr(f"md5(concat({cols}))"))
+    return d.select(
+        "doc_id", "sh",
+        *[f"sig_{i}" for i in range(k)],
+        *[f"band_{b}" for b in range(BANDS)],
+    )
+
+
+def _sig_cte_sql(k: int = MINHASH_K) -> str:
+    """DuckDB CTE mirroring minhash_signatures (tables: documents)."""
+    sig_cols = ",\n    ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS sig_{i}"
+        for i in range(k)
+    )
+    band_cols = ",\n    ".join(
+        "md5(" + " || ".join(f"sig_{b * ROWS + r}" for r in range(ROWS)) + f") AS band_{b}"
+        for b in range(BANDS)
+    )
+    return f"""
+n AS (SELECT doc_id, {norm_sql()} AS norm FROM documents),
+shg AS (SELECT doc_id, {shingles_sql('norm')} AS sh FROM n),
+sig AS (
+  SELECT doc_id, sh,
+    {sig_cols}
+  FROM shg),
+banded AS (
+  SELECT *,
+    {band_cols}
+  FROM sig)
+"""
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): near-duplicate pairs.
+
+    LSH candidate generation (same hash in any band) + exact shingle-
+    Jaccard verification.  Shuffle footprint: the 3-column band
+    projection; candidate verification joins the shingle arrays for the
+    surviving pairs only.
+    """
+    sig = minhash_signatures(docs)
+    bands_long = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    # skew guard: degenerate buckets capped
+    sized = bands_long.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.alias("a")
+    b = sized.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = sig.select("doc_id", "sh")
+    return (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_band_pairs_oracle(
+    jaccard_threshold: float = 0.5, max_bucket: int = MAX_BUCKET
+) -> str:
+    bucket_filters = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b_} AS band_idx, band_{b_} AS band_hash FROM banded"
+        for b_ in range(BANDS)
+    )
+    return f"""
+WITH {_sig_cte_sql()},
+long AS (
+  {bucket_filters}),
+ok_buckets AS (
+  SELECT band_idx, band_hash FROM long GROUP BY 1, 2
+  HAVING count(*) <= {max_bucket}),
+capped_ids AS (
+  SELECT l.doc_id, l.band_idx, l.band_hash FROM long l
+  JOIN ok_buckets USING (band_idx, band_hash)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped_ids a JOIN capped_ids b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    len(list_intersect(sa.sh, sb.sh)) /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE
+      AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {jaccard_threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------------ #
+# n-gram Jaccard (all-pairs verify on a candidate-free small slice)
+# ------------------------------------------------------------------ #
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_doc_id: int | None = 150
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact all-pairs shingle Jaccard above
+    threshold.  Quadratic — the *verification oracle* for LSH recall at
+    sample scale (hence the max_doc_id slice); never run at full corpus
+    size (use minhash_band_pairs there)."""
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    sh = docs.withColumn("norm", norm_col()).select(
+        "doc_id", F.expr(shingles_expr()).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("inter", F.size(F.array_intersect("a.sh", "b.sh")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("a.sh") + F.size("b.sh") - F.col("inter")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_oracle(threshold: float = 0.5, max_doc_id: int | None = 150) -> str:
+    where = f"WHERE doc_id < {max_doc_id}" if max_doc_id is not None else ""
+    return f"""
+WITH n AS (SELECT doc_id, {norm_sql()} AS norm FROM documents {where}),
+shg AS (SELECT doc_id, {shingles_sql('norm')} AS sh FROM n)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  len(list_intersect(a.sh, b.sh)) /
+    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+    AS jaccard
+FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) /
+    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+    >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------------ #
+# SimHash
+# ------------------------------------------------------------------ #
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): {bits}-bit SimHash over whitespace tokens
+    (with multiplicity).  Bit b's +-1 vote per token = high bit of hex
+    nibble b of md5(token); array-native aggregate, no shuffle."""
+    d = docs.withColumn("norm", norm_col()).withColumn(
+        "toks", F.split(F.col("norm"), " ")
+    )
+    for b in range(bits):
+        d = d.withColumn(
+            f"v_{b}",
+            F.expr(
+                f"aggregate(toks, 0, (a, t) -> a + CASE WHEN "
+                f"substring(md5(t), {b + 1}, 1) IN "
+                f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)"
+            ),
+        )
+    val = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return d.select(
+        "doc_id", F.expr(val).cast("int").alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _simhash_cte_sql(bits: int = SIMHASH_BITS) -> str:
+    votes = ",\n    ".join(
+        f"list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), {b + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) AS v_{b}"
+        for b in range(bits)
+    )
+    val = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+t AS (SELECT doc_id, {tokens_sql_local()} AS toks FROM documents),
+v AS (SELECT doc_id,
+    {votes}
+  FROM t),
+sh AS (SELECT doc_id, ({val})::INT AS simhash FROM v)
+"""
+
+
+def tokens_sql_local() -> str:
+    return f"string_split({norm_sql()}, ' ')"
+
+
+def simhash_oracle(bits: int = SIMHASH_BITS) -> str:
+    return f"""
+WITH {_simhash_cte_sql(bits)}
+SELECT doc_id, simhash FROM sh ORDER BY doc_id
+"""
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within Hamming distance.
+
+    All-pairs xor/bit_count here (sample scale); at corpus scale the
+    standard rotation/block trick applies: split the {bits}-bit key into
+    (max_hamming+1) blocks, groupBy each block (pigeonhole: some block
+    matches exactly), verify within buckets — same bucket-join shape as
+    minhash_band_pairs.
+    """
+    s = simhash(docs, bits)
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_pairs_oracle(max_hamming: int = 3, bits: int = SIMHASH_BITS) -> str:
+    return f"""
+WITH {_simhash_cte_sql(bits)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------------ #
+# Embedding-cosine near-dup
+# ------------------------------------------------------------------ #
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot_expr(a: str, b: str) -> str:
+    return DOT.format(a=a, b=b)
+
+
+def cosine_pairs(
+    embeddings: DataFrame, threshold: float = 0.42
+) -> DataFrame:
+    """(id_a, id_b, cos): embedding pairs with cosine >= threshold.
+
+    All-pairs at sample scale; the corpus-scale path is
+    similarity.ivf_topk (bucketed candidates).  Norms are precomputed
+    once per vector; the pair stage is a pure JVM zip_with fold.
+    """
+    e = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cos",
+            F.expr(dot_expr("a.embedding", "b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cos",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def cosine_pairs_oracle(threshold: float = 0.42) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {threshold}
+ORDER BY id_a, id_b
+"""

@@ -1,0 +1,279 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting and
+document fingerprinting over a ``documents(doc_id, text, lang, source,
+n_chars)`` table.  Everything is array-native Spark SQL (``transform`` /
+``filter`` / ``aggregate`` lambda expressions inside whole-stage codegen)
+— no Python UDFs, no explode/shuffle in the per-document path, so each
+operator is a single narrow projection that scales linearly with input
+splits at 100 TB.
+
+Every operator has a DuckDB twin built from the *same* Python constants
+(stopword lists, hash seeds) so the driver's differential oracle checks
+value-level parity; the portable hash primitive is ``md5`` (identical
+output in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword lists — shared by the Spark expressions and the DuckDB oracle
+# SQL (single source of truth; interpolated into both).
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "was", "that", "for",
+           "on", "are", "with", "as", "at", "by", "a", "an"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein",
+           "auf", "von", "zu", "den", "im", "war", "sich"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "une", "du",
+           "que", "est", "pour", "qui", "dans", "sur"],
+    "es": ["el", "y", "de", "que", "en", "los", "del", "se", "las",
+           "por", "con", "una", "para", "no", "lo"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic argmax tie-break
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join("'" + w + "'" for w in words)
+
+
+# ------------------------------------------------------------------ #
+# Normalization + tokens (Spark columns and DuckDB fragments)
+# ------------------------------------------------------------------ #
+
+
+def norm_col(text: str = "text") -> Column:
+    """lower, non-alnum runs -> single space, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text)), "[^a-z0-9]+", " "))
+
+
+def norm_sql(text: str = "text") -> str:
+    return f"trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def tokens_col(norm: str = "norm") -> Column:
+    return F.split(F.col(norm), " ")
+
+
+def tokens_sql(norm: str = "norm") -> str:
+    return f"string_split({norm}, ' ')"
+
+
+# ------------------------------------------------------------------ #
+# Token counting
+# ------------------------------------------------------------------ #
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_chars_norm).
+
+    Whitespace tokens over the normalized text; one narrow projection.
+    """
+    return (
+        docs.withColumn("norm", norm_col())
+        .withColumn("toks", tokens_col())
+        .select(
+            "doc_id",
+            F.when(F.col("norm") == "", 0)
+            .otherwise(F.size("toks"))
+            .alias("n_tokens"),
+            F.when(F.col("norm") == "", 0)
+            .otherwise(F.size(F.array_distinct("toks")))
+            .alias("n_distinct_tokens"),
+            F.length("norm").alias("n_chars_norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def token_counts_oracle() -> str:
+    return f"""
+WITH n AS (SELECT doc_id, {norm_sql()} AS norm FROM documents),
+t AS (SELECT doc_id, norm, {tokens_sql()} AS toks FROM n)
+SELECT doc_id,
+  CASE WHEN norm='' THEN 0 ELSE len(toks) END AS n_tokens,
+  CASE WHEN norm='' THEN 0 ELSE len(list_distinct(toks)) END AS n_distinct_tokens,
+  len(norm) AS n_chars_norm
+FROM t ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Quality scoring
+# ------------------------------------------------------------------ #
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, alpha_ratio, digit_ratio, stopword_ratio,
+    avg_token_len, quality) — length/character-class/stopword heuristics,
+    the standard pre-training corpus filters (C4/Gopher-style)."""
+    en = _sql_list(STOPWORDS["en"])
+    # No round(): both engines run identical IEEE-double arithmetic in
+    # identical order, and the driver compares floats at %.6g — round()
+    # itself is the only cross-engine divergence (half-boundary rule).
+    d = (
+        docs.withColumn("norm", norm_col())
+        .withColumn("toks", tokens_col())
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn(
+            "alpha_ratio",
+            F.regexp_count(F.col("text"), F.lit("[a-zA-Z]"))
+            / F.length("text").cast("double"),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.regexp_count(F.col("text"), F.lit("[0-9]"))
+            / F.length("text").cast("double"),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.expr(f"size(filter(toks, t -> t IN ({en})))")
+            / F.col("n_tokens").cast("double"),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.expr("aggregate(toks, 0, (a, t) -> a + length(t))")
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+        (
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+            + F.col("stopword_ratio") * 0.3
+            + F.col("alpha_ratio") * 0.2
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def quality_scores_oracle() -> str:
+    en = _sql_list(STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {norm_sql()} AS norm,
+         {tokens_sql(norm_sql())} AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]')) / len(text)::DOUBLE AS alpha_ratio,
+    len(regexp_extract_all(text, '[0-9]')) / len(text)::DOUBLE AS digit_ratio,
+    len(list_filter(toks, t -> t IN ({en}))) / len(toks)::DOUBLE AS stopword_ratio,
+    list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE AS avg_token_len
+  FROM t)
+SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, stopword_ratio, avg_token_len,
+  least(n_tokens / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3
+        + alpha_ratio * 0.2 AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Language identification (n-gram/stopword heuristic)
+# ------------------------------------------------------------------ #
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, predicted_lang, s_en, s_de, s_fr, s_es).
+
+    Stopword-hit scoring per language; CJK-codepoint presence short-
+    circuits to 'zh'.  Argmax with the fixed LANG_ORDER tie-break, so
+    the prediction is deterministic and engine-portable.
+    """
+    d = docs.withColumn("norm", norm_col()).withColumn("toks", tokens_col())
+    for lg in LANG_ORDER:
+        d = d.withColumn(
+            f"s_{lg}",
+            F.expr(f"size(filter(toks, t -> t IN ({_sql_list(STOPWORDS[lg])})))"),
+        )
+    pred = F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+    cond = None
+    for lg in LANG_ORDER:
+        ge_all = None
+        for other in LANG_ORDER:
+            if other == lg:
+                continue
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            ge_all = c if ge_all is None else (ge_all & c)
+        cond = pred.when(ge_all, F.lit(lg)) if lg == "en" else cond.when(ge_all, F.lit(lg))
+        pred = cond
+    return d.select(
+        "doc_id", "lang", pred.alias("predicted_lang"),
+        "s_en", "s_de", "s_fr", "s_es",
+    ).orderBy("doc_id")
+
+
+def lang_id_oracle() -> str:
+    score_cols = ",\n    ".join(
+        f"len(list_filter(toks, t -> t IN ({_sql_list(STOPWORDS[lg])}))) AS s_{lg}"
+        for lg in LANG_ORDER
+    )
+    branches = "\n    ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lg} >= s_{o}" for o in LANG_ORDER if o != lg)
+        + f" THEN '{lg}'"
+        for lg in LANG_ORDER
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang, {tokens_sql(norm_sql())} AS toks FROM documents),
+s AS (
+  SELECT doc_id, text, lang,
+    {score_cols}
+  FROM t)
+SELECT doc_id, lang,
+  CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+    {branches}
+  END AS predicted_lang,
+  s_en, s_de, s_fr, s_es
+FROM s ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Document fingerprinting (rolling word-gram hash, winnowing-lite)
+# ------------------------------------------------------------------ #
+
+GRAM = 5  # words per fingerprint window
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, full_hash, min_gram_hash).
+
+    ``full_hash`` = md5 of the normalized text (exact-dup key);
+    ``min_gram_hash`` = min md5 over sliding {GRAM}-word windows — the
+    1-fingerprint winnowing selection, a shift-robust near-dup key.
+    Array-native: no explode, no shuffle.
+    """
+    g = GRAM
+    return (
+        docs.withColumn("norm", norm_col())
+        .withColumn("toks", tokens_col())
+        .select(
+            "doc_id",
+            F.md5(F.col("norm")).alias("full_hash"),
+            F.expr(
+                f"array_min(transform(sequence(1, greatest(1, size(toks)-{g - 1})),"
+                f" i -> md5(array_join(slice(toks, i, {g}), ' '))))"
+            ).alias("min_gram_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fingerprints_oracle() -> str:
+    g = GRAM
+    return f"""
+WITH t AS (SELECT doc_id, {norm_sql()} AS norm,
+                  {tokens_sql(norm_sql())} AS toks FROM documents)
+SELECT doc_id, md5(norm) AS full_hash,
+  list_aggregate(list_transform(generate_series(1, greatest(1, len(toks)-{g - 1})),
+    i -> md5(array_to_string(toks[i:i+{g - 1}], ' '))), 'min') AS min_gram_hash
+FROM t ORDER BY doc_id
+"""

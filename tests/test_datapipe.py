@@ -1,0 +1,193 @@
+"""Semantic tests for the training-data pipeline operators (datapipe).
+
+Synthetic micro-corpora with planted exact dups / near-dups / clusters,
+so each operator's *behavior* is asserted (the driver's differential
+oracle separately asserts engine parity on /root/testdata)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from orionbelt_ontology_builder_spark.datapipe import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "falls softly on the quiet green meadow near the old stone bridge"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE_TEXT, lang="en", source="s0",
+            n_chars=len(BASE_TEXT)),
+        # exact duplicate (after normalization: case + punctuation)
+        Row(doc_id=1, text=BASE_TEXT.upper() + "!!", lang="en", source="s1",
+            n_chars=len(BASE_TEXT) + 2),
+        # near duplicate: one word changed
+        Row(doc_id=2, text=BASE_TEXT.replace("lazy", "sleepy"), lang="en",
+            source="s2", n_chars=len(BASE_TEXT) + 2),
+        # unrelated
+        Row(doc_id=3,
+            text="completely different content about spark catalyst "
+                 "optimizer plans shuffles partitions and executors",
+            lang="en", source="s3", n_chars=99),
+        Row(doc_id=4, text="der hund und die katze sind nicht auf der "
+                           "wiese mit dem ball", lang="de", source="s4",
+            n_chars=60),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    # 3 tight clusters of 4 vectors each (dim 8); cluster = vec_id % 3 so
+    # the first vec_ids (the deterministic IVF centroids) span clusters
+    rows = []
+    for cid in range(3):
+        base = [1.0 if i == cid else 0.0 for i in range(8)]
+        for j in range(4):
+            vec = [v + 0.01 * j * ((i % 3) - 1) for i, v in enumerate(base)]
+            rows.append(Row(vec_id=cid + 3 * j, embedding=vec, label=cid))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_exact_dedup_collapses_normalized_dup(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    sizes = {r["keeper_doc_id"]: r["n_docs"] for r in groups}
+    assert sizes[0] == 2          # doc 1 normalizes to doc 0's text
+    assert len(groups) == 4       # 5 docs, one collapsed pair
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = dedup.minhash_band_pairs(docs, jaccard_threshold=0.5).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in found        # exact dup -> jaccard 1.0
+    assert (0, 2) in found        # one-word edit -> high jaccard
+    assert all(3 not in p and 4 not in p for p in found)
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_band_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_id=None
+        ).collect()
+    }
+    # verified-pair jaccards are the exact values (LSH only gates candidates)
+    for k, v in lsh.items():
+        assert exact[k] == pytest.approx(v)
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    # 60 identical docs -> every band bucket has 60 members > cap 50
+    rows = [Row(doc_id=i, text=BASE_TEXT, lang="en", source="s",
+                n_chars=len(BASE_TEXT)) for i in range(60)]
+    d = spark.createDataFrame(rows)
+    assert dedup.minhash_band_pairs(d, max_bucket=50).count() == 0
+    assert dedup.minhash_band_pairs(d, max_bucket=500).count() == 60 * 59 / 2
+
+
+def test_simhash_near_for_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ham01 = bin(sh[0] ^ sh[1]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham01 == 0             # normalized-identical text
+    assert ham03 > 3              # unrelated text far away
+
+
+def test_fingerprint_shift_robust(spark):
+    # same content with a prepended sentence: full_hash differs,
+    # min_gram_hash can survive (window set overlaps heavily)
+    rows = [
+        Row(doc_id=0, text=BASE_TEXT, lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text="breaking news today " + BASE_TEXT, lang="en",
+            source="s", n_chars=1),
+    ]
+    fps = {r["doc_id"]: r for r in
+           textstats.fingerprints(spark.createDataFrame(rows)).collect()}
+    assert fps[0]["full_hash"] != fps[1]["full_hash"]
+    assert fps[0]["min_gram_hash"] == fps[1]["min_gram_hash"]
+
+
+def test_lang_id_stopword_heuristic(docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in
+           textstats.lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+
+
+def test_quality_monotone_in_length(docs):
+    q = {r["doc_id"]: r["quality"] for r in
+         textstats.quality_scores(docs).collect()}
+    assert 0.0 < q[3] < 1.0
+    assert q[0] > q[3]            # longer, stopword-rich text scores higher
+
+
+def test_token_counts(docs):
+    tc = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert tc[0]["n_tokens"] == len(BASE_TEXT.split())
+    assert tc[0]["n_distinct_tokens"] < tc[0]["n_tokens"]
+
+
+def test_brute_topk_prefers_same_cluster(embs):
+    top = similarity.brute_topk(embs, n_queries=4, k=3).collect()
+    for r in top:
+        assert r["neighbor_id"] % 3 == r["query_id"] % 3
+        assert r["cos"] > 0.99
+
+
+def test_ivf_matches_brute_on_clustered_data(embs):
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in similarity.brute_topk(embs, n_queries=4, k=3).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in similarity.ivf_topk(
+               embs, n_queries=4, k=3, n_centroids=3, nprobe=1).collect()}
+    # perfect recall when clusters are tight and centroid set spans them
+    assert ivf == brute
+
+
+def test_cosine_pairs_within_clusters(embs):
+    pairs = dedup.cosine_pairs(embs, threshold=0.99).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["id_a"] % 3 == r["id_b"] % 3
+
+
+def test_media_features_roundtrip(docs):
+    media = multimodal.synthesize_media(docs)
+    feats = {r["doc_id"]: r for r in
+             multimodal.extract_features(media).collect()}
+    row0 = docs.filter(F.col("doc_id") == 0).first()
+    assert feats[0]["header_ok"] == 1
+    assert feats[0]["n_bytes"] == len(row0["text"]) + len(multimodal.HEADER)
+    import hashlib
+    want = hashlib.md5(multimodal.HEADER + row0["text"].encode()).hexdigest()
+    assert feats[0]["content_md5"] == want
+
+
+def test_media_frames_cover_payload(docs):
+    media = multimodal.synthesize_media(docs)
+    frames = multimodal.sample_frames(media).collect()
+    by_doc: dict[int, int] = {}
+    for r in frames:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["frame_len"]
+    row0 = docs.filter(F.col("doc_id") == 0).first()
+    assert by_doc[0] == len(row0["text"])          # chunks tile the payload
+    assert all(r["frame_idx"] < multimodal.N_FRAMES for r in frames)
+
+
+def test_decode_image_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
