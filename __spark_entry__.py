@@ -321,6 +321,168 @@ def _q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- #
+# Advanced-axiom / validation / reasoning queries (SURVEY.md §2.2, §2.9)
+# --------------------------------------------------------------------- #
+
+PERSON = FX.BASE + "Person"
+
+
+def _q_restrictions(spark, sf_dir):
+    df = views.get_restrictions(FX.fixture_triples(spark, "axioms_om"))
+    return df.select(
+        "bnode", "on_property", "restriction_type", "value", "on_class",
+        F.concat_ws(",", "applied_to").alias("applied_csv"),
+    )
+
+
+def _q_property_chains(spark, sf_dir):
+    df = lists.get_property_chains(FX.fixture_triples(spark, "axioms_om"))
+    return df.select("property", F.concat_ws(",", "chain").alias("chain_csv"))
+
+
+def _q_class_expressions(spark, sf_dir):
+    df = lists.get_class_expressions(FX.fixture_triples(spark, "axioms_om"))
+    return df.select(
+        "cls", "expression_type", F.concat_ws(",", "members").alias("members_csv")
+    )
+
+
+def _q_all_different(spark, sf_dir):
+    df = lists.get_all_different(FX.fixture_triples(spark, "axioms_om"))
+    return df.select("axiom", F.concat_ws(",", "members").alias("members_csv"))
+
+
+def _q_has_keys(spark, sf_dir):
+    df = lists.get_has_keys(FX.fixture_triples(spark, "axioms_om"))
+    return df.select("cls", F.concat_ws(",", "key_properties").alias("keys_csv"))
+
+
+def _q_disjoint_unions(spark, sf_dir):
+    df = lists.get_disjoint_unions(FX.fixture_triples(spark, "axioms_om"))
+    return df.select("cls", F.concat_ws(",", "members").alias("members_csv"))
+
+
+def _q_annotations(spark, sf_dir):
+    return views.get_annotations(FX.fixture_triples(spark, "axioms_om"), PERSON)
+
+
+def _q_class_relations(spark, sf_dir):
+    return views.get_relations(
+        FX.fixture_triples(spark, "axioms_om"), views.CLASS_RELATIONS
+    )
+
+
+def _q_property_relations(spark, sf_dir):
+    return views.get_relations(
+        FX.fixture_triples(spark, "axioms_om"), views.PROPERTY_RELATIONS
+    )
+
+
+def _q_individual_relations(spark, sf_dir):
+    return views.get_relations(
+        FX.fixture_triples(spark, "axioms_om"), views.INDIVIDUAL_RELATIONS
+    )
+
+
+def _q_resource_usages(spark, sf_dir):
+    return views.get_resource_usages(
+        FX.fixture_triples(spark, "axioms_om"), PERSON
+    )
+
+
+def _q_delete_impact(spark, sf_dir):
+    return views.get_delete_impact(
+        FX.fixture_triples(spark, "populated_om"), PERSON
+    )
+
+
+def _q_concept_hierarchy(spark, sf_dir):
+    df = views.get_concept_hierarchy(FX.fixture_triples(spark, "skos_om"))
+    return df.select(
+        "concept_name", F.concat_ws(",", "children").alias("children_csv")
+    )
+
+
+def _q_infer_namespace(spark, sf_dir):
+    return views.infer_namespace(FX.fixture_triples(spark, "populated_om"))
+
+
+def _q_validate_owl(spark, sf_dir):
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    return validation.validate(FX.fixture_triples(spark, "validation_om"))
+
+
+#: extra SKOS rows planted for validate_skos: missing prefLabel +
+#: not-in-scheme (X, Y), a broader cycle (X<->Y), duplicate prefLabel
+#: (Dog2 reuses "Dog" in MyScheme).
+_SKOS_EXTRA: list[tuple] = [
+    M.t_uri(FX.BASE + "X", M.RDF.type, M.SKOS.Concept),
+    M.t_uri(FX.BASE + "Y", M.RDF.type, M.SKOS.Concept),
+    M.t_uri(FX.BASE + "X", M.SKOS.broader, FX.BASE + "Y"),
+    M.t_uri(FX.BASE + "Y", M.SKOS.broader, FX.BASE + "X"),
+    M.t_uri(FX.BASE + "Dog2", M.RDF.type, M.SKOS.Concept),
+    M.t_lit(FX.BASE + "Dog2", M.SKOS.prefLabel, "Dog"),
+    M.t_uri(FX.BASE + "Dog2", M.SKOS.inScheme, FX.BASE + "MyScheme"),
+]
+
+
+def _q_validate_skos(spark, sf_dir):
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    t = FX.fixture_triples(spark, "skos_om").unionByName(
+        spark.createDataFrame(_SKOS_EXTRA, M.TRIPLES_SCHEMA)
+    )
+    return validation.validate_skos(t)
+
+
+#: extra RDFS rows planted for the reasoning fixpoint: a subproperty and
+#: an assertion through it, so rdfs7 -> rdfs2/rdfs3 -> rdfs9 all fire.
+_REASONING_EXTRA: list[tuple] = [
+    M.t_uri(FX.BASE + "hasEmployer", M.RDF.type, M.OWL.ObjectProperty),
+    M.t_uri(FX.BASE + "hasEmployer", M.RDFS.subPropertyOf, FX.BASE + "worksFor"),
+    M.t_uri(FX.BASE + "alice", FX.BASE + "hasEmployer", FX.BASE + "acme"),
+]
+
+
+def _q_reasoning_rdfs(spark, sf_dir):
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    t = FX.fixture_triples(spark, "populated_om").unionByName(
+        spark.createDataFrame(_REASONING_EXTRA, M.TRIPLES_SCHEMA)
+    )
+    expanded, _n = reasoning.apply_reasoning(t)
+    return expanded.select("subj", "pred", "obj", "obj_kind").orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+_BULK_CLASSES = [
+    ("Person", "Person Again", None),      # exists -> skipped
+    ("NewOne", "New label", "a comment"),
+    ("Another", None, None),
+]
+
+
+def _q_bulk_add_classes(spark, sf_dir):
+    staged = spark.createDataFrame(
+        _BULK_CLASSES, "name string, label string, comment string"
+    )
+    out = mutations.bulk_add_classes(
+        FX.fixture_triples(spark, "populated_om"), staged, FX.BASE
+    )
+    return out.select("subj", "pred", "obj", "obj_kind")
+
+
+def _q_bulk_delete(spark, sf_dir):
+    names = spark.createDataFrame([("Employee",), ("acme",)], "name string")
+    out = mutations.bulk_delete_resources(
+        FX.fixture_triples(spark, "populated_om"), names, FX.BASE
+    )
+    return out.select("subj", "pred", "obj", "obj_kind")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -419,6 +581,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_running": _q_events_running,
+        "restrictions_view": _q_restrictions,
+        "property_chains": _q_property_chains,
+        "class_expressions": _q_class_expressions,
+        "all_different": _q_all_different,
+        "has_keys": _q_has_keys,
+        "disjoint_unions": _q_disjoint_unions,
+        "annotations_view": _q_annotations,
+        "class_relations": _q_class_relations,
+        "property_relations": _q_property_relations,
+        "individual_relations": _q_individual_relations,
+        "resource_usages": _q_resource_usages,
+        "delete_impact": _q_delete_impact,
+        "concept_hierarchy": _q_concept_hierarchy,
+        "infer_namespace": _q_infer_namespace,
+        "validate_owl": _q_validate_owl,
+        "validate_skos": _q_validate_skos,
+        "reasoning_rdfs": _q_reasoning_rdfs,
+        "bulk_add_classes": _q_bulk_add_classes,
+        "bulk_delete": _q_bulk_delete,
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
@@ -806,6 +987,391 @@ WITH w AS (
   FROM events)
 SELECT user_id, event_id, rn, running_value FROM w WHERE rn <= 3
 ORDER BY user_id, rn
+"""
+
+    # -- advanced axioms / validation / reasoning --------------------- #
+    ax = _fx("axioms_om")
+    nil = M.RDF.nil
+
+    # rdf:first/rest list walk (recursive CTE shared by the list axioms)
+    list_ctes = f"""
+firsts AS (SELECT subj AS cell, obj AS item FROM triples WHERE pred='{M.RDF.first}'),
+rests AS (SELECT subj AS cell, obj AS nxt FROM triples WHERE pred='{M.RDF.rest}'),
+heads AS (SELECT cell FROM firsts WHERE cell NOT IN (SELECT nxt FROM rests)),
+walk(head, cell, pos) AS (
+  SELECT cell, cell, 0 FROM heads
+  UNION ALL
+  SELECT w.head, r.nxt, w.pos + 1 FROM walk w JOIN rests r ON w.cell = r.cell
+  WHERE r.nxt <> '{nil}'
+),
+litems AS (SELECT w.head, w.pos, f.item FROM walk w JOIN firsts f ON w.cell = f.cell),
+larr AS (SELECT head, string_agg(item, ',' ORDER BY pos) AS items_csv
+         FROM litems GROUP BY head)"""
+
+    rt_cols = ",\n  ".join(
+        f"min(CASE WHEN pred='{u}' THEN obj END) AS v_{name}"
+        for name, u in M.RESTRICTION_TYPES
+    )
+    rt_type = "coalesce(" + ", ".join(
+        f"CASE WHEN v_{name} IS NOT NULL THEN '{name}' END"
+        for name, _ in M.RESTRICTION_TYPES
+    ) + ")"
+    rt_value = "coalesce(" + ", ".join(
+        f"v_{name}" for name, _ in M.RESTRICTION_TYPES
+    ) + ")"
+    sql["restrictions_view"] = f"""
+WITH {ax},
+rest AS (SELECT DISTINCT subj FROM triples
+         WHERE pred='{RDF_TYPE}' AND obj='{M.OWL.Restriction}'),
+agg AS (SELECT t.subj,
+  min(CASE WHEN pred='{M.OWL.onProperty}' THEN obj END) AS on_property,
+  min(CASE WHEN pred='{M.OWL.onClass}' THEN obj END) AS on_class,
+  {rt_cols}
+  FROM triples t JOIN rest USING (subj) GROUP BY t.subj),
+applied AS (SELECT obj AS subj, string_agg(DISTINCT subj, ',' ORDER BY subj) AS applied_csv
+            FROM triples WHERE pred='{SUB}' GROUP BY obj)
+SELECT agg.subj AS bnode, on_property, {rt_type} AS restriction_type,
+       {rt_value} AS value, on_class, coalesce(applied_csv, '') AS applied_csv
+FROM agg LEFT JOIN applied ON agg.subj = applied.subj
+ORDER BY bnode
+"""
+
+    sql["property_chains"] = f"""
+WITH RECURSIVE {ax},
+{list_ctes}
+SELECT t.subj AS property, larr.items_csv AS chain_csv
+FROM triples t JOIN larr ON t.obj = larr.head
+WHERE t.pred='{M.OWL.propertyChainAxiom}' ORDER BY property
+"""
+
+    sql["class_expressions"] = f"""
+WITH RECURSIVE {ax},
+{list_ctes}
+SELECT * FROM (
+  SELECT t.subj AS cls, 'unionOf' AS expression_type, larr.items_csv AS members_csv
+  FROM triples t JOIN larr ON t.obj = larr.head WHERE t.pred='{M.OWL.unionOf}'
+  UNION ALL
+  SELECT t.subj, 'intersectionOf', larr.items_csv
+  FROM triples t JOIN larr ON t.obj = larr.head WHERE t.pred='{M.OWL.intersectionOf}'
+  UNION ALL
+  SELECT t.subj, 'oneOf', larr.items_csv
+  FROM triples t JOIN larr ON t.obj = larr.head WHERE t.pred='{M.OWL.oneOf}'
+  UNION ALL
+  SELECT subj, 'complementOf', obj FROM triples WHERE pred='{M.OWL.complementOf}'
+) ORDER BY cls, expression_type
+"""
+
+    sql["all_different"] = f"""
+WITH RECURSIVE {ax},
+{list_ctes}
+SELECT t.subj AS axiom, larr.items_csv AS members_csv
+FROM triples t JOIN larr ON t.obj = larr.head
+WHERE t.pred='{M.OWL.distinctMembers}'
+  AND t.subj IN (SELECT subj FROM triples
+                 WHERE pred='{RDF_TYPE}' AND obj='{M.OWL.AllDifferent}')
+ORDER BY axiom
+"""
+
+    sql["has_keys"] = f"""
+WITH RECURSIVE {ax},
+{list_ctes}
+SELECT t.subj AS cls, larr.items_csv AS keys_csv
+FROM triples t JOIN larr ON t.obj = larr.head
+WHERE t.pred='{M.OWL.hasKey}' ORDER BY cls
+"""
+
+    sql["disjoint_unions"] = f"""
+WITH RECURSIVE {ax},
+{list_ctes}
+SELECT t.subj AS cls, larr.items_csv AS members_csv
+FROM triples t JOIN larr ON t.obj = larr.head
+WHERE t.pred='{M.OWL.disjointUnionOf}' ORDER BY cls
+"""
+
+    sql["annotations_view"] = f"""
+WITH {ax}
+SELECT pred AS predicate, {_ln('pred')} AS predicate_name,
+       obj AS value, obj_lang AS lang, obj_dt AS datatype
+FROM triples
+WHERE subj='{PERSON}' AND pred NOT IN ({structural_list}) AND obj_kind <> 'bnode'
+ORDER BY predicate, value
+"""
+
+    def _relations_sql(preds: list[str]) -> str:
+        plist = ", ".join(f"'{p}'" for p in preds)
+        return f"""
+WITH {ax}
+SELECT {_ln('subj')} AS source, {_ln('pred')} AS relation, {_ln('obj')} AS target
+FROM triples
+WHERE pred IN ({plist}) AND obj_kind='uri' AND subj NOT LIKE '\\_:%' ESCAPE '\\'
+ORDER BY source, relation, target
+"""
+
+    sql["class_relations"] = _relations_sql(views.CLASS_RELATIONS)
+    sql["property_relations"] = _relations_sql(views.PROPERTY_RELATIONS)
+    sql["individual_relations"] = _relations_sql(views.INDIVIDUAL_RELATIONS)
+
+    sql["resource_usages"] = f"""
+WITH {ax}
+SELECT * FROM (
+  SELECT 'outbound' AS direction, subj AS resource, pred, obj AS other
+  FROM triples WHERE subj='{PERSON}' AND pred NOT IN ({structural_list})
+  UNION ALL
+  SELECT 'inbound', obj, pred, subj FROM triples
+  WHERE obj='{PERSON}' AND subj NOT LIKE '\\_:%' ESCAPE '\\'
+  UNION ALL
+  SELECT 'predicate', pred, pred, subj FROM triples WHERE pred='{PERSON}'
+) ORDER BY direction, pred, other
+"""
+
+    sql["delete_impact"] = f"""
+WITH {pop},
+touch AS (SELECT * FROM triples
+          WHERE subj='{PERSON}' OR obj='{PERSON}' OR pred='{PERSON}')
+SELECT
+  sum(CASE WHEN pred='{SUB}' AND obj='{PERSON}' THEN 1 ELSE 0 END) AS subclasses,
+  sum(CASE WHEN pred='{RDF_TYPE}' AND obj='{PERSON}' THEN 1 ELSE 0 END) AS instances,
+  sum(CASE WHEN pred='{M.RDFS.domain}' AND obj='{PERSON}' THEN 1 ELSE 0 END) AS domain_of,
+  sum(CASE WHEN pred='{M.RDFS.range}' AND obj='{PERSON}' THEN 1 ELSE 0 END) AS range_of,
+  sum(CASE WHEN subj='{PERSON}' THEN 1 ELSE 0 END) AS direct_triples,
+  sum(CASE WHEN obj='{PERSON}' AND subj<>'{PERSON}' THEN 1 ELSE 0 END) AS inbound_references,
+  sum(CASE WHEN pred='{PERSON}' THEN 1 ELSE 0 END) AS as_predicate,
+  count(*) AS total_affected
+FROM touch
+"""
+
+    sql["concept_hierarchy"] = f"""
+WITH {skos},
+con AS (SELECT DISTINCT subj FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{M.SKOS.Concept}'),
+edges AS (SELECT t.subj, t.obj AS child FROM triples t
+          JOIN con ON t.subj = con.subj WHERE t.pred='{M.SKOS.narrower}')
+SELECT {_ln('con.subj')} AS concept_name,
+  coalesce(string_agg(DISTINCT {_ln('edges.child')}, ',' ORDER BY {_ln('edges.child')}), '')
+    AS children_csv
+FROM con LEFT JOIN edges ON con.subj = edges.subj
+GROUP BY con.subj ORDER BY concept_name
+"""
+
+    sql["infer_namespace"] = f"""
+WITH {pop},
+typed AS (SELECT subj FROM triples
+          WHERE pred='{RDF_TYPE}' AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
+ns AS (SELECT substr(subj, 1, len(subj) - len({_ln('subj')})) AS namespace
+       FROM typed)
+SELECT namespace, count(*) AS cnt FROM ns WHERE len(namespace) > 0
+GROUP BY namespace ORDER BY cnt DESC, namespace LIMIT 1
+"""
+
+    op_ = M.OWL.ObjectProperty
+    dp_ = M.OWL.DatatypeProperty
+    ni_ = M.OWL.NamedIndividual
+    sql["validate_owl"] = f"""
+WITH RECURSIVE {val},
+cls AS (SELECT DISTINCT subj FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{OWL_CLASS}' AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
+labeled AS (SELECT DISTINCT subj FROM triples
+            WHERE pred IN ('{LBL}', '{M.SKOS.prefLabel}')),
+props AS (SELECT DISTINCT subj FROM triples
+          WHERE pred='{RDF_TYPE}' AND obj IN ('{op_}', '{dp_}')),
+hasdom AS (SELECT DISTINCT subj FROM triples
+  WHERE pred IN ('{M.RDFS.domain}', '{M.SCHEMA_NS}domainIncludes', '{M.GIST_NS}domainIncludes')),
+hasrng AS (SELECT DISTINCT subj FROM triples
+  WHERE pred IN ('{M.RDFS.range}', '{M.SCHEMA_NS}rangeIncludes', '{M.GIST_NS}rangeIncludes')),
+used AS (
+  SELECT subj FROM triples WHERE pred='{SUB}'
+  UNION SELECT obj FROM triples WHERE pred='{SUB}'
+  UNION SELECT obj FROM triples WHERE pred IN
+    ('{M.RDFS.domain}', '{M.SCHEMA_NS}domainIncludes', '{M.GIST_NS}domainIncludes',
+     '{M.RDFS.range}', '{M.SCHEMA_NS}rangeIncludes', '{M.GIST_NS}rangeIncludes')
+  UNION SELECT obj FROM triples
+    WHERE pred='{RDF_TYPE}' AND obj NOT LIKE 'http://www.w3.org/%'
+  UNION SELECT obj FROM triples WHERE pred IN
+    ('{M.OWL.onClass}', '{M.OWL.someValuesFrom}', '{M.OWL.allValuesFrom}',
+     '{M.OWL.equivalentClass}', '{M.OWL.disjointWith}', '{M.OWL.complementOf}')
+  UNION SELECT subj FROM triples
+    WHERE pred IN ('{M.OWL.equivalentClass}', '{M.OWL.disjointWith}')),
+inds AS (SELECT DISTINCT subj FROM triples
+         WHERE pred='{RDF_TYPE}' AND obj='{ni_}'),
+typedinds AS (SELECT DISTINCT subj FROM triples
+              WHERE pred='{RDF_TYPE}' AND obj <> '{ni_}'),
+duplabels AS (SELECT obj FROM triples WHERE pred='{LBL}'
+              GROUP BY obj HAVING count(DISTINCT subj) > 1),
+sc(c, d) AS (
+  SELECT subj, obj FROM triples WHERE pred='{SUB}'
+  UNION
+  SELECT sc.c, e.obj FROM sc JOIN triples e
+    ON e.pred='{SUB}' AND sc.d = e.subj),
+types AS (SELECT subj, obj AS cls FROM triples WHERE pred='{RDF_TYPE}'),
+tclo AS (SELECT subj, cls FROM types
+         UNION SELECT types.subj, sc.d FROM types JOIN sc ON types.cls = sc.c),
+assertions AS (
+  SELECT t.subj, t.pred, t.obj, t.obj_kind FROM triples t JOIN inds USING (subj)
+  WHERE t.pred NOT IN ('{RDF_TYPE}', '{LBL}', '{CMT}')
+    AND t.pred NOT LIKE 'http://www.w3.org/%'),
+dom AS (SELECT subj AS prop, obj AS dcls FROM triples WHERE pred='{M.RDFS.domain}'),
+rng AS (SELECT subj AS prop, obj AS rcls FROM triples WHERE pred='{M.RDFS.range}'),
+dmis AS (SELECT DISTINCT a.subj FROM assertions a JOIN dom ON a.pred = dom.prop
+         WHERE NOT EXISTS (SELECT 1 FROM tclo
+                           WHERE tclo.subj = a.subj AND tclo.cls = dom.dcls)),
+rmis AS (SELECT DISTINCT a.obj AS subj FROM assertions a JOIN rng ON a.pred = rng.prop
+         WHERE a.obj_kind = 'uri'
+           AND NOT EXISTS (SELECT 1 FROM tclo
+                           WHERE tclo.subj = a.obj AND tclo.cls = rng.rcls))
+SELECT * FROM (
+  SELECT 'warning' AS severity, 'missing_label' AS issue_type, subj AS subject,
+         {_ln('subj')} || ': class has no label' AS message
+  FROM cls WHERE subj NOT IN (SELECT subj FROM labeled)
+  UNION ALL
+  SELECT 'info', 'missing_domain', subj, {_ln('subj')} || ': property has no domain'
+  FROM props WHERE subj NOT IN (SELECT subj FROM hasdom)
+  UNION ALL
+  SELECT 'info', 'missing_range', subj, {_ln('subj')} || ': property has no range'
+  FROM props WHERE subj NOT IN (SELECT subj FROM hasrng)
+  UNION ALL
+  SELECT 'warning', 'orphan_class', subj,
+         {_ln('subj')} || ': class is not connected to anything'
+  FROM cls WHERE subj NOT IN (SELECT subj FROM used)
+  UNION ALL
+  SELECT 'warning', 'untyped_individual', subj,
+         {_ln('subj')} || ': individual has no class'
+  FROM inds WHERE subj NOT IN (SELECT subj FROM typedinds)
+  UNION ALL
+  SELECT 'warning', 'duplicate_label', t.subj,
+         'label ''' || t.obj || ''' used by multiple resources'
+  FROM triples t WHERE t.pred='{LBL}' AND t.obj IN (SELECT obj FROM duplabels)
+  UNION ALL
+  SELECT 'error', 'domain_mismatch', subj,
+         {_ln('subj')} || ': assertion violates property domain' FROM dmis
+  UNION ALL
+  SELECT 'error', 'range_mismatch', subj,
+         {_ln('subj')} || ': assertion violates property range' FROM rmis
+) ORDER BY severity, issue_type, subject
+"""
+
+    skos_extra_vals = ",\n    ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'" for v in row
+        ) + ")"
+        for row in _SKOS_EXTRA
+    )
+    sql["validate_skos"] = f"""
+WITH RECURSIVE skos_base(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS
+  (SELECT * FROM {FX.fixture_sql_values("skos_om")}),
+extra(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {skos_extra_vals}),
+triples AS (SELECT * FROM skos_base UNION ALL SELECT * FROM extra),
+con AS (SELECT DISTINCT subj FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{M.SKOS.Concept}'),
+haspref AS (SELECT DISTINCT subj FROM triples WHERE pred='{M.SKOS.prefLabel}'),
+inscheme AS (SELECT DISTINCT subj FROM triples WHERE pred='{M.SKOS.inScheme}'),
+prefs AS (SELECT subj, obj AS pref_label FROM triples WHERE pred='{M.SKOS.prefLabel}'),
+schemeof AS (SELECT subj, obj AS scheme FROM triples WHERE pred='{M.SKOS.inScheme}'),
+duppref AS (SELECT scheme, pref_label FROM prefs JOIN schemeof USING (subj)
+            GROUP BY scheme, pref_label HAVING count(DISTINCT subj) > 1),
+first_broader AS (SELECT subj AS src, min(obj) AS dst FROM triples
+                  WHERE pred='{M.SKOS.broader}' GROUP BY subj),
+reach(src, dst) AS (
+  SELECT src, dst FROM first_broader
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN first_broader e ON r.dst = e.src),
+cyc AS (SELECT DISTINCT src AS subj FROM reach WHERE src = dst)
+SELECT * FROM (
+  SELECT 'warning' AS severity, 'missing_prefLabel' AS issue_type, subj AS subject,
+         {_ln('subj')} || ': concept has no prefLabel' AS message
+  FROM con WHERE subj NOT IN (SELECT subj FROM haspref)
+  UNION ALL
+  SELECT 'info', 'not_in_scheme', subj, {_ln('subj')} || ': concept not in any scheme'
+  FROM con WHERE subj NOT IN (SELECT subj FROM inscheme)
+  UNION ALL
+  SELECT 'warning', 'duplicate_prefLabel', p.subj,
+         'prefLabel ''' || p.pref_label || ''' duplicated in scheme'
+  FROM prefs p JOIN schemeof s USING (subj)
+  JOIN duppref d ON d.scheme = s.scheme AND d.pref_label = p.pref_label
+  UNION ALL
+  SELECT 'error', 'broader_cycle', subj,
+         {_ln('subj')} || ': broader chain forms a cycle' FROM cyc
+) ORDER BY severity, issue_type, subject
+"""
+
+    reasoning_extra_vals = ",\n    ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'" for v in row
+        ) + ")"
+        for row in _REASONING_EXTRA
+    )
+    spo = M.RDFS.subPropertyOf
+    sql["reasoning_rdfs"] = f"""
+WITH RECURSIVE pop_base(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS
+  (SELECT * FROM {FX.fixture_sql_values("populated_om")}),
+extra(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {reasoning_extra_vals}),
+t AS (SELECT * FROM pop_base UNION ALL SELECT * FROM extra),
+sc(c, d) AS (
+  SELECT subj, obj FROM t WHERE pred='{SUB}'
+  UNION
+  SELECT sc.c, e.obj FROM sc JOIN t e ON e.pred='{SUB}' AND sc.d = e.subj),
+sp(p, q) AS (
+  SELECT subj, obj FROM t WHERE pred='{spo}'
+  UNION
+  SELECT sp.p, e.obj FROM sp JOIN t e ON e.pred='{spo}' AND sp.q = e.subj),
+a0 AS (SELECT subj, pred, obj, obj_kind FROM t
+       WHERE pred NOT IN ('{RDF_TYPE}', '{SUB}', '{spo}')),
+a1 AS (SELECT * FROM a0
+       UNION SELECT a0.subj, sp.q, a0.obj, a0.obj_kind FROM a0 JOIN sp ON a0.pred = sp.p),
+ty0 AS (SELECT subj, obj FROM t WHERE pred='{RDF_TYPE}'
+        UNION SELECT a1.subj, d.obj FROM a1
+              JOIN t d ON d.pred='{M.RDFS.domain}' AND d.subj = a1.pred
+        UNION SELECT a1.obj, r.obj FROM a1
+              JOIN t r ON r.pred='{M.RDFS.range}' AND r.subj = a1.pred
+              WHERE a1.obj_kind = 'uri'),
+ty1 AS (SELECT * FROM ty0
+        UNION SELECT ty0.subj, sc.d FROM ty0 JOIN sc ON ty0.obj = sc.c)
+SELECT DISTINCT subj, pred, obj, obj_kind FROM (
+  SELECT subj, pred, obj, obj_kind FROM t
+  UNION ALL SELECT subj, pred, obj, obj_kind FROM a1
+  UNION ALL SELECT subj, '{RDF_TYPE}', obj, 'uri' FROM ty0
+  UNION ALL SELECT subj, '{RDF_TYPE}', obj, 'uri' FROM ty1
+  UNION ALL SELECT c, '{SUB}', d, 'uri' FROM sc
+  UNION ALL SELECT p, '{spo}', q, 'uri' FROM sp
+) ORDER BY subj, pred, obj
+"""
+
+    bulk_vals = ",\n    ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'" for v in row
+        ) + ")"
+        for row in _BULK_CLASSES
+    )
+    sql["bulk_add_classes"] = f"""
+WITH {pop},
+staged(name, label, comment) AS (VALUES
+    {bulk_vals}),
+s2 AS (SELECT CASE WHEN name LIKE 'http://%' OR name LIKE 'https://%'
+                   THEN name ELSE '{FX.BASE}' || name END AS subj,
+              label, comment FROM staged),
+existing AS (SELECT DISTINCT subj FROM triples
+             WHERE pred='{RDF_TYPE}' AND obj='{OWL_CLASS}'),
+fresh AS (SELECT * FROM s2 WHERE subj NOT IN (SELECT subj FROM existing)),
+new_rows AS (
+  SELECT subj, '{RDF_TYPE}' AS pred, '{OWL_CLASS}' AS obj, 'uri' AS obj_kind FROM fresh
+  UNION ALL
+  SELECT subj, '{LBL}', label, 'literal' FROM fresh WHERE label IS NOT NULL
+  UNION ALL
+  SELECT subj, '{CMT}', comment, 'literal' FROM fresh WHERE comment IS NOT NULL)
+SELECT DISTINCT subj, pred, obj, obj_kind FROM (
+  SELECT subj, pred, obj, obj_kind FROM triples
+  UNION ALL SELECT * FROM new_rows)
+"""
+
+    emp = FX.BASE + "Employee"
+    acme = FX.BASE + "acme"
+    sql["bulk_delete"] = f"""
+WITH {pop}
+SELECT subj, pred, obj, obj_kind FROM triples
+WHERE subj NOT IN ('{emp}', '{acme}')
+  AND NOT (obj IN ('{emp}', '{acme}') AND obj_kind <> 'literal')
+  AND pred NOT IN ('{emp}', '{acme}')
 """
 
     sql["text_token_counts"] = textstats.token_counts_oracle()

@@ -16,12 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .model import (
+    DC_NS,
     OWL,
     RDF,
     RDFS,
     SKOS,
     TRIPLES_SCHEMA,
     XSD,
+    t_bnode,
     t_lit,
     t_uri,
 )
@@ -116,12 +118,71 @@ VALIDATION_OM: list[tuple] = POPULATED_OM + [
     t_lit(_e("DupB"), RDFS.label, "Duplicate"),
 ]
 
+#: Axiom-rich fixture: restrictions, RDF-list axioms (unionOf,
+#: propertyChainAxiom, hasKey, distinctMembers, disjointUnionOf),
+#: relation axioms, annotations with lang/datatype — exercising the
+#: reference's advanced-axiom surface (``ontology_manager.py:1101-1996``).
+AXIOMS_OM: list[tuple] = POPULATED_OM + [
+    # someValuesFrom restriction applied to Employee
+    t_bnode("_:r1", RDF.type, OWL.Restriction),
+    t_uri("_:r1", OWL.onProperty, _e("worksFor")),
+    t_uri("_:r1", OWL.someValuesFrom, _e("Organization")),
+    t_bnode(_e("Employee"), RDFS.subClassOf, "_:r1"),
+    # minCardinality restriction applied to Person
+    t_bnode("_:r2", RDF.type, OWL.Restriction),
+    t_uri("_:r2", OWL.onProperty, _e("hasName")),
+    t_lit("_:r2", OWL.minCardinality, "1", dt=XSD.nonNegativeInteger),
+    t_bnode(_e("Person"), RDFS.subClassOf, "_:r2"),
+    # Agent = unionOf(Person, Organization), also disjointUnionOf
+    t_uri(_e("Agent"), RDF.type, OWL.Class),
+    t_bnode(_e("Agent"), OWL.unionOf, "_:u1"),
+    t_uri("_:u1", RDF.first, _e("Person")),
+    t_bnode("_:u1", RDF.rest, "_:u2"),
+    t_uri("_:u2", RDF.first, _e("Organization")),
+    t_uri("_:u2", RDF.rest, RDF.nil),
+    t_bnode(_e("Agent"), OWL.disjointUnionOf, "_:d1"),
+    t_uri("_:d1", RDF.first, _e("Person")),
+    t_bnode("_:d1", RDF.rest, "_:d2"),
+    t_uri("_:d2", RDF.first, _e("Organization")),
+    t_uri("_:d2", RDF.rest, RDF.nil),
+    # property chain: worksFor o worksFor -> worksFor (toy transitivity)
+    t_bnode(_e("worksFor"), OWL.propertyChainAxiom, "_:c1"),
+    t_uri("_:c1", RDF.first, _e("worksFor")),
+    t_bnode("_:c1", RDF.rest, "_:c2"),
+    t_uri("_:c2", RDF.first, _e("worksFor")),
+    t_uri("_:c2", RDF.rest, RDF.nil),
+    # hasKey on Person
+    t_bnode(_e("Person"), OWL.hasKey, "_:k1"),
+    t_uri("_:k1", RDF.first, _e("hasName")),
+    t_uri("_:k1", RDF.rest, RDF.nil),
+    # AllDifferent(alice, acme)
+    t_bnode("_:ad1", RDF.type, OWL.AllDifferent),
+    t_bnode("_:ad1", OWL.distinctMembers, "_:m1"),
+    t_uri("_:m1", RDF.first, _e("alice")),
+    t_bnode("_:m1", RDF.rest, "_:m2"),
+    t_uri("_:m2", RDF.first, _e("acme")),
+    t_uri("_:m2", RDF.rest, RDF.nil),
+    # relation axioms
+    t_uri(_e("Worker"), RDF.type, OWL.Class),
+    t_uri(_e("Employee"), OWL.equivalentClass, _e("Worker")),
+    t_uri(_e("Person"), OWL.disjointWith, _e("Organization")),
+    t_uri(_e("employs"), RDF.type, OWL.ObjectProperty),
+    t_uri(_e("worksFor"), OWL.inverseOf, _e("employs")),
+    t_uri(_e("alice2"), RDF.type, OWL.NamedIndividual),
+    t_uri(_e("alice"), OWL.sameAs, _e("alice2")),
+    # annotations with lang + datatype
+    t_lit(_e("Person"), DC_NS + "creator", "Alice Smith", lang="en"),
+    t_lit(_e("Person"), SKOS.altLabel, "Human", lang="en"),
+    t_lit(_e("Person"), OWL.versionInfo, "1.0", dt=XSD.string),
+]
+
 FIXTURES: dict[str, list[tuple]] = {
     "populated_om": POPULATED_OM,
     "skos_om": SKOS_OM,
     "diff_a": DIFF_A,
     "diff_b": DIFF_B,
     "validation_om": VALIDATION_OM,
+    "axioms_om": AXIOMS_OM,
 }
 
 
