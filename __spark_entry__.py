@@ -483,6 +483,46 @@ def _q_bulk_delete(spark, sf_dir):
     return out.select("subj", "pred", "obj", "obj_kind")
 
 
+# --------------------------------------------------------------------- #
+# KG-construction pipeline queries (north_star; rows-only checks — the
+# Arrow-UDF extraction stage has no SQL equivalent, determinism comes
+# from the seeded page synthesis)
+# --------------------------------------------------------------------- #
+
+_KG_PAGES = 1000
+
+
+def _kg(spark: SparkSession):
+    from orionbelt_ontology_builder_spark.pipeline import pages as P
+    from orionbelt_ontology_builder_spark.pipeline import run as R
+
+    return R.build_kg(P.synthesize_pages(spark, _KG_PAGES))
+
+
+def _q_kg_edges(spark, sf_dir):
+    return _kg(spark)["edges"].select("subj", "pred", "obj").distinct().orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+def _q_kg_canonical_map(spark, sf_dir):
+    return _kg(spark)["canonical_map"].orderBy("mention")
+
+
+def _q_kg_class_hierarchy(spark, sf_dir):
+    return _kg(spark)["class_hierarchy"].orderBy("child", "parent")
+
+
+def _q_page_text_extract(spark, sf_dir):
+    from orionbelt_ontology_builder_spark.pipeline import extract as X
+    from orionbelt_ontology_builder_spark.pipeline import pages as P
+
+    pages = P.synthesize_pages(spark, _KG_PAGES)
+    return X.with_extracted_text(pages).select(
+        "url", F.md5(F.col("extracted_text")).alias("text_md5")
+    ).orderBy("url")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -529,6 +569,10 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
     return dedup.cosine_pairs(_embs(spark, sf_dir))
+
+
+def _q_dedup_embedding_cosine_ivf(spark, sf_dir):
+    return similarity.ivf_cosine_pairs(_embs(spark, sf_dir))
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -581,6 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_running": _q_events_running,
+        "kg_edges": _q_kg_edges,
+        "kg_canonical_map": _q_kg_canonical_map,
+        "kg_class_hierarchy": _q_kg_class_hierarchy,
+        "page_text_extract": _q_page_text_extract,
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
         "class_expressions": _q_class_expressions,
@@ -610,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_ivf": _q_dedup_embedding_cosine_ivf,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
@@ -1384,6 +1433,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dedup_simhash"] = dedup.simhash_oracle()
     sql["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle()
     sql["dedup_embedding_cosine"] = dedup.cosine_pairs_oracle()
+    sql["dedup_embedding_cosine_ivf"] = similarity.ivf_cosine_pairs_oracle()
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
     sql["media_features"] = multimodal.extract_features_oracle()

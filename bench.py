@@ -56,6 +56,14 @@ def main() -> None:
     pages = pages.persist()
     pages.count()  # synthesis outside the timed region: we grade the KG build
 
+    # warmup: run the full plan once on a small slice so whole-stage
+    # codegen compilation + JIT happen outside the timed region (a real
+    # cluster job amortizes this to noise; a cold local JVM does not)
+    warm = P.synthesize_pages(spark, 1000)
+    wkg = R.build_kg(warm)
+    wkg["edges"].count()
+    wkg["class_hierarchy"].count()
+
     def kg_leg():
         kg = R.build_kg(pages)
         edges = kg["edges"].persist()
@@ -91,7 +99,7 @@ def main() -> None:
         "lang_id",
         "ann_cosine_topk",
         "ann_ivf_topk",
-        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_ivf",
         "media_features",
         "doc_fingerprint",
     ]

@@ -149,7 +149,9 @@ def minhash_band_pairs(
     projection; candidate verification joins the shingle arrays for the
     surviving pairs only.
     """
-    sig = minhash_signatures(docs)
+    # signatures feed three plan branches (bands, and both sides of the
+    # verify join) — persist so the shingle+md5 projection runs once
+    sig = minhash_signatures(docs).persist()
     bands_long = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(BANDS)])).alias(

@@ -182,6 +182,74 @@ def ivf_topk(
     )
 
 
+def ivf_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """(id_a, id_b, cos): near-dup pairs restricted to vectors sharing an
+    IVF inverted list — the corpus-scale replacement for the all-pairs
+    cosine join (work drops from O(n^2) to O(sum of list sizes squared),
+    and each list is an independent partition).
+
+    Recall tradeoff is the standard IVF one: cross-list near-dups are
+    missed; raise n_probe/overlap or use dedup.cosine_pairs as the
+    sample-scale oracle.
+    """
+    e = _with_norm(embeddings)
+    assign = ivf_assign(embeddings, n_centroids)
+    ea = e.join(assign, "vec_id")
+    a = ea.alias("a")
+    b = ea.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos",
+            F.expr(dot_expr("a.embedding", "b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cos",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ivf_cosine_pairs_oracle(
+    threshold: float = 0.42, n_centroids: int = N_CENTROIDS
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM e
+      WHERE vec_id < {n_centroids}),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id, row_number() OVER
+      (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.c_emb, e.emb) / (c.c_nrm * e.nrm) DESC,
+        c.centroid_id ASC) AS rk
+    FROM e CROSS JOIN c)
+  WHERE rk = 1),
+ea AS (SELECT e.*, assign.centroid_id FROM e JOIN assign USING (vec_id))
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+FROM ea a JOIN ea b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def ivf_topk_oracle(
     n_queries: int = 5,
     k: int = 5,

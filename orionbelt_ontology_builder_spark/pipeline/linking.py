@@ -25,12 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: 60-bit portable hash: hex md5 prefix -> bigint. Same construction is
-#: expressible in DuckDB: ('0x' || substr(md5(x), 1, 15))::bigint.
+#: Portable per-seed hash, kept as the md5 hex STRING: string min/compare
+#: stays inside whole-stage codegen, while conv()+decimal casts fall back
+#: to interpreted expressions (~20x slower per call measured at 20k
+#: pages); DuckDB computes the identical value with md5('s<i>:' || x).
 def _h(col, seed: int):
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 15), 16, 10
-    ).cast("decimal(20,0)")
+    return F.md5(F.concat(F.lit(f"s{seed}:"), col))
 
 
 def shingles(col, n: int = 3):
@@ -45,7 +45,7 @@ def shingles(col, n: int = 3):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 24):
-    """ARRAY<DECIMAL> of per-seed min-hash over the shingle set."""
+    """ARRAY<STRING> of per-seed min md5 over the shingle set."""
     return F.array(
         *[
             F.array_min(F.transform(shingle_col, lambda s, i=i: _h(s, i)))

@@ -26,7 +26,9 @@ def build_kg(
     jaccard_threshold: float = 0.55,
     use_text_column: bool = False,
 ) -> dict[str, DataFrame]:
-    raw = extract_raw_triples(pages, use_text_column=use_text_column)
+    # raw feeds two consumers (mention extraction + final edge rewrite):
+    # persist so the Arrow extraction stage runs once, not per-branch
+    raw = extract_raw_triples(pages, use_text_column=use_text_column).persist()
     # linking operates on distinct surface forms (small next to the edge
     # set); exclude none — class names link to themselves only
     mentions = (
