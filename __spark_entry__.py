@@ -483,6 +483,47 @@ def _q_bulk_delete(spark, sf_dir):
     return out.select("subj", "pred", "obj", "obj_kind")
 
 
+def _q_nt_roundtrip(spark, sf_dir):
+    from orionbelt_ontology_builder_spark.sources import ntriples as NT
+
+    df = FX.fixture_triples(spark, "axioms_om")
+    return NT.parse_nt(NT.serialize_nt(df)).select(
+        "subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt"
+    ).distinct()
+
+
+def _codec_roundtrip(spark, fmt):
+    from orionbelt_ontology_builder_spark.sources import parsers as PAR
+    from orionbelt_ontology_builder_spark.sources import serializers as SER
+
+    rows = [tuple(r) for r in FX.FIXTURES["axioms_om"]]
+    ser = {"turtle": SER.to_turtle, "rdfxml": SER.to_rdfxml,
+           "jsonld": SER.to_jsonld}[fmt]
+    return PAR.parse(spark, ser(rows), fmt if fmt != "rdfxml" else "xml").distinct()
+
+
+def _q_turtle_roundtrip(spark, sf_dir):
+    return _codec_roundtrip(spark, "turtle")
+
+
+def _q_rdfxml_roundtrip(spark, sf_dir):
+    return _codec_roundtrip(spark, "rdfxml")
+
+
+def _q_jsonld_roundtrip(spark, sf_dir):
+    return _codec_roundtrip(spark, "jsonld")
+
+
+_PREFIXES_CUR = [("ex", "http://example.org/a#"), ("foaf", "http://xmlns.com/foaf/0.1/")]
+_PREFIXES_INC = [("ex", "http://example.org/b#"), ("foaf", "http://xmlns.com/foaf/0.1/")]
+
+
+def _q_prefix_conflicts(spark, sf_dir):
+    cur = spark.createDataFrame(_PREFIXES_CUR, "prefix string, namespace string")
+    inc = spark.createDataFrame(_PREFIXES_INC, "prefix string, namespace string")
+    return setops.detect_prefix_conflicts(cur, inc)
+
+
 # --------------------------------------------------------------------- #
 # KG-construction pipeline queries (north_star; rows-only checks — the
 # Arrow-UDF extraction stage has no SQL equivalent, determinism comes
@@ -625,6 +666,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_running": _q_events_running,
+        "nt_roundtrip": _q_nt_roundtrip,
+        "turtle_roundtrip": _q_turtle_roundtrip,
+        "rdfxml_roundtrip": _q_rdfxml_roundtrip,
+        "jsonld_roundtrip": _q_jsonld_roundtrip,
+        "prefix_conflicts": _q_prefix_conflicts,
         "kg_edges": _q_kg_edges,
         "kg_canonical_map": _q_kg_canonical_map,
         "kg_class_hierarchy": _q_kg_class_hierarchy,
@@ -1038,8 +1084,31 @@ SELECT user_id, event_id, rn, running_value FROM w WHERE rn <= 3
 ORDER BY user_id, rn
 """
 
-    # -- advanced axioms / validation / reasoning --------------------- #
+    # -- sources/sinks ------------------------------------------------ #
     ax = _fx("axioms_om")
+
+    # nt_roundtrip: serialize -> parse must be the identity on the
+    # fixture, so the oracle is simply the fixture rows themselves
+    roundtrip_identity = f"""
+WITH {ax}
+SELECT DISTINCT subj, pred, obj, obj_kind, obj_lang, obj_dt FROM triples
+"""
+    sql["nt_roundtrip"] = roundtrip_identity
+    sql["turtle_roundtrip"] = roundtrip_identity
+    sql["rdfxml_roundtrip"] = roundtrip_identity
+    sql["jsonld_roundtrip"] = roundtrip_identity
+
+    cur_vals = ", ".join(f"('{p}', '{n}')" for p, n in _PREFIXES_CUR)
+    inc_vals = ", ".join(f"('{p}', '{n}')" for p, n in _PREFIXES_INC)
+    sql["prefix_conflicts"] = f"""
+WITH cur(prefix, namespace) AS (VALUES {cur_vals}),
+inc(prefix, namespace) AS (VALUES {inc_vals})
+SELECT cur.prefix, cur.namespace AS current_ns, inc.namespace AS incoming_ns
+FROM cur JOIN inc USING (prefix)
+WHERE cur.namespace <> inc.namespace ORDER BY cur.prefix
+"""
+
+    # -- advanced axioms / validation / reasoning --------------------- #
     nil = M.RDF.nil
 
     # rdf:first/rest list walk (recursive CTE shared by the list axioms)

@@ -77,6 +77,9 @@ def main() -> None:
     extras["pipeline_triples"] = n_triples
     extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
     pages.unpersist()
+    # drop pipeline caches (pages html ~GBs at 100k pages) so the query
+    # legs below are not measured under memory pressure
+    spark.catalog.clearCache()
 
     # -- ontology-engine queries over induced + fixture graphs ---------
     qs = E.queries()

@@ -124,12 +124,12 @@ VALIDATION_OM: list[tuple] = POPULATED_OM + [
 #: reference's advanced-axiom surface (``ontology_manager.py:1101-1996``).
 AXIOMS_OM: list[tuple] = POPULATED_OM + [
     # someValuesFrom restriction applied to Employee
-    t_bnode("_:r1", RDF.type, OWL.Restriction),
+    t_uri("_:r1", RDF.type, OWL.Restriction),
     t_uri("_:r1", OWL.onProperty, _e("worksFor")),
     t_uri("_:r1", OWL.someValuesFrom, _e("Organization")),
     t_bnode(_e("Employee"), RDFS.subClassOf, "_:r1"),
     # minCardinality restriction applied to Person
-    t_bnode("_:r2", RDF.type, OWL.Restriction),
+    t_uri("_:r2", RDF.type, OWL.Restriction),
     t_uri("_:r2", OWL.onProperty, _e("hasName")),
     t_lit("_:r2", OWL.minCardinality, "1", dt=XSD.nonNegativeInteger),
     t_bnode(_e("Person"), RDFS.subClassOf, "_:r2"),
@@ -156,7 +156,7 @@ AXIOMS_OM: list[tuple] = POPULATED_OM + [
     t_uri("_:k1", RDF.first, _e("hasName")),
     t_uri("_:k1", RDF.rest, RDF.nil),
     # AllDifferent(alice, acme)
-    t_bnode("_:ad1", RDF.type, OWL.AllDifferent),
+    t_uri("_:ad1", RDF.type, OWL.AllDifferent),
     t_bnode("_:ad1", OWL.distinctMembers, "_:m1"),
     t_uri("_:m1", RDF.first, _e("alice")),
     t_bnode("_:m1", RDF.rest, "_:m2"),

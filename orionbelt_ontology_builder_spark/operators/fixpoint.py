@@ -85,17 +85,22 @@ def connected_components(
     canonicalization engine for sameAs/exactMatch alias merging
     (BASELINE.json north_star).
     """
-    # symmetrize; parent[v] initialized to min(neighbor ∪ self)
+    # symmetrize; parent[v] initialized to min(neighbor ∪ self).
+    # sym is re-joined EVERY round: checkpoint it so the input lineage
+    # (often an expensive LSH-verify pipeline) executes exactly once,
+    # not once per round.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nbr0 = sym.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("p"))
     parent = (

@@ -75,12 +75,17 @@ EPOCH = 1609459200  # 2021-01-01T00:00:00Z, fixed
 
 
 def n_entities(n_pages: int) -> int:
-    """Capped at 880 (< 29*31): by CRT, any two entity ids below 899
-    share at most ONE of their three stem words, which bounds
-    cross-entity shingle Jaccard at ~0.35 while same-entity alias
-    variants stay >= ~0.69 — the margin the 0.5 link threshold sits in
-    (measured exhaustively; see linking.verified_same_as)."""
-    return min(max(10, n_pages // 3), 880)
+    """Entity vocabulary grows with the corpus (as on the real web), so
+    linking + canonicalization work scales with page count instead of
+    saturating — the property the N-vs-4N scaling evidence measures.
+
+    Safety of the link threshold: every alias embeds the unique ``e``
+    digit suffix.  Below the 20k cap two distinct entities share at most
+    two of their three stem words (word triples repeat only every
+    lcm(29,31,37)=33,263 ids), bounding cross-entity shingle Jaccard at
+    ~0.45, while same-entity alias variants stay >= ~0.69 — the 0.55
+    verify threshold (linking.verified_same_as) sits in that margin."""
+    return min(max(10, n_pages // 3), 20_000)
 
 
 def entity_stem(e: int) -> str:

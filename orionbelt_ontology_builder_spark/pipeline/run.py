@@ -23,7 +23,7 @@ from .linking import verified_same_as
 
 def build_kg(
     pages: DataFrame,
-    jaccard_threshold: float = 0.55,
+    jaccard_threshold: float = 0.9,
     use_text_column: bool = False,
 ) -> dict[str, DataFrame]:
     # raw feeds two consumers (mention extraction + final edge rewrite):
@@ -40,7 +40,7 @@ def build_kg(
     mapping = canonical_map(same_as)
     edges = rewrite_edges(raw, mapping)
     return {
-        "raw_triples": raw,
+        "raw_triples": raw,  # persisted above; shared by mentions + rewrite
         "mentions": mentions,
         "same_as": same_as,
         "canonical_map": mapping,
@@ -58,7 +58,7 @@ def run_pipeline(
     pages: DataFrame,
     out_dir: str,
     n_slices: int = 8,
-    jaccard_threshold: float = 0.55,
+    jaccard_threshold: float = 0.9,
 ) -> dict[str, DataFrame]:
     """Checkpointed variant: extraction runs per-slice with manifest
     resume, then linking/canonicalization over the accumulated raw

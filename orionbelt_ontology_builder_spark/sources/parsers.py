@@ -1,0 +1,469 @@
+"""Driver-side RDF parsers: Turtle (subset), RDF/XML (subset), JSON-LD.
+
+The reference parses uploads with rdflib (``ontology_manager.py:
+2000-2024``); ontology files are UI-sized, so parsing is a driver-side
+concern (SURVEY.md §2.1) — the resulting row list becomes a triples
+DataFrame via ``spark.createDataFrame``.  Bulk data takes the
+N-Triples/Parquet path instead (``sources.ntriples``).
+
+Coverage:
+
+* **Turtle**: ``@prefix``/``PREFIX``, ``@base``/``BASE``, prefixed
+  names, IRIs, ``a``, ``;`` ``,`` grouping, string literals (single,
+  triple-quoted) with ``@lang``/``^^dt``, numeric + boolean shorthand,
+  blank-node labels and ``[ ... ]`` property lists, collections
+  ``( ... )`` expanded to rdf:first/rest, comments.
+* **RDF/XML**: rdf:Description and typed node elements, rdf:about /
+  rdf:ID / rdf:nodeID, property elements with rdf:resource / rdf:nodeID
+  / rdf:datatype / xml:lang (inherited), nested node elements,
+  rdf:parseType="Resource".
+* **JSON-LD**: flat or ``@graph`` form with expanded values, plus a
+  simple-``@context`` (string prefix map) compaction layer.
+
+Each parser returns 6-tuples matching TRIPLES_SCHEMA.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import RDF_NS, TRIPLES_SCHEMA, XSD
+
+Row6 = tuple
+
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+
+
+def parse(spark: SparkSession, text: str, fmt: str) -> DataFrame:
+    """Format-dispatched parse -> triples DataFrame (the reference's
+    extension map, ``app.py:2223-2232``)."""
+    fmt = fmt.lower().lstrip(".")
+    if fmt in ("ttl", "turtle", "n3"):
+        rows = parse_turtle(text)
+    elif fmt in ("xml", "rdf", "owl", "rdfxml"):
+        rows = parse_rdfxml(text)
+    elif fmt in ("jsonld", "json-ld", "json"):
+        rows = parse_jsonld(text)
+    elif fmt in ("nt", "ntriples"):
+        from .ntriples import parse_nt
+
+        lines = spark.createDataFrame(
+            [(ln,) for ln in text.splitlines()], "line string"
+        )
+        return parse_nt(lines)
+    else:
+        raise ValueError(f"unknown RDF format: {fmt}")
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+
+# ------------------------------------------------------------------ #
+# Turtle
+# ------------------------------------------------------------------ #
+
+_TOKEN = re.compile(
+    r"""
+      (?P<comment>\#[^\n]*)
+    | (?P<iri><[^>]*>)
+    | (?P<triple_str>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<str>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<dtmark>\^\^)
+    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<punct>[;,.\[\]()])
+    | (?P<bnode>_:[\w.-]+)
+    | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.-]*(?:%[0-9A-Fa-f]{2}[\w.-]*)*)
+    | (?P<kw>@?[A-Za-z][\w-]*)
+    """,
+    re.VERBOSE,
+)
+
+_STR_ESCAPES = {
+    "n": "\n", "r": "\r", "t": "\t", '"': '"', "'": "'", "\\": "\\",
+    "b": "\b", "f": "\f",
+}
+
+
+def _unescape_str(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt in _STR_ESCAPES:
+                out.append(_STR_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt == "u" and i + 6 <= len(s):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= len(s):
+                out.append(chr(int(s[i + 2:i + 10], 16)))
+                i += 10
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class _TurtleParser:
+    def __init__(self, text: str):
+        self.toks: list[tuple[str, str]] = []
+        for m in _TOKEN.finditer(text):
+            kind = m.lastgroup
+            if kind in ("comment",):
+                continue
+            if m.group("local") is not None and kind in ("local", "pname"):
+                self.toks.append(("pname", m.group(0)))
+            else:
+                self.toks.append((kind, m.group(0)))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.rows: list[Row6] = []
+        self._bn = 0
+
+    # -- token helpers ------------------------------------------------
+    def peek(self) -> Optional[tuple[str, str]]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_punct(self, ch: str) -> None:
+        k, v = self.next()
+        if v != ch:
+            raise ValueError(f"expected '{ch}', got {v!r}")
+
+    def new_bnode(self) -> str:
+        self._bn += 1
+        return f"_:gen{self._bn}"
+
+    # -- grammar ------------------------------------------------------
+    def parse(self) -> list[Row6]:
+        while self.peek():
+            k, v = self.peek()
+            low = v.lower()
+            if low in ("@prefix", "prefix"):
+                self.next()
+                _, pn = self.next()           # "pfx:" pname token
+                pfx = pn[:-1] if pn.endswith(":") else pn.split(":")[0]
+                _, iri = self.next()
+                self.prefixes[pfx] = self._iri(iri)
+                if self.peek() and self.peek()[1] == ".":
+                    self.next()
+            elif low in ("@base", "base"):
+                self.next()
+                _, iri = self.next()
+                self.base = self._iri(iri)
+                if self.peek() and self.peek()[1] == ".":
+                    self.next()
+            else:
+                self.triples_block()
+        return self.rows
+
+    def triples_block(self) -> None:
+        subj = self.node(as_subject=True)
+        self.predicate_object_list(subj)
+        if self.peek() and self.peek()[1] == ".":
+            self.next()
+
+    def predicate_object_list(self, subj: str) -> None:
+        while True:
+            k, v = self.peek()
+            if v == "a":
+                self.next()
+                pred = RDF_TYPE
+            else:
+                pred = self.resolve_iri_token()
+            while True:
+                self.object_item(subj, pred)
+                if self.peek() and self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() and self.peek()[1] == ";":
+                self.next()
+                # allow trailing ; before . or ]
+                if self.peek() and self.peek()[1] in (".", "]"):
+                    return
+                continue
+            return
+
+    def object_item(self, subj: str, pred: str) -> None:
+        obj, kind, lang, dt = self.term()
+        self.rows.append((subj, pred, obj, kind, lang, dt))
+
+    def node(self, as_subject: bool = False) -> str:
+        k, v = self.peek()
+        if v == "[":
+            self.next()
+            bn = self.new_bnode()
+            if self.peek() and self.peek()[1] != "]":
+                self.predicate_object_list(bn)
+            self.expect_punct("]")
+            return bn
+        if v == "(":
+            return self.collection()
+        if k == "bnode":
+            self.next()
+            return v
+        return self.resolve_iri_token()
+
+    def collection(self) -> str:
+        self.expect_punct("(")
+        items: list[tuple[str, str, Optional[str], Optional[str]]] = []
+        while self.peek() and self.peek()[1] != ")":
+            items.append(self.term())
+        self.expect_punct(")")
+        if not items:
+            return RDF_NIL
+        head = self.new_bnode()
+        cur = head
+        for idx, (o, kind, lang, dt) in enumerate(items):
+            self.rows.append((cur, RDF_FIRST, o, kind, lang, dt))
+            if idx == len(items) - 1:
+                self.rows.append((cur, RDF_REST, RDF_NIL, "uri", None, None))
+            else:
+                nxt = self.new_bnode()
+                self.rows.append((cur, RDF_REST, nxt, "bnode", None, None))
+                cur = nxt
+        return head
+
+    def term(self) -> tuple[str, str, Optional[str], Optional[str]]:
+        k, v = self.peek()
+        if v in ("[", "("):
+            n = self.node()
+            return n, ("uri" if n == RDF_NIL else "bnode"), None, None
+        if k == "bnode":
+            self.next()
+            return v, "bnode", None, None
+        if k in ("str", "triple_str"):
+            self.next()
+            raw = v[3:-3] if k == "triple_str" else v[1:-1]
+            val = _unescape_str(raw)
+            lang = dt = None
+            if self.peek() and self.peek()[0] == "langtag":
+                lang = self.next()[1][1:]
+            elif self.peek() and self.peek()[0] == "dtmark":
+                self.next()
+                dt = self.resolve_iri_token()
+            return val, "literal", lang, dt
+        if k == "num":
+            self.next()
+            if re.search(r"[.eE]", v):
+                dt = XSD.double if re.search(r"[eE]", v) else XSD.decimal
+            else:
+                dt = XSD.integer
+            return v, "literal", None, dt
+        if k == "kw" and v in ("true", "false"):
+            self.next()
+            return v, "literal", None, XSD.boolean
+        iri = self.resolve_iri_token()
+        return iri, "uri", None, None
+
+    def resolve_iri_token(self) -> str:
+        k, v = self.next()
+        if k == "iri":
+            return self._iri(v)
+        if k == "pname":
+            pfx, _, local = v.partition(":")
+            if pfx not in self.prefixes:
+                raise ValueError(f"unknown prefix {pfx!r}")
+            return self.prefixes[pfx] + local
+        raise ValueError(f"expected IRI, got {v!r}")
+
+    def _iri(self, tok: str) -> str:
+        val = tok[1:-1]
+        if val.startswith("#") or (self.base and "://" not in val and not val.startswith("urn:")):
+            return self.base + val
+        return val
+
+
+def parse_turtle(text: str) -> list[Row6]:
+    return _TurtleParser(text).parse()
+
+
+# ------------------------------------------------------------------ #
+# RDF/XML
+# ------------------------------------------------------------------ #
+
+_RDF = "{" + RDF_NS + "}"
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+
+
+def parse_rdfxml(text: str) -> list[Row6]:
+    root = ET.fromstring(text)
+    rows: list[Row6] = []
+    counter = [0]
+
+    def new_bnode() -> str:
+        counter[0] += 1
+        return f"_:x{counter[0]}"
+
+    def uri_of(tag: str) -> str:
+        return tag[1:].replace("}", "") if tag.startswith("{") else tag
+
+    def node_subject(el: ET.Element) -> str:
+        about = el.get(_RDF + "about")
+        if about is not None:
+            return about
+        rid = el.get(_RDF + "ID")
+        if rid is not None:
+            return "#" + rid
+        nid = el.get(_RDF + "nodeID")
+        if nid is not None:
+            return "_:" + nid
+        return new_bnode()
+
+    def walk_node(el: ET.Element, lang: Optional[str]) -> str:
+        subj = node_subject(el)
+        lang = el.get(_XML_LANG, lang)
+        if uri_of(el.tag) != RDF_NS + "Description":
+            rows.append((subj, RDF_TYPE, uri_of(el.tag), "uri", None, None))
+        for prop in el:
+            walk_prop(subj, prop, lang)
+        return subj
+
+    def walk_prop(subj: str, prop: ET.Element, lang: Optional[str]) -> None:
+        pred = uri_of(prop.tag)
+        plang = prop.get(_XML_LANG, lang)
+        res = prop.get(_RDF + "resource")
+        if res is not None:
+            rows.append((subj, pred, res, "uri", None, None))
+            return
+        nid = prop.get(_RDF + "nodeID")
+        if nid is not None:
+            rows.append((subj, pred, "_:" + nid, "bnode", None, None))
+            return
+        if prop.get(_RDF + "parseType") == "Resource":
+            bn = new_bnode()
+            rows.append((subj, pred, bn, "bnode", None, None))
+            for sub in prop:
+                walk_prop(bn, sub, plang)
+            return
+        children = list(prop)
+        if children:
+            obj = walk_node(children[0], plang)
+            kind = "bnode" if obj.startswith("_:") else "uri"
+            rows.append((subj, pred, obj, kind, None, None))
+            return
+        dt = prop.get(_RDF + "datatype")
+        val = prop.text or ""
+        rows.append(
+            (subj, pred, val, "literal", None if dt else plang, dt)
+        )
+
+    for el in root:
+        walk_node(el, root.get(_XML_LANG))
+    return rows
+
+
+# ------------------------------------------------------------------ #
+# JSON-LD
+# ------------------------------------------------------------------ #
+
+
+def _expand(term: str, ctx: dict[str, str]) -> str:
+    if term.startswith("@"):
+        return term
+    pfx, sep, local = term.partition(":")
+    if sep and pfx in ctx:
+        return ctx[pfx] + local
+    if term in ctx:
+        return ctx[term]
+    return term
+
+
+def parse_jsonld(text: str) -> list[Row6]:
+    doc = json.loads(text)
+    ctx_raw = doc.get("@context", {}) if isinstance(doc, dict) else {}
+    ctx = {
+        k: v for k, v in (ctx_raw or {}).items() if isinstance(v, str)
+    }
+    if isinstance(doc, list):
+        nodes = doc
+    elif "@graph" in doc:
+        nodes = doc["@graph"]
+    else:
+        nodes = [doc]
+    rows: list[Row6] = []
+    counter = [0]
+
+    def new_bnode() -> str:
+        counter[0] += 1
+        return f"_:j{counter[0]}"
+
+    def node_id(n: dict) -> str:
+        return _expand(n.get("@id") or new_bnode(), ctx)
+
+    def emit(subj: str, pred: str, val) -> None:
+        if isinstance(val, dict) and "@list" in val:
+            items = val["@list"]
+            if not items:
+                rows.append((subj, pred, RDF_NIL, "uri", None, None))
+                return
+            head = new_bnode()
+            rows.append((subj, pred, head, "bnode", None, None))
+            cur = head
+            for idx, it in enumerate(items):
+                emit(cur, RDF_FIRST, it)
+                if idx == len(items) - 1:
+                    rows.append((cur, RDF_REST, RDF_NIL, "uri", None, None))
+                else:
+                    nxt = new_bnode()
+                    rows.append((cur, RDF_REST, nxt, "bnode", None, None))
+                    cur = nxt
+            return
+        if isinstance(val, dict) and "@value" in val:
+            dt = val.get("@type")
+            rows.append(
+                (subj, pred, str(val["@value"]), "literal",
+                 val.get("@language"), _expand(dt, ctx) if dt else None)
+            )
+            return
+        if isinstance(val, dict):
+            obj = node_id(val)
+            kind = "bnode" if obj.startswith("_:") else "uri"
+            rows.append((subj, pred, obj, kind, None, None))
+            walk(val, obj)
+            return
+        if isinstance(val, bool):
+            rows.append((subj, pred, str(val).lower(), "literal", None, XSD.boolean))
+            return
+        if isinstance(val, int):
+            rows.append((subj, pred, str(val), "literal", None, XSD.integer))
+            return
+        if isinstance(val, float):
+            rows.append((subj, pred, str(val), "literal", None, XSD.double))
+            return
+        # plain string: IRI keywords handled by caller; treat as literal
+        rows.append((subj, pred, str(val), "literal", None, None))
+
+    def walk(n: dict, subj: Optional[str] = None) -> None:
+        subj = subj or node_id(n)
+        for key, vals in n.items():
+            if key in ("@id", "@context"):
+                continue
+            if key == "@type":
+                for tv in vals if isinstance(vals, list) else [vals]:
+                    rows.append((subj, RDF_TYPE, _expand(tv, ctx), "uri", None, None))
+                continue
+            pred = _expand(key, ctx)
+            for v in vals if isinstance(vals, list) else [vals]:
+                emit(subj, pred, v)
+
+    for n in nodes:
+        walk(n)
+    return rows
