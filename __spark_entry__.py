@@ -483,6 +483,32 @@ def _q_bulk_delete(spark, sf_dir):
     return out.select("subj", "pred", "obj", "obj_kind")
 
 
+def _viz_fixture(spark):
+    return FX.fixture_triples(spark, "axioms_om").unionByName(
+        FX.fixture_triples(spark, "skos_om")
+    )
+
+
+def _q_resource_options(spark, sf_dir):
+    return views.resource_options(FX.fixture_triples(spark, "axioms_om"))
+
+
+def _q_viz_nodes(spark, sf_dir):
+    return views.viz_nodes(_viz_fixture(spark))
+
+
+def _q_viz_edges(spark, sf_dir):
+    return views.viz_edges(_viz_fixture(spark))
+
+
+def _q_validation_severity(spark, sf_dir):
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    return views.severity_counts(
+        validation.validate(FX.fixture_triples(spark, "validation_om"))
+    )
+
+
 def _q_nt_roundtrip(spark, sf_dir):
     from orionbelt_ontology_builder_spark.sources import ntriples as NT
 
@@ -666,6 +692,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_running": _q_events_running,
+        "resource_options": _q_resource_options,
+        "viz_nodes": _q_viz_nodes,
+        "viz_edges": _q_viz_edges,
+        "validation_severity": _q_validation_severity,
         "nt_roundtrip": _q_nt_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
         "rdfxml_roundtrip": _q_rdfxml_roundtrip,
@@ -1089,6 +1119,73 @@ ORDER BY user_id, rn
 
     # nt_roundtrip: serialize -> parse must be the identity on the
     # fixture, so the oracle is simply the fixture rows themselves
+    # -- app-level views (§2.10) -------------------------------------- #
+    viz_cte = f"""triples(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (
+  SELECT * FROM {FX.fixture_sql_values("axioms_om")}
+  UNION ALL SELECT * FROM {FX.fixture_sql_values("skos_om")})"""
+
+    opt_parts = "\n  UNION ALL\n  ".join(
+        f"""SELECT t.subj AS uri, {_ln('t.subj')} AS name, lbl.label,
+         '{kind}' AS entity_type
+  FROM (SELECT DISTINCT subj FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{tu}'
+          AND subj NOT LIKE '\\_:%' ESCAPE '\\') t
+  LEFT JOIN (SELECT subj, min(obj) AS label FROM triples
+             WHERE pred='{LBL}' GROUP BY subj) lbl ON t.subj = lbl.subj"""
+        for tu, kind in [
+            (OWL_CLASS, "class"),
+            (M.OWL.ObjectProperty, "object_property"),
+            (M.OWL.DatatypeProperty, "data_property"),
+            (M.OWL.NamedIndividual, "individual"),
+        ]
+    )
+    sql["resource_options"] = f"""
+WITH {ax}
+SELECT *, coalesce(label, name) || ' (' || name || ')' AS display
+FROM (
+  {opt_parts}
+)
+"""
+
+    node_parts = "\n  UNION ALL\n  ".join(
+        f"""SELECT t.subj AS id,
+         coalesce(lbl.label, {_ln('t.subj')}) AS label, '{grp}' AS "group"
+  FROM (SELECT DISTINCT subj FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{tu}'
+          AND subj NOT LIKE '\\_:%' ESCAPE '\\') t
+  LEFT JOIN (SELECT subj, min(obj) AS label FROM triples
+             WHERE pred IN ('{LBL}', '{M.SKOS.prefLabel}') GROUP BY subj) lbl
+    ON t.subj = lbl.subj"""
+        for tu, grp in [
+            (OWL_CLASS, "class"),
+            (M.OWL.NamedIndividual, "individual"),
+            (M.SKOS.Concept, "concept"),
+        ]
+    )
+    sql["viz_nodes"] = f"""
+WITH {viz_cte}
+{node_parts}
+"""
+
+    sql["viz_edges"] = f"""
+WITH {viz_cte},
+nodes AS (
+  SELECT DISTINCT subj AS id FROM triples
+  WHERE pred='{RDF_TYPE}'
+    AND obj IN ('{OWL_CLASS}', '{M.OWL.NamedIndividual}', '{M.SKOS.Concept}')
+    AND subj NOT LIKE '\\_:%' ESCAPE '\\')
+SELECT DISTINCT * FROM (
+  SELECT subj AS src, obj AS dst, 'subClassOf' AS kind FROM triples
+  WHERE pred='{SUB}'
+  UNION ALL
+  SELECT subj, obj, 'type' FROM triples
+  WHERE pred='{RDF_TYPE}' AND obj NOT LIKE 'http://www.w3.org/%'
+  UNION ALL
+  SELECT subj, obj, 'broader' FROM triples WHERE pred='{M.SKOS.broader}'
+)
+WHERE src IN (SELECT id FROM nodes) AND dst IN (SELECT id FROM nodes)
+"""
+
     roundtrip_identity = f"""
 WITH {ax}
 SELECT DISTINCT subj, pred, obj, obj_kind, obj_lang, obj_dt FROM triples
@@ -1284,7 +1381,7 @@ GROUP BY namespace ORDER BY cnt DESC, namespace LIMIT 1
     op_ = M.OWL.ObjectProperty
     dp_ = M.OWL.DatatypeProperty
     ni_ = M.OWL.NamedIndividual
-    sql["validate_owl"] = f"""
+    validate_owl_sql = f"""
 WITH RECURSIVE {val},
 cls AS (SELECT DISTINCT subj FROM triples
         WHERE pred='{RDF_TYPE}' AND obj='{OWL_CLASS}' AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
@@ -1366,6 +1463,11 @@ SELECT * FROM (
          {_ln('subj')} || ': assertion violates property range' FROM rmis
 ) ORDER BY severity, issue_type, subject
 """
+
+    sql["validate_owl"] = validate_owl_sql
+    sql["validation_severity"] = (
+        "SELECT severity, count(*) AS n FROM (" + validate_owl_sql + ") GROUP BY severity ORDER BY severity"
+    )
 
     skos_extra_vals = ",\n    ".join(
         "(" + ", ".join(

@@ -653,3 +653,122 @@ def duplicate_labels(triples: DataFrame) -> DataFrame:
         .filter(F.col("n") > 1)
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# app-level dataflow views (reference app.py — SURVEY.md §2.10)
+# --------------------------------------------------------------------------
+
+
+def resource_options(triples: DataFrame) -> DataFrame:
+    """Union of the four typed entity projections with display labels,
+    case-insensitively sorted — the annotation resource picker
+    (reference ``app.py:206-230``, ``:1637-1659``)."""
+    parts = []
+    for type_uri, kind in [
+        (OWL.Class, "class"),
+        (OWL.ObjectProperty, "object_property"),
+        (OWL.DatatypeProperty, "data_property"),
+        (OWL.NamedIndividual, "individual"),
+    ]:
+        typed = type_slice(triples, type_uri).filter(
+            ~F.col("subj").startswith("_:")
+        )
+        labels = (
+            triples.filter(F.col("pred") == RDFS.label)
+            .groupBy("subj")
+            .agg(F.min("obj").alias("label"))
+        )
+        parts.append(
+            typed.join(labels, "subj", "left").select(
+                F.col("subj").alias("uri"),
+                local_name_col(F.col("subj")).alias("name"),
+                "label",
+                F.lit(kind).alias("entity_type"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "display",
+        F.concat(
+            F.coalesce("label", "name"), F.lit(" ("), F.col("name"), F.lit(")")
+        ),
+    ).orderBy(F.lower(F.col("display")), "entity_type")
+
+
+def viz_nodes(triples: DataFrame, max_per_layer: int = 500) -> DataFrame:
+    """(id, label, group) node table for the graph visualization
+    (reference ``app.py:3097-3206``, ``:3296-3334``); deterministic
+    per-layer cap (the reference's ``max_nodes = 500``, ``app.py:3090``)."""
+    parts = []
+    for type_uri, group in [
+        (OWL.Class, "class"),
+        (OWL.NamedIndividual, "individual"),
+        (SKOS.Concept, "concept"),
+    ]:
+        typed = type_slice(triples, type_uri).filter(
+            ~F.col("subj").startswith("_:")
+        )
+        labels = (
+            triples.filter(F.col("pred").isin(RDFS.label, SKOS.prefLabel))
+            .groupBy("subj")
+            .agg(F.min("obj").alias("label"))
+        )
+        parts.append(
+            typed.join(labels, "subj", "left")
+            .select(
+                F.col("subj").alias("id"),
+                F.coalesce("label", local_name_col(F.col("subj"))).alias("label"),
+                F.lit(group).alias("group"),
+            )
+            .orderBy("id")
+            .limit(max_per_layer)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("group", "id")
+
+
+def viz_edges(triples: DataFrame, max_per_layer: int = 500) -> DataFrame:
+    """(src, dst, kind) edge table: subClassOf / rdf:type / broader edges
+    whose BOTH endpoints are visible nodes (reference ``app.py:3123-3129``
+    both-ends rule)."""
+    nodes = viz_nodes(triples, max_per_layer).select(F.col("id"))
+    def both_ends(df):
+        return (
+            df.join(nodes.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+    sub = both_ends(
+        triples.filter(F.col("pred") == RDFS.subClassOf).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"),
+            F.lit("subClassOf").alias("kind"),
+        )
+    )
+    typ = both_ends(
+        triples.filter(
+            (F.col("pred") == RDF.type) & ~F.col("obj").startswith("http://www.w3.org/")
+        ).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"),
+            F.lit("type").alias("kind"),
+        )
+    )
+    brd = both_ends(
+        triples.filter(F.col("pred") == SKOS.broader).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"),
+            F.lit("broader").alias("kind"),
+        )
+    )
+    return sub.unionByName(typ).unionByName(brd).distinct().orderBy(
+        "kind", "src", "dst"
+    )
+
+
+def severity_counts(issues: DataFrame) -> DataFrame:
+    """Group validation output by severity (reference ``app.py:2857-2875``)."""
+    return issues.groupBy("severity").agg(
+        F.count("*").alias("n")
+    ).orderBy("severity")

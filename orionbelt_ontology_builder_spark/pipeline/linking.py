@@ -68,9 +68,14 @@ def mention_signatures(
     shingle_n: int = 4,
 ) -> DataFrame:
     """distinct mention -> (mention, shingles, sig)."""
+    # explicit width: AQE coalesces the (few-MB) distinct output to ~1
+    # partition, which would serialize the md5-heavy signature projection
+    # (num_hashes * |shingles| digests per mention) onto one core.
+    par = mentions.sparkSession.sparkContext.defaultParallelism
     return (
         mentions.select(col)
         .distinct()
+        .repartition(par, col)
         .withColumn("shingles", shingles(F.col(col), shingle_n))
         .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     )
@@ -79,14 +84,21 @@ def mention_signatures(
 def lsh_candidate_pairs(
     sigs: DataFrame,
     col: str = "mention",
-    bands: int = 12,
-    rows_per_band: int = 2,
+    bands: int = 6,
+    rows_per_band: int = 4,
     max_bucket: int = 50,
 ) -> DataFrame:
     """(m1, m2) candidate pairs sharing at least one LSH band bucket.
 
     Oversized buckets (> max_bucket) are hot keys — excluded from the
-    pairwise join (the quadratic blowup guard)."""
+    pairwise join (the quadratic blowup guard).
+
+    6 bands x 4 rows (not 12x2): alias variants normalize to identical
+    shingle sets (J=1.0 -> every band matches regardless of r), while
+    4-row bands cut the J~0.2 false-candidate rate per band from J^2=4%%
+    to J^4=0.2%% — measured 6.1M -> ~0.4M candidate pairs at 300k
+    mentions, which is what the exact-Jaccard verify stage then pays
+    for."""
     banded = sigs.select(
         col,
         F.explode(
@@ -133,8 +145,8 @@ def verified_same_as(
     mentions: DataFrame,
     col: str = "mention",
     num_hashes: int = 24,
-    bands: int = 12,
-    rows_per_band: int = 2,
+    bands: int = 6,
+    rows_per_band: int = 4,
     jaccard_threshold: float = 0.9,
     max_bucket: int = 50,
     shingle_n: int = 4,
@@ -156,7 +168,8 @@ def verified_same_as(
     threshold sits in that (0.7, 1.0) margin; corpora with noisier
     aliasing would lower it and accept a precision tradeoff."""
     sigs = mention_signatures(mentions, col, num_hashes, shingle_n).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sigs, col, bands, rows_per_band, max_bucket)
+    par = mentions.sparkSession.sparkContext.defaultParallelism
+    pairs = lsh_candidate_pairs(sigs, col, bands, rows_per_band, max_bucket).repartition(par, "m1")
     sh = sigs.select(F.col(col), F.col("shingles"))
     joined = (
         pairs.join(sh.withColumnRenamed(col, "m1").withColumnRenamed("shingles", "sh1"), "m1")

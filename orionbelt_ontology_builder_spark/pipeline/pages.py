@@ -79,13 +79,14 @@ def n_entities(n_pages: int) -> int:
     linking + canonicalization work scales with page count instead of
     saturating — the property the N-vs-4N scaling evidence measures.
 
-    Safety of the link threshold: every alias embeds the unique ``e``
-    digit suffix.  Below the 20k cap two distinct entities share at most
-    two of their three stem words (word triples repeat only every
-    lcm(29,31,37)=33,263 ids), bounding cross-entity shingle Jaccard at
-    ~0.45, while same-entity alias variants stay >= ~0.69 — the 0.55
-    verify threshold (linking.verified_same_as) sits in that margin."""
-    return min(max(10, n_pages // 3), 20_000)
+    Safety of the link threshold at any vocabulary size: every alias
+    embeds the unique ``e`` digit suffix, so two DISTINCT entities —
+    even ones sharing all three stem words (possible every
+    lcm(29,31,37)=33,263 ids) — differ in their digit windows, bounding
+    cross-entity 4-gram Jaccard at ~0.7, while same-entity alias
+    variants normalize to the identical string (J=1.0).  The 0.9 verify
+    threshold (linking.verified_same_as) sits in that margin."""
+    return max(10, n_pages // 5)
 
 
 def entity_stem(e: int) -> str:

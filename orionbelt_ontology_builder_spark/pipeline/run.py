@@ -36,7 +36,12 @@ def build_kg(
         .unionByName(raw.select(F.col("obj_surface").alias("mention")))
         .distinct()
     )
-    same_as = verified_same_as(mentions, jaccard_threshold=jaccard_threshold)
+    # persist: canonical_map consumes same_as twice (edge symmetrization
+    # + node set) before checkpointing — without this the LSH-verify
+    # lineage executes twice
+    same_as = verified_same_as(
+        mentions, jaccard_threshold=jaccard_threshold
+    ).persist()
     mapping = canonical_map(same_as)
     edges = rewrite_edges(raw, mapping)
     return {

@@ -69,6 +69,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local mode: driver heap IS the executor heap.  8g measured
+        # FASTER than 16g/48g here (A/B at 16 threads: 56s vs 78s vs
+        # 209s on the same job) — oversized G1 heaps hurt in this VM.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
