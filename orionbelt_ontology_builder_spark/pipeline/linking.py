@@ -25,12 +25,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Portable per-seed hash, kept as the md5 hex STRING: string min/compare
-#: stays inside whole-stage codegen, while conv()+decimal casts fall back
-#: to interpreted expressions (~20x slower per call measured at 20k
-#: pages); DuckDB computes the identical value with md5('s<i>:' || x).
-def _h(col, seed: int):
-    return F.md5(F.concat(F.lit(f"s{seed}:"), col))
+#: Portable per-seed hash, kept as an md5-hex-slice STRING: string
+#: min/compare stays JVM-side, and slicing the 32-hex digest into 4
+#: independent 8-hex orderings gives 4 hash functions per digest (4x
+#: fewer md5 computations).  DuckDB twin: substr(md5('s<i>:' || x), p, 8).
+SLICES = 4
+
+
+def _h(col, fn: int):
+    seed, sl = divmod(fn, SLICES)
+    return F.substring(
+        F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1 + 8 * sl, 8
+    )
 
 
 def shingles(col, n: int = 4):
@@ -52,10 +58,17 @@ def shingles(col, n: int = 4):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 24):
-    """ARRAY<STRING> of per-seed min md5 over the shingle set."""
+    """ARRAY<STRING> of per-hash-function min digest-slice over the
+    shingle set.  NB: the transform lambda must take ONE argument — a
+    two-arg lambda is interpreted by Spark as (element, index) and the
+    index column would silently shadow a default-bound seed."""
+
+    def mk(i: int):
+        return lambda s: _h(s, i)
+
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: _h(s, i)))
+            F.array_min(F.transform(shingle_col, mk(i)))
             for i in range(num_hashes)
         ]
     )
