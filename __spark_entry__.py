@@ -509,6 +509,28 @@ def _q_validation_severity(spark, sf_dir):
     )
 
 
+def _q_ontology_metadata(spark, sf_dir):
+    return views.get_ontology_metadata(FX.fixture_triples(spark, "axioms_om"))
+
+
+def _q_ontology_imports(spark, sf_dir):
+    return views.get_imports(FX.fixture_triples(spark, "axioms_om"))
+
+
+def _q_stream_event_counts(spark, sf_dir):
+    import tempfile
+
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    staged = tempfile.mkdtemp(prefix="obelt_events_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+        "overwrite"
+    ).parquet(staged)
+    return ST.windowed_event_counts_stream(spark, staged).orderBy(
+        "win_start", "event_type"
+    )
+
+
 def _q_nt_roundtrip(spark, sf_dir):
     from orionbelt_ontology_builder_spark.sources import ntriples as NT
 
@@ -696,6 +718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viz_nodes": _q_viz_nodes,
         "viz_edges": _q_viz_edges,
         "validation_severity": _q_validation_severity,
+        "ontology_metadata": _q_ontology_metadata,
+        "ontology_imports": _q_ontology_imports,
+        "stream_event_counts": _q_stream_event_counts,
         "nt_roundtrip": _q_nt_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
         "rdfxml_roundtrip": _q_rdfxml_roundtrip,
@@ -1184,6 +1209,31 @@ SELECT DISTINCT * FROM (
   SELECT subj, obj, 'broader' FROM triples WHERE pred='{M.SKOS.broader}'
 )
 WHERE src IN (SELECT id FROM nodes) AND dst IN (SELECT id FROM nodes)
+"""
+
+    sql["ontology_metadata"] = f"""
+WITH {ax},
+ont AS (SELECT DISTINCT subj FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{M.OWL.Ontology}')
+SELECT ont.subj AS ontology_uri,
+  min(CASE WHEN pred='{LBL}' THEN obj END) AS label,
+  min(CASE WHEN pred='{CMT}' THEN obj END) AS comment,
+  min(CASE WHEN pred='{M.OWL.versionIRI}' THEN obj END) AS version_iri,
+  min(CASE WHEN pred='{M.DC_NS}creator' THEN obj END) AS creator
+FROM ont LEFT JOIN triples t ON ont.subj = t.subj
+GROUP BY ont.subj
+"""
+
+    sql["ontology_imports"] = f"""
+WITH {ax}
+SELECT DISTINCT obj AS import_uri FROM triples
+WHERE pred='{M.OWL.imports}' ORDER BY import_uri
+"""
+
+    sql["stream_event_counts"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       count(*) AS n, sum(value) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """
 
     roundtrip_identity = f"""

@@ -170,6 +170,12 @@ AXIOMS_OM: list[tuple] = POPULATED_OM + [
     t_uri(_e("worksFor"), OWL.inverseOf, _e("employs")),
     t_uri(_e("alice2"), RDF.type, OWL.NamedIndividual),
     t_uri(_e("alice"), OWL.sameAs, _e("alice2")),
+    # ontology-node metadata + an import
+    t_lit(ONT, RDFS.label, "Test Ontology"),
+    t_lit(ONT, RDFS.comment, "An ontology for tests"),
+    t_uri(ONT, OWL.versionIRI, "http://test.org/ont/1.0"),
+    t_lit(ONT, DC_NS + "creator", "Test Author"),
+    t_uri(ONT, OWL.imports, "http://purl.org/dc/elements/1.1/"),
     # annotations with lang + datatype
     t_lit(_e("Person"), DC_NS + "creator", "Alice Smith", lang="en"),
     t_lit(_e("Person"), SKOS.altLabel, "Human", lang="en"),

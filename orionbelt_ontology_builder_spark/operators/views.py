@@ -772,3 +772,32 @@ def severity_counts(issues: DataFrame) -> DataFrame:
     return issues.groupBy("severity").agg(
         F.count("*").alias("n")
     ).orderBy("severity")
+
+
+def get_ontology_metadata(triples: DataFrame) -> DataFrame:
+    """One-row pivot of the ontology node's label/comment/versionIRI/
+    creator (reference ``ontology_manager.py:227-235``)."""
+    ont = type_slice(triples, OWL.Ontology).select(
+        F.col("subj").alias("ontology_uri")
+    )
+    from ..model import DC_NS
+
+    attrs = triples.groupBy("subj").agg(
+        F.min(F.when(F.col("pred") == RDFS.label, F.col("obj"))).alias("label"),
+        F.min(F.when(F.col("pred") == RDFS.comment, F.col("obj"))).alias("comment"),
+        F.min(F.when(F.col("pred") == OWL.versionIRI, F.col("obj"))).alias("version_iri"),
+        F.min(F.when(F.col("pred") == DC_NS + "creator", F.col("obj"))).alias("creator"),
+    )
+    return ont.join(
+        attrs, ont["ontology_uri"] == attrs["subj"], "left"
+    ).select("ontology_uri", "label", "comment", "version_iri", "creator")
+
+
+def get_imports(triples: DataFrame) -> DataFrame:
+    """Objects of owl:imports (reference ``:112-114``)."""
+    return (
+        triples.filter(F.col("pred") == OWL.imports)
+        .select(F.col("obj").alias("import_uri"))
+        .distinct()
+        .orderBy("import_uri")
+    )

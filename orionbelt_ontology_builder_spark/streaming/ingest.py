@@ -1,0 +1,112 @@
+"""Structured-Streaming frontier for the KG pipeline + windowed event
+aggregation (SURVEY.md §2.11: the reference has no streaming surface, so
+this is the engine's *incremental-ingest* addition, not a parity item).
+
+Two shapes:
+
+* ``incremental_extraction`` — file-source stream over a pages
+  directory; each micro-batch runs the SAME batch extraction
+  (`pipeline.extract.extract_raw_triples`) via ``foreachBatch`` and
+  appends raw triples partitioned by batch.  ``Trigger.AvailableNow``
+  drains whatever is present and stops — deterministic for tests, and
+  on a cluster the identical query runs continuously against a landing
+  bucket.  Re-running picks up only NEW files (checkpointed source
+  offsets) — this composes with the batch checkpoint manifest
+  (`pipeline.materialize`) for exactly-once edge production.
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation
+  over an event stream (the late-data-tolerant rollup shape);
+  ``availableNow`` + memory sink makes it assertable against the
+  equivalent batch GROUP BY (same results by the replay-determinism
+  property of watermarked aggs on a finite drained stream).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import PAGES_SCHEMA
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def incremental_extraction(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Drain all currently-available page files into raw-triple parquet;
+    returns number of micro-batches processed.  Restart-safe: source
+    offsets live in the stream checkpoint."""
+    from ..pipeline.extract import extract_raw_triples
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_ckpt")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .parquet(pages_dir)
+    )
+    n_batches = {"n": 0}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        raw = extract_raw_triples(batch_df)
+        raw.write.mode("append").parquet(os.path.join(out_dir, "raw_triples"))
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drain an event directory through a watermarked tumbling-window
+    aggregation; returns the completed result as a DataFrame
+    (win_start, event_type, n, total_value)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    name = "win_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def windowed_event_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """The batch twin of the streaming agg (same plan minus watermark) —
+    used as the differential oracle for the drained stream."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
