@@ -31,7 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _SF = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(
     os.path.basename(SF_DIR.rstrip("/")), 0.1
 )
-N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(200_000 * _SF))))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(1_000_000 * _SF))))
 
 
 def main() -> None:
