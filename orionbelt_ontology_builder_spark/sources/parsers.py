@@ -353,6 +353,24 @@ def parse_rdfxml(text: str) -> list[Row6]:
             for sub in prop:
                 walk_prop(bn, sub, plang)
             return
+        if prop.get(_RDF + "parseType") == "Collection":
+            items = [walk_node(ch, plang) for ch in prop]
+            if not items:
+                rows.append((subj, pred, RDF_NIL, "uri", None, None))
+                return
+            head = new_bnode()
+            rows.append((subj, pred, head, "bnode", None, None))
+            cur = head
+            for idx, it in enumerate(items):
+                kind = "bnode" if it.startswith("_:") else "uri"
+                rows.append((cur, RDF_FIRST, it, kind, None, None))
+                if idx == len(items) - 1:
+                    rows.append((cur, RDF_REST, RDF_NIL, "uri", None, None))
+                else:
+                    nxt = new_bnode()
+                    rows.append((cur, RDF_REST, nxt, "bnode", None, None))
+                    cur = nxt
+            return
         children = list(prop)
         if children:
             obj = walk_node(children[0], plang)
