@@ -105,6 +105,7 @@ def main() -> None:
         "dedup_embedding_cosine_ivf",
         "media_features",
         "doc_fingerprint",
+        "stream_event_counts",
     ]
     for name in bench_queries:
         fn = qs.get(name)
