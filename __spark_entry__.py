@@ -509,6 +509,10 @@ def _q_validation_severity(spark, sf_dir):
     )
 
 
+def _q_class_tree(spark, sf_dir):
+    return views.class_tree(FX.fixture_triples(spark, "axioms_om"))
+
+
 def _q_ontology_metadata(spark, sf_dir):
     return views.get_ontology_metadata(FX.fixture_triples(spark, "axioms_om"))
 
@@ -718,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viz_nodes": _q_viz_nodes,
         "viz_edges": _q_viz_edges,
         "validation_severity": _q_validation_severity,
+        "class_tree": _q_class_tree,
         "ontology_metadata": _q_ontology_metadata,
         "ontology_imports": _q_ontology_imports,
         "stream_event_counts": _q_stream_event_counts,
@@ -1209,6 +1214,24 @@ SELECT DISTINCT * FROM (
   SELECT subj, obj, 'broader' FROM triples WHERE pred='{M.SKOS.broader}'
 )
 WHERE src IN (SELECT id FROM nodes) AND dst IN (SELECT id FROM nodes)
+"""
+
+    sql["class_tree"] = f"""
+WITH RECURSIVE {ax},
+cls AS (SELECT DISTINCT subj AS node FROM triples
+        WHERE pred='{RDF_TYPE}' AND obj='{OWL_CLASS}'
+          AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
+edges AS (SELECT t.obj AS parent, t.subj AS child FROM triples t
+          WHERE t.pred='{SUB}' AND t.obj NOT LIKE '\\_:%' ESCAPE '\\'
+            AND t.obj IN (SELECT node FROM cls)),
+roots AS (SELECT node FROM cls
+          WHERE node NOT IN (SELECT child FROM edges)),
+tree(node, depth, path) AS (
+  SELECT node, 0, {_ln('node')} FROM roots
+  UNION ALL
+  SELECT e.child, tree.depth + 1, tree.path || '/' || {_ln('e.child')}
+  FROM tree JOIN edges e ON tree.node = e.parent)
+SELECT {_ln('node')} AS name, depth, path FROM tree ORDER BY path
 """
 
     sql["ontology_metadata"] = f"""

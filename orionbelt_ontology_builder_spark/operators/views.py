@@ -801,3 +801,50 @@ def get_imports(triples: DataFrame) -> DataFrame:
         .distinct()
         .orderBy("import_uri")
     )
+
+
+def class_tree(triples: DataFrame, max_depth: int = 16) -> DataFrame:
+    """(name, depth, path): the textual class-hierarchy tree (reference
+    ``app.py:3536-3558``) — roots are classes with no named parent;
+    children ordered by name via the materialized root->node path.
+
+    Iterative depth-assigning join (each round one broadcast-size join:
+    class hierarchies are schema-sized, not data-sized)."""
+    classes = (
+        type_slice(triples, OWL.Class)
+        .filter(~F.col("subj").startswith("_:"))
+        .select(F.col("subj").alias("node"))
+    )
+    edges = (
+        triples.filter(F.col("pred") == RDFS.subClassOf)
+        .filter(~F.col("obj").startswith("_:"))
+        .join(classes.withColumnRenamed("node", "obj"), "obj", "left_semi")
+        .select(F.col("obj").alias("parent"), F.col("subj").alias("child"))
+    )
+    has_parent = edges.select(F.col("child").alias("node")).distinct()
+    frontier = (
+        classes.join(has_parent, "node", "left_anti")
+        .select(
+            "node",
+            F.lit(0).alias("depth"),
+            local_name_col(F.col("node")).alias("path"),
+        )
+    )
+    out = frontier
+    for _ in range(max_depth):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["parent"])
+            .select(
+                F.col("child").alias("node"),
+                (F.col("depth") + 1).alias("depth"),
+                F.concat(
+                    F.col("path"), F.lit("/"), local_name_col(F.col("child"))
+                ).alias("path"),
+            )
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out.select(
+        local_name_col(F.col("node")).alias("name"), "depth", "path"
+    ).orderBy("path")

@@ -113,6 +113,24 @@ def to_turtle(rows: list[Row6], prefixes: dict[str, str] | None = None) -> str:
 # ------------------------------------------------------------------ #
 
 
+import re as _re
+
+_NCNAME_SUFFIX = _re.compile(r"[A-Za-z_][A-Za-z0-9_.-]*$")
+
+
+def _split_qname(pred: str) -> tuple[str, str]:
+    """Split a predicate URI into (namespace, NCName local part) at the
+    longest valid NCName suffix — predicates whose URI ends in a
+    non-NCName (e.g. '...#0') are inexpressible as RDF/XML property
+    elements (same limit as rdflib)."""
+    m = _NCNAME_SUFFIX.search(pred)
+    if not m or m.start() == 0:
+        raise ValueError(
+            f"predicate not expressible as RDF/XML element name: {pred!r}"
+        )
+    return pred[: m.start()], pred[m.start():]
+
+
 def to_rdfxml(rows: list[Row6]) -> str:
     """Flat rdf:Description form — every feature expressed with core
     attributes (about/nodeID/resource/datatype/xml:lang), so the subset
@@ -130,9 +148,7 @@ def to_rdfxml(rows: list[Row6]) -> str:
         else:
             out.append(f'  <rdf:Description rdf:about={quoteattr(subj)}>')
         for _, p, o, k, lg, dt in sorted(by_subj[subj]):
-            # split predicate URI into namespace + NCName local part
-            cut = max(p.rfind("#"), p.rfind("/")) + 1
-            ns, local = p[:cut], p[cut:]
+            ns, local = _split_qname(p)
             tag = f'q:{local} xmlns:q={quoteattr(ns)}'
             if k == "uri":
                 out.append(f'    <{tag} rdf:resource={quoteattr(o)}/>')
