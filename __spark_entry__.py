@@ -1226,11 +1226,13 @@ edges AS (SELECT t.obj AS parent, t.subj AS child FROM triples t
             AND t.obj IN (SELECT node FROM cls)),
 roots AS (SELECT node FROM cls
           WHERE node NOT IN (SELECT child FROM edges)),
-tree(node, depth, path) AS (
-  SELECT node, 0, {_ln('node')} FROM roots
+tree(node, depth, path, upath) AS (
+  SELECT node, 0, {_ln('node')}, chr(31) || node || chr(31) FROM roots
   UNION ALL
-  SELECT e.child, tree.depth + 1, tree.path || '/' || {_ln('e.child')}
-  FROM tree JOIN edges e ON tree.node = e.parent)
+  SELECT e.child, tree.depth + 1, tree.path || '/' || {_ln('e.child')},
+         tree.upath || e.child || chr(31)
+  FROM tree JOIN edges e ON tree.node = e.parent
+  WHERE instr(tree.upath, chr(31) || e.child || chr(31)) = 0)
 SELECT {_ln('node')} AS name, depth, path FROM tree ORDER BY path
 """
 

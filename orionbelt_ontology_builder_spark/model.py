@@ -225,6 +225,28 @@ CONFLICT_PREDICATES = [
     DCT_NS + "creator",
 ]
 
+#: Well-known annotation-name aliases resolved by ``add_annotation``
+#: (reference ``ontology_manager.py:1211-1227``; the smaller delete-side
+#: map at ``:1337-1342`` is a subset — both resolve through this one,
+#: unknown names fall back to ``base + name``).
+ANNOTATION_PREDICATES = {
+    "label": RDFS.label,
+    "comment": RDFS.comment,
+    "seeAlso": RDFS.seeAlso,
+    "isDefinedBy": RDFS.isDefinedBy,
+    "prefLabel": SKOS.prefLabel,
+    "altLabel": SKOS.altLabel,
+    "definition": SKOS.definition,
+    "example": SKOS.example,
+    "note": SKOS_NS + "note",
+    "title": DCT_NS + "title",
+    "description": DCT_NS + "description",
+    "creator": DCT_NS + "creator",
+    "contributor": DCT_NS + "contributor",
+    "date": DCT_NS + "date",
+    "deprecated": OWL_NS + "deprecated",
+}
+
 #: Standard prefix bindings (reference ``ontology_manager.py:64-71``;
 #: protected at ``:117``).
 STANDARD_PREFIXES = {

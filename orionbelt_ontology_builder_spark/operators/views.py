@@ -822,24 +822,40 @@ def class_tree(triples: DataFrame, max_depth: int = 16) -> DataFrame:
         .select(F.col("obj").alias("parent"), F.col("subj").alias("child"))
     )
     has_parent = edges.select(F.col("child").alias("node")).distinct()
+    # ``upath`` is a hidden \x1f-delimited list of the full URIs on the
+    # root->node path; it guards against subClassOf cycles (a cyclic
+    # child would otherwise re-expand every round up to max_depth).
+    # Delimiter-wrapped containment is exact — no prefix-URI false hits.
+    sep = "\x1f"
     frontier = (
         classes.join(has_parent, "node", "left_anti")
         .select(
             "node",
             F.lit(0).alias("depth"),
             local_name_col(F.col("node")).alias("path"),
+            F.concat(F.lit(sep), F.col("node"), F.lit(sep)).alias("upath"),
         )
     )
     out = frontier
     for _ in range(max_depth):
         frontier = (
             frontier.join(edges, frontier["node"] == edges["parent"])
+            .filter(
+                F.instr(
+                    F.col("upath"),
+                    F.concat(F.lit(sep), F.col("child"), F.lit(sep)),
+                )
+                == 0
+            )
             .select(
                 F.col("child").alias("node"),
                 (F.col("depth") + 1).alias("depth"),
                 F.concat(
                     F.col("path"), F.lit("/"), local_name_col(F.col("child"))
                 ).alias("path"),
+                F.concat(
+                    F.col("upath"), F.col("child"), F.lit(sep)
+                ).alias("upath"),
             )
         )
         if frontier.isEmpty():

@@ -105,7 +105,12 @@ def parse_nt(lines: DataFrame, column: str = "line") -> DataFrame:
     o_lit = F.regexp_extract(c, _OBJ, 3)
     o_lang = F.regexp_extract(c, _OBJ, 4)
     o_dt = F.regexp_extract(c, _OBJ, 5)
-    parsed = lines.select(
+    # Full-line gate: a row is a triple only if the whole object-term
+    # grammar anchored at EOL matches.  Without it a line like
+    # '<s> <p> .' (no object) extracts '' everywhere and the otherwise-
+    # branch would fabricate an empty literal instead of dropping it.
+    ok = c.rlike(_OBJ)
+    parsed = lines.filter(ok).select(
         F.when(s_uri != "", s_uri).otherwise(s_bn).alias("subj"),
         pred.alias("pred"),
         F.when(o_uri != "", o_uri)

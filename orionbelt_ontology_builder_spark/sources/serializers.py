@@ -63,18 +63,20 @@ def _ttl_term(
     node: str, kind: str, lang: str | None, dt: str | None,
     rev: list[tuple[str, str]],
 ) -> str:
-    if kind == "bnode" or node.startswith("_:"):
+    # Branch strictly on kind: a *literal* whose text happens to start
+    # with "_:" must stay a literal (the startswith heuristic only
+    # applies when kind is unknown).
+    if kind == "bnode" or (kind is None and node.startswith("_:")):
         return node
-    if kind in ("uri", None) and not node.startswith("_:"):
-        if kind != "literal":
-            for ns, pfx in rev:
-                if node.startswith(ns):
-                    local = node[len(ns):]
-                    if local and all(
-                        c.isalnum() or c in "_-" for c in local
-                    ):
-                        return f"{pfx}:{local}"
-            return f"<{node}>"
+    if kind == "uri" or (kind is None and not node.startswith("_:")):
+        for ns, pfx in rev:
+            if node.startswith(ns):
+                local = node[len(ns):]
+                if local and all(
+                    c.isalnum() or c in "_-" for c in local
+                ):
+                    return f"{pfx}:{local}"
+        return f"<{node}>"
     out = f'"{_ttl_escape(node)}"'
     if lang:
         out += f"@{lang}"
@@ -152,7 +154,7 @@ def to_rdfxml(rows: list[Row6]) -> str:
             tag = f'q:{local} xmlns:q={quoteattr(ns)}'
             if k == "uri":
                 out.append(f'    <{tag} rdf:resource={quoteattr(o)}/>')
-            elif k == "bnode" or o.startswith("_:"):
+            elif k == "bnode" or (k is None and o.startswith("_:")):
                 out.append(f'    <{tag} rdf:nodeID={quoteattr(o[2:])}/>')
             else:
                 attrs = ""
