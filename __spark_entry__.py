@@ -458,6 +458,31 @@ def _q_reasoning_rdfs(spark, sf_dir):
     )
 
 
+#: owl-rl profile fixture: equivalentClass/Property declarations + a
+#: 3-member sameAs chain, so cax-eqc, prp-eqp, the CC-based sameAs
+#: closure and eq-rep-s/p/o substitution all fire.
+_OWLRL_EXTRA: list[tuple] = [
+    M.t_uri(FX.BASE + "Staff", M.RDF.type, M.OWL.Class),
+    M.t_uri(FX.BASE + "Employee", M.OWL.equivalentClass, FX.BASE + "Staff"),
+    M.t_uri(FX.BASE + "worksFor", M.OWL.equivalentProperty, FX.BASE + "employedBy"),
+    M.t_uri(FX.BASE + "alice", FX.BASE + "worksFor", FX.BASE + "acme"),
+    M.t_uri(FX.BASE + "alice", M.OWL.sameAs, FX.BASE + "al"),
+    M.t_uri(FX.BASE + "al", M.OWL.sameAs, FX.BASE + "alicia"),
+]
+
+
+def _q_reasoning_owlrl(spark, sf_dir):
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    t = FX.fixture_triples(spark, "populated_om").unionByName(
+        spark.createDataFrame(_OWLRL_EXTRA, M.TRIPLES_SCHEMA)
+    )
+    expanded, _n = reasoning.apply_reasoning(t, profile="owl-rl")
+    return expanded.select("subj", "pred", "obj", "obj_kind").orderBy(
+        "subj", "pred", "obj"
+    )
+
+
 _BULK_CLASSES = [
     ("Person", "Person Again", None),      # exists -> skipped
     ("NewOne", "New label", "a comment"),
@@ -752,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_owl": _q_validate_owl,
         "validate_skos": _q_validate_skos,
         "reasoning_rdfs": _q_reasoning_rdfs,
+        "reasoning_owlrl": _q_reasoning_owlrl,
         "bulk_add_classes": _q_bulk_add_classes,
         "bulk_delete": _q_bulk_delete,
         "text_token_counts": _q_text_token_counts,
@@ -1630,6 +1656,89 @@ SELECT DISTINCT subj, pred, obj, obj_kind FROM (
   UNION ALL SELECT c, '{SUB}', d, 'uri' FROM sc
   UNION ALL SELECT p, '{spo}', q, 'uri' FROM sp
 ) ORDER BY subj, pred, obj
+"""
+
+    owlrl_extra_vals = ",\n    ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'" for v in row
+        ) + ")"
+        for row in _OWLRL_EXTRA
+    )
+    eqc_p = M.OWL.equivalentClass
+    eqp_p = M.OWL.equivalentProperty
+    sameas_p = M.OWL.sameAs
+    # Staged mirror of apply_reasoning(profile="owl-rl") — sound on this
+    # fixture because sameAs clique members never appear in schema
+    # position, so every rule firing on a substituted triple equals the
+    # substitution of a rule firing on the original (confluence).
+    sql["reasoning_owlrl"] = f"""
+WITH RECURSIVE pop_base(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS
+  (SELECT * FROM {FX.fixture_sql_values("populated_om")}),
+extra(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {owlrl_extra_vals}),
+t AS (SELECT * FROM pop_base UNION ALL SELECT * FROM extra),
+eqc(c, d) AS (
+  SELECT subj, obj FROM t WHERE pred='{eqc_p}'
+  UNION SELECT obj, subj FROM t WHERE pred='{eqc_p}'),
+eqp(p, q) AS (
+  SELECT subj, obj FROM t WHERE pred='{eqp_p}'
+  UNION SELECT obj, subj FROM t WHERE pred='{eqp_p}'),
+sc(c, d) AS (
+  SELECT subj, obj FROM t WHERE pred='{SUB}'
+  UNION
+  SELECT sc.c, e.obj FROM sc JOIN t e ON e.pred='{SUB}' AND sc.d = e.subj),
+spx(p, q) AS (
+  SELECT subj, obj FROM t WHERE pred='{M.RDFS.subPropertyOf}'
+  UNION
+  SELECT spx.p, e.obj FROM spx JOIN t e
+  ON e.pred='{M.RDFS.subPropertyOf}' AND spx.q = e.subj),
+a0 AS (SELECT subj, pred, obj, obj_kind FROM t
+       WHERE pred NOT IN ('{RDF_TYPE}', '{SUB}', '{M.RDFS.subPropertyOf}')),
+a1 AS (SELECT * FROM a0
+       UNION SELECT a0.subj, spx.q, a0.obj, a0.obj_kind FROM a0 JOIN spx ON a0.pred = spx.p
+       UNION SELECT a0.subj, eqp.q, a0.obj, a0.obj_kind FROM a0 JOIN eqp ON a0.pred = eqp.p),
+ty0 AS (SELECT subj, obj FROM t WHERE pred='{RDF_TYPE}'
+        UNION SELECT a1.subj, d.obj FROM a1
+              JOIN t d ON d.pred='{M.RDFS.domain}' AND d.subj = a1.pred
+        UNION SELECT a1.obj, r.obj FROM a1
+              JOIN t r ON r.pred='{M.RDFS.range}' AND r.subj = a1.pred
+              WHERE a1.obj_kind = 'uri'),
+cedge(c, d) AS (SELECT * FROM sc UNION SELECT * FROM eqc),
+tyx(s, c) AS (
+  SELECT * FROM ty0
+  UNION
+  SELECT tyx.s, cedge.d FROM tyx JOIN cedge ON tyx.c = cedge.c),
+base_u AS (
+  SELECT subj, pred, obj, obj_kind FROM t
+  UNION SELECT subj, pred, obj, obj_kind FROM a1
+  UNION SELECT s, '{RDF_TYPE}', c, 'uri' FROM tyx
+  UNION SELECT c, '{SUB}', d, 'uri' FROM sc
+  UNION SELECT p, '{M.RDFS.subPropertyOf}', q, 'uri' FROM spx
+  UNION SELECT c, '{eqc_p}', d, 'uri' FROM eqc
+  UNION SELECT p, '{eqp_p}', q, 'uri' FROM eqp),
+sym(a, b) AS (
+  SELECT subj, obj FROM t WHERE pred='{sameas_p}'
+  UNION SELECT obj, subj FROM t WHERE pred='{sameas_p}'),
+reach(a, b) AS (
+  SELECT * FROM sym
+  UNION
+  SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a),
+sib(n, tw) AS (
+  SELECT a, b FROM reach
+  UNION SELECT a, a FROM reach),
+with_same AS (
+  SELECT * FROM base_u
+  UNION SELECT n, '{sameas_p}', tw, 'uri' FROM sib),
+rep AS (
+  SELECT * FROM with_same
+  UNION SELECT sib.tw, w.pred, w.obj, w.obj_kind
+        FROM with_same w JOIN sib ON w.subj = sib.n
+  UNION SELECT w.subj, sib.tw, w.obj, w.obj_kind
+        FROM with_same w JOIN sib ON w.pred = sib.n
+  UNION SELECT w.subj, w.pred, sib.tw, w.obj_kind
+        FROM with_same w JOIN sib ON w.obj = sib.n AND w.obj_kind = 'uri')
+SELECT DISTINCT subj, pred, obj, obj_kind FROM rep
+ORDER BY subj, pred, obj
 """
 
     bulk_vals = ",\n    ".join(

@@ -26,7 +26,7 @@ which makes every stage differentially testable against a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import norm_col, norm_sql
@@ -192,11 +192,18 @@ def minhash_band_pairs(
             "band_idx", "band_hash"
         ),
     )
-    # skew guard: degenerate buckets capped
-    sized = bands_long.withColumn(
-        "bucket_n",
-        F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
-    ).filter(F.col("bucket_n") <= max_bucket)
+    # skew guard: degenerate buckets capped.  Aggregate + broadcast
+    # anti-join, not a window count — the window itself would pile a hot
+    # bucket's rows onto one reducer before the filter could drop them.
+    over_cap = (
+        bands_long.groupBy("band_idx", "band_hash")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("band_idx", "band_hash")
+    )
+    sized = bands_long.join(
+        F.broadcast(over_cap), ["band_idx", "band_hash"], "left_anti"
+    )
     a = sized.alias("a")
     b = sized.alias("b")
     cands = (
@@ -380,31 +387,60 @@ SELECT doc_id, simhash FROM sh ORDER BY doc_id
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming): pairs within Hamming distance.
+    """(doc_a, doc_b, hamming): pairs within Hamming distance, via the
+    pigeonhole block trick — NOT an all-pairs join.
 
-    All-pairs xor/bit_count here (sample scale); at corpus scale the
-    standard rotation/block trick applies: split the {bits}-bit key into
-    (max_hamming+1) blocks, groupBy each block (pigeonhole: some block
-    matches exactly), verify within buckets — same bucket-join shape as
-    minhash_band_pairs.
+    Split the ``bits``-bit key into ``max_hamming + 1`` blocks: two keys
+    within ``max_hamming`` flips must agree exactly on at least one
+    block (pigeonhole), so candidates = pairs sharing a
+    ``(block_idx, block_value)`` bucket — an equi-join on the block key,
+    the same shuffle shape as ``minhash_band_pairs`` — then the xor/
+    bit_count verify runs per candidate only.  Output is IDENTICAL to
+    the all-pairs scan (the trick is exact, not approximate); the plan
+    is what changes: per-bucket micro-joins instead of O(n^2).  At
+    corpus scale use bits=64 (4x16-bit blocks) so bucket population
+    stays ~n/2^16 per (idx, value).
     """
     s = simhash(docs, bits)
-    a = s.alias("a")
-    b = s.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("int"),
+    n_blocks = max_hamming + 1
+    block_bits = (bits + n_blocks - 1) // n_blocks
+    mask = (1 << block_bits) - 1
+    blocked = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * block_bits).bitwiseAND(mask)
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            "hamming",
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -7,28 +7,40 @@ Two paths:
 * ``brute_topk`` — exact cosine top-k: broadcast the (small) query set
   against the corpus, one narrow JVM ``zip_with`` fold per (query, vec)
   pair, ``row_number`` per query.  Exact baseline and recall oracle.
-* ``ivf_topk`` — the scale path: IVF coarse quantization.  A fixed,
-  deterministic centroid set partitions the corpus into inverted lists
-  (one shuffle, by centroid id); each query probes only its ``nprobe``
-  nearest lists, so per-query work drops from O(corpus) to
-  O(corpus * nprobe / n_centroids).  At 100 TB the inverted lists are
-  the partitioning scheme of the stored table itself (write once
-  partitioned by centroid id -> partition pruning serves each probe).
+* ``ivf_topk`` / ``ivf_cosine_pairs`` — the scale path: IVF coarse
+  quantization with **centroid count ~ sqrt(n)** and **multi-probe
+  assignment**.  With k = sqrt(n) lists the per-list self-join is
+  O((n/sqrt(n))^2) = O(n) per list and O(n^1.5) total — each list an
+  independent partition — instead of the O(n^2/k) a fixed small k
+  degenerates to.  Multi-probe (every vector lands in its ``a_probe``
+  nearest lists) recovers the near-dups that straddle a single-list
+  boundary.  At 100 TB the inverted lists are the partitioning scheme
+  of the stored table itself (write once partitioned by centroid id ->
+  partition pruning serves each probe).
+
+Centroid selection: the oracle-paired default is a deterministic
+evenly-strided sample of the corpus (both engines compute the identical
+set); ``kmeans_centroids`` is the production seeding — Lloyd iterations
+over a corpus sample, broadcast-assignment + mean-per-cluster each round
+(pytest-verified; k-means is iterative floating-point and therefore not
+oracle-paired, matching the driver contract's rows-only tier).
 
 Determinism contract: cosines are raw doubles — both engines fold the
 same values in the same index order in double precision, so results are
-bit-identical; ranking ties break on vec_id.
+bit-identical; ranking ties break on vec_id / centroid_id.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import dot_expr
 
-N_CENTROIDS = 8
-NPROBE = 2
+NPROBE = 2       # query-side probes (topk)
+A_PROBE = 2      # corpus-side multi-probe assignment (pairs)
 
 
 def _with_norm(e: DataFrame) -> DataFrame:
@@ -92,23 +104,133 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
-def ivf_assign(
-    embeddings: DataFrame, n_centroids: int = N_CENTROIDS
-) -> DataFrame:
-    """(vec_id, centroid_id): nearest-centroid assignment.
+# ------------------------------------------------------------------ #
+# centroids
+# ------------------------------------------------------------------ #
 
-    Centroids are the first ``n_centroids`` corpus vectors — a
-    deterministic stand-in for a k-means pass (which at scale would run
-    on a sample; the assignment join below is identical either way).
-    Broadcast the centroid table; one pass over the corpus.
-    """
+
+def n_centroids_for(n: int) -> int:
+    """k ~ sqrt(n), floor 4: keeps per-list population ~ sqrt(n), so
+    total pair work is O(n^1.5) at any corpus size."""
+    return max(4, math.isqrt(max(1, n)))
+
+
+def strided_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """(centroid_id 0..k-1, c_emb, c_nrm): vectors whose vec_id falls on
+    an even stride — deterministic, identically computable in SQL (the
+    oracle pairing), window-free (a pure filter: no global sort, no
+    shuffle), and an unbiased spread when ids are uncorrelated with
+    embedding space.  Production seeding refines this with
+    ``kmeans_centroids``; the assignment joins downstream are identical
+    either way."""
     e = _with_norm(embeddings)
-    c = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
+    n = embeddings.count()
+    stride = max(1, n // n_centroids)
+    return (
+        e.filter(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") / stride < n_centroids)
+        )
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
     )
-    scored = e.crossJoin(F.broadcast(c)).withColumn(
+
+
+def _centroids_cte() -> str:
+    """DuckDB twin of strided_centroids (k = sqrt(n) default)."""
+    return """
+n_cte AS (SELECT count(*) AS n FROM embeddings),
+k_cte AS (SELECT greatest(4, CAST(floor(sqrt(n)) AS INT)) AS k FROM n_cte),
+s_cte AS (SELECT greatest(1, CAST(n // k AS INT)) AS stride FROM n_cte, k_cte),
+c AS (
+  SELECT CAST(vec_id // stride AS INT) AS centroid_id, emb AS c_emb,
+         nrm AS c_nrm
+  FROM e, s_cte, k_cte
+  WHERE vec_id % stride = 0 AND vec_id // stride < k)
+"""
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int | None = None,
+    iters: int = 2,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Sampled Lloyd refinement of the strided seeds — the production
+    centroid path.  Each iteration: broadcast the k centroids, assign
+    the (sampled) corpus by max cosine, recompute each centroid as the
+    element-wise mean of its members (posexplode + groupBy(cluster,
+    pos) — map-side partials, one narrow shuffle of k*dim rows).
+    Deterministic given the deterministic seeds and a hash-free sample
+    (``vec_id % m == 0``).  Iterative float math => pytest-verified
+    (inertia monotonicity + assignment validity), not oracle-paired.
+    """
+    n = embeddings.count()
+    if n_centroids is None:
+        n_centroids = n_centroids_for(n)
+    if sample_fraction is None:
+        # sample ~ 50x the centroid count — plenty for coarse quantization
+        sample_fraction = min(1.0, (50 * n_centroids) / max(1, n))
+    m = max(1, int(1 / sample_fraction))
+    sample = _with_norm(embeddings).filter(F.col("vec_id") % m == 0)
+    cents = strided_centroids(embeddings, n_centroids)
+    for _ in range(iters):
+        assigned = (
+            sample.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cos",
+                F.expr(dot_expr("c_emb", "embedding"))
+                / (F.col("c_nrm") * F.col("nrm")),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.desc("cos"), F.asc("centroid_id")
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("centroid_id", "embedding")
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mv")))
+                    ),
+                    lambda s: s["mv"].cast("float"),
+                ).alias("c_emb")
+            )
+        )
+        cents = means.select(
+            "centroid_id",
+            "c_emb",
+            F.sqrt(F.expr(dot_expr("c_emb", "c_emb"))).alias("c_nrm"),
+        ).localCheckpoint(eager=True)
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    a_probe: int = 1,
+) -> DataFrame:
+    """(vec_id, centroid_id): each vector assigned to its ``a_probe``
+    nearest centroids (multi-probe).  Broadcast the centroid table; one
+    pass over the corpus — at scale this IS the partition-key
+    computation for the stored table."""
+    e = _with_norm(embeddings)
+    scored = e.crossJoin(F.broadcast(centroids)).withColumn(
         "cos",
         F.expr(dot_expr("c_emb", "embedding"))
         / (F.col("c_nrm") * F.col("nrm")),
@@ -116,17 +238,31 @@ def ivf_assign(
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= a_probe)
         .select("vec_id", "centroid_id")
     )
+
+
+def _assign_cte(a_probe: int) -> str:
+    return f"""
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id, row_number() OVER
+      (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.c_emb, e.emb) / (c.c_nrm * e.nrm) DESC,
+        c.centroid_id ASC) AS rk
+    FROM e CROSS JOIN c)
+  WHERE rk <= {a_probe})
+"""
 
 
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
     k: int = 5,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     nprobe: int = NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): ANN via IVF probing.
 
@@ -134,19 +270,19 @@ def ivf_topk(
     assigned to those lists; exact cosine + top-k within candidates.
     """
     e = _with_norm(embeddings)
-    assign = ivf_assign(embeddings, n_centroids)
-    c = e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+    if centroids is None:
+        if n_centroids is None:
+            n_centroids = n_centroids_for(embeddings.count())
+        centroids = strided_centroids(embeddings, n_centroids)
+    centroids = centroids.localCheckpoint(eager=True)
+    assign = ivf_assign(embeddings, centroids, a_probe=1)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
     qprobe = (
-        q.crossJoin(F.broadcast(c))
+        q.crossJoin(F.broadcast(centroids))
         .withColumn(
             "ccos",
             F.expr(dot_expr("c_emb", "q_emb"))
@@ -163,8 +299,11 @@ def ivf_topk(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "q_emb", "q_nrm", "centroid_id")
     )
-    cands = qprobe.join(assign, "centroid_id").filter(
-        F.col("vec_id") != F.col("query_id")
+    cands = (
+        qprobe.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "q_nrm", "vec_id")
+        .distinct()
     )
     scored = cands.join(e, "vec_id").withColumn(
         "cos",
@@ -185,67 +324,84 @@ def ivf_topk(
 def ivf_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.42,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
+    a_probe: int = A_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos): near-dup pairs restricted to vectors sharing an
     IVF inverted list — the corpus-scale replacement for the all-pairs
-    cosine join (work drops from O(n^2) to O(sum of list sizes squared),
-    and each list is an independent partition).
+    cosine join.
 
-    Recall tradeoff is the standard IVF one: cross-list near-dups are
-    missed; raise n_probe/overlap or use dedup.cosine_pairs as the
-    sample-scale oracle.
+    k ~ sqrt(n) lists keep total pair work O(n^1.5) (each list an
+    independent partition); ``a_probe``-way multi-probe assignment
+    catches near-dup pairs straddling a list boundary (each vector sits
+    in its 2 nearest lists, so a pair is generated whenever ANY list is
+    shared).  Pairs are deduped on (id_a, id_b) before the cosine is
+    computed once per pair.
     """
     e = _with_norm(embeddings)
-    assign = ivf_assign(embeddings, n_centroids)
-    ea = e.join(assign, "vec_id")
-    a = ea.alias("a")
-    b = ea.alias("b")
-    return (
+    if centroids is None:
+        if n_centroids is None:
+            n_centroids = n_centroids_for(embeddings.count())
+        centroids = strided_centroids(embeddings, n_centroids)
+    assign = ivf_assign(embeddings, centroids.localCheckpoint(eager=True), a_probe)
+    a = assign.alias("a")
+    b = assign.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn(
             "cos",
-            F.expr(dot_expr("a.embedding", "b.embedding"))
-            / (F.col("a.nrm") * F.col("b.nrm")),
+            F.expr(dot_expr("emb_a", "emb_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
         )
         .filter(F.col("cos") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            "cos",
-        )
+        .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
     )
 
 
 def ivf_cosine_pairs_oracle(
-    threshold: float = 0.42, n_centroids: int = N_CENTROIDS
+    threshold: float = 0.42, a_probe: int = A_PROBE
 ) -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM e
-      WHERE vec_id < {n_centroids}),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT e.vec_id, c.centroid_id, row_number() OVER
-      (PARTITION BY e.vec_id ORDER BY
-        list_dot_product(c.c_emb, e.emb) / (c.c_nrm * e.nrm) DESC,
-        c.centroid_id ASC) AS rk
-    FROM e CROSS JOIN c)
-  WHERE rk = 1),
-ea AS (SELECT e.*, assign.centroid_id FROM e JOIN assign USING (vec_id))
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
-FROM ea a JOIN ea b
-  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {threshold}
+{_centroids_cte()},
+{_assign_cte(a_probe)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) AS cos
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) >= {threshold}
 ORDER BY id_a, id_b
 """
 
@@ -253,7 +409,6 @@ ORDER BY id_a, id_b
 def ivf_topk_oracle(
     n_queries: int = 5,
     k: int = 5,
-    n_centroids: int = N_CENTROIDS,
     nprobe: int = NPROBE,
 ) -> str:
     return f"""
@@ -261,16 +416,8 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings),
-c AS (SELECT vec_id AS centroid_id, emb AS c_emb, nrm AS c_nrm FROM e
-      WHERE vec_id < {n_centroids}),
-assign AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT e.vec_id, c.centroid_id, row_number() OVER
-      (PARTITION BY e.vec_id ORDER BY
-        list_dot_product(c.c_emb, e.emb) / (c.c_nrm * e.nrm) DESC,
-        c.centroid_id ASC) AS rk
-    FROM e CROSS JOIN c)
-  WHERE rk = 1),
+{_centroids_cte()},
+{_assign_cte(1)},
 q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM e
       WHERE vec_id < {n_queries}),
 qprobe AS (
@@ -281,12 +428,14 @@ qprobe AS (
         c.centroid_id ASC) AS rk
     FROM q CROSS JOIN c)
   WHERE rk <= {nprobe}),
-scored AS (
-  SELECT p.query_id, a.vec_id,
-    list_dot_product(p.q_emb, e.emb) / (p.q_nrm * e.nrm) AS cos
+cand AS (
+  SELECT DISTINCT p.query_id, p.q_emb, p.q_nrm, a.vec_id
   FROM qprobe p JOIN assign a USING (centroid_id)
-  JOIN e ON e.vec_id = a.vec_id
   WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+    list_dot_product(cand.q_emb, e.emb) / (cand.q_nrm * e.nrm) AS cos
+  FROM cand JOIN e ON e.vec_id = cand.vec_id),
 ranked AS (
   SELECT *, row_number() OVER
     (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank

@@ -49,9 +49,14 @@ def _as_triples(df: DataFrame, kind: str = "uri") -> DataFrame:
     )
 
 
-def _round(triples: DataFrame) -> DataFrame:
+def _round(triples: DataFrame, with_equivalence: bool = False) -> DataFrame:
     """One application of every rule; returns candidate triples
-    (may include already-known ones — caller subtracts)."""
+    (may include already-known ones — caller subtracts).
+
+    ``with_equivalence`` adds the OWL-RL equivalence rules
+    (cax-eqc1/2, prp-eqp1/2 + declaration symmetry) — the ``owl-rl``
+    profile (reference ``apply_reasoning(profile='owl-rl')``,
+    ``ontology_manager.py:2859-2860``)."""
     sub_class = triples.filter(F.col("pred") == RDFS.subClassOf).select(
         F.col("subj").alias("c"), F.col("obj").alias("d")
     )
@@ -79,9 +84,6 @@ def _round(triples: DataFrame) -> DataFrame:
     assertions = triples.filter(
         ~F.col("pred").isin(RDF.type, RDFS.subClassOf, RDFS.subPropertyOf)
     ).select("subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt")
-    same_as = triples.filter(F.col("pred") == OWL.sameAs).select(
-        F.col("subj").alias("x"), F.col("obj").alias("y")
-    )
 
     out: list[DataFrame] = []
 
@@ -202,28 +204,62 @@ def _round(triples: DataFrame) -> DataFrame:
             )
         )
     )
-    # eq-sym + eq-trans
-    out.append(
-        _as_triples(
-            same_as.select(
-                F.col("y").alias("subj"),
-                F.lit(OWL.sameAs).alias("pred"),
-                F.col("x").alias("obj"),
+    # NOTE: sameAs closure deliberately NOT a pairwise rule here — a
+    # k-member clique would materialize k^2 intermediates in every
+    # round.  ``apply_reasoning`` routes it through
+    # ``fixpoint.connected_components`` (one O(log n) pass) instead.
+
+    if with_equivalence:
+        eq_cls = triples.filter(F.col("pred") == OWL.equivalentClass).select(
+            F.col("subj").alias("c"), F.col("obj").alias("d")
+        )
+        eq_cls = eq_cls.unionByName(
+            eq_cls.select(F.col("d").alias("c"), F.col("c").alias("d"))
+        ).distinct()
+        eq_prp = triples.filter(F.col("pred") == OWL.equivalentProperty).select(
+            F.col("subj").alias("p"), F.col("obj").alias("q")
+        )
+        eq_prp = eq_prp.unionByName(
+            eq_prp.select(F.col("q").alias("p"), F.col("p").alias("q"))
+        ).distinct()
+        # scm-eqc2 twin: symmetry of the declaration itself
+        out.append(
+            _as_triples(
+                eq_cls.select(
+                    F.col("c").alias("subj"),
+                    F.lit(OWL.equivalentClass).alias("pred"),
+                    F.col("d").alias("obj"),
+                )
             )
         )
-    )
-    out.append(
-        _as_triples(
-            same_as.alias("a")
-            .join(same_as.alias("b"), F.col("a.y") == F.col("b.x"))
-            .filter(F.col("a.x") != F.col("b.y"))
+        out.append(
+            _as_triples(
+                eq_prp.select(
+                    F.col("p").alias("subj"),
+                    F.lit(OWL.equivalentProperty).alias("pred"),
+                    F.col("q").alias("obj"),
+                )
+            )
+        )
+        # cax-eqc1/2: type propagation across equivalentClass
+        out.append(
+            _as_triples(
+                types.join(F.broadcast(eq_cls), types["c"] == eq_cls["c"])
+                .select(
+                    F.col("s").alias("subj"),
+                    F.lit(RDF.type).alias("pred"),
+                    F.col("d").alias("obj"),
+                )
+            )
+        )
+        # prp-eqp1/2: assertion propagation across equivalentProperty
+        out.append(
+            assertions.join(F.broadcast(eq_prp), assertions["pred"] == eq_prp["p"])
             .select(
-                F.col("a.x").alias("subj"),
-                F.lit(OWL.sameAs).alias("pred"),
-                F.col("b.y").alias("obj"),
+                "subj", F.col("q").alias("pred"), "obj",
+                "obj_kind", "obj_lang", "obj_dt",
             )
         )
-    )
 
     candidates = out[0]
     for o in out[1:]:
@@ -231,24 +267,135 @@ def _round(triples: DataFrame) -> DataFrame:
     return candidates.dropDuplicates(TRIPLE_COLS)
 
 
+# --------------------------------------------------------------------------
+# sameAs equality reasoning via connected components
+# --------------------------------------------------------------------------
+
+
+def sameas_components(triples: DataFrame) -> DataFrame:
+    """(node, comp): sameAs cliques as connected components — the scale
+    path for equality reasoning.  One CC pass is O(E log n) with
+    pointer-jumping instead of the O(k^2)-per-clique pairwise closure
+    (a hot web entity with millions of aliases detonates the latter)."""
+    from .fixpoint import connected_components
+
+    edges = triples.filter(F.col("pred") == OWL.sameAs).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return connected_components(edges)
+
+
+def sameas_closure(triples: DataFrame) -> DataFrame:
+    """Symmetric-transitive closure of sameAs, computed FROM the
+    component map: within each clique, pairs come from a per-component
+    self-join (each component an independent partition — the same
+    bucketed shape as LSH verify), not a global iterated self-join.
+
+    NB: the closure's OUTPUT is inherently quadratic in clique size
+    (that is owlrl's materialization semantics); at web scale you keep
+    the component map and skip materialization — the canonical-
+    representative rewrite (``pipeline.canonicalize``) is that path.
+    """
+    cc = sameas_components(triples)
+    a = cc.alias("a")
+    b = cc.alias("b")
+    return _as_triples(
+        a.join(b, F.col("a.component") == F.col("b.component"))
+        .filter(F.col("a.node") != F.col("b.node"))
+        .select(
+            F.col("a.node").alias("subj"),
+            F.lit(OWL.sameAs).alias("pred"),
+            F.col("b.node").alias("obj"),
+        )
+    )
+
+
+def eq_rep(triples: DataFrame, cc: DataFrame) -> DataFrame:
+    """owlrl eq-rep-s / eq-rep-p / eq-rep-o: copy every triple with each
+    subject/predicate/object replaced by its sameAs siblings.  Joins the
+    (node, comp) map — per-clique expansion, no global self-join."""
+    sib = (
+        cc.alias("a")
+        .join(cc.alias("b"), F.col("a.component") == F.col("b.component"))
+        .select(F.col("a.node").alias("node"), F.col("b.node").alias("twin"))
+    )
+    s_rep = (
+        triples.join(sib, triples["subj"] == sib["node"])
+        .select(
+            F.col("twin").alias("subj"), "pred", "obj",
+            "obj_kind", "obj_lang", "obj_dt",
+        )
+    )
+    p_rep = (
+        triples.join(sib, triples["pred"] == sib["node"])
+        .select(
+            "subj", F.col("twin").alias("pred"), "obj",
+            "obj_kind", "obj_lang", "obj_dt",
+        )
+    )
+    o_rep = (
+        triples.filter(F.col("obj_kind") == "uri")
+        .join(sib, triples["obj"] == sib["node"])
+        .select(
+            "subj", "pred", F.col("twin").alias("obj"),
+            "obj_kind", "obj_lang", "obj_dt",
+        )
+    )
+    return (
+        s_rep.unionByName(p_rep).unionByName(o_rep)
+        .dropDuplicates(TRIPLE_COLS)
+    )
+
+
 def apply_reasoning(
-    triples: DataFrame, max_rounds: int = 20
+    triples: DataFrame, max_rounds: int = 20, profile: str = "rdfs"
 ) -> tuple[DataFrame, int]:
     """Expand to fixpoint; returns (expanded_triples, n_inferred) —
     matching the reference's ``apply_reasoning`` return contract
-    (``ontology_manager.py:2853-2864``)."""
+    (``ontology_manager.py:2853-2864``).
+
+    Profiles (reference ``:2857-2862``):
+      * ``rdfs``   — the rule set above + sameAs symmetric-transitive
+        closure (via connected components, NOT a pairwise fixpoint);
+      * ``owl-rl`` — adds equivalentClass/equivalentProperty rules and
+        eq-rep-s/p/o sameAs substitution (owlrl's materialization).
+
+    Structure: inner loop = broadcast-join rule rounds to fixpoint;
+    then one CC pass handles ALL equality inference for the round; an
+    outer loop re-enters the rules only if equality produced new facts
+    (it can: a substituted triple may re-trigger e.g. rdfs2).
+    """
+    with_eq = profile in ("owl-rl", "owl-rl-ext")
     current = triples.dropDuplicates(TRIPLE_COLS).localCheckpoint(eager=True)
     n0 = current.count()
-    for _ in range(max_rounds):
-        new = (
-            _round(current)
+    for _outer in range(3):
+        for _ in range(max_rounds):
+            new = (
+                _round(current, with_equivalence=with_eq)
+                .exceptAll(current)
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            current = (
+                current.unionByName(new)
+                .dropDuplicates(TRIPLE_COLS)
+                .localCheckpoint(eager=True)
+            )
+        # equality reasoning: one CC pass per outer round
+        eq_new = sameas_closure(current)
+        if with_eq:
+            cc = sameas_components(current).localCheckpoint(eager=True)
+            eq_new = eq_new.unionByName(eq_rep(current, cc))
+        eq_new = (
+            eq_new.dropDuplicates(TRIPLE_COLS)
             .exceptAll(current)
             .localCheckpoint(eager=True)
         )
-        if new.isEmpty():
+        if eq_new.isEmpty():
             break
         current = (
-            current.unionByName(new)
+            current.unionByName(eq_new)
             .dropDuplicates(TRIPLE_COLS)
             .localCheckpoint(eager=True)
         )

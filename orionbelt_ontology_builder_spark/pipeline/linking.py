@@ -22,7 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Portable per-seed hash, kept as an md5-hex-slice STRING: string
@@ -136,10 +136,18 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    sized = banded.withColumn(
-        "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+    # Skew guard via aggregate + broadcast anti-join, NOT a window count:
+    # a window partitioned by (band, bucket) would shuffle every member
+    # of a degenerate bucket onto one reducer before filtering — the
+    # exact straggler the cap exists to prevent.  The over-cap bucket
+    # list is tiny (hot keys only), so it broadcasts.
+    over_cap = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("band", "bucket")
     )
-    small = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
+    small = banded.join(F.broadcast(over_cap), ["band", "bucket"], "left_anti")
     a = small.alias("a")
     b = small.alias("b")
     return (

@@ -218,3 +218,43 @@ def ground_truth_triples(n_pages: int) -> set[tuple[str, str, str]]:
                 )
             )
     return out
+
+
+def ground_truth_df(spark: SparkSession, n_pages: int) -> DataFrame:
+    """Distributed twin of ``ground_truth_triples``: the expected
+    canonical (s, p, o) set as a DataFrame, generated inside
+    ``mapInPandas`` from the same id-keyed formulas.  At 2M pages the
+    ~6.3M-row truth set never leaves the executors — feed this to
+    ``run.precision_recall`` so the P/R gate is join-computed."""
+    k = n_entities(n_pages)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            s_col: list[str] = []
+            p_col: list[str] = []
+            o_col: list[str] = []
+            for i in pdf["id"]:
+                i = int(i)
+                e = i % k
+                s = normalize_surface(entity_stem(e))
+                for p, o in (
+                    ("locatedIn", normalize_surface(entity_stem(located_target(e, k)))),
+                    ("worksWith", normalize_surface(entity_stem(works_target(e, k)))),
+                    ("type", normalize_surface(entity_class(e))),
+                ):
+                    s_col.append(s)
+                    p_col.append(p)
+                    o_col.append(o)
+                if i % 7 == 0:
+                    child, parent, _ = TAXONOMY[(i // 7) % len(TAXONOMY)]
+                    s_col.append(normalize_surface(child))
+                    p_col.append("subClassOf")
+                    o_col.append(normalize_surface(parent))
+            yield pd.DataFrame({"s": s_col, "p": p_col, "o": o_col})
+
+    return (
+        spark.range(n_pages)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(gen, "s string, p string, o string")
+        .distinct()
+    )

@@ -94,27 +94,41 @@ def run_pipeline(
 
 
 def precision_recall(
-    edges: DataFrame, truth: set[tuple[str, str, str]]
+    edges: DataFrame, truth
 ) -> dict[str, float]:
     """Normalized-triple precision/recall vs the synthesizer's ground
-    truth (pages.ground_truth_triples)."""
-    norm = (
-        edges.select(
-            F.lower(F.regexp_replace("subj", "[- ]", "")).alias("s"),
-            F.col("pred").alias("p"),
-            F.lower(F.regexp_replace("obj", "[- ]", "")).alias("o"),
+    truth.
+
+    ``truth`` is a (s, p, o) DataFrame (``pages.ground_truth_df`` — the
+    scale path) or a Python set (the small-scale test convenience, which
+    is parallelized first).  Counters come from ONE full-outer join +
+    conditional aggregate — only three numbers ever reach the driver, so
+    the gate holds at 2M pages (6.3M distinct truth triples) without a
+    driver-side materialization.
+    """
+    norm = edges.select(
+        F.lower(F.regexp_replace("subj", "[- ]", "")).alias("s"),
+        F.col("pred").alias("p"),
+        F.lower(F.regexp_replace("obj", "[- ]", "")).alias("o"),
+    ).distinct()
+    if isinstance(truth, set):
+        truth = edges.sparkSession.createDataFrame(
+            list(truth), "s string, p string, o string"
         )
-        .distinct()
-        .collect()
+    truth = truth.distinct()
+    j = norm.withColumn("g", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["s", "p", "o"], "full_outer"
     )
-    got = {(r["s"], r["p"], r["o"]) for r in norm}
-    tp = len(got & truth)
-    precision = tp / len(got) if got else 0.0
-    recall = tp / len(truth) if truth else 0.0
+    row = j.agg(
+        F.count("g").alias("extracted"),
+        F.count("t").alias("expected"),
+        F.count(F.when(F.col("g").isNotNull() & F.col("t").isNotNull(), 1)).alias("tp"),
+    ).collect()[0]
+    tp, extracted, expected = row["tp"], row["extracted"], row["expected"]
     return {
-        "precision": precision,
-        "recall": recall,
+        "precision": tp / extracted if extracted else 0.0,
+        "recall": tp / expected if expected else 0.0,
         "tp": tp,
-        "extracted": len(got),
-        "expected": len(truth),
+        "extracted": extracted,
+        "expected": expected,
     }

@@ -53,6 +53,22 @@ def test_pipeline_precision_recall(spark, pages_df):
     assert pr["recall"] >= 0.95, pr
 
 
+def test_ground_truth_df_matches_set(spark):
+    """The distributed truth generator and the driver-side set agree."""
+    got = {
+        (r["s"], r["p"], r["o"])
+        for r in P.ground_truth_df(spark, N_PAGES).collect()
+    }
+    assert got == P.ground_truth_triples(N_PAGES)
+
+
+def test_precision_recall_dataframe_truth(spark, pages_df):
+    kg = R.build_kg(pages_df)
+    pr = R.precision_recall(kg["edges"], P.ground_truth_df(spark, N_PAGES))
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+
 def test_canonicalization_merges_aliases(spark, pages_df):
     kg = R.build_kg(pages_df)
     cmap = {r["mention"]: r["canonical"] for r in kg["canonical_map"].collect()}

@@ -72,3 +72,125 @@ def test_reasoning_idempotent(populated_om):
     twice, n2 = apply_reasoning(once)
     assert n2 == 0
     assert twice.count() == once.count()
+
+
+from orionbelt_ontology_builder_spark.operators import reasoning  # noqa: E402
+
+B = BASE
+
+
+def test_sameas_closure_via_components(spark):
+    """A 4-member sameAs chain closes to all 12 ordered pairs — computed
+    through connected_components, not a pairwise fixpoint."""
+    rows = [
+        t_uri(B + "a", OWL.sameAs, B + "b"),
+        t_uri(B + "b", OWL.sameAs, B + "c"),
+        t_uri(B + "c", OWL.sameAs, B + "d"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    out, n = reasoning.apply_reasoning(t)
+    pairs = {
+        (r["subj"], r["obj"])
+        for r in out.filter(out.pred == OWL.sameAs).collect()
+    }
+    members = [B + x for x in "abcd"]
+    want = {(x, y) for x in members for y in members if x != y}
+    assert want <= pairs
+
+
+def test_owlrl_equivalent_class_types(spark):
+    rows = [
+        t_uri(B + "C1", RDF.type, OWL.Class),
+        t_uri(B + "C2", RDF.type, OWL.Class),
+        t_uri(B + "C1", OWL.equivalentClass, B + "C2"),
+        t_uri(B + "x", RDF.type, B + "C1"),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="owl-rl"
+    )
+    types = {
+        r["obj"] for r in out.filter(
+            (out.subj == B + "x") & (out.pred == RDF.type)
+        ).collect()
+    }
+    assert B + "C2" in types
+    # declaration symmetry
+    assert out.filter(
+        (out.subj == B + "C2") & (out.pred == OWL.equivalentClass)
+        & (out.obj == B + "C1")
+    ).count() == 1
+
+
+def test_owlrl_equivalent_property_assertions(spark):
+    rows = [
+        t_uri(B + "p", OWL.equivalentProperty, B + "q"),
+        t_uri(B + "s", B + "p", B + "o"),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="owl-rl"
+    )
+    assert out.filter(
+        (out.subj == B + "s") & (out.pred == B + "q") & (out.obj == B + "o")
+    ).count() == 1
+
+
+def test_owlrl_eq_rep_substitution(spark):
+    rows = [
+        t_uri(B + "a", OWL.sameAs, B + "b"),
+        t_uri(B + "a", B + "knows", B + "z"),
+        t_uri(B + "y", B + "knows", B + "a"),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="owl-rl"
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert (B + "b", B + "knows", B + "z") in got       # eq-rep-s
+    assert (B + "y", B + "knows", B + "b") in got       # eq-rep-o
+
+
+def test_rdfs_profile_does_not_substitute(spark):
+    rows = [
+        t_uri(B + "a", OWL.sameAs, B + "b"),
+        t_uri(B + "a", B + "knows", B + "z"),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="rdfs"
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert (B + "b", B + "knows", B + "z") not in got
+    assert (B + "b", OWL.sameAs, B + "a") in got        # closure still on
+
+
+def test_differential_vs_owlrl_if_available(spark, populated_om):
+    """Differential check against the reference's actual reasoner.
+    owlrl is not shipped in this container (the reference declares it;
+    our env bakes only the listed packages) — skips when absent, runs
+    on hosts that have it."""
+    owlrl = pytest.importorskip("owlrl")
+    rdflib = pytest.importorskip("rdflib")
+    g = rdflib.Graph()
+    for r in populated_om.collect():
+        s = rdflib.BNode(r["subj"][2:]) if r["subj"].startswith("_:") else rdflib.URIRef(r["subj"])
+        p = rdflib.URIRef(r["pred"])
+        if r["obj_kind"] == "uri":
+            o = rdflib.URIRef(r["obj"])
+        elif r["obj_kind"] == "bnode":
+            o = rdflib.BNode(r["obj"][2:])
+        else:
+            o = rdflib.Literal(r["obj"], lang=r["obj_lang"], datatype=r["obj_dt"])
+        g.add((s, p, o))
+    owlrl.DeductiveClosure(owlrl.RDFS_Semantics).expand(g)
+    ref = {
+        (str(s), str(p), str(o))
+        for s, p, o in g
+        if not isinstance(o, rdflib.Literal)
+    }
+    out, _ = reasoning.apply_reasoning(populated_om)
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in out.filter(out.obj_kind == "uri").collect()
+    }
+    # our rule subset must be sound wrt owlrl (subset of its closure on
+    # the axiomatic-triple-free slice)
+    axiomatic = {t for t in ref if t not in got}
+    assert got <= ref or not axiomatic

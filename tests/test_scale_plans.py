@@ -1,0 +1,176 @@
+"""Scale-shape assertions (VERDICT r1 findings #1/#2/#5): the blocked
+simhash and sqrt(n)-centroid IVF paths must (a) reproduce the exact
+all-pairs results at sample scale and (b) compile to bucketed equi-join
+plans with no corpus x corpus cartesian stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from orionbelt_ontology_builder_spark.datapipe import dedup, similarity
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls softly on the quiet green meadow near the old stone bridge"
+    )
+    rows = [
+        Row(doc_id=0, text=base, lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text=base.upper() + "!!", lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=base.replace("lazy", "sleepy"), lang="en", source="s", n_chars=1),
+        Row(doc_id=3, text="unrelated text about catalyst plans and shuffles here",
+            lang="en", source="s", n_chars=1),
+        Row(doc_id=4, text=base.replace("fox", "cat"), lang="en", source="s", n_chars=1),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rows = []
+    for cid in range(3):
+        base = [1.0 if i == cid else 0.0 for i in range(8)]
+        for j in range(4):
+            vec = [v + 0.01 * j * ((i % 3) - 1) for i, v in enumerate(base)]
+            rows.append(Row(vec_id=cid + 3 * j, embedding=vec, label=cid))
+    return spark.createDataFrame(rows).cache()
+
+
+# ------------------------------------------------------------------ #
+# blocked simhash == all-pairs (pigeonhole exactness)
+# ------------------------------------------------------------------ #
+
+
+def _all_pairs_simhash(docs, max_hamming, bits):
+    s = dedup.simhash(docs, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
+@pytest.mark.parametrize("max_hamming", [0, 3, 6])
+def test_blocked_simhash_equals_all_pairs(docs, max_hamming):
+    got = sorted(map(tuple, dedup.simhash_pairs(docs, max_hamming).collect()))
+    ref = sorted(map(tuple, _all_pairs_simhash(docs, max_hamming, dedup.SIMHASH_BITS).collect()))
+    assert got == ref
+
+
+def test_blocked_simhash_plan_has_no_cartesian(docs):
+    plan = _plan(dedup.simhash_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------------ #
+# IVF pairs: sqrt(n) centroids, multi-probe, equi-join plan
+# ------------------------------------------------------------------ #
+
+
+def test_ivf_pairs_no_cartesian_between_corpus_relations(embs):
+    # the only nested-loop allowed is the broadcast of the (tiny)
+    # centroid table; the corpus-vs-corpus pair stage must be an
+    # equi-join on centroid_id
+    plan = _plan(similarity.ivf_cosine_pairs(embs))
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pairs_multiprobe_full_recall_with_kmeans_centroids(embs):
+    """With refined (k-means) centroids spanning the planted clusters,
+    multi-probe IVF recovers every pair the exact all-pairs scan finds.
+    (The fixture is adversarial for the strided default: vec_id % 3 ==
+    cluster, so the stride-3 seeds all land in one cluster — exactly the
+    case k-means refinement exists for.)"""
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cosine_pairs(embs, threshold=0.99).collect()
+    }
+    cents = similarity.kmeans_centroids(embs, n_centroids=3, iters=2)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.ivf_cosine_pairs(
+            embs, threshold=0.99, centroids=cents
+        ).collect()
+    }
+    assert want, "fixture must plant near-dup pairs"
+    assert got == want
+
+
+def test_ivf_pairs_default_is_exact_subset(embs):
+    """Default (strided) centroids: every reported pair is a true pair
+    (verification is exact) even when recall dips."""
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.cosine_pairs(embs, threshold=0.99).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.ivf_cosine_pairs(embs, threshold=0.99).collect()
+    }
+    assert got and got <= want
+
+
+def test_centroid_count_scales_with_sqrt_n():
+    assert similarity.n_centroids_for(100) == 10
+    assert similarity.n_centroids_for(1_000_000) == 1000
+    assert similarity.n_centroids_for(4) == 4  # floor
+
+
+def test_strided_centroids_deterministic(embs):
+    a = similarity.strided_centroids(embs, 3).collect()
+    b = similarity.strided_centroids(embs, 3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 3
+
+
+# ------------------------------------------------------------------ #
+# sampled k-means (production seeding; pytest-verified, not oracle-paired)
+# ------------------------------------------------------------------ #
+
+
+def test_kmeans_centroids_shape_and_determinism(embs):
+    c1 = similarity.kmeans_centroids(embs, n_centroids=3, iters=2)
+    rows1 = sorted(map(tuple, c1.select("centroid_id").collect()))
+    assert rows1 == [(0,), (1,), (2,)]
+    c2 = similarity.kmeans_centroids(embs, n_centroids=3, iters=2)
+    a = {r["centroid_id"]: list(r["c_emb"]) for r in c1.collect()}
+    b = {r["centroid_id"]: list(r["c_emb"]) for r in c2.collect()}
+    assert a == b
+
+
+def test_kmeans_centroids_recover_planted_clusters(embs):
+    # after Lloyd refinement each centroid should sit inside one planted
+    # cluster: its argmax coordinate among the first 3 dims is unique
+    cents = similarity.kmeans_centroids(embs, n_centroids=3, iters=2).collect()
+    tops = sorted(
+        max(range(3), key=lambda i: r["c_emb"][i]) for r in cents
+    )
+    assert tops == [0, 1, 2]
+
+
+def test_ivf_topk_with_kmeans_centroids_matches_brute(embs):
+    cents = similarity.kmeans_centroids(embs, n_centroids=3, iters=2)
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in similarity.brute_topk(embs, n_queries=3, k=3).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in similarity.ivf_topk(
+               embs, n_queries=3, k=3, nprobe=1, centroids=cents).collect()}
+    assert ivf == brute
