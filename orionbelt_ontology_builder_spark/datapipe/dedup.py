@@ -471,14 +471,20 @@ def dot_expr(a: str, b: str) -> str:
 
 
 def cosine_pairs(
-    embeddings: DataFrame, threshold: float = 0.42
+    embeddings: DataFrame, threshold: float = 0.42,
+    max_vec_id: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos): embedding pairs with cosine >= threshold.
 
     All-pairs at sample scale; the corpus-scale path is
-    similarity.ivf_topk (bucketed candidates).  Norms are precomputed
-    once per vector; the pair stage is a pure JVM zip_with fold.
+    similarity.ivf_cosine_pairs (bucketed candidates).  ``max_vec_id``
+    slices the corpus — this operator is the *recall oracle* for the
+    IVF path, so it runs on a sample by design, never the full corpus.
+    Norms are precomputed once per vector; the pair stage is a pure JVM
+    zip_with fold.
     """
+    if max_vec_id is not None:
+        embeddings = embeddings.filter(F.col("vec_id") < max_vec_id)
     e = embeddings.select(
         "vec_id",
         "embedding",
@@ -503,12 +509,15 @@ def cosine_pairs(
     )
 
 
-def cosine_pairs_oracle(threshold: float = 0.42) -> str:
+def cosine_pairs_oracle(
+    threshold: float = 0.42, max_vec_id: int | None = None
+) -> str:
+    where = f"WHERE vec_id < {max_vec_id}" if max_vec_id is not None else ""
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings)
+  FROM embeddings {where})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id

@@ -71,26 +71,35 @@ def lists_as_arrays(triples: DataFrame, max_len: int = 32) -> DataFrame:
 
 
 def _axiom_lists(
-    triples: DataFrame, pred: str, max_len: int = 32
+    triples: DataFrame, pred: str, max_len: int = 32,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
-    """(owner, items) for list-valued axiom predicate ``pred``."""
+    """(owner, items) for list-valued axiom predicate ``pred``.
+
+    ``arrays`` lets callers share one ``lists_as_arrays`` pass (the
+    iterative unroll) across the five decoders instead of re-walking the
+    cons cells per call."""
     owners = triples.filter(F.col("pred") == pred).select(
         F.col("subj").alias("owner"), F.col("obj").alias("head")
     )
-    return owners.join(lists_as_arrays(triples, max_len), "head").select(
-        "owner", "items"
-    )
+    if arrays is None:
+        arrays = lists_as_arrays(triples, max_len)
+    return owners.join(arrays, "head").select("owner", "items")
 
 
-def get_property_chains(triples: DataFrame) -> DataFrame:
+def get_property_chains(
+    triples: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
     """Decode ``owl:propertyChainAxiom`` lists
     (reference ``ontology_manager.py:1850-1860``)."""
-    return _axiom_lists(triples, OWL.propertyChainAxiom).select(
+    return _axiom_lists(triples, OWL.propertyChainAxiom, arrays=arrays).select(
         F.col("owner").alias("property"), F.col("items").alias("chain")
     ).orderBy("property")
 
 
-def get_class_expressions(triples: DataFrame) -> DataFrame:
+def get_class_expressions(
+    triples: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
     """Decode unionOf/intersectionOf/oneOf members + direct complementOf
     (reference ``ontology_manager.py:1888-1922``)."""
     parts = []
@@ -100,7 +109,7 @@ def get_class_expressions(triples: DataFrame) -> DataFrame:
         ("oneOf", OWL.oneOf),
     ]:
         parts.append(
-            _axiom_lists(triples, pred).select(
+            _axiom_lists(triples, pred, arrays=arrays).select(
                 F.col("owner").alias("cls"),
                 F.lit(kind).alias("expression_type"),
                 F.col("items").alias("members"),
@@ -117,28 +126,36 @@ def get_class_expressions(triples: DataFrame) -> DataFrame:
     return out.unionByName(comp).orderBy("cls", "expression_type")
 
 
-def get_all_different(triples: DataFrame) -> DataFrame:
+def get_all_different(
+    triples: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
     """Decode ``owl:AllDifferent`` / ``owl:distinctMembers``
     (reference ``:1934-1945``)."""
     axioms = triples.filter(
         (F.col("pred") == RDF.type) & (F.col("obj") == OWL.AllDifferent)
     ).select(F.col("subj").alias("owner"))
     return (
-        axioms.join(_axiom_lists(triples, OWL.distinctMembers), "owner")
+        axioms.join(
+            _axiom_lists(triples, OWL.distinctMembers, arrays=arrays), "owner"
+        )
         .select(F.col("owner").alias("axiom"), F.col("items").alias("members"))
         .orderBy("axiom")
     )
 
 
-def get_has_keys(triples: DataFrame) -> DataFrame:
+def get_has_keys(
+    triples: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
     """Decode ``owl:hasKey`` (reference ``:1956-1972``)."""
-    return _axiom_lists(triples, OWL.hasKey).select(
+    return _axiom_lists(triples, OWL.hasKey, arrays=arrays).select(
         F.col("owner").alias("cls"), F.col("items").alias("key_properties")
     ).orderBy("cls")
 
 
-def get_disjoint_unions(triples: DataFrame) -> DataFrame:
+def get_disjoint_unions(
+    triples: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
     """Decode ``owl:disjointUnionOf`` (reference ``:1983-1996``)."""
-    return _axiom_lists(triples, OWL.disjointUnionOf).select(
+    return _axiom_lists(triples, OWL.disjointUnionOf, arrays=arrays).select(
         F.col("owner").alias("cls"), F.col("items").alias("members")
     ).orderBy("cls")

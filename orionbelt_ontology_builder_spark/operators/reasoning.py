@@ -285,7 +285,7 @@ def sameas_components(triples: DataFrame) -> DataFrame:
     return connected_components(edges)
 
 
-def sameas_closure(triples: DataFrame) -> DataFrame:
+def sameas_closure(triples: DataFrame, include_self: bool = False) -> DataFrame:
     """Symmetric-transitive closure of sameAs, computed FROM the
     component map: within each clique, pairs come from a per-component
     self-join (each component an independent partition — the same
@@ -299,9 +299,11 @@ def sameas_closure(triples: DataFrame) -> DataFrame:
     cc = sameas_components(triples)
     a = cc.alias("a")
     b = cc.alias("b")
+    pairs = a.join(b, F.col("a.component") == F.col("b.component"))
+    if not include_self:
+        pairs = pairs.filter(F.col("a.node") != F.col("b.node"))
     return _as_triples(
-        a.join(b, F.col("a.component") == F.col("b.component"))
-        .filter(F.col("a.node") != F.col("b.node"))
+        pairs
         .select(
             F.col("a.node").alias("subj"),
             F.lit(OWL.sameAs).alias("pred"),
@@ -382,8 +384,18 @@ def apply_reasoning(
                 .dropDuplicates(TRIPLE_COLS)
                 .localCheckpoint(eager=True)
             )
-        # equality reasoning: one CC pass per outer round
-        eq_new = sameas_closure(current)
+        # equality reasoning: one CC pass per outer round (skipped
+        # entirely when the graph asserts no sameAs — the common case
+        # for pure-RDFS ontologies; the probe is a limit(1) scan)
+        if (
+            current.filter(F.col("pred") == OWL.sameAs).limit(1).isEmpty()
+        ):
+            break
+        # include_self under owl-rl: eq-rep would derive the reflexive
+        # pairs anyway on the NEXT outer round; emitting them with the
+        # closure reaches the same fixpoint one outer round (and one CC
+        # pass) earlier.
+        eq_new = sameas_closure(current, include_self=with_eq)
         if with_eq:
             cc = sameas_components(current).localCheckpoint(eager=True)
             eq_new = eq_new.unionByName(eq_rep(current, cc))

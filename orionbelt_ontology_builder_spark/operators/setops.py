@@ -98,20 +98,36 @@ def diff_graphs(current: DataFrame, other: DataFrame) -> dict[str, DataFrame]:
 
 def diff_summary(current: DataFrame, other: DataFrame) -> DataFrame:
     """One-row diff stats (reference ``:2467-2482``): added/removed/
-    unchanged counts with the bnode split."""
-    d = diff_graphs(current, other)
-    parts = []
-    for k in ("added", "removed", "added_bnode", "removed_bnode", "unchanged"):
-        parts.append(d[k].agg(F.count("*").alias("n")).select(F.lit(k).alias("k"), "n"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy().pivot("k").sum("n").select(
-        F.coalesce(F.col("added"), F.lit(0)).alias("added"),
-        F.coalesce(F.col("removed"), F.lit(0)).alias("removed"),
-        F.coalesce(F.col("added_bnode"), F.lit(0)).alias("added_bnode"),
-        F.coalesce(F.col("removed_bnode"), F.lit(0)).alias("removed_bnode"),
-        F.coalesce(F.col("unchanged"), F.lit(0)).alias("unchanged"),
+    unchanged counts with the bnode split.
+
+    ONE null-safe full-outer join + conditional aggregate — not three
+    separate set-ops (exceptAll x2 + intersect would shuffle both
+    inputs three times for counts we can take in a single pass).
+    Equivalent because triples are kept set-distinct engine-wide.
+    """
+    from ..model import TRIPLE_COLS
+
+    cur = current.alias("c").withColumn("in_c", F.lit(1))
+    oth = other.alias("o").withColumn("in_o", F.lit(1))
+    # null-safe equality: obj_lang / obj_dt are nullable and NULL must
+    # match NULL (plain join-on-columns would misclassify those rows)
+    cond = None
+    for col in TRIPLE_COLS:
+        piece = F.col(f"c.{col}").eqNullSafe(F.col(f"o.{col}"))
+        cond = piece if cond is None else cond & piece
+    j = cur.join(oth, cond, "full_outer")
+    subj = F.coalesce(F.col("c.subj"), F.col("o.subj"))
+    okind = F.coalesce(F.col("c.obj_kind"), F.col("o.obj_kind"))
+    is_b = subj.startswith("_:") | (okind == "bnode")
+    added = F.col("in_o").isNotNull() & F.col("in_c").isNull()
+    removed = F.col("in_c").isNotNull() & F.col("in_o").isNull()
+    both = F.col("in_c").isNotNull() & F.col("in_o").isNotNull()
+    return j.agg(
+        F.count(F.when(added & ~is_b, 1)).alias("added"),
+        F.count(F.when(removed & ~is_b, 1)).alias("removed"),
+        F.count(F.when(added & is_b, 1)).alias("added_bnode"),
+        F.count(F.when(removed & is_b, 1)).alias("removed_bnode"),
+        F.count(F.when(both, 1)).alias("unchanged"),
     )
 
 
