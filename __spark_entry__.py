@@ -1002,6 +1002,64 @@ _SF_SCALE = {
 }
 
 
+# --------------------------------------------------------------------- #
+# templates / display name / delete-impact render / viz expansion layers
+# --------------------------------------------------------------------- #
+
+
+def _q_template_render(spark, sf_dir):
+    """Render the Organization starter template and parse to triples;
+    oracle = independently hand-enumerated expected rows (fixture
+    ``template_org``)."""
+    from orionbelt_ontology_builder_spark import templates as T
+
+    return T.load_template(spark, "Organization", FX.ORG_BASE)
+
+
+_DN_URIS = [
+    "http://test.org/ont",                               # has rdfs:label
+    "http://example.org/ontologies/v2.1/biology#",       # version part dropped
+    "http://purl.org/net/foo/",                          # trailing-slash path
+]
+
+
+def _q_display_name(spark, sf_dir):
+    ax = FX.fixture_triples(spark, "axioms_om")
+    empty = spark.createDataFrame([], M.TRIPLES_SCHEMA)
+    out = views.infer_display_name(ax, _DN_URIS[0])
+    for u in _DN_URIS[1:]:
+        out = out.unionByName(views.infer_display_name(empty, u))
+    return out
+
+
+def _q_delete_impact_text(spark, sf_dir):
+    return views.format_delete_impact(
+        FX.fixture_triples(spark, "populated_om"), FX.BASE + "Person"
+    )
+
+
+def _q_viz_annotations(spark, sf_dir):
+    return views.viz_annotation_layer(_viz_fixture(spark))
+
+
+def _q_viz_triple_expansion(spark, sf_dir):
+    return views.viz_triple_expansion(_viz_fixture(spark)).withColumn(
+        "is_new", F.col("is_new").cast("int")
+    )
+
+
+def _q_upper_ontology_stats(spark, sf_dir):
+    """Rows-only: load the gist upper ontology (required + default
+    modules) through the template loader and aggregate entity counts.
+    No DuckDB oracle — DuckDB cannot parse Turtle; the parse path itself
+    is oracle-checked by ``turtle_roundtrip``/``template_render``."""
+    from orionbelt_ontology_builder_spark import templates as T
+
+    return views.get_statistics(
+        T.load_upper_ontology(spark, "gist (Semantic Arts)")
+    )
+
+
 #: queries that already earned a green driver CORRECTNESS row in r1.
 #: The r1 driver recorded exactly the first 48 registry entries (a run
 #: budget), so r2 orders the registry with the still-unproven queries
@@ -1130,6 +1188,12 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "template_render": _q_template_render,
+        "display_name": _q_display_name,
+        "delete_impact_text": _q_delete_impact_text,
+        "viz_annotations": _q_viz_annotations,
+        "viz_triple_expansion": _q_viz_triple_expansion,
+        "upper_ontology_stats": _q_upper_ontology_stats,
     }
 
 
@@ -1573,6 +1637,8 @@ SELECT DISTINCT * FROM (
   WHERE pred='{RDF_TYPE}' AND obj NOT LIKE 'http://www.w3.org/%'
   UNION ALL
   SELECT subj, obj, 'broader' FROM triples WHERE pred='{M.SKOS.broader}'
+  UNION ALL
+  SELECT subj, obj, 'related' FROM triples WHERE pred='{M.SKOS.related}'
 )
 WHERE src IN (SELECT id FROM nodes) AND dst IN (SELECT id FROM nodes)
 """
@@ -2296,6 +2362,119 @@ SELECT subj, pred, obj, obj_kind FROM t1
     sql["snapshot_undo"] = f"""
 WITH {pop}
 SELECT subj, pred, obj, obj_kind FROM triples
+"""
+
+    sql["template_render"] = f"""
+WITH {_fx('template_org')}
+SELECT subj, pred, obj, obj_kind, obj_lang, obj_dt FROM triples
+"""
+
+    dn2, dn3 = _DN_URIS[1], _DN_URIS[2]
+    dn_derive = """coalesce(
+  list_extract(list_filter(parts, x -> NOT regexp_matches(x, '^v?\\d+[\\d.]*$')), -1),
+  list_extract(parts, -1), u)"""
+    sql["display_name"] = f"""
+WITH {ax},
+derived AS (
+  SELECT u, list_filter(
+           string_split(regexp_replace(u, '[#/]+$', ''), '/'),
+           x -> x <> '' AND NOT contains(x, ':')) AS parts
+  FROM (VALUES ('{dn2}'), ('{dn3}')) v(u))
+SELECT '{_DN_URIS[0]}' AS uri,
+       (SELECT min(obj) FROM triples
+        WHERE pred='{LBL}' AND subj='{_DN_URIS[0]}') AS display_name
+UNION ALL
+SELECT u AS uri, {dn_derive} AS display_name FROM derived
+"""
+
+    person = FX.BASE + "Person"
+    sql["delete_impact_text"] = f"""
+WITH {pop},
+c AS (
+  SELECT
+    sum(CASE WHEN pred='{SUB}' AND obj='{person}' THEN 1 ELSE 0 END) AS subclasses,
+    sum(CASE WHEN pred='{RDF_TYPE}' AND obj='{person}' THEN 1 ELSE 0 END) AS instances,
+    sum(CASE WHEN pred='{M.RDFS.domain}' AND obj='{person}' THEN 1 ELSE 0 END) AS domain_of,
+    sum(CASE WHEN pred='{M.RDFS.range}' AND obj='{person}' THEN 1 ELSE 0 END) AS range_of,
+    sum(CASE WHEN obj='{person}' AND subj<>'{person}' THEN 1 ELSE 0 END) AS inbound_references,
+    sum(CASE WHEN pred='{person}' THEN 1 ELSE 0 END) AS as_predicate,
+    count(*) AS total_affected
+  FROM triples
+  WHERE subj='{person}' OR obj='{person}' OR pred='{person}')
+SELECT idx, line FROM (
+  SELECT 0 AS idx,
+    'Deleting **{person}** will remove ' || total_affected || ' triple(s).' AS line,
+    1 AS keep FROM c
+  UNION ALL SELECT 1, '- ' || subclasses || ' subclass link(s) lost',
+    CASE WHEN subclasses > 0 THEN 1 ELSE 0 END FROM c
+  UNION ALL SELECT 2, '- ' || instances || ' instance(s) lose their class type',
+    CASE WHEN instances > 0 THEN 1 ELSE 0 END FROM c
+  UNION ALL SELECT 3, '- ' || domain_of || ' property domain reference(s) lost',
+    CASE WHEN domain_of > 0 THEN 1 ELSE 0 END FROM c
+  UNION ALL SELECT 4, '- ' || range_of || ' property range reference(s) lost',
+    CASE WHEN range_of > 0 THEN 1 ELSE 0 END FROM c
+  UNION ALL SELECT 5, '- ' || inbound_references || ' inbound relation(s) removed',
+    CASE WHEN inbound_references > 0 THEN 1 ELSE 0 END FROM c
+  UNION ALL SELECT 6, '- ' || as_predicate || ' property assertion(s) removed',
+    CASE WHEN as_predicate > 0 THEN 1 ELSE 0 END FROM c)
+WHERE keep = 1
+"""
+
+    sql["viz_annotations"] = f"""
+WITH {viz_cte},
+visible AS (
+  SELECT DISTINCT subj FROM triples
+  WHERE pred='{RDF_TYPE}'
+    AND obj IN ('{OWL_CLASS}', '{M.OWL.NamedIndividual}')
+    AND subj NOT LIKE '\\_:%' ESCAPE '\\')
+SELECT DISTINCT
+  t.subj AS src,
+  'ann_' || substr(md5(t.subj || chr(31) || t.pred || chr(31) || t.obj), 1, 8)
+    AS ann_id,
+  {_ln('t.pred')} AS pred_name,
+  CASE WHEN length(t.obj) > 30 THEN substr(t.obj, 1, 30) || '...'
+       ELSE t.obj END AS value_display,
+  t.obj AS value
+FROM triples t JOIN visible v ON t.subj = v.subj
+WHERE t.pred NOT IN ({structural_list})
+  AND t.obj_kind = 'literal'
+  AND {_ln('t.pred')} NOT IN ('label', 'comment')
+"""
+
+    sql["viz_triple_expansion"] = f"""
+WITH {viz_cte},
+visible AS (
+  SELECT DISTINCT subj FROM triples
+  WHERE pred='{RDF_TYPE}'
+    AND obj IN ('{OWL_CLASS}', '{M.OWL.NamedIndividual}', '{M.SKOS.Concept}')
+    AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
+sub AS (
+  SELECT t.* FROM triples t JOIN visible v ON t.subj = v.subj
+  WHERE t.pred <> '{RDF_TYPE}'),
+linked AS (
+  SELECT subj AS src, {_ln('pred')} AS pred_name, obj AS obj_id,
+         {_ln('obj')} AS obj_label, 'uri' AS obj_kind, 0 AS is_new
+  FROM sub
+  WHERE obj_kind='uri' AND obj IN (SELECT subj FROM visible)),
+new_nodes AS (
+  SELECT DISTINCT subj AS src, {_ln('pred')} AS pred_name,
+         'triple_' || substr(md5(obj), 1, 8) AS obj_id,
+         {_ln('obj')} AS obj_label, 'uri' AS obj_kind
+  FROM sub
+  WHERE obj_kind='uri' AND obj NOT IN (SELECT subj FROM visible)
+  UNION
+  SELECT DISTINCT subj, {_ln('pred')},
+         'lit_' || substr(md5(subj || chr(31) || pred || chr(31) || obj), 1, 8),
+         CASE WHEN length(obj) > 30 THEN substr(obj, 1, 30) || '...'
+              ELSE obj END, 'literal'
+  FROM sub WHERE obj_kind='literal'),
+kept_ids AS (
+  SELECT obj_id FROM (SELECT DISTINCT obj_id FROM new_nodes)
+  ORDER BY obj_id LIMIT 200)
+SELECT * FROM linked
+UNION ALL
+SELECT src, pred_name, obj_id, obj_label, obj_kind, 1 AS is_new
+FROM new_nodes WHERE obj_id IN (SELECT obj_id FROM kept_ids)
 """
 
     return sql

@@ -182,7 +182,49 @@ AXIOMS_OM: list[tuple] = POPULATED_OM + [
     t_lit(_e("Person"), OWL.versionInfo, "1.0", dt=XSD.string),
 ]
 
+ORG_BASE = "http://example.org/org#"
+
+
+def _o(name: str) -> str:
+    return ORG_BASE + name
+
+
+#: Expected triples of the "Organization" starter template rendered at
+#: ``ORG_BASE`` (templates.py catalog).  Hand-enumerated independently of
+#: the Turtle text so the driver oracle checks render+parse against a
+#: second authority, not against itself.  27 triples.
+TEMPLATE_ORG: list[tuple] = [
+    t_uri(_o("Organization"), RDF.type, OWL.Class),
+    t_lit(_o("Organization"), RDFS.label, "Organization"),
+    t_uri(_o("Team"), RDF.type, OWL.Class),
+    t_lit(_o("Team"), RDFS.label, "Team"),
+    t_uri(_o("Team"), RDFS.subClassOf, _o("Organization")),
+    t_uri(_o("Person"), RDF.type, OWL.Class),
+    t_lit(_o("Person"), RDFS.label, "Person"),
+    t_uri(_o("memberOf"), RDF.type, OWL.ObjectProperty),
+    t_lit(_o("memberOf"), RDFS.label, "member of"),
+    t_uri(_o("memberOf"), RDFS.domain, _o("Person")),
+    t_uri(_o("memberOf"), RDFS.range, _o("Organization")),
+    t_uri(_o("leads"), RDF.type, OWL.ObjectProperty),
+    t_lit(_o("leads"), RDFS.label, "leads"),
+    t_uri(_o("leads"), RDFS.domain, _o("Person")),
+    t_uri(_o("leads"), RDFS.range, _o("Team")),
+    t_uri(_o("partOf"), RDF.type, OWL.ObjectProperty),
+    t_lit(_o("partOf"), RDFS.label, "part of"),
+    t_uri(_o("partOf"), RDFS.domain, _o("Team")),
+    t_uri(_o("partOf"), RDFS.range, _o("Organization")),
+    t_uri(_o("fullName"), RDF.type, OWL.DatatypeProperty),
+    t_lit(_o("fullName"), RDFS.label, "full name"),
+    t_uri(_o("fullName"), RDFS.domain, _o("Person")),
+    t_uri(_o("fullName"), RDFS.range, XSD.string),
+    t_uri(_o("headcount"), RDF.type, OWL.DatatypeProperty),
+    t_lit(_o("headcount"), RDFS.label, "headcount"),
+    t_uri(_o("headcount"), RDFS.domain, _o("Organization")),
+    t_uri(_o("headcount"), RDFS.range, XSD.integer),
+]
+
 FIXTURES: dict[str, list[tuple]] = {
+    "template_org": TEMPLATE_ORG,
     "populated_om": POPULATED_OM,
     "skos_om": SKOS_OM,
     "diff_a": DIFF_A,

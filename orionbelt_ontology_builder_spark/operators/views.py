@@ -762,8 +762,16 @@ def viz_edges(triples: DataFrame, max_per_layer: int = 500) -> DataFrame:
             F.lit("broader").alias("kind"),
         )
     )
-    return sub.unionByName(typ).unionByName(brd).distinct().orderBy(
-        "kind", "src", "dst"
+    rel = both_ends(
+        triples.filter(F.col("pred") == SKOS.related).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst"),
+            F.lit("related").alias("kind"),
+        )
+    )
+    return (
+        sub.unionByName(typ).unionByName(brd).unionByName(rel)
+        .distinct()
+        .orderBy("kind", "src", "dst")
     )
 
 
@@ -864,3 +872,277 @@ def class_tree(triples: DataFrame, max_depth: int = 16) -> DataFrame:
     return out.select(
         local_name_col(F.col("node")).alias("name"), "depth", "path"
     ).orderBy("path")
+
+
+# --------------------------------------------------------------------------
+# delete-impact text render (reference ontology_manager.py:457-478)
+# --------------------------------------------------------------------------
+
+
+def format_delete_impact(triples: DataFrame, resource: str) -> DataFrame:
+    """(idx, line): the human-readable delete-impact summary as ordered
+    text lines (reference ``format_delete_impact``,
+    ``ontology_manager.py:457-478``).  The header line always renders;
+    each detail line only when its count is non-zero.  Built from the
+    one-row :func:`get_delete_impact` aggregate — an inline-generated
+    array of (idx, line, keep) structs exploded and filtered, so the
+    whole render is a single-pass projection over the counts row."""
+    impact = get_delete_impact(triples, resource)
+
+    def _line(idx: int, n: Column, text: Column, always: bool = False):
+        return F.struct(
+            F.lit(idx).alias("idx"),
+            text.alias("line"),
+            (F.lit(True) if always else (n > 0)).alias("keep"),
+        )
+
+    c = F.col
+    lines = F.array(
+        _line(
+            0,
+            c("total_affected"),
+            F.concat(
+                F.lit("Deleting **"),
+                F.lit(resource),
+                F.lit("** will remove "),
+                c("total_affected").cast("string"),
+                F.lit(" triple(s)."),
+            ),
+            always=True,
+        ),
+        _line(
+            1,
+            c("subclasses"),
+            F.concat(
+                F.lit("- "), c("subclasses").cast("string"),
+                F.lit(" subclass link(s) lost"),
+            ),
+        ),
+        _line(
+            2,
+            c("instances"),
+            F.concat(
+                F.lit("- "), c("instances").cast("string"),
+                F.lit(" instance(s) lose their class type"),
+            ),
+        ),
+        _line(
+            3,
+            c("domain_of"),
+            F.concat(
+                F.lit("- "), c("domain_of").cast("string"),
+                F.lit(" property domain reference(s) lost"),
+            ),
+        ),
+        _line(
+            4,
+            c("range_of"),
+            F.concat(
+                F.lit("- "), c("range_of").cast("string"),
+                F.lit(" property range reference(s) lost"),
+            ),
+        ),
+        _line(
+            5,
+            c("inbound_references"),
+            F.concat(
+                F.lit("- "), c("inbound_references").cast("string"),
+                F.lit(" inbound relation(s) removed"),
+            ),
+        ),
+        _line(
+            6,
+            c("as_predicate"),
+            F.concat(
+                F.lit("- "), c("as_predicate").cast("string"),
+                F.lit(" property assertion(s) removed"),
+            ),
+        ),
+    )
+    return (
+        impact.select(F.explode(lines).alias("l"))
+        .filter(F.col("l.keep"))
+        .select(F.col("l.idx").alias("idx"), F.col("l.line").alias("line"))
+        .orderBy("idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# ontology display-name heuristic (reference app.py:3730-3739)
+# --------------------------------------------------------------------------
+
+
+def infer_display_name(triples: DataFrame, base_uri: str) -> DataFrame:
+    """One row (uri, display_name): the reference's main-area ontology
+    title heuristic (``app.py:3730-3739``) — metadata ``rdfs:label`` if
+    present, else derived from the namespace URI: strip trailing ``#``/
+    ``/``, split on ``/``, drop empty and scheme (``:``-bearing) parts,
+    drop version-number-looking parts (``^v?\\d+[\\d.]*$``), take the
+    last survivor (falling back to the last raw part, then the URI).
+
+    One-row projection — the higher-order ``filter`` calls are
+    CodegenFallback but operate on a single metadata row."""
+    label = (
+        triples.filter(
+            (F.col("pred") == RDFS.label)
+            & (F.col("subj") == F.lit(base_uri.rstrip("#/")))
+        )
+        .agg(F.min("obj").alias("label"))
+    )
+    uri = F.lit(base_uri)
+    trimmed = F.regexp_replace(uri, r"[#/]+$", "")
+    parts = F.filter(
+        F.split(trimmed, "/"),
+        lambda p: (p != "") & ~p.contains(":"),
+    )
+    name_parts = F.filter(
+        parts, lambda p: ~p.rlike(r"^v?\d+[\d.]*$")
+    )
+    derived = F.coalesce(
+        F.try_element_at(name_parts, F.lit(-1)),
+        F.try_element_at(parts, F.lit(-1)),
+        uri,
+    )
+    return label.select(
+        uri.alias("uri"),
+        F.coalesce(
+            F.when(F.col("label") != "", F.col("label")), derived
+        ).alias("display_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# viz expansion layers (reference app.py:3236-3402)
+# --------------------------------------------------------------------------
+
+
+def viz_annotation_layer(triples: DataFrame, max_new: int = 500) -> DataFrame:
+    """(src, ann_id, pred_name, value_display, value): annotation box
+    nodes attached to visible class/individual nodes (reference
+    ``app.py:3236-3294``).  Skips predicates whose local name is
+    ``label``/``comment`` (already in the node tooltip), truncates the
+    rendered value at 30 chars with ``...``, and caps new nodes
+    deterministically (the reference counts toward ``max_nodes=500`` in
+    UI iteration order; here the cap is a sorted ``limit``).
+
+    ``ann_id`` is a portable content hash (md5 of subj|pred|value) so
+    the same annotation gets the same node id on any engine."""
+    visible = (
+        type_slice(triples, OWL.Class)
+        .unionByName(type_slice(triples, OWL.NamedIndividual))
+        .filter(~F.col("subj").startswith("_:"))
+        .select("subj")
+        .distinct()
+    )
+    anns = (
+        triples.join(F.broadcast(visible), "subj", "left_semi")
+        .filter(
+            (~F.col("pred").isin(*STRUCTURAL_PREDICATES))
+            & (F.col("obj_kind") == "literal")
+            & ~local_name_col(F.col("pred")).isin("label", "comment")
+        )
+        .select(
+            F.col("subj").alias("src"),
+            F.concat(
+                F.lit("ann_"),
+                F.substring(
+                    F.md5(F.concat_ws("\x1f", "subj", "pred", "obj")), 1, 8
+                ),
+            ).alias("ann_id"),
+            local_name_col(F.col("pred")).alias("pred_name"),
+            F.when(
+                F.length("obj") > 30,
+                F.concat(F.substring("obj", 1, 30), F.lit("...")),
+            ).otherwise(F.col("obj")).alias("value_display"),
+            F.col("obj").alias("value"),
+        )
+        .distinct()
+    )
+    return anns.orderBy("src", "pred_name", "value").limit(max_new)
+
+
+def viz_triple_expansion(triples: DataFrame, max_new: int = 200) -> DataFrame:
+    """(src, pred_name, obj_id, obj_label, obj_kind, is_new): raw-triple
+    expansion of the visible graph (reference ``app.py:3339-3402``).
+
+    Subjects are the visible class/individual/concept nodes.  URI
+    objects already visible link directly (``is_new = false``, never
+    capped); unseen URI objects and literal objects become new box
+    nodes, capped at ``max_new`` (the reference's ``_max_triple_new =
+    200``, ``app.py:3356``) — deterministically by node id (the
+    reference caps in graph-iteration order).  The cap ranking is a
+    single-partition ``row_number`` window over at most
+    (visible-subjects x their triples) rows — bounded by the viz caps,
+    not by graph size, so the narrow window is safe at any scale.
+
+    Literal node ids hash (subj, pred, value) — the same literal under
+    two subjects is two boxes, as in the reference; URI node ids are
+    the URI's own md5 so each URI lands once."""
+    from pyspark.sql.window import Window
+
+    visible = (
+        type_slice(triples, OWL.Class)
+        .unionByName(type_slice(triples, OWL.NamedIndividual))
+        .unionByName(type_slice(triples, SKOS.Concept))
+        .filter(~F.col("subj").startswith("_:"))
+        .select("subj")
+        .distinct()
+    )
+    sub = triples.join(F.broadcast(visible), "subj", "left_semi").filter(
+        F.col("pred") != RDF.type
+    )
+    uri_objs = sub.filter(F.col("obj_kind") == "uri")
+    vis_obj = visible.withColumnRenamed("subj", "obj")
+    linked = uri_objs.join(F.broadcast(vis_obj), "obj", "left_semi").select(
+        F.col("subj").alias("src"),
+        local_name_col(F.col("pred")).alias("pred_name"),
+        F.col("obj").alias("obj_id"),
+        local_name_col(F.col("obj")).alias("obj_label"),
+        F.lit("uri").alias("obj_kind"),
+        F.lit(False).alias("is_new"),
+    )
+    new_uri = (
+        uri_objs.join(F.broadcast(vis_obj), "obj", "left_anti")
+        .select(
+            F.col("subj").alias("src"),
+            local_name_col(F.col("pred")).alias("pred_name"),
+            F.concat(
+                F.lit("triple_"), F.substring(F.md5("obj"), 1, 8)
+            ).alias("obj_id"),
+            local_name_col(F.col("obj")).alias("obj_label"),
+            F.lit("uri").alias("obj_kind"),
+        )
+    )
+    lits = sub.filter(F.col("obj_kind") == "literal").select(
+        F.col("subj").alias("src"),
+        local_name_col(F.col("pred")).alias("pred_name"),
+        F.concat(
+            F.lit("lit_"),
+            F.substring(
+                F.md5(F.concat_ws("\x1f", "subj", "pred", "obj")), 1, 8
+            ),
+        ).alias("obj_id"),
+        F.when(
+            F.length("obj") > 30,
+            F.concat(F.substring("obj", 1, 30), F.lit("...")),
+        ).otherwise(F.col("obj")).alias("obj_label"),
+        F.lit("literal").alias("obj_kind"),
+    )
+    new_nodes = new_uri.unionByName(lits).distinct()
+    kept_ids = (
+        new_nodes.select("obj_id")
+        .distinct()
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("obj_id")),
+        )
+        .filter(F.col("rank") <= max_new)
+        .drop("rank")
+    )
+    kept = new_nodes.join(F.broadcast(kept_ids), "obj_id", "left_semi").select(
+        "src", "pred_name", "obj_id", "obj_label", "obj_kind",
+        F.lit(True).alias("is_new"),
+    )
+    return linked.unionByName(kept).orderBy(
+        "src", "pred_name", "obj_id"
+    )
