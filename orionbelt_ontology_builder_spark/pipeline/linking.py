@@ -147,7 +147,13 @@ def lsh_candidate_pairs(
         .filter(F.col("count") > max_bucket)
         .select("band", "bucket")
     )
-    small = banded.join(F.broadcast(over_cap), ["band", "bucket"], "left_anti")
+    # persist the capped band table: it feeds three plan branches (the
+    # over_cap aggregate consumed banded once already; the self-join
+    # reads `small` twice).  6 x |distinct mentions| short rows — far
+    # smaller than the shuffle it feeds, safe to cache at any scale.
+    small = banded.join(
+        F.broadcast(over_cap), ["band", "bucket"], "left_anti"
+    ).persist()
     a = small.alias("a")
     b = small.alias("b")
     return (
