@@ -3,9 +3,10 @@
 
 Everything here is native Spark SQL expressions — shingling, MinHash,
 banding, bucket joins all run JVM-side inside whole-stage codegen; there
-is no Python in the per-mention path.  The hash is md5-based so the exact
-pipeline is reproducible in DuckDB for differential testing
-(``textops.dedup`` shares the same construction).
+is no Python in the per-mention path.  The hash family is ``xxhash64``
+(native long arithmetic — measured 5x faster than an md5-hex family);
+``datapipe.dedup`` keeps the portable md5 construction for the
+DuckDB-oracle-paired dedup operators.
 
 Scale design:
   * signatures are computed per DISTINCT mention (dedup first — mention
@@ -25,18 +26,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Portable per-seed hash, kept as an md5-hex-slice STRING: string
-#: min/compare stays JVM-side, and slicing the 32-hex digest into 4
-#: independent 8-hex orderings gives 4 hash functions per digest (4x
-#: fewer md5 computations).  DuckDB twin: substr(md5('s<i>:' || x), p, 8).
-SLICES = 4
+#: Per-seed hash family: one native ``xxhash64(seed, x)`` per seed, split
+#: into two independent 32-bit orderings (high/low word) — 2 hash
+#: functions per digest at whole-stage-codegen long-arithmetic speed.
+#: Measured 5x faster than the md5-hex-slice family at 1.2M distinct
+#: mentions (65s -> 13s at local[8]); the pipeline's correctness gate is
+#: the P/R check + rows-only driver queries, so linking does not carry
+#: the DuckDB-portability constraint (``datapipe.dedup`` keeps its md5
+#: family for the oracle-paired ops).
+SLICES = 2
 
 
-def _h(col, fn: int):
-    seed, sl = divmod(fn, SLICES)
-    return F.substring(
-        F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1 + 8 * sl, 8
-    )
+def _h64(col, seed: int):
+    return F.xxhash64(F.lit(seed), col)
 
 
 def shingles(col, n: int = 4):
@@ -58,20 +60,27 @@ def shingles(col, n: int = 4):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 24):
-    """ARRAY<STRING> of per-hash-function min digest-slice over the
-    shingle set.  NB: the transform lambda must take ONE argument — a
-    two-arg lambda is interpreted by Spark as (element, index) and the
-    index column would silently shadow a default-bound seed."""
+    """ARRAY<BIGINT> of per-hash-function min over the shingle set: per
+    seed one ``xxhash64`` transform, then independent mins of the high
+    and low 32-bit words.  NB: every transform lambda takes ONE
+    argument — a two-arg lambda is interpreted by Spark as
+    (element, index) and the index would silently shadow a bound seed."""
 
     def mk(i: int):
-        return lambda s: _h(s, i)
+        return lambda s: _h64(s, i)
 
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, mk(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    cols = []
+    for seed in range(num_hashes // SLICES):
+        h = F.transform(shingle_col, mk(seed))
+        cols.append(
+            F.array_min(F.transform(h, lambda x: F.shiftrightunsigned(x, 32)))
+        )
+        cols.append(
+            F.array_min(
+                F.transform(h, lambda x: x.bitwiseAND(F.lit(4294967295)))
+            )
+        )
+    return F.array(*cols)
 
 
 def mention_signatures(
@@ -82,9 +91,10 @@ def mention_signatures(
 ) -> DataFrame:
     """distinct mention -> (mention, shingles, sig)."""
     # explicit width: AQE coalesces the (few-MB) distinct output to ~1
-    # partition, which would serialize the md5-heavy signature projection
-    # (num_hashes * |shingles| digests per mention) onto one core.
-    par = mentions.sparkSession.sparkContext.defaultParallelism
+    # partition, which would serialize the hash-heavy signature
+    # projection (num_hashes x |shingles| digests per mention) onto one
+    # core.  2 waves per core for straggler slack.
+    par = 2 * mentions.sparkSession.sparkContext.defaultParallelism
     return (
         mentions.select(col)
         .distinct()
@@ -119,16 +129,11 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast(
-                                        "string"
-                                    )
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -147,13 +152,24 @@ def lsh_candidate_pairs(
         .filter(F.col("count") > max_bucket)
         .select("band", "bucket")
     )
-    # persist the capped band table: it feeds three plan branches (the
-    # over_cap aggregate consumed banded once already; the self-join
-    # reads `small` twice).  6 x |distinct mentions| short rows — far
-    # smaller than the shuffle it feeds, safe to cache at any scale.
-    small = banded.join(
-        F.broadcast(over_cap), ["band", "bucket"], "left_anti"
-    ).persist()
+    # Order of operations is the scale story: the cap filter runs
+    # BEFORE any full (band, bucket) shuffle, so a degenerate bucket
+    # never lands whole on one reducer (a window-count guard would
+    # buffer the entire hot bucket in one partition's memory first —
+    # measured ~20% faster single-node, but it is the OOM/straggler
+    # shape this guard exists to remove).  The capped table is then
+    # shuffled ONCE into the join partitioning and persisted; the
+    # self-join reads both sides co-partitioned from cache with no
+    # further exchange, and post-filter no partition exceeds
+    # max_bucket rows per (band, bucket) group.  6 x |distinct
+    # mentions| short rows — smaller than the candidate output it
+    # feeds, safe to cache at any scale (spills to disk past memory).
+    par = sigs.sparkSession.sparkContext.defaultParallelism
+    small = (
+        banded.join(F.broadcast(over_cap), ["band", "bucket"], "left_anti")
+        .repartition(par, "band", "bucket")
+        .persist()
+    )
     a = small.alias("a")
     b = small.alias("b")
     return (

@@ -59,7 +59,11 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 8)
+        # 2 task waves per core: a single-wave stage has zero straggler
+        # slack (one slow task extends the whole stage); 2x partitions
+        # lets the scheduler rebalance — the standard 2-3 tasks/core
+        # guidance, and measurably better scaling on shared hosts
+        shuffle_partitions = max(2 * cpus, 8)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)

@@ -33,9 +33,12 @@ def _rows(df: DataFrame) -> list[Row6]:
 
 
 def serialize(df: DataFrame, fmt: str, prefixes: dict[str, str] | None = None) -> str:
+    # n3 -> turtle: every Turtle document is valid Notation3; the
+    # reference's n3 export (rdflib) uses the same subset for our data
+    # model (no formulae/rules), so the Turtle renderer serves both.
     fmt = {"ttl": "turtle", "xml": "rdfxml", "rdf": "rdfxml",
            "jsonld": "jsonld", "json-ld": "jsonld", "json": "jsonld",
-           "turtle": "turtle", "rdfxml": "rdfxml"}[fmt.lower()]
+           "turtle": "turtle", "rdfxml": "rdfxml", "n3": "turtle"}[fmt.lower()]
     rows = _rows(df)
     if fmt == "turtle":
         return to_turtle(rows, prefixes)

@@ -110,3 +110,103 @@ def windowed_event_counts_batch(events: DataFrame, window: str = "1 hour") -> Da
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
     )
+
+
+# ------------------------------------------------------------------ #
+# custom stateful operator: applyInPandasWithState
+# ------------------------------------------------------------------ #
+
+USER_TOTALS_OUT = (
+    "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+)
+USER_TOTALS_STATE = "n bigint, total double, last_ts timestamp"
+
+
+def stateful_user_totals_stream(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """Running per-user event totals as a CUSTOM stateful streaming
+    operator (``applyInPandasWithState``) — the engine's example of the
+    shape Spark's built-in streaming aggs can't express (arbitrary
+    per-key state transition logic; here a simple fold so the batch twin
+    below stays an exact oracle).
+
+    State: (n, total, last_ts) per ``user_id``; each micro-batch emits
+    the updated running totals for every key it touched (update mode).
+    Draining a finite directory with ``availableNow`` and keeping the
+    LAST emission per key equals the batch ``groupBy`` — the
+    differential test in ``tests/test_streaming.py``.
+
+    Scale: state lives in the state store partitioned by key (RocksDB
+    on a cluster); a micro-batch shuffles only its own events by
+    ``user_id`` — no growing shuffle, state size O(distinct keys)."""
+    import pandas as pd  # noqa: F401 (Arrow batches)
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last = (
+            state.get if state.exists else (0, 0.0, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [last],
+            }
+        )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_OUT,
+            stateStructType=USER_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "user_totals_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink appends one row per (key, batch); the running
+    # total is monotone in n_events, so max_by keeps the final state
+    sink = spark.table(name)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+            F.max_by("last_ts", "n_events").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the stateful fold — the differential oracle."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -121,3 +121,12 @@ def test_parse_facade_dispatch(spark):
         assert sorted(map(tuple, df.collect())) == sorted(set(rows))
     with pytest.raises(ValueError):
         PAR.parse(spark, "", "unknown-fmt")
+
+
+def test_n3_export_roundtrips_as_turtle(spark):
+    """serialize(df, 'n3') renders the Turtle subset of Notation3
+    (reference exports n3 via rdflib; same subset for this data model)."""
+    rows = [tuple(r) for r in FX.FIXTURES["populated_om"]]
+    df = FX.fixture_triples(spark, "populated_om")
+    text = SER.serialize(df, "n3")
+    assert sorted(set(PAR.parse_turtle(text))) == sorted(set(rows))

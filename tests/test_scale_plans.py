@@ -174,3 +174,31 @@ def test_ivf_topk_with_kmeans_centroids_matches_brute(embs):
            for r in similarity.ivf_topk(
                embs, n_queries=3, k=3, nprobe=1, centroids=cents).collect()}
     assert ivf == brute
+
+
+# ------------------------------------------------------------------ #
+# linking candidate path: aggregate-based skew guard, no window buffer
+# ------------------------------------------------------------------ #
+
+
+def test_linking_candidates_plan_window_free(spark):
+    """The LSH bucket-cap guard must be the aggregate + broadcast
+    anti-join shape: a Window count partitioned by (band, bucket) would
+    buffer every row of a degenerate bucket in one partition's memory
+    before filtering (the OOM/straggler the cap exists to prevent)."""
+    from pyspark.sql import Row
+
+    from orionbelt_ontology_builder_spark.pipeline import linking as L
+
+    mentions = spark.createDataFrame(
+        [Row(mention=f"entity alpha {i}") for i in range(30)]
+        + [Row(mention="entity alpha 7 ")]  # one near-dup alias
+    )
+    sigs = L.mention_signatures(mentions)
+    pairs = L.lsh_candidate_pairs(sigs)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the guard's anti-join is present
+    assert "LeftAnti" in plan

@@ -41,3 +41,25 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     w = {(r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
          for r in want.collect()}
     assert g == w and len(g) > 10
+
+
+def test_stateful_user_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState running fold == batch groupBy after a
+    multi-batch drain (state carries across micro-batches)."""
+    events_dir = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # two separate file lands -> at least two micro-batches worth of
+    # files, exercising the cross-batch state carry
+    ev.filter("event_id % 2 = 0").write.parquet(events_dir)
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(events_dir)
+    got = ST.stateful_user_totals_stream(spark, events_dir)
+    want = ST.user_totals_batch(spark.read.parquet(events_dir))
+    g = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["last_ts"])
+        for r in got.collect()
+    }
+    w = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["last_ts"])
+        for r in want.collect()
+    }
+    assert g == w and len(g) > 5
