@@ -801,6 +801,24 @@ def _q_stream_event_counts(spark, sf_dir):
     )
 
 
+def _q_stream_user_totals(spark, sf_dir):
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-user running fold drained with availableNow; the batch groupBy
+    is an exact oracle (see streaming/ingest.py docstring)."""
+    import tempfile
+
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    key = (id(spark), sf_dir)
+    if key not in _STAGE_CACHE:
+        staged = tempfile.mkdtemp(prefix="obelt_events_")
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        _STAGE_CACHE[key] = staged
+    return ST.stateful_user_totals_stream(spark, _STAGE_CACHE[key])
+
+
 def _q_nt_roundtrip(spark, sf_dir):
     from orionbelt_ontology_builder_spark.sources import ntriples as NT
 
@@ -992,7 +1010,8 @@ def _q_media_frames(spark, sf_dir):
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "tpch_q1", "top_customers", "events_running",
-    "stream_event_counts", "kg_edges", "kg_canonical_map",
+    "stream_event_counts", "stream_user_totals", "kg_edges",
+    "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
     "text_quality", "lang_id", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
@@ -1135,6 +1154,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_metadata": _q_ontology_metadata,
         "ontology_imports": _q_ontology_imports,
         "stream_event_counts": _q_stream_event_counts,
+        "stream_user_totals": _q_stream_user_totals,
         "nt_roundtrip": _q_nt_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
         "rdfxml_roundtrip": _q_rdfxml_roundtrip,
@@ -1686,6 +1706,12 @@ WHERE pred='{M.OWL.imports}' ORDER BY import_uri
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
        count(*) AS n, sum(value) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+    sql["stream_user_totals"] = """
+SELECT user_id, count(*) AS n_events, sum(value) AS total_value,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
 """
 
     roundtrip_identity = f"""
