@@ -965,6 +965,10 @@ def _q_dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, max_doc_id=120)
 
@@ -1014,7 +1018,8 @@ _SF_SCALE = {
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
     "text_quality", "lang_id", "doc_fingerprint", "dedup_exact",
-    "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "media_features", "media_frames",
@@ -1199,6 +1204,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -2208,6 +2214,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["doc_fingerprint"] = textstats.fingerprints_oracle()
     sql["dedup_exact"] = dedup.exact_dedup_oracle()
     sql["dedup_minhash_pairs"] = dedup.minhash_band_pairs_oracle()
+    sql["dedup_clusters"] = dedup.dedup_clusters_oracle()
     sql["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(threshold=0.3, max_doc_id=120)
     sql["dedup_simhash"] = dedup.simhash_oracle()
     sql["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle()

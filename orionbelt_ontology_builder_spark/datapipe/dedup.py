@@ -234,15 +234,14 @@ def minhash_band_pairs(
     )
 
 
-def minhash_band_pairs_oracle(
-    jaccard_threshold: float = 0.5, max_bucket: int = MAX_BUCKET
-) -> str:
+def _pairs_cte_sql(max_bucket: int = MAX_BUCKET) -> str:
+    """CTE chain through ``verified`` (doc_a, doc_b, jaccard) mirroring
+    minhash_band_pairs; shared by the pair and cluster oracles."""
     bucket_filters = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b_} AS band_idx, band_{b_} AS band_hash FROM banded"
         for b_ in range(BANDS)
     )
-    return f"""
-WITH {_sig_cte_sql()},
+    return f"""{_sig_cte_sql()},
 long AS (
   {bucket_filters}),
 ok_buckets AS (
@@ -263,10 +262,76 @@ verified AS (
       AS jaccard
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.doc_a
-  JOIN sig sb ON sb.doc_id = c.doc_b)
+  JOIN sig sb ON sb.doc_id = c.doc_b)"""
+
+
+def minhash_band_pairs_oracle(
+    jaccard_threshold: float = 0.5, max_bucket: int = MAX_BUCKET
+) -> str:
+    return f"""
+WITH {_pairs_cte_sql(max_bucket)}
 SELECT doc_a, doc_b, jaccard FROM verified
 WHERE jaccard >= {jaccard_threshold}
 ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(doc_id, keeper_doc_id, cluster_size): the canonical-doc map a
+    dedup pipeline actually APPLIES — connected components over the
+    verified near-dup pairs, keeper = min doc_id per component.
+
+    Composition: ``minhash_band_pairs`` (LSH candidates + exact verify)
+    -> ``fixpoint.connected_components`` (large/small-star, O(log n)
+    rounds) -> per-component size via groupBy + join (no window — sizes
+    are one short row per component).  Only docs that appear in >=1
+    verified pair are returned: the CC state is O(dup-involved docs),
+    not O(corpus), so a lightly-duplicated web corpus pays for its
+    duplicates only.  Dropping non-keepers then joining keeper text
+    back is a broadcast-shaped join at any scale (ref: the reference
+    has no cluster step; this is the engine's training-data addition)."""
+    from ..operators.fixpoint import connected_components
+
+    pairs = minhash_band_pairs(docs, jaccard_threshold, max_bucket)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("keeper_doc_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_clusters_oracle(
+    jaccard_threshold: float = 0.5, max_bucket: int = MAX_BUCKET
+) -> str:
+    return f"""
+WITH RECURSIVE {_pairs_cte_sql(max_bucket)},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {jaccard_threshold}),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+pnodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(n, m) AS (
+  SELECT n, n FROM pnodes
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u),
+cc AS (SELECT n AS doc_id, min(m) AS keeper_doc_id FROM reach GROUP BY n),
+sizes AS (
+  SELECT keeper_doc_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT cc.doc_id, cc.keeper_doc_id, sizes.cluster_size
+FROM cc JOIN sizes USING (keeper_doc_id) ORDER BY doc_id
 """
 
 
