@@ -122,9 +122,15 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
+                F.col("comp").alias("prev_comp"),
             )
         )
-        # pointer jumping: comp[v] = comp[comp[v]] (halves chain length)
+        # pointer jumping: comp[v] = comp[comp[v]] (halves chain length).
+        # prev_comp rides along so the convergence probe below is a scan
+        # of the checkpointed partitions — not another join + shuffle
+        # (one fewer driver job round-trip per round; the fixpoint loop
+        # is the pipeline's only serial driver-side cost, so per-round
+        # latency is what Amdahl charges against the scaled-up legs).
         jumped = (
             new_parent.alias("a")
             .join(
@@ -139,17 +145,12 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("comp2", F.col("comp"))).alias(
                     "comp"
                 ),
+                F.col("a.prev_comp"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(parent.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-        )
-        converged = changed.isEmpty()
-        parent = jumped
+        converged = jumped.filter(F.col("comp") != F.col("prev_comp")).limit(1).isEmpty()
+        parent = jumped.select("node", "comp")
         if converged:
             break
     return parent.select("node", F.col("comp").alias("component"))

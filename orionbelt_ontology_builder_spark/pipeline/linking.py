@@ -188,8 +188,8 @@ def verified_same_as(
     mentions: DataFrame,
     col: str = "mention",
     num_hashes: int = 24,
-    bands: int = 6,
-    rows_per_band: int = 4,
+    bands: int = 4,
+    rows_per_band: int = 6,
     jaccard_threshold: float = 0.9,
     max_bucket: int = 50,
     shingle_n: int = 4,
@@ -209,7 +209,16 @@ def verified_same_as(
     "...Metro17" with a long shared company prefix) reach J~0.7 —
     measured as the actual false-merge mode at 20k entities.  The
     threshold sits in that (0.7, 1.0) margin; corpora with noisier
-    aliasing would lower it and accept a precision tradeoff."""
+    aliasing would lower it and accept a precision tradeoff.
+
+    Banding 4x6 (not 6x4): the LSH S-curve midpoint (1/b)^(1/r) must
+    sit BETWEEN the false-candidate mode and the verify threshold.
+    6x4 puts it at 0.64 — below the J~0.7 false mode, so prefix-related
+    non-matches band-collide constantly (measured 2.05M candidates for
+    300k mentions); 4x6 puts it at 0.79, cutting candidates 3.2x to
+    0.64M with byte-identical verified output (true pairs sit at J=1.0
+    and collide in every band under both shapes).  Verify stage
+    measured 12.2s -> 5.7s at 300k mentions, local[16]."""
     sigs = mention_signatures(mentions, col, num_hashes, shingle_n).localCheckpoint(eager=True)
     par = mentions.sparkSession.sparkContext.defaultParallelism
     pairs = lsh_candidate_pairs(sigs, col, bands, rows_per_band, max_bucket).repartition(par, "m1")
@@ -217,10 +226,14 @@ def verified_same_as(
     joined = (
         pairs.join(sh.withColumnRenamed(col, "m1").withColumnRenamed("shingles", "sh1"), "m1")
         .join(sh.withColumnRenamed(col, "m2").withColumnRenamed("shingles", "sh2"), "m2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh1", "sh2"))
-            / F.size(F.array_union("sh1", "sh2")),
+            # |A∩B| / (|A|+|B|-|A∩B|): one array traversal, not two
+            # (array_union would recompute the merge array_intersect
+            # already did — measured ~20% of verify-stage time)
+            F.col("inter")
+            / (F.size("sh1") + F.size("sh2") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("m1", "m2", F.round("jaccard", 6).alias("jaccard"))
