@@ -21,26 +21,8 @@ Instantiated for:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def iterate_until_empty(
-    state: DataFrame,
-    step: Callable[[DataFrame], DataFrame],
-    max_rounds: int = 50,
-) -> DataFrame:
-    """Generic fixpoint: ``state ∪= step(state)`` until step yields nothing
-    new.  ``step`` must return only rows NOT already in ``state``."""
-    state = state.localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        delta = step(state).localCheckpoint(eager=True)
-        if delta.isEmpty():
-            break
-        state = state.unionByName(delta).localCheckpoint(eager=True)
-    return state
 
 
 def transitive_closure(
@@ -98,26 +80,28 @@ def connected_components(
     (BASELINE.json north_star).
     """
     # symmetrize; parent[v] initialized to min(neighbor ∪ self).
-    # sym is re-joined EVERY round: checkpoint it so the input lineage
-    # (often an expensive LSH-verify pipeline) executes exactly once,
-    # not once per round.
-    sym = (
+    # ``both`` is checkpointed FIRST so the input lineage (often an
+    # expensive LSH-verify pipeline) executes exactly once — sym and the
+    # node self-pairs both derive from the checkpointed partitions.
+    # sym is re-joined EVERY round, hence its own checkpoint.
+    both = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sym = (
+        both.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
     )
-    nbr0 = sym.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("p"))
+    # init = one aggregation: min over (self ∪ neighbors).  Folding the
+    # self-pairs into the agg replaces the earlier separate node-set
+    # distinct + left join (two shuffles and a checkpoint fewer); the
+    # self-pairs come from ``both`` so nodes appearing only in
+    # self-loops keep their singleton component.
     parent = (
-        nodes.join(nbr0, "node", "left")
-        .select("node", F.least(F.coalesce("p", F.col("node")), F.col("node")).alias("comp"))
+        both.select("u", F.col("u").alias("v"))
+        .unionByName(sym)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("comp"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
