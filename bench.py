@@ -32,6 +32,9 @@ _SF = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(
     os.path.basename(SF_DIR.rstrip("/")), 0.1
 )
 N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", str(int(1_000_000 * _SF))))
+# scaling-pair runs (north_rule: same job at two parallelism levels) time
+# only the pipeline leg; default 0 keeps the full query suite
+PIPELINE_ONLY = os.environ.get("SPARK_GRAFT_PIPELINE_ONLY", "0") == "1"
 
 
 def main() -> None:
@@ -83,7 +86,7 @@ def main() -> None:
 
     # -- ontology-engine queries over induced + fixture graphs ---------
     qs = E.queries()
-    bench_queries = [
+    bench_queries = [] if PIPELINE_ONLY else [
         "induced_hierarchy",
         "induced_stats",
         "induced_individuals_per_class",

@@ -297,8 +297,11 @@ def dedup_clusters(
     from ..operators.fixpoint import connected_components
 
     pairs = minhash_band_pairs(docs, jaccard_threshold, max_bucket)
+    # minhash_band_pairs emits distinct pairs with doc_a < doc_b strictly
+    # — CC skips its dedup shuffle + checkpoint.
     cc = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        assume_clean_pairs=True,
     )
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (

@@ -69,6 +69,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    assume_clean_pairs: bool = False,
 ) -> DataFrame:
     """Undirected connected components; returns (node, component) with
     component = min member id (string ordering).
@@ -78,30 +79,38 @@ def connected_components(
     rounds; per-round cost is one groupBy per direction.  This is the
     canonicalization engine for sameAs/exactMatch alias merging
     (BASELINE.json north_star).
+
+    ``assume_clean_pairs``: caller guarantees the input is already
+    distinct with ``src < dst`` strictly (the LSH-verify contract —
+    ``linking.lsh_candidate_pairs`` emits exactly that) so the
+    symmetrized table needs no dedup/self-loop shuffle + checkpoint.
     """
     # symmetrize; parent[v] initialized to min(neighbor ∪ self).
     # ``both`` is checkpointed FIRST so the input lineage (often an
-    # expensive LSH-verify pipeline) executes exactly once — sym and the
-    # node self-pairs both derive from the checkpointed partitions.
+    # expensive LSH-verify pipeline) executes exactly once.
     # sym is re-joined EVERY round, hence its own checkpoint.
     both = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .localCheckpoint(eager=True)
     )
-    sym = (
-        both.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
-    )
-    # init = one aggregation: min over (self ∪ neighbors).  Folding the
-    # self-pairs into the agg replaces the earlier separate node-set
-    # distinct + left join (two shuffles and a checkpoint fewer); the
-    # self-pairs come from ``both`` so nodes appearing only in
-    # self-loops keep their singleton component.
+    if assume_clean_pairs:
+        sym = both  # already distinct, self-loop-free, both directions
+    else:
+        sym = (
+            both.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    # init = min over (self ∪ neighbors) as ONE aggregation over ``both``
+    # — every node appears as ``u`` (both directions present; self-loops
+    # keep singleton nodes), so least(node, min(v)) needs no self-pairs
+    # union (half the init shuffle volume).  Dups/self-loops in the
+    # not-clean case don't affect a min.
     parent = (
-        both.select("u", F.col("u").alias("v"))
-        .unionByName(sym)
-        .groupBy(F.col("u").alias("node"))
-        .agg(F.min("v").alias("comp"))
+        both.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mv"))
+        .select("node", F.least(F.col("node"), F.col("mv")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):

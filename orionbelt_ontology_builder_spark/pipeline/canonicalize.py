@@ -18,8 +18,11 @@ from ..operators.fixpoint import connected_components
 def canonical_map(same_as: DataFrame) -> DataFrame:
     """(mention, canonical) from verified sameAs pairs; the canonical
     representative is the lexicographically smallest member."""
+    # verified_same_as emits distinct pairs with m1 < m2 strictly
+    # (lsh_candidate_pairs contract) — CC can skip its dedup shuffle.
     return connected_components(
-        same_as.select(F.col("m1").alias("src"), F.col("m2").alias("dst"))
+        same_as.select(F.col("m1").alias("src"), F.col("m2").alias("dst")),
+        assume_clean_pairs=True,
     ).select(F.col("node").alias("mention"), F.col("component").alias("canonical"))
 
 

@@ -64,7 +64,12 @@ def minhash_signature(shingle_col, num_hashes: int = 24):
     seed one ``xxhash64`` transform, then independent mins of the high
     and low 32-bit words.  NB: every transform lambda takes ONE
     argument — a two-arg lambda is interpreted by Spark as
-    (element, index) and the index would silently shadow a bound seed."""
+    (element, index) and the index would silently shadow a bound seed.
+
+    Kept for expression-level callers; ``mention_signatures`` computes
+    the same values through explode + codegen hash-agg instead (every
+    higher-order function here is CodegenFallback — interpreted eval was
+    ~2.3x the whole signature stage, measured at 1.2M mentions)."""
 
     def mk(i: int):
         return lambda s: _h64(s, i)
@@ -89,19 +94,47 @@ def mention_signatures(
     num_hashes: int = 24,
     shingle_n: int = 4,
 ) -> DataFrame:
-    """distinct mention -> (mention, shingles, sig)."""
+    """distinct mention -> (mention, shingles, sig).
+
+    The minhash itself is an explode + ONE whole-stage-codegen hash
+    aggregation (per seed: min of the xxhash64 high/low words), not a
+    per-array higher-order ``transform`` chain — those are
+    CodegenFallback (interpreted per element).  Exploded rows of one
+    mention are colocated (explode is narrow), so partial aggregation
+    collapses them map-side and the agg "shuffle" carries one row per
+    mention; with the explicit repartition below matching
+    ``spark.sql.shuffle.partitions`` both the groupBy and the
+    shingles join-back reuse the same exchange (no extra shuffle —
+    asserted in tests/test_scale_plans.py).  Bit-identical to
+    ``minhash_signature``.
+    """
     # explicit width: AQE coalesces the (few-MB) distinct output to ~1
-    # partition, which would serialize the hash-heavy signature
-    # projection (num_hashes x |shingles| digests per mention) onto one
-    # core.  2 waves per core for straggler slack.
+    # partition, which would serialize the hash-heavy explode + partial
+    # agg onto one core.  2 waves per core for straggler slack.
     par = 2 * mentions.sparkSession.sparkContext.defaultParallelism
-    return (
+    # base is checkpointed: the shingle projection (itself a
+    # CodegenFallback transform chain) runs ONCE, wide; the agg branch
+    # and the join-back both read the materialized co-partitioned rows.
+    base = (
         mentions.select(col)
         .distinct()
         .repartition(par, col)
         .withColumn("shingles", shingles(F.col(col), shingle_n))
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+        .localCheckpoint(eager=True)
     )
+    ex = base.select(col, F.explode("shingles").alias("_sh"))
+    aggs = []
+    for seed in range(num_hashes // SLICES):
+        h = _h64(F.col("_sh"), seed)
+        aggs.append(F.min(F.shiftrightunsigned(h, 32)).alias(f"_h{2 * seed}"))
+        aggs.append(
+            F.min(h.bitwiseAND(F.lit(4294967295))).alias(f"_h{2 * seed + 1}")
+        )
+    sig = ex.groupBy(col).agg(*aggs).select(
+        col,
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    return base.join(sig, col)
 
 
 def lsh_candidate_pairs(
@@ -172,6 +205,11 @@ def lsh_candidate_pairs(
     )
     a = small.alias("a")
     b = small.alias("b")
+    par = sigs.sparkSession.sparkContext.defaultParallelism
+    # dedup of multi-band collisions rides the m1 repartition the verify
+    # join needs anyway: HashPartitioning(m1) satisfies the (m1, m2)
+    # clustering requirement of dropDuplicates (same pair => same m1 =>
+    # same partition), so this is ONE shuffle, not distinct + repartition.
     return (
         a.join(
             b,
@@ -180,7 +218,8 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{col}") < F.col(f"b.{col}")),
         )
         .select(F.col(f"a.{col}").alias("m1"), F.col(f"b.{col}").alias("m2"))
-        .distinct()
+        .repartition(par, "m1")
+        .dropDuplicates(["m1", "m2"])
     )
 
 
@@ -220,8 +259,7 @@ def verified_same_as(
     and collide in every band under both shapes).  Verify stage
     measured 12.2s -> 5.7s at 300k mentions, local[16]."""
     sigs = mention_signatures(mentions, col, num_hashes, shingle_n).localCheckpoint(eager=True)
-    par = mentions.sparkSession.sparkContext.defaultParallelism
-    pairs = lsh_candidate_pairs(sigs, col, bands, rows_per_band, max_bucket).repartition(par, "m1")
+    pairs = lsh_candidate_pairs(sigs, col, bands, rows_per_band, max_bucket)
     sh = sigs.select(F.col(col), F.col("shingles"))
     joined = (
         pairs.join(sh.withColumnRenamed(col, "m1").withColumnRenamed("shingles", "sh1"), "m1")

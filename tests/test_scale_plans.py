@@ -202,3 +202,29 @@ def test_linking_candidates_plan_window_free(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the guard's anti-join is present
     assert "LeftAnti" in plan
+    # multi-band dedup rides the m1 repartition: no exchange keyed on
+    # (m1, m2) anywhere (the old distinct-then-repartition double
+    # shuffle); HashPartitioning(m1) satisfies the dedup's clustering
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    assert not any("m2" in e for e in exchanges), exchanges
+
+
+def test_signature_plan_codegen_agg(spark):
+    """The minhash must be a whole-stage-codegen hash aggregation over
+    exploded shingles — NOT per-array higher-order transforms (those are
+    CodegenFallback: interpreted per element) and NOT an
+    ObjectHashAggregate (collect_set-style, also interpreted)."""
+    from pyspark.sql import Row
+
+    from orionbelt_ontology_builder_spark.pipeline import linking as L
+
+    mentions = spark.createDataFrame(
+        [Row(mention=f"entity beta {i}") for i in range(10)]
+    )
+    plan = _plan(L.mention_signatures(mentions))
+    assert "ObjectHashAggregate" not in plan
+    assert "HashAggregate" in plan
+    assert "xxhash64" in plan
