@@ -46,6 +46,51 @@ def test_extractor_pure_python_matches(pages_df):
     assert len(trips) >= 3
 
 
+def test_combined_regex_matches_per_pattern_loop(pages_df):
+    """The production extractor (one alternation regex + keyword line
+    prefilter) must match the naive first-pattern-wins per-sentence loop
+    exactly — the loop below IS the semantic spec, rebuilt from
+    RELATION_PATTERNS."""
+    import re
+
+    from orionbelt_ontology_builder_spark.pipeline.textextract import (
+        RELATION_PATTERNS,
+        _split_sentences,
+    )
+
+    compiled = [(re.compile(p), pred) for p, pred in RELATION_PATTERNS]
+
+    def naive(text):
+        out = []
+        for line in text.split("\n"):
+            for sent in _split_sentences(line):
+                for rx, pred in compiled:
+                    m = rx.match(sent)
+                    if m:
+                        out.append(
+                            (m.group("s").strip(), pred, m.group("o").strip())
+                        )
+                        break
+        return out
+
+    texts = [r["text"] for r in pages_df.select("text").collect()]
+    # adversarial shapes: abbreviation dots, multi-sentence lines,
+    # keyword-free lines, pattern precedence (Every ... is a ...)
+    texts += [
+        "Acme Inc. is a Company. Every City is a Place.",
+        "no keywords here\nBob works with Alice.",
+        "Every Dog is an Animal. Rex is a Dog. Rex is located in Berlin.",
+        "lowercase is a sentence.",
+        "X. Y is a Z.",
+        "",
+    ]
+    n_triples = 0
+    for t in texts:
+        assert extract_triples_from_text(t) == naive(t), t
+        n_triples += len(naive(t))
+    assert n_triples >= 3 * N_PAGES  # the corpus actually exercises it
+
+
 def test_pipeline_precision_recall(spark, pages_df):
     kg = R.build_kg(pages_df)
     pr = R.precision_recall(kg["edges"], P.ground_truth_triples(N_PAGES))
