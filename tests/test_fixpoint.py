@@ -64,3 +64,68 @@ def test_broader_cycle_detection(spark, skos_om):
     )
     found = {r["concept"] for r in fixpoint.detect_broader_cycles(cyc, SKOS.broader).collect()}
     assert found == {BASE + "X", BASE + "Y"}
+
+
+def _uf_components(edges, nodes):
+    """Reference union-find; canonical = min member (string order)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        canon = min(members)
+        for m in members:
+            out[m] = canon
+    return out
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Pseudo-random graphs (dups, self-loops, chains, cliques, isolated
+    pairs) vs a driver-side union-find — both CC entry modes: the
+    general path and assume_clean_pairs over deduped src<dst input."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        n = rng.randrange(5, 60)
+        nodes = [f"n{i:03d}" for i in range(n)]
+        m = rng.randrange(1, 2 * n)
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(m)
+        ]
+        # general path tolerates dups + self-loops as-is
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["component"]
+            for r in fixpoint.connected_components(df).collect()
+        }
+        touched = sorted({u for e in edges for u in e})
+        want = _uf_components(edges, touched)
+        assert got == want, (trial, edges)
+
+        # clean-pairs path: distinct src<dst only
+        clean = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+        if not clean:
+            continue
+        df2 = spark.createDataFrame(clean, ["src", "dst"])
+        got2 = {
+            r["node"]: r["component"]
+            for r in fixpoint.connected_components(
+                df2, assume_clean_pairs=True
+            ).collect()
+        }
+        touched2 = sorted({u for e in clean for u in e})
+        want2 = _uf_components(clean, touched2)
+        assert got2 == want2, (trial, clean)
