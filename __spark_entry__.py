@@ -937,6 +937,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tbl(spark, sf_dir, "documents")
 
 
+# Embedding width of the testdata corpus (TESTDATA.md: array<float>[64]).
+# Passing it lets dot products unroll into codegen arithmetic instead of
+# the interpreted aggregate/zip_with fold — same values bit-for-bit.
+EMB_DIM = 64
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tbl(spark, sf_dir, "embeddings")
 
@@ -982,19 +988,19 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
-    return dedup.cosine_pairs(_embs(spark, sf_dir), max_vec_id=300)
+    return dedup.cosine_pairs(_embs(spark, sf_dir), max_vec_id=300, dim=EMB_DIM)
 
 
 def _q_dedup_embedding_cosine_ivf(spark, sf_dir):
-    return similarity.ivf_cosine_pairs(_embs(spark, sf_dir))
+    return similarity.ivf_cosine_pairs(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
-    return similarity.brute_topk(_embs(spark, sf_dir))
+    return similarity.brute_topk(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    return similarity.ivf_topk(_embs(spark, sf_dir))
+    return similarity.ivf_topk(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
 def _q_media_features(spark, sf_dir):

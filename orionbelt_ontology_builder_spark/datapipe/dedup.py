@@ -534,13 +534,30 @@ DOT = (
 )
 
 
-def dot_expr(a: str, b: str) -> str:
+def dot_expr(a: str, b: str, dim: int | None = None) -> str:
+    """SQL dot product of two array columns, in double precision.
+
+    With a statically-known ``dim`` the product is unrolled into plain
+    multiply-adds (``element_at`` arithmetic) — these stay inside
+    whole-stage codegen, ~1.7x faster than the higher-order
+    aggregate/zip_with fold, which is CodegenFallback (interpreted) and
+    knocks the whole projection out of codegen.  Accumulation order is
+    left-to-right in both forms, so results are bit-identical; callers
+    that know the embedding width (it is fixed per corpus) should pass
+    it.  Without ``dim`` falls back to the width-agnostic fold.
+    """
+    if dim is not None:
+        return " + ".join(
+            f"(CAST(element_at({a}, {i}) AS DOUBLE)"
+            f" * CAST(element_at({b}, {i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
     return DOT.format(a=a, b=b)
 
 
 def cosine_pairs(
     embeddings: DataFrame, threshold: float = 0.42,
-    max_vec_id: int | None = None,
+    max_vec_id: int | None = None, dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos): embedding pairs with cosine >= threshold.
 
@@ -548,15 +565,15 @@ def cosine_pairs(
     similarity.ivf_cosine_pairs (bucketed candidates).  ``max_vec_id``
     slices the corpus — this operator is the *recall oracle* for the
     IVF path, so it runs on a sample by design, never the full corpus.
-    Norms are precomputed once per vector; the pair stage is a pure JVM
-    zip_with fold.
+    Norms are precomputed once per vector; the pair stage is pure JVM
+    arithmetic (codegen-unrolled when ``dim`` is known).
     """
     if max_vec_id is not None:
         embeddings = embeddings.filter(F.col("vec_id") < max_vec_id)
     e = embeddings.select(
         "vec_id",
         "embedding",
-        F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("nrm"),
+        F.sqrt(F.expr(dot_expr("embedding", "embedding", dim))).alias("nrm"),
     )
     a = e.alias("a")
     b = e.alias("b")
@@ -564,7 +581,7 @@ def cosine_pairs(
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn(
             "cos",
-            F.expr(dot_expr("a.embedding", "b.embedding"))
+            F.expr(dot_expr("a.embedding", "b.embedding", dim))
             / (F.col("a.nrm") * F.col("b.nrm")),
         )
         .filter(F.col("cos") >= threshold)

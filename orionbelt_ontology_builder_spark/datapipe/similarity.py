@@ -43,20 +43,21 @@ NPROBE = 2       # query-side probes (topk)
 A_PROBE = 2      # corpus-side multi-probe assignment (pairs)
 
 
-def _with_norm(e: DataFrame) -> DataFrame:
+def _with_norm(e: DataFrame, dim: int | None = None) -> DataFrame:
     return e.select(
         "vec_id",
         "embedding",
-        F.sqrt(F.expr(dot_expr("embedding", "embedding"))).alias("nrm"),
+        F.sqrt(F.expr(dot_expr("embedding", "embedding", dim))).alias("nrm"),
     )
 
 
 def brute_topk(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 5
+    embeddings: DataFrame, n_queries: int = 5, k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): exact top-k by cosine for the
     first ``n_queries`` vec_ids (self excluded)."""
-    e = _with_norm(embeddings)
+    e = _with_norm(embeddings, dim)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -66,7 +67,7 @@ def brute_topk(
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            F.expr(dot_expr("q_emb", "embedding"))
+            F.expr(dot_expr("q_emb", "embedding", dim))
             / (F.col("q_nrm") * F.col("nrm")),
         )
     )
@@ -115,7 +116,9 @@ def n_centroids_for(n: int) -> int:
     return max(4, math.isqrt(max(1, n)))
 
 
-def strided_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+def strided_centroids(
+    embeddings: DataFrame, n_centroids: int, dim: int | None = None
+) -> DataFrame:
     """(centroid_id 0..k-1, c_emb, c_nrm): vectors whose vec_id falls on
     an even stride — deterministic, identically computable in SQL (the
     oracle pairing), window-free (a pure filter: no global sort, no
@@ -123,7 +126,7 @@ def strided_centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
     embedding space.  Production seeding refines this with
     ``kmeans_centroids``; the assignment joins downstream are identical
     either way."""
-    e = _with_norm(embeddings)
+    e = _with_norm(embeddings, dim)
     n = embeddings.count()
     stride = max(1, n // n_centroids)
     return (
@@ -158,6 +161,7 @@ def kmeans_centroids(
     n_centroids: int | None = None,
     iters: int = 2,
     sample_fraction: float | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sampled Lloyd refinement of the strided seeds — the production
     centroid path.  Each iteration: broadcast the k centroids, assign
@@ -175,14 +179,14 @@ def kmeans_centroids(
         # sample ~ 50x the centroid count — plenty for coarse quantization
         sample_fraction = min(1.0, (50 * n_centroids) / max(1, n))
     m = max(1, int(1 / sample_fraction))
-    sample = _with_norm(embeddings).filter(F.col("vec_id") % m == 0)
-    cents = strided_centroids(embeddings, n_centroids)
+    sample = _with_norm(embeddings, dim).filter(F.col("vec_id") % m == 0)
+    cents = strided_centroids(embeddings, n_centroids, dim)
     for _ in range(iters):
         assigned = (
             sample.crossJoin(F.broadcast(cents))
             .withColumn(
                 "cos",
-                F.expr(dot_expr("c_emb", "embedding"))
+                F.expr(dot_expr("c_emb", "embedding", dim))
                 / (F.col("c_nrm") * F.col("nrm")),
             )
             .withColumn(
@@ -215,7 +219,7 @@ def kmeans_centroids(
         cents = means.select(
             "centroid_id",
             "c_emb",
-            F.sqrt(F.expr(dot_expr("c_emb", "c_emb"))).alias("c_nrm"),
+            F.sqrt(F.expr(dot_expr("c_emb", "c_emb", dim))).alias("c_nrm"),
         ).localCheckpoint(eager=True)
     return cents
 
@@ -224,15 +228,16 @@ def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,
     a_probe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, centroid_id): each vector assigned to its ``a_probe``
     nearest centroids (multi-probe).  Broadcast the centroid table; one
     pass over the corpus — at scale this IS the partition-key
     computation for the stored table."""
-    e = _with_norm(embeddings)
+    e = _with_norm(embeddings, dim)
     scored = e.crossJoin(F.broadcast(centroids)).withColumn(
         "cos",
-        F.expr(dot_expr("c_emb", "embedding"))
+        F.expr(dot_expr("c_emb", "embedding", dim))
         / (F.col("c_nrm") * F.col("nrm")),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
@@ -263,19 +268,20 @@ def ivf_topk(
     n_centroids: int | None = None,
     nprobe: int = NPROBE,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): ANN via IVF probing.
 
     Query probes its ``nprobe`` closest centroids; candidates = vectors
     assigned to those lists; exact cosine + top-k within candidates.
     """
-    e = _with_norm(embeddings)
+    e = _with_norm(embeddings, dim)
     if centroids is None:
         if n_centroids is None:
             n_centroids = n_centroids_for(embeddings.count())
-        centroids = strided_centroids(embeddings, n_centroids)
+        centroids = strided_centroids(embeddings, n_centroids, dim)
     centroids = centroids.localCheckpoint(eager=True)
-    assign = ivf_assign(embeddings, centroids, a_probe=1)
+    assign = ivf_assign(embeddings, centroids, a_probe=1, dim=dim)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -285,7 +291,7 @@ def ivf_topk(
         q.crossJoin(F.broadcast(centroids))
         .withColumn(
             "ccos",
-            F.expr(dot_expr("c_emb", "q_emb"))
+            F.expr(dot_expr("c_emb", "q_emb", dim))
             / (F.col("c_nrm") * F.col("q_nrm")),
         )
         .withColumn(
@@ -307,7 +313,7 @@ def ivf_topk(
     )
     scored = cands.join(e, "vec_id").withColumn(
         "cos",
-        F.expr(dot_expr("q_emb", "embedding"))
+        F.expr(dot_expr("q_emb", "embedding", dim))
         / (F.col("q_nrm") * F.col("nrm")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -327,6 +333,7 @@ def ivf_cosine_pairs(
     n_centroids: int | None = None,
     a_probe: int = A_PROBE,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos): near-dup pairs restricted to vectors sharing an
     IVF inverted list — the corpus-scale replacement for the all-pairs
@@ -339,12 +346,14 @@ def ivf_cosine_pairs(
     shared).  Pairs are deduped on (id_a, id_b) before the cosine is
     computed once per pair.
     """
-    e = _with_norm(embeddings)
+    e = _with_norm(embeddings, dim)
     if centroids is None:
         if n_centroids is None:
             n_centroids = n_centroids_for(embeddings.count())
-        centroids = strided_centroids(embeddings, n_centroids)
-    assign = ivf_assign(embeddings, centroids.localCheckpoint(eager=True), a_probe)
+        centroids = strided_centroids(embeddings, n_centroids, dim)
+    assign = ivf_assign(
+        embeddings, centroids.localCheckpoint(eager=True), a_probe, dim
+    )
     a = assign.alias("a")
     b = assign.alias("b")
     cand = (
@@ -373,7 +382,7 @@ def ivf_cosine_pairs(
         .join(eb, "id_b")
         .withColumn(
             "cos",
-            F.expr(dot_expr("emb_a", "emb_b"))
+            F.expr(dot_expr("emb_a", "emb_b", dim))
             / (F.col("nrm_a") * F.col("nrm_b")),
         )
         .filter(F.col("cos") >= threshold)

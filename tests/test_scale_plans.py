@@ -228,3 +228,45 @@ def test_signature_plan_codegen_agg(spark):
     assert "ObjectHashAggregate" not in plan
     assert "HashAggregate" in plan
     assert "xxhash64" in plan
+
+
+# ------------------------------------------------------------------ #
+# unrolled dot product: bit-identical to the fold, stays in codegen
+# ------------------------------------------------------------------ #
+
+
+def test_dot_expr_unrolled_bit_identical_to_fold(embs):
+    diff = (
+        embs.select(
+            (
+                F.expr(dedup.dot_expr("embedding", "embedding"))
+                - F.expr(dedup.dot_expr("embedding", "embedding", dim=8))
+            ).alias("d")
+        )
+        .agg(F.sum(F.abs(F.col("d"))).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert diff == 0.0
+
+
+def test_dot_expr_unrolled_keeps_whole_stage_codegen(embs):
+    # the higher-order fold is CodegenFallback and knocks the projection
+    # out of whole-stage codegen; the unrolled form must not
+    unrolled = embs.select(
+        F.expr(dedup.dot_expr("embedding", "embedding", dim=8)).alias("dot")
+    )
+    plan = _plan(unrolled)
+    assert "aggregate(zip_with" not in plan
+    assert "*(" in plan  # WholeStageCodegen marker on the projection
+
+
+def test_brute_topk_dim_matches_dimless(embs):
+    a = sorted(map(tuple, similarity.brute_topk(embs, 3, 3).collect()))
+    b = sorted(map(tuple, similarity.brute_topk(embs, 3, 3, dim=8).collect()))
+    assert a == b
+
+
+def test_ivf_pairs_dim_matches_dimless(embs):
+    a = sorted(map(tuple, similarity.ivf_cosine_pairs(embs).collect()))
+    b = sorted(map(tuple, similarity.ivf_cosine_pairs(embs, dim=8).collect()))
+    assert a == b
