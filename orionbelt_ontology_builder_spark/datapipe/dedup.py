@@ -581,7 +581,10 @@ def cosine_pairs(
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn(
             "cos",
-            F.expr(dot_expr("a.embedding", "b.embedding", dim))
+            # non-equi self-join => BNLJ => interpreted projection: the
+            # unrolled form is ~8x slower there (see similarity module
+            # note); keep the fold for the pair stage
+            F.expr(dot_expr("a.embedding", "b.embedding"))
             / (F.col("a.nrm") * F.col("b.nrm")),
         )
         .filter(F.col("cos") >= threshold)

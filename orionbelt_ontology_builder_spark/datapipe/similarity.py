@@ -25,6 +25,18 @@ over a corpus sample, broadcast-assignment + mean-per-cluster each round
 (pytest-verified; k-means is iterative floating-point and therefore not
 oracle-paired, matching the driver contract's rows-only tier).
 
+Dot-product form selection (all measured on this host): the unrolled
+``dot_expr(.., dim)`` beats the aggregate/zip_with fold only in plain
+whole-stage-codegen scan projections (~1.7x on a 200k x 64 scan).  In
+every JOIN-stage projection it LOSES — ~8x on a BroadcastNestedLoopJoin
+(crossJoin / non-equi broadcast join, where projections evaluate
+interpreted and a 400-node tree with per-node boxing can't compete with
+the fold's one specialized loop) and ~3x even above shuffled equi-joins
+(the giant single-expression method blows the JIT's HugeMethodLimit and
+runs as interpreted bytecode).  Hence: unroll only in ``_with_norm`` /
+centroid-norm projections; fold in every join stage regardless of
+``dim``.
+
 Determinism contract: cosines are raw doubles — both engines fold the
 same values in the same index order in double precision, so results are
 bit-identical; ranking ties break on vec_id / centroid_id.
@@ -67,7 +79,9 @@ def brute_topk(
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            F.expr(dot_expr("q_emb", "embedding", dim))
+            # non-equi broadcast join => BNLJ => interpreted projection:
+            # the unrolled form is ~8x SLOWER there (measured); keep the fold
+            F.expr(dot_expr("q_emb", "embedding"))
             / (F.col("q_nrm") * F.col("nrm")),
         )
     )
@@ -186,7 +200,8 @@ def kmeans_centroids(
             sample.crossJoin(F.broadcast(cents))
             .withColumn(
                 "cos",
-                F.expr(dot_expr("c_emb", "embedding", dim))
+                # crossJoin => BNLJ => interpreted: fold wins (see module note)
+                F.expr(dot_expr("c_emb", "embedding"))
                 / (F.col("c_nrm") * F.col("nrm")),
             )
             .withColumn(
@@ -237,7 +252,8 @@ def ivf_assign(
     e = _with_norm(embeddings, dim)
     scored = e.crossJoin(F.broadcast(centroids)).withColumn(
         "cos",
-        F.expr(dot_expr("c_emb", "embedding", dim))
+        # crossJoin => BNLJ => interpreted: fold wins (see module note)
+        F.expr(dot_expr("c_emb", "embedding"))
         / (F.col("c_nrm") * F.col("nrm")),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
@@ -291,7 +307,8 @@ def ivf_topk(
         q.crossJoin(F.broadcast(centroids))
         .withColumn(
             "ccos",
-            F.expr(dot_expr("c_emb", "q_emb", dim))
+            # crossJoin => BNLJ => interpreted: fold wins (see module note)
+            F.expr(dot_expr("c_emb", "q_emb"))
             / (F.col("c_nrm") * F.col("q_nrm")),
         )
         .withColumn(
@@ -313,7 +330,8 @@ def ivf_topk(
     )
     scored = cands.join(e, "vec_id").withColumn(
         "cos",
-        F.expr(dot_expr("q_emb", "embedding", dim))
+        # join-stage projection: fold wins (see module note)
+        F.expr(dot_expr("q_emb", "embedding"))
         / (F.col("q_nrm") * F.col("nrm")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -351,9 +369,15 @@ def ivf_cosine_pairs(
         if n_centroids is None:
             n_centroids = n_centroids_for(embeddings.count())
         centroids = strided_centroids(embeddings, n_centroids, dim)
+    # Materialize the (vec_id, centroid_id) assignment before the
+    # self-join: both join sides reuse it, so without this the whole
+    # BNLJ+window assignment lineage executes twice.  At corpus scale
+    # this materialization IS the inverted-list table write (stored
+    # partitioned by centroid_id -> partition-pruned, shuffle-free
+    # per-list self-joins).
     assign = ivf_assign(
         embeddings, centroids.localCheckpoint(eager=True), a_probe, dim
-    )
+    ).localCheckpoint(eager=True)
     a = assign.alias("a")
     b = assign.alias("b")
     cand = (
@@ -377,12 +401,19 @@ def ivf_cosine_pairs(
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    # Widen the scoring stage: AQE coalesces the few-MB candidate
+    # shuffle to 1 partition, serializing the CPU-heavy cosine stage
+    # (measured 2x on 180k pairs; at cluster scale the coalesced stage
+    # would idle every executor but one).
+    spark = embeddings.sparkSession
+    cand = cand.repartition(spark.sparkContext.defaultParallelism, "id_a")
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn(
             "cos",
-            F.expr(dot_expr("emb_a", "emb_b", dim))
+            # join-stage projection: fold wins (see module note)
+            F.expr(dot_expr("emb_a", "emb_b"))
             / (F.col("nrm_a") * F.col("nrm_b")),
         )
         .filter(F.col("cos") >= threshold)
