@@ -545,6 +545,37 @@ def _q_reasoning_owlrl(spark, sf_dir):
     )
 
 
+#: owl-rl identity/hasValue rule fixture: a functional property with two
+#: objects (prp-fp), an inverse-functional literal key shared by two
+#: subjects (prp-ifp), and a hasValue restriction reached via rdfs9
+#: (cls-hv1) and asserted value (cls-hv2).  No member of a sameAs clique
+#: appears in schema position, so the staged DuckDB mirror (one rule
+#: pass -> closure -> substitution) equals the Spark fixpoint.
+_FPHV_OM: list[tuple] = [
+    M.t_uri(FX.BASE + "hasSpouse", M.RDF.type, M.OWL.FunctionalProperty),
+    M.t_uri(FX.BASE + "bob", FX.BASE + "hasSpouse", FX.BASE + "carol"),
+    M.t_uri(FX.BASE + "bob", FX.BASE + "hasSpouse", FX.BASE + "caroline"),
+    M.t_uri(FX.BASE + "hasEmail", M.RDF.type, M.OWL.InverseFunctionalProperty),
+    (FX.BASE + "u1", FX.BASE + "hasEmail", "x@y.org", "literal", None, None),
+    (FX.BASE + "u2", FX.BASE + "hasEmail", "x@y.org", "literal", None, None),
+    ("_:hv1", M.OWL.onProperty, FX.BASE + "hasStatus", "uri", None, None),
+    ("_:hv1", M.OWL.hasValue, "active", "literal", None, None),
+    M.t_uri(FX.BASE + "Activated", M.RDFS.subClassOf, "_:hv1"),
+    M.t_uri(FX.BASE + "d1", M.RDF.type, FX.BASE + "Activated"),
+    (FX.BASE + "d2", FX.BASE + "hasStatus", "active", "literal", None, None),
+]
+
+
+def _q_reasoning_fp_hv(spark, sf_dir):
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    t = spark.createDataFrame(_FPHV_OM, M.TRIPLES_SCHEMA)
+    expanded, _n = reasoning.apply_reasoning(t, profile="owl-rl")
+    return expanded.select("subj", "pred", "obj", "obj_kind").orderBy(
+        "subj", "pred", "obj"
+    )
+
+
 _BULK_CLASSES = [
     ("Person", "Person Again", None),      # exists -> skipped
     ("NewOne", "New label", "a comment"),
@@ -1193,6 +1224,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_skos": _q_validate_skos,
         "reasoning_rdfs": _q_reasoning_rdfs,
         "reasoning_owlrl": _q_reasoning_owlrl,
+        "reasoning_fp_hv": _q_reasoning_fp_hv,
         "restriction_add_delete": _q_restriction_add_delete,
         "axiom_builders": _q_axiom_builders,
         "prefix_table": _q_prefix_table,
@@ -2162,6 +2194,84 @@ reach(a, b) AS (
 sib(n, tw) AS (
   SELECT a, b FROM reach
   UNION SELECT a, a FROM reach),
+with_same AS (
+  SELECT * FROM base_u
+  UNION SELECT n, '{sameas_p}', tw, 'uri' FROM sib),
+rep AS (
+  SELECT * FROM with_same
+  UNION SELECT sib.tw, w.pred, w.obj, w.obj_kind
+        FROM with_same w JOIN sib ON w.subj = sib.n
+  UNION SELECT w.subj, sib.tw, w.obj, w.obj_kind
+        FROM with_same w JOIN sib ON w.pred = sib.n
+  UNION SELECT w.subj, w.pred, sib.tw, w.obj_kind
+        FROM with_same w JOIN sib ON w.obj = sib.n AND w.obj_kind = 'uri')
+SELECT DISTINCT subj, pred, obj, obj_kind FROM rep
+ORDER BY subj, pred, obj
+"""
+
+    fphv_vals = ",\n    ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'" for v in row
+        ) + ")"
+        for row in _FPHV_OM
+    )
+    func_p = M.OWL.FunctionalProperty
+    ifunc_p = M.OWL.InverseFunctionalProperty
+    onprop_p = M.OWL.onProperty
+    hasval_p = M.OWL.hasValue
+    # Staged mirror of apply_reasoning(profile="owl-rl") on the fp/ifp/
+    # hasValue fixture: one rule pass (cls-hv2 -> rdfs9 -> cls-hv1, then
+    # prp-fp / prp-ifp over the expanded assertions), then sameAs
+    # closure + eq-rep substitution.  Sound on this fixture because no
+    # sameAs-clique member appears in schema position and substituted
+    # triples fire no new rules (confluence).  The fixture's literals
+    # carry no lang/datatype, so object identity is (obj, obj_kind).
+    sql["reasoning_fp_hv"] = f"""
+WITH RECURSIVE t(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {fphv_vals}),
+sc(c, d) AS (
+  SELECT subj, obj FROM t WHERE pred='{SUB}'
+  UNION SELECT sc.c, e.obj FROM sc JOIN t e ON e.pred='{SUB}' AND sc.d = e.subj),
+hv(r, p, v, vk) AS (
+  SELECT o.subj, o.obj, h.obj, h.obj_kind FROM t o JOIN t h ON h.subj = o.subj
+  WHERE o.pred='{onprop_p}' AND h.pred='{hasval_p}'),
+a0 AS (SELECT subj, pred, obj, obj_kind FROM t
+       WHERE pred NOT IN ('{RDF_TYPE}', '{SUB}', '{M.RDFS.subPropertyOf}')),
+ty0(s, c) AS (
+  SELECT subj, obj FROM t WHERE pred='{RDF_TYPE}'
+  UNION SELECT a0.subj, hv.r FROM a0 JOIN hv
+        ON a0.pred = hv.p AND a0.obj = hv.v AND a0.obj_kind = hv.vk),
+tyx(s, c) AS (
+  SELECT * FROM ty0
+  UNION SELECT tyx.s, sc.d FROM tyx JOIN sc ON tyx.c = sc.c),
+hv1 AS (SELECT tyx.s AS subj, hv.p AS pred, hv.v AS obj, hv.vk AS obj_kind
+        FROM tyx JOIN hv ON tyx.c = hv.r),
+a1 AS (SELECT * FROM a0 UNION SELECT * FROM hv1),
+fp(p) AS (SELECT subj FROM t WHERE pred='{RDF_TYPE}' AND obj='{func_p}'),
+ifp(p) AS (SELECT subj FROM t WHERE pred='{RDF_TYPE}' AND obj='{ifunc_p}'),
+fp_same(x, y) AS (
+  SELECT a.obj, b.obj FROM a1 a JOIN a1 b
+    ON a.subj = b.subj AND a.pred = b.pred AND a.obj < b.obj
+  WHERE a.pred IN (SELECT p FROM fp)
+    AND a.obj_kind = 'uri' AND b.obj_kind = 'uri'),
+ifp_same(x, y) AS (
+  SELECT a.subj, b.subj FROM a1 a JOIN a1 b
+    ON a.pred = b.pred AND a.obj = b.obj AND a.obj_kind = b.obj_kind
+   AND a.subj < b.subj
+  WHERE a.pred IN (SELECT p FROM ifp)),
+sym(a, b) AS (
+  SELECT subj, obj FROM t WHERE pred='{sameas_p}'
+  UNION SELECT x, y FROM fp_same UNION SELECT y, x FROM fp_same
+  UNION SELECT x, y FROM ifp_same UNION SELECT y, x FROM ifp_same),
+reach(a, b) AS (
+  SELECT * FROM sym
+  UNION SELECT reach.a, sym.b FROM reach JOIN sym ON reach.b = sym.a),
+sib(n, tw) AS (SELECT a, b FROM reach UNION SELECT a, a FROM reach),
+base_u AS (
+  SELECT subj, pred, obj, obj_kind FROM t
+  UNION SELECT subj, pred, obj, obj_kind FROM a1
+  UNION SELECT s, '{RDF_TYPE}', c, 'uri' FROM tyx
+  UNION SELECT c, '{SUB}', d, 'uri' FROM sc),
 with_same AS (
   SELECT * FROM base_u
   UNION SELECT n, '{sameas_p}', tw, 'uri' FROM sib),

@@ -23,6 +23,16 @@ inference, inverse/symmetric/transitive properties, sameAs closure):
   eq-sym  (x sameAs y)                               -> (y sameAs x)
   eq-trans(x sameAs y), (y sameAs z)                 -> (x sameAs z)
 
+owl-rl profile additionally (reference ``apply_reasoning(profile=
+'owl-rl')``, ``ontology_manager.py:2859-2860``): cax-eqc1/2,
+prp-eqp1/2, eq-rep-s/p/o substitution, and
+
+  prp-fp  (p type FunctionalProperty), (x p y1), (x p y2) -> (y1 sameAs y2)
+  prp-ifp (p type InverseFunctionalProperty), (x1 p y), (x2 p y)
+                                                     -> (x1 sameAs x2)
+  cls-hv1 (r onProperty p), (r hasValue v), (x type r) -> (x p v)
+  cls-hv2 (r onProperty p), (r hasValue v), (x p v)    -> (x type r)
+
 Scale notes: schema-level slices (subClassOf, subPropertyOf, domain,
 range, property-characteristic sets) are tiny next to the instance data —
 every rule join broadcasts the schema side, so one reasoning round over
@@ -49,178 +59,237 @@ def _as_triples(df: DataFrame, kind: str = "uri") -> DataFrame:
     )
 
 
-def _round(triples: DataFrame, with_equivalence: bool = False) -> DataFrame:
+def _schema_flags(triples: DataFrame) -> dict:
+    """One tiny aggregation probing which schema constructs exist —
+    each rule join below is built only when its (broadcast-side) schema
+    slice is non-empty.  At fixture scale this halves the per-round DAG;
+    at corpus scale it skips instance-wide joins that provably produce
+    nothing.  Sound inside the fixpoint: a rule's schema slice can only
+    become non-empty in a round that added triples, and the probe is
+    recomputed from ``current`` every round."""
+
+    def has(cond):
+        return F.max(cond.cast("int"))
+
+    is_type = F.col("pred") == RDF.type
+    row = triples.select(
+        has(F.col("pred") == RDFS.subClassOf).alias("sub_class"),
+        has(F.col("pred") == RDFS.subPropertyOf).alias("sub_prop"),
+        has(F.col("pred") == RDFS.domain).alias("domain"),
+        has(F.col("pred") == RDFS.range).alias("range"),
+        has(F.col("pred") == OWL.inverseOf).alias("inverse"),
+        has(is_type & (F.col("obj") == OWL.SymmetricProperty)).alias("symmetric"),
+        has(is_type & (F.col("obj") == OWL.TransitiveProperty)).alias("transitive"),
+        has(is_type & (F.col("obj") == OWL.FunctionalProperty)).alias("functional"),
+        has(is_type & (F.col("obj") == OWL.InverseFunctionalProperty)).alias(
+            "inv_functional"
+        ),
+        has(F.col("pred") == OWL.equivalentClass).alias("eq_cls"),
+        has(F.col("pred") == OWL.equivalentProperty).alias("eq_prp"),
+        has(F.col("pred") == OWL.onProperty).alias("onprop"),
+        has(F.col("pred") == OWL.hasValue).alias("hasval"),
+        has(F.col("pred") == OWL.sameAs).alias("sameas"),
+    ).collect()[0]
+    return {k: bool(v) for k, v in row.asDict().items()}
+
+
+def _round(
+    triples: DataFrame,
+    with_equivalence: bool = False,
+    flags: dict | None = None,
+) -> DataFrame:
     """One application of every rule; returns candidate triples
     (may include already-known ones — caller subtracts).
 
-    ``with_equivalence`` adds the OWL-RL equivalence rules
-    (cax-eqc1/2, prp-eqp1/2 + declaration symmetry) — the ``owl-rl``
+    ``with_equivalence`` adds the OWL-RL equivalence/identity rules
+    (cax-eqc1/2, prp-eqp1/2, prp-fp/ifp, cls-hv1/2) — the ``owl-rl``
     profile (reference ``apply_reasoning(profile='owl-rl')``,
-    ``ontology_manager.py:2859-2860``)."""
-    sub_class = triples.filter(F.col("pred") == RDFS.subClassOf).select(
-        F.col("subj").alias("c"), F.col("obj").alias("d")
-    )
-    sub_prop = triples.filter(F.col("pred") == RDFS.subPropertyOf).select(
-        F.col("subj").alias("p"), F.col("obj").alias("q")
-    )
-    domain = triples.filter(F.col("pred") == RDFS.domain).select(
-        F.col("subj").alias("p"), F.col("obj").alias("c")
-    )
-    range_ = triples.filter(F.col("pred") == RDFS.range).select(
-        F.col("subj").alias("p"), F.col("obj").alias("c")
-    )
+    ``ontology_manager.py:2859-2860``).
+
+    ``flags`` (see ``_schema_flags``) gates each rule join on its schema
+    slice being non-empty, so a round only executes the joins that can
+    fire.  When omitted, the probe runs here."""
+    if flags is None:
+        flags = _schema_flags(triples)
     types = triples.filter(F.col("pred") == RDF.type).select(
         F.col("subj").alias("s"), F.col("obj").alias("c")
     )
-    inverse = triples.filter(F.col("pred") == OWL.inverseOf).select(
-        F.col("subj").alias("p"), F.col("obj").alias("q")
-    )
-    symmetric = triples.filter(
-        (F.col("pred") == RDF.type) & (F.col("obj") == OWL.SymmetricProperty)
-    ).select(F.col("subj").alias("p"))
-    transitive = triples.filter(
-        (F.col("pred") == RDF.type) & (F.col("obj") == OWL.TransitiveProperty)
-    ).select(F.col("subj").alias("p"))
     assertions = triples.filter(
         ~F.col("pred").isin(RDF.type, RDFS.subClassOf, RDFS.subPropertyOf)
     ).select("subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt")
 
     out: list[DataFrame] = []
 
-    # rdfs11: subClassOf transitivity
-    out.append(
-        _as_triples(
-            sub_class.alias("a")
-            .join(F.broadcast(sub_class.alias("b")), F.col("a.d") == F.col("b.c"))
-            .select(
-                F.col("a.c").alias("subj"),
-                F.lit(RDFS.subClassOf).alias("pred"),
-                F.col("b.d").alias("obj"),
+    if flags["sub_class"]:
+        sub_class = triples.filter(F.col("pred") == RDFS.subClassOf).select(
+            F.col("subj").alias("c"), F.col("obj").alias("d")
+        )
+        # rdfs11: subClassOf transitivity
+        out.append(
+            _as_triples(
+                sub_class.alias("a")
+                .join(
+                    F.broadcast(sub_class.alias("b")),
+                    F.col("a.d") == F.col("b.c"),
+                )
+                .select(
+                    F.col("a.c").alias("subj"),
+                    F.lit(RDFS.subClassOf).alias("pred"),
+                    F.col("b.d").alias("obj"),
+                )
             )
         )
-    )
-    # rdfs5: subPropertyOf transitivity
-    out.append(
-        _as_triples(
-            sub_prop.alias("a")
-            .join(F.broadcast(sub_prop.alias("b")), F.col("a.q") == F.col("b.p"))
-            .select(
-                F.col("a.p").alias("subj"),
-                F.lit(RDFS.subPropertyOf).alias("pred"),
-                F.col("b.q").alias("obj"),
+        # rdfs9: type propagation up the hierarchy
+        out.append(
+            _as_triples(
+                types.join(F.broadcast(sub_class), types["c"] == sub_class["c"])
+                .select(
+                    F.col("s").alias("subj"),
+                    F.lit(RDF.type).alias("pred"),
+                    F.col("d").alias("obj"),
+                )
             )
         )
-    )
-    # rdfs9: type propagation up the hierarchy
-    out.append(
-        _as_triples(
-            types.join(F.broadcast(sub_class), types["c"] == sub_class["c"])
-            .select(
-                F.col("s").alias("subj"),
-                F.lit(RDF.type).alias("pred"),
-                F.col("d").alias("obj"),
+    if flags["sub_prop"]:
+        sub_prop = triples.filter(F.col("pred") == RDFS.subPropertyOf).select(
+            F.col("subj").alias("p"), F.col("obj").alias("q")
+        )
+        # rdfs5: subPropertyOf transitivity
+        out.append(
+            _as_triples(
+                sub_prop.alias("a")
+                .join(
+                    F.broadcast(sub_prop.alias("b")),
+                    F.col("a.q") == F.col("b.p"),
+                )
+                .select(
+                    F.col("a.p").alias("subj"),
+                    F.lit(RDFS.subPropertyOf).alias("pred"),
+                    F.col("b.q").alias("obj"),
+                )
             )
         )
-    )
-    # rdfs7: assertion propagation up subPropertyOf (keeps object term kind)
-    out.append(
-        assertions.join(F.broadcast(sub_prop), assertions["pred"] == sub_prop["p"])
-        .select("subj", F.col("q").alias("pred"), "obj", "obj_kind", "obj_lang", "obj_dt")
-    )
-    # rdfs2: domain -> subject type
-    out.append(
-        _as_triples(
-            assertions.join(F.broadcast(domain), assertions["pred"] == domain["p"])
-            .select(
-                F.col("subj"),
-                F.lit(RDF.type).alias("pred"),
-                F.col("c").alias("obj"),
+        # rdfs7: assertion propagation up subPropertyOf (keeps term kind)
+        out.append(
+            assertions.join(
+                F.broadcast(sub_prop), assertions["pred"] == sub_prop["p"]
+            ).select(
+                "subj", F.col("q").alias("pred"), "obj",
+                "obj_kind", "obj_lang", "obj_dt",
             )
         )
-    )
-    # rdfs3: range -> object type (URI objects only)
-    out.append(
-        _as_triples(
-            assertions.filter(F.col("obj_kind") == "uri")
-            .join(F.broadcast(range_), assertions["pred"] == range_["p"])
-            .select(
-                F.col("obj").alias("subj"),
-                F.lit(RDF.type).alias("pred"),
-                F.col("c").alias("obj"),
+    if flags["domain"]:
+        domain = triples.filter(F.col("pred") == RDFS.domain).select(
+            F.col("subj").alias("p"), F.col("obj").alias("c")
+        )
+        # rdfs2: domain -> subject type
+        out.append(
+            _as_triples(
+                assertions.join(
+                    F.broadcast(domain), assertions["pred"] == domain["p"]
+                ).select(
+                    F.col("subj"),
+                    F.lit(RDF.type).alias("pred"),
+                    F.col("c").alias("obj"),
+                )
             )
         )
-    )
-    # prp-inv
-    out.append(
-        _as_triples(
-            assertions.filter(F.col("obj_kind") == "uri")
-            .join(F.broadcast(inverse), assertions["pred"] == inverse["p"])
-            .select(
-                F.col("obj").alias("subj"),
-                F.col("q").alias("pred"),
-                F.col("subj").alias("obj"),
+    if flags["range"]:
+        range_ = triples.filter(F.col("pred") == RDFS.range).select(
+            F.col("subj").alias("p"), F.col("obj").alias("c")
+        )
+        # rdfs3: range -> object type (URI objects only)
+        out.append(
+            _as_triples(
+                assertions.filter(F.col("obj_kind") == "uri")
+                .join(F.broadcast(range_), assertions["pred"] == range_["p"])
+                .select(
+                    F.col("obj").alias("subj"),
+                    F.lit(RDF.type).alias("pred"),
+                    F.col("c").alias("obj"),
+                )
             )
         )
-    )
-    out.append(
-        _as_triples(
-            assertions.filter(F.col("obj_kind") == "uri")
-            .join(F.broadcast(inverse), assertions["pred"] == inverse["q"])
-            .select(
-                F.col("obj").alias("subj"),
-                F.col("p").alias("pred"),
-                F.col("subj").alias("obj"),
+    if flags["inverse"]:
+        inverse = triples.filter(F.col("pred") == OWL.inverseOf).select(
+            F.col("subj").alias("p"), F.col("obj").alias("q")
+        )
+        # prp-inv
+        out.append(
+            _as_triples(
+                assertions.filter(F.col("obj_kind") == "uri")
+                .join(F.broadcast(inverse), assertions["pred"] == inverse["p"])
+                .select(
+                    F.col("obj").alias("subj"),
+                    F.col("q").alias("pred"),
+                    F.col("subj").alias("obj"),
+                )
             )
         )
-    )
-    # prp-symp
-    out.append(
-        _as_triples(
-            assertions.filter(F.col("obj_kind") == "uri")
-            .join(F.broadcast(symmetric), assertions["pred"] == symmetric["p"])
-            .select(
-                F.col("obj").alias("subj"),
-                F.col("pred"),
-                F.col("subj").alias("obj"),
+        out.append(
+            _as_triples(
+                assertions.filter(F.col("obj_kind") == "uri")
+                .join(F.broadcast(inverse), assertions["pred"] == inverse["q"])
+                .select(
+                    F.col("obj").alias("subj"),
+                    F.col("p").alias("pred"),
+                    F.col("subj").alias("obj"),
+                )
             )
         )
-    )
-    # prp-trp (self-join of transitive-property assertions)
-    trans_edges = assertions.join(
-        F.broadcast(transitive), assertions["pred"] == transitive["p"]
-    ).select("subj", "pred", "obj")
-    out.append(
-        _as_triples(
-            trans_edges.alias("a")
-            .join(
-                trans_edges.alias("b"),
-                (F.col("a.obj") == F.col("b.subj"))
-                & (F.col("a.pred") == F.col("b.pred")),
-            )
-            .select(
-                F.col("a.subj").alias("subj"),
-                F.col("a.pred").alias("pred"),
-                F.col("b.obj").alias("obj"),
+    if flags["symmetric"]:
+        symmetric = triples.filter(
+            (F.col("pred") == RDF.type) & (F.col("obj") == OWL.SymmetricProperty)
+        ).select(F.col("subj").alias("p"))
+        # prp-symp
+        out.append(
+            _as_triples(
+                assertions.filter(F.col("obj_kind") == "uri")
+                .join(
+                    F.broadcast(symmetric), assertions["pred"] == symmetric["p"]
+                )
+                .select(
+                    F.col("obj").alias("subj"),
+                    F.col("pred"),
+                    F.col("subj").alias("obj"),
+                )
             )
         )
-    )
+    if flags["transitive"]:
+        transitive = triples.filter(
+            (F.col("pred") == RDF.type)
+            & (F.col("obj") == OWL.TransitiveProperty)
+        ).select(F.col("subj").alias("p"))
+        # prp-trp (self-join of transitive-property assertions)
+        trans_edges = assertions.join(
+            F.broadcast(transitive), assertions["pred"] == transitive["p"]
+        ).select("subj", "pred", "obj")
+        out.append(
+            _as_triples(
+                trans_edges.alias("a")
+                .join(
+                    trans_edges.alias("b"),
+                    (F.col("a.obj") == F.col("b.subj"))
+                    & (F.col("a.pred") == F.col("b.pred")),
+                )
+                .select(
+                    F.col("a.subj").alias("subj"),
+                    F.col("a.pred").alias("pred"),
+                    F.col("b.obj").alias("obj"),
+                )
+            )
+        )
     # NOTE: sameAs closure deliberately NOT a pairwise rule here — a
     # k-member clique would materialize k^2 intermediates in every
     # round.  ``apply_reasoning`` routes it through
     # ``fixpoint.connected_components`` (one O(log n) pass) instead.
 
-    if with_equivalence:
+    if with_equivalence and flags["eq_cls"]:
         eq_cls = triples.filter(F.col("pred") == OWL.equivalentClass).select(
             F.col("subj").alias("c"), F.col("obj").alias("d")
         )
         eq_cls = eq_cls.unionByName(
             eq_cls.select(F.col("d").alias("c"), F.col("c").alias("d"))
-        ).distinct()
-        eq_prp = triples.filter(F.col("pred") == OWL.equivalentProperty).select(
-            F.col("subj").alias("p"), F.col("obj").alias("q")
-        )
-        eq_prp = eq_prp.unionByName(
-            eq_prp.select(F.col("q").alias("p"), F.col("p").alias("q"))
         ).distinct()
         # scm-eqc2 twin: symmetry of the declaration itself
         out.append(
@@ -229,15 +298,6 @@ def _round(triples: DataFrame, with_equivalence: bool = False) -> DataFrame:
                     F.col("c").alias("subj"),
                     F.lit(OWL.equivalentClass).alias("pred"),
                     F.col("d").alias("obj"),
-                )
-            )
-        )
-        out.append(
-            _as_triples(
-                eq_prp.select(
-                    F.col("p").alias("subj"),
-                    F.lit(OWL.equivalentProperty).alias("pred"),
-                    F.col("q").alias("obj"),
                 )
             )
         )
@@ -252,6 +312,22 @@ def _round(triples: DataFrame, with_equivalence: bool = False) -> DataFrame:
                 )
             )
         )
+    if with_equivalence and flags["eq_prp"]:
+        eq_prp = triples.filter(F.col("pred") == OWL.equivalentProperty).select(
+            F.col("subj").alias("p"), F.col("obj").alias("q")
+        )
+        eq_prp = eq_prp.unionByName(
+            eq_prp.select(F.col("q").alias("p"), F.col("p").alias("q"))
+        ).distinct()
+        out.append(
+            _as_triples(
+                eq_prp.select(
+                    F.col("p").alias("subj"),
+                    F.lit(OWL.equivalentProperty).alias("pred"),
+                    F.col("q").alias("obj"),
+                )
+            )
+        )
         # prp-eqp1/2: assertion propagation across equivalentProperty
         out.append(
             assertions.join(F.broadcast(eq_prp), assertions["pred"] == eq_prp["p"])
@@ -260,7 +336,121 @@ def _round(triples: DataFrame, with_equivalence: bool = False) -> DataFrame:
                 "obj_kind", "obj_lang", "obj_dt",
             )
         )
+    if with_equivalence and flags["functional"]:
+        # prp-fp: two objects of a functional property for one subject
+        # are the same individual.  The self-join keys on (subj, pred) —
+        # by definition of functionality the per-key group is tiny, so
+        # the shuffle has bounded fan-out at any corpus size.  Only the
+        # o1 < o2 direction is emitted; the CC-based sameAs pass closes
+        # symmetry/transitivity without the k^2 pairwise blowup.
+        functional = triples.filter(
+            (F.col("pred") == RDF.type)
+            & (F.col("obj") == OWL.FunctionalProperty)
+        ).select(F.col("subj").alias("p"))
+        fp_inst = (
+            assertions.filter(F.col("obj_kind") == "uri")
+            .join(F.broadcast(functional), assertions["pred"] == functional["p"])
+            .select("subj", "pred", "obj")
+        )
+        out.append(
+            _as_triples(
+                fp_inst.alias("a")
+                .join(
+                    fp_inst.alias("b"),
+                    (F.col("a.subj") == F.col("b.subj"))
+                    & (F.col("a.pred") == F.col("b.pred"))
+                    & (F.col("a.obj") < F.col("b.obj")),
+                )
+                .select(
+                    F.col("a.obj").alias("subj"),
+                    F.lit(OWL.sameAs).alias("pred"),
+                    F.col("b.obj").alias("obj"),
+                )
+            )
+        )
+    if with_equivalence and flags["inv_functional"]:
+        # prp-ifp: two subjects sharing a value of an inverse-functional
+        # property are the same individual.  Keys on the full object
+        # identity (value + kind + lang + datatype) so literal-keyed
+        # identifiers (emails, ISBNs) match exactly.
+        inv_functional = triples.filter(
+            (F.col("pred") == RDF.type)
+            & (F.col("obj") == OWL.InverseFunctionalProperty)
+        ).select(F.col("subj").alias("p"))
+        ifp_inst = (
+            assertions.join(
+                F.broadcast(inv_functional),
+                assertions["pred"] == inv_functional["p"],
+            )
+            .select("subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt")
+        )
+        out.append(
+            _as_triples(
+                ifp_inst.alias("a")
+                .join(
+                    ifp_inst.alias("b"),
+                    (F.col("a.pred") == F.col("b.pred"))
+                    & (F.col("a.obj") == F.col("b.obj"))
+                    & (F.col("a.obj_kind") == F.col("b.obj_kind"))
+                    & F.col("a.obj_lang").eqNullSafe(F.col("b.obj_lang"))
+                    & F.col("a.obj_dt").eqNullSafe(F.col("b.obj_dt"))
+                    & (F.col("a.subj") < F.col("b.subj")),
+                )
+                .select(
+                    F.col("a.subj").alias("subj"),
+                    F.lit(OWL.sameAs).alias("pred"),
+                    F.col("b.subj").alias("obj"),
+                )
+            )
+        )
+    if with_equivalence and flags["onprop"] and flags["hasval"]:
+        # cls-hv1/2: hasValue restrictions.  hv = (restriction node r,
+        # onProperty p, value v with full literal identity) — schema-side
+        # tiny, broadcast.
+        onprop = triples.filter(F.col("pred") == OWL.onProperty).select(
+            F.col("subj").alias("r"), F.col("obj").alias("p")
+        )
+        hasval = triples.filter(F.col("pred") == OWL.hasValue).select(
+            F.col("subj").alias("r2"),
+            F.col("obj").alias("v"),
+            F.col("obj_kind").alias("vk"),
+            F.col("obj_lang").alias("vl"),
+            F.col("obj_dt").alias("vd"),
+        )
+        hv = onprop.join(hasval, onprop["r"] == hasval["r2"]).select(
+            "r", "p", "v", "vk", "vl", "vd"
+        )
+        # cls-hv1: (x type r) -> (x p v)
+        out.append(
+            types.join(F.broadcast(hv), types["c"] == hv["r"]).select(
+                F.col("s").alias("subj"),
+                F.col("p").alias("pred"),
+                F.col("v").alias("obj"),
+                F.col("vk").alias("obj_kind"),
+                F.col("vl").alias("obj_lang"),
+                F.col("vd").alias("obj_dt"),
+            )
+        )
+        # cls-hv2: (x p v) -> (x type r)
+        out.append(
+            _as_triples(
+                assertions.join(
+                    F.broadcast(hv),
+                    (assertions["pred"] == hv["p"])
+                    & (assertions["obj"] == hv["v"])
+                    & (assertions["obj_kind"] == hv["vk"])
+                    & assertions["obj_lang"].eqNullSafe(hv["vl"])
+                    & assertions["obj_dt"].eqNullSafe(hv["vd"]),
+                ).select(
+                    F.col("subj"),
+                    F.lit(RDF.type).alias("pred"),
+                    F.col("r").alias("obj"),
+                )
+            )
+        )
 
+    if not out:
+        return triples.limit(0)
     candidates = out[0]
     for o in out[1:]:
         candidates = candidates.unionByName(o)
@@ -370,10 +560,11 @@ def apply_reasoning(
     with_eq = profile in ("owl-rl", "owl-rl-ext")
     current = triples.dropDuplicates(TRIPLE_COLS).localCheckpoint(eager=True)
     n0 = current.count()
+    flags = _schema_flags(current)
     for _outer in range(3):
         for _ in range(max_rounds):
             new = (
-                _round(current, with_equivalence=with_eq)
+                _round(current, with_equivalence=with_eq, flags=flags)
                 .exceptAll(current)
                 .localCheckpoint(eager=True)
             )
@@ -384,12 +575,13 @@ def apply_reasoning(
                 .dropDuplicates(TRIPLE_COLS)
                 .localCheckpoint(eager=True)
             )
+            # re-probe: the round may have derived new schema facts
+            # (e.g. a property typed Functional via rdfs9)
+            flags = _schema_flags(current)
         # equality reasoning: one CC pass per outer round (skipped
         # entirely when the graph asserts no sameAs — the common case
-        # for pure-RDFS ontologies; the probe is a limit(1) scan)
-        if (
-            current.filter(F.col("pred") == OWL.sameAs).limit(1).isEmpty()
-        ):
+        # for pure-RDFS ontologies; the flag probe already covers it)
+        if not flags["sameas"]:
             break
         # include_self under owl-rl: eq-rep would derive the reflexive
         # pairs anyway on the NEXT outer round; emitting them with the
@@ -411,4 +603,7 @@ def apply_reasoning(
             .dropDuplicates(TRIPLE_COLS)
             .localCheckpoint(eager=True)
         )
+        # substitution can move schema facts onto new nodes — re-probe
+        # before the rules re-enter
+        flags = _schema_flags(current)
     return current, current.count() - n0

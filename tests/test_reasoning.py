@@ -194,3 +194,94 @@ def test_differential_vs_owlrl_if_available(spark, populated_om):
     # the axiomatic-triple-free slice)
     axiomatic = {t for t in ref if t not in got}
     assert got <= ref or not axiomatic
+
+
+# ------------------------------------------------------------------ #
+# owl-rl identity rules: prp-fp / prp-ifp / cls-hv1 / cls-hv2
+# ------------------------------------------------------------------ #
+
+
+def test_prp_fp_functional_property_merges_objects(spark):
+    rows = [
+        t_uri(B + "hasSpouse", RDF.type, OWL.FunctionalProperty),
+        t_uri(B + "bob", B + "hasSpouse", B + "carol"),
+        t_uri(B + "bob", B + "hasSpouse", B + "caroline"),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="owl-rl"
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert (B + "carol", OWL.sameAs, B + "caroline") in got
+    assert (B + "caroline", OWL.sameAs, B + "carol") in got  # closed
+    # eq-rep: the substituted assertion appears too
+    assert (B + "bob", B + "hasSpouse", B + "carol") in got
+
+
+def test_prp_ifp_shared_literal_key_merges_subjects(spark):
+    rows = [
+        t_uri(B + "hasEmail", RDF.type, OWL.InverseFunctionalProperty),
+        (B + "u1", B + "hasEmail", "x@y.org", "literal", None, None),
+        (B + "u2", B + "hasEmail", "x@y.org", "literal", None, None),
+        # different lang tag => NOT the same value, no merge
+        (B + "u3", B + "hasEmail", "x@y.org", "literal", "en", None),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="owl-rl"
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert (B + "u1", OWL.sameAs, B + "u2") in got
+    assert (B + "u1", OWL.sameAs, B + "u3") not in got
+    assert (B + "u2", OWL.sameAs, B + "u3") not in got
+
+
+def test_cls_hasvalue_both_directions(spark):
+    rows = [
+        ("_:r", OWL.onProperty, B + "hasStatus", "uri", None, None),
+        ("_:r", OWL.hasValue, "active", "literal", None, None),
+        t_uri(B + "Activated", RDFS.subClassOf, "_:r"),
+        t_uri(B + "d1", RDF.type, B + "Activated"),
+        (B + "d2", B + "hasStatus", "active", "literal", None, None),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="owl-rl"
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert (B + "d1", B + "hasStatus", "active") in got   # cls-hv1 via rdfs9
+    assert (B + "d2", RDF.type, "_:r") in got             # cls-hv2
+    # the hv1 derivation keeps the value's literal kind
+    kinds = {
+        r["obj_kind"]
+        for r in out.filter(
+            (out.subj == B + "d1") & (out.pred == B + "hasStatus")
+        ).collect()
+    }
+    assert kinds == {"literal"}
+
+
+def test_rdfs_profile_skips_owl_identity_rules(spark):
+    rows = [
+        t_uri(B + "hasSpouse", RDF.type, OWL.FunctionalProperty),
+        t_uri(B + "bob", B + "hasSpouse", B + "carol"),
+        t_uri(B + "bob", B + "hasSpouse", B + "caroline"),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="rdfs"
+    )
+    assert out.filter(out.pred == OWL.sameAs).count() == 0
+
+
+def test_functional_declaration_derived_mid_fixpoint(spark):
+    """prp-fp must fire even when the FunctionalProperty typing is only
+    DERIVED during the fixpoint (rdfs9 through a subclass of
+    owl:FunctionalProperty) — guards the per-round schema re-probe."""
+    rows = [
+        t_uri(B + "KeyProp", RDFS.subClassOf, OWL.FunctionalProperty),
+        t_uri(B + "hasKey", RDF.type, B + "KeyProp"),
+        t_uri(B + "x", B + "hasKey", B + "k1"),
+        t_uri(B + "x", B + "hasKey", B + "k2"),
+    ]
+    out, _ = reasoning.apply_reasoning(
+        spark.createDataFrame(rows, TRIPLES_SCHEMA), profile="owl-rl"
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert (B + "k1", OWL.sameAs, B + "k2") in got
