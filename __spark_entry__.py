@@ -461,6 +461,56 @@ def _q_concept_hierarchy(spark, sf_dir):
     )
 
 
+#: import-time base-URI resolution scenarios (reference
+#: tests/test_import_namespace.py + _update_namespace_from_graph):
+#: (scenario, [(subj, pred, obj) uri triples], default_prefix_ns)
+_BASEURI_SCENARIOS: list = [
+    # owl:Ontology decl without separator; '#' read off the sample class
+    ("a_ont_hash", [
+        ("http://imported.org/ont", M.RDF.type, M.OWL.Ontology),
+        ("http://imported.org/ont#Dog", M.RDF.type, M.OWL.Class),
+    ], None),
+    # no decl; parse-captured default prefix wins over inference
+    ("b_default", [
+        ("http://noont.org/schema#Cat", M.RDF.type, M.OWL.Class),
+        ("http://noont.org/schema#hasColor", M.RDF.type, M.OWL.DatatypeProperty),
+    ], "http://noont.org/schema#"),
+    # owl:Ontology decl; '/' separator read off the sample class
+    ("c_ont_slash", [
+        ("http://example.com/vocab", M.RDF.type, M.OWL.Ontology),
+        ("http://example.com/vocab/Fruit", M.RDF.type, M.OWL.Class),
+    ], None),
+    # no decl, no default prefix: majority vote, standard ns excluded
+    ("d_inferred", [
+        ("http://many.org/a#X1", M.RDF.type, M.OWL.Class),
+        ("http://many.org/a#X2", M.RDF.type, M.OWL.Class),
+        ("http://few.org/b#p", M.RDF.type, M.OWL.ObjectProperty),
+        (M.OWL_NS + "Thing", M.RDF.type, M.OWL.Class),
+    ], None),
+    # decl already carries its separator: kept verbatim
+    ("e_ont_trailing", [
+        ("http://trail.org/ns#", M.RDF.type, M.OWL.Ontology),
+    ], None),
+    # decl without separator and no typed sample: default '#'
+    ("f_ont_nosample", [
+        ("http://bare.org/onto", M.RDF.type, M.OWL.Ontology),
+    ], None),
+]
+
+
+def _q_resolve_base_uri(spark, sf_dir):
+    out = None
+    for scen, rows, dpns in _BASEURI_SCENARIOS:
+        t = spark.createDataFrame(
+            [M.t_uri(*r) for r in rows], M.TRIPLES_SCHEMA
+        )
+        r = views.resolve_base_uri(t, default_prefix_ns=dpns).select(
+            F.lit(scen).alias("scenario"), "base_uri", "source"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("scenario")
+
+
 def _q_infer_namespace(spark, sf_dir):
     return views.infer_namespace(FX.fixture_triples(spark, "populated_om"))
 
@@ -1220,6 +1270,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_impact": _q_delete_impact,
         "concept_hierarchy": _q_concept_hierarchy,
         "infer_namespace": _q_infer_namespace,
+        "resolve_base_uri": _q_resolve_base_uri,
         "validate_owl": _q_validate_owl,
         "validate_skos": _q_validate_skos,
         "reasoning_rdfs": _q_reasoning_rdfs,
@@ -1938,6 +1989,62 @@ SELECT {_ln('con.subj')} AS concept_name,
     AS children_csv
 FROM con LEFT JOIN edges ON con.subj = edges.subj
 GROUP BY con.subj ORDER BY concept_name
+"""
+
+    _scen_vals = ",\n    ".join(
+        f"('{scen}', '{su}', '{pr}', '{ob}')"
+        for scen, rows, _ in _BASEURI_SCENARIOS
+        for su, pr, ob in rows
+    )
+    _p2_vals = ",\n    ".join(
+        f"('{scen}', 2, '{dpns}', 'default_prefix')"
+        for scen, _, dpns in _BASEURI_SCENARIOS
+        if dpns and dpns not in M.STANDARD_PREFIXES.values()
+    )
+    _std_list = ", ".join(f"'{ns}'" for ns in sorted(M.STANDARD_PREFIXES.values()))
+    sql["resolve_base_uri"] = f"""
+WITH t(scen, subj, pred, obj) AS (VALUES
+    {_scen_vals}),
+typed AS (SELECT scen, subj,
+   CASE obj WHEN '{OWL_CLASS}' THEN 0 WHEN '{M.OWL.ObjectProperty}' THEN 1
+            WHEN '{M.OWL.DatatypeProperty}' THEN 2 ELSE 3 END AS rk
+   FROM t WHERE pred='{RDF_TYPE}'
+     AND obj IN ('{OWL_CLASS}', '{M.OWL.ObjectProperty}',
+                 '{M.OWL.DatatypeProperty}', '{M.OWL.NamedIndividual}')
+     AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
+ont AS (SELECT scen, min(subj) AS ont FROM t
+        WHERE pred='{RDF_TYPE}' AND obj='{M.OWL.Ontology}'
+          AND subj NOT LIKE '\\_:%' ESCAPE '\\'
+        GROUP BY scen),
+samp AS (SELECT scen, subj AS sample FROM (
+   SELECT scen, subj,
+          row_number() OVER (PARTITION BY scen ORDER BY rk, subj) AS rn
+   FROM typed) WHERE rn = 1),
+p1 AS (SELECT o.scen, 1 AS pri,
+   CASE WHEN o.ont LIKE '%#' OR o.ont LIKE '%/' THEN o.ont
+        WHEN s.sample IS NOT NULL AND starts_with(s.sample, o.ont || '/')
+             THEN o.ont || '/'
+        WHEN s.sample IS NOT NULL AND starts_with(s.sample, o.ont || '#')
+             THEN o.ont || '#'
+        ELSE o.ont || '#' END AS base,
+   'ontology' AS source
+   FROM ont o LEFT JOIN samp s USING (scen)),
+p2(scen, pri, base, source) AS (VALUES
+    {_p2_vals}),
+ns AS (SELECT scen, substr(subj, 1, len(subj) - len({_ln('subj')})) AS namespace
+       FROM typed),
+p3 AS (SELECT scen, 3 AS pri, namespace AS base, 'inferred' AS source FROM (
+   SELECT scen, namespace,
+          row_number() OVER (PARTITION BY scen
+                             ORDER BY count(*) DESC, namespace) AS rn
+   FROM ns WHERE len(namespace) > 0 AND namespace NOT IN ({_std_list})
+   GROUP BY scen, namespace) WHERE rn = 1),
+cand AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+pick AS (SELECT scen, base, source,
+                row_number() OVER (PARTITION BY scen ORDER BY pri) AS rn
+         FROM cand)
+SELECT scen AS scenario, base AS base_uri, source FROM pick WHERE rn = 1
+ORDER BY scenario
 """
 
     sql["infer_namespace"] = f"""

@@ -622,6 +622,105 @@ def search(triples: DataFrame, query: str, limit: int | None = None) -> DataFram
 # --------------------------------------------------------------------------
 
 
+def resolve_base_uri(
+    triples: DataFrame, default_prefix_ns: str | None = None
+) -> DataFrame:
+    """(base_uri, source): the import-time base-URI resolution the
+    reference applies on every load (``_update_namespace_from_graph``,
+    ``ontology_manager.py:2206-2236``):
+
+      1. ``ontology``       — a URI-subject ``owl:Ontology`` declaration;
+         separator detection per ``_detect_base_uri`` (``:2238-2250``):
+         a trailing '#'/'/' is kept as-is, otherwise the separator is
+         read off the first typed sample resource the ontology URI
+         prefixes, defaulting to '#'.
+      2. ``default_prefix`` — the parse-captured default ('':) prefix,
+         unless it is a standard vocabulary namespace (``:2261-2268``).
+      3. ``inferred``       — majority namespace among Class /
+         ObjectProperty / DatatypeProperty / NamedIndividual subjects,
+         standard namespaces excluded (``:2270-2287``).
+
+    Determinism pins (the reference iterates rdflib set views in hash
+    order): the 'first' owl:Ontology is ``min(subj)``; the sample
+    resource is ``min(subj)`` within the best type rank; majority ties
+    break on ``min(namespace)``.  All candidate priorities are computed
+    in one plan and ranked — one row out, no driver-side branching.
+    """
+    from ..model import STANDARD_PREFIXES, namespace_col
+
+    std = sorted(STANDARD_PREFIXES.values())
+    uri_subj = ~F.col("subj").startswith("_:")
+    is_type = F.col("pred") == RDF.type
+    sample_types = [
+        OWL.Class, OWL.ObjectProperty, OWL.DatatypeProperty,
+        OWL.NamedIndividual,
+    ]
+    typ_rank = (
+        F.when(F.col("obj") == OWL.Class, 0)
+        .when(F.col("obj") == OWL.ObjectProperty, 1)
+        .when(F.col("obj") == OWL.DatatypeProperty, 2)
+        .otherwise(3)
+    )
+    typed = triples.filter(
+        is_type & F.col("obj").isin(sample_types) & uri_subj
+    ).select("subj", typ_rank.alias("rk"))
+
+    ont = (
+        triples.filter(is_type & (F.col("obj") == OWL.Ontology) & uri_subj)
+        .agg(F.min("subj").alias("ont"))
+        .filter(F.col("ont").isNotNull())
+    )
+    sample = (
+        typed.agg(F.min(F.struct("rk", "subj")).alias("m"))
+        .select(F.col("m.subj").alias("sample"))
+    )
+    p1 = ont.join(sample, F.lit(True), "left").select(
+        F.lit(1).alias("pri"),
+        F.when(
+            F.col("ont").endswith("#") | F.col("ont").endswith("/"),
+            F.col("ont"),
+        )
+        .when(
+            F.col("sample").startswith(F.concat(F.col("ont"), F.lit("/"))),
+            F.concat(F.col("ont"), F.lit("/")),
+        )
+        .when(
+            F.col("sample").startswith(F.concat(F.col("ont"), F.lit("#"))),
+            F.concat(F.col("ont"), F.lit("#")),
+        )
+        .otherwise(F.concat(F.col("ont"), F.lit("#")))
+        .alias("base"),
+        F.lit("ontology").alias("source"),
+    )
+    cands = p1
+    if default_prefix_ns and default_prefix_ns not in std:
+        p2 = triples.sparkSession.range(1).select(
+            F.lit(2).alias("pri"),
+            F.lit(default_prefix_ns).alias("base"),
+            F.lit("default_prefix").alias("source"),
+        )
+        cands = cands.unionByName(p2)
+    p3 = (
+        typed.select(namespace_col(F.col("subj")).alias("ns"))
+        .filter((F.length("ns") > 0) & ~F.col("ns").isin(std))
+        .groupBy("ns")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ns"))
+        .limit(1)
+        .select(
+            F.lit(3).alias("pri"),
+            F.col("ns").alias("base"),
+            F.lit("inferred").alias("source"),
+        )
+    )
+    cands = cands.unionByName(p3)
+    return (
+        cands.orderBy("pri")
+        .limit(1)
+        .select(F.col("base").alias("base_uri"), "source")
+    )
+
+
 def infer_namespace(triples: DataFrame) -> DataFrame:
     """Most frequent namespace among typed resources — top-1 groupBy.count.
 

@@ -91,3 +91,68 @@ def test_delete_impact(populated_om):
     assert imp["subclasses"] == 0
     assert imp["instances"] == 1  # alice
     assert imp["direct_triples"] == 3
+
+
+# ------------------------------------------------------------------ #
+# import-time base-URI resolution (reference
+# tests/test_import_namespace.py + _update_namespace_from_graph)
+# ------------------------------------------------------------------ #
+
+
+def _resolve(spark, rows, dpns=None):
+    from orionbelt_ontology_builder_spark.model import TRIPLES_SCHEMA, t_uri
+
+    t = spark.createDataFrame([t_uri(*r) for r in rows], TRIPLES_SCHEMA)
+    return views.resolve_base_uri(t, default_prefix_ns=dpns).collect()[0]
+
+
+def test_base_uri_from_ontology_decl_hash(spark):
+    from orionbelt_ontology_builder_spark.model import OWL, RDF
+
+    r = _resolve(spark, [
+        ("http://imported.org/ont", RDF.type, OWL.Ontology),
+        ("http://imported.org/ont#Dog", RDF.type, OWL.Class),
+    ])
+    assert r["base_uri"] == "http://imported.org/ont#"
+    assert r["source"] == "ontology"
+
+
+def test_base_uri_from_ontology_decl_slash(spark):
+    from orionbelt_ontology_builder_spark.model import OWL, RDF
+
+    r = _resolve(spark, [
+        ("http://example.com/vocab", RDF.type, OWL.Ontology),
+        ("http://example.com/vocab/Fruit", RDF.type, OWL.Class),
+    ])
+    assert r["base_uri"] == "http://example.com/vocab/"
+
+
+def test_base_uri_default_prefix_beats_inference(spark):
+    from orionbelt_ontology_builder_spark.model import OWL, RDF
+
+    rows = [
+        ("http://noont.org/schema#Cat", RDF.type, OWL.Class),
+        ("http://other.org/x#Y", RDF.type, OWL.Class),
+    ]
+    r = _resolve(spark, rows, dpns="http://noont.org/schema#")
+    assert r["source"] == "default_prefix"
+    assert r["base_uri"] == "http://noont.org/schema#"
+    # a STANDARD default prefix is ignored -> falls through to inference
+    from orionbelt_ontology_builder_spark.model import OWL_NS
+
+    r2 = _resolve(spark, rows, dpns=OWL_NS)
+    assert r2["source"] == "inferred"
+
+
+def test_base_uri_inference_excludes_standard_namespaces(spark):
+    from orionbelt_ontology_builder_spark.model import OWL, OWL_NS, RDF
+
+    r = _resolve(spark, [
+        ("http://many.org/a#X1", RDF.type, OWL.Class),
+        ("http://many.org/a#X2", RDF.type, OWL.Class),
+        (OWL_NS + "T1", RDF.type, OWL.Class),
+        (OWL_NS + "T2", RDF.type, OWL.Class),
+        (OWL_NS + "T3", RDF.type, OWL.Class),
+    ])
+    assert r["base_uri"] == "http://many.org/a#"
+    assert r["source"] == "inferred"
