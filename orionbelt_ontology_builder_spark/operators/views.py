@@ -554,8 +554,18 @@ _SEARCHABLE_TYPES = {
 def search(triples: DataFrame, query: str, limit: int | None = None) -> DataFrame:
     """Case-insensitive substring search over name/label/comment of the four
     entity kinds; match-field priority name > label > comment
-    (reference ``:2330-2336``); name-matches ranked first (``:2346``)."""
-    q = query.lower()
+    (reference ``:2330-2336``); name-matches ranked first (``:2346``).
+    An empty / whitespace-only query returns no rows (``:2307-2308``) —
+    without the guard ``contains('')`` matches every entity."""
+    q = query.strip().lower()
+    if not q:
+        return triples.limit(0).select(
+            F.col("subj").alias("uri"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("entity_type"),
+            F.lit(None).cast("string").alias("match_field"),
+            F.lit(None).cast("string").alias("label"),
+        )
     typed = (
         triples.filter(
             (F.col("pred") == RDF.type)

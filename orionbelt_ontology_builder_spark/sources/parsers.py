@@ -404,12 +404,48 @@ def _expand(term: str, ctx: dict[str, str]) -> str:
     return term
 
 
+def _jsonld_context(doc) -> dict:
+    """Normalize a JSON-LD ``@context`` to {term: str} — dict form, or a
+    LIST of context objects merged left-to-right (later wins), matching
+    the reference (``ontology_manager.py:207-213``)."""
+    ctx_raw = doc.get("@context", {}) if isinstance(doc, dict) else {}
+    if isinstance(ctx_raw, list):
+        merged: dict = {}
+        for item in ctx_raw:
+            if isinstance(item, dict):
+                merged.update(item)
+        ctx_raw = merged
+    if not isinstance(ctx_raw, dict):
+        return {}
+    return {k: v for k, v in ctx_raw.items() if isinstance(v, str)}
+
+
+def jsonld_prefixes(text: str) -> list[tuple[str, str]]:
+    """(prefix, namespace) pairs from a JSON-LD ``@context`` — the
+    reference's ``_extract_prefixes_from_jsonld``
+    (``ontology_manager.py:195-225``): [] on invalid JSON or top-level
+    list (expanded form carries no context); '@'-keywords skipped; only
+    http(s) string values count; '' maps to '(default)'; default-first
+    sort."""
+    try:
+        doc = json.loads(text)
+    except (json.JSONDecodeError, TypeError):
+        return []
+    if isinstance(doc, list):
+        return []
+    out = [
+        (k if k else "(default)", v)
+        for k, v in _jsonld_context(doc).items()
+        if not k.startswith("@")
+        and (v.startswith("http://") or v.startswith("https://"))
+    ]
+    out.sort(key=lambda x: "" if x[0] == "(default)" else x[0])
+    return out
+
+
 def parse_jsonld(text: str) -> list[Row6]:
     doc = json.loads(text)
-    ctx_raw = doc.get("@context", {}) if isinstance(doc, dict) else {}
-    ctx = {
-        k: v for k, v in (ctx_raw or {}).items() if isinstance(v, str)
-    }
+    ctx = _jsonld_context(doc)
     if isinstance(doc, list):
         nodes = doc
     elif "@graph" in doc:

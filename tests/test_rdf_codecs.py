@@ -130,3 +130,33 @@ def test_n3_export_roundtrips_as_turtle(spark):
     df = FX.fixture_triples(spark, "populated_om")
     text = SER.serialize(df, "n3")
     assert sorted(set(PAR.parse_turtle(text))) == sorted(set(rows))
+
+
+def test_jsonld_list_context_merged_and_prefixes():
+    doc = """{
+  "@context": [
+    {"ex": "http://example.org/"},
+    {"foaf": "http://xmlns.com/foaf/0.1/", "@vocab": "http://v.org/"}
+  ],
+  "@graph": [{"@id": "ex:A", "@type": "foaf:Agent"}]
+}"""
+    rows = PAR.parse_jsonld(doc)
+    t = {(r[0], r[2]) for r in rows}
+    assert ("http://example.org/A", "http://xmlns.com/foaf/0.1/Agent") in t
+    # prefix extraction: merged list context, '@' keys skipped, sorted
+    assert PAR.jsonld_prefixes(doc) == [
+        ("ex", "http://example.org/"),
+        ("foaf", "http://xmlns.com/foaf/0.1/"),
+    ]
+
+
+def test_jsonld_prefixes_edge_cases():
+    assert PAR.jsonld_prefixes("not json at all") == []
+    assert PAR.jsonld_prefixes('{"@graph": []}') == []
+    assert PAR.jsonld_prefixes('["expanded", "form"]') == []
+    # default prefix name + non-http values skipped
+    got = PAR.jsonld_prefixes(
+        '{"@context": {"": "http://d.org/", "name": "relative", '
+        '"ex": "https://e.org/"}}'
+    )
+    assert got == [("(default)", "http://d.org/"), ("ex", "https://e.org/")]

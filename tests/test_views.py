@@ -156,3 +156,17 @@ def test_base_uri_inference_excludes_standard_namespaces(spark):
     ])
     assert r["base_uri"] == "http://many.org/a#"
     assert r["source"] == "inferred"
+
+
+def test_search_empty_and_whitespace_query_returns_nothing(populated_om):
+    assert views.search(populated_om, "").count() == 0
+    assert views.search(populated_om, "   ").count() == 0
+
+
+def test_search_no_results(populated_om):
+    assert views.search(populated_om, "zzzznotfound").count() == 0
+
+
+def test_search_partial_and_case_insensitive(populated_om):
+    got = {r["name"] for r in views.search(populated_om, "emp").collect()}
+    assert "Employee" in got
