@@ -189,6 +189,28 @@ def _q_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_diff_modified_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.diff_modified_resources(
+        FX.fixture_triples(spark, "diff_a"), FX.fixture_triples(spark, "diff_b")
+    )
+
+
+def _q_diff_report_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.format_diff_report(
+        FX.fixture_triples(spark, "diff_a"),
+        FX.fixture_triples(spark, "diff_b"),
+        "markdown",
+    )
+
+
+def _q_diff_report_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return setops.format_diff_report(
+        FX.fixture_triples(spark, "diff_a"),
+        FX.fixture_triples(spark, "diff_b"),
+        "text",
+    )
+
+
 def _q_detect_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.detect_conflicts(
         FX.fixture_triples(spark, "diff_a"), FX.fixture_triples(spark, "diff_b")
@@ -1222,6 +1244,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotation_predicates": _q_annotation_predicates,
         "duplicate_labels": _q_duplicate_labels,
         "diff_summary": _q_diff_summary,
+        "diff_modified_resources": _q_diff_modified_resources,
+        "diff_report_markdown": _q_diff_report_markdown,
+        "diff_report_text": _q_diff_report_text,
         "detect_conflicts": _q_detect_conflicts,
         "classify_resources": _q_classify,
         "merge_overwrite": _q_merge_overwrite,
@@ -1494,12 +1519,160 @@ added AS (SELECT * FROM b EXCEPT ALL SELECT * FROM a),
 removed AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
 unchanged AS (SELECT * FROM a INTERSECT SELECT * FROM b)
 SELECT
- (SELECT count(*) FROM added WHERE NOT (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')) AS added,
- (SELECT count(*) FROM removed WHERE NOT (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')) AS removed,
- (SELECT count(*) FROM added WHERE (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')) AS added_bnode,
- (SELECT count(*) FROM removed WHERE (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')) AS removed_bnode,
+ (SELECT count(*) FROM added WHERE NOT subj LIKE '\\_:%' ESCAPE '\\') AS added,
+ (SELECT count(*) FROM removed WHERE NOT subj LIKE '\\_:%' ESCAPE '\\') AS removed,
+ (SELECT count(*) FROM added WHERE subj LIKE '\\_:%' ESCAPE '\\') AS added_bnode,
+ (SELECT count(*) FROM removed WHERE subj LIKE '\\_:%' ESCAPE '\\') AS removed_bnode,
  (SELECT count(*) FROM unchanged) AS unchanged
 """
+
+    # shared scaffolding for the diff-detail / report oracles: named
+    # (non-bnode-subject) changed triples local-named + per-resource
+    # change classification, mirroring setops.diff_modified_resources
+    _diff_flat = f"""
+addf AS (SELECT * FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+         WHERE NOT subj LIKE '\\_:%' ESCAPE '\\'),
+remf AS (SELECT * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+         WHERE NOT subj LIKE '\\_:%' ESCAPE '\\'),
+flat AS (
+  SELECT {_ln('subj')} AS name, 'added' AS kind, {_ln('pred')} AS predicate,
+         CASE WHEN obj_kind='uri' THEN {_ln('obj')} ELSE obj END AS object,
+         CASE WHEN obj_kind='uri' THEN 'uri' ELSE 'literal' END AS object_type
+  FROM addf
+  UNION ALL
+  SELECT {_ln('subj')}, 'removed', {_ln('pred')},
+         CASE WHEN obj_kind='uri' THEN {_ln('obj')} ELSE obj END,
+         CASE WHEN obj_kind='uri' THEN 'uri' ELSE 'literal' END
+  FROM remf),
+chg AS (SELECT name,
+        CASE WHEN bool_or(kind='added') AND bool_or(kind='removed') THEN 'modified'
+             WHEN bool_or(kind='added') THEN 'added' ELSE 'removed' END AS change
+        FROM flat GROUP BY name)
+"""
+
+    sql["diff_modified_resources"] = f"""
+WITH {da}, {db},
+{_diff_flat}
+SELECT f.name, c.change, f.kind, f.predicate, f.object, f.object_type
+FROM flat f JOIN chg c USING (name)
+ORDER BY name, kind, predicate, object
+"""
+
+    _diff_stats = f"""
+bn AS (SELECT
+  (SELECT count(*) FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+   WHERE subj LIKE '\\_:%' ESCAPE '\\') AS added_bnode,
+  (SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+   WHERE subj LIKE '\\_:%' ESCAPE '\\') AS removed_bnode),
+stats AS (SELECT
+  (SELECT count(*) FROM addf) AS added,
+  (SELECT count(*) FROM remf) AS removed,
+  (SELECT count(*) FROM chg WHERE change='added') AS r_added,
+  (SELECT count(*) FROM chg WHERE change='removed') AS r_removed,
+  (SELECT count(*) FROM chg WHERE change='modified') AS r_modified,
+  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS unchanged,
+  bn.added_bnode, bn.removed_bnode FROM bn)
+"""
+
+    _tl = ("CASE rt WHEN 'Class' THEN 'class'"
+           " WHEN 'ObjectProperty' THEN 'object property'"
+           " WHEN 'DatatypeProperty' THEN 'data property'"
+           " WHEN 'NamedIndividual' THEN 'individual'"
+           " WHEN 'Ontology' THEN 'ontology'"
+           " WHEN 'AnnotationProperty' THEN 'annotation property'"
+           " ELSE 'resource' END")
+    _summary_types = ("'Class','ObjectProperty','DatatypeProperty',"
+                      "'NamedIndividual','Ontology','AnnotationProperty',"
+                      "'Restriction'")
+    _diff_summ = f"""
+per AS (SELECT name, change,
+   (list(object ORDER BY (kind='removed'), object)
+      FILTER (WHERE predicate='type' AND object IN ({_summary_types})))[1] AS rt,
+   (list(object ORDER BY object)
+      FILTER (WHERE kind='added' AND predicate='label'))[1] AS lbl,
+   COALESCE(list(CASE WHEN kind='added' THEN 'added ' ELSE 'removed ' END
+                 || predicate || ' = ' || object
+                 ORDER BY (kind='removed'), predicate, object)
+      FILTER (WHERE predicate <> 'type'), []) AS details
+   FROM flat JOIN chg USING (name) GROUP BY name, change),
+summ AS (SELECT name,
+   CASE change
+     WHEN 'added' THEN 'Added ' || {_tl} || ' ' || name
+                       || COALESCE(' "' || lbl || '"', '')
+     WHEN 'removed' THEN 'Removed ' || {_tl} || ' ' || name
+     ELSE 'Modified ' || {_tl} || ' ' || name || ': '
+          || array_to_string(details[1:3], '; ')
+          || CASE WHEN len(details) > 3
+                  THEN printf(' (+%d more)', len(details) - 3) ELSE '' END
+   END AS line
+   FROM per)
+"""
+
+    sql["diff_report_markdown"] = f"""
+WITH {da}, {db},
+{_diff_flat},
+{_diff_stats},
+head(grp, key, pos, line) AS (
+  SELECT 0, '', 0, '# Ontology Change Report' || chr(10) FROM stats
+  UNION ALL SELECT 0, '', 1, '## Summary' || chr(10) FROM stats
+  UNION ALL SELECT 0, '', 2,
+    printf('- **Added:** %d triples across %d resources', added, r_added)
+    FROM stats
+  UNION ALL SELECT 0, '', 3,
+    printf('- **Removed:** %d triples across %d resources', removed, r_removed)
+    FROM stats
+  UNION ALL SELECT 0, '', 4,
+    printf('- **Modified:** %d resources', r_modified) FROM stats
+  UNION ALL SELECT 0, '', 5,
+    printf('- **Unchanged:** %d triples', unchanged) FROM stats
+  UNION ALL SELECT 0, '', 6,
+    printf('- **Anonymous nodes:** %d added, %d removed',
+           added_bnode, removed_bnode)
+    FROM stats WHERE added_bnode + removed_bnode > 0
+  UNION ALL SELECT 0, '', 7, '' FROM stats),
+secrank AS (SELECT name, change,
+            CASE change WHEN 'added' THEN 1 WHEN 'removed' THEN 2 ELSE 3 END
+            AS grp FROM chg),
+sechdr AS (SELECT DISTINCT grp, '' AS key, 0 AS pos,
+           '## ' || CASE grp WHEN 1 THEN 'Added' WHEN 2 THEN 'Removed'
+                    ELSE 'Modified' END || ' Resources' || chr(10) AS line
+           FROM secrank),
+blk AS (SELECT s.grp, f.name AS key,
+   list_prepend('### ' || f.name || chr(10),
+     list(CASE WHEN kind='added' THEN '- + ' ELSE '- - ' END
+          || predicate || ': ' || object
+          ORDER BY (kind='removed'), predicate, object)) || [''] AS ls
+   FROM flat f JOIN secrank s USING (name) GROUP BY s.grp, f.name),
+blklines AS (SELECT grp, key, i AS pos, ls[i] AS line
+             FROM blk, unnest(generate_series(1, len(ls))) AS u(i)),
+alllines AS (SELECT * FROM head UNION ALL SELECT * FROM sechdr
+             UNION ALL SELECT * FROM blklines)
+SELECT row_number() OVER (ORDER BY grp, key, pos) - 1 AS idx, line
+FROM alllines ORDER BY idx
+"""
+
+    sql["diff_report_text"] = f"""
+WITH {da}, {db},
+{_diff_flat},
+{_diff_stats},
+{_diff_summ},
+head(grp, key, pos, line) AS (
+  SELECT 0, '', 0, 'Ontology Change Report' FROM stats
+  UNION ALL SELECT 0, '', 1, repeat('=', 40) FROM stats
+  UNION ALL SELECT 0, '', 2,
+    printf('Added: %d triples, Removed: %d triples, Modified: %d resources',
+           added, removed, r_modified) FROM stats
+  UNION ALL SELECT 0, '', 3, '' FROM stats),
+body AS (SELECT 1 AS grp, name AS key, 0 AS pos, '  ' || line AS line FROM summ
+  UNION ALL SELECT 2, '', 0,
+    '  ' || printf('%d anonymous node triples added, %d removed '
+                   || '(restrictions/expressions)', added_bnode, removed_bnode)
+    FROM stats WHERE added_bnode + removed_bnode > 0),
+alllines AS (SELECT * FROM head UNION ALL SELECT * FROM body)
+SELECT row_number() OVER (ORDER BY grp, key, pos) - 1 AS idx, line
+FROM alllines ORDER BY idx
+"""
+
 
     sql["detect_conflicts"] = f"""
 WITH {da}, {db}
@@ -1513,9 +1686,9 @@ GROUP BY a.subj, a.pred ORDER BY a.subj, a.pred
     sql["classify_resources"] = f"""
 WITH {da}, {db},
 added AS (SELECT DISTINCT subj FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
-          WHERE NOT (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode')),
+          WHERE NOT subj LIKE '\\_:%' ESCAPE '\\'),
 removed AS (SELECT DISTINCT subj FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
-            WHERE NOT (subj LIKE '\\_:%' ESCAPE '\\' OR obj_kind='bnode'))
+            WHERE NOT subj LIKE '\\_:%' ESCAPE '\\')
 SELECT coalesce(added.subj, removed.subj) AS resource,
   CASE WHEN added.subj IS NOT NULL AND removed.subj IS NOT NULL THEN 'modified'
        WHEN added.subj IS NOT NULL THEN 'added' ELSE 'removed' END AS change

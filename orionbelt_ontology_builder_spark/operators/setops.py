@@ -86,7 +86,10 @@ def diff_graphs(current: DataFrame, other: DataFrame) -> dict[str, DataFrame]:
     added = other.exceptAll(current)
     removed = current.exceptAll(other)
     unchanged = current.intersect(other)
-    is_b = F.col("subj").startswith("_:") | (F.col("obj_kind") == "bnode")
+    # bnode split is on the SUBJECT only (reference filters t[0] BNode,
+    # :2427-2430): a named subject referencing a bnode (e.g. subClassOf
+    # a restriction node) IS surfaced and counted as a named change
+    is_b = F.col("subj").startswith("_:")
     return {
         "added": added.filter(~is_b),
         "removed": removed.filter(~is_b),
@@ -117,8 +120,7 @@ def diff_summary(current: DataFrame, other: DataFrame) -> DataFrame:
         cond = piece if cond is None else cond & piece
     j = cur.join(oth, cond, "full_outer")
     subj = F.coalesce(F.col("c.subj"), F.col("o.subj"))
-    okind = F.coalesce(F.col("c.obj_kind"), F.col("o.obj_kind"))
-    is_b = subj.startswith("_:") | (okind == "bnode")
+    is_b = subj.startswith("_:")  # subject-only split, as in diff_graphs
     added = F.col("in_o").isNotNull() & F.col("in_c").isNull()
     removed = F.col("in_c").isNotNull() & F.col("in_o").isNull()
     both = F.col("in_c").isNotNull() & F.col("in_o").isNotNull()
@@ -178,3 +180,345 @@ def preview_import(
         "summary": diff_summary(current, incoming),
         "classification": classify_resources(current, incoming),
     }
+
+
+# --------------------------------------------------------------------------
+# diff detail + human-readable reports (reference compare_graphs
+# modified_resources :2433-2452, _summarize_changes :2522-2582,
+# format_diff_report :2584-2631)
+# --------------------------------------------------------------------------
+
+#: resource types recognized by the summary renderer (reference :2526-2530)
+_SUMMARY_TYPES = [
+    "Class", "ObjectProperty", "DatatypeProperty", "NamedIndividual",
+    "Ontology", "AnnotationProperty", "Restriction",
+]
+#: display labels (reference :2532-2539 — NB "Restriction" is detected
+#: but absent from the label map, so it renders as "resource")
+_TYPE_LABELS = {
+    "Class": "class",
+    "ObjectProperty": "object property",
+    "DatatypeProperty": "data property",
+    "NamedIndividual": "individual",
+    "Ontology": "ontology",
+    "AnnotationProperty": "annotation property",
+}
+
+
+def diff_modified_resources(current: DataFrame, other: DataFrame) -> DataFrame:
+    """(name, change, kind, predicate, object, object_type): the
+    reference's ``modified_resources`` groups flattened to one row per
+    changed named-subject triple.  Names are subject local names (the
+    reference groups by local name, ``_group_triples_by_subject``);
+    predicate/URI objects are local-named, literals kept verbatim.
+
+    Determinism pin: the reference iterates set views (hash order);
+    rows here sort by (name, kind, predicate, object)."""
+    from ..model import local_name_col
+
+    d = diff_graphs(current, other)
+
+    def flat(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(
+            local_name_col(F.col("subj")).alias("name"),
+            F.lit(kind).alias("kind"),
+            local_name_col(F.col("pred")).alias("predicate"),
+            F.when(F.col("obj_kind") == "uri", local_name_col(F.col("obj")))
+            .otherwise(F.col("obj"))
+            .alias("object"),
+            F.when(F.col("obj_kind") == "uri", F.lit("uri"))
+            .otherwise(F.lit("literal"))
+            .alias("object_type"),
+        )
+
+    rows = flat(d["added"], "added").unionByName(flat(d["removed"], "removed"))
+    change = (
+        rows.groupBy("name")
+        .agg(
+            F.max((F.col("kind") == "added").cast("int")).alias("ha"),
+            F.max((F.col("kind") == "removed").cast("int")).alias("hr"),
+        )
+        .select(
+            "name",
+            F.when((F.col("ha") == 1) & (F.col("hr") == 1), "modified")
+            .when(F.col("ha") == 1, "added")
+            .otherwise("removed")
+            .alias("change"),
+        )
+    )
+    return rows.join(change, "name").orderBy(
+        "name", "kind", "predicate", "object"
+    )
+
+
+def _summary_lines(
+    current: DataFrame,
+    other: DataFrame,
+    flat: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """(ord, line) plain-language change summaries, one per changed
+    resource ordered by name, plus a trailing anonymous-node line when
+    bnode triples changed (reference ``_summarize_changes``).
+
+    ``flat``/``stats`` let report callers pass already-materialized
+    frames so the diff set-ops execute once per report, not per
+    sub-frame."""
+    if flat is None:
+        flat = diff_modified_resources(current, other)
+    if stats is None:
+        stats = diff_summary(current, other)
+    type_map = F.create_map(
+        *[F.lit(x) for kv in _TYPE_LABELS.items() for x in kv]
+    )
+    per = flat.groupBy("name", "change").agg(
+        # resource type: first matching type triple, added before
+        # removed, then (object) — the reference takes the first in set
+        # order, pinned here deterministically
+        F.min(
+            F.when(
+                (F.col("predicate") == "type")
+                & F.col("object").isin(_SUMMARY_TYPES),
+                F.struct(
+                    F.when(F.col("kind") == "added", 0).otherwise(1).alias("k"),
+                    F.col("object").alias("o"),
+                ),
+            )
+        ).alias("rt"),
+        F.min(
+            F.when(
+                (F.col("kind") == "added") & (F.col("predicate") == "label"),
+                F.col("object"),
+            )
+        ).alias("lbl"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("predicate") != "type",
+                    F.struct(
+                        F.when(F.col("kind") == "added", 0)
+                        .otherwise(1)
+                        .alias("k"),
+                        F.col("predicate").alias("p"),
+                        F.col("object").alias("o"),
+                    ),
+                )
+            )
+        ).alias("details"),
+    )
+    tl = F.coalesce(F.element_at(type_map, F.col("rt.o")), F.lit("resource"))
+    det_strs = F.transform(
+        F.col("details"),
+        lambda d: F.concat(
+            F.when(d["k"] == 0, F.lit("added ")).otherwise(F.lit("removed ")),
+            d["p"], F.lit(" = "), d["o"],
+        ),
+    )
+    det_head = F.concat_ws("; ", F.slice(det_strs, 1, 3))
+    det_txt = F.when(
+        F.size(det_strs) > 3,
+        F.concat(
+            det_head,
+            F.format_string(" (+%d more)", F.size(det_strs) - F.lit(3)),
+        ),
+    ).otherwise(det_head)
+    line = (
+        F.when(
+            F.col("change") == "added",
+            F.concat(
+                F.lit("Added "), tl, F.lit(" "), F.col("name"),
+                F.coalesce(
+                    F.concat(F.lit(' "'), F.col("lbl"), F.lit('"')), F.lit("")
+                ),
+            ),
+        )
+        .when(
+            F.col("change") == "removed",
+            F.concat(F.lit("Removed "), tl, F.lit(" "), F.col("name")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Modified "), tl, F.lit(" "), F.col("name"),
+                F.lit(": "), det_txt,
+            )
+        )
+    )
+    res_lines = per.select(
+        F.struct(F.lit(0).alias("grp"), F.col("name").alias("key")).alias("ord"),
+        line.alias("line"),
+    )
+    bnode_line = (
+        stats
+        .filter((F.col("added_bnode") + F.col("removed_bnode")) > 0)
+        .select(
+            F.struct(F.lit(1).alias("grp"), F.lit("").alias("key")).alias("ord"),
+            F.format_string(
+                "%d anonymous node triples added, %d removed "
+                "(restrictions/expressions)",
+                F.col("added_bnode"), F.col("removed_bnode"),
+            ).alias("line"),
+        )
+    )
+    return res_lines.unionByName(bnode_line)
+
+
+def summarize_changes(current: DataFrame, other: DataFrame) -> DataFrame:
+    """(idx, line): the reference's ``summary`` list as ordered rows."""
+    from pyspark.sql import Window
+
+    lines = _summary_lines(
+        current,
+        other,
+        flat=diff_modified_resources(current, other).localCheckpoint(
+            eager=True
+        ),
+    )
+    w = Window.orderBy("ord")  # tiny UI artifact: one-partition window OK
+    return lines.select(
+        (F.row_number().over(w) - 1).alias("idx"), "line"
+    ).orderBy("idx")
+
+
+def format_diff_report(
+    current: DataFrame, other: DataFrame, report_format: str = "markdown"
+) -> DataFrame:
+    """(idx, line): ``format_diff_report`` (reference ``:2584-2631``) as
+    ordered rows — one row per ``lines.append`` element (some elements
+    carry a trailing newline exactly as the reference's do; join on
+    '\\n' to reproduce the report string byte-for-byte).
+
+    A small UI artifact: assembled from the diff aggregates with a
+    final one-partition ordering window, like ``format_delete_impact``.
+    """
+    # materialize the (tiny) changed-triples frame and one-row stats
+    # once: every report sub-frame below reuses them instead of
+    # re-executing the diff set-ops per section
+    flat = diff_modified_resources(current, other).localCheckpoint(eager=True)
+    rc = flat.select("name", "change").distinct().groupBy().agg(
+        F.count(F.when(F.col("change") == "added", 1)).alias("r_added"),
+        F.count(F.when(F.col("change") == "removed", 1)).alias("r_removed"),
+        F.count(F.when(F.col("change") == "modified", 1)).alias("r_modified"),
+    )
+    stats = diff_summary(current, other).localCheckpoint(eager=True)
+    stats_rc = stats.crossJoin(rc)
+
+    def hdr(entries: list) -> DataFrame:
+        # entries: (grp, key, pos, line-column)
+        return stats_rc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.struct(
+                                F.lit(g).alias("grp"),
+                                F.lit(k).alias("key"),
+                                F.lit(p).alias("pos"),
+                            ).alias("ord"),
+                            ln.alias("line"),
+                        )
+                        for g, k, p, ln in entries
+                    ]
+                )
+            ).alias("e")
+        ).select("e.ord", "e.line")
+
+    if report_format == "markdown":
+        bnode_hdr = F.when(
+            (F.col("added_bnode") + F.col("removed_bnode")) > 0,
+            F.format_string(
+                "- **Anonymous nodes:** %d added, %d removed",
+                F.col("added_bnode"), F.col("removed_bnode"),
+            ),
+        )
+        head = hdr([
+            (0, "", 0, F.lit("# Ontology Change Report\n")),
+            (0, "", 1, F.lit("## Summary\n")),
+            (0, "", 2, F.format_string(
+                "- **Added:** %d triples across %d resources",
+                F.col("added"), F.col("r_added"))),
+            (0, "", 3, F.format_string(
+                "- **Removed:** %d triples across %d resources",
+                F.col("removed"), F.col("r_removed"))),
+            (0, "", 4, F.format_string(
+                "- **Modified:** %d resources", F.col("r_modified"))),
+            (0, "", 5, F.format_string(
+                "- **Unchanged:** %d triples", F.col("unchanged"))),
+            (0, "", 6, bnode_hdr),
+            (0, "", 7, F.lit("")),
+        ]).filter(F.col("line").isNotNull())
+        sec_rank = F.when(F.col("change") == "added", 1).when(
+            F.col("change") == "removed", 2
+        ).otherwise(3)
+        sec_hdrs = (
+            flat.select("change").distinct()
+            .select(
+                F.struct(
+                    sec_rank.alias("grp"), F.lit("").alias("key"),
+                    F.lit(0).alias("pos"),
+                ).alias("ord"),
+                F.concat(
+                    F.lit("## "),
+                    F.initcap(F.col("change")).alias("x"),
+                    F.lit(" Resources\n"),
+                ).alias("line"),
+            )
+        )
+        per = flat.groupBy("name", "change").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.when(F.col("kind") == "added", 0).otherwise(1).alias("k"),
+                        F.col("predicate").alias("p"),
+                        F.col("object").alias("o"),
+                    )
+                )
+            ).alias("ts")
+        )
+        block = per.select(
+            sec_rank.alias("grp"),
+            F.col("name").alias("key"),
+            F.concat(
+                F.array(F.concat(F.lit("### "), F.col("name"), F.lit("\n"))),
+                F.transform(
+                    F.col("ts"),
+                    lambda t: F.concat(
+                        F.when(t["k"] == 0, F.lit("- + ")).otherwise(F.lit("- - ")),
+                        t["p"], F.lit(": "), t["o"],
+                    ),
+                ),
+                F.array(F.lit("")),
+            ).alias("lines"),
+        ).select(
+            "grp", "key", F.posexplode("lines").alias("pos", "line")
+        ).select(
+            F.struct(
+                F.col("grp"), F.col("key"), (F.col("pos") + 1).alias("pos")
+            ).alias("ord"),
+            "line",
+        )
+        all_lines = head.unionByName(sec_hdrs).unionByName(block)
+    else:
+        head = hdr([
+            (0, "", 0, F.lit("Ontology Change Report")),
+            (0, "", 1, F.lit("=" * 40)),
+            (0, "", 2, F.format_string(
+                "Added: %d triples, Removed: %d triples, Modified: %d resources",
+                F.col("added"), F.col("removed"), F.col("r_modified"))),
+            (0, "", 3, F.lit("")),
+        ])
+        body = _summary_lines(current, other, flat=flat, stats=stats).select(
+            F.struct(
+                (F.col("ord.grp") + 1).alias("grp"),
+                F.col("ord.key").alias("key"),
+                F.lit(0).alias("pos"),
+            ).alias("ord"),
+            F.concat(F.lit("  "), F.col("line")).alias("line"),
+        )
+        all_lines = head.unionByName(body)
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ord")
+    return all_lines.select(
+        (F.row_number().over(w) - 1).alias("idx"), "line"
+    ).orderBy("idx")

@@ -91,3 +91,91 @@ def test_preview_is_pure(diff_a, diff_b):
     p["summary"].collect()
     p["conflicts"].collect()
     assert diff_a.count() == before
+
+
+# ------------------------------------------------------------------ #
+# diff reports (reference test_diff.py: markdown headings, text format,
+# bnode counted-not-surfaced)
+# ------------------------------------------------------------------ #
+
+
+def _report(df) -> str:
+    return "\n".join(r["line"] for r in df.collect())
+
+
+def test_markdown_report_has_headings(diff_a, diff_b):
+    rep = _report(setops.format_diff_report(diff_a, diff_b, "markdown"))
+    assert "# Ontology Change Report" in rep
+    assert "## Summary" in rep
+    assert "## Added Resources" in rep
+    assert "### Cat" in rep
+    assert "- + type: Class" in rep
+
+
+def test_text_report_format(diff_a, diff_b):
+    rep = _report(setops.format_diff_report(diff_a, diff_b, "text"))
+    assert "Ontology Change Report" in rep
+    assert "=" * 40 in rep
+    assert "  Added class Cat" in rep
+
+
+def test_text_report_identical_graphs(diff_a):
+    rep = _report(setops.format_diff_report(diff_a, diff_a, "text"))
+    assert "Added: 0 triples, Removed: 0 triples, Modified: 0 resources" in rep
+
+
+def test_summarize_changes_lines(diff_a, diff_b):
+    lines = [r["line"] for r in setops.summarize_changes(diff_a, diff_b).collect()]
+    assert "Added class Cat" in lines
+    assert "Removed class Dog" in lines
+    assert any(l.startswith("Modified resource Person: ") for l in lines)
+
+
+def test_bnode_triples_counted_but_not_surfaced(spark, diff_a):
+    from orionbelt_ontology_builder_spark.model import (
+        OWL, RDF, TRIPLES_SCHEMA, t_uri,
+    )
+
+    extra = [
+        ("_:r1", RDF.type, OWL.Restriction, "uri", None, None),
+        ("_:r1", OWL.onProperty, BASE + "hasFriend", "uri", None, None),
+        # named subject referencing the bnode IS surfaced (reference
+        # filters BNode subjects only, ontology_manager.py:2427-2430)
+        t_uri(BASE + "Person", RDFS.subClassOf, "_:r1"),
+    ]
+    other = diff_a.unionByName(spark.createDataFrame(extra, TRIPLES_SCHEMA))
+    stats = setops.diff_summary(diff_a, other).collect()[0]
+    assert stats["added_bnode"] == 2
+    assert stats["added"] == 1  # the named subClassOf row
+    det = setops.diff_modified_resources(diff_a, other).collect()
+    assert all(not r["name"].startswith("_:") for r in det)
+    assert any(
+        r["name"] == "Person" and r["predicate"] == "subClassOf" for r in det
+    )
+    # both reports carry the anonymous-node line
+    md = _report(setops.format_diff_report(diff_a, other, "markdown"))
+    assert "- **Anonymous nodes:** 2 added, 0 removed" in md
+    txt = _report(setops.format_diff_report(diff_a, other, "text"))
+    assert "2 anonymous node triples added, 0 removed" in txt
+
+
+def test_summary_modified_details_capped_at_three(spark, diff_a):
+    from orionbelt_ontology_builder_spark.model import TRIPLES_SCHEMA
+
+    from pyspark.sql import functions as F
+
+    extra = [
+        (BASE + "Person", BASE + f"p{i}", f"v{i}", "literal", None, None)
+        for i in range(5)
+    ]
+    # drop Person's label so the resource is both-added-and-removed
+    # (the reference classifies 'modified' only when both sets touch it)
+    other = diff_a.filter(
+        ~((F.col("subj") == BASE + "Person") & (F.col("pred") == RDFS.label))
+    ).unionByName(spark.createDataFrame(extra, TRIPLES_SCHEMA))
+    lines = [
+        r["line"] for r in setops.summarize_changes(diff_a, other).collect()
+    ]
+    mod = next(l for l in lines if l.startswith("Modified"))
+    assert "(+3 more)" in mod  # 6 details (5 added + 1 removed), 3 shown
+    assert mod.count(";") == 2  # three details shown
