@@ -173,12 +173,18 @@ def preview_import(
     """Stage + analyze without mutating (reference ``preview_import``,
     ``:2026-2066``; purity test ``test_merge.py:131-139``).  Pure by
     construction — nothing is written."""
+    from .views import get_ontology_metadata, get_statistics
+
     d = diff_graphs(current, incoming)
     return {
         **d,
         "conflicts": detect_conflicts(current, incoming),
         "summary": diff_summary(current, incoming),
         "classification": classify_resources(current, incoming),
+        # reference preview also surfaces the incoming graph's counts
+        # and its ontology label/uri (:2042-2057)
+        "incoming_stats": get_statistics(incoming),
+        "incoming_meta": get_ontology_metadata(incoming),
     }
 
 

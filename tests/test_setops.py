@@ -179,3 +179,11 @@ def test_summary_modified_details_capped_at_three(spark, diff_a):
     mod = next(l for l in lines if l.startswith("Modified"))
     assert "(+3 more)" in mod  # 6 details (5 added + 1 removed), 3 shown
     assert mod.count(";") == 2  # three details shown
+
+
+def test_preview_import_surfaces_incoming_stats_and_meta(diff_a, diff_b):
+    prev = setops.preview_import(diff_a, diff_b)
+    stats = prev["incoming_stats"].collect()[0]
+    assert stats["classes"] >= 2  # Cat + Person (+Animal)
+    meta_cols = set(prev["incoming_meta"].columns)
+    assert "uri" in meta_cols or "ontology_uri" in meta_cols
