@@ -28,11 +28,20 @@ def canonical_map(same_as: DataFrame) -> DataFrame:
 
 def rewrite_edges(raw_triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite subj/obj surfaces through the canonical map (identity for
-    unmapped mentions), keeping lineage columns."""
-    m_subj = mapping.select(
+    unmapped mentions), keeping lineage columns.
+
+    Identity rows (a representative mapping to itself — 1/k of every
+    k-member component, plus any caller-supplied no-ops) are filtered
+    before the join: a hit that coalesces to the same value is
+    indistinguishable from a miss, so they only inflate the join build
+    side and its output width. At web scale the map keys on distinct
+    surface forms (uniform hash — no skew), and the big side shuffles
+    once per role; AQE picks broadcast when the filtered map fits."""
+    remap = mapping.filter(F.col("mention") != F.col("canonical"))
+    m_subj = remap.select(
         F.col("mention").alias("subj_surface"), F.col("canonical").alias("subj_canon")
     )
-    m_obj = mapping.select(
+    m_obj = remap.select(
         F.col("mention").alias("obj_surface"), F.col("canonical").alias("obj_canon")
     )
     return (
