@@ -1066,6 +1066,16 @@ def _q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def _q_text_repetition(spark, sf_dir):
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII detection/scrubbing on the embedded fixture corpus (the sf
+    documents tables are PII-free word salad by construction)."""
+    return textstats.pii_scrub(textstats.pii_fixture_df(spark))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -1126,7 +1136,8 @@ _SF_SCALE = {
     "stream_event_counts", "stream_user_totals", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
-    "text_quality", "lang_id", "doc_fingerprint", "dedup_exact",
+    "text_quality", "text_repetition", "lang_id", "doc_fingerprint",
+    "dedup_exact",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
@@ -1314,6 +1325,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_delete": _q_bulk_delete,
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
+        "text_repetition": _q_text_repetition,
+        "pii_scrub": _q_pii_scrub,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -2606,6 +2619,8 @@ WHERE subj NOT IN ('{emp}', '{acme}')
 
     sql["text_token_counts"] = textstats.token_counts_oracle()
     sql["text_quality"] = textstats.quality_scores_oracle()
+    sql["text_repetition"] = textstats.repetition_stats_oracle()
+    sql["pii_scrub"] = textstats.pii_scrub_oracle()
     sql["lang_id"] = textstats.lang_id_oracle()
     sql["doc_fingerprint"] = textstats.fingerprints_oracle()
     sql["dedup_exact"] = dedup.exact_dedup_oracle()

@@ -277,3 +277,177 @@ SELECT doc_id, md5(norm) AS full_hash,
     i -> md5(array_to_string(toks[i:i+{g - 1}], ' '))), 'min') AS min_gram_hash
 FROM t ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------------ #
+# Repetition statistics (Gopher-style quality filters)
+# ------------------------------------------------------------------ #
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, distinct_token_ratio, dup_2gram_ratio,
+    top_2gram_ratio) — the Gopher repetition-removal signals: documents
+    whose text is dominated by a repeated n-gram or has a low distinct-
+    token fraction are boilerplate/spam and get filtered before
+    pre-training.
+
+    Everything is doc-local array algebra (no explode, no shuffle): the
+    2-gram list is built with 1-based ``element_at`` (portable to
+    DuckDB's 1-based list indexing), dup ratio = 1 - distinct/total, and
+    the top-2-gram token fraction scans the distinct grams against the
+    gram list — O(d·n) per document on bounded web-page token counts,
+    embarrassingly parallel at corpus scale.
+    """
+    g2 = (
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    return (
+        docs.withColumn("norm", norm_col())
+        .withColumn("toks", tokens_col())
+        .withColumn(
+            "n_tokens",
+            F.when(F.col("norm") == "", 0).otherwise(F.size("toks")),
+        )
+        .withColumn(
+            "g2", F.expr(f"CASE WHEN size(toks) >= 2 THEN {g2} END")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.size(F.array_distinct("toks"))
+                / F.col("n_tokens").cast("double")
+            )
+            .alias("distinct_token_ratio"),
+            F.when(F.col("g2").isNull(), F.lit(0.0))
+            .otherwise(
+                1.0
+                - F.size(F.array_distinct("g2"))
+                / F.size("g2").cast("double")
+            )
+            .alias("dup_2gram_ratio"),
+            F.when(F.col("g2").isNull(), F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    "array_max(transform(array_distinct(g2),"
+                    " g -> size(filter(g2, x -> x = g))))"
+                )
+                * 2
+                / F.col("n_tokens").cast("double")
+            )
+            .alias("top_2gram_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_stats_oracle() -> str:
+    return f"""
+WITH n AS (SELECT doc_id, {norm_sql()} AS norm FROM documents),
+t AS (SELECT doc_id, norm, {tokens_sql()} AS toks FROM n),
+g AS (SELECT doc_id, norm, toks,
+  CASE WHEN len(toks) >= 2 THEN
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])
+  END AS g2,
+  CASE WHEN norm = '' THEN 0 ELSE len(toks) END AS n_tokens
+  FROM t)
+SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens = 0 THEN 0.0
+       ELSE len(list_distinct(toks)) / n_tokens::DOUBLE
+  END AS distinct_token_ratio,
+  CASE WHEN g2 IS NULL THEN 0.0
+       ELSE 1.0 - len(list_distinct(g2)) / len(g2)::DOUBLE
+  END AS dup_2gram_ratio,
+  CASE WHEN g2 IS NULL THEN 0.0
+       ELSE list_max(list_transform(list_distinct(g2),
+              g -> len(list_filter(g2, x -> x = g)))) * 2 / n_tokens::DOUBLE
+  END AS top_2gram_ratio
+FROM g ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# PII detection + scrubbing
+# ------------------------------------------------------------------ #
+
+# Portable across Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+# ASCII classes only.  Counts are per-pattern over the ORIGINAL text;
+# scrubbing applies sequentially email -> ipv4 -> phone.
+EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RX = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_RX = "\\+?[0-9][0-9 ()\\-]{6,}[0-9]"
+
+# Deterministic PII corpus — single source of truth for the Spark query
+# AND the DuckDB VALUES CTE (the sf documents tables are synthetic word
+# salad with no PII, so the oracle runs on this embedded fixture).
+PII_FIXTURE: list[tuple[int, str]] = [
+    (0, "Contact alice@example.com or call +1 (555) 123-4567 today."),
+    (1, "Server at 192.168.0.1 emailed bob.smith+tag@mail.co twice."),
+    (2, "No personal data in this sentence at all."),
+    (3, "Fax 020 7946 0958; backup host 10.0.0.254; a@b.io c@d.org."),
+    (4, "Version 1.2.3.4 of the lib phoned home to 8.8.8.8."),
+    (5, "reach me: j.doe@sub.domain.example under +49 30 901820."),
+]
+
+
+def pii_fixture_df(spark) -> DataFrame:
+    return spark.createDataFrame(PII_FIXTURE, "doc_id long, text string")
+
+
+def pii_fixture_cte(alias: str = "pii_docs") -> str:
+    rows = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')"
+        for i, t in PII_FIXTURE
+    )
+    return f"{alias}(doc_id, text) AS (VALUES {rows})"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, scrubbed, scrub_hash).
+
+    Detection + redaction of the three highest-volume PII shapes in web
+    text.  Pure native regexp expressions — one narrow codegen
+    projection, linear at corpus scale; the md5 of the scrubbed text is
+    the idempotency/audit key a removal pipeline logs per document."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RX, "<EMAIL>"),
+            IPV4_RX,
+            "<IP>",
+        ),
+        PHONE_RX,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RX)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(IPV4_RX)).alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(PHONE_RX)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    ).orderBy("doc_id")
+
+
+def pii_scrub_oracle(table: str = "pii_docs") -> str:
+    def esc(rx: str) -> str:
+        # DuckDB '…' literals are raw (no backslash processing) — only
+        # quotes need doubling; doubling backslashes would corrupt \b/\.
+        return rx.replace("'", "''")
+
+    e, i, p = esc(EMAIL_RX), esc(IPV4_RX), esc(PHONE_RX)
+    return f"""
+WITH {pii_fixture_cte()},
+s AS (SELECT doc_id, text,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{p}', '<PHONE>', 'g')
+  AS scrubbed FROM {table})
+SELECT doc_id,
+  len(regexp_extract_all(text, '{e}')) AS n_emails,
+  len(regexp_extract_all(text, '{i}')) AS n_ipv4,
+  len(regexp_extract_all(text, '{p}')) AS n_phones,
+  scrubbed, md5(scrubbed) AS scrub_hash
+FROM s ORDER BY doc_id
+"""

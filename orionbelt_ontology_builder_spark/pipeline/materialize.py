@@ -24,12 +24,38 @@ from pyspark.sql import functions as F
 
 
 def with_partitioning(
-    edges: DataFrame, n_buckets: int = 64, salt_n: int = 8, hot_threshold: int = 100000
+    edges: DataFrame,
+    n_buckets: int = 64,
+    salt_n: int = 8,
+    hot_threshold: int = 100000,
+    hot_sample_fraction: float | None = None,
 ) -> DataFrame:
     """edges + (bucket, salt) columns.  Hot subjects (row count >=
-    hot_threshold) get a content-derived salt, others salt=0."""
-    counts = edges.groupBy("subj").agg(F.count("*").alias("n_rows"))
-    hot = counts.filter(F.col("n_rows") >= hot_threshold).select(
+    hot_threshold) get a content-derived salt, others salt=0.
+
+    Hot-subject detection: exact mode (``hot_sample_fraction=None``) runs
+    ``groupBy(subj).count()`` over the full edge table — a complete extra
+    shuffle, fine at test scale, wasteful at corpus scale.  Zipfian hot
+    keys are precisely the keys a small uniform sample cannot miss: at
+    fraction f a subject with >= ``hot_threshold`` rows surfaces
+    ~``hot_threshold*f`` times (Chernoff-concentrated — 100k rows sampled
+    at 1e-3 yields 100±10), so cutting the sampled counts at half the
+    expected value finds every truly hot key w.h.p. while shuffling only
+    the sampled rows.  False positives just salt a warm key unnecessarily
+    (a slightly wider second-stage re-aggregation — harmless); false
+    negatives are negligible for genuinely hot keys.  Pass e.g. ``1e-3``
+    on corpus-scale runs; the seed is fixed so runs are reproducible."""
+    if hot_sample_fraction is None:
+        counts = edges.groupBy("subj").agg(F.count("*").alias("n_rows"))
+        cut = float(hot_threshold)
+    else:
+        counts = (
+            edges.sample(fraction=hot_sample_fraction, seed=42)
+            .groupBy("subj")
+            .agg(F.count("*").alias("n_rows"))
+        )
+        cut = max(1.0, hot_threshold * hot_sample_fraction / 2.0)
+    hot = counts.filter(F.col("n_rows") >= cut).select(
         "subj", F.lit(True).alias("is_hot")
     )
     return (
@@ -48,11 +74,13 @@ def with_partitioning(
 
 def write_edges(
     edges: DataFrame, out_dir: str, n_buckets: int = 64, salt_n: int = 8,
-    hot_threshold: int = 100000,
+    hot_threshold: int = 100000, hot_sample_fraction: float | None = None,
 ) -> None:
     """Write the edge table partitioned by subject-hash bucket (+salt)."""
     (
-        with_partitioning(edges, n_buckets, salt_n, hot_threshold)
+        with_partitioning(
+            edges, n_buckets, salt_n, hot_threshold, hot_sample_fraction
+        )
         .repartition("bucket", "salt")
         .write.mode("overwrite")
         .partitionBy("bucket", "salt")
@@ -66,6 +94,10 @@ def write_class_hierarchy(edges: DataFrame, out_dir: str) -> None:
         edges.filter(F.col("pred") == "subClassOf")
         .select(F.col("subj").alias("child"), F.col("obj").alias("parent"))
         .distinct()
+        # schema-level table: distinct (child, parent) class pairs number in
+        # the thousands even for a trillion-document corpus, so one output
+        # file is correct — the coalesce runs AFTER the distinct's shuffle
+        # and therefore doesn't narrow the aggregation's parallelism
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "class_hierarchy"))
@@ -104,19 +136,31 @@ def run_extraction_with_checkpoints(
     pages: DataFrame,
     out_dir: str,
     n_slices: int = 8,
+    slice_col: str | None = None,
 ) -> DataFrame:
     """Slice pages by url hash; extract each unprocessed slice, append its
     raw triples under ``raw_triples/slice=<i>``, record metrics.  Re-running
     after a kill skips completed slices (idempotent).  Returns the full
-    raw-triples DataFrame (all slices)."""
+    raw-triples DataFrame (all slices).
+
+    ``slice_col``: name of an EXISTING integer column in ``[0, n_slices)``
+    to slice on — on a cluster, the pages Iceberg table's own bucket
+    partition column (``bucket(n, url)``).  With it, each slice's filter is
+    a partition predicate and prunes to that slice's files; the computed
+    ``xxhash64(url)`` fallback cannot prune, so the default path scans the
+    pages table once per slice (acceptable only when the input isn't
+    physically bucketed — the resume granularity is worth one column)."""
     from .extract import extract_raw_triples
 
     manifest = CheckpointManifest(out_dir)
     done = manifest.done_slices()
     raw_dir = os.path.join(out_dir, "raw_triples")
-    sliced = pages.withColumn(
-        "slice", F.pmod(F.xxhash64("url"), F.lit(n_slices))
-    )
+    if slice_col is not None:
+        sliced = pages.withColumn("slice", F.col(slice_col))
+    else:
+        sliced = pages.withColumn(
+            "slice", F.pmod(F.xxhash64("url"), F.lit(n_slices))
+        )
     for i in range(n_slices):
         sid = f"slice_{i}"
         if sid in done:

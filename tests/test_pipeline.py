@@ -158,3 +158,65 @@ def test_lineage_carried(spark, pages_df):
     row = kg["edges"].first()
     assert row["source_url"].startswith("https://site")
     assert row["warc_ts"] is not None
+
+
+def test_sampled_hot_detection_salts_hot_subject(spark):
+    """Sample-based hot-key detection (the corpus-scale path) must salt a
+    genuinely hot subject across multiple sub-buckets, and exact mode must
+    agree on which subjects are hot."""
+    from orionbelt_ontology_builder_spark.pipeline.materialize import (
+        with_partitioning,
+    )
+
+    hot_n, cold_n = 5000, 5
+    edges = spark.range(hot_n + cold_n).select(
+        F.when(F.col("id") < hot_n, F.lit("HotEntity"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id")))
+        .alias("subj"),
+        F.lit("relatedTo").alias("pred"),
+        F.concat(F.lit("obj"), F.col("id")).alias("obj"),
+    )
+    sampled = with_partitioning(
+        edges, hot_threshold=1000, hot_sample_fraction=0.05, salt_n=8
+    )
+    hot_salts = (
+        sampled.filter(F.col("subj") == "HotEntity")
+        .select("salt").distinct().count()
+    )
+    assert hot_salts > 1, "hot subject not spread over salts by sampled path"
+    cold_salts = {
+        r["salt"]
+        for r in sampled.filter(F.col("subj") != "HotEntity")
+        .select("salt").distinct().collect()
+    }
+    assert cold_salts == {0}
+    exact = with_partitioning(edges, hot_threshold=1000, salt_n=8)
+    exact_hot = {
+        r["subj"]
+        for r in exact.filter(F.col("salt") != 0).select("subj").distinct().collect()
+    }
+    assert exact_hot == {"HotEntity"}
+
+
+def test_slice_col_uses_existing_bucket_column(spark, pages_df, tmp_path):
+    """A pre-bucketed pages table (Iceberg bucket partition column on a
+    cluster) drives slicing directly — same outputs, prunable filter."""
+    from orionbelt_ontology_builder_spark.pipeline.materialize import (
+        run_extraction_with_checkpoints,
+    )
+
+    out = str(tmp_path / "bucketed")
+    bucketed = pages_df.withColumn(
+        "page_bucket", F.pmod(F.xxhash64("url"), F.lit(3))
+    )
+    raw = run_extraction_with_checkpoints(
+        spark, bucketed, out, n_slices=3, slice_col="page_bucket"
+    )
+    assert raw.count() > 0
+    with open(os.path.join(out, "_manifest.jsonl")) as fh:
+        entries = [json.loads(l) for l in fh]
+    assert len(entries) == 3
+    # triple totals match the unbucketed default path
+    out2 = str(tmp_path / "hashed")
+    raw2 = run_extraction_with_checkpoints(spark, pages_df, out2, n_slices=3)
+    assert raw.count() == raw2.count()
