@@ -1066,6 +1066,10 @@ def _q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def _q_bpe_token_counts(spark, sf_dir):
+    return textstats.bpe_token_counts(_docs(spark, sf_dir))
+
+
 def _q_text_repetition(spark, sf_dir):
     return textstats.repetition_stats(_docs(spark, sf_dir))
 
@@ -1136,8 +1140,8 @@ _SF_SCALE = {
     "stream_event_counts", "stream_user_totals", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
-    "text_quality", "text_repetition", "lang_id", "doc_fingerprint",
-    "dedup_exact",
+    "text_quality", "text_repetition", "bpe_token_counts", "lang_id",
+    "doc_fingerprint", "dedup_exact",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
@@ -1326,6 +1330,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
         "text_repetition": _q_text_repetition,
+        "bpe_token_counts": _q_bpe_token_counts,
         "pii_scrub": _q_pii_scrub,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2620,6 +2625,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["text_token_counts"] = textstats.token_counts_oracle()
     sql["text_quality"] = textstats.quality_scores_oracle()
     sql["text_repetition"] = textstats.repetition_stats_oracle()
+    sql["bpe_token_counts"] = textstats.bpe_token_counts_oracle()
     sql["pii_scrub"] = textstats.pii_scrub_oracle()
     sql["lang_id"] = textstats.lang_id_oracle()
     sql["doc_fingerprint"] = textstats.fingerprints_oracle()

@@ -99,6 +99,41 @@ FROM t ORDER BY doc_id
 """
 
 
+# BPE-ish tokenizer regex (GPT-2 shape, ASCII-portable subset: Java
+# regex and RE2 agree on leftmost-first alternation and these classes).
+# Alternatives: contraction suffix | space?+letter-run | space?+digit-run
+# | space?+punct-run; inter-token whitespace is skipped by the scanner,
+# so counting matches counts tokens.
+BPE_RX = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_ws_tokens) — subword-style token count
+    over the RAW text (BPE-ish regex above) next to the whitespace count,
+    the pair a pre-training cost model needs (regex-token counts track
+    real BPE vocab counts within a few percent on web text).  One narrow
+    codegen projection."""
+    norm = norm_col()
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_RX)).alias("n_bpe_tokens"),
+        F.when(norm == "", 0)
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+def bpe_token_counts_oracle() -> str:
+    rx = BPE_RX.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{rx}')) AS n_bpe_tokens,
+  CASE WHEN {norm_sql()} = '' THEN 0
+       ELSE len({tokens_sql(norm_sql())}) END AS n_ws_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ #
 # Quality scoring
 # ------------------------------------------------------------------ #

@@ -191,3 +191,70 @@ def test_media_frames_cover_payload(docs):
 def test_decode_image_is_marked_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+# ------------------------------------------------------------------ #
+# textstats: repetition, PII, BPE-ish tokens
+# ------------------------------------------------------------------ #
+
+
+def test_repetition_stats_flags_repeated_text(spark):
+    rows = [
+        Row(doc_id=0, text="spam spam spam spam spam spam", lang="en",
+            source="s", n_chars=29),
+        Row(doc_id=1, text=BASE_TEXT, lang="en", source="s",
+            n_chars=len(BASE_TEXT)),
+        Row(doc_id=2, text="", lang="en", source="s", n_chars=0),
+        Row(doc_id=3, text="one", lang="en", source="s", n_chars=3),
+    ]
+    d = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(d).collect()}
+    assert out[0]["dup_2gram_ratio"] > 0.7          # "spam spam" everywhere
+    assert out[0]["top_2gram_ratio"] > 1.0          # overlapping grams > n/2
+    assert out[1]["dup_2gram_ratio"] < out[0]["dup_2gram_ratio"]
+    assert out[2]["n_tokens"] == 0 and out[2]["top_2gram_ratio"] == 0.0
+    assert out[3]["dup_2gram_ratio"] == 0.0         # single token: no 2-grams
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    out = {
+        r["doc_id"]: r
+        for r in textstats.pii_scrub(textstats.pii_fixture_df(spark)).collect()
+    }
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1
+    assert "<EMAIL>" in out[0]["scrubbed"] and "<PHONE>" in out[0]["scrubbed"]
+    assert "alice@example.com" not in out[0]["scrubbed"]
+    assert out[2]["n_emails"] == out[2]["n_ipv4"] == out[2]["n_phones"] == 0
+    assert out[2]["scrubbed"] == textstats.PII_FIXTURE[2][1]  # untouched
+    assert out[4]["n_ipv4"] == 2  # naive matcher: version strings count too
+
+
+def test_bpe_token_count_matches_python_re(spark):
+    """The Spark regexp_count over BPE_RX must agree with Python's re
+    scanner on adversarial shapes (contractions, digit runs, punct runs,
+    unicode-free ASCII edge cases)."""
+    import re
+
+    texts = [
+        "I'll say it's Bob's 42nd try... really!?",
+        "   leading space",
+        "trailing space   ",
+        "",
+        "a",
+        "don't can't won't we've they'd I'm you're",
+        "x1y2z3 12ab34 ---===+++",
+        "(parens) [brackets] {braces} <angles>",
+    ]
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+        for i, t in enumerate(texts)
+    ]
+    out = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textstats.bpe_token_counts(
+            spark.createDataFrame(rows)
+        ).collect()
+    }
+    rx = re.compile(textstats.BPE_RX)
+    for i, t in enumerate(texts):
+        assert out[i] == len(rx.findall(t)), (i, t, rx.findall(t))
