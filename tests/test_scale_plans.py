@@ -270,3 +270,29 @@ def test_ivf_pairs_dim_matches_dimless(embs):
     a = sorted(map(tuple, similarity.ivf_cosine_pairs(embs).collect()))
     b = sorted(map(tuple, similarity.ivf_cosine_pairs(embs, dim=8).collect()))
     assert a == b
+
+
+def test_textstats_per_doc_ops_shuffle_free(docs):
+    """Every per-document textstats projection (token counts, BPE counts,
+    quality, repetition, fingerprints, PII scrub) must compile without an
+    Exchange before the final presentation sort — they are narrow maps
+    that scale linearly with input splits."""
+    from orionbelt_ontology_builder_spark.datapipe import textstats
+
+    import re
+
+    for op in (
+        textstats.token_counts,
+        textstats.bpe_token_counts,
+        textstats.quality_scores,
+        textstats.repetition_stats,
+        textstats.fingerprints,
+        textstats.pii_scrub,
+    ):
+        plan = _plan(op(docs))
+        # the operators end in an orderBy for deterministic driver-oracle
+        # comparison; its global sort is the only exchange allowed
+        # (rangepartitioning), and nothing may hash-shuffle the rows
+        exch = re.findall(r"Exchange (\w+)", plan)
+        non_range = [e for e in exch if not e.startswith("range")]
+        assert not non_range, (op.__name__, exch, plan)
