@@ -23,6 +23,7 @@ from orionbelt_ontology_builder_spark.datapipe import (
     multimodal,
     similarity,
     textstats,
+    urls,
 )
 from orionbelt_ontology_builder_spark.operators import (
     fixpoint,
@@ -1080,6 +1081,16 @@ def _q_pii_scrub(spark, sf_dir):
     return textstats.pii_scrub(textstats.pii_fixture_df(spark))
 
 
+def _q_url_normalize(spark, sf_dir):
+    """URL canonicalization on the embedded raw-URL fixture (the sf
+    tables carry no raw URLs)."""
+    return urls.normalize_urls(urls.url_fixture_df(spark))
+
+
+def _q_source_mix(spark, sf_dir):
+    return urls.source_mix(_docs(spark, sf_dir))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
@@ -1140,8 +1151,8 @@ _SF_SCALE = {
     "stream_event_counts", "stream_user_totals", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
-    "text_quality", "text_repetition", "bpe_token_counts", "lang_id",
-    "doc_fingerprint", "dedup_exact",
+    "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
+    "lang_id", "doc_fingerprint", "dedup_exact",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
@@ -1332,6 +1343,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "bpe_token_counts": _q_bpe_token_counts,
         "pii_scrub": _q_pii_scrub,
+        "url_normalize": _q_url_normalize,
+        "source_mix": _q_source_mix,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -2627,6 +2640,8 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["text_repetition"] = textstats.repetition_stats_oracle()
     sql["bpe_token_counts"] = textstats.bpe_token_counts_oracle()
     sql["pii_scrub"] = textstats.pii_scrub_oracle()
+    sql["url_normalize"] = urls.normalize_urls_oracle()
+    sql["source_mix"] = urls.source_mix_oracle()
     sql["lang_id"] = textstats.lang_id_oracle()
     sql["doc_fingerprint"] = textstats.fingerprints_oracle()
     sql["dedup_exact"] = dedup.exact_dedup_oracle()

@@ -258,3 +258,28 @@ def test_bpe_token_count_matches_python_re(spark):
     rx = re.compile(textstats.BPE_RX)
     for i, t in enumerate(texts):
         assert out[i] == len(rx.findall(t)), (i, t, rx.findall(t))
+
+
+def test_url_normalize_canonicalizes_equivalent_urls(spark):
+    from orionbelt_ontology_builder_spark.datapipe import urls as U
+
+    out = {r["url_id"]: r for r in U.normalize_urls(U.url_fixture_df(spark)).collect()}
+    # param reorder + tracking param + trailing slash all collapse
+    assert out[1]["norm_url"] == out[6]["norm_url"]
+    # scheme differs -> distinct keys
+    assert out[0]["norm_url"] != out[1]["norm_url"]
+    assert out[0]["norm_url"] == "http://example.com/Path/Page?a=1&b=2"
+    # default port + www + fragment dropped
+    assert out[0]["host"] == "example.com"
+    # non-default port kept
+    assert ":8080" in out[5]["norm_url"] and "ref=rss" not in out[5]["norm_url"]
+    # bare root gets "/"
+    assert out[3]["norm_url"] == "http://example.com/"
+
+
+def test_source_mix_totals(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import urls as U
+
+    out = {r["source"]: r for r in U.source_mix(docs).collect()}
+    assert sum(r["n_docs"] for r in out.values()) == docs.count()
+    assert out["s0"]["total_tokens"] == len(BASE_TEXT.split())
