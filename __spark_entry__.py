@@ -1990,7 +1990,8 @@ SELECT ont.subj AS ontology_uri,
   min(CASE WHEN pred='{LBL}' THEN obj END) AS label,
   min(CASE WHEN pred='{CMT}' THEN obj END) AS comment,
   min(CASE WHEN pred='{M.OWL.versionIRI}' THEN obj END) AS version_iri,
-  min(CASE WHEN pred='{M.DC_NS}creator' THEN obj END) AS creator
+  coalesce(min(CASE WHEN pred='{M.DCT_NS}creator' THEN obj END),
+           min(CASE WHEN pred='{M.DC_NS}creator' THEN obj END)) AS creator
 FROM ont LEFT JOIN triples t ON ont.subj = t.subj
 GROUP BY ont.subj
 """

@@ -897,13 +897,18 @@ def get_ontology_metadata(triples: DataFrame) -> DataFrame:
     ont = type_slice(triples, OWL.Ontology).select(
         F.col("subj").alias("ontology_uri")
     )
-    from ..model import DC_NS
+    from ..model import DC_NS, DCT_NS
 
+    # the reference reads dcterms:creator (ontology_manager.py:231) and its
+    # setter writes dcterms; legacy graphs carry dc:creator — prefer dcterms
     attrs = triples.groupBy("subj").agg(
         F.min(F.when(F.col("pred") == RDFS.label, F.col("obj"))).alias("label"),
         F.min(F.when(F.col("pred") == RDFS.comment, F.col("obj"))).alias("comment"),
         F.min(F.when(F.col("pred") == OWL.versionIRI, F.col("obj"))).alias("version_iri"),
-        F.min(F.when(F.col("pred") == DC_NS + "creator", F.col("obj"))).alias("creator"),
+        F.coalesce(
+            F.min(F.when(F.col("pred") == DCT_NS + "creator", F.col("obj"))),
+            F.min(F.when(F.col("pred") == DC_NS + "creator", F.col("obj"))),
+        ).alias("creator"),
     )
     return ont.join(
         attrs, ont["ontology_uri"] == attrs["subj"], "left"
