@@ -522,16 +522,20 @@ _BASEURI_SCENARIOS: list = [
 
 
 def _q_resolve_base_uri(spark, sf_dir):
-    out = None
-    for scen, rows, dpns in _BASEURI_SCENARIOS:
-        t = spark.createDataFrame(
-            [M.t_uri(*r) for r in rows], M.TRIPLES_SCHEMA
-        )
-        r = views.resolve_base_uri(t, default_prefix_ns=dpns).select(
-            F.lit(scen).alias("scenario"), "base_uri", "source"
-        )
-        out = r if out is None else out.unionByName(r)
-    return out.orderBy("scenario")
+    # all six scenario graphs resolved in ONE grouped pass (the
+    # multi-import shape) instead of six unioned single-graph plans
+    tagged = spark.createDataFrame(
+        [(scen, *M.t_uri(*r)) for scen, rows, _ in _BASEURI_SCENARIOS
+         for r in rows],
+        "scenario string, " + ", ".join(f"{c} string" for c in M.TRIPLE_COLS),
+    )
+    defaults = spark.createDataFrame(
+        [(scen, dpns) for scen, _, dpns in _BASEURI_SCENARIOS],
+        "scenario string, default_ns string",
+    )
+    return views.resolve_base_uri_grouped(
+        tagged, "scenario", defaults
+    ).orderBy("scenario")
 
 
 def _q_infer_namespace(spark, sf_dir):

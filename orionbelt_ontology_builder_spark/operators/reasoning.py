@@ -60,19 +60,33 @@ def _as_triples(df: DataFrame, kind: str = "uri") -> DataFrame:
 
 
 def _schema_flags(triples: DataFrame) -> dict:
-    """One tiny aggregation probing which schema constructs exist —
-    each rule join below is built only when its (broadcast-side) schema
-    slice is non-empty.  At fixture scale this halves the per-round DAG;
-    at corpus scale it skips instance-wide joins that provably produce
-    nothing.  Sound inside the fixpoint: a rule's schema slice can only
-    become non-empty in a round that added triples, and the probe is
-    recomputed from ``current`` every round."""
+    """Which schema constructs exist — see ``_schema_probe``."""
+    return _schema_probe(triples)[1]
+
+
+def _schema_probe(triples: DataFrame) -> tuple[int, dict]:
+    """ONE tiny aggregation returning (row_count, schema_flags).
+
+    The flags gate rule joins: each join below is built only when its
+    (broadcast-side) schema slice is non-empty.  At fixture scale this
+    halves the per-round DAG; at corpus scale it skips instance-wide
+    joins that provably produce nothing.  Sound inside the fixpoint: a
+    rule's schema slice can only become non-empty in a round that added
+    triples, and the probe is recomputed every round.
+
+    The count rides in the same aggregation because the fixpoint loop
+    uses it as its convergence witness (the known set grows
+    monotonically, so an unchanged count means no new triples) — one
+    collect per round covers BOTH the convergence probe and the flag
+    re-probe, where the earlier shape paid separate exceptAll +
+    isEmpty + flags jobs."""
 
     def has(cond):
         return F.max(cond.cast("int"))
 
     is_type = F.col("pred") == RDF.type
     row = triples.select(
+        F.count(F.lit(1)).alias("n_rows"),
         has(F.col("pred") == RDFS.subClassOf).alias("sub_class"),
         has(F.col("pred") == RDFS.subPropertyOf).alias("sub_prop"),
         has(F.col("pred") == RDFS.domain).alias("domain"),
@@ -90,7 +104,9 @@ def _schema_flags(triples: DataFrame) -> dict:
         has(F.col("pred") == OWL.hasValue).alias("hasval"),
         has(F.col("pred") == OWL.sameAs).alias("sameas"),
     ).collect()[0]
-    return {k: bool(v) for k, v in row.asDict().items()}
+    d = row.asDict()
+    n = int(d.pop("n_rows"))
+    return n, {k: bool(v) for k, v in d.items()}
 
 
 def _round(
@@ -486,7 +502,15 @@ def sameas_closure(triples: DataFrame, include_self: bool = False) -> DataFrame:
     the component map and skip materialization — the canonical-
     representative rewrite (``pipeline.canonicalize``) is that path.
     """
-    cc = sameas_components(triples)
+    return closure_from_components(
+        sameas_components(triples), include_self=include_self
+    )
+
+
+def closure_from_components(cc: DataFrame, include_self: bool = False) -> DataFrame:
+    """sameAs closure pairs from an already-computed (node, component)
+    map — lets ``apply_reasoning`` share ONE CC pass between the closure
+    and the eq-rep substitution instead of recomputing components."""
     a = cc.alias("a")
     b = cc.alias("b")
     pairs = a.join(b, F.col("a.component") == F.col("b.component"))
@@ -556,54 +580,68 @@ def apply_reasoning(
     then one CC pass handles ALL equality inference for the round; an
     outer loop re-enters the rules only if equality produced new facts
     (it can: a substituted triple may re-trigger e.g. rdfs2).
+
+    Per-round driver cost is exactly TWO jobs — the checkpoint of the
+    grown set and one combined count+flags aggregation
+    (``_schema_probe``).  The known set grows monotonically under
+    union, so an unchanged count is a complete convergence witness;
+    this replaces the earlier exceptAll-the-candidates + isEmpty +
+    separate flag probe (4 jobs/round).  The fixpoint loop is the only
+    serial driver-side cost in the engine, so per-round latency is what
+    Amdahl charges against scaled-up clusters.
     """
     with_eq = profile in ("owl-rl", "owl-rl-ext")
     current = triples.dropDuplicates(TRIPLE_COLS).localCheckpoint(eager=True)
-    n0 = current.count()
-    flags = _schema_flags(current)
+    n, flags = _schema_probe(current)
+    n0 = n
     for _outer in range(3):
+        grew_inner = False
         for _ in range(max_rounds):
-            new = (
-                _round(current, with_equivalence=with_eq, flags=flags)
-                .exceptAll(current)
-                .localCheckpoint(eager=True)
-            )
-            if new.isEmpty():
-                break
-            current = (
-                current.unionByName(new)
+            grown = (
+                current.unionByName(
+                    _round(current, with_equivalence=with_eq, flags=flags)
+                )
                 .dropDuplicates(TRIPLE_COLS)
                 .localCheckpoint(eager=True)
             )
-            # re-probe: the round may have derived new schema facts
-            # (e.g. a property typed Functional via rdfs9)
-            flags = _schema_flags(current)
+            # one collect: convergence count + re-probed schema flags
+            # (a round may derive new schema facts, e.g. a property
+            # typed Functional via rdfs9)
+            n2, flags = _schema_probe(grown)
+            current = grown
+            if n2 == n:
+                break
+            n = n2
+            grew_inner = True
         # equality reasoning: one CC pass per outer round (skipped
         # entirely when the graph asserts no sameAs — the common case
         # for pure-RDFS ontologies; the flag probe already covers it)
         if not flags["sameas"]:
             break
+        # after the first eq pass, an inner loop that added nothing
+        # means the graph is unchanged since that pass — equality is
+        # already at fixpoint, so the would-be CC round is redundant
+        if _outer > 0 and not grew_inner:
+            break
         # include_self under owl-rl: eq-rep would derive the reflexive
         # pairs anyway on the NEXT outer round; emitting them with the
         # closure reaches the same fixpoint one outer round (and one CC
-        # pass) earlier.
-        eq_new = sameas_closure(current, include_self=with_eq)
+        # pass) earlier.  The component map is computed ONCE and shared
+        # by the closure pairs and the eq-rep substitution.
+        cc = sameas_components(current).localCheckpoint(eager=True)
+        eq_new = closure_from_components(cc, include_self=with_eq)
         if with_eq:
-            cc = sameas_components(current).localCheckpoint(eager=True)
             eq_new = eq_new.unionByName(eq_rep(current, cc))
-        eq_new = (
-            eq_new.dropDuplicates(TRIPLE_COLS)
-            .exceptAll(current)
-            .localCheckpoint(eager=True)
-        )
-        if eq_new.isEmpty():
-            break
-        current = (
+        grown = (
             current.unionByName(eq_new)
             .dropDuplicates(TRIPLE_COLS)
             .localCheckpoint(eager=True)
         )
         # substitution can move schema facts onto new nodes — re-probe
-        # before the rules re-enter
-        flags = _schema_flags(current)
-    return current, current.count() - n0
+        # (same single collect doubles as the convergence witness)
+        n2, flags = _schema_probe(grown)
+        current = grown
+        if n2 == n:
+            break
+        n = n2
+    return current, n - n0

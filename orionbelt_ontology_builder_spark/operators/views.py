@@ -731,6 +731,113 @@ def resolve_base_uri(
     )
 
 
+def resolve_base_uri_grouped(
+    triples: DataFrame, group_col: str, defaults: DataFrame | None = None
+) -> DataFrame:
+    """``resolve_base_uri`` for MANY graphs in one pass: ``triples``
+    carries a ``group_col`` tag (one graph per tag), ``defaults`` is an
+    optional tiny (group_col, default_ns) table of parse-captured
+    default prefixes.  Returns one (group_col, base_uri, source) row
+    per group.
+
+    Same semantics per group as the single-graph function, but the
+    whole candidate lattice is TWO grouped aggregations + one broadcast
+    join instead of N unioned single-graph plans — the multi-tenant /
+    multi-import resolution shape (at corpus scale: resolving the base
+    URI of every crawled ontology in one job instead of a per-file
+    driver loop)."""
+    from ..model import STANDARD_PREFIXES, namespace_col
+
+    std = sorted(STANDARD_PREFIXES.values())
+    g = F.col(group_col)
+    uri_subj = ~F.col("subj").startswith("_:")
+    is_type = F.col("pred") == RDF.type
+    sample_types = [
+        OWL.Class, OWL.ObjectProperty, OWL.DatatypeProperty,
+        OWL.NamedIndividual,
+    ]
+    typ_rank = (
+        F.when(F.col("obj") == OWL.Class, 0)
+        .when(F.col("obj") == OWL.ObjectProperty, 1)
+        .when(F.col("obj") == OWL.DatatypeProperty, 2)
+        .otherwise(3)
+    )
+    is_sample = is_type & F.col("obj").isin(sample_types) & uri_subj
+    # ontology decl + ranked sample resource: ONE grouped aggregation
+    head = triples.groupBy(g.alias(group_col)).agg(
+        F.min(
+            F.when(is_type & (F.col("obj") == OWL.Ontology) & uri_subj,
+                   F.col("subj"))
+        ).alias("ont"),
+        F.min(
+            F.when(is_sample, F.struct(typ_rank.alias("rk"), F.col("subj")))
+        )["subj"].alias("sample"),
+    )
+    p1 = head.filter(F.col("ont").isNotNull()).select(
+        group_col,
+        F.lit(1).alias("pri"),
+        F.when(
+            F.col("ont").endswith("#") | F.col("ont").endswith("/"),
+            F.col("ont"),
+        )
+        .when(
+            F.col("sample").startswith(F.concat(F.col("ont"), F.lit("/"))),
+            F.concat(F.col("ont"), F.lit("/")),
+        )
+        .when(
+            F.col("sample").startswith(F.concat(F.col("ont"), F.lit("#"))),
+            F.concat(F.col("ont"), F.lit("#")),
+        )
+        .otherwise(F.concat(F.col("ont"), F.lit("#")))
+        .alias("base"),
+        F.lit("ontology").alias("source"),
+    )
+    cands = p1
+    if defaults is not None:
+        p2 = (
+            defaults.filter(
+                F.col("default_ns").isNotNull()
+                & ~F.col("default_ns").isin(std)
+            )
+            .select(
+                group_col,
+                F.lit(2).alias("pri"),
+                F.col("default_ns").alias("base"),
+                F.lit("default_prefix").alias("source"),
+            )
+        )
+        cands = cands.unionByName(p2)
+    # majority namespace per group; ties break on min(ns) — min over
+    # struct(-cnt, ns) folds "most frequent, then lexicographic" into
+    # the grouped aggregation (no window, no per-group limit)
+    p3 = (
+        triples.filter(is_sample)
+        .select(g.alias(group_col), namespace_col(F.col("subj")).alias("ns"))
+        .filter((F.length("ns") > 0) & ~F.col("ns").isin(std))
+        .groupBy(group_col, "ns")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(group_col)
+        .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("ns")))["ns"]
+             .alias("base"))
+        .select(
+            group_col,
+            F.lit(3).alias("pri"),
+            "base",
+            F.lit("inferred").alias("source"),
+        )
+    )
+    cands = cands.unionByName(p3)
+    return (
+        cands.groupBy(group_col)
+        .agg(F.min(F.struct("pri", "base", "source")).alias("w"))
+        .select(
+            group_col,
+            F.col("w.base").alias("base_uri"),
+            F.col("w.source").alias("source"),
+        )
+    )
+
+
 def infer_namespace(triples: DataFrame) -> DataFrame:
     """Most frequent namespace among typed resources — top-1 groupBy.count.
 
