@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from orionbelt_ontology_builder_spark import fixtures as FX
 from orionbelt_ontology_builder_spark import model as M
 from orionbelt_ontology_builder_spark.datapipe import (
+    curation,
     dedup,
     multimodal,
     similarity,
@@ -1147,6 +1148,22 @@ def _q_media_frames(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the benchmark set is the corpus
+    slice ``doc_id % 13 = 0`` (self-contained; mirrors holding out an
+    eval shard), flagged via broadcast 8-token-gram overlap."""
+    docs = _docs(spark, sf_dir)
+    return curation.decontaminate(docs, docs.filter(F.col("doc_id") % 13 == 0))
+
+
+def _q_pack_sequences(spark, sf_dir):
+    return curation.pack_sequences(_docs(spark, sf_dir))
+
+
+def _q_quality_funnel(spark, sf_dir):
+    return curation.quality_funnel(_docs(spark, sf_dir))
+
+
 #: queries that touch sf-scale parquet / synthesized corpora — these
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
@@ -1161,7 +1178,8 @@ _SF_SCALE = {
     "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
-    "media_features", "media_frames",
+    "media_features", "media_frames", "decontaminate", "pack_sequences",
+    "quality_funnel",
 }
 
 
@@ -1363,6 +1381,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
+        "quality_funnel": _q_quality_funnel,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
         "delete_impact_text": _q_delete_impact_text,
@@ -2661,6 +2682,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
     sql["media_features"] = multimodal.extract_features_oracle()
     sql["media_frames"] = multimodal.sample_frames_oracle()
+    sql["decontaminate"] = curation.decontaminate_oracle()
+    sql["pack_sequences"] = curation.pack_sequences_oracle()
+    sql["quality_funnel"] = curation.quality_funnel_oracle()
 
 
     # ----------------------------------------------------------------- #

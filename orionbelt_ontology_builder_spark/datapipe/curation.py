@@ -1,0 +1,359 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark decontamination, sequence packing, and a quality-filter funnel.
+
+These are the three standard curation steps between "raw deduped corpus"
+and "tokenizer-ready shards" that the dedup/textstats modules don't
+cover:
+
+* **Decontamination** — drop (or flag) documents whose token n-grams
+  overlap a benchmark/eval set, the GPT-3/Llama-style 13-gram rule
+  (here ``n`` is a parameter; the test corpus uses 8).  Spark shape:
+  the benchmark side collapses to a DISTINCT gram table that is tiny
+  relative to the corpus (benchmarks are MBs, corpora are TBs), so the
+  probe is explode -> **broadcast** hash join -> per-doc count with
+  map-side partial aggregation.  No shuffle of corpus grams ever
+  happens: the only exchange is the per-doc count rollup keyed by
+  doc_id, whose partial combine reduces each task's output to at most
+  one row per in-flight doc.
+* **Sequence packing** — the concat-and-chunk layout every pre-training
+  loader uses: documents are concatenated in a deterministic order and
+  split into fixed ``capacity``-token chunks; each doc learns its
+  stream offset and which chunks it spans.  Spark shape: documents are
+  hashed into ``shards`` independent streams (embarrassingly parallel —
+  at cluster scale each shard is one writer task; here shard =
+  ``doc_id % shards`` so the DuckDB twin is bit-identical), and the
+  running offset is one window cumsum per shard.  One shuffle (by
+  shard), one sort — the minimum any deterministic packing needs.
+* **Quality funnel** — Gopher/C4-style sequential filter rules with
+  per-rule drop accounting (docs dropped by rule i = passed rules
+  1..i-1, failed i).  One narrow codegen projection computes every
+  rule flag, ONE aggregation produces the whole funnel — at 100 TB
+  this is a single pass with map-side partials, no per-rule jobs.
+
+Reference parity note: the reference engine (rdflib/Streamlit ontology
+builder) has no corpus-curation surface; these are engine additions
+mandated by the training-data brief, built on the same
+``documents(doc_id, text, lang, source, n_chars)`` table and DuckDB
+differential-oracle contract as ``textstats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import STOPWORDS, _sql_list, norm_col, norm_sql, tokens_sql
+
+# ------------------------------------------------------------------ #
+# Token n-grams (decontamination unit)
+# ------------------------------------------------------------------ #
+
+#: default decontamination gram width (token count).  13 is the
+#: published GPT-3 rule; the synthetic test corpus uses shorter docs,
+#: so the driver query passes 8.
+DECON_N = 8
+
+
+def _grams_expr(n: int, toks: str = "toks") -> str:
+    """Distinct token ``n``-gram array (space-joined) as a Spark SQL
+    lambda — no explode; docs shorter than ``n`` tokens contribute no
+    grams (matches the published rule: short docs can't contain a full
+    overlap window)."""
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks})-{n}+1),"
+        f" i -> array_join(slice({toks}, i, {n}), ' '))) "
+        f"ELSE array() END"
+    )
+
+
+def _grams_sql(n: int, toks: str = "toks") -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks})-{n}+1),"
+        f" i -> array_to_string({toks}[i:i+{n}-1], ' '))) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def _doc_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, grams) — one narrow projection."""
+    return (
+        docs.withColumn("norm", norm_col())
+        .withColumn("toks", F.split(F.col("norm"), " "))
+        .select("doc_id", F.expr(_grams_expr(n)).alias("grams"))
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = DECON_N) -> DataFrame:
+    """(doc_id, n_grams, n_contaminated_grams, contaminated) — flag
+    every corpus document sharing at least one token ``n``-gram with
+    the benchmark set ``bench`` (same ``doc_id/text`` shape).
+
+    Plan: benchmark grams -> DISTINCT -> **broadcast**; corpus grams
+    explode -> broadcast hash join (map-side, no corpus shuffle) ->
+    per-doc hit count (partial agg) -> left join back onto the per-doc
+    gram counts.  The corpus-side exchange is keyed by doc_id and
+    carries at most one row per (task, doc) after partial aggregation.
+    """
+    corpus = _doc_grams(docs, n).persist()
+    bench_grams = (
+        _doc_grams(bench, n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    out = (
+        corpus.select("doc_id", F.size("grams").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+def decontaminate_oracle(n: int = DECON_N, bench_pred: str = "doc_id % 13 = 0") -> str:
+    """DuckDB twin; the benchmark set is ``documents WHERE bench_pred``
+    (the driver query derives its benchmark the same way — self-
+    contained, no external data)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql(norm_sql())} AS toks FROM documents),
+g AS (SELECT doc_id, {_grams_sql(n)} AS grams FROM tok),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE {bench_pred}),
+eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+hits AS (
+  SELECT eg.doc_id, count(*) AS c FROM eg JOIN bg USING (gram)
+  GROUP BY eg.doc_id)
+SELECT g.doc_id,
+  len(g.grams) AS n_grams,
+  coalesce(hits.c, 0)::BIGINT AS n_contaminated_grams,
+  CASE WHEN coalesce(hits.c, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+ORDER BY g.doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Sequence packing (concat-and-chunk offsets)
+# ------------------------------------------------------------------ #
+
+PACK_CAPACITY = 256  # tokens per training chunk (test-corpus scale)
+PACK_SHARDS = 8      # independent packing streams
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, start_offset, first_chunk, last_chunk,
+    n_chunks) — deterministic concat-and-chunk packing layout.
+
+    Each document is assigned to stream ``shard = doc_id % shards``;
+    within a stream documents concatenate in doc_id order and the
+    stream splits into ``capacity``-token chunks.  ``start_offset`` is
+    the doc's first token position in its stream; a doc spans chunks
+    ``first_chunk..last_chunk`` (integer division on non-negative
+    offsets — identical in Spark and DuckDB).
+
+    Scale: shards are independent streams, so the only exchange is the
+    shuffle-by-shard feeding one window cumsum per stream.  At cluster
+    scale ``shards`` is chosen ~= writer parallelism (each stream is
+    one output file sequence); skew is impossible by construction
+    because the hash domain is uniform doc_ids, not content.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    norm = norm_col()
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("long").alias("shard"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    cum = base.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.cast("long").alias("start_offset"),
+        F.expr(f"(cum - n_tokens) DIV {capacity}").alias("first_chunk"),
+        F.when(
+            F.col("n_tokens") > 0, F.expr(f"(cum - 1) DIV {capacity}")
+        )
+        .otherwise(F.expr(f"(cum - n_tokens) DIV {capacity}"))
+        .alias("last_chunk"),
+    ).withColumn(
+        "n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1).cast("long")
+    ).orderBy("doc_id")
+
+
+def pack_sequences_oracle(
+    capacity: int = PACK_CAPACITY, shards: int = PACK_SHARDS
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    doc_id % {shards} AS shard,
+    CASE WHEN {norm_sql()} = '' THEN 0
+         ELSE len({tokens_sql(norm_sql())}) END::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base)
+SELECT doc_id, shard, n_tokens,
+  (cum - n_tokens)::BIGINT AS start_offset,
+  ((cum - n_tokens) // {capacity})::BIGINT AS first_chunk,
+  (CASE WHEN n_tokens > 0 THEN (cum - 1) // {capacity}
+        ELSE (cum - n_tokens) // {capacity} END)::BIGINT AS last_chunk,
+  (CASE WHEN n_tokens > 0 THEN (cum - 1) // {capacity}
+        ELSE (cum - n_tokens) // {capacity} END
+   - (cum - n_tokens) // {capacity} + 1)::BIGINT AS n_chunks
+FROM c ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Quality-filter funnel (Gopher/C4-style sequential rules)
+# ------------------------------------------------------------------ #
+
+#: (rule name, threshold doc) — tuned so the synthetic corpus produces
+#: a non-degenerate funnel (every interior stage drops someone; the
+#: digit rule intentionally drops zero on the digit-free corpus and
+#: documents that a zero-drop stage renders correctly).
+FUNNEL_RULES = [
+    ("min_tokens", "n_tokens >= 20"),
+    ("avg_token_len", "avg_token_len BETWEEN 3.8 AND 5.2"),
+    ("alpha_ratio", "alpha_ratio >= 0.81"),
+    ("stopword_ratio", "stopword_ratio >= 0.06"),
+    ("digit_ratio", "digit_ratio <= 0.2"),
+]
+
+
+def _funnel_flag_cols() -> list[tuple[str, Column]]:
+    en = _sql_list(STOPWORDS["en"])
+    flags = {
+        "min_tokens": F.col("n_tokens") >= 20,
+        "avg_token_len": (F.col("avg_token_len") >= 3.8)
+        & (F.col("avg_token_len") <= 5.2),
+        "alpha_ratio": F.col("alpha_ratio") >= 0.81,
+        "stopword_ratio": F.expr(f"size(filter(toks, t -> t IN ({en})))")
+        / F.col("n_tokens").cast("double")
+        >= 0.06,
+        "digit_ratio": F.col("digit_ratio") <= 0.2,
+    }
+    return [(name, flags[name]) for name, _ in FUNNEL_RULES]
+
+
+def quality_funnel(docs: DataFrame) -> DataFrame:
+    """(stage, rule, n_dropped, n_survivors) — one row per sequential
+    filter rule: ``n_dropped`` docs passed every earlier rule but
+    failed this one; ``n_survivors`` passed rules 1..stage.
+
+    ONE projection computes every flag, ONE aggregation the funnel —
+    a single pass with map-side partials regardless of corpus size.
+    """
+    base = (
+        docs.withColumn("norm", norm_col())
+        .withColumn("toks", F.split(F.col("norm"), " "))
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn(
+            "alpha_ratio",
+            F.regexp_count(F.col("text"), F.lit("[a-zA-Z]"))
+            / F.length("text").cast("double"),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.regexp_count(F.col("text"), F.lit("[0-9]"))
+            / F.length("text").cast("double"),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.expr("aggregate(toks, 0, (a, t) -> a + length(t))")
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+    flags = _funnel_flag_cols()
+    aggs = []
+    passed_so_far = F.lit(True)
+    for i, (name, flag) in enumerate(flags, start=1):
+        aggs.append(
+            F.sum((passed_so_far & ~flag).cast("long")).alias(f"d{i}")
+        )
+        passed_so_far = passed_so_far & flag
+        aggs.append(F.sum(passed_so_far.cast("long")).alias(f"s{i}"))
+    row = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', d{i}, s{i}"
+        for i, (name, _) in enumerate(FUNNEL_RULES, start=1)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(FUNNEL_RULES)}, {stack_args})"
+            " as (stage, rule, n_dropped, n_survivors)"
+        )
+    ).orderBy("stage")
+
+
+def quality_funnel_oracle() -> str:
+    en = _sql_list(STOPWORDS["en"])
+    flag_sql = {
+        "min_tokens": "n_tokens >= 20",
+        "avg_token_len": "avg_token_len >= 3.8 AND avg_token_len <= 5.2",
+        "alpha_ratio": "alpha_ratio >= 0.81",
+        "stopword_ratio": (
+            f"len(list_filter(toks, t -> t IN ({en})))"
+            " / n_tokens::DOUBLE >= 0.06"
+        ),
+        "digit_ratio": "digit_ratio <= 0.2",
+    }
+    sums, passed = [], "TRUE"
+    for i, (name, _) in enumerate(FUNNEL_RULES, start=1):
+        f = flag_sql[name]
+        sums.append(
+            f"sum(CASE WHEN ({passed}) AND NOT ({f}) THEN 1 ELSE 0 END)::BIGINT AS d{i}"
+        )
+        passed = f"({passed}) AND ({f})"
+        sums.append(f"sum(CASE WHEN {passed} THEN 1 ELSE 0 END)::BIGINT AS s{i}")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage, '{name}' AS rule, d{i} AS n_dropped,"
+        f" s{i} AS n_survivors FROM agg"
+        for i, (name, _) in enumerate(FUNNEL_RULES, start=1)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {tokens_sql(norm_sql())} AS toks FROM documents),
+m AS (
+  SELECT doc_id, toks,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]')) / len(text)::DOUBLE AS alpha_ratio,
+    len(regexp_extract_all(text, '[0-9]')) / len(text)::DOUBLE AS digit_ratio,
+    list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE AS avg_token_len
+  FROM base),
+agg AS (SELECT {", ".join(sums)} FROM m)
+{unions}
+ORDER BY stage
+"""

@@ -283,3 +283,73 @@ def test_source_mix_totals(spark, docs):
     out = {r["source"]: r for r in U.source_mix(docs).collect()}
     assert sum(r["n_docs"] for r in out.values()) == docs.count()
     assert out["s0"]["total_tokens"] == len(BASE_TEXT.split())
+
+
+# ------------------------------------------------------------------ #
+# curation: decontamination / packing / quality funnel
+# ------------------------------------------------------------------ #
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    # benchmark = doc 0; doc 1 is its normalized exact dup, doc 2 a
+    # one-word-changed near dup -> both share full 8-token windows.
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r for r in C.decontaminate(docs, bench).collect()}
+    assert out[0]["contaminated"] == 1          # benchmark doc itself
+    assert out[1]["contaminated"] == 1          # exact dup
+    assert out[2]["contaminated"] == 1          # near dup shares windows
+    assert out[3]["contaminated"] == 0          # unrelated
+    assert out[4]["contaminated"] == 0
+    # near dup overlaps fewer grams than the exact dup
+    assert 0 < out[2]["n_contaminated_grams"] < out[1]["n_contaminated_grams"]
+
+
+def test_decontaminate_short_docs_contribute_no_grams(spark):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    rows = [Row(doc_id=0, text="one two three", lang="en", source="s",
+                n_chars=13),
+            Row(doc_id=1, text="one two three", lang="en", source="s",
+                n_chars=13)]
+    d = spark.createDataFrame(rows)
+    out = C.decontaminate(d, d, n=8).collect()
+    assert all(r["n_grams"] == 0 and r["contaminated"] == 0 for r in out)
+
+
+def test_pack_sequences_stream_laws(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    out = C.pack_sequences(docs, capacity=10, shards=2).collect()
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        offset = 0
+        for r in rows:
+            assert r["shard"] == r["doc_id"] % 2
+            # offsets are contiguous within a stream (concat semantics)
+            assert r["start_offset"] == offset
+            offset += r["n_tokens"]
+            # chunk span arithmetic
+            assert r["first_chunk"] == r["start_offset"] // 10
+            end = r["start_offset"] + r["n_tokens"]
+            if r["n_tokens"] > 0:
+                assert r["last_chunk"] == (end - 1) // 10
+            assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1
+
+
+def test_quality_funnel_conservation(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    rows = C.quality_funnel(docs).collect()
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4, 5]
+    assert [r["rule"] for r in rows] == [n for n, _ in C.FUNNEL_RULES]
+    total = docs.count()
+    # funnel conservation: survivors_i = survivors_{i-1} - dropped_i
+    prev = total
+    for r in rows:
+        assert r["n_survivors"] == prev - r["n_dropped"]
+        prev = r["n_survivors"]
+    assert rows[-1]["n_survivors"] >= 0
