@@ -91,39 +91,40 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = DECON_N) -> DataFr
     the benchmark set ``bench`` (same ``doc_id/text`` shape).
 
     Plan: benchmark grams -> DISTINCT -> **broadcast**; corpus grams
-    explode -> broadcast hash join (map-side, no corpus shuffle) ->
-    per-doc hit count (partial agg) -> left join back onto the per-doc
-    gram counts.  The corpus-side exchange is keyed by doc_id and
-    carries at most one row per (task, doc) after partial aggregation.
+    explode_outer -> broadcast LEFT hash join marking hits (map-side,
+    no corpus shuffle) -> ONE per-doc aggregation computing gram count
+    and hit count together.  The only corpus-side exchange is keyed by
+    doc_id and carries at most one row per (task, doc) after partial
+    aggregation — there is no join-back stage (a second corpus-wide
+    join on doc_id would sort-merge-shuffle the whole corpus again).
+    ``explode_outer`` keeps sub-``n``-token docs as a null-gram row so
+    every input doc gets an output row.
     """
-    corpus = _doc_grams(docs, n).persist()
     bench_grams = (
         _doc_grams(bench, n)
         .select(F.explode("grams").alias("gram"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    hits = (
-        corpus.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
+    return (
+        _doc_grams(docs, n)
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
-    )
-    out = (
-        corpus.select("doc_id", F.size("grams").alias("n_grams"))
-        .join(hits, "doc_id", "left")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce("n_contaminated_grams", F.lit(0))
-            .cast("long")
-            .alias("n_contaminated_grams"),
-            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0)
-            .cast("int")
-            .alias("contaminated"),
+            "n_contaminated_grams",
+            (F.col("n_contaminated_grams") > 0).cast("int").alias("contaminated"),
         )
         .orderBy("doc_id")
     )
-    return out
 
 
 def decontaminate_oracle(n: int = DECON_N, bench_pred: str = "doc_id % 13 = 0") -> str:

@@ -296,3 +296,53 @@ def test_textstats_per_doc_ops_shuffle_free(docs):
         exch = re.findall(r"Exchange (\w+)", plan)
         non_range = [e for e in exch if not e.startswith("range")]
         assert not non_range, (op.__name__, exch, plan)
+
+
+# ------------------------------------------------------------------ #
+# curation ops compile to the intended scale shapes
+# ------------------------------------------------------------------ #
+
+
+def test_decontaminate_probe_is_broadcast_join(spark, docs):
+    """The gram probe must be a broadcast hash join (benchmark side is
+    tiny vs the corpus) — never a sort-merge join shuffling corpus
+    grams, and never a cartesian."""
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    out = C.decontaminate(docs, docs.filter(F.col("doc_id") == 0))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the broadcast probe is the ONLY join — hit counting happens in
+    # the same per-doc aggregation, so no corpus-wide join-back exists
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Join") == plan.count("BroadcastHashJoin") == 1
+
+
+def test_pack_sequences_single_window_exchange(spark, docs):
+    """Packing = one shuffle (by shard) + one per-stream sort feeding
+    the cumsum window; no joins at all."""
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    out = C.pack_sequences(docs, capacity=10, shards=2)
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+    # exactly one hash exchange for the window (the trailing orderBy
+    # adds a range exchange for presentation only)
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_quality_funnel_is_single_aggregate_pass(spark, docs):
+    """The funnel must be one projection + one global aggregate —
+    no per-rule jobs, no joins, no window."""
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    out = C.quality_funnel(docs)
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # exactly one partial + one final HashAggregate pair, one
+    # single-partition exchange between them (the funnel row)
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange SinglePartition") == 1
