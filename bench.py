@@ -120,6 +120,10 @@ def main() -> None:
         "media_features",
         "doc_fingerprint",
         "stream_event_counts",
+        # corpus-curation ops (r2)
+        "decontaminate",
+        "pack_sequences",
+        "quality_funnel",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

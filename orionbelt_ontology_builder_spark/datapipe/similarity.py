@@ -248,14 +248,40 @@ def ivf_assign(
     """(vec_id, centroid_id): each vector assigned to its ``a_probe``
     nearest centroids (multi-probe).  Broadcast the centroid table; one
     pass over the corpus — at scale this IS the partition-key
-    computation for the stored table."""
+    computation for the stored table.
+
+    The scored frame is pruned to (vec_id, centroid_id, cos) BEFORE any
+    exchange: the BNLJ output otherwise carries both the vector and the
+    centroid embedding through the rank shuffle (n*k rows x 2*dim
+    floats — ~100 MB at 2k vectors/45 lists, TBs at corpus scale, for
+    a selection that only needs three narrow columns).  For the common
+    single-probe case the argmax is ONE aggregation with map-side
+    partials (max over (cos, -centroid_id) structs — identical
+    ordering to the window's cos DESC, centroid_id ASC) instead of a
+    sort-based window shuffle."""
     e = _with_norm(embeddings, dim)
-    scored = e.crossJoin(F.broadcast(centroids)).withColumn(
-        "cos",
-        # crossJoin => BNLJ => interpreted: fold wins (see module note)
-        F.expr(dot_expr("c_emb", "embedding"))
-        / (F.col("c_nrm") * F.col("nrm")),
+    scored = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cos",
+            # crossJoin => BNLJ => interpreted: fold wins (see module note)
+            F.expr(dot_expr("c_emb", "embedding"))
+            / (F.col("c_nrm") * F.col("nrm")),
+        )
+        .select("vec_id", "centroid_id", "cos")
     )
+    if a_probe == 1:
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cos"), (-F.col("centroid_id")).alias("neg_cid")
+                    )
+                ).alias("best")
+            )
+            .select("vec_id", (-F.col("best.neg_cid")).alias("centroid_id"))
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -295,14 +321,21 @@ def ivf_topk(
     if centroids is None:
         if n_centroids is None:
             n_centroids = n_centroids_for(embeddings.count())
-        centroids = strided_centroids(embeddings, n_centroids, dim)
-    centroids = centroids.localCheckpoint(eager=True)
+        # checkpoint only self-built centroids (both BNLJ passes below
+        # reuse them); a caller-provided table is already materialized
+        centroids = strided_centroids(embeddings, n_centroids, dim).localCheckpoint(
+            eager=True
+        )
     assign = ivf_assign(embeddings, centroids, a_probe=1, dim=dim)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
+    # probe ranking and candidate dedup run on NARROW frames — the
+    # query embedding rejoins (broadcast, few rows) only for the final
+    # exact scoring, so no exchange ever carries an embedding column
+    # except the one feeding the cosine itself.
     qprobe = (
         q.crossJoin(F.broadcast(centroids))
         .withColumn(
@@ -311,6 +344,7 @@ def ivf_topk(
             F.expr(dot_expr("c_emb", "q_emb"))
             / (F.col("c_nrm") * F.col("q_nrm")),
         )
+        .select("query_id", "centroid_id", "ccos")
         .withColumn(
             "rk",
             F.row_number().over(
@@ -320,15 +354,15 @@ def ivf_topk(
             ),
         )
         .filter(F.col("rk") <= nprobe)
-        .select("query_id", "q_emb", "q_nrm", "centroid_id")
+        .select("query_id", "centroid_id")
     )
     cands = (
         qprobe.join(assign, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "q_nrm", "vec_id")
+        .select("query_id", "vec_id")
         .distinct()
     )
-    scored = cands.join(e, "vec_id").withColumn(
+    scored = cands.join(F.broadcast(q), "query_id").join(e, "vec_id").withColumn(
         "cos",
         # join-stage projection: fold wins (see module note)
         F.expr(dot_expr("q_emb", "embedding"))
