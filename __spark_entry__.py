@@ -28,6 +28,7 @@ from orionbelt_ontology_builder_spark.datapipe import (
 )
 from orionbelt_ontology_builder_spark.operators import (
     fixpoint,
+    graphstats,
     lists,
     mutations,
     setops,
@@ -1164,6 +1165,29 @@ def _q_quality_funnel(spark, sf_dir):
     return curation.quality_funnel(_docs(spark, sf_dir))
 
 
+def _q_graph_degree_stats(spark, sf_dir):
+    """Degree-distribution summary of the induced entity graph — the
+    statistic that calibrates the hot-entity salting threshold in
+    ``pipeline/materialize.py``."""
+    return graphstats.degree_stats(relational.induce_entity_edges(spark, sf_dir))
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    """Entity salience over the induced entity graph (3 synchronous
+    iterations — enough to rank hubs while keeping the per-iteration
+    checkpoint latency out of the driver budget; oracle = the identical
+    update rule unrolled as chained CTEs)."""
+    return graphstats.pagerank(
+        relational.induce_entity_edges(spark, sf_dir), iters=3
+    )
+
+
+def _q_graph_triangles(spark, sf_dir):
+    """Closure-rate probe on the tri-partite lineitem slice (every line
+    item closes an order—part—supplier triangle)."""
+    return graphstats.triangle_count(relational.induce_lineitem_edges(spark, sf_dir))
+
+
 #: queries that touch sf-scale parquet / synthesized corpora — these
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
@@ -1179,7 +1203,8 @@ _SF_SCALE = {
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
-    "quality_funnel",
+    "quality_funnel", "graph_degree_stats", "graph_pagerank",
+    "graph_triangles",
 }
 
 
@@ -1384,6 +1409,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "quality_funnel": _q_quality_funnel,
+        "graph_degree_stats": _q_graph_degree_stats,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
         "delete_impact_text": _q_delete_impact_text,
@@ -2685,6 +2713,15 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["decontaminate"] = curation.decontaminate_oracle()
     sql["pack_sequences"] = curation.pack_sequences_oracle()
     sql["quality_funnel"] = curation.quality_funnel_oracle()
+    sql["graph_degree_stats"] = graphstats.degree_stats_sql(
+        relational.ENTITY_EDGES_SQL
+    )
+    sql["graph_pagerank"] = graphstats.pagerank_sql(
+        relational.ENTITY_EDGES_SQL, iters=3
+    )
+    sql["graph_triangles"] = graphstats.triangle_count_sql(
+        relational.lineitem_edges_sql()
+    )
 
 
     # ----------------------------------------------------------------- #

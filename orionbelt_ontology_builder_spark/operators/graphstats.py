@@ -1,0 +1,237 @@
+"""Graph analytics over KG edge tables: degree statistics, PageRank
+entity salience, triangle counting.
+
+Why these live in a KG-construction engine: after canonicalization the
+pipeline materializes an edge table partitioned by subject hash with
+explicit hot-entity salting (``pipeline/materialize.py``) — **degree
+statistics are what calibrate that hot threshold**; **PageRank** is the
+standard entity-salience signal for ranking canonical entities (which
+alias cluster becomes the preferred label, which entities survive a
+corpus prune); **triangle counting** is the classic relationship-
+density/quality probe for extracted graphs (a triple extractor that
+hallucinates edges shows up as anomalous closure rates).
+
+All three are pure DataFrame algebra over a generic ``(src, dst)`` edge
+table:
+
+* ``degree_stats`` — two grouped aggregations + one outer merge, all
+  map-side-partial; one summary row per node type.
+* ``pagerank`` — the canonical iterative DataFrame implementation:
+  per-iteration contribution join + groupBy(dst) sum, dangling mass
+  folded back as a broadcast scalar (computed lazily as a 1-row frame,
+  never ``.collect()``-ed), ``localCheckpoint`` per round to truncate
+  lineage.  D iterations = D joins + D shuffles — the textbook plan;
+  at cluster scale the edge table is pre-partitioned by ``src`` so the
+  contribution join is co-located and only the rank update shuffles.
+* ``triangle_count`` — edges canonicalized to an undirected ``a < b``
+  list, then the ordered two-join closure (e1(a,b) ⋈ e2(b,c) ⋈
+  e3(a,c)).  The node ordering makes each triangle counted exactly
+  once and bounds the join fan-out by forward-degree; at corpus scale
+  order nodes by degree (not id) so hubs sit on the low-fan-out side —
+  noted here, id-order kept because the oracle must be bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+PR_ITERS = 5
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """(node_type, n_nodes, max_out, avg_out, max_in, avg_in) — degree
+    distribution summary per node type (the prefix before ``:`` in the
+    typed node id).  Missing directions count as degree 0 (a pure sink
+    still has out-degree 0), so every node contributes to its type's
+    averages."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    deg = (
+        _nodes(edges)
+        .join(out_d, "node", "left")
+        .join(in_d, "node", "left")
+        .select(
+            F.substring_index(F.col("node"), ":", 1).alias("node_type"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+    return (
+        deg.groupBy("node_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("out_deg").alias("max_out"),
+            F.avg("out_deg").alias("avg_out"),
+            F.max("in_deg").alias("max_in"),
+            F.avg("in_deg").alias("avg_in"),
+        )
+        .orderBy("node_type")
+    )
+
+
+def degree_stats_sql(edges_cte: str) -> str:
+    """DuckDB twin; ``edges_cte`` must define ``edges(src, dst)``."""
+    return f"""
+WITH {edges_cte.strip()},
+nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+od AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+idg AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst),
+deg AS (
+  SELECT split_part(n.node, ':', 1) AS node_type,
+         coalesce(od.out_deg, 0) AS out_deg,
+         coalesce(idg.in_deg, 0) AS in_deg
+  FROM nodes n LEFT JOIN od ON n.node = od.node
+  LEFT JOIN idg ON n.node = idg.node)
+SELECT node_type, count(*) AS n_nodes,
+  max(out_deg) AS max_out, avg(out_deg) AS avg_out,
+  max(in_deg) AS max_in, avg(in_deg) AS avg_in
+FROM deg GROUP BY node_type ORDER BY node_type
+"""
+
+
+def pagerank(
+    edges: DataFrame, iters: int = PR_ITERS, damping: float = DAMPING
+) -> DataFrame:
+    """(node, rank) after ``iters`` synchronous PageRank iterations.
+
+    Update rule (dangling mass redistributed uniformly):
+        rank' = (1-d)/N + d * (sum_in rank/out_deg  +  dangling/N)
+
+    The dangling scalar stays a 1-row DataFrame cross-joined in
+    (broadcast) — no per-iteration driver collect; the only driver
+    round-trip is the eager checkpoint that truncates each round's
+    lineage (same pattern as the reasoning fixpoint)."""
+    nodes = _nodes(edges)
+    n = nodes.count()
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    # edges pre-joined with source out-degree: reused every iteration
+    ej = (
+        edges.join(
+            out_d.select(F.col("node").alias("src"), "out_deg"), "src"
+        ).localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ej.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        dangling = (
+            ranks.join(out_d, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.orderBy("node")
+
+
+def pagerank_sql(
+    edges_cte: str, iters: int = PR_ITERS, damping: float = DAMPING
+) -> str:
+    """DuckDB twin: the iteration unrolled as chained CTEs with the
+    identical update rule and float arithmetic shape."""
+    d = repr(damping)
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+r{i} AS (
+  SELECT n.node,
+    (1.0 - {d}) / nn.n + {d} * (coalesce(c.c, 0.0) + dg.dm / nn.n) AS rank
+  FROM nodes n
+  CROSS JOIN ncount nn
+  CROSS JOIN (
+    SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {prev} r
+    LEFT JOIN od ON r.node = od.node WHERE od.node IS NULL) dg
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / od.out_deg) AS c
+    FROM edges e JOIN {prev} r ON e.src = r.node
+    JOIN od ON e.src = od.node
+    GROUP BY e.dst) c ON n.node = c.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH {edges_cte.strip()},
+nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+ncount AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+od AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN ncount nn),
+{",".join(rounds)}
+SELECT node, rank FROM {prev} ORDER BY node
+"""
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, n_triangles) for the undirected
+    simple graph underlying ``edges``.  Node-ordered closure join:
+    each triangle {{a<b<c}} is found exactly once as
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = und.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(
+        _nodes(edges).agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def triangle_count_sql(edges_cte: str) -> str:
+    return f"""
+WITH {edges_cte.strip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges UNION SELECT dst FROM edges))
+SELECT
+  (SELECT count(*) FROM nodes) AS n_nodes,
+  (SELECT count(*) FROM und) AS n_edges,
+  (SELECT count(*) FROM und e1
+     JOIN und e2 ON e1.b = e2.a
+     JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""

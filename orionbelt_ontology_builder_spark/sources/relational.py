@@ -100,3 +100,116 @@ def induce_triples(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def induce_entity_edges(
+    spark: SparkSession, sf_dir: str, include_orders: bool = True
+) -> DataFrame:
+    """(src, dst) typed entity edge list from the relational foreign
+    keys — the graph-analytics companion to ``induce_triples``:
+
+      * ``n:<name>  -> r:<name>``   nation -> its region
+      * ``c:<key>   -> n:<name>``   customer -> its nation
+      * ``s:<key>   -> n:<name>``   supplier -> its nation
+      * ``o:<key>   -> c:<key>``    order -> its customer (optional)
+
+    Deterministic, recomputable in plain SQL (the oracle builds the
+    identical list), and shaped like a real KG edge table: zipfian-ish
+    in-degree (regions/nations are hubs), string node ids.  Pure
+    projections + broadcast joins against the tiny nation/region dims —
+    no shuffle."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    def edge(df, s, d):
+        return df.select(s.alias("src"), d.alias("dst"))
+
+    nr = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    parts = [
+        edge(
+            nr,
+            F.concat(F.lit("n:"), F.col("n_name")),
+            F.concat(F.lit("r:"), F.col("r_name")),
+        )
+    ]
+    for tbl, pfx, key, nk in [
+        ("customer", "c:", "c_custkey", "c_nationkey"),
+        ("supplier", "s:", "s_suppkey", "s_nationkey"),
+    ]:
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        dfn = df.join(F.broadcast(nation), df[nk] == nation["n_nationkey"])
+        parts.append(
+            edge(
+                dfn,
+                F.concat(F.lit(pfx), F.col(key).cast("string")),
+                F.concat(F.lit("n:"), F.col("n_name")),
+            )
+        )
+    if include_orders:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        parts.append(
+            edge(
+                orders,
+                F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")),
+                F.concat(F.lit("c:"), F.col("o_custkey").cast("string")),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ENTITY_EDGES_SQL = """
+edges AS (
+  SELECT 'n:' || n_name AS src, 'r:' || r_name AS dst
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT 'c:' || c_custkey, 'n:' || n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 's:' || s_suppkey, 'n:' || n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'o:' || o_orderkey, 'c:' || o_custkey FROM orders)
+"""
+
+
+def induce_lineitem_edges(
+    spark: SparkSession, sf_dir: str, max_orderkey: int = 200
+) -> DataFrame:
+    """(src, dst) tri-partite co-occurrence edges from a lineitem
+    slice: every line item asserts order—part, part—supplier and
+    order—supplier edges, so each (order, part, supplier) row closes a
+    triangle — the densest graph the testdata induces (triangle-count
+    probe input).  ``max_orderkey`` bounds the slice the same way the
+    quadratic-recall dedup oracles are bounded (predicate pushed to the
+    parquet scan)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") <= max_orderkey
+    )
+    o = F.concat(F.lit("o:"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+
+    return (
+        li.select(o.alias("src"), p.alias("dst"))
+        .unionByName(li.select(p.alias("src"), s.alias("dst")))
+        .unionByName(li.select(o.alias("src"), s.alias("dst")))
+    )
+
+
+def lineitem_edges_sql(max_orderkey: int = 200) -> str:
+    return f"""
+edges AS (
+  SELECT 'o:' || l_orderkey AS src, 'p:' || l_partkey AS dst
+  FROM lineitem WHERE l_orderkey <= {max_orderkey}
+  UNION ALL
+  SELECT 'p:' || l_partkey, 's:' || l_suppkey
+  FROM lineitem WHERE l_orderkey <= {max_orderkey}
+  UNION ALL
+  SELECT 'o:' || l_orderkey, 's:' || l_suppkey
+  FROM lineitem WHERE l_orderkey <= {max_orderkey})
+"""

@@ -1,0 +1,67 @@
+"""Semantic tests for graph analytics (degree / PageRank / triangles)
+on hand-built micro-graphs with known answers.  Engine parity is
+separately asserted by the driver oracles (`graph_degree_stats`,
+`graph_pagerank`, `graph_triangles`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    # hub h:0 <- c:1..c:4 (star), plus an isolated-ish chain c:4 -> x:9
+    rows = [Row(src=f"c:{i}", dst="h:0") for i in range(1, 5)]
+    rows.append(Row(src="c:4", dst="x:9"))
+    return spark.createDataFrame(rows).cache()
+
+
+@pytest.fixture(scope="module")
+def triangle(spark):
+    # one triangle a-b-c plus a dangling edge c-d
+    rows = [Row(src="a", dst="b"), Row(src="b", dst="c"),
+            Row(src="c", dst="a"), Row(src="c", dst="d"),
+            # duplicate + reversed edges must not double-count
+            Row(src="b", dst="a"), Row(src="a", dst="b")]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_degree_stats_star(star):
+    out = {r["node_type"]: r for r in G.degree_stats(star).collect()}
+    assert out["h"]["n_nodes"] == 1 and out["h"]["max_in"] == 4
+    assert out["h"]["max_out"] == 0          # pure sink counted
+    assert out["c"]["n_nodes"] == 4
+    assert out["c"]["max_out"] == 2          # c:4 has two out-edges
+    assert out["x"]["n_nodes"] == 1 and out["x"]["max_in"] == 1
+
+
+def test_pagerank_mass_conservation_and_hub(star):
+    ranks = {r["node"]: r["rank"] for r in G.pagerank(star, iters=8).collect()}
+    # total mass stays 1 (dangling redistributed, not lost)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # the hub outranks every spoke
+    assert all(ranks["h:0"] > v for k, v in ranks.items() if k != "h:0")
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # directed 4-cycle: symmetric, so rank must stay uniform
+    rows = [Row(src=f"v:{i}", dst=f"v:{(i + 1) % 4}") for i in range(4)]
+    ranks = [r["rank"] for r in G.pagerank(spark.createDataFrame(rows)).collect()]
+    assert max(ranks) - min(ranks) < 1e-12
+    assert abs(sum(ranks) - 1.0) < 1e-9
+
+
+def test_triangle_count_planted(triangle):
+    row = G.triangle_count(triangle).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 4              # dedup + undirected canon
+    assert row["n_nodes"] == 4
+
+
+def test_triangle_count_none(spark):
+    rows = [Row(src="a", dst="b"), Row(src="b", dst="c")]
+    row = G.triangle_count(spark.createDataFrame(rows)).collect()[0]
+    assert row["n_triangles"] == 0
