@@ -1165,6 +1165,17 @@ def _q_quality_funnel(spark, sf_dir):
     return curation.quality_funnel(_docs(spark, sf_dir))
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation funnel: exact dedup -> near-dup
+    clusters -> quality filter -> decontamination -> packing, oracle =
+    the whole chain as one DuckDB query (stage-1 survivors shadow the
+    ``documents`` CTE name so every per-op SQL fragment composes
+    verbatim)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return curation.curate_corpus(docs, bench)["metrics"]
+
+
 def _q_graph_degree_stats(spark, sf_dir):
     """Degree-distribution summary of the induced entity graph — the
     statistic that calibrates the hot-entity salting threshold in
@@ -1203,8 +1214,8 @@ _SF_SCALE = {
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
-    "quality_funnel", "graph_degree_stats", "graph_pagerank",
-    "graph_triangles",
+    "quality_funnel", "curation_pipeline", "graph_degree_stats",
+    "graph_pagerank", "graph_triangles",
 }
 
 
@@ -1409,6 +1420,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "quality_funnel": _q_quality_funnel,
+        "curation_pipeline": _q_curation_pipeline,
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
@@ -2713,6 +2725,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["decontaminate"] = curation.decontaminate_oracle()
     sql["pack_sequences"] = curation.pack_sequences_oracle()
     sql["quality_funnel"] = curation.quality_funnel_oracle()
+    sql["curation_pipeline"] = curation.curate_corpus_oracle()
     sql["graph_degree_stats"] = graphstats.degree_stats_sql(
         relational.ENTITY_EDGES_SQL
     )

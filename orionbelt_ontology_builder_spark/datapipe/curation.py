@@ -277,26 +277,7 @@ def quality_funnel(docs: DataFrame) -> DataFrame:
     ONE projection computes every flag, ONE aggregation the funnel —
     a single pass with map-side partials regardless of corpus size.
     """
-    base = (
-        docs.withColumn("norm", norm_col())
-        .withColumn("toks", F.split(F.col("norm"), " "))
-        .withColumn("n_tokens", F.size("toks"))
-        .withColumn(
-            "alpha_ratio",
-            F.regexp_count(F.col("text"), F.lit("[a-zA-Z]"))
-            / F.length("text").cast("double"),
-        )
-        .withColumn(
-            "digit_ratio",
-            F.regexp_count(F.col("text"), F.lit("[0-9]"))
-            / F.length("text").cast("double"),
-        )
-        .withColumn(
-            "avg_token_len",
-            F.expr("aggregate(toks, 0, (a, t) -> a + length(t))")
-            / F.col("n_tokens").cast("double"),
-        )
-    )
+    base = _quality_metrics(docs)
     flags = _funnel_flag_cols()
     aggs = []
     passed_so_far = F.lit(True)
@@ -356,5 +337,257 @@ m AS (
   FROM base),
 agg AS (SELECT {", ".join(sums)} FROM m)
 {unions}
+ORDER BY stage
+"""
+
+
+# ------------------------------------------------------------------ #
+# End-to-end curation pipeline (composition + stage funnel)
+# ------------------------------------------------------------------ #
+
+
+def quality_pass(docs: DataFrame) -> DataFrame:
+    """Documents passing ALL funnel rules, original columns preserved.
+    Same flag expressions as ``quality_funnel`` — one narrow projection
+    + filter, no joins."""
+    base = _quality_metrics(docs)
+    cond = F.lit(True)
+    for _, flag in _funnel_flag_cols():
+        cond = cond & flag
+    return base.filter(cond).select(*docs.columns)
+
+
+def _quality_metrics(docs: DataFrame) -> DataFrame:
+    """Shared metric projection feeding the funnel flags."""
+    return (
+        docs.withColumn("norm", norm_col())
+        .withColumn("toks", F.split(F.col("norm"), " "))
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn(
+            "alpha_ratio",
+            F.regexp_count(F.col("text"), F.lit("[a-zA-Z]"))
+            / F.length("text").cast("double"),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.regexp_count(F.col("text"), F.lit("[0-9]"))
+            / F.length("text").cast("double"),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.expr("aggregate(toks, 0, (a, t) -> a + length(t))")
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DECON_N,
+    jaccard_threshold: float = 0.5,
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+) -> dict:
+    """The full training-data curation pipeline, composed from the
+    individual operators: exact dedup -> near-dup cluster removal ->
+    quality filter -> benchmark decontamination -> sequence packing.
+
+    Returns ``{"metrics": DataFrame, "packed": DataFrame, "survivors":
+    DataFrame}``; ``metrics`` is the per-stage funnel
+    ``(stage, name, docs_in, docs_out, aux)`` (aux: dup groups
+    collapsed / clusters found / 0 / contaminated grams / total packed
+    chunks).  Each survivor frame is persisted once and reused by the
+    next stage AND its count row — no stage recomputes an earlier one.
+
+    Scale: this is a linear chain of the already-scale-shaped
+    operators; the stage counts are single-row aggregates crossJoined
+    into the funnel, so the metrics DataFrame adds five tiny jobs, not
+    five corpus passes beyond the stages themselves.
+    """
+    from .dedup import dedup_clusters, exact_dedup_groups
+
+    # -- stage 1: exact dedup (keep min doc_id per normalized hash) ---
+    groups = exact_dedup_groups(docs)
+    keepers = groups.select(F.col("keeper_doc_id").alias("doc_id"))
+    s1 = docs.join(keepers, "doc_id", "left_semi").persist()
+    aux1 = groups.filter(F.col("n_docs") > 1).agg(
+        F.count(F.lit(1)).alias("aux")
+    )
+
+    # -- stage 2: near-dup cluster removal (keep cluster keeper) ------
+    clusters = dedup_clusters(s1, jaccard_threshold).persist()
+    losers = clusters.filter(F.col("doc_id") != F.col("keeper_doc_id")).select(
+        "doc_id"
+    )
+    s2 = s1.join(losers, "doc_id", "left_anti").persist()
+    aux2 = clusters.agg(F.countDistinct("keeper_doc_id").alias("aux"))
+
+    # -- stage 3: quality filter --------------------------------------
+    s3 = quality_pass(s2).persist()
+    aux3 = s3.sparkSession.range(1).select(F.lit(0).cast("long").alias("aux"))
+
+    # -- stage 4: decontamination -------------------------------------
+    decon = decontaminate(s3, bench, n)
+    s4 = (
+        s3.join(
+            decon.filter(F.col("contaminated") == 1).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    ).persist()
+    aux4 = decon.agg(
+        F.coalesce(F.sum("n_contaminated_grams"), F.lit(0))
+        .cast("long")
+        .alias("aux")
+    )
+
+    # -- stage 5: packing ---------------------------------------------
+    packed = pack_sequences(s4, capacity, shards)
+    aux5 = (
+        packed.groupBy("shard")
+        .agg(F.max("last_chunk").alias("mx"))
+        .agg(F.coalesce(F.sum(F.col("mx") + 1), F.lit(0)).cast("long").alias("aux"))
+    )
+
+    def cnt(df, alias):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    def stage(i, name, din, dout, aux):
+        return (
+            cnt(din, "docs_in")
+            .crossJoin(cnt(dout, "docs_out"))
+            .crossJoin(aux)
+            .select(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("name"),
+                "docs_in",
+                "docs_out",
+                F.col("aux").cast("long").alias("aux"),
+            )
+        )
+
+    metrics = (
+        stage(1, "exact_dedup", docs, s1, aux1)
+        .unionByName(stage(2, "near_dup", s1, s2, aux2))
+        .unionByName(stage(3, "quality", s2, s3, aux3))
+        .unionByName(stage(4, "decontaminate", s3, s4, aux4))
+        .unionByName(stage(5, "pack", s4, s4, aux5))
+        .orderBy("stage")
+    )
+    return {"metrics": metrics, "packed": packed, "survivors": s4}
+
+
+def curate_corpus_oracle(
+    n: int = DECON_N,
+    jaccard_threshold: float = 0.5,
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+    bench_pred: str = "doc_id % 13 = 0",
+) -> str:
+    """DuckDB twin of the whole pipeline funnel.  The stage-1 survivor
+    set SHADOWS the ``documents`` name as a CTE (inner stages reuse the
+    per-op CTE fragments verbatim — they read ``documents`` and so see
+    the survivors; the raw corpus stays reachable as
+    ``main.documents``)."""
+    from .dedup import MAX_BUCKET, _pairs_cte_sql
+
+    en = _sql_list(STOPWORDS["en"])
+    pass_pred = (
+        "n_tokens >= 20 AND avg_token_len >= 3.8 AND avg_token_len <= 5.2"
+        " AND alpha_ratio >= 0.81"
+        f" AND len(list_filter(toks, t -> t IN ({en})))"
+        " / n_tokens::DOUBLE >= 0.06 AND digit_ratio <= 0.2"
+    )
+    return f"""
+WITH RECURSIVE
+keep1 AS (
+  SELECT min(doc_id) AS doc_id FROM main.documents
+  GROUP BY md5({norm_sql()})),
+documents AS MATERIALIZED (
+  SELECT d.* FROM main.documents d JOIN keep1 USING (doc_id)),
+{_pairs_cte_sql(MAX_BUCKET)},
+cpairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {jaccard_threshold}),
+csym AS (
+  SELECT doc_a AS u, doc_b AS v FROM cpairs
+  UNION SELECT doc_b, doc_a FROM cpairs),
+cnodes AS (SELECT DISTINCT u AS nd FROM csym),
+creach(nd, m) AS (
+  SELECT nd, nd FROM cnodes
+  UNION
+  SELECT r.nd, s.v FROM creach r JOIN csym s ON r.m = s.u),
+ccl AS MATERIALIZED (SELECT nd AS doc_id, min(m) AS keeper FROM creach GROUP BY nd),
+s2 AS MATERIALIZED (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN
+    (SELECT doc_id FROM ccl WHERE doc_id <> keeper)),
+qm AS (
+  SELECT doc_id, text, {tokens_sql(norm_sql())} AS toks FROM s2),
+qx AS (
+  SELECT doc_id, toks,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]')) / len(text)::DOUBLE AS alpha_ratio,
+    len(regexp_extract_all(text, '[0-9]')) / len(text)::DOUBLE AS digit_ratio,
+    list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE AS avg_token_len
+  FROM qm),
+s3 AS MATERIALIZED (
+  SELECT s2.* FROM s2 JOIN qx USING (doc_id) WHERE {pass_pred}),
+dtok AS (SELECT doc_id, {tokens_sql(norm_sql())} AS toks FROM s3),
+dgr AS (SELECT doc_id, {_grams_sql(n)} AS grams FROM dtok),
+btok AS (
+  SELECT doc_id, {tokens_sql(norm_sql())} AS toks
+  FROM main.documents WHERE {bench_pred}),
+bgr AS (
+  SELECT DISTINCT unnest({_grams_sql(n)}) AS gram FROM btok),
+degr AS (SELECT doc_id, unnest(grams) AS gram FROM dgr),
+dhits AS MATERIALIZED (
+  SELECT degr.doc_id, count(*) AS c FROM degr JOIN bgr USING (gram)
+  GROUP BY degr.doc_id),
+s4 AS MATERIALIZED (
+  SELECT s3.* FROM s3 LEFT JOIN dhits USING (doc_id)
+  WHERE coalesce(dhits.c, 0) = 0),
+pb AS (
+  SELECT doc_id, doc_id % {shards} AS shard,
+    CASE WHEN {norm_sql()} = '' THEN 0
+         ELSE len({tokens_sql(norm_sql())}) END::BIGINT AS n_tokens
+  FROM s4),
+pcum AS (
+  SELECT shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pb),
+pchunks AS (
+  SELECT coalesce(sum(mx + 1), 0)::BIGINT AS aux FROM (
+    SELECT shard,
+      max(CASE WHEN n_tokens > 0 THEN (cum - 1) // {capacity}
+               ELSE (cum - n_tokens) // {capacity} END) AS mx
+    FROM pcum GROUP BY shard))
+SELECT 1 AS stage, 'exact_dedup' AS name,
+  (SELECT count(*) FROM main.documents)::BIGINT AS docs_in,
+  (SELECT count(*) FROM documents)::BIGINT AS docs_out,
+  (SELECT count(*) FROM (
+     SELECT md5({norm_sql()}) AS h FROM main.documents
+     GROUP BY 1 HAVING count(*) > 1))::BIGINT AS aux
+UNION ALL
+SELECT 2, 'near_dup',
+  (SELECT count(*) FROM documents),
+  (SELECT count(*) FROM s2),
+  (SELECT count(DISTINCT keeper) FROM ccl)
+UNION ALL
+SELECT 3, 'quality',
+  (SELECT count(*) FROM s2),
+  (SELECT count(*) FROM s3),
+  0
+UNION ALL
+SELECT 4, 'decontaminate',
+  (SELECT count(*) FROM s3),
+  (SELECT count(*) FROM s4),
+  (SELECT coalesce(sum(c), 0) FROM dhits)
+UNION ALL
+SELECT 5, 'pack',
+  (SELECT count(*) FROM s4),
+  (SELECT count(*) FROM s4),
+  (SELECT aux FROM pchunks)
 ORDER BY stage
 """

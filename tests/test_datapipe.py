@@ -353,3 +353,29 @@ def test_quality_funnel_conservation(spark, docs):
         assert r["n_survivors"] == prev - r["n_dropped"]
         prev = r["n_survivors"]
     assert rows[-1]["n_survivors"] >= 0
+
+
+def test_curate_corpus_stage_semantics(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    bench = docs.filter(F.col("doc_id") == 3)   # the unrelated doc
+    out = C.curate_corpus(docs, bench)
+    rows = {r["name"]: r for r in out["metrics"].collect()}
+    # chain integrity: docs_in of stage k == docs_out of stage k-1
+    order = ["exact_dedup", "near_dup", "quality", "decontaminate", "pack"]
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["docs_in"] == rows[prev]["docs_out"]
+    # doc 1 is an exact dup of doc 0 -> one group collapsed
+    assert rows["exact_dedup"]["docs_in"] == 5
+    assert rows["exact_dedup"]["docs_out"] == 4
+    assert rows["exact_dedup"]["aux"] == 1
+    # doc 2 is a near dup of doc 0 -> one cluster, one doc dropped
+    assert rows["near_dup"]["docs_out"] == 3
+    assert rows["near_dup"]["aux"] == 1
+    # benchmark = doc 3 (survivor) -> it decontaminates itself away
+    # whenever it passes quality; chain stays consistent either way
+    assert rows["pack"]["docs_in"] == rows["decontaminate"]["docs_out"]
+    # survivors frame matches the funnel's final count
+    assert out["survivors"].count() == rows["pack"]["docs_out"]
+    # packed rows = one per survivor
+    assert out["packed"].count() == rows["pack"]["docs_out"]
