@@ -134,7 +134,7 @@ def decontaminate_oracle(n: int = DECON_N, bench_pred: str = "doc_id % 13 = 0") 
     return f"""
 WITH tok AS (
   SELECT doc_id, {tokens_sql(norm_sql())} AS toks FROM documents),
-g AS (SELECT doc_id, {_grams_sql(n)} AS grams FROM tok),
+g AS MATERIALIZED (SELECT doc_id, {_grams_sql(n)} AS grams FROM tok),
 bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE {bench_pred}),
 eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
 hits AS (

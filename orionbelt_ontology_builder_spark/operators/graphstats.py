@@ -87,10 +87,10 @@ def degree_stats_sql(edges_cte: str) -> str:
     """DuckDB twin; ``edges_cte`` must define ``edges(src, dst)``."""
     return f"""
 WITH {edges_cte.strip()},
-nodes AS (SELECT DISTINCT node FROM
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
   (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
-od AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
-idg AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst),
+od AS MATERIALIZED (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+idg AS MATERIALIZED (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst),
 deg AS (
   SELECT split_part(n.node, ':', 1) AS node_type,
          coalesce(od.out_deg, 0) AS out_deg,
@@ -164,7 +164,7 @@ def pagerank_sql(
     prev = "r0"
     for i in range(1, iters + 1):
         rounds.append(f"""
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
     (1.0 - {d}) / nn.n + {d} * (coalesce(c.c, 0.0) + dg.dm / nn.n) AS rank
   FROM nodes n
@@ -180,11 +180,11 @@ r{i} AS (
         prev = f"r{i}"
     return f"""
 WITH {edges_cte.strip()},
-nodes AS (SELECT DISTINCT node FROM
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
   (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
 ncount AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-od AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
-r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN ncount nn),
+od AS MATERIALIZED (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN ncount nn),
 {",".join(rounds)}
 SELECT node, rank FROM {prev} ORDER BY node
 """
@@ -223,10 +223,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def triangle_count_sql(edges_cte: str) -> str:
     return f"""
 WITH {edges_cte.strip()},
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM edges WHERE src <> dst),
-nodes AS (SELECT DISTINCT node FROM
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
   (SELECT src AS node FROM edges UNION SELECT dst FROM edges))
 SELECT
   (SELECT count(*) FROM nodes) AS n_nodes,
