@@ -1165,6 +1165,10 @@ def _q_quality_funnel(spark, sf_dir):
     return curation.quality_funnel(_docs(spark, sf_dir))
 
 
+def _q_corpus_split(spark, sf_dir):
+    return curation.split_corpus(_docs(spark, sf_dir))
+
+
 def _q_curation_pipeline(spark, sf_dir):
     """End-to-end corpus curation funnel: exact dedup -> near-dup
     clusters -> quality filter -> decontamination -> packing, oracle =
@@ -1214,8 +1218,8 @@ _SF_SCALE = {
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
-    "quality_funnel", "curation_pipeline", "graph_degree_stats",
-    "graph_pagerank", "graph_triangles",
+    "quality_funnel", "curation_pipeline", "corpus_split",
+    "graph_degree_stats", "graph_pagerank", "graph_triangles",
 }
 
 
@@ -1421,6 +1425,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "quality_funnel": _q_quality_funnel,
         "curation_pipeline": _q_curation_pipeline,
+        "corpus_split": _q_corpus_split,
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
@@ -2726,6 +2731,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["pack_sequences"] = curation.pack_sequences_oracle()
     sql["quality_funnel"] = curation.quality_funnel_oracle()
     sql["curation_pipeline"] = curation.curate_corpus_oracle()
+    sql["corpus_split"] = curation.split_corpus_oracle()
     sql["graph_degree_stats"] = graphstats.degree_stats_sql(
         relational.ENTITY_EDGES_SQL
     )

@@ -591,3 +591,65 @@ SELECT 5, 'pack',
   (SELECT aux FROM pchunks)
 ORDER BY stage
 """
+
+
+# ------------------------------------------------------------------ #
+# Deterministic train/val/test split (hash-bucket assignment)
+# ------------------------------------------------------------------ #
+
+SPLIT_SALT = "split-v1"
+
+
+def split_corpus(
+    docs: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """(doc_id, source, bucket, split) — deterministic hash-bucket
+    corpus split: ``bucket = int(md5(salt || doc_id)[:4hex]) % 100``,
+    buckets [0, test) -> test, [test, test+val) -> val, rest train.
+
+    Content-independent (id-hashed) so re-runs and incremental loads
+    land identically; salted so a new split version re-rolls every
+    assignment; a pure narrow projection — at 100 TB this is a filter
+    pushed into every downstream reader, never a materialized shuffle.
+    The md5-hex primitive is the engine's portable hash (identical in
+    DuckDB), so the assignment itself is oracle-checked."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def split_corpus_oracle(
+    val_pct: int = 5, test_pct: int = 5, salt: str = SPLIT_SALT
+) -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('{salt}' || doc_id), 1, 4))::BIGINT % 100 AS bucket
+  FROM documents)
+SELECT doc_id, source, bucket,
+  CASE WHEN bucket < {test_pct} THEN 'test'
+       WHEN bucket < {test_pct} + {val_pct} THEN 'val'
+       ELSE 'train' END AS split
+FROM b ORDER BY doc_id
+"""

@@ -379,3 +379,18 @@ def test_curate_corpus_stage_semantics(spark, docs):
     assert out["survivors"].count() == rows["pack"]["docs_out"]
     # packed rows = one per survivor
     assert out["packed"].count() == rows["pack"]["docs_out"]
+
+
+def test_split_corpus_deterministic_and_stratified(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    a = {r["doc_id"]: r["split"] for r in C.split_corpus(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in C.split_corpus(docs).collect()}
+    assert a == b                                  # rerun-stable
+    c = {r["doc_id"]: r["split"]
+         for r in C.split_corpus(docs, salt="other").collect()}
+    assert set(c) == set(a)                        # same docs, any salt
+    full = {r["doc_id"]: r for r in
+            C.split_corpus(docs, val_pct=0, test_pct=0).collect()}
+    assert all(r["split"] == "train" for r in full.values())
+    assert all(0 <= r["bucket"] < 100 for r in full.values())
