@@ -929,6 +929,24 @@ def _q_stream_user_totals(spark, sf_dir):
     return ST.stateful_user_totals_stream(spark, _STAGE_CACHE[key])
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup: the events table staged TWICE into
+    the stream directory (a replayed source); the drained result must
+    equal the single-copy table (the oracle reads the original view)."""
+    import tempfile
+
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    key = (id(spark), sf_dir, "dup2")
+    if key not in _STAGE_CACHE:
+        staged = tempfile.mkdtemp(prefix="obelt_events_dup_")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.write.mode("overwrite").parquet(staged)
+        ev.write.mode("append").parquet(staged)
+        _STAGE_CACHE[key] = staged
+    return ST.dedup_events_stream(spark, _STAGE_CACHE[key]).orderBy("event_id")
+
+
 def _q_nt_roundtrip(spark, sf_dir):
     from orionbelt_ontology_builder_spark.sources import ntriples as NT
 
@@ -1208,7 +1226,7 @@ def _q_graph_triangles(spark, sf_dir):
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "tpch_q1", "top_customers", "events_running",
-    "stream_event_counts", "stream_user_totals", "kg_edges",
+    "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
@@ -1360,6 +1378,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_imports": _q_ontology_imports,
         "stream_event_counts": _q_stream_event_counts,
         "stream_user_totals": _q_stream_user_totals,
+        "stream_dedup": _q_stream_dedup,
         "nt_roundtrip": _q_nt_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
         "rdfxml_roundtrip": _q_rdfxml_roundtrip,
@@ -2082,6 +2101,12 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 SELECT user_id, count(*) AS n_events, sum(value) AS total_value,
        max(ts) AS last_ts
 FROM events GROUP BY user_id ORDER BY user_id
+"""
+    # the stream drains a DOUBLED staging dir; exactly-once dedup must
+    # recover the single-copy table
+    sql["stream_dedup"] = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events ORDER BY event_id
 """
 
     roundtrip_identity = f"""

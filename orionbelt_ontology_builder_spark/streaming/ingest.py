@@ -210,3 +210,38 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------------------------ #
+# streaming dedup: exactly-once recovery of a replayed source
+# ------------------------------------------------------------------ #
+
+
+def dedup_events_stream(
+    spark: SparkSession, events_dir: str, watermark: str = "24 hours"
+) -> DataFrame:
+    """Drain ``events_dir`` — which may contain the same records many
+    times (replayed WARC dumps, at-least-once upstream delivery) —
+    through streaming ``dropDuplicates`` on the event key, returning
+    each event exactly once.
+
+    The dedup state is keyed by ``event_id`` and evicted past the
+    ``ts`` watermark, so state size is bounded by the duplication
+    window, not the stream length — the property that makes this the
+    ingest-side twin of ``datapipe.dedup.exact_dedup_groups`` at
+    unbounded-corpus scale.  Deterministic output: duplicate rows are
+    bit-identical per key, so WHICH copy survives is unobservable and
+    the drained result equals the distinct source (the differential
+    oracle reads the single-copy table)."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    dd = stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    name = "dedup_events_sink"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -63,3 +63,26 @@ def test_stateful_user_totals_match_batch(spark, tmp_path):
         for r in want.collect()
     }
     assert g == w and len(g) > 5
+
+
+def test_stream_dedup_recovers_single_copy(spark, tmp_path):
+    """A doubled (replayed) source drains to exactly the distinct
+    events — and a TRIPLED source to the same."""
+    from pyspark.sql import Row
+
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    import datetime as dt
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2026, 1, 1, 0, i), user_id=i % 3,
+            event_type="t", value=float(i), props="{}")
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(rows, ST.EVENTS_SCHEMA)
+    d = str(tmp_path / "dup")
+    for _ in range(3):
+        ev.write.mode("append").parquet(d)
+    out = ST.dedup_events_stream(spark, d)
+    assert out.count() == 20
+    assert sorted(r["event_id"] for r in out.collect()) == list(range(20))
