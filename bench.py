@@ -124,6 +124,13 @@ def main() -> None:
         "decontaminate",
         "pack_sequences",
         "quality_funnel",
+        "corpus_split",
+        "curation_pipeline",
+        # graph analytics (r2)
+        "graph_degree_stats",
+        "graph_pagerank",
+        "graph_triangles",
+        "stream_dedup",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
