@@ -170,3 +170,97 @@ def test_search_no_results(populated_om):
 def test_search_partial_and_case_insensitive(populated_om):
     got = {r["name"] for r in views.search(populated_om, "emp").collect()}
     assert "Employee" in got
+
+
+# ------------------------------------------------------------------ #
+# delete-impact + usages law ports (reference tests/test_delete_impact.py,
+# tests/test_usages.py — remaining laws beyond the oracle check)
+# ------------------------------------------------------------------ #
+
+
+def _impact(populated_om, name):
+    return views.get_delete_impact(populated_om, BASE + name).collect()[0]
+
+
+def test_class_impact_shows_subclasses_and_instances(populated_om):
+    person = _impact(populated_om, "Person")
+    assert person["subclasses"] == 1          # Employee
+    assert person["instances"] == 0           # alice is typed Employee
+    emp = _impact(populated_om, "Employee")
+    assert emp["instances"] == 1              # alice
+
+
+def test_class_impact_shows_domain_and_range_of(populated_om):
+    person = _impact(populated_om, "Person")
+    assert person["domain_of"] == 2           # worksFor, hasName
+    org = _impact(populated_om, "Organization")
+    assert org["range_of"] == 1               # worksFor
+    assert org["instances"] == 1              # acme
+
+
+def test_class_impact_total_positive(populated_om):
+    assert _impact(populated_om, "Person")["total_affected"] > 0
+
+
+def test_property_impact_shows_assertions(populated_om):
+    from orionbelt_ontology_builder_spark.model import TRIPLES_SCHEMA, t_uri
+
+    spark = populated_om.sparkSession
+    withassert = populated_om.unionByName(
+        spark.createDataFrame(
+            [t_uri(BASE + "alice", BASE + "worksFor", BASE + "acme")],
+            TRIPLES_SCHEMA,
+        )
+    )
+    imp = views.get_delete_impact(withassert, BASE + "worksFor").collect()[0]
+    assert imp["as_predicate"] == 1
+    assert imp["direct_triples"] == 3         # type + domain + range decls
+
+
+def test_individual_impact_shows_relations(populated_om):
+    from orionbelt_ontology_builder_spark.model import TRIPLES_SCHEMA, t_uri
+
+    spark = populated_om.sparkSession
+    withrel = populated_om.unionByName(
+        spark.createDataFrame(
+            [t_uri(BASE + "alice", BASE + "worksFor", BASE + "acme")],
+            TRIPLES_SCHEMA,
+        )
+    )
+    imp = views.get_delete_impact(withrel, BASE + "acme").collect()[0]
+    assert imp["inbound_references"] == 1     # alice worksFor acme
+
+
+def test_isolated_class_has_minimal_impact(populated_om):
+    from orionbelt_ontology_builder_spark.operators import mutations
+
+    iso = mutations.add_class(populated_om, "Isolated", BASE)
+    imp = views.get_delete_impact(iso, BASE + "Isolated").collect()[0]
+    assert imp["subclasses"] == 0 and imp["instances"] == 0
+    assert imp["inbound_references"] == 0
+    assert imp["direct_triples"] >= 1         # its own type decl
+
+
+def test_usages_laws(populated_om):
+    # class inbound usages: Person is object of subClassOf + domain x2
+    u = views.get_resource_usages(populated_om, BASE + "Person")
+    kinds = {(r["direction"], r["pred"]) for r in u.collect()}
+    assert any(d == "inbound" for d, _ in kinds)
+    # property as predicate after an assertion
+    from orionbelt_ontology_builder_spark.model import TRIPLES_SCHEMA, t_uri
+
+    spark = populated_om.sparkSession
+    withrel = populated_om.unionByName(
+        spark.createDataFrame(
+            [t_uri(BASE + "alice", BASE + "worksFor", BASE + "acme")],
+            TRIPLES_SCHEMA,
+        )
+    )
+    u2 = views.get_resource_usages(withrel, BASE + "worksFor").collect()
+    assert any(r["direction"] == "predicate" for r in u2)
+    # isolated class: no usages beyond its own decls
+    from orionbelt_ontology_builder_spark.operators import mutations
+
+    iso = mutations.add_class(populated_om, "Isolated2", BASE)
+    u3 = views.get_resource_usages(iso, BASE + "Isolated2").collect()
+    assert all(r["direction"] != "inbound" for r in u3)
