@@ -1195,7 +1195,11 @@ def _q_curation_pipeline(spark, sf_dir):
     verbatim)."""
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 13 == 0)
-    return curation.curate_corpus(docs, bench)["metrics"]
+    out = curation.curate_corpus(docs, bench)
+    # metrics is checkpoint-materialized inside; the survivor cache is
+    # only needed by callers reading survivors/packed — release it here
+    out["release"]()
+    return out["metrics"]
 
 
 def _q_graph_degree_stats(spark, sf_dir):

@@ -42,7 +42,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import STOPWORDS, _sql_list, norm_col, norm_sql, tokens_sql
+from .textstats import (
+    norm_col,
+    norm_sql,
+    quality_metric_cols,
+    quality_metric_sql_cols,
+    tokens_sql,
+)
 
 # ------------------------------------------------------------------ #
 # Token n-grams (decontamination unit)
@@ -241,10 +247,14 @@ FROM c ORDER BY doc_id
 # Quality-filter funnel (Gopher/C4-style sequential rules)
 # ------------------------------------------------------------------ #
 
-#: (rule name, threshold doc) — tuned so the synthetic corpus produces
-#: a non-degenerate funnel (every interior stage drops someone; the
-#: digit rule intentionally drops zero on the digit-free corpus and
-#: documents that a zero-drop stage renders correctly).
+#: (rule name, threshold predicate) — the SINGLE source of the funnel
+#: thresholds: each predicate string is valid verbatim in BOTH Spark
+#: SQL (``F.expr``) and DuckDB over the shared metric columns from
+#: ``textstats.quality_metric_cols`` / ``quality_metric_sql_cols``.
+#: Tuned so the synthetic corpus produces a non-degenerate funnel
+#: (every interior stage drops someone; the digit rule intentionally
+#: drops zero on the digit-free corpus and documents that a zero-drop
+#: stage renders correctly).
 FUNNEL_RULES = [
     ("min_tokens", "n_tokens >= 20"),
     ("avg_token_len", "avg_token_len BETWEEN 3.8 AND 5.2"),
@@ -255,18 +265,7 @@ FUNNEL_RULES = [
 
 
 def _funnel_flag_cols() -> list[tuple[str, Column]]:
-    en = _sql_list(STOPWORDS["en"])
-    flags = {
-        "min_tokens": F.col("n_tokens") >= 20,
-        "avg_token_len": (F.col("avg_token_len") >= 3.8)
-        & (F.col("avg_token_len") <= 5.2),
-        "alpha_ratio": F.col("alpha_ratio") >= 0.81,
-        "stopword_ratio": F.expr(f"size(filter(toks, t -> t IN ({en})))")
-        / F.col("n_tokens").cast("double")
-        >= 0.06,
-        "digit_ratio": F.col("digit_ratio") <= 0.2,
-    }
-    return [(name, flags[name]) for name, _ in FUNNEL_RULES]
+    return [(name, F.expr(rule)) for name, rule in FUNNEL_RULES]
 
 
 def quality_funnel(docs: DataFrame) -> DataFrame:
@@ -301,20 +300,8 @@ def quality_funnel(docs: DataFrame) -> DataFrame:
 
 
 def quality_funnel_oracle() -> str:
-    en = _sql_list(STOPWORDS["en"])
-    flag_sql = {
-        "min_tokens": "n_tokens >= 20",
-        "avg_token_len": "avg_token_len >= 3.8 AND avg_token_len <= 5.2",
-        "alpha_ratio": "alpha_ratio >= 0.81",
-        "stopword_ratio": (
-            f"len(list_filter(toks, t -> t IN ({en})))"
-            " / n_tokens::DOUBLE >= 0.06"
-        ),
-        "digit_ratio": "digit_ratio <= 0.2",
-    }
     sums, passed = [], "TRUE"
-    for i, (name, _) in enumerate(FUNNEL_RULES, start=1):
-        f = flag_sql[name]
+    for i, (name, f) in enumerate(FUNNEL_RULES, start=1):
         sums.append(
             f"sum(CASE WHEN ({passed}) AND NOT ({f}) THEN 1 ELSE 0 END)::BIGINT AS d{i}"
         )
@@ -329,11 +316,7 @@ def quality_funnel_oracle() -> str:
 WITH base AS (
   SELECT doc_id, text, {tokens_sql(norm_sql())} AS toks FROM documents),
 m AS (
-  SELECT doc_id, toks,
-    len(toks) AS n_tokens,
-    len(regexp_extract_all(text, '[a-zA-Z]')) / len(text)::DOUBLE AS alpha_ratio,
-    len(regexp_extract_all(text, '[0-9]')) / len(text)::DOUBLE AS digit_ratio,
-    list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE AS avg_token_len
+  SELECT doc_id, toks, {quality_metric_sql_cols()}
   FROM base),
 agg AS (SELECT {", ".join(sums)} FROM m)
 {unions}
@@ -358,27 +341,9 @@ def quality_pass(docs: DataFrame) -> DataFrame:
 
 
 def _quality_metrics(docs: DataFrame) -> DataFrame:
-    """Shared metric projection feeding the funnel flags."""
-    return (
-        docs.withColumn("norm", norm_col())
-        .withColumn("toks", F.split(F.col("norm"), " "))
-        .withColumn("n_tokens", F.size("toks"))
-        .withColumn(
-            "alpha_ratio",
-            F.regexp_count(F.col("text"), F.lit("[a-zA-Z]"))
-            / F.length("text").cast("double"),
-        )
-        .withColumn(
-            "digit_ratio",
-            F.regexp_count(F.col("text"), F.lit("[0-9]"))
-            / F.length("text").cast("double"),
-        )
-        .withColumn(
-            "avg_token_len",
-            F.expr("aggregate(toks, 0, (a, t) -> a + length(t))")
-            / F.col("n_tokens").cast("double"),
-        )
-    )
+    """Shared metric projection feeding the funnel flags — one
+    definition in ``textstats`` serves both modules."""
+    return quality_metric_cols(docs)
 
 
 def curate_corpus(
@@ -394,11 +359,17 @@ def curate_corpus(
     quality filter -> benchmark decontamination -> sequence packing.
 
     Returns ``{"metrics": DataFrame, "packed": DataFrame, "survivors":
-    DataFrame}``; ``metrics`` is the per-stage funnel
-    ``(stage, name, docs_in, docs_out, aux)`` (aux: dup groups
+    DataFrame, "release": callable}``; ``metrics`` is the per-stage
+    funnel ``(stage, name, docs_in, docs_out, aux)`` (aux: dup groups
     collapsed / clusters found / 0 / contaminated grams / total packed
     chunks).  Each survivor frame is persisted once and reused by the
     next stage AND its count row — no stage recomputes an earlier one.
+
+    Cache lifetime is explicit: the funnel counts are materialized
+    eagerly (5 rows), after which the intermediate stage frames are
+    unpersisted here; only the final survivor set stays cached (it
+    backs both returned frames) until the caller invokes ``release()``
+    — repeated invocations therefore don't accumulate pinned storage.
 
     Scale: this is a linear chain of the already-scale-shaped
     operators; the stage counts are single-row aggregates crossJoined
@@ -474,8 +445,19 @@ def curate_corpus(
         .unionByName(stage(4, "decontaminate", s3, s4, aux4))
         .unionByName(stage(5, "pack", s4, s4, aux5))
         .orderBy("stage")
+        # Materialize the 5 funnel rows now: this forces every stage
+        # count through the persisted frames exactly once, after which
+        # the intermediates can be dropped from executor storage.
+        .localCheckpoint(eager=True)
     )
-    return {"metrics": metrics, "packed": packed, "survivors": s4}
+    for df in (s1, clusters, s2, s3):
+        df.unpersist()
+    return {
+        "metrics": metrics,
+        "packed": packed,
+        "survivors": s4,
+        "release": lambda: s4.unpersist(),
+    }
 
 
 def curate_corpus_oracle(
@@ -492,13 +474,9 @@ def curate_corpus_oracle(
     ``main.documents``)."""
     from .dedup import MAX_BUCKET, _pairs_cte_sql
 
-    en = _sql_list(STOPWORDS["en"])
-    pass_pred = (
-        "n_tokens >= 20 AND avg_token_len >= 3.8 AND avg_token_len <= 5.2"
-        " AND alpha_ratio >= 0.81"
-        f" AND len(list_filter(toks, t -> t IN ({en})))"
-        " / n_tokens::DOUBLE >= 0.06 AND digit_ratio <= 0.2"
-    )
+    # pass = every funnel rule, straight from the single FUNNEL_RULES
+    # source (same strings the Spark flags and funnel oracle compile).
+    pass_pred = " AND ".join(f"({rule})" for _, rule in FUNNEL_RULES)
     return f"""
 WITH RECURSIVE
 keep1 AS (
@@ -525,11 +503,7 @@ s2 AS MATERIALIZED (
 qm AS (
   SELECT doc_id, text, {tokens_sql(norm_sql())} AS toks FROM s2),
 qx AS (
-  SELECT doc_id, toks,
-    len(toks) AS n_tokens,
-    len(regexp_extract_all(text, '[a-zA-Z]')) / len(text)::DOUBLE AS alpha_ratio,
-    len(regexp_extract_all(text, '[0-9]')) / len(text)::DOUBLE AS digit_ratio,
-    list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE AS avg_token_len
+  SELECT doc_id, toks, {quality_metric_sql_cols()}
   FROM qm),
 s3 AS MATERIALIZED (
   SELECT s2.* FROM s2 JOIN qx USING (doc_id) WHERE {pass_pred}),

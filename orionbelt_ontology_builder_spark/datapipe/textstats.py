@@ -139,15 +139,19 @@ FROM documents ORDER BY doc_id
 # ------------------------------------------------------------------ #
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, alpha_ratio, digit_ratio, stopword_ratio,
-    avg_token_len, quality) — length/character-class/stopword heuristics,
-    the standard pre-training corpus filters (C4/Gopher-style)."""
+def quality_metric_cols(docs: DataFrame) -> DataFrame:
+    """Shared metric projection: norm / toks / n_tokens / alpha_ratio /
+    digit_ratio / stopword_ratio / avg_token_len appended to ``docs``.
+
+    The SINGLE definition of these expressions — ``quality_scores``
+    selects from it and ``curation``'s funnel/filter build flags over
+    it, so a regex or arithmetic tweak can't leave two modules
+    disagreeing on same-named metrics."""
     en = _sql_list(STOPWORDS["en"])
     # No round(): both engines run identical IEEE-double arithmetic in
     # identical order, and the driver compares floats at %.6g — round()
     # itself is the only cross-engine divergence (half-boundary rule).
-    d = (
+    return (
         docs.withColumn("norm", norm_col())
         .withColumn("toks", tokens_col())
         .withColumn("n_tokens", F.size("toks"))
@@ -172,6 +176,25 @@ def quality_scores(docs: DataFrame) -> DataFrame:
             / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def quality_metric_sql_cols() -> str:
+    """DuckDB twin of ``quality_metric_cols``'s derived columns, to be
+    selected from a relation providing (doc_id, text, toks)."""
+    en = _sql_list(STOPWORDS["en"])
+    return f"""
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[a-zA-Z]')) / len(text)::DOUBLE AS alpha_ratio,
+    len(regexp_extract_all(text, '[0-9]')) / len(text)::DOUBLE AS digit_ratio,
+    len(list_filter(toks, t -> t IN ({en}))) / len(toks)::DOUBLE AS stopword_ratio,
+    list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE AS avg_token_len"""
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, alpha_ratio, digit_ratio, stopword_ratio,
+    avg_token_len, quality) — length/character-class/stopword heuristics,
+    the standard pre-training corpus filters (C4/Gopher-style)."""
+    d = quality_metric_cols(docs)
     return d.select(
         "doc_id",
         "n_tokens",
@@ -188,19 +211,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 
 def quality_scores_oracle() -> str:
-    en = _sql_list(STOPWORDS["en"])
     return f"""
 WITH t AS (
   SELECT doc_id, text, {norm_sql()} AS norm,
          {tokens_sql(norm_sql())} AS toks
   FROM documents),
 m AS (
-  SELECT doc_id,
-    len(toks) AS n_tokens,
-    len(regexp_extract_all(text, '[a-zA-Z]')) / len(text)::DOUBLE AS alpha_ratio,
-    len(regexp_extract_all(text, '[0-9]')) / len(text)::DOUBLE AS digit_ratio,
-    len(list_filter(toks, t -> t IN ({en}))) / len(toks)::DOUBLE AS stopword_ratio,
-    list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE AS avg_token_len
+  SELECT doc_id, {quality_metric_sql_cols()}
   FROM t)
 SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, stopword_ratio, avg_token_len,
   least(n_tokens / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3

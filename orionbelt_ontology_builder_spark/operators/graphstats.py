@@ -116,10 +116,16 @@ def pagerank(
     (broadcast) — no per-iteration driver collect; the only driver
     round-trip is the eager checkpoint that truncates each round's
     lineage (same pattern as the reasoning fixpoint)."""
-    nodes = _nodes(edges)
+    # nodes joins into every round's rank update and out_d into every
+    # round's dangling anti-join: checkpoint both once so the per-round
+    # plans start from materialized tables instead of re-running the
+    # distinct-union / edge aggregation shuffles each iteration.
+    nodes = _nodes(edges).localCheckpoint(eager=True)
     n = nodes.count()
-    out_d = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    out_d = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
     )
     # edges pre-joined with source out-degree: reused every iteration
     ej = (

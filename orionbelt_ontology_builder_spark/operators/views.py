@@ -797,6 +797,9 @@ def resolve_base_uri_grouped(
         p2 = (
             defaults.filter(
                 F.col("default_ns").isNotNull()
+                # empty string falls through to inference, mirroring the
+                # single-graph function's Python-truthiness gate
+                & (F.col("default_ns") != "")
                 & ~F.col("default_ns").isin(std)
             )
             .select(

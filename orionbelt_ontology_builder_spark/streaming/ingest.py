@@ -225,16 +225,26 @@ def dedup_events_stream(
     through streaming ``dropDuplicates`` on the event key, returning
     each event exactly once.
 
-    The dedup state is keyed by ``event_id`` and evicted past the
-    ``ts`` watermark, so state size is bounded by the duplication
-    window, not the stream length — the property that makes this the
-    ingest-side twin of ``datapipe.dedup.exact_dedup_groups`` at
-    unbounded-corpus scale.  Deterministic output: duplicate rows are
-    bit-identical per key, so WHICH copy survives is unobservable and
-    the drained result equals the distinct source (the differential
-    oracle reads the single-copy table)."""
+    Uses ``dropDuplicatesWithinWatermark`` (not plain
+    ``dropDuplicates``): Spark only evicts streaming-dedup state by
+    watermark when the API is the within-watermark variant (or the
+    event-time column is part of the dedup keys), so the plain form
+    would grow state with stream length and also *filter* late input
+    rows — an event whose every copy lands in a later micro-batch
+    with an old ``ts`` would be silently lost.  Within-watermark
+    semantics instead guarantee exactly-once for duplicates arriving
+    inside the ``watermark`` window, never drop a first-seen record,
+    and keep state bounded by the duplication window, not the stream
+    length — the property that makes this the ingest-side twin of
+    ``datapipe.dedup.exact_dedup_groups`` at unbounded-corpus scale.
+    Deterministic output: duplicate rows are bit-identical per key,
+    so WHICH copy survives is unobservable and the drained result
+    equals the distinct source (the differential oracle reads the
+    single-copy table)."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    dd = stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    dd = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     name = "dedup_events_sink"
     q = (
         dd.writeStream.format("memory")

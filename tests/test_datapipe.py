@@ -379,6 +379,9 @@ def test_curate_corpus_stage_semantics(spark, docs):
     assert out["survivors"].count() == rows["pack"]["docs_out"]
     # packed rows = one per survivor
     assert out["packed"].count() == rows["pack"]["docs_out"]
+    out["release"]()
+    # survivors stays correct (recomputed) after the cache is released
+    assert out["survivors"].count() == rows["pack"]["docs_out"]
 
 
 def test_split_corpus_deterministic_and_stratified(spark, docs):
