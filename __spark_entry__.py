@@ -32,6 +32,7 @@ from orionbelt_ontology_builder_spark.operators import (
     lists,
     mutations,
     setops,
+    temporal,
     views,
 )
 from orionbelt_ontology_builder_spark.sources import relational
@@ -369,6 +370,136 @@ def _q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "rn", "running_value")
         .orderBy("user_id", "rn")
     )
+
+
+# --------------------------------------------------------------------- #
+# Temporal operators (engine additions: as-of join, range join, rollup)
+# --------------------------------------------------------------------- #
+
+#: 48 h — chosen so the sf corpora exercise all three as-of outcomes:
+#: matched-fresh, matched-but-stale (nulled), and never-matched.
+_ASOF_TOL_SEC = 172800
+
+#: fixed maintenance/incident windows inside the events table's
+#: Jan-2024 span (constants so Spark and DuckDB build identical
+#: fixtures at every sf); shapes: half-day, odd-minute bounds,
+#: multi-day, day-crossing, 5-minute blip, span-overrun, and an
+#: overlap with the outage window.
+_RANGE_WINDOWS = [
+    ("blip", "2024-01-20 10:00:00", "2024-01-20 10:05:00"),
+    ("deploy", "2024-01-15 23:00:00", "2024-01-16 01:00:00"),
+    ("maint_a", "2024-01-02 00:00:00", "2024-01-02 12:00:00"),
+    ("maint_b", "2024-01-05 06:30:00", "2024-01-06 01:15:00"),
+    ("month_end", "2024-01-28 00:00:00", "2024-02-02 00:00:00"),
+    ("outage", "2024-01-10 00:00:00", "2024-01-13 00:00:00"),
+    ("overlap", "2024-01-10 12:00:00", "2024-01-11 12:00:00"),
+]
+
+
+def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — every purchase gets the user's most recent click
+    at-or-before it (nulled past 48 h staleness).  Union-trick plan:
+    one shuffle on user_id, per-key window forward-fill; DuckDB's
+    native ASOF LEFT JOIN is the independent oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = temporal.asof_join(
+        purch,
+        clicks,
+        on="user_id",
+        payload=["event_id", "value"],
+        tolerance_sec=_ASOF_TOL_SEC,
+        suffix="_click",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "ts_click",
+        "event_id_click",
+        "value_click",
+        (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts_click").cast("timestamp"))
+            )
+            / F.lit(1e6)
+        ).alias("lag_sec"),
+    ).orderBy("event_id")
+
+
+def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-the-latest-snapshot-per-key (latest crawl per url twin):
+    one max_by(struct) aggregation, no window sort."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return temporal.latest_snapshot(
+        ev, "user_id", tiebreak="event_id"
+    ).orderBy("user_id")
+
+
+def _range_windows_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _RANGE_WINDOWS, "label string, istart string, iend string"
+    ).select(
+        "label",
+        # timestamp_ntz to match the parquet events.ts type exactly
+        F.to_timestamp("istart").cast("timestamp_ntz").alias("istart"),
+        F.to_timestamp("iend").cast("timestamp_ntz").alias("iend"),
+    )
+
+
+def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, binned into 6 h buckets so the
+    plan is an equi-join (never BroadcastNestedLoopJoin); aggregated
+    per window, empty windows kept with zero counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ivals = _range_windows_df(spark)
+    pairs = temporal.range_join_binned(ev, ivals, bucket_sec=21600)
+    agg = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("nu"),
+        F.sum("value").alias("sv"),
+    )
+    return (
+        ivals.select("label")
+        .join(agg, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("nu", F.lit(0)).cast("long").alias("n_users"),
+            F.col("sv").alias("sum_value"),
+        )
+        .orderBy("label")
+    )
+
+
+def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade hour -> day -> month: the raw
+    events table is scanned once; coarser resolutions re-aggregate the
+    previous rollup (exact for count/sum/min/max).
+
+    Values are aggregated as integer cents (events.value is exactly
+    2-decimal): double sums associate differently under Spark's
+    partial aggregation than under DuckDB's sequential scan, which
+    straddles the driver's %.6g rounding boundary at sf>=0.01 —
+    integer sums are bit-stable under any association."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
+    return temporal.rollup_cascade(
+        ev, resolutions=("hour", "day", "month")
+    ).orderBy("resolution", "bucket")
 
 
 # --------------------------------------------------------------------- #
@@ -1230,6 +1361,8 @@ def _q_graph_triangles(spark, sf_dir):
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "tpch_q1", "top_customers", "events_running",
+    "asof_join_events", "latest_event_per_user", "range_join_events",
+    "hypertable_rollup",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
@@ -1373,6 +1506,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers": _q_top_customers,
         "events_running": _q_events_running,
+        "asof_join_events": _q_asof_join_events,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "range_join_events": _q_range_join_events,
+        "hypertable_rollup": _q_hypertable_rollup,
         "resource_options": _q_resource_options,
         "viz_nodes": _q_viz_nodes,
         "viz_edges": _q_viz_edges,
@@ -1979,6 +2116,83 @@ WITH w AS (
   FROM events)
 SELECT user_id, event_id, rn, running_value FROM w WHERE rn <= 3
 ORDER BY user_id, rn
+"""
+
+    # -- temporal operators (as-of / range join / rollup) -------------- #
+    sql["asof_join_events"] = f"""
+WITH clicks AS (
+  SELECT user_id, ts,
+         max_by(event_id, event_id) AS event_id_click,
+         max_by(value, event_id) AS value_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+purch AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'),
+aj AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value,
+         c.ts AS mts, c.event_id_click AS mid, c.value_click AS mval,
+         (epoch_us(p.ts) - epoch_us(c.ts)) / 1e6 AS lag
+  FROM purch p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT event_id, user_id, ts, value,
+  CASE WHEN lag <= {_ASOF_TOL_SEC} THEN mts END AS ts_click,
+  CASE WHEN lag <= {_ASOF_TOL_SEC} THEN mid END AS event_id_click,
+  CASE WHEN lag <= {_ASOF_TOL_SEC} THEN mval END AS value_click,
+  CASE WHEN lag <= {_ASOF_TOL_SEC} THEN lag END AS lag_sec
+FROM aj ORDER BY event_id
+"""
+
+    sql["latest_event_per_user"] = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+ORDER BY user_id
+"""
+
+    win_values = ",\n  ".join(
+        f"('{lb}', TIMESTAMP '{s}', TIMESTAMP '{e}')"
+        for lb, s, e in _RANGE_WINDOWS
+    )
+    sql["range_join_events"] = f"""
+WITH intervals(label, istart, iend) AS (VALUES
+  {win_values}),
+m AS (
+  SELECT i.label, e.event_id, e.user_id, e.value
+  FROM intervals i LEFT JOIN events e
+    ON e.ts >= i.istart AND e.ts < i.iend)
+SELECT label, count(event_id)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(value) AS sum_value
+FROM m GROUP BY label ORDER BY label
+"""
+
+    # the oracle cascades like the operator (day sums HOUR subtotals,
+    # month sums DAY subtotals) and aggregates integer cents — see
+    # _q_hypertable_rollup for why (float association vs %.6g).
+    # MATERIALIZED: h and d are each read twice (union + next level).
+    sql["hypertable_rollup"] = """
+WITH ev AS (
+  SELECT ts, round(value * 100)::BIGINT AS value FROM events),
+h AS MATERIALIZED (
+  SELECT date_trunc('hour', ts) AS bucket, count(*)::BIGINT AS n_events,
+         sum(value)::BIGINT AS sum_value, min(value) AS min_value,
+         max(value) AS max_value
+  FROM ev GROUP BY 1),
+d AS MATERIALIZED (
+  SELECT date_trunc('day', bucket) AS bucket, sum(n_events)::BIGINT AS n_events,
+         sum(sum_value)::BIGINT AS sum_value, min(min_value) AS min_value,
+         max(max_value) AS max_value
+  FROM h GROUP BY 1),
+mo AS (
+  SELECT date_trunc('month', bucket) AS bucket, sum(n_events)::BIGINT AS n_events,
+         sum(sum_value)::BIGINT AS sum_value, min(min_value) AS min_value,
+         max(max_value) AS max_value
+  FROM d GROUP BY 1)
+SELECT 'hour' AS resolution, * FROM h
+UNION ALL SELECT 'day', * FROM d
+UNION ALL SELECT 'month', * FROM mo
+ORDER BY resolution, bucket
 """
 
     # -- sources/sinks ------------------------------------------------ #

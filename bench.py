@@ -131,6 +131,10 @@ def main() -> None:
         "graph_pagerank",
         "graph_triangles",
         "stream_dedup",
+        # temporal operators (r2)
+        "asof_join_events",
+        "range_join_events",
+        "hypertable_rollup",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

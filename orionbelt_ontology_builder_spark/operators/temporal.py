@@ -1,0 +1,253 @@
+"""Temporal operators Spark's DataFrame API lacks as built-ins: as-of
+join, binned range join, hypertable rollup cascade, and
+latest-snapshot-per-key.
+
+Engine additions (the reference rdflib/Streamlit app has no temporal
+surface); they exist because a Common-Crawl-scale KG pipeline needs
+them constantly: crawls re-fetch the same url across snapshots
+(``latest_snapshot`` / ``asof_join`` on ``warc_ts``), extraction
+metrics land in maintenance/incident windows (``range_join_binned``),
+and event telemetry rolls up through time resolutions
+(``rollup_cascade``).  Each is expressed as a composition of existing
+DataFrame ops — no Pandas UDF, no per-row Python — so Catalyst keeps
+whole-stage codegen end to end.
+
+Scale shapes:
+
+* ``asof_join`` — the union trick: tag build/probe, ONE shuffle on the
+  key, one per-key window scan with ``last(ignorenulls)`` forward-fill.
+  No range explosion, no build-side replication; cost is the same
+  sort-on-key any time-series semantics needs.  Per-key history is
+  scanned sequentially inside its partition — at web scale the key
+  (url, user) cardinality is huge, so parallelism comes from key
+  count, not intra-key splitting.
+* ``range_join_binned`` — interval bucketization: intervals explode to
+  the fixed-width buckets they cover, points map to one bucket, and
+  the join becomes an equi-join Catalyst can hash/broadcast (never a
+  BroadcastNestedLoopJoin cartesian).  Replication factor =
+  interval_length / bucket_width: pick the width near the median
+  interval length so each interval lands in O(1) buckets.
+* ``rollup_cascade`` — each coarser resolution re-aggregates the
+  previous rollup, not the raw table: the day pass reads ~1/24th of
+  the hour output, the month pass ~1/30th of that, so a 100 TB event
+  table pays ONE full scan total.  All four summary aggregates
+  (count/sum/min/max) are re-associable, which is what makes the
+  cascade exact.
+* ``latest_snapshot`` — one ``max_by(struct(row), struct(ts, tie))``
+  aggregation: single shuffle, no sort, map-side partials (the
+  window/row_number formulation pays shuffle + per-key sort instead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "latest_snapshot",
+    "range_join_binned",
+    "rollup_cascade",
+]
+
+
+def _keys(on: str | Sequence[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _us(c) -> F.Column:
+    """Microseconds since epoch; accepts TIMESTAMP and TIMESTAMP_NTZ
+    (parquet reads yield NTZ in Spark 4, which unix_micros rejects).
+    The session-tz shift the cast introduces is uniform, so
+    differences and bucket assignments are unaffected."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str],
+    ts: str = "ts",
+    payload: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
+    suffix: str = "_b",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For every probe row, attach the nearest build row per key:
+    ``backward`` = greatest build ``ts`` <= probe ``ts`` (the
+    latest-snapshot-at-event-time join), ``forward`` = least build
+    ``ts`` >= probe ``ts``.  Left semantics: unmatched probes keep
+    null payload, as do matches farther than ``tolerance_sec``.
+
+    Output = probe columns + ``{ts}{suffix}`` (matched build time) +
+    each payload column as ``{col}{suffix}``.
+
+    ``tiebreak``: build rows sharing (key, ts) are first collapsed to
+    the max-``tiebreak`` row so the match is well-defined; without it,
+    (key, ts) must already be unique on the build side.
+
+    Differential oracle: DuckDB ``ASOF LEFT JOIN`` (native), which
+    pins the semantics independently of this implementation.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = _keys(on)
+    payload = list(
+        payload
+        if payload is not None
+        else [c for c in build.columns if c not in (*keys, ts)]
+    )
+    if tiebreak is not None:
+        picked = F.max_by(
+            F.struct(*[F.col(c) for c in payload]), F.col(tiebreak)
+        ).alias("__p")
+        build = build.groupBy(*keys, ts).agg(picked).select(
+            *keys, ts, *[F.col(f"__p.{c}").alias(c) for c in payload]
+        )
+    pay = F.struct(
+        F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    )
+    b = build.select(
+        *keys,
+        F.col(ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        pay.alias("__pay"),
+    )
+    p = probe.select(
+        "*", F.col(ts).alias("__ats"), F.lit(1).alias("__side")
+    ).withColumn("__pay", F.lit(None).cast(b.schema["__pay"].dataType))
+    u = p.unionByName(b, allowMissingColumns=True)
+    # at equal __ats the build row (__side 0) sorts before the probe,
+    # so equality matches in both directions
+    order = (
+        [F.col("__ats").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__ats").desc(), F.col("__side").asc()]
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("__pay", ignorenulls=True).over(w)
+    if tolerance_sec is not None:
+        mts = matched[f"{ts}{suffix}"]
+        lag = (_us(F.col(ts)) - _us(mts)) / F.lit(1e6)
+        if direction == "forward":
+            lag = -lag
+        matched = F.when(lag <= F.lit(float(tolerance_sec)), matched)
+    return (
+        u.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .select(*probe.columns, F.col("__m.*"))
+    )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    on: str | Sequence[str],
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """One row per key: the full row with the greatest ``ts`` (ties
+    broken by max ``tiebreak``) — keep-the-latest-crawl-per-url.  One
+    aggregation: ``max_by(struct(row), struct(ts[, tiebreak]))`` —
+    single shuffle with map-side partials, no per-key sort."""
+    keys = _keys(on)
+    rest = [c for c in df.columns if c not in keys]
+    order = F.struct(
+        F.col(ts), *([F.col(tiebreak)] if tiebreak is not None else [])
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*[F.col(c) for c in rest]), order).alias("__r"))
+        .select(*keys, "__r.*")
+    )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "istart",
+    end: str = "iend",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Inner point-in-interval join (half-open ``[start, end)``) as an
+    EQUI-join: intervals explode to every ``bucket_sec``-wide bucket
+    they cover, points map to their one bucket, then hash-join on the
+    bucket and re-check the exact bounds.  Catalyst turns the naive
+    formulation (``ts >= start AND ts < end``) into a
+    BroadcastNestedLoopJoin — a cartesian that dies when neither side
+    is tiny; this shape shuffles on the bucket key instead.
+
+    Output = point columns + interval columns.  Column names must be
+    disjoint across the two inputs.
+    """
+    w_us = int(bucket_sec) * 1_000_000
+    ib = (
+        intervals.filter(F.col(end) > F.col(start))  # empty ⇒ no match
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(_us(F.col(start)) / w_us),
+                    # end is exclusive: last covered instant is end-1µs
+                    F.floor((_us(F.col(end)) - 1) / w_us),
+                )
+            ),
+        )
+    )
+    pb = points.withColumn(
+        "__bucket", F.floor(_us(F.col(ts)) / w_us)
+    )
+    return (
+        pb.join(ib, "__bucket")
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("__bucket")
+    )
+
+
+#: resolution name -> coarseness rank; re-aggregation is exact because
+#: count/sum/min/max are associative over disjoint finer buckets.
+_RES_ORDER = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+
+
+def rollup_cascade(
+    events: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    resolutions: Sequence[str] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Multi-resolution rollup (hypertable continuous-aggregate shape):
+    ``(resolution, bucket, n_events, sum_value, min_value, max_value)``.
+    The finest resolution aggregates the raw table; every coarser one
+    re-aggregates the PREVIOUS rollup, so the raw table is scanned
+    exactly once regardless of how many resolutions are asked for."""
+    res = list(resolutions)
+    if [r for r in res if r not in _RES_ORDER]:
+        raise ValueError(f"unknown resolution in {res}")
+    if res != sorted(res, key=_RES_ORDER.index):
+        raise ValueError("resolutions must be ordered fine -> coarse")
+    cur = events.groupBy(
+        F.date_trunc(res[0], F.col(ts)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value).alias("sum_value"),
+        F.min(value).alias("min_value"),
+        F.max(value).alias("max_value"),
+    )
+    out = cur.select(F.lit(res[0]).alias("resolution"), "*")
+    for r in res[1:]:
+        cur = cur.groupBy(F.date_trunc(r, F.col("bucket")).alias("bucket")).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        out = out.unionByName(cur.select(F.lit(r).alias("resolution"), "*"))
+    return out

@@ -1,0 +1,182 @@
+"""Temporal operators: as-of join, binned range join, rollup cascade,
+latest snapshot — each checked against a naive/direct formulation on
+in-memory fixtures, plus plan-shape guards for the scale claims."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from orionbelt_ontology_builder_spark.operators import temporal as T
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # build side: (key, ts, px, seq) — includes a (k, ts) tie at m=30
+    rows = [
+        ("a", _ts(0), 1.0, 1),
+        ("a", _ts(10), 2.0, 2),
+        ("a", _ts(30), 3.0, 3),
+        ("a", _ts(30), 4.0, 4),  # tie: max seq wins
+        ("b", _ts(5), 10.0, 5),
+    ]
+    return spark.createDataFrame(rows, "key string, ts timestamp, px double, seq int")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("a", _ts(0), 100),   # equality: matches px=1.0 build row
+        ("a", _ts(12), 101),  # between -> px=2.0
+        ("a", _ts(31), 102),  # after tie -> px=4.0 (max seq)
+        ("a", _ts(500), 103), # stale for tolerance tests
+        ("b", _ts(1), 104),   # before any b quote -> null (backward)
+        ("c", _ts(9), 105),   # key with no build rows -> null
+    ]
+    return spark.createDataFrame(rows, "key string, ts timestamp, qty int")
+
+
+def test_asof_backward_semantics(quotes, trades):
+    out = {
+        r["qty"]: (r["px_b"], r["ts_b"])
+        for r in T.asof_join(trades, quotes, on="key", tiebreak="seq").collect()
+    }
+    assert out[100] == (1.0, _ts(0))          # ts equality included
+    assert out[101] == (2.0, _ts(10))
+    assert out[102] == (4.0, _ts(30))         # tie -> max tiebreak row
+    assert out[103] == (3.0, _ts(30)) or out[103] == (4.0, _ts(30))
+    assert out[103][1] == _ts(30)
+    assert out[104] == (None, None)           # probe before all builds
+    assert out[105] == (None, None)           # unseen key
+
+
+def test_asof_forward_and_tolerance(quotes, trades):
+    fwd = {
+        r["qty"]: r["px_b"]
+        for r in T.asof_join(
+            trades, quotes, on="key", direction="forward", tiebreak="seq"
+        ).collect()
+    }
+    assert fwd[100] == 1.0                    # equality included forward too
+    assert fwd[101] == 4.0                    # next at-or-after m=12 is m=30
+    assert fwd[103] is None                   # nothing after m=500
+    assert fwd[104] == 10.0                   # b quote at m=5 >= m=1
+    tol = {
+        r["qty"]: r["px_b"]
+        for r in T.asof_join(
+            trades, quotes, on="key", tolerance_sec=15 * 60, tiebreak="seq"
+        ).collect()
+    }
+    assert tol[101] == 2.0                    # 2 min lag, within 15 min
+    assert tol[103] is None                   # 470 min lag, nulled
+
+
+def test_asof_matches_naive_join(spark, quotes, trades):
+    # naive O(n*m): max-ts build row per probe via non-equi join
+    q = quotes.select("key", F.col("ts").alias("bts"), "px", "seq")
+    naive = (
+        trades.join(q, "key", "left")
+        .filter(F.col("bts") <= F.col("ts"))
+        .groupBy("key", "ts", "qty")
+        .agg(F.max_by("px", F.struct("bts", "seq")).alias("px_b"))
+    )
+    nv = {r["qty"]: r["px_b"] for r in naive.collect()}
+    got = {
+        r["qty"]: r["px_b"]
+        for r in T.asof_join(trades, quotes, on="key", tiebreak="seq").collect()
+    }
+    for qty, px in nv.items():
+        assert got[qty] == px
+    # probes the naive inner-ish form lost are exactly the null matches
+    assert {q for q, v in got.items() if v is None} == set(got) - set(nv)
+
+
+def test_latest_snapshot(spark):
+    rows = [
+        ("u1", _ts(1), "old", 1),
+        ("u1", _ts(9), "new", 2),
+        ("u2", _ts(4), "tie-lo", 1),
+        ("u2", _ts(4), "tie-hi", 2),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, body string, v int")
+    out = {r["url"]: r for r in T.latest_snapshot(df, "url", tiebreak="v").collect()}
+    assert out["u1"]["body"] == "new"
+    assert out["u2"]["body"] == "tie-hi"      # ts tie -> max tiebreak
+    assert set(out["u1"].asDict()) == {"url", "ts", "body", "v"}
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    rows = [
+        ("w_empty", _ts(50), _ts(50)),        # zero-width: matches nothing
+        ("w_short", _ts(10), _ts(20)),
+        ("w_long", _ts(0), _ts(200)),         # spans many buckets
+        ("w_over", _ts(15), _ts(25)),         # overlaps w_short
+    ]
+    return spark.createDataFrame(
+        rows, "label string, istart timestamp, iend timestamp"
+    )
+
+
+def test_range_join_matches_naive(spark, intervals):
+    pts = spark.createDataFrame(
+        [(i, _ts(i * 7)) for i in range(40)], "pid long, ts timestamp"
+    )
+    got = T.range_join_binned(pts, intervals, bucket_sec=600)
+    naive = pts.join(
+        intervals,
+        (F.col("ts") >= F.col("istart")) & (F.col("ts") < F.col("iend")),
+    )
+    key = lambda r: (r["pid"], r["label"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+    labels = {r["label"] for r in got.collect()}
+    assert "w_empty" not in labels and {"w_short", "w_long", "w_over"} <= labels
+
+
+def test_range_join_halfopen_bounds(spark, intervals):
+    pts = spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(20))], "pid long, ts timestamp"
+    )
+    got = {(r["pid"], r["label"])
+           for r in T.range_join_binned(pts, intervals, bucket_sec=60).collect()}
+    assert (1, "w_short") in got              # start inclusive
+    assert (2, "w_short") not in got          # end exclusive
+    assert (2, "w_over") in got
+
+
+def test_range_join_plan_is_equijoin(spark, intervals):
+    pts = spark.createDataFrame([(1, _ts(10))], "pid long, ts timestamp")
+    plan = T.range_join_binned(pts, intervals)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_cascade_matches_direct(spark):
+    ev = spark.createDataFrame(
+        [(i, _ts(i * 37), float(i % 7)) for i in range(300)],
+        "event_id long, ts timestamp, value double",
+    )
+    out = T.rollup_cascade(ev, resolutions=("hour", "day"))
+    for res in ("hour", "day"):
+        direct = ev.groupBy(F.date_trunc(res, "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        got = sorted(
+            out.filter(F.col("resolution") == res).drop("resolution").collect()
+        )
+        assert got == sorted(direct.collect()), res
+    with pytest.raises(ValueError):
+        T.rollup_cascade(ev, resolutions=("day", "hour"))
+    with pytest.raises(ValueError):
+        T.rollup_cascade(ev, resolutions=("fortnight",))
