@@ -484,6 +484,34 @@ def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h gap): lag + running-sum windows
+    share one shuffle; the per-session rollup groups on the same key
+    prefix.  Oracle mirrors the window pair in DuckDB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id"
+    )
+    return (
+        temporal.session_stats(
+            ev, on="user_id", gap_sec=21600, tiebreak="event_id"
+        )
+        .drop("event_id")
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def _q_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.zipf_topk(_docs(spark, sf_dir), k=20)
+
+
+def _q_vocab_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.vocab_summary(_docs(spark, sf_dir))
+
+
 def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup cascade hour -> day -> month: the raw
     events table is scanned once; coarser resolutions re-aggregate the
@@ -1362,7 +1390,8 @@ _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "tpch_q1", "top_customers", "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
-    "hypertable_rollup",
+    "hypertable_rollup", "session_stats_events", "tfidf_topk",
+    "zipf_topk", "vocab_summary",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
@@ -1510,6 +1539,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "range_join_events": _q_range_join_events,
         "hypertable_rollup": _q_hypertable_rollup,
+        "session_stats_events": _q_session_stats,
+        "tfidf_topk": _q_tfidf_topk,
+        "zipf_topk": _q_zipf_topk,
+        "vocab_summary": _q_vocab_summary,
         "resource_options": _q_resource_options,
         "viz_nodes": _q_viz_nodes,
         "viz_edges": _q_viz_edges,
@@ -2194,6 +2227,33 @@ UNION ALL SELECT 'day', * FROM d
 UNION ALL SELECT 'month', * FROM mo
 ORDER BY resolution, bucket
 """
+
+    sql["session_stats_events"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+f AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN pts IS NULL
+           OR epoch_us(ts) - epoch_us(pts) > 21600000000
+         THEN 1 ELSE 0 END AS ns
+  FROM o),
+s AS (
+  SELECT user_id, ts,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM f)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_sec
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+    sql["tfidf_topk"] = textstats.tfidf_topk_oracle(k=3)
+    sql["zipf_topk"] = textstats.zipf_topk_oracle(k=20)
+    sql["vocab_summary"] = textstats.vocab_summary_oracle()
 
     # -- sources/sinks ------------------------------------------------ #
     ax = _fx("axioms_om")

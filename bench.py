@@ -135,6 +135,10 @@ def main() -> None:
         "asof_join_events",
         "range_join_events",
         "hypertable_rollup",
+        "session_stats_events",
+        # term-salience / vocab ops (r2)
+        "tfidf_topk",
+        "zipf_topk",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -503,3 +503,159 @@ SELECT doc_id,
   scrubbed, md5(scrubbed) AS scrub_hash
 FROM s ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------------ #
+# Term salience (TF-IDF) and corpus vocabulary statistics
+# ------------------------------------------------------------------ #
+
+
+def _exploded_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) — one row per token occurrence; empty docs
+    vanish (split of '' yields [''], filtered here)."""
+    return (
+        docs.withColumn("norm", norm_col())
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, rank, term, tf_raw, df, score) — top-``k`` salient
+    terms per document by TF-IDF with LINEAR inverse document
+    frequency: ``score = (tf_raw / doc_len) * (N / df)``.
+
+    Linear (not log) idf is deliberate: the score then uses only
+    IEEE-correctly-rounded operations (integer counts, * and /), so
+    Spark and DuckDB produce bit-identical doubles and the ranking is
+    cross-engine deterministic — ``ln`` is not correctly rounded and
+    can flip near-tied ranks between libm implementations.  Ties break
+    on term ascending.
+
+    Plan: explode -> two aggregations (per-doc-term counts feed both
+    the doc-length and the document-frequency rollups) -> joins back
+    on their own grouping keys -> per-doc top-k window.  Every stage
+    has map-side partials; nothing is driver-side (N is a 1-row agg
+    crossJoined in, broadcast)."""
+    tc = _exploded_terms(docs).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_raw")
+    )
+    dlen = tc.groupBy("doc_id").agg(F.sum("tf_raw").alias("doc_len"))
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tc.join(dlen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            (F.col("tf_raw") / F.col("doc_len"))
+            * (F.col("n_docs") / F.col("df")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf_raw", "df", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_topk_oracle(k: int = 5) -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({tokens_sql(norm_sql())}) AS term FROM documents),
+tc AS MATERIALIZED (
+  SELECT doc_id, term, count(*)::BIGINT AS tf_raw FROM ex
+  WHERE term <> '' GROUP BY doc_id, term),
+dlen AS (SELECT doc_id, sum(tf_raw)::BIGINT AS doc_len FROM tc GROUP BY doc_id),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tc.doc_id, tc.term, tc.tf_raw, dfreq.df,
+    (tf_raw / doc_len::DOUBLE) * (n_docs / df::DOUBLE) AS score,
+    row_number() OVER (PARTITION BY tc.doc_id
+                       ORDER BY (tf_raw / doc_len::DOUBLE)
+                               * (n_docs / df::DOUBLE) DESC,
+                               tc.term ASC) AS rank
+  FROM tc JOIN dlen USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd)
+SELECT doc_id, rank::BIGINT AS rank, term, tf_raw, df, score
+FROM scored WHERE rank <= {k} ORDER BY doc_id, rank
+"""
+
+
+def zipf_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(rank, term, cnt, freq) — the corpus's ``k`` most frequent
+    tokens with their relative frequency, ranked count-desc then term
+    asc.  The tokenizer/vocab-design statistic: one aggregation over
+    the exploded terms, one global top-k (K rows through the final
+    single-partition sort, not the vocabulary)."""
+    from pyspark.sql import Window
+
+    counts = _exploded_terms(docs).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            (F.col("cnt") / F.col("total")).alias("freq"),
+        )
+        .orderBy("rank")
+    )
+
+
+def zipf_topk_oracle(k: int = 20) -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({tokens_sql(norm_sql())}) AS term FROM documents),
+counts AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS cnt FROM ex
+  WHERE term <> '' GROUP BY term),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+ranked AS (
+  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts)
+SELECT rank::BIGINT AS rank, term, cnt, cnt / total::DOUBLE AS freq
+FROM ranked CROSS JOIN tot WHERE rank <= {k} ORDER BY rank
+"""
+
+
+def vocab_summary(docs: DataFrame) -> DataFrame:
+    """One row: total token occurrences, vocabulary size, hapax count
+    (terms occurring exactly once corpus-wide), and type/token ratio —
+    the corpus-health numbers a tokenizer-training run reads first.
+    Two aggregations, no window."""
+    counts = _exploded_terms(docs).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.agg(
+        F.sum("cnt").alias("n_token_occurrences"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+        (F.count(F.lit(1)) / F.sum("cnt")).alias("type_token_ratio"),
+    )
+
+
+def vocab_summary_oracle() -> str:
+    return f"""
+WITH ex AS (
+  SELECT unnest({tokens_sql(norm_sql())}) AS term FROM documents),
+counts AS (
+  SELECT term, count(*)::BIGINT AS cnt FROM ex
+  WHERE term <> '' GROUP BY term)
+SELECT sum(cnt)::BIGINT AS n_token_occurrences,
+  count(*)::BIGINT AS vocab_size,
+  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+  count(*) / sum(cnt)::DOUBLE AS type_token_ratio
+FROM counts
+"""

@@ -50,6 +50,8 @@ __all__ = [
     "latest_snapshot",
     "range_join_binned",
     "rollup_cascade",
+    "session_stats",
+    "sessionize",
 ]
 
 
@@ -251,3 +253,59 @@ def rollup_cascade(
         )
         out = out.unionByName(cur.select(F.lit(r).alias("resolution"), "*"))
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    on: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    gap_sec: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based session assignment: events of a key belong to the
+    same session while consecutive gaps stay under ``gap_sec``; a
+    bigger gap opens a new one.  Appends ``session_idx`` (1-based per
+    key, in time order).
+
+    The classic can't-say-it-in-one-SQL-clause operator: two stacked
+    windows over ONE partitioning — ``lag(ts)`` marks session starts,
+    a running sum of start flags numbers them — so Spark plans a
+    single shuffle + per-key sort shared by both window functions.
+    Deterministic given a ``tiebreak`` column ordering equal
+    timestamps (pass the event id)."""
+    keys = _keys(on)
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak is not None else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_us = int(gap_sec) * 1_000_000
+    new_sess = (
+        F.when(F.lag(ts).over(w).isNull(), 1)
+        .when(_us(F.col(ts)) - _us(F.lag(ts).over(w)) > gap_us, 1)
+        .otherwise(0)
+    )
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    on: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    gap_sec: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """One row per (key, session_idx): event count, span start/end,
+    and duration in seconds — the rollup a funnel/engagement pipeline
+    reads.  Sessionize's window shuffle is reused by the aggregation
+    (same key prefix), so the whole thing is one exchange."""
+    keys = _keys(on)
+    s = sessionize(events, on=on, ts=ts, gap_sec=gap_sec, tiebreak=tiebreak)
+    return s.groupBy(*keys, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (
+            (F.max(_us(F.col(ts))) - F.min(_us(F.col(ts)))) / F.lit(1e6)
+        ).alias("duration_sec"),
+    )

@@ -397,3 +397,48 @@ def test_split_corpus_deterministic_and_stratified(spark, docs):
             C.split_corpus(docs, val_pct=0, test_pct=0).collect()}
     assert all(r["split"] == "train" for r in full.values())
     assert all(0 <= r["bucket"] < 100 for r in full.values())
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "apple apple banana common common common"),
+            (1, "banana cherry common common"),
+            (2, "common common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TS.tfidf_topk(corpus, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=2/6 df=1 -> score 1.0; banana 1/6 * 3/2 = .25;
+    # common 3/6 * 1 = .5 -> top-2 = apple, common
+    assert [r["term"] for r in by_doc[0]] == ["apple", "common"]
+    assert by_doc[0][0]["score"] == pytest.approx(1.0)
+    # doc 1: cherry 1/4*3 = .75 > common 2/4*1 = .5 > banana 1/4*1.5
+    assert [r["term"] for r in by_doc[1]] == ["cherry", "common"]
+    # doc 2 only has one distinct term
+    assert [r["term"] for r in by_doc[2]] == ["common"]
+    # ranks are 1-based and contiguous
+    assert [r["rank"] for r in by_doc[0]] == [1, 2]
+
+
+def test_zipf_and_vocab_summary(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    corpus = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b zz"), (2, "")],
+        "doc_id long, text string",
+    )
+    top = TS.zipf_topk(corpus, k=2).collect()
+    assert [(r["rank"], r["term"], r["cnt"]) for r in top] == [
+        (1, "a", 4), (2, "b", 3)]
+    assert top[0]["freq"] == pytest.approx(4 / 9)
+    vs = TS.vocab_summary(corpus).collect()[0]
+    assert vs["n_token_occurrences"] == 9
+    assert vs["vocab_size"] == 4
+    assert vs["n_hapax"] == 2          # c and zz
+    assert vs["type_token_ratio"] == pytest.approx(4 / 9)

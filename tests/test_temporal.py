@@ -180,3 +180,33 @@ def test_rollup_cascade_matches_direct(spark):
         T.rollup_cascade(ev, resolutions=("day", "hour"))
     with pytest.raises(ValueError):
         T.rollup_cascade(ev, resolutions=("fortnight",))
+
+
+def test_sessionize_and_stats(spark):
+    rows = [
+        # u1: events at 0, 10, 50, 61 min with 30-min gap
+        # -> sessions {0,10}, {50,61}
+        ("u1", _ts(0), 1),
+        ("u1", _ts(10), 2),
+        ("u1", _ts(50), 3),
+        ("u1", _ts(61), 4),
+        # boundary: gap EXACTLY 30 min does not split (> not >=)
+        ("u2", _ts(0), 5),
+        ("u2", _ts(30), 6),
+        # single event
+        ("u3", _ts(7), 7),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id int")
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in T.sessionize(ev, gap_sec=1800, tiebreak="event_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1}
+    st = {
+        (r["user_id"], r["session_idx"]): r
+        for r in T.session_stats(ev, gap_sec=1800, tiebreak="event_id").collect()
+    }
+    assert st[("u1", 1)]["n_events"] == 2
+    assert st[("u1", 2)]["duration_sec"] == 11 * 60.0
+    assert st[("u2", 1)]["n_events"] == 2
+    assert st[("u3", 1)]["duration_sec"] == 0.0
