@@ -1346,6 +1346,14 @@ def _q_corpus_split(spark, sf_dir):
     return curation.split_corpus(_docs(spark, sf_dir))
 
 
+def _q_quota_sample(spark, sf_dir):
+    """Deterministic per-source quota sample (exact counts, hash-order
+    rank — rerun- and increment-stable, unlike Bernoulli sample())."""
+    return curation.quota_sample(
+        _docs(spark, sf_dir), group="source", n_per_group=25
+    ).select("source", "doc_id", "sample_rank")
+
+
 def _q_curation_pipeline(spark, sf_dir):
     """End-to-end corpus curation funnel: exact dedup -> near-dup
     clusters -> quality filter -> decontamination -> packing, oracle =
@@ -1402,7 +1410,7 @@ _SF_SCALE = {
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
-    "quality_funnel", "curation_pipeline", "corpus_split",
+    "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
 }
 
@@ -1619,6 +1627,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": _q_quality_funnel,
         "curation_pipeline": _q_curation_pipeline,
         "corpus_split": _q_corpus_split,
+        "quota_sample": _q_quota_sample,
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
@@ -3035,6 +3044,15 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["quality_funnel"] = curation.quality_funnel_oracle()
     sql["curation_pipeline"] = curation.curate_corpus_oracle()
     sql["corpus_split"] = curation.split_corpus_oracle()
+    sql["quota_sample"] = """
+WITH r AS (
+  SELECT source, doc_id, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('{salt}' || doc_id) ASC, doc_id ASC) AS sample_rank
+  FROM documents)
+SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 25
+ORDER BY source, sample_rank
+""".format(salt=curation.SPLIT_SALT)
     sql["graph_degree_stats"] = graphstats.degree_stats_sql(
         relational.ENTITY_EDGES_SQL
     )

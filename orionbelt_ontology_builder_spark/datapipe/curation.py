@@ -627,3 +627,48 @@ SELECT doc_id, source, bucket,
        ELSE 'train' END AS split
 FROM b ORDER BY doc_id
 """
+
+
+def quota_sample(
+    docs: DataFrame,
+    group: str = "source",
+    n_per_group: int = 100,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Deterministic per-group quota sampling: exactly
+    ``min(n_per_group, |group|)`` documents per ``group``, chosen by
+    ranking the group's docs on ``md5(salt || doc_id)`` — the domain-
+    balancing step that stops a handful of huge hosts from dominating
+    a web corpus.
+
+    Properties a pipeline needs and `df.sample()` can't give:
+    *exact* quotas (sample() is Bernoulli — only expected counts),
+    rerun-stability (hash order, no RNG state), incremental stability
+    (a doc's rank only improves as new docs arrive, never re-rolls),
+    and salt-versioned re-draws.
+
+    One shuffle on the group key; the per-group sort is bounded by the
+    group's size, and at web scale group count (domains) provides the
+    parallelism.  Hot groups cost their own size once — the same cost
+    any exact top-k-per-key has."""
+    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(group).orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+        .orderBy(group, "sample_rank")
+    )
+
+
+def quota_sample_oracle(
+    group: str = "source", n_per_group: int = 100, salt: str = SPLIT_SALT
+) -> str:
+    return f"""
+WITH r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group}
+    ORDER BY md5('{salt}' || doc_id) ASC, doc_id ASC) AS sample_rank
+  FROM documents)
+SELECT * FROM r WHERE sample_rank <= {n_per_group}
+ORDER BY {group}, sample_rank
+"""

@@ -590,19 +590,23 @@ FROM scored WHERE rank <= {k} ORDER BY doc_id, rank
 def zipf_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     """(rank, term, cnt, freq) — the corpus's ``k`` most frequent
     tokens with their relative frequency, ranked count-desc then term
-    asc.  The tokenizer/vocab-design statistic: one aggregation over
-    the exploded terms, one global top-k (K rows through the final
-    single-partition sort, not the vocabulary)."""
+    asc.  The tokenizer/vocab-design statistic.
+
+    Top-k via ``orderBy().limit(k)`` — Spark plans that as
+    TakeOrderedAndProject (each partition keeps its own k, the driver
+    merges k·P candidates), NOT as a global sort; a ``row_number``
+    window would instead drag the whole vocabulary through one
+    partition.  Ranks are then numbered over the k survivors only."""
     from pyspark.sql import Window
 
     counts = _exploded_terms(docs).groupBy("term").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     tot = counts.agg(F.sum("cnt").alias("total"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))  # k rows only
         .crossJoin(F.broadcast(tot))
         .select(
             "rank",

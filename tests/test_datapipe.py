@@ -442,3 +442,31 @@ def test_zipf_and_vocab_summary(spark):
     assert vs["vocab_size"] == 4
     assert vs["n_hapax"] == 2          # c and zz
     assert vs["type_token_ratio"] == pytest.approx(4 / 9)
+
+
+def test_quota_sample_exact_and_stable(spark):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    rows = [(i, f"t{i}", "en", f"src{i % 3}", 2) for i in range(40)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = C.quota_sample(d, n_per_group=5).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # exact quota per group; ranks 1..5 contiguous
+    for src, rs in by_src.items():
+        assert len(rs) == 5
+        assert sorted(r["sample_rank"] for r in rs) == [1, 2, 3, 4, 5]
+    # rerun-stable (hash order, no RNG)
+    again = {(r["source"], r["doc_id"]) for r in
+             C.quota_sample(d, n_per_group=5).collect()}
+    assert {(r["source"], r["doc_id"]) for r in out} == again
+    # different salt -> (almost surely) different draw, same quota shape
+    other = {(r["source"], r["doc_id"]) for r in
+             C.quota_sample(d, n_per_group=5, salt="v2").collect()}
+    assert len(other) == 15 and other != again
+    # small group: returns the whole group, not more
+    tiny = C.quota_sample(d.filter("doc_id < 2"), n_per_group=5).collect()
+    assert len(tiny) == 2

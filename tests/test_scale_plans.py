@@ -346,3 +346,21 @@ def test_quality_funnel_is_single_aggregate_pass(spark, docs):
     # single-partition exchange between them (the funnel row)
     assert plan.count("HashAggregate") == 2
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_zipf_topk_plan_is_take_ordered(spark):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    k + driver merge), never a whole-vocabulary single-partition window
+    sort."""
+    from pyspark.sql import Row
+
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c d e", lang="en", source="s", n_chars=9)
+         for i in range(4)]
+    )
+    plan = (
+        TS.zipf_topk(d, k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
