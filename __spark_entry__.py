@@ -1369,6 +1369,22 @@ def _q_curation_pipeline(spark, sf_dir):
     return out["metrics"]
 
 
+def _q_graph_bfs_hops(spark, sf_dir):
+    """Minimal hop distance of every entity from the region roots
+    (reverse edges: region <- nation <- customer/supplier <- order).
+    Frontier iteration with early exit — O(edges), never O(paths);
+    oracle = capped recursive walk + min(hops)."""
+    edges = relational.induce_entity_edges(spark, sf_dir)
+    seeds = (
+        edges.filter(F.col("dst").startswith("r:"))
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    return graphstats.bfs_hops(
+        edges, seeds, max_hops=4, direction="reverse"
+    ).orderBy("node")
+
+
 def _q_graph_degree_stats(spark, sf_dir):
     """Degree-distribution summary of the induced entity graph — the
     statistic that calibrates the hot-entity salting threshold in
@@ -1412,6 +1428,7 @@ _SF_SCALE = {
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
+    "graph_bfs_hops",
 }
 
 
@@ -1629,6 +1646,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "quota_sample": _q_quota_sample,
         "graph_degree_stats": _q_graph_degree_stats,
+        "graph_bfs_hops": _q_graph_bfs_hops,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
         "template_render": _q_template_render,
@@ -3061,6 +3079,12 @@ ORDER BY source, sample_rank
     )
     sql["graph_triangles"] = graphstats.triangle_count_sql(
         relational.lineitem_edges_sql()
+    )
+    sql["graph_bfs_hops"] = graphstats.bfs_hops_sql(
+        relational.ENTITY_EDGES_SQL,
+        "SELECT DISTINCT dst AS node FROM edges WHERE dst LIKE 'r:%'",
+        max_hops=4,
+        direction="reverse",
     )
 
 

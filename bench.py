@@ -130,6 +130,7 @@ def main() -> None:
         "graph_degree_stats",
         "graph_pagerank",
         "graph_triangles",
+        "graph_bfs_hops",
         "stream_dedup",
         # temporal operators (r2)
         "asof_join_events",

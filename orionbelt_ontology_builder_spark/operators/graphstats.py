@@ -241,3 +241,84 @@ SELECT
      JOIN und e2 ON e1.b = e2.a
      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
 """
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    direction: str = "forward",
+) -> DataFrame:
+    """(node, hops) — minimal hop distance from any seed node, up to
+    ``max_hops`` (unreached nodes are absent).  ``direction``:
+    ``forward`` follows src->dst, ``reverse`` dst->src, ``undirected``
+    both.  The KG reachability primitive (e.g. "how far is every
+    entity from its canonical root set").
+
+    Frontier iteration, NOT closure: each round expands only the nodes
+    first reached last round (frontier join edges -> anti-join the
+    visited set), so total work is O(edges-touched), not
+    O(paths) — the transitive-closure formulation enumerates every
+    path and detonates on cyclic or diamond-heavy graphs.  Per round:
+    one join + one anti-join + an eager checkpoint whose count doubles
+    as the convergence probe (empty frontier = early exit before
+    max_hops), mirroring the fixpoint-module convention."""
+    if direction == "reverse":
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "undirected":
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    elif direction != "forward":
+        raise ValueError(f"unknown direction {direction!r}")
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
+
+
+def bfs_hops_sql(
+    edges_cte: str,
+    seeds_sql: str,
+    max_hops: int = 6,
+    direction: str = "forward",
+) -> str:
+    """DuckDB twin: capped recursive walk (UNION-distinct on
+    (node, hops) + the hops guard bound the recursion), min(hops) per
+    node.  ``seeds_sql`` must select a ``node`` column; ``edges_cte``
+    must define ``edges(src, dst)``."""
+    step = {
+        "forward": "SELECT w.hops + 1, e.dst FROM walk w JOIN edges e ON w.node = e.src",
+        "reverse": "SELECT w.hops + 1, e.src FROM walk w JOIN edges e ON w.node = e.dst",
+        "undirected": (
+            "SELECT w.hops + 1, e.dst FROM walk w JOIN edges e ON w.node = e.src "
+            "UNION SELECT w.hops + 1, e.src FROM walk w JOIN edges e ON w.node = e.dst"
+        ),
+    }[direction]
+    return f"""
+WITH RECURSIVE {edges_cte.strip()},
+seeds AS ({seeds_sql.strip()}),
+walk(hops, node) AS (
+  SELECT 0, node FROM seeds
+  UNION
+  {step.replace("FROM walk w", f"FROM (SELECT * FROM walk WHERE hops < {max_hops}) w")})
+SELECT node, min(hops)::BIGINT AS hops FROM walk GROUP BY node ORDER BY node
+"""

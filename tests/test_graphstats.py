@@ -65,3 +65,53 @@ def test_triangle_count_none(spark):
     rows = [Row(src="a", dst="b"), Row(src="b", dst="c")]
     row = G.triangle_count(spark.createDataFrame(rows)).collect()[0]
     assert row["n_triangles"] == 0
+
+
+def test_bfs_hops_semantics(spark):
+    # a -> b -> c -> d  plus shortcut a -> c, cycle d -> a, island x -> y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"),
+         ("x", "y")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hops"] for r in G.bfs_hops(edges, seeds).collect()}
+    # shortcut wins over the 2-hop path; cycle does not inflate hops
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # reverse direction: who reaches a?
+    rev = {r["node"]: r["hops"]
+           for r in G.bfs_hops(edges, seeds, direction="reverse").collect()}
+    assert rev == {"a": 0, "d": 1, "c": 2, "b": 3}
+    # undirected reaches the same set here plus nothing from the island
+    und = {r["node"]: r["hops"]
+           for r in G.bfs_hops(edges, seeds, direction="undirected").collect()}
+    assert und == {"a": 0, "b": 1, "c": 1, "d": 1}
+    # max_hops truncates
+    capped = {r["node"]: r["hops"]
+              for r in G.bfs_hops(edges, seeds, max_hops=1).collect()}
+    assert capped == {"a": 0, "b": 1, "c": 1}
+    # island never appears
+    assert "x" not in got and "y" not in got
+
+
+def test_bfs_hops_matches_recursive_oracle_shape(spark):
+    import duckdb
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = sorted(
+        (r["node"], r["hops"])
+        for r in G.bfs_hops(edges, seeds, max_hops=3).collect()
+    )
+    cte = ("edges(src, dst) AS (VALUES ('a','b'),('b','c'),('c','a'),"
+           "('c','d'),('d','e'))")
+    sql = G.bfs_hops_sql(
+        cte, "SELECT 'a' AS node UNION SELECT 'd'", max_hops=3
+    )
+    con = duckdb.connect()
+    want = sorted((n, h) for n, h in con.sql(sql).fetchall())
+    con.close()
+    assert got == want
