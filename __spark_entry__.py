@@ -1346,6 +1346,12 @@ def _q_corpus_split(spark, sf_dir):
     return curation.split_corpus(_docs(spark, sf_dir))
 
 
+def _q_chunk_text(spark, sf_dir):
+    """Sliding-window doc chunking (64-token windows, 8 overlap) — the
+    RAG/pretraining splitter; shuffle-free posexplode fan-out."""
+    return curation.chunk_text(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
+
+
 def _q_quota_sample(spark, sf_dir):
     """Deterministic per-source quota sample (exact counts, hash-order
     rank — rerun- and increment-stable, unlike Bernoulli sample())."""
@@ -1427,6 +1433,7 @@ _SF_SCALE = {
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
+    "chunk_text",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops",
 }
@@ -1645,6 +1652,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "corpus_split": _q_corpus_split,
         "quota_sample": _q_quota_sample,
+        "chunk_text": _q_chunk_text,
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_bfs_hops": _q_graph_bfs_hops,
         "graph_pagerank": _q_graph_pagerank,
@@ -3062,6 +3070,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["quality_funnel"] = curation.quality_funnel_oracle()
     sql["curation_pipeline"] = curation.curate_corpus_oracle()
     sql["corpus_split"] = curation.split_corpus_oracle()
+    sql["chunk_text"] = curation.chunk_text_oracle(
+        chunk_tokens=64, overlap=8
+    )
     sql["quota_sample"] = """
 WITH r AS (
   SELECT source, doc_id, row_number() OVER (

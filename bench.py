@@ -125,6 +125,7 @@ def main() -> None:
         "pack_sequences",
         "quality_funnel",
         "corpus_split",
+        "chunk_text",
         "curation_pipeline",
         # graph analytics (r2)
         "graph_degree_stats",

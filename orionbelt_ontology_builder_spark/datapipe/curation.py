@@ -672,3 +672,88 @@ WITH r AS (
 SELECT * FROM r WHERE sample_rank <= {n_per_group}
 ORDER BY {group}, sample_rank
 """
+
+
+def chunk_text(
+    docs: DataFrame, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_chunk_tokens, chunk_text) — sliding-window
+    document splitting (the RAG/pretraining chunker): windows of
+    ``chunk_tokens`` tokens advancing by ``chunk_tokens - overlap``,
+    last window truncated at the document end.  A doc with
+    ``n <= chunk_tokens`` tokens yields exactly one chunk; empty docs
+    yield none.  ``n_chunks = 1 + ceil((n - size) / step)`` — integer
+    math, identical in both engines.
+
+    One narrow projection builds every chunk as an array slice inside
+    codegen (no join, no window); ``posexplode`` fans out to chunk
+    rows.  At 100 TB the fan-out factor is ~n/step per doc and the op
+    stays embarrassingly parallel — chunks never cross documents, so
+    no shuffle at all (contrast ``pack_sequences``, which by design
+    concatenates across docs and needs the per-shard cumsum)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toked = (
+        docs.withColumn("norm", norm_col())
+        .withColumn(
+            "toks",
+            F.when(F.col("norm") == "", F.expr("array()")).otherwise(
+                F.split(F.col("norm"), " ")
+            ),
+        )
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n") == 0, 0)
+            .when(F.col("n") <= chunk_tokens, 1)
+            .otherwise(
+                F.lit(1)
+                + F.ceil((F.col("n") - chunk_tokens) / F.lit(float(step))).cast(
+                    "int"
+                )
+            ),
+        )
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, n_chunks - 1),"
+        f" i -> slice(toks, i * {step} + 1, {chunk_tokens}))"
+    )
+    return (
+        toked.filter(F.col("n_chunks") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "ctoks"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("ctoks").alias("n_chunk_tokens"),
+            F.array_join("ctoks", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def chunk_text_oracle(chunk_tokens: int = 128, overlap: int = 16) -> str:
+    step = chunk_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN {norm_sql()} = '' THEN []::VARCHAR[]
+         ELSE {tokens_sql(norm_sql())} END AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) = 0 THEN 0
+         WHEN len(toks) <= {chunk_tokens} THEN 1
+         ELSE 1 + ceil((len(toks) - {chunk_tokens}) / {step}.0)::INT
+    END AS n_chunks
+  FROM t),
+ex AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+    toks[(i - 1) * {step} + 1 : (i - 1) * {step} + {chunk_tokens}] AS ctoks
+  FROM n, unnest(generate_series(1, n_chunks)) AS u(i)
+  WHERE n_chunks > 0)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+  len(ctoks)::INT AS n_chunk_tokens,
+  array_to_string(ctoks, ' ') AS chunk_text
+FROM ex ORDER BY doc_id, chunk_idx
+"""

@@ -470,3 +470,35 @@ def test_quota_sample_exact_and_stable(spark):
     # small group: returns the whole group, not more
     tiny = C.quota_sample(d.filter("doc_id < 2"), n_per_group=5).collect()
     assert len(tiny) == 2
+
+
+def test_chunk_text_window_semantics(spark):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    toks = [f"w{i}" for i in range(10)]
+    rows = [
+        (0, " ".join(toks)),       # 10 tokens, size 4 step 3 -> 3 chunks
+        (1, "a b"),                # n <= size -> exactly one chunk
+        (2, ""),                   # empty -> no chunks
+        (3, " ".join(toks[:4])),   # n == size -> exactly one chunk
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.chunk_text(d, chunk_tokens=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts 0,3,6 cover [0,4),[3,7),[6,10) — wait: n=10,size=4,
+    # step=3 -> n_chunks = 1+ceil(6/3) = 3
+    assert [r["chunk_text"] for r in by_doc[0]] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    # consecutive chunks share exactly `overlap` tokens
+    assert by_doc[0][0]["chunk_text"].split()[-1] == \
+        by_doc[0][1]["chunk_text"].split()[0]
+    assert by_doc[1] == [by_doc[1][0]] and by_doc[1][0]["n_chunk_tokens"] == 2
+    assert 2 not in by_doc
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 4
+    # every token of doc 0 appears in some chunk (full coverage)
+    covered = {t for r in by_doc[0] for t in r["chunk_text"].split()}
+    assert covered == set(toks)
+    with pytest.raises(ValueError):
+        C.chunk_text(d, chunk_tokens=4, overlap=4)
