@@ -460,9 +460,14 @@ def _range_windows_df(spark: SparkSession) -> DataFrame:
 def _q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join, binned into 6 h buckets so the
     plan is an equi-join (never BroadcastNestedLoopJoin); aggregated
-    per window, empty windows kept with zero counts."""
+    per window, empty windows kept with zero counts.  Values summed as
+    integer cents — same float-association rationale as
+    _q_hypertable_rollup."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "user_id", "ts", "value"
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value"),
     )
     ivals = _range_windows_df(spark)
     pairs = temporal.range_join_binned(ev, ivals, bucket_sec=21600)
@@ -491,13 +496,9 @@ def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "event_id"
     )
-    return (
-        temporal.session_stats(
-            ev, on="user_id", gap_sec=21600, tiebreak="event_id"
-        )
-        .drop("event_id")
-        .orderBy("user_id", "session_idx")
-    )
+    return temporal.session_stats(
+        ev, on="user_id", gap_sec=21600, tiebreak="event_id"
+    ).orderBy("user_id", "session_idx")
 
 
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2226,12 +2227,13 @@ ORDER BY user_id
 WITH intervals(label, istart, iend) AS (VALUES
   {win_values}),
 m AS (
-  SELECT i.label, e.event_id, e.user_id, e.value
+  SELECT i.label, e.event_id, e.user_id,
+         round(e.value * 100)::BIGINT AS value
   FROM intervals i LEFT JOIN events e
     ON e.ts >= i.istart AND e.ts < i.iend)
 SELECT label, count(event_id)::BIGINT AS n_events,
        count(DISTINCT user_id)::BIGINT AS n_users,
-       sum(value) AS sum_value
+       sum(value)::BIGINT AS sum_value
 FROM m GROUP BY label ORDER BY label
 """
 
@@ -3073,15 +3075,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["chunk_text"] = curation.chunk_text_oracle(
         chunk_tokens=64, overlap=8
     )
-    sql["quota_sample"] = """
-WITH r AS (
-  SELECT source, doc_id, row_number() OVER (
-    PARTITION BY source
-    ORDER BY md5('{salt}' || doc_id) ASC, doc_id ASC) AS sample_rank
-  FROM documents)
-SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 25
-ORDER BY source, sample_rank
-""".format(salt=curation.SPLIT_SALT)
+    sql["quota_sample"] = curation.quota_sample_oracle(
+        n_per_group=25, columns="source, doc_id, sample_rank"
+    )
     sql["graph_degree_stats"] = graphstats.degree_stats_sql(
         relational.ENTITY_EDGES_SQL
     )
@@ -3093,7 +3089,7 @@ ORDER BY source, sample_rank
     )
     sql["graph_bfs_hops"] = graphstats.bfs_hops_sql(
         relational.ENTITY_EDGES_SQL,
-        "SELECT DISTINCT dst AS node FROM edges WHERE dst LIKE 'r:%'",
+        "SELECT DISTINCT dst AS node FROM em WHERE dst LIKE 'r:%'",
         max_hops=4,
         direction="reverse",
     )

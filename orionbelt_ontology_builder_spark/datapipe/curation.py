@@ -661,7 +661,10 @@ def quota_sample(
 
 
 def quota_sample_oracle(
-    group: str = "source", n_per_group: int = 100, salt: str = SPLIT_SALT
+    group: str = "source",
+    n_per_group: int = 100,
+    salt: str = SPLIT_SALT,
+    columns: str = "*",
 ) -> str:
     return f"""
 WITH r AS (
@@ -669,7 +672,7 @@ WITH r AS (
     PARTITION BY {group}
     ORDER BY md5('{salt}' || doc_id) ASC, doc_id ASC) AS sample_rank
   FROM documents)
-SELECT * FROM r WHERE sample_rank <= {n_per_group}
+SELECT {columns} FROM r WHERE sample_rank <= {n_per_group}
 ORDER BY {group}, sample_rank
 """
 

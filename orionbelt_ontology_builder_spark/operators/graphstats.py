@@ -303,18 +303,23 @@ def bfs_hops_sql(
 ) -> str:
     """DuckDB twin: capped recursive walk (UNION-distinct on
     (node, hops) + the hops guard bound the recursion), min(hops) per
-    node.  ``seeds_sql`` must select a ``node`` column; ``edges_cte``
-    must define ``edges(src, dst)``."""
+    node.  ``edges_cte`` must define ``edges(src, dst)``; it is
+    re-wrapped as ``em AS MATERIALIZED`` because DuckDB re-inlines a
+    CTE at EVERY reference site — the recursive step would otherwise
+    re-execute the (possibly join-heavy) edge derivation once per
+    iteration (see CLAUDE.md).  ``seeds_sql`` must select a ``node``
+    column and should read from ``em``."""
     step = {
-        "forward": "SELECT w.hops + 1, e.dst FROM walk w JOIN edges e ON w.node = e.src",
-        "reverse": "SELECT w.hops + 1, e.src FROM walk w JOIN edges e ON w.node = e.dst",
+        "forward": "SELECT w.hops + 1, e.dst FROM walk w JOIN em e ON w.node = e.src",
+        "reverse": "SELECT w.hops + 1, e.src FROM walk w JOIN em e ON w.node = e.dst",
         "undirected": (
-            "SELECT w.hops + 1, e.dst FROM walk w JOIN edges e ON w.node = e.src "
-            "UNION SELECT w.hops + 1, e.src FROM walk w JOIN edges e ON w.node = e.dst"
+            "SELECT w.hops + 1, e.dst FROM walk w JOIN em e ON w.node = e.src "
+            "UNION SELECT w.hops + 1, e.src FROM walk w JOIN em e ON w.node = e.dst"
         ),
     }[direction]
     return f"""
 WITH RECURSIVE {edges_cte.strip()},
+em AS MATERIALIZED (SELECT src, dst FROM edges),
 seeds AS ({seeds_sql.strip()}),
 walk(hops, node) AS (
   SELECT 0, node FROM seeds

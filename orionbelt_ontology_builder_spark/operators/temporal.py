@@ -60,11 +60,26 @@ def _keys(on: str | Sequence[str]) -> list[str]:
 
 
 def _us(c) -> F.Column:
-    """Microseconds since epoch; accepts TIMESTAMP and TIMESTAMP_NTZ
-    (parquet reads yield NTZ in Spark 4, which unix_micros rejects).
-    The session-tz shift the cast introduces is uniform, so
-    differences and bucket assignments are unaffected."""
-    return F.unix_micros(c.cast("timestamp"))
+    """Wall-clock microseconds since epoch, computed by component
+    decomposition (days + time-of-day) rather than an epoch cast.
+
+    Why not ``unix_micros(c.cast("timestamp"))``: parquet reads yield
+    TIMESTAMP_NTZ in Spark 4 (which unix_micros rejects), and the cast
+    detours through the SESSION timezone — in a DST zone the shift is
+    not uniform, so gaps/lags/buckets would be wrong across a
+    transition and diverge from the DuckDB oracle (whose ``epoch_us``
+    on NTZ applies no shift).  Decomposition reads the NTZ value's own
+    fields, so NTZ inputs are exact in ANY session timezone —
+    identical to DuckDB's epoch_us.  For tz-aware TIMESTAMP inputs the
+    fields are rendered in the session zone (wall-clock); in a UTC
+    session that equals epoch micros."""
+    day = F.unix_date(F.to_date(c)).cast("long") * F.lit(86_400_000_000)
+    hm = (F.hour(c).cast("long") * 3600 + F.minute(c).cast("long") * 60) * F.lit(
+        1_000_000
+    )
+    # extract(SECOND) is DECIMAL(8,6) incl. the microsecond fraction
+    frac = (F.extract(F.lit("SECOND"), c) * 1_000_000).cast("long")
+    return day + hm + frac
 
 
 def asof_join(
@@ -215,7 +230,10 @@ def range_join_binned(
 
 
 #: resolution name -> coarseness rank; re-aggregation is exact because
-#: count/sum/min/max are associative over disjoint finer buckets.
+#: count/sum/min/max are associative over disjoint finer buckets —
+#: PROVIDED each level's buckets nest inside the next.  ``week`` nests
+#: in nothing coarser (ISO weeks straddle month/quarter/year
+#: boundaries), so it is only valid as the LAST resolution.
 _RES_ORDER = ["minute", "hour", "day", "week", "month", "quarter", "year"]
 
 
@@ -235,6 +253,12 @@ def rollup_cascade(
         raise ValueError(f"unknown resolution in {res}")
     if res != sorted(res, key=_RES_ORDER.index):
         raise ValueError("resolutions must be ordered fine -> coarse")
+    if "week" in res[:-1]:
+        # week buckets straddle month/quarter/year boundaries: a
+        # Monday-anchored week's counts would be assigned wholesale to
+        # the month containing its START, silently double-counting —
+        # weeks may terminate a cascade but never feed one.
+        raise ValueError("'week' does not nest in coarser resolutions")
     cur = events.groupBy(
         F.date_trunc(res[0], F.col(ts)).alias("bucket")
     ).agg(

@@ -180,6 +180,11 @@ def test_rollup_cascade_matches_direct(spark):
         T.rollup_cascade(ev, resolutions=("day", "hour"))
     with pytest.raises(ValueError):
         T.rollup_cascade(ev, resolutions=("fortnight",))
+    # weeks straddle month boundaries: feeding one into a coarser level
+    # would silently misassign whole weeks — rejected; terminal is fine
+    with pytest.raises(ValueError):
+        T.rollup_cascade(ev, resolutions=("day", "week", "month"))
+    assert T.rollup_cascade(ev, resolutions=("day", "week")).count() > 0
 
 
 def test_sessionize_and_stats(spark):
