@@ -15,7 +15,10 @@ whole-stage codegen end to end.
 Scale shapes:
 
 * ``asof_join`` — the union trick: tag build/probe, ONE shuffle on the
-  key, one per-key window scan with ``last(ignorenulls)`` forward-fill.
+  key (plus a build-side (key, ts) pre-aggregation when ``tiebreak``
+  dedup is requested), one per-key window scan with
+  ``last(ignorenulls)`` forward-fill.  Plan-asserted in
+  ``tests/test_scale_plans.py``.
   No range explosion, no build-side replication; cost is the same
   sort-on-key any time-series semantics needs.  Per-key history is
   scanned sequentially inside its partition — at web scale the key

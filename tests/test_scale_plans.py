@@ -364,3 +364,27 @@ def test_zipf_topk_plan_is_take_ordered(spark):
         TS.zipf_topk(d, k=3)._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temporal_ops_shuffle_counts(spark):
+    """The one-shuffle claims in temporal.py, held as plan assertions:
+    asof (sans tiebreak dedup) and latest_snapshot partition once on the
+    key; session_stats' two windows AND its rollup share ONE exchange
+    (the groupBy keys extend the window partition keys)."""
+    from datetime import datetime
+
+    from orionbelt_ontology_builder_spark.operators import temporal as T
+
+    T0 = datetime(2024, 1, 1)
+    q = spark.createDataFrame([("a", T0, 1.0)], "key string, ts timestamp, px double")
+    t = spark.createDataFrame([("a", T0, 100)], "key string, ts timestamp, qty int")
+
+    def exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    assert exchanges(T.asof_join(t, q, on="key")) == 1
+    ev = spark.createDataFrame(
+        [("u", T0, 1), ("u", T0, 2)], "user_id string, ts timestamp, event_id int"
+    )
+    assert exchanges(T.session_stats(ev, tiebreak="event_id")) == 1
+    assert exchanges(T.latest_snapshot(ev, "user_id", tiebreak="event_id")) == 1
