@@ -1353,6 +1353,27 @@ def _q_chunk_text(spark, sf_dir):
     return curation.chunk_text(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Daily-increment dedup: a synthesized batch (exact replicas +
+    appended-token near variants of corpus docs, disjoint ids) is
+    classified exact_dup / near_dup / new against the corpus — the
+    O(batch) path that replaces re-deduping the whole corpus per
+    delivery."""
+    off = 1_000_000
+    docs = _docs(spark, sf_dir)
+    exact_b = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + off
+    )
+    near_b = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .withColumn("doc_id", F.col("doc_id") + 2 * off)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra token xyz")))
+    )
+    return dedup.incremental_dedup(
+        exact_b.unionByName(near_b), docs, jaccard_threshold=0.6
+    )
+
+
 def _q_quota_sample(spark, sf_dir):
     """Deterministic per-source quota sample (exact counts, hash-order
     rank — rerun- and increment-stable, unlike Bernoulli sample())."""
@@ -1434,7 +1455,7 @@ _SF_SCALE = {
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
-    "chunk_text",
+    "chunk_text", "incremental_dedup",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops",
 }
@@ -1653,6 +1674,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "corpus_split": _q_corpus_split,
         "quota_sample": _q_quota_sample,
+        "incremental_dedup": _q_incremental_dedup,
         "chunk_text": _q_chunk_text,
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_bfs_hops": _q_graph_bfs_hops,
@@ -3072,6 +3094,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["quality_funnel"] = curation.quality_funnel_oracle()
     sql["curation_pipeline"] = curation.curate_corpus_oracle()
     sql["corpus_split"] = curation.split_corpus_oracle()
+    sql["incremental_dedup"] = dedup.incremental_dedup_oracle(
+        jaccard_threshold=0.6
+    )
     sql["chunk_text"] = curation.chunk_text_oracle(
         chunk_tokens=64, overlap=8
     )

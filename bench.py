@@ -110,6 +110,7 @@ def main() -> None:
         "events_running",
         # training-data ops (present from r1 mid-session onward)
         "dedup_exact",
+        "incremental_dedup",
         "dedup_minhash_pairs",
         "dedup_simhash",
         "text_quality",

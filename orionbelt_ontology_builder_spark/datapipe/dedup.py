@@ -612,3 +612,116 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    jaccard_threshold: float = 0.6,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(doc_id, status, dup_of) for every BATCH document, classified
+    against the existing CORPUS: ``exact_dup`` (normalized text already
+    present), ``near_dup`` (MinHash-LSH candidate verified at
+    ``jaccard_threshold``), else ``new`` — the daily-increment path of
+    a crawl pipeline, where re-deduping the whole corpus per delivery
+    would be O(corpus) instead of O(batch).
+
+    Shapes: exact = one hash aggregation of the corpus (at real scale a
+    PERSISTED hash table — here derived inline) probed by a batch-side
+    join; near = the standard band machinery over batch ∪ corpus with
+    candidates restricted to CROSS-set pairs (batch-internal dups are
+    exact_dup's job on the next increment).  ``dup_of`` = the matched
+    corpus doc (min id among verified matches, exact match preferred).
+    Doc ids must be disjoint across the two frames."""
+    bh = batch.select("doc_id", F.md5(norm_col()).alias("h"))
+    ch = (
+        corpus.select(F.md5(norm_col()).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_of"))
+    )
+    exact = bh.join(ch, "h", "left").select("doc_id", "exact_of")
+
+    pairs = minhash_band_pairs(
+        batch.unionByName(corpus), jaccard_threshold, max_bucket=max_bucket
+    )
+    bids = batch.select(F.col("doc_id").alias("bid"))
+    # annotate endpoints with batch membership; keep cross-set pairs,
+    # oriented (batch doc, corpus doc)
+    pa = pairs.join(
+        bids.withColumnRenamed("bid", "doc_a").withColumn("a_in", F.lit(1)),
+        "doc_a",
+        "left",
+    ).join(
+        bids.withColumnRenamed("bid", "doc_b").withColumn("b_in", F.lit(1)),
+        "doc_b",
+        "left",
+    )
+    cross = pa.filter(
+        F.coalesce("a_in", F.lit(0)) != F.coalesce("b_in", F.lit(0))
+    ).select(
+        F.when(F.col("a_in") == 1, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id"),
+        F.when(F.col("a_in") == 1, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("cand"),
+    )
+    near = cross.groupBy("doc_id").agg(F.min("cand").alias("near_of"))
+
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("exact_of", "near_of").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def incremental_dedup_oracle(
+    jaccard_threshold: float = 0.6,
+    max_bucket: int = MAX_BUCKET,
+    batch_offset: int = 1_000_000,
+) -> str:
+    """DuckDB twin of the driver's incremental-dedup query: the batch
+    is SYNTHESIZED from the corpus (exact replicas of doc_id%10==0 at
+    +offset ids; near variants of doc_id%10==5 with an appended token
+    at +2*offset), then ``batch ∪ corpus`` SHADOWS the ``documents``
+    name so the shared band CTE fragments compose verbatim.  Batch
+    membership = doc_id >= offset."""
+    off = batch_offset
+    return f"""
+WITH batch AS MATERIALIZED (
+  SELECT doc_id + {off} AS doc_id, text, lang, source, n_chars
+  FROM main.documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {2 * off}, text || ' extra token xyz', lang, source, n_chars
+  FROM main.documents WHERE doc_id % 10 = 5),
+documents AS MATERIALIZED (
+  SELECT * FROM main.documents UNION ALL SELECT * FROM batch),
+{_pairs_cte_sql(max_bucket)},
+ch AS (
+  SELECT md5({norm_sql()}) AS h, min(doc_id) AS exact_of
+  FROM main.documents GROUP BY 1),
+bh AS (SELECT doc_id, md5({norm_sql()}) AS h FROM batch),
+ex AS (SELECT bh.doc_id, ch.exact_of FROM bh LEFT JOIN ch USING (h)),
+cross_p AS (
+  SELECT CASE WHEN doc_a >= {off} THEN doc_a ELSE doc_b END AS doc_id,
+         CASE WHEN doc_a >= {off} THEN doc_b ELSE doc_a END AS cand
+  FROM verified
+  WHERE jaccard >= {jaccard_threshold}
+    AND ((doc_a >= {off}) <> (doc_b >= {off}))),
+near AS (SELECT doc_id, min(cand) AS near_of FROM cross_p GROUP BY doc_id)
+SELECT ex.doc_id,
+  CASE WHEN ex.exact_of IS NOT NULL THEN 'exact_dup'
+       WHEN near.near_of IS NOT NULL THEN 'near_dup'
+       ELSE 'new' END AS status,
+  coalesce(ex.exact_of, near.near_of) AS dup_of
+FROM ex LEFT JOIN near USING (doc_id)
+ORDER BY ex.doc_id
+"""

@@ -502,3 +502,28 @@ def test_chunk_text_window_semantics(spark):
     assert covered == set(toks)
     with pytest.raises(ValueError):
         C.chunk_text(d, chunk_tokens=4, overlap=4)
+
+
+def test_incremental_dedup_classifies_batch(spark, docs):
+    # corpus = the 5-doc fixture; batch: an exact copy of doc 0, a
+    # near-variant of doc 3, and a genuinely new doc
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=BASE_TEXT, lang="en", source="b",
+                n_chars=len(BASE_TEXT)),
+            Row(doc_id=101,
+                text="completely different content about spark catalyst "
+                     "optimizer plans shuffles partitions and executors ok",
+                lang="en", source="b", n_chars=100),
+            Row(doc_id=102, text="entirely novel words nowhere else at all "
+                                 "in any corpus document whatsoever today",
+                lang="en", source="b", n_chars=80),
+        ]
+    )
+    out = {r["doc_id"]: (r["status"], r["dup_of"])
+           for r in dedup.incremental_dedup(batch, docs, 0.5).collect()}
+    assert out[100] == ("exact_dup", 0)
+    assert out[101] == ("near_dup", 3)
+    assert out[102] == ("new", None)
+    # every batch doc classified exactly once
+    assert set(out) == {100, 101, 102}
