@@ -1353,6 +1353,16 @@ def _q_chunk_text(spark, sf_dir):
     return curation.chunk_text(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
 
 
+def _q_budget_sample(spark, sf_dir):
+    """Token-budget mixture sampling: 800 tokens per source, src1
+    squeezed to 200 — the pretraining data-mixture draw (greedy
+    hash-ordered prefix per group, honored to ±1 doc).  Budgets chosen
+    to BIND at every sf (each source holds >=1.3k tokens)."""
+    return curation.budget_sample(
+        _docs(spark, sf_dir), token_budget=800, overrides={"src1": 200}
+    )
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Daily-increment dedup: a synthesized batch (exact replicas +
     appended-token near variants of corpus docs, disjoint ids) is
@@ -1455,7 +1465,7 @@ _SF_SCALE = {
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
-    "chunk_text", "incremental_dedup",
+    "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops",
 }
@@ -1675,6 +1685,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "quota_sample": _q_quota_sample,
         "incremental_dedup": _q_incremental_dedup,
+        "budget_sample": _q_budget_sample,
         "chunk_text": _q_chunk_text,
         "graph_degree_stats": _q_graph_degree_stats,
         "graph_bfs_hops": _q_graph_bfs_hops,
@@ -3094,6 +3105,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["quality_funnel"] = curation.quality_funnel_oracle()
     sql["curation_pipeline"] = curation.curate_corpus_oracle()
     sql["corpus_split"] = curation.split_corpus_oracle()
+    sql["budget_sample"] = curation.budget_sample_oracle(
+        token_budget=800, overrides={"src1": 200}
+    )
     sql["incremental_dedup"] = dedup.incremental_dedup_oracle(
         jaccard_threshold=0.6
     )

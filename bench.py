@@ -126,6 +126,7 @@ def main() -> None:
         "pack_sequences",
         "quality_funnel",
         "corpus_split",
+        "budget_sample",
         "chunk_text",
         "curation_pipeline",
         # graph analytics (r2)

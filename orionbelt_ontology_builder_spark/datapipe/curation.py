@@ -760,3 +760,75 @@ SELECT doc_id, chunk_idx::INT AS chunk_idx,
   array_to_string(ctoks, ' ') AS chunk_text
 FROM ex ORDER BY doc_id, chunk_idx
 """
+
+
+def budget_sample(
+    docs: DataFrame,
+    token_budget: int,
+    group: str = "source",
+    overrides: dict[str, int] | None = None,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """(group, doc_id, n_tokens, cum_tokens) — the data-mixture
+    sampler: walk each group's documents in salted-hash order and keep
+    whole docs while the group's token budget lasts (a doc is kept iff
+    the running total BEFORE it is under the budget — greedy prefix,
+    so the last kept doc may overshoot; budgets are honored to ±1 doc,
+    which is how real mixture recipes specify them).  ``overrides``
+    maps specific groups to their own budget (pretraining mixtures
+    weight sources differently); everything else gets ``token_budget``.
+
+    Same determinism contract as ``quota_sample``/``split_corpus``:
+    hash order means rerun- and increment-stable draws, salt-versioned
+    re-rolls, integer-only math (bit-identical in DuckDB).  One window
+    cumsum per group — a single shuffle."""
+    h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy(group)
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.lit(token_budget)
+    for g, b in (overrides or {}).items():
+        budget = F.when(F.col(group) == g, F.lit(b)).otherwise(budget)
+    norm = norm_col()
+    return (
+        docs.withColumn(
+            "n_tokens",
+            F.when(norm == "", 0).otherwise(F.size(F.split(norm, " "))),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(group, "doc_id", "n_tokens", "cum_tokens")
+        .orderBy(group, "cum_tokens")
+    )
+
+
+def budget_sample_oracle(
+    token_budget: int,
+    group: str = "source",
+    overrides: dict[str, int] | None = None,
+    salt: str = SPLIT_SALT,
+) -> str:
+    budget = str(token_budget)
+    if overrides:
+        whens = " ".join(
+            f"WHEN {group} = '{g}' THEN {b}" for g, b in overrides.items()
+        )
+        budget = f"(CASE {whens} ELSE {token_budget} END)"
+    return f"""
+WITH t AS (
+  SELECT {group}, doc_id,
+    CASE WHEN {norm_sql()} = '' THEN 0
+         ELSE len({tokens_sql(norm_sql())}) END AS n_tokens
+  FROM documents),
+c AS (
+  SELECT {group}, doc_id, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY {group}
+      ORDER BY md5('{salt}' || doc_id) ASC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM t)
+SELECT {group}, doc_id, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {budget}
+ORDER BY {group}, cum_tokens
+"""

@@ -527,3 +527,32 @@ def test_incremental_dedup_classifies_batch(spark, docs):
     assert out[102] == ("new", None)
     # every batch doc classified exactly once
     assert set(out) == {100, 101, 102}
+
+
+def test_budget_sample_greedy_prefix(spark):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    # every doc = 10 tokens; budgets then select exact doc counts
+    text = " ".join(f"t{i}" for i in range(10))
+    rows = [(i, text, "en", f"src{i % 2}", 1) for i in range(20)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = C.budget_sample(d, token_budget=35, overrides={"src1": 70}).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # 35-token budget over 10-token docs -> 4 docs (last overshoots by 5)
+    assert len(by_src["src0"]) == 4
+    assert len(by_src["src1"]) == 7          # override honored
+    # greedy prefix: cum_tokens monotone, first doc always kept
+    for rs in by_src.values():
+        cums = [r["cum_tokens"] for r in rs]
+        assert cums == sorted(cums) and cums[0] == 10
+        assert cums[-1] - rs[-1]["n_tokens"] < 70
+    # rerun-stable
+    again = {(r["source"], r["doc_id"]) for r in
+             C.budget_sample(d, 35, overrides={"src1": 70}).collect()}
+    assert {(r["source"], r["doc_id"]) for r in out} == again
+    # budget bigger than the group: whole group kept
+    assert len(C.budget_sample(d, token_budget=10_000).collect()) == 20

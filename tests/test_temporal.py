@@ -215,3 +215,33 @@ def test_sessionize_and_stats(spark):
     assert st[("u1", 2)]["duration_sec"] == 11 * 60.0
     assert st[("u2", 1)]["n_events"] == 2
     assert st[("u3", 1)]["duration_sec"] == 0.0
+
+
+def test_us_is_session_timezone_independent_for_ntz(spark):
+    """NTZ timestamps (the parquet read type) must produce identical
+    gaps/buckets under ANY session timezone — the decomposition in
+    temporal._us reads the NTZ fields directly, never the session tz.
+    Events straddle the 2024-03-10 US DST spring-forward."""
+    rows = [
+        ("u", datetime(2024, 3, 10, 1, 30), 1),
+        ("u", datetime(2024, 3, 10, 3, 30), 2),   # 2h wall-clock later
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, event_id int"
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    results = {}
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            # 90-min gap: the two events are 120 wall-clock minutes
+            # apart, so they must SPLIT regardless of session tz (an
+            # epoch cast in New York would see only 60 min and merge)
+            results[tz] = sorted(
+                (r["event_id"], r["session_idx"])
+                for r in T.sessionize(ev, gap_sec=5400, tiebreak="event_id")
+                .collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert results["UTC"] == results["America/New_York"] == [(1, 1), (2, 2)]
