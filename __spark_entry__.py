@@ -1440,6 +1440,16 @@ def _q_graph_pagerank(spark, sf_dir):
     )
 
 
+def _q_graph_communities(spark, sf_dir):
+    """Label-propagation communities over the induced entity graph —
+    the alias-cluster / topic-grouping signal next to PageRank
+    salience (3 synchronous rounds, tie-to-max; oracle = identical
+    rounds unrolled as chained CTEs)."""
+    return graphstats.label_propagation(
+        relational.induce_entity_edges(spark, sf_dir), iters=3
+    )
+
+
 def _q_graph_triangles(spark, sf_dir):
     """Closure-rate probe on the tri-partite lineitem slice (every line
     item closes an order—part—supplier triangle)."""
@@ -1467,7 +1477,7 @@ _SF_SCALE = {
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
-    "graph_bfs_hops",
+    "graph_bfs_hops", "graph_communities",
 }
 
 
@@ -1691,6 +1701,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_hops": _q_graph_bfs_hops,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
+        "graph_communities": _q_graph_communities,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
         "delete_impact_text": _q_delete_impact_text,
@@ -3125,6 +3136,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_triangles"] = graphstats.triangle_count_sql(
         relational.lineitem_edges_sql()
+    )
+    sql["graph_communities"] = graphstats.label_propagation_sql(
+        relational.ENTITY_EDGES_SQL, iters=3
     )
     sql["graph_bfs_hops"] = graphstats.bfs_hops_sql(
         relational.ENTITY_EDGES_SQL,

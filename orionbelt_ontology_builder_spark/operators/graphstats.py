@@ -327,3 +327,92 @@ walk(hops, node) AS (
   {step.replace("FROM walk w", f"FROM (SELECT * FROM walk WHERE hops < {max_hops}) w")})
 SELECT node, min(hops)::BIGINT AS hops FROM walk GROUP BY node ORDER BY node
 """
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """(node, label) after ``iters`` synchronous label-propagation
+    rounds over the undirected simple graph — community detection for
+    entity clustering (reference scope: the alias-cluster / topic-
+    grouping signal a KG UI surfaces next to PageRank salience).
+
+    Update rule (deterministic): every node simultaneously adopts the
+    label held by the plurality of its neighbours; ties break to the
+    LARGEST label string (both engines express max-of-(count,label)
+    natively, unlike min-at-max-count which needs a second pass).
+    Nodes keep their own id as the initial label.  Synchronous
+    updates + total tie order make the round sequence a pure function
+    of the graph, so a DuckDB twin can unroll the identical rounds —
+    the same determinism contract as ``pagerank``.
+
+    Plan: the neighbour list (undirected edge table doubled into
+    (node, nbr)) is checkpointed once; each round is one join + two
+    map-side-combinable aggregations on the same ``node`` key — at
+    cluster scale pre-partition ``nbr`` by node and every round
+    reuses that exchange.  Known LPA caveat, documented not hidden:
+    synchronous updates can oscillate on bipartite structures, so
+    fixed ``iters`` is part of the operator contract (at corpus scale
+    you'd run semi-asynchronous coloring rounds; that variant has no
+    bit-stable cross-engine twin, so the oracle pins the synchronous
+    one)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        labels = (
+            nbr.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("node")
+            .agg(F.max(F.struct("cnt", "label")).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")
+
+
+def label_propagation_sql(edges_cte: str, iters: int = 4) -> str:
+    """DuckDB twin: rounds unrolled as chained CTEs; plurality pick =
+    ``max(struct_pack(cnt, label)).label`` — identical (count, label)
+    lexicographic max as the Spark struct max.  ``edges_cte`` must
+    define ``edges(src, dst)``; every round CTE is MATERIALIZED
+    (DuckDB re-inlines CTEs per reference site — see CLAUDE.md)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT n.node, p.label, count(*) AS cnt
+  FROM nbr n JOIN {prev} p ON n.nbr = p.node
+  GROUP BY n.node, p.label),
+l{i} AS MATERIALIZED (
+  SELECT node,
+    (max(struct_pack(cnt := cnt, label := label))).label AS label
+  FROM c{i} GROUP BY node)""")
+        prev = f"l{i}"
+    return f"""
+WITH {edges_cte.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+nbr AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS label FROM nbr),
+{",".join(rounds)}
+SELECT node, label FROM {prev} ORDER BY node
+"""

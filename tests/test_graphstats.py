@@ -115,3 +115,42 @@ def test_bfs_hops_matches_recursive_oracle_shape(spark):
     want = sorted((n, h) for n, h in con.sql(sql).fetchall())
     con.close()
     assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 3-cliques joined by one bridge edge: each clique converges to
+    # its own max label; the bridge does not bleed labels across.
+    clique1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    clique2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [("a3", "b1")], "src string, dst string"
+    )
+    got = {r["node"]: r["label"]
+           for r in G.label_propagation(edges, iters=4).collect()}
+    # converged: each clique internally consistent, and the two
+    # communities carry distinct labels (the bridge edge does not
+    # merge them)
+    a_labels = {got["a1"], got["a2"], got["a3"]}
+    b_labels = {got["b1"], got["b2"], got["b3"]}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_label_propagation_matches_unrolled_oracle(spark):
+    import duckdb
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+            ("e", "f"), ("f", "d")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(
+        (r["node"], r["label"])
+        for r in G.label_propagation(edges, iters=3).collect()
+    )
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.label_propagation_sql(
+        f"edges(src, dst) AS (VALUES {vals})", iters=3
+    )
+    con = duckdb.connect()
+    want = sorted((n, l) for n, l in con.sql(sql).fetchall())
+    con.close()
+    assert got == want
