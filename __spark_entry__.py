@@ -1265,6 +1265,13 @@ def _q_pii_scrub(spark, sf_dir):
     return textstats.pii_scrub(textstats.pii_fixture_df(spark))
 
 
+def _q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal on the embedded
+    multi-line fixture (the sf documents are single-line word salad;
+    boilerplate dedup is defined over line structure)."""
+    return dedup.remove_boilerplate_lines(dedup.boilerplate_fixture_df(spark))
+
+
 def _q_url_normalize(spark, sf_dir):
     """URL canonicalization on the embedded raw-URL fixture (the sf
     tables carry no raw URLs)."""
@@ -1672,6 +1679,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "bpe_token_counts": _q_bpe_token_counts,
         "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
         "url_normalize": _q_url_normalize,
         "source_mix": _q_source_mix,
         "lang_id": _q_lang_id,
@@ -3095,6 +3103,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["text_repetition"] = textstats.repetition_stats_oracle()
     sql["bpe_token_counts"] = textstats.bpe_token_counts_oracle()
     sql["pii_scrub"] = textstats.pii_scrub_oracle()
+    sql["line_dedup"] = dedup.remove_boilerplate_lines_oracle()
     sql["url_normalize"] = urls.normalize_urls_oracle()
     sql["source_mix"] = urls.source_mix_oracle()
     sql["lang_id"] = textstats.lang_id_oracle()

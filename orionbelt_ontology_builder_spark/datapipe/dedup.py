@@ -725,3 +725,140 @@ SELECT ex.doc_id,
 FROM ex LEFT JOIN near USING (doc_id)
 ORDER BY ex.doc_id
 """
+
+
+# ------------------------------------------------------------------ #
+# Line-level boilerplate removal (CCNet-style)
+# ------------------------------------------------------------------ #
+
+MIN_BOILERPLATE_DOCS = 3  # a line is boilerplate if >= this many docs share it
+
+
+def _boilerplate_fixture_rows() -> list[tuple[int, str]]:
+    header = "Home | Products | About | Contact"
+    footer = "(c) 2024 Example Corp - all rights reserved"
+    cookie = "We use cookies to improve your experience."
+    newsletter = "Subscribe to our newsletter!"
+    docs = []
+    for i in range(12):
+        lines = [header]
+        if i % 2 == 0:
+            lines.append(cookie)           # 6 docs -> heavy
+        if i < 2:
+            lines.append(newsletter)       # 2 docs -> below threshold, kept
+        for j in range(3):
+            lines.append(f"Doc {i} body line {j}: topic t{(i * 3 + j) % 7}.")
+        lines.append("")                   # blank spacing line (never heavy)
+        lines.append(footer)
+        docs.append((i, "\n".join(lines)))
+    docs.append((12, "\n".join([header, footer])))   # boilerplate-only doc
+    return docs
+
+
+def boilerplate_fixture_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        _boilerplate_fixture_rows(), "doc_id long, text string"
+    )
+
+
+def boilerplate_fixture_cte(alias: str = "bp_docs") -> str:
+    rows = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''").replace("\n", "' || chr(10) || '")
+        + "')"
+        for i, t in _boilerplate_fixture_rows()
+    )
+    return f"{alias}(doc_id, text) AS (VALUES {rows})"
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame, min_docs: int = MIN_BOILERPLATE_DOCS
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, clean_text) — CCNet-style line-level
+    dedup: a normalized line appearing in >= ``min_docs`` distinct
+    documents is boilerplate (nav bars, cookie banners, footers) and is
+    dropped from every document; blank lines are never counted heavy
+    (they are spacing, not content).  The per-line counterpart of
+    document-level ``exact_dedup_groups`` — the standard first pass of
+    a Common-Crawl curation pipeline (CCNet / RefinedWeb run exactly
+    this before any document-level dedup).
+
+    Plan: one ``posexplode`` of the split text, one grouped
+    count-distinct on the md5 line key (map-side partial), then the
+    heavy-line list — tiny by the power law that makes boilerplate
+    boilerplate — broadcast anti-joins the line table, and one
+    groupBy(doc_id) reassembles the surviving lines in position order.
+    Two shuffles total (line-key agg + per-doc reassembly); the
+    reassembly state is bounded by single-document size.  At 100 TB
+    the heavy list at any sane threshold is millions of rows, not
+    billions — still broadcastable; if not, the anti-join degrades
+    gracefully to a shuffled one on the same key."""
+    lines = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), "\n")).alias("n_lines"),
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn("key", F.md5(F.lower(F.trim(F.col("line")))))
+    heavy = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("key")
+    )
+    kept = lines.join(F.broadcast(heavy), "key", "left_anti")
+    agg = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+    n_lines = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), "\n")).alias("n_lines")
+    )
+    return (
+        n_lines.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def remove_boilerplate_lines_oracle(
+    table: str = "bp_docs", min_docs: int = MIN_BOILERPLATE_DOCS
+) -> str:
+    return f"""
+WITH {boilerplate_fixture_cte()},
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM {table}),
+lines AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS line,
+    md5(lower(trim(parts[i]))) AS key
+  FROM split, unnest(generate_series(1, len(parts))) AS u(i)),
+heavy AS (
+  SELECT key FROM lines WHERE trim(line) <> ''
+  GROUP BY key HAVING count(DISTINCT doc_id) >= {min_docs}),
+kept AS (
+  SELECT l.* FROM lines l LEFT JOIN heavy h USING (key)
+  WHERE h.key IS NULL),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id),
+nl AS (
+  SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM {table})
+SELECT nl.doc_id, nl.n_lines,
+  coalesce(agg.n_kept, 0) AS n_kept,
+  coalesce(agg.clean_text, '') AS clean_text
+FROM nl LEFT JOIN agg USING (doc_id)
+ORDER BY nl.doc_id
+"""

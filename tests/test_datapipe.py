@@ -556,3 +556,42 @@ def test_budget_sample_greedy_prefix(spark):
     assert {(r["source"], r["doc_id"]) for r in out} == again
     # budget bigger than the group: whole group kept
     assert len(C.budget_sample(d, token_budget=10_000).collect()) == 20
+
+
+def test_line_dedup_removes_shared_boilerplate(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_boilerplate_lines(
+            dedup.boilerplate_fixture_df(spark)
+        ).collect()
+    }
+    # header/footer (all 13 docs) and cookie banner (6 docs) removed
+    assert "Home | Products" not in out[0]["clean_text"]
+    assert "Example Corp" not in out[0]["clean_text"]
+    assert "cookies" not in out[0]["clean_text"]
+    # a line shared by only 2 docs stays (below min_docs=3)
+    assert "newsletter" in out[0]["clean_text"]
+    assert "newsletter" in out[1]["clean_text"]
+    # unique body lines survive verbatim, in original order
+    assert out[2]["clean_text"].startswith("Doc 2 body line 0")
+    # boilerplate-only doc collapses to empty but is still present
+    assert out[12]["n_kept"] == 0 and out[12]["clean_text"] == ""
+    # conservation: kept <= lines, and removal really happened
+    assert all(r["n_kept"] <= r["n_lines"] for r in out.values())
+    assert out[0]["n_kept"] == out[0]["n_lines"] - 3
+
+
+def test_line_dedup_matches_duckdb_oracle(spark):
+    import duckdb
+
+    got = sorted(
+        (r["doc_id"], r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in dedup.remove_boilerplate_lines(
+            dedup.boilerplate_fixture_df(spark)
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(
+        dedup.remove_boilerplate_lines_oracle()).fetchall()))
+    con.close()
+    assert got == want
