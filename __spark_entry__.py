@@ -505,6 +505,13 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI-ratio term pairs (collocation mining — the
+    distributional relation-discovery cue); shuffle-free in-array pair
+    generation, ranking bit-stable via the ratio (log-free PMI)."""
+    return textstats.term_pmi_pairs(_docs(spark, sf_dir), k=25)
+
+
 def _q_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.zipf_topk(_docs(spark, sf_dir), k=20)
 
@@ -1470,6 +1477,7 @@ _SF_SCALE = {
     "induced_search", "tpch_q1", "top_customers", "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "tfidf_topk",
+    "term_cooccurrence",
     "zipf_topk", "vocab_summary",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
@@ -1622,6 +1630,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": _q_hypertable_rollup,
         "session_stats_events": _q_session_stats,
         "tfidf_topk": _q_tfidf_topk,
+        "term_cooccurrence": _q_term_cooccurrence,
         "zipf_topk": _q_zipf_topk,
         "vocab_summary": _q_vocab_summary,
         "resource_options": _q_resource_options,
@@ -2341,6 +2350,7 @@ ORDER BY user_id, session_idx
 """
 
     sql["tfidf_topk"] = textstats.tfidf_topk_oracle(k=3)
+    sql["term_cooccurrence"] = textstats.term_pmi_pairs_oracle(k=25)
     sql["zipf_topk"] = textstats.zipf_topk_oracle(k=20)
     sql["vocab_summary"] = textstats.vocab_summary_oracle()
 

@@ -663,3 +663,130 @@ SELECT sum(cnt)::BIGINT AS n_token_occurrences,
   count(*) / sum(cnt)::DOUBLE AS type_token_ratio
 FROM counts
 """
+
+
+# ------------------------------------------------------------------ #
+# Term co-occurrence (PMI) — collocation mining for KG relation cues
+# ------------------------------------------------------------------ #
+
+COOC_MAX_TERMS = 64   # per-doc distinct-term cap (bounds pair fan-out)
+COOC_MIN_PAIR = 2     # noise floor: pair must co-occur in >= this many docs
+
+
+def term_pmi_pairs(
+    docs: DataFrame,
+    k: int = 25,
+    max_terms: int = COOC_MAX_TERMS,
+    min_pair: int = COOC_MIN_PAIR,
+) -> DataFrame:
+    """(ta, tb, pair_docs, df_a, df_b, pmi_ratio) — the ``k`` most
+    associated unordered term pairs across the corpus, scored by the
+    pointwise-mutual-information RATIO ``N * P(a,b) / (P(a) * P(b))``
+    = ``n_docs * pair_docs / (df_a * df_b)`` (document-level events).
+    The log is monotone, so ranking by the ratio IS ranking by PMI —
+    and the ratio uses only exact integer products and one double
+    division, making the ordering bit-identical across engines (the
+    same trick as ``tfidf_topk``'s linear idf).  Collocation mining is
+    the classic distributional cue for KG relation discovery ("which
+    entity pairs co-mention far above chance").
+
+    Plan: per-doc distinct terms are sorted and capped at
+    ``max_terms`` inside one codegen projection; unordered pairs are
+    generated SHUFFLE-FREE by a nested ``transform`` over the sorted
+    array (i < j positions, so ta < tb by construction) and exploded.
+    Then two grouped counts (pair key, term key) — both map-side
+    combinable — and a broadcast join of the tiny unigram table back
+    onto the pair counts.  Per-doc fan-out is bounded by
+    ``max_terms**2/2``; at 100 TB feed the cap from ``tfidf_topk``
+    instead of the alphabetical slice so the budget goes to salient
+    terms."""
+    toked = (
+        docs.withColumn("norm", norm_col())
+        .select(
+            "doc_id",
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.filter(tokens_col(), lambda t: t != "")
+                    )
+                ),
+                1,
+                max_terms,
+            ).alias("toks"),
+        )
+    )
+    # unordered pairs (i < j over the sorted array => ta < tb), built
+    # inside the projection -- no self-join, no shuffle to make pairs.
+    # NB the 2-arg transform lambda receives (element, index).
+    pairs = toked.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(toks, (t, i) -> transform("
+                    "slice(toks, i + 2, size(toks)), "
+                    "u -> named_struct('ta', t, 'tb', u)))"
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.ta", "p.tb")
+    uni = (
+        toked.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    pc = (
+        pairs.groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .filter(F.col("pair_docs") >= min_pair)
+    )
+    scored = (
+        pc.join(F.broadcast(uni.withColumnRenamed("tok", "ta")
+                .withColumnRenamed("df", "df_a")), "ta")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "tb")
+              .withColumnRenamed("df", "df_b")), "tb")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "ta", "tb", "pair_docs", "df_a", "df_b",
+            (
+                (F.col("n_docs") * F.col("pair_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), "ta", "tb"
+    ).limit(k)
+
+
+def term_pmi_pairs_oracle(
+    k: int = 25,
+    max_terms: int = COOC_MAX_TERMS,
+    min_pair: int = COOC_MIN_PAIR,
+) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_sort(list_distinct(list_filter(
+      {tokens_sql(norm_sql())}, x -> x <> '')))[1:{max_terms}] AS toks
+  FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS df FROM u GROUP BY tok),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS ta, b.tok AS tb
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+pc AS (
+  SELECT ta, tb, count(*) AS pair_docs FROM pairs GROUP BY ta, tb
+  HAVING count(*) >= {min_pair})
+SELECT pc.ta, pc.tb, pc.pair_docs, ua.df AS df_a, ub.df AS df_b,
+  (nd.n_docs * pc.pair_docs)::DOUBLE / (ua.df * ub.df)::DOUBLE
+    AS pmi_ratio
+FROM pc
+JOIN uni ua ON pc.ta = ua.tok
+JOIN uni ub ON pc.tb = ub.tok
+CROSS JOIN nd
+ORDER BY pmi_ratio DESC, pc.ta, pc.tb
+LIMIT {k}
+"""

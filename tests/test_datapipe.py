@@ -595,3 +595,38 @@ def test_line_dedup_matches_duckdb_oracle(spark):
         dedup.remove_boilerplate_lines_oracle()).fetchall()))
     con.close()
     assert got == want
+
+
+def test_term_pmi_ranks_true_collocation_first(spark):
+    # 'neural network' co-occurs always and exclusively; 'the' is
+    # everywhere, so its pairs score ~1 (chance) and rank below.
+    rows = [
+        (0, "the neural network model"),
+        (1, "the neural network trains"),
+        (2, "the neural network converges"),
+        (3, "the weather report today"),
+        (4, "the weather report tomorrow"),
+        (5, "the stock market moves"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.term_pmi_pairs(docs, k=5, min_pair=2).collect()
+    # rarer exclusive pair wins: 6*2/(2*2) = 3.0 > 6*3/(3*3) = 2.0
+    assert (out[0]["ta"], out[0]["tb"]) == ("report", "weather")
+    assert out[0]["pmi_ratio"] == 3.0
+    assert (out[1]["ta"], out[1]["tb"]) == ("network", "neural")
+    assert out[1]["pmi_ratio"] == 2.0
+    # any pair involving 'the' (df = 6) scores exactly 1.0 = chance
+    the_ratios = [r["pmi_ratio"] for r in out if "the" in (r["ta"], r["tb"])]
+    assert all(r == 1.0 for r in the_ratios)
+
+
+def test_term_pmi_pair_generation_is_ordered_and_distinct(spark):
+    # repeated token within a doc counts once; ta < tb always
+    docs = spark.createDataFrame(
+        [(0, "b a b a c"), (1, "a c b"), (2, "c b a")],
+        "doc_id long, text string",
+    )
+    out = textstats.term_pmi_pairs(docs, k=10, min_pair=1).collect()
+    assert all(r["ta"] < r["tb"] for r in out)
+    pairs = {(r["ta"], r["tb"]): r["pair_docs"] for r in out}
+    assert pairs == {("a", "b"): 3, ("a", "c"): 3, ("b", "c"): 3}
