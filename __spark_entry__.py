@@ -1464,6 +1464,18 @@ def _q_graph_communities(spark, sf_dir):
     )
 
 
+def _q_graph_random_walks(spark, sf_dir):
+    """Deterministic node2vec/DeepWalk corpus over the induced entity
+    graph: salted-md5 step choice makes walks reproducible across
+    runs, engines, and partitionings; oracle replays the identical
+    choices through unrolled step CTEs."""
+    return graphstats.random_walks(
+        relational.induce_entity_edges(spark, sf_dir),
+        walk_len=3,
+        walks_per_node=1,
+    )
+
+
 def _q_graph_triangles(spark, sf_dir):
     """Closure-rate probe on the tri-partite lineitem slice (every line
     item closes an order—part—supplier triangle)."""
@@ -1492,7 +1504,7 @@ _SF_SCALE = {
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
-    "graph_bfs_hops", "graph_communities",
+    "graph_bfs_hops", "graph_communities", "graph_random_walks",
 }
 
 
@@ -1719,6 +1731,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
         "graph_communities": _q_graph_communities,
+        "graph_random_walks": _q_graph_random_walks,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
         "delete_impact_text": _q_delete_impact_text,
@@ -3158,6 +3171,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_communities"] = graphstats.label_propagation_sql(
         relational.ENTITY_EDGES_SQL, iters=3
+    )
+    sql["graph_random_walks"] = graphstats.random_walks_sql(
+        relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1
     )
     sql["graph_bfs_hops"] = graphstats.bfs_hops_sql(
         relational.ENTITY_EDGES_SQL,

@@ -143,6 +143,11 @@ def main() -> None:
         # term-salience / vocab ops (r2)
         "tfidf_topk",
         "zipf_topk",
+        # r2 late additions: communities, walks, line dedup, collocations
+        "graph_communities",
+        "graph_random_walks",
+        "line_dedup",
+        "term_cooccurrence",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -416,3 +416,131 @@ l0 AS MATERIALIZED (
 {",".join(rounds)}
 SELECT node, label FROM {prev} ORDER BY node
 """
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    salt: str = "w1",
+) -> DataFrame:
+    """(walk_id, step, node) — ``walks_per_node`` deterministic random
+    walks of up to ``walk_len`` steps from every node with out-edges:
+    the node2vec/DeepWalk corpus generator that turns a materialized KG
+    into skip-gram training sequences.
+
+    "Random" is salted-hash pseudo-randomness, not RNG state: the step
+    choice is ``md5(salt:walk_id:step:node) % out_deg`` over the
+    node's dst-sorted neighbour ranks, so walks are reproducible
+    across runs, engines, and partitionings (the same property the
+    corpus ``split_corpus`` relies on), and a DuckDB twin can replay
+    them bit-for-bit.  Walks stop early at sinks (inner join drops
+    them from later frontiers) — step counts are ragged by design.
+
+    Plan: the dst-ranked neighbour table (one window over the distinct
+    edge list) is checkpointed once; each step is ONE equi-join of the
+    frontier on the node key with the rank equality folded in as a
+    post-join filter.  ``walk_len`` joins total, frontier-sized
+    shuffles only — never path-enumeration; at cluster scale
+    pre-partition the ranked table by ``src`` and every step reuses
+    that exchange."""
+    from pyspark.sql import Window
+
+    dedges = edges.filter(F.col("src") != F.col("dst")).distinct()
+    ranked = (
+        dedges.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+        )
+        .withColumn("out_deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+    starts = (
+        dedges.select("src").distinct()
+        .select(
+            "src",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("i"),
+        )
+        .select(
+            F.concat(F.col("src"), F.lit("#"), F.col("i").cast("string"))
+            .alias("walk_id"),
+            F.col("src").alias("node"),
+        )
+    )
+    frontier = starts.localCheckpoint(eager=True)
+    out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    for step in range(1, walk_len + 1):
+        choice = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(salt),
+                            F.col("walk_id"),
+                            F.lit(str(step)),
+                            F.col("node"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("out_deg")
+            + 1
+        )
+        frontier = (
+            frontier.join(ranked, frontier["node"] == ranked["src"])
+            .filter(F.col("rank") == choice)
+            .select("walk_id", F.col("dst").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(step).alias("step"), "node")
+        )
+    return out.orderBy("walk_id", "step")
+
+
+def random_walks_sql(
+    edges_cte: str,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    salt: str = "w1",
+) -> str:
+    """DuckDB twin: identical salted-md5 step choice replayed through
+    unrolled step CTEs.  ``edges_cte`` must define ``edges(src, dst)``."""
+    steps = []
+    prev = "w0"
+    for s in range(1, walk_len + 1):
+        steps.append(f"""
+w{s} AS MATERIALIZED (
+  SELECT w.walk_id, r.dst AS node
+  FROM {prev} w JOIN ranked r ON r.src = w.node
+  AND r.rank = ('0x' || substr(md5(
+        '{salt}' || ':' || w.walk_id || ':' || '{s}' || ':' || w.node),
+      1, 4))::BIGINT % r.out_deg + 1)""")
+        prev = f"w{s}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {s} AS step, node FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    return f"""
+WITH {edges_cte.strip()},
+de AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ranked AS MATERIALIZED (
+  SELECT src, dst,
+    row_number() OVER (PARTITION BY src ORDER BY dst) AS rank,
+    count(*) OVER (PARTITION BY src) AS out_deg
+  FROM de),
+w0 AS MATERIALIZED (
+  SELECT s.src || '#' || u.i::VARCHAR AS walk_id, s.src AS node
+  FROM (SELECT DISTINCT src FROM de) s,
+  unnest(generate_series(0, {walks_per_node - 1})) AS u(i)),
+{",".join(steps)}
+SELECT walk_id, step, node FROM ({union})
+ORDER BY walk_id, step
+"""

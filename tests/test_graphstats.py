@@ -154,3 +154,56 @@ def test_label_propagation_matches_unrolled_oracle(spark):
     want = sorted((n, l) for n, l in con.sql(sql).fetchall())
     con.close()
     assert got == want
+
+
+def test_random_walks_laws(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    out = G.random_walks(edges, walk_len=3, walks_per_node=2).collect()
+    by_walk = {}
+    for r in out:
+        by_walk.setdefault(r["walk_id"], []).append((r["step"], r["node"]))
+    # every node with out-edges starts walks_per_node walks
+    assert {w.split("#")[0] for w in by_walk} == {"a", "b", "c", "d"}
+    assert all(w.split("#")[1] in {"0", "1"} for w in by_walk)
+    # steps are contiguous from 0 and every hop is a real edge
+    eset = {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e")}
+    for wid, steps in by_walk.items():
+        steps.sort()
+        assert [s for s, _ in steps] == list(range(len(steps)))
+        assert steps[0][1] == wid.split("#")[0]
+        for (s1, n1), (_, n2) in zip(steps, steps[1:]):
+            assert (n1, n2) in eset
+    # sink 'e' terminates walks early: any walk reaching e ends there
+    for wid, steps in by_walk.items():
+        nodes = [n for _, n in sorted(steps)]
+        if "e" in nodes:
+            assert nodes.index("e") == len(nodes) - 1
+    # determinism: a rerun is bit-identical
+    again = G.random_walks(edges, walk_len=3, walks_per_node=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different salt reroutes at least one walk
+    other = G.random_walks(edges, walk_len=3, walks_per_node=2, salt="w2")
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other.collect()))
+
+
+def test_random_walks_match_unrolled_oracle(spark):
+    import duckdb
+
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+            ("d", "e"), ("e", "a"), ("b", "d")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in G.random_walks(edges, walk_len=4, walks_per_node=2).collect()
+    )
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.random_walks_sql(
+        f"edges(src, dst) AS (VALUES {vals})", walk_len=4, walks_per_node=2
+    )
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    con.close()
+    assert got == want
