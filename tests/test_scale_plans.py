@@ -388,3 +388,43 @@ def test_temporal_ops_shuffle_counts(spark):
     )
     assert exchanges(T.session_stats(ev, tiebreak="event_id")) == 1
     assert exchanges(T.latest_snapshot(ev, "user_id", tiebreak="event_id")) == 1
+
+
+def test_line_dedup_plan_broadcast_anti_no_window(spark):
+    """Boilerplate removal must gate heavy lines via broadcast
+    anti-join (the heavy list is tiny by the power law), never a
+    Window count over the line key, and must not shuffle the line
+    table to generate pairs."""
+    from orionbelt_ontology_builder_spark.datapipe import dedup
+
+    out = dedup.remove_boilerplate_lines(dedup.boilerplate_fixture_df(spark))
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_term_pmi_plan_pair_generation_shuffle_free(spark):
+    """PMI pair generation happens inside the projection (nested
+    transform over the sorted term array) — the plan must carry NO
+    exchange keyed on doc_id (a self-join formulation would) and no
+    cartesian shapes."""
+    import re
+
+    from orionbelt_ontology_builder_spark.datapipe import textstats
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma t{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(textstats.term_pmi_pairs(docs, k=5))
+    assert "CartesianProduct" not in plan
+    # (a BroadcastNestedLoopJoin IS present: the 1-row n_docs scalar
+    # cross-joined broadcast — the sanctioned scalar pattern, same as
+    # pagerank's dangling mass. What must NOT appear is any exchange
+    # keyed on doc_id: that would mean pairs were made by a self-join.)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    assert not any("doc_id" in e for e in exchanges), exchanges
