@@ -1297,6 +1297,13 @@ def _q_dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Fingerprint-containment pairs (Broder containment / RefinedWeb
+    substring-dedup): catches a short doc embedded in a long one,
+    which Jaccard-style MinHash misses by construction."""
+    return dedup.containment_pairs(_docs(spark, sf_dir))
+
+
 def _q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(_docs(spark, sf_dir))
 
@@ -1495,7 +1502,7 @@ _SF_SCALE = {
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
-    "lang_id", "doc_fingerprint", "dedup_exact",
+    "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
@@ -1706,6 +1713,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "dedup_containment": _q_dedup_containment,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -3132,6 +3140,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["lang_id"] = textstats.lang_id_oracle()
     sql["doc_fingerprint"] = textstats.fingerprints_oracle()
     sql["dedup_exact"] = dedup.exact_dedup_oracle()
+    sql["dedup_containment"] = dedup.containment_pairs_oracle()
     sql["dedup_minhash_pairs"] = dedup.minhash_band_pairs_oracle()
     sql["dedup_clusters"] = dedup.dedup_clusters_oracle()
     sql["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(threshold=0.3, max_doc_id=120)

@@ -148,6 +148,7 @@ def main() -> None:
         "graph_random_walks",
         "line_dedup",
         "term_cooccurrence",
+        "dedup_containment",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

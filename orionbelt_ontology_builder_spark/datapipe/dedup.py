@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import norm_col, norm_sql
+from .textstats import norm_col, norm_sql, tokens_col, tokens_sql
 
 SHINGLE = 5          # character-shingle width
 MINHASH_K = 12       # signature length
@@ -861,4 +861,147 @@ SELECT nl.doc_id, nl.n_lines,
   coalesce(agg.clean_text, '') AS clean_text
 FROM nl LEFT JOIN agg USING (doc_id)
 ORDER BY nl.doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Fingerprint-containment dedup (substring/subset duplication)
+# ------------------------------------------------------------------ #
+
+CONTAIN_GRAM = 5      # word-gram width for containment fingerprints
+CONTAIN_MOD = 4       # keep grams whose hash % mod == 0 (~1/mod sampled)
+CONTAIN_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    docs: DataFrame,
+    gram: int = CONTAIN_GRAM,
+    mod: int = CONTAIN_MOD,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(doc_a, doc_b, shared, fp_a, fp_b, contain_a, contain_b) — doc
+    pairs where one side's sampled fingerprint set is >= ``threshold``
+    contained in the intersection: the SUBSTRING/SUBSET-duplication
+    detector (quote farms, wrapper pages, partial scrapes) that
+    Jaccard-style MinHash misses by construction (a short doc embedded
+    in a long one has low Jaccard but containment ~1; Broder's
+    containment measure / RefinedWeb substring-dedup stage).
+
+    Fingerprints are the deterministic "0 mod p" selection
+    (Manber/Broder): a doc's distinct word-``gram`` md5s whose leading
+    16 bits are ``% mod == 0`` — every engine and every run samples
+    the SAME grams, so containment is exact over the sample, not an
+    estimate that varies.  ``contain_a = shared / fp_a`` (and
+    symmetrically b); a pair is emitted when either side clears
+    ``threshold``.  Docs too short to yield any sampled gram cannot
+    appear (documented; lower ``mod`` to cover them).
+
+    Plan: fingerprint selection is one codegen projection (array
+    transform + filter, no explode of unsampled grams); the exploded
+    sampled hashes (~tokens/mod per doc) group once for the
+    boilerplate-gram skew cap (a gram in > ``max_bucket`` docs is
+    dropped via broadcast anti-join — the same guard as the MinHash
+    bands), then one self-equi-join on the hash key makes candidate
+    pairs and one grouped count computes |intersection| directly — no
+    per-pair re-verification pass needed, the count IS the measure."""
+    toked = (
+        docs.withColumn("norm", norm_col())
+        .withColumn("toks", tokens_col())
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(filter(transform("
+                f"sequence(1, greatest(0, size(toks) - {gram - 1})), "
+                f"i -> md5(array_join(slice(toks, i, {gram}), ' '))), "
+                f"h -> conv(substring(h, 1, 4), 16, 10) % {mod} = 0))"
+            ).alias("fps"),
+        )
+        .filter(F.size("fps") > 0)
+    )
+    fp_counts = toked.select(
+        "doc_id", F.size("fps").alias("fp_n")
+    )
+    ex = toked.select("doc_id", F.explode("fps").alias("h"))
+    hot = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("h")
+    )
+    ex = ex.join(F.broadcast(hot), "h", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(fp_counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("fp_n").alias("fp_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(fp_counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("fp_n").alias("fp_b"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "shared", "fp_a", "fp_b",
+            (F.col("shared").cast("double") / F.col("fp_a").cast("double"))
+            .alias("contain_a"),
+            (F.col("shared").cast("double") / F.col("fp_b").cast("double"))
+            .alias("contain_b"),
+        )
+        .filter(
+            (F.col("contain_a") >= threshold) | (F.col("contain_b") >= threshold)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def containment_pairs_oracle(
+    gram: int = CONTAIN_GRAM,
+    mod: int = CONTAIN_MOD,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+    table: str = "documents",
+) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql(norm_sql())} AS toks FROM {table}),
+fp AS (
+  SELECT doc_id,
+    list_distinct(list_filter(list_transform(
+      generate_series(1, greatest(0, len(toks) - {gram - 1})),
+      i -> md5(array_to_string(toks[i:i+{gram - 1}], ' '))),
+      h -> ('0x' || substr(h, 1, 4))::BIGINT % {mod} = 0)) AS fps
+  FROM t),
+fpn AS (
+  SELECT doc_id, len(fps) AS fp_n FROM fp WHERE len(fps) > 0),
+ex AS (
+  SELECT doc_id, unnest(fps) AS h FROM fp WHERE len(fps) > 0),
+hot AS (
+  SELECT h FROM ex GROUP BY h HAVING count(*) > {max_bucket}),
+exg AS (
+  SELECT ex.doc_id, ex.h FROM ex LEFT JOIN hot USING (h)
+  WHERE hot.h IS NULL),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM exg a JOIN exg b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT s.doc_a, s.doc_b, s.shared, fa.fp_n AS fp_a, fb.fp_n AS fp_b,
+  s.shared::DOUBLE / fa.fp_n::DOUBLE AS contain_a,
+  s.shared::DOUBLE / fb.fp_n::DOUBLE AS contain_b
+FROM shared s
+JOIN fpn fa ON s.doc_a = fa.doc_id
+JOIN fpn fb ON s.doc_b = fb.doc_id
+WHERE s.shared::DOUBLE / fa.fp_n::DOUBLE >= {threshold}
+   OR s.shared::DOUBLE / fb.fp_n::DOUBLE >= {threshold}
+ORDER BY s.doc_a, s.doc_b
 """

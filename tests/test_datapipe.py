@@ -630,3 +630,47 @@ def test_term_pmi_pair_generation_is_ordered_and_distinct(spark):
     assert all(r["ta"] < r["tb"] for r in out)
     pairs = {(r["ta"], r["tb"]): r["pair_docs"] for r in out}
     assert pairs == {("a", "b"): 3, ("a", "c"): 3, ("b", "c"): 3}
+
+
+def test_containment_catches_embedded_doc_minhash_misses(spark):
+    # doc 1 is a 30-token prefix of the 150-token doc 0: containment of
+    # the short side is ~1 while Jaccard (which MinHash thresholds on)
+    # is ~0.2 -- the case this operator exists for.
+    words = [f"w{i}" for i in range(150)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[:30])
+    other = " ".join(f"z{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, long_doc), (1, short_doc), (2, other)],
+        "doc_id long, text string",
+    )
+    out = dedup.containment_pairs(docs, threshold=0.8).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    # the short side is fully contained (every sampled gram of doc 1
+    # also occurs in doc 0)
+    assert r["contain_b"] == 1.0
+    assert r["contain_a"] < 0.8          # asymmetry preserved
+    # the unrelated doc never pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_containment_matches_duckdb_on_sample(spark, docs):
+    import duckdb
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["shared"], r["fp_a"], r["fp_b"])
+        for r in dedup.containment_pairs(docs).collect()
+    )
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        (a, b, s, fa, fb)
+        for a, b, s, fa, fb, _, _ in con.execute(
+            dedup.containment_pairs_oracle()
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
