@@ -1489,6 +1489,16 @@ def _q_graph_triangles(spark, sf_dir):
     return graphstats.triangle_count(relational.induce_lineitem_edges(spark, sf_dir))
 
 
+def _q_graph_neighbor_jaccard(spark, sf_dir):
+    """Structural-equivalence alias detector on the tri-partite
+    lineitem slice: node pairs with near-identical hub-filtered
+    neighbourhoods (the graph-side complement of the MinHash string
+    linker)."""
+    return graphstats.neighbor_jaccard(
+        relational.induce_lineitem_edges(spark, sf_dir)
+    )
+
+
 #: queries that touch sf-scale parquet / synthesized corpora — these
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
@@ -1512,6 +1522,7 @@ _SF_SCALE = {
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
+    "graph_neighbor_jaccard",
 }
 
 
@@ -1740,6 +1751,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "graph_communities": _q_graph_communities,
         "graph_random_walks": _q_graph_random_walks,
+        "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
         "delete_impact_text": _q_delete_impact_text,
@@ -3183,6 +3195,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_random_walks"] = graphstats.random_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1
+    )
+    sql["graph_neighbor_jaccard"] = graphstats.neighbor_jaccard_sql(
+        relational.lineitem_edges_sql()
     )
     sql["graph_bfs_hops"] = graphstats.bfs_hops_sql(
         relational.ENTITY_EDGES_SQL,

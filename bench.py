@@ -149,6 +149,7 @@ def main() -> None:
         "line_dedup",
         "term_cooccurrence",
         "dedup_containment",
+        "graph_neighbor_jaccard",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -544,3 +544,121 @@ w0 AS MATERIALIZED (
 SELECT walk_id, step, node FROM ({union})
 ORDER BY walk_id, step
 """
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    min_shared: int = 2,
+    hub_cap: int = 50,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """(node_a, node_b, shared, deg_a, deg_b, jaccard) — node pairs
+    whose (hub-filtered) undirected neighbour sets overlap with
+    Jaccard >= ``threshold``: the structural-equivalence alias
+    detector.  After canonicalization, two entities the text pipeline
+    failed to merge still sit on near-identical neighbourhoods — this
+    surfaces them for review (the graph-side complement of the
+    MinHash string-similarity linker).
+
+    Neighbours with degree > ``hub_cap`` are excluded FIRST, and both
+    ``shared`` and the degrees are computed over the filtered
+    neighbour table, so the measure stays internally consistent: a
+    hub (everyone links rdf:type-like nodes) carries no alias signal
+    but would contribute O(deg^2) wedges — the standard wedge-
+    explosion guard.  ``jaccard = shared / (deg_a + deg_b - shared)``
+    over exact integer counts + one double division (bit-stable
+    cross-engine).
+
+    Plan: undirected neighbour table (one distinct), hub list (one
+    grouped count, broadcast anti-join), wedge self-equi-join on the
+    shared-neighbour key bounded by ``hub_cap`` fan-out, one grouped
+    count, broadcast degree joins.  At 100 TB the wedge join is the
+    only super-linear stage and its per-key fan-out is capped at
+    ``hub_cap**2`` by construction."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    hubs = (
+        nbr.groupBy("nbr")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") > hub_cap)
+        .select("nbr")
+    )
+    filt = nbr.join(F.broadcast(hubs), "nbr", "left_anti").localCheckpoint(
+        eager=True
+    )
+    deg = filt.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    x, y = filt.alias("x"), filt.alias("y")
+    shared = (
+        x.join(y, (F.col("x.nbr") == F.col("y.nbr"))
+               & (F.col("x.node") < F.col("y.node")))
+        .groupBy(
+            F.col("x.node").alias("node_a"), F.col("y.node").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            F.broadcast(deg.select(F.col("node").alias("node_a"),
+                                   F.col("deg").alias("deg_a"))), "node_a")
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("node_b"),
+                                   F.col("deg").alias("deg_b"))), "node_b")
+        .select(
+            "node_a", "node_b", "shared", "deg_a", "deg_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared"))
+                .cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("node_a", "node_b")
+    )
+
+
+def neighbor_jaccard_sql(
+    edges_cte: str,
+    min_shared: int = 2,
+    hub_cap: int = 50,
+    threshold: float = 0.25,
+) -> str:
+    """DuckDB twin; ``edges_cte`` must define ``edges(src, dst)``."""
+    return f"""
+WITH {edges_cte.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+nbr AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und),
+hubs AS (
+  SELECT nbr FROM nbr GROUP BY nbr HAVING count(*) > {hub_cap}),
+filt AS MATERIALIZED (
+  SELECT n.node, n.nbr FROM nbr n LEFT JOIN hubs h USING (nbr)
+  WHERE h.nbr IS NULL),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM filt GROUP BY node),
+shared AS (
+  SELECT x.node AS node_a, y.node AS node_b, count(*) AS shared
+  FROM filt x JOIN filt y ON x.nbr = y.nbr AND x.node < y.node
+  GROUP BY x.node, y.node
+  HAVING count(*) >= {min_shared})
+SELECT s.node_a, s.node_b, s.shared, da.deg AS deg_a, db.deg AS deg_b,
+  s.shared::DOUBLE / (da.deg + db.deg - s.shared)::DOUBLE AS jaccard
+FROM shared s
+JOIN deg da ON s.node_a = da.node
+JOIN deg db ON s.node_b = db.node
+WHERE s.shared::DOUBLE / (da.deg + db.deg - s.shared)::DOUBLE >= {threshold}
+ORDER BY s.node_a, s.node_b
+"""

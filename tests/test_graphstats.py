@@ -207,3 +207,56 @@ def test_random_walks_match_unrolled_oracle(spark):
     want = sorted(map(tuple, con.sql(sql).fetchall()))
     con.close()
     assert got == want
+
+
+def test_neighbor_jaccard_finds_structural_twins(spark):
+    # u and v link the same three neighbours (n1..n3) -> jaccard 1.0;
+    # hub h is linked by everyone and must not create wedges.
+    rows = (
+        [("u", f"n{i}") for i in range(3)]
+        + [("v", f"n{i}") for i in range(3)]
+        + [("w", "n0")]
+        + [(x, "h") for x in ("u", "v", "w", "n0", "n1", "n2")]
+    )
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {(r["node_a"], r["node_b"]): r
+           for r in G.neighbor_jaccard(edges, min_shared=1, hub_cap=5,
+                                       threshold=0.0).collect()}
+    # u,v share n0..n2 but NOT h: the hub is excluded as a wedge
+    # center, so shared is 3 (not 4) and jaccard a clean 1.0 over the
+    # hub-filtered degree 3 (not 4/4 over raw degree)
+    assert out[("u", "v")]["jaccard"] == 1.0
+    assert out[("u", "v")]["shared"] == 3
+    assert out[("u", "v")]["deg_a"] == 3 and out[("u", "v")]["deg_b"] == 3
+    # w shares only n0 with u: jaccard = 1/3 (degrees exclude the hub)
+    assert out[("u", "w")]["jaccard"] == 1.0 / 3.0
+    # n0,n1 share exactly their non-hub wedges u and v — the hub never
+    # contributes to any pair's shared count
+    assert out[("n0", "n1")]["shared"] == 2
+
+
+def test_neighbor_jaccard_matches_sql_twin(spark):
+    import duckdb
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "x"),
+            ("c", "z"), ("d", "z")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(
+        (r["node_a"], r["node_b"], r["shared"], r["deg_a"], r["deg_b"],
+         round(r["jaccard"], 12))
+        for r in G.neighbor_jaccard(
+            edges, min_shared=1, hub_cap=50, threshold=0.0
+        ).collect()
+    )
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.neighbor_jaccard_sql(
+        f"edges(src, dst) AS (VALUES {vals})",
+        min_shared=1, hub_cap=50, threshold=0.0,
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (a, b, s, da, db, round(j, 12))
+        for a, b, s, da, db, j in con.sql(sql).fetchall()
+    )
+    con.close()
+    assert got == want
