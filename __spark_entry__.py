@@ -512,6 +512,13 @@ def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.term_pmi_pairs(_docs(spark, sf_dir), k=25)
 
 
+def _q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM count table (corpus count, doc frequency, KN
+    continuation count) — the KenLM-prep statistics behind CCNet-style
+    perplexity filtering."""
+    return textstats.ngram_lm_counts(_docs(spark, sf_dir), n=2, k=30)
+
+
 def _q_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.zipf_topk(_docs(spark, sf_dir), k=20)
 
@@ -1506,7 +1513,7 @@ _SF_SCALE = {
     "induced_search", "tpch_q1", "top_customers", "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "tfidf_topk",
-    "term_cooccurrence",
+    "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
@@ -1661,6 +1668,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": _q_session_stats,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
+        "ngram_lm_counts": _q_ngram_lm_counts,
         "zipf_topk": _q_zipf_topk,
         "vocab_summary": _q_vocab_summary,
         "resource_options": _q_resource_options,
@@ -2384,6 +2392,7 @@ ORDER BY user_id, session_idx
 
     sql["tfidf_topk"] = textstats.tfidf_topk_oracle(k=3)
     sql["term_cooccurrence"] = textstats.term_pmi_pairs_oracle(k=25)
+    sql["ngram_lm_counts"] = textstats.ngram_lm_counts_oracle(n=2, k=30)
     sql["zipf_topk"] = textstats.zipf_topk_oracle(k=20)
     sql["vocab_summary"] = textstats.vocab_summary_oracle()
 

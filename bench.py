@@ -150,6 +150,7 @@ def main() -> None:
         "term_cooccurrence",
         "dedup_containment",
         "graph_neighbor_jaccard",
+        "ngram_lm_counts",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -790,3 +790,81 @@ CROSS JOIN nd
 ORDER BY pmi_ratio DESC, pc.ta, pc.tb
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------------ #
+# n-gram LM count tables (KenLM-prep / CCNet perplexity-filter stats)
+# ------------------------------------------------------------------ #
+
+NGRAM_N = 2
+BOS = "<s>"   # begin-of-doc left context (KN-style)
+
+
+def ngram_lm_counts(docs: DataFrame, n: int = NGRAM_N, k: int = 30) -> DataFrame:
+    """(gram, count, n_docs, n_left_contexts) — the top-``k`` word
+    ``n``-grams by corpus frequency, with document frequency and the
+    Kneser-Ney continuation statistic N1+(·g) = number of DISTINCT
+    tokens observed immediately left of the gram (begin-of-doc counts
+    as the ``<s>`` context).  These three tables are exactly what a
+    KenLM-style LM needs per order — the CCNet recipe scores web docs
+    by LM perplexity and filters on it, and at 100 TB the count
+    tables ARE the training step.
+
+    One codegen projection builds the (left, gram) pair array per doc
+    (indexed transform over the token array — no self-join), one
+    explode, one grouped aggregation with map-side partials; distinct
+    counts shuffle (gram, doc_id/left) key pairs that are uniform by
+    construction.  Top-k by (count desc, gram asc) — total order."""
+    pairs = (
+        docs.withColumn("norm", norm_col())
+        .withColumn(
+            "toks",
+            F.when(F.col("norm") == "", F.expr("array()")).otherwise(
+                F.split(F.col("norm"), " ")
+            ),
+        )
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}), i -> "
+                    f"named_struct("
+                    f"'left', if(i = 1, '{BOS}', toks[i - 2]), "
+                    f"'gram', array_join(slice(toks, i, {n}), ' ')))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.left", "p.gram")
+    )
+    return (
+        pairs.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("left").alias("n_left_contexts"),
+        )
+        .orderBy(F.col("count").desc(), "gram")
+        .limit(k)
+    )
+
+
+def ngram_lm_counts_oracle(n: int = NGRAM_N, k: int = 30) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN {norm_sql()} = '' THEN []::VARCHAR[]
+         ELSE {tokens_sql(norm_sql())} END AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    CASE WHEN i = 1 THEN '{BOS}' ELSE toks[i - 1] END AS lft,
+    array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {n - 1})) AS u(i)
+  WHERE len(toks) >= {n})
+SELECT gram, count(*) AS count, count(DISTINCT doc_id) AS n_docs,
+  count(DISTINCT lft) AS n_left_contexts
+FROM p GROUP BY gram
+ORDER BY count DESC, gram
+LIMIT {k}
+"""

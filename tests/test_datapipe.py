@@ -674,3 +674,31 @@ def test_containment_matches_duckdb_on_sample(spark, docs):
     )
     con.close()
     assert got == want
+
+
+def test_ngram_lm_counts_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c a b"), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: r for r in
+           textstats.ngram_lm_counts(docs, n=2, k=10).collect()}
+    # 'a b' occurs 3x (twice in doc 0, once in doc 1) across 2 docs
+    assert out["a b"]["count"] == 3 and out["a b"]["n_docs"] == 2
+    # left contexts of 'a b': <s> (doc0 start), 'b' (doc0 2nd), 'c' -> 3
+    assert out["a b"]["n_left_contexts"] == 3
+    # 'b a' occurs once, left 'a' only
+    assert out["b a"]["count"] == 1
+    assert out["b a"]["n_left_contexts"] == 1
+    # single-token doc yields no bigram
+    assert not any(g.startswith("x") for g in out)
+
+
+def test_ngram_lm_counts_trigram_order(spark):
+    docs = spark.createDataFrame(
+        [(0, "p q r p q r"), (1, "p q r")], "doc_id long, text string"
+    )
+    out = textstats.ngram_lm_counts(docs, n=3, k=3).collect()
+    assert out[0]["gram"] == "p q r" and out[0]["count"] == 3
+    # left contexts of 'p q r': <s> (both doc starts) and 'r' (repeat)
+    assert out[0]["n_left_contexts"] == 2
