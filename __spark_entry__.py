@@ -1496,6 +1496,19 @@ def _q_graph_triangles(spark, sf_dir):
     return graphstats.triangle_count(relational.induce_lineitem_edges(spark, sf_dir))
 
 
+def _q_walk_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context) training pairs from the
+    deterministic walks — the actual node2vec/DeepWalk input; walks
+    replayed identically by both engines, pairs counted within a
+    2-step window."""
+    walks = graphstats.random_walks(
+        relational.induce_entity_edges(spark, sf_dir),
+        walk_len=3,
+        walks_per_node=1,
+    )
+    return graphstats.walk_skipgrams(walks, window=2)
+
+
 def _q_graph_neighbor_jaccard(spark, sf_dir):
     """Structural-equivalence alias detector on the tri-partite
     lineitem slice: node pairs with near-identical hub-filtered
@@ -1529,7 +1542,7 @@ _SF_SCALE = {
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
-    "graph_neighbor_jaccard",
+    "graph_neighbor_jaccard", "walk_skipgrams",
 }
 
 
@@ -1760,6 +1773,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": _q_graph_communities,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
+        "walk_skipgrams": _q_walk_skipgrams,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
         "delete_impact_text": _q_delete_impact_text,
@@ -3207,6 +3221,12 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_neighbor_jaccard"] = graphstats.neighbor_jaccard_sql(
         relational.lineitem_edges_sql()
+    )
+    sql["walk_skipgrams"] = graphstats.walk_skipgrams_sql(
+        graphstats.random_walks_sql(
+            relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1
+        ),
+        window=2,
     )
     sql["graph_bfs_hops"] = graphstats.bfs_hops_sql(
         relational.ENTITY_EDGES_SQL,

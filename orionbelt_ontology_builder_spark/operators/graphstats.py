@@ -662,3 +662,46 @@ JOIN deg db ON s.node_b = db.node
 WHERE s.shared::DOUBLE / (da.deg + db.deg - s.shared)::DOUBLE >= {threshold}
 ORDER BY s.node_a, s.node_b
 """
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_pairs) — skip-gram co-occurrence counts from
+    a ``random_walks`` output: every ordered (center, context) node
+    pair within ``window`` steps of each other on the same walk, with
+    multiplicity.  This is the actual training input of
+    node2vec/DeepWalk — the walks are the corpus, these pairs are the
+    (word, context) examples the embedding trains on.
+
+    One self-equi-join on walk_id bounded by the step-distance
+    predicate (per-walk fan-out <= 2*window per row — walks are
+    ``walk_len``-bounded so the join never explodes), one grouped
+    count with map-side partials.  At cluster scale walks are written
+    partitioned by walk_id hash, making the self-join co-located."""
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("a.step") != F.col("b.step"))
+            & (F.abs(F.col("a.step") - F.col("b.step")) <= window),
+        )
+        .groupBy(
+            F.col("a.node").alias("center"), F.col("b.node").alias("context")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("center", "context")
+    )
+
+
+def walk_skipgrams_sql(walks_sql: str, window: int = 2) -> str:
+    """DuckDB twin over the ``random_walks_sql`` result (passed as a
+    complete query string)."""
+    return f"""
+WITH walks AS MATERIALIZED ({walks_sql.strip()})
+SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+  AND abs(a.step - b.step) <= {window}
+GROUP BY a.node, b.node
+ORDER BY center, context
+"""

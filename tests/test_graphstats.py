@@ -260,3 +260,43 @@ def test_neighbor_jaccard_matches_sql_twin(spark):
     )
     con.close()
     assert got == want
+
+
+def test_walk_skipgrams_window_law(spark):
+    walks = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c"), ("w", 3, "d"),
+         ("v", 0, "a"), ("v", 1, "b")],
+        "walk_id string, step int, node string",
+    )
+    out = {(r["center"], r["context"]): r["n_pairs"]
+           for r in G.walk_skipgrams(walks, window=2).collect()}
+    # symmetric: (a,b) appears in both walks -> 2; (b,a) likewise
+    assert out[("a", "b")] == 2 and out[("b", "a")] == 2
+    # distance 2 pairs included, distance 3 excluded
+    assert out[("a", "c")] == 1
+    assert ("a", "d") not in out
+    # no self pairs, no cross-walk pairs
+    assert all(c != x for c, x in out)
+
+
+def test_walk_skipgrams_match_sql_twin(spark):
+    import duckdb
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    walks = G.random_walks(edges, walk_len=3, walks_per_node=2)
+    got = sorted(
+        (r["center"], r["context"], r["n_pairs"])
+        for r in G.walk_skipgrams(walks, window=2).collect()
+    )
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.walk_skipgrams_sql(
+        G.random_walks_sql(
+            f"edges(src, dst) AS (VALUES {vals})", walk_len=3, walks_per_node=2
+        ),
+        window=2,
+    )
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    con.close()
+    assert got == want
