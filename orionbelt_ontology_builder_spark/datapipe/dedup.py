@@ -897,32 +897,43 @@ def containment_pairs(
     ``threshold``.  Docs too short to yield any sampled gram cannot
     appear (documented; lower ``mod`` to cover them).
 
-    Plan: fingerprint selection is one codegen projection (array
-    transform + filter, no explode of unsampled grams); the exploded
-    sampled hashes (~tokens/mod per doc) group once for the
-    boilerplate-gram skew cap (a gram in > ``max_bucket`` docs is
-    dropped via broadcast anti-join — the same guard as the MinHash
-    bands), then one self-equi-join on the hash key makes candidate
-    pairs and one grouped count computes |intersection| directly — no
-    per-pair re-verification pass needed, the count IS the measure."""
-    toked = (
-        docs.withColumn("norm", norm_col())
+    Plan: grams are exploded as strings and the md5 + mod-selection
+    run as a CODEGEN projection over the exploded rows — md5 must not
+    live inside the higher-order ``transform``/``filter`` lambdas,
+    which are CodegenFallback (interpreted per element; the same
+    hoisting that took the MinHash signature stage 11.4s -> 0.9s).
+    The surviving sampled hashes (~tokens/mod per doc) dedup once to
+    the distinct (doc_id, h) set, group once for the boilerplate-gram
+    skew cap (a gram in > ``max_bucket`` docs is dropped via
+    broadcast anti-join — the same guard as the MinHash bands), then
+    one self-equi-join on the hash key makes candidate pairs and one
+    grouped count computes |intersection| directly — no per-pair
+    re-verification pass needed, the count IS the measure."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(par)
+        .withColumn("norm", norm_col())
         .withColumn("toks", tokens_col())
+        .filter(F.size("toks") >= gram)
         .select(
             "doc_id",
-            F.expr(
-                f"array_distinct(filter(transform("
-                f"sequence(1, greatest(0, size(toks) - {gram - 1})), "
-                f"i -> md5(array_join(slice(toks, i, {gram}), ' '))), "
-                f"h -> conv(substring(h, 1, 4), 16, 10) % {mod} = 0))"
-            ).alias("fps"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {gram - 1}), "
+                    f"i -> array_join(slice(toks, i, {gram}), ' '))"
+                )
+            ).alias("g"),
         )
-        .filter(F.size("fps") > 0)
     )
-    fp_counts = toked.select(
-        "doc_id", F.size("fps").alias("fp_n")
+    ex = (
+        grams.select("doc_id", F.md5("g").alias("h"))
+        .filter(
+            F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % mod == 0
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    ex = toked.select("doc_id", F.explode("fps").alias("h"))
+    fp_counts = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("fp_n"))
     hot = (
         ex.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
