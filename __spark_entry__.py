@@ -1509,6 +1509,17 @@ def _q_walk_skipgrams(spark, sf_dir):
     return graphstats.walk_skipgrams(walks, window=2)
 
 
+def _q_graph_kcore(spark, sf_dir):
+    """3-core of the tri-partite lineitem slice after 4 bounded peel
+    rounds — the junk-entity filter that prunes weakly-connected
+    extraction noise before graph mining; oracle = identical peel
+    unrolled as chained CTEs (tests assert the fixture converges
+    inside the cap)."""
+    return graphstats.kcore(
+        relational.induce_lineitem_edges(spark, sf_dir), k=3, rounds=4
+    )
+
+
 def _q_graph_neighbor_jaccard(spark, sf_dir):
     """Structural-equivalence alias detector on the tri-partite
     lineitem slice: node pairs with near-identical hub-filtered
@@ -1542,7 +1553,7 @@ _SF_SCALE = {
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
-    "graph_neighbor_jaccard", "walk_skipgrams",
+    "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore",
 }
 
 
@@ -1773,6 +1784,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": _q_graph_communities,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
+        "graph_kcore": _q_graph_kcore,
         "walk_skipgrams": _q_walk_skipgrams,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
@@ -3221,6 +3233,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_neighbor_jaccard"] = graphstats.neighbor_jaccard_sql(
         relational.lineitem_edges_sql()
+    )
+    sql["graph_kcore"] = graphstats.kcore_sql(
+        relational.lineitem_edges_sql(), k=3, rounds=4
     )
     sql["walk_skipgrams"] = graphstats.walk_skipgrams_sql(
         graphstats.random_walks_sql(

@@ -152,6 +152,7 @@ def main() -> None:
         "graph_neighbor_jaccard",
         "ngram_lm_counts",
         "walk_skipgrams",
+        "graph_kcore",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -300,3 +300,42 @@ def test_walk_skipgrams_match_sql_twin(spark):
     want = sorted(map(tuple, con.sql(sql).fetchall()))
     con.close()
     assert got == want
+
+
+def test_kcore_peels_tree_keeps_clique(spark):
+    # triangle a-b-c (2-core) with a pendant path c-d-e (peeled)
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {r["node"]: r["deg"] for r in G.kcore(edges, k=2, rounds=4).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+    # k above the max clique degree empties the core
+    assert G.kcore(edges, k=3, rounds=4).count() == 0
+
+
+def test_kcore_converges_inside_cap(spark):
+    # chain of 6 peels one node per round only from the ends -> needs
+    # 3 rounds to die; rounds=4 vs rounds=5 must agree (fixture
+    # converges inside the cap, the unrolled-oracle precondition)
+    rows = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    rows += [("a", "b"), ("b", "c"), ("c", "a")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    r4 = sorted(map(tuple, G.kcore(edges, k=2, rounds=4).collect()))
+    r5 = sorted(map(tuple, G.kcore(edges, k=2, rounds=5).collect()))
+    assert r4 == r5 == [("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_kcore_matches_sql_twin(spark):
+    import duckdb
+
+    # two triangles sharing node c, plus pendant noise and a
+    # duplicate/reversed edge that the simple-graph canon must absorb
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+            ("e", "c"), ("e", "f"), ("b", "a"), ("a", "b")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(map(tuple, G.kcore(edges, k=2, rounds=4).collect()))
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.kcore_sql(f"edges(src, dst) AS (VALUES {vals})", k=2, rounds=4)
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.sql(sql).fetchall()))
+    con.close()
+    assert got == want
