@@ -196,11 +196,23 @@ SELECT node, rank FROM {prev} ORDER BY node
 """
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, degree_ordered: bool = True) -> DataFrame:
     """One row (n_nodes, n_edges, n_triangles) for the undirected
-    simple graph underlying ``edges``.  Node-ordered closure join:
-    each triangle {{a<b<c}} is found exactly once as
-    e(a,b) ⋈ e(b,c) ⋈ e(a,c)."""
+    simple graph underlying ``edges``.  Ordered closure join: orient
+    every undirected edge along a total order of its endpoints, so each
+    triangle is found exactly once as e(x,y) ⋈ e(y,z) ⋈ e(x,z).
+
+    ``degree_ordered`` (default) orients by ``(degree, id)`` instead of
+    raw id — the classic hub mitigation (Suri & Vassilvitskii, WWW'11):
+    a hub of degree d sits on the HIGH side of almost all its edges, so
+    its forward fan-out (the join multiplicity that the wedge step
+    squares) collapses from ~d to ~its rank among neighbors; total wedge
+    work drops from Σ d(v)² on id-order's worst case to O(m^1.5).  The
+    triangle COUNT is orientation-invariant, so the DuckDB twin keeps
+    the simpler id-order plan and both stay bit-identical.  Costs two
+    key-partitioned joins against the (node, deg) table — noise at
+    fixture scale, the difference between finishing and not at web
+    scale where entity hubs are Zipf-distributed."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -209,12 +221,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    if degree_ordered:
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keyed = und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b"
+        )
+        ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+        kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+        fwd = keyed.select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        ).localCheckpoint(eager=True)
+    else:
+        fwd = und.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    e1, e2, e3 = fwd.alias("e1"), fwd.alias("e2"), fwd.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
         .join(
             e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            (F.col("e3.lo") == F.col("e1.lo"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

@@ -339,3 +339,15 @@ def test_kcore_matches_sql_twin(spark):
     want = sorted(map(tuple, con.sql(sql).fetchall()))
     con.close()
     assert got == want
+
+
+def test_triangle_count_orientation_invariant(spark):
+    # hub star + two planted triangles through the hub: degree-ordered
+    # and id-ordered orientations must agree on every count
+    rows = [("h", f"s{i}") for i in range(6)]
+    rows += [("s0", "s1"), ("s2", "s3")]          # close 2 hub triangles
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    a = G.triangle_count(edges, degree_ordered=True).collect()[0]
+    b = G.triangle_count(edges, degree_ordered=False).collect()[0]
+    assert a == b
+    assert a["n_triangles"] == 2 and a["n_edges"] == 8 and a["n_nodes"] == 7
