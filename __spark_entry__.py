@@ -527,6 +527,14 @@ def _q_vocab_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_summary(_docs(spark, sf_dir))
 
 
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor: top-20 terms by |log freq-ratio| between
+    the even/odd doc_id slices (deterministic stand-in for previous vs
+    incremental crawl); Laplace-smoothed so slice-exclusive terms stay
+    finite and both engines compute identical doubles."""
+    return textstats.vocab_drift(_docs(spark, sf_dir), k=20)
+
+
 def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup cascade hour -> day -> month: the raw
     events table is scanned once; coarser resolutions re-aggregate the
@@ -1538,7 +1546,7 @@ _SF_SCALE = {
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
-    "zipf_topk", "vocab_summary",
+    "zipf_topk", "vocab_summary", "vocab_drift",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
@@ -1695,6 +1703,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_counts": _q_ngram_lm_counts,
         "zipf_topk": _q_zipf_topk,
         "vocab_summary": _q_vocab_summary,
+        "vocab_drift": _q_vocab_drift,
         "resource_options": _q_resource_options,
         "viz_nodes": _q_viz_nodes,
         "viz_edges": _q_viz_edges,
@@ -2421,6 +2430,7 @@ ORDER BY user_id, session_idx
     sql["ngram_lm_counts"] = textstats.ngram_lm_counts_oracle(n=2, k=30)
     sql["zipf_topk"] = textstats.zipf_topk_oracle(k=20)
     sql["vocab_summary"] = textstats.vocab_summary_oracle()
+    sql["vocab_drift"] = textstats.vocab_drift_oracle(k=20)
 
     # -- sources/sinks ------------------------------------------------ #
     ax = _fx("axioms_om")

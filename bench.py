@@ -153,6 +153,7 @@ def main() -> None:
         "ngram_lm_counts",
         "walk_skipgrams",
         "graph_kcore",
+        "vocab_drift",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -665,6 +665,88 @@ FROM counts
 """
 
 
+
+def vocab_drift(docs: DataFrame, k: int = 20, alpha: float = 0.5) -> DataFrame:
+    """(term, cnt_old, cnt_new, freq_old, freq_new, log_ratio, drift) —
+    the ``k`` terms whose smoothed relative frequency moved most between
+    two corpus slices (here: even vs odd ``doc_id``, the deterministic
+    stand-in for "previous crawl" vs "incremental crawl").  The corpus
+    drift monitor a recurring-crawl pipeline reads before retraining:
+    a topic burst, a boilerplate regression, or a language-mix shift all
+    surface as extreme ``log_ratio`` terms.
+
+    Laplace smoothing (``alpha`` per term over the SHARED vocabulary)
+    keeps slice-exclusive terms finite and makes both engines compute
+    identical doubles.  Plan: one token-explode -> one groupBy(term)
+    with conditional partial aggregates (both slice counts in a single
+    shuffle), broadcast 1-row totals, top-k via orderBy().limit(k) --
+    TakeOrderedAndProject, never a global-sort window.  Scales as the
+    vocabulary groupBy: uniformly-hashed keys, map-side combine.
+    """
+    terms = _exploded_terms(docs).withColumn(
+        "is_new", (F.col("doc_id") % 2 == 1).cast("int")
+    )
+    counts = terms.groupBy("term").agg(
+        F.sum(1 - F.col("is_new")).alias("cnt_old"),
+        F.sum("is_new").alias("cnt_new"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_old").alias("tot_old"),
+        F.sum("cnt_new").alias("tot_new"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "freq_old",
+            (F.col("cnt_old") + F.lit(alpha))
+            / (F.col("tot_old") + F.lit(alpha) * F.col("v")),
+        )
+        .withColumn(
+            "freq_new",
+            (F.col("cnt_new") + F.lit(alpha))
+            / (F.col("tot_new") + F.lit(alpha) * F.col("v")),
+        )
+        .withColumn("log_ratio", F.log(F.col("freq_new") / F.col("freq_old")))
+        .withColumn("drift", F.abs(F.col("log_ratio")))
+    )
+    return (
+        scored.orderBy(F.col("drift").desc(), F.col("term").asc())
+        .limit(k)
+        .select(
+            "term", "cnt_old", "cnt_new",
+            "freq_old", "freq_new", "log_ratio", "drift",
+        )
+        .orderBy(F.col("drift").desc(), F.col("term").asc())
+    )
+
+
+def vocab_drift_oracle(k: int = 20, alpha: float = 0.5) -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({tokens_sql(norm_sql())}) AS term FROM documents),
+counts AS (
+  SELECT term,
+    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS cnt_old,
+    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS cnt_new
+  FROM ex WHERE term <> '' GROUP BY term),
+tot AS (
+  SELECT sum(cnt_old)::BIGINT AS tot_old, sum(cnt_new)::BIGINT AS tot_new,
+         count(*)::DOUBLE AS v
+  FROM counts),
+scored AS (
+  SELECT term, cnt_old, cnt_new,
+    (cnt_old + {alpha}) / (tot_old + {alpha} * v) AS freq_old,
+    (cnt_new + {alpha}) / (tot_new + {alpha} * v) AS freq_new
+  FROM counts CROSS JOIN tot)
+SELECT term, cnt_old, cnt_new, freq_old, freq_new,
+  ln(freq_new / freq_old) AS log_ratio,
+  abs(ln(freq_new / freq_old)) AS drift
+FROM scored
+ORDER BY drift DESC, term ASC LIMIT {k}
+"""
+
+
 # ------------------------------------------------------------------ #
 # Term co-occurrence (PMI) — collocation mining for KG relation cues
 # ------------------------------------------------------------------ #

@@ -702,3 +702,20 @@ def test_ngram_lm_counts_trigram_order(spark):
     assert out[0]["gram"] == "p q r" and out[0]["count"] == 3
     # left contexts of 'p q r': <s> (both doc starts) and 'r' (repeat)
     assert out[0]["n_left_contexts"] == 2
+
+
+def test_vocab_drift_laws(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (2, "alpha beta"),      # old slice
+         (1, "gamma gamma gamma beta"), (3, "gamma beta")],  # new slice
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in TS.vocab_drift(docs, k=10).collect()}
+    # slice-exclusive terms drift hardest, in opposite directions
+    assert out["gamma"]["cnt_old"] == 0 and out["gamma"]["log_ratio"] > 0
+    assert out["alpha"]["cnt_new"] == 0 and out["alpha"]["log_ratio"] < 0
+    assert out["gamma"]["drift"] > out["beta"]["drift"]
+    # smoothing keeps every ratio finite
+    assert all(abs(r["log_ratio"]) < float("inf") for r in out.values())
