@@ -1517,6 +1517,17 @@ def _q_walk_skipgrams(spark, sf_dir):
     return graphstats.walk_skipgrams(walks, window=2)
 
 
+def _q_graph_hits(spark, sf_dir):
+    """HITS hubs/authorities over the induced entity graph (3 L1-
+    normalized synchronous rounds) — the directed complement to
+    PageRank salience: entities that point at many canonical targets
+    vs the targets they converge on; oracle = identical rounds
+    unrolled as chained CTEs."""
+    return graphstats.hits(
+        relational.induce_entity_edges(spark, sf_dir), iters=3
+    )
+
+
 def _q_graph_kcore(spark, sf_dir):
     """3-core of the tri-partite lineitem slice after 4 bounded peel
     rounds — the junk-entity filter that prunes weakly-connected
@@ -1561,7 +1572,7 @@ _SF_SCALE = {
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
-    "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore",
+    "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore", "graph_hits",
 }
 
 
@@ -1794,6 +1805,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
+        "graph_hits": _q_graph_hits,
         "walk_skipgrams": _q_walk_skipgrams,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
@@ -3246,6 +3258,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_kcore"] = graphstats.kcore_sql(
         relational.lineitem_edges_sql(), k=3, rounds=4
+    )
+    sql["graph_hits"] = graphstats.hits_sql(
+        relational.ENTITY_EDGES_SQL, iters=3
     )
     sql["walk_skipgrams"] = graphstats.walk_skipgrams_sql(
         graphstats.random_walks_sql(

@@ -154,6 +154,7 @@ def main() -> None:
         "walk_skipgrams",
         "graph_kcore",
         "vocab_drift",
+        "graph_hits",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -823,3 +823,109 @@ def kcore_sql(edges_cte: str, k: int = 2, rounds: int = 4) -> str:
         + ",\n".join(parts)
         + f"\nSELECT node, deg FROM d{rounds} WHERE deg >= {k} ORDER BY node"
     )
+
+
+# ------------------------------------------------------------------ #
+# HITS hubs / authorities
+# ------------------------------------------------------------------ #
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, hub, auth) after ``iters`` synchronous HITS iterations
+    (Kleinberg 1999): auth' = normalized in-sum of hub, then hub' =
+    normalized out-sum of auth'.  The complement to PageRank salience
+    on directed KG edge tables — mutually-reinforcing "good source"
+    (hub) vs "good target" (authority) scores, e.g. pages that cite
+    many canonical entities vs the entities they converge on.
+
+    L1 (sum-to-one) normalization instead of the textbook L2: same
+    fixpoint direction, no sqrt, and the normalizer stays a 1-row
+    aggregate broadcast-cross-joined in — no per-iteration driver
+    collect (the ``pagerank`` dangling-mass pattern).  Per iteration:
+    two edge⋈score joins + two key-partitioned sums; eager checkpoint
+    truncates each round's lineage."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = _nodes(e).localCheckpoint(eager=True)
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        a = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(a.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        h = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(h, "node").join(a, "node")
+        .select("node", "hub", "auth")
+        .orderBy("node")
+    )
+
+
+def hits_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin: the identical L1-normalized rounds unrolled as
+    chained CTEs (raw-sum CTEs MATERIALIZED — each is read twice, for
+    the scores and for its own normalizer)."""
+    parts = [
+        edges_cte.strip(),
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        """nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION SELECT dst FROM e))""",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS s
+  FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.s, 0.0) / t.t AS auth
+  FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node
+  CROSS JOIN (SELECT sum(s) AS t FROM ar{i}) t)"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS s
+  FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.s, 0.0) / t.t AS hub
+  FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node
+  CROSS JOIN (SELECT sum(s) AS t FROM hr{i}) t)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n.node, h.hub, a.auth
+FROM nodes n JOIN h{iters} h ON n.node = h.node
+JOIN a{iters} a ON n.node = a.node
+ORDER BY n.node"""
+    )

@@ -351,3 +351,37 @@ def test_triangle_count_orientation_invariant(spark):
     b = G.triangle_count(edges, degree_ordered=False).collect()[0]
     assert a == b
     assert a["n_triangles"] == 2 and a["n_edges"] == 8 and a["n_nodes"] == 7
+
+
+def test_hits_hub_authority_separation(spark):
+    # 'a' points at everything (pure hub); 'c' is pointed at by all
+    # (pure authority); scores L1-normalize to 1 on each side
+    rows = [("a", "b"), ("a", "c"), ("b", "c")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {r["node"]: r for r in G.hits(edges, iters=4).collect()}
+    assert out["a"]["auth"] == 0.0 and out["c"]["hub"] == 0.0
+    assert out["a"]["hub"] > out["b"]["hub"] > 0
+    assert out["c"]["auth"] > out["b"]["auth"] > 0
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-9
+    assert abs(sum(r["auth"] for r in out.values()) - 1.0) < 1e-9
+
+
+def test_hits_matches_sql_twin(spark):
+    import duckdb
+
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "a")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(
+        (r["node"], round(r["hub"], 10), round(r["auth"], 10))
+        for r in G.hits(edges, iters=3).collect()
+    )
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    con = duckdb.connect()
+    want = sorted(
+        (n, round(h, 10), round(a, 10))
+        for n, h, a in con.sql(
+            G.hits_sql(f"edges(src, dst) AS (VALUES {vals})", iters=3)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
