@@ -855,6 +855,12 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             .agg(F.sum("hub").alias("s"))
         )
         a_tot = a_raw.agg(F.sum("s").alias("t"))
+        # a is NOT checkpointed: its lineage is two joins above the
+        # h checkpoint of the previous round (shallow), so the round's
+        # lineage stays bounded with half the driver round-trips
+        # (timing-neutral at sf0.1 — the leg is aggregation-bound —
+        # but one fewer blocking materialization per round on a real
+        # cluster)
         a = (
             nodes.join(a_raw, "node", "left")
             .crossJoin(F.broadcast(a_tot))
@@ -862,7 +868,6 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
                 "node",
                 (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("auth"),
             )
-            .localCheckpoint(eager=True)
         )
         h_raw = (
             e.join(a.select(F.col("node").alias("dst"), "auth"), "dst")
