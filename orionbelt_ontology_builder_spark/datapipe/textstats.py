@@ -686,10 +686,12 @@ def vocab_drift(docs: DataFrame, k: int = 20, alpha: float = 0.5) -> DataFrame:
     terms = _exploded_terms(docs).withColumn(
         "is_new", (F.col("doc_id") % 2 == 1).cast("int")
     )
+    # counts feeds BOTH the per-term scores and the 1-row totals:
+    # persist so the token explode + term shuffle run once, not twice
     counts = terms.groupBy("term").agg(
         F.sum(1 - F.col("is_new")).alias("cnt_old"),
         F.sum("is_new").alias("cnt_new"),
-    )
+    ).persist()
     tot = counts.agg(
         F.sum("cnt_old").alias("tot_old"),
         F.sum("cnt_new").alias("tot_new"),

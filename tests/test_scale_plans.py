@@ -428,3 +428,57 @@ def test_term_pmi_plan_pair_generation_shuffle_free(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert exchanges, plan
     assert not any("doc_id" in e for e in exchanges), exchanges
+
+
+# ------------------------------------------------------------------ #
+# r2 session-5 ops: kcore / hits / vocab_drift / degree-ordered triangles
+# ------------------------------------------------------------------ #
+
+
+def test_kcore_plan_no_cartesian_no_window(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    plan = _plan(G.kcore(edges, k=2, rounds=3))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_hits_only_broadcast_nlj_is_one_row_normalizer(spark):
+    # the 1-row normalizer crossJoin is the ONLY BroadcastNestedLoopJoin
+    # allowed; the score joins themselves must be equi-joins
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    plan = _plan(G.hits(edges, iters=1))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vocab_drift_plan_take_ordered_single_agg_shuffle(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    plan = _plan(TS.vocab_drift(docs, k=5))
+    # top-k must plan as TakeOrderedAndProject, not a global-sort window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # the vocabulary counts feed both the scores and the totals through
+    # ONE persisted aggregation — both branches read the cache instead
+    # of re-running the token explode + term shuffle
+    assert "InMemoryTableScan" in plan
+
+
+def test_degree_ordered_triangles_no_cartesian(spark):
+    edges = spark.createDataFrame(
+        [("h", f"s{i}") for i in range(5)] + [("s0", "s1")],
+        "src string, dst string",
+    )
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    plan = _plan(G.triangle_count(edges, degree_ordered=True))
+    assert "CartesianProduct" not in plan
