@@ -599,9 +599,11 @@ def zipf_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     partition.  Ranks are then numbered over the k survivors only."""
     from pyspark.sql import Window
 
+    # counts feeds both the total and the top-k: persist so the token
+    # explode + term shuffle run once (same fix as vocab_drift)
     counts = _exploded_terms(docs).groupBy("term").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).persist()
     tot = counts.agg(F.sum("cnt").alias("total"))
     topk = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
