@@ -537,9 +537,12 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     on their own grouping keys -> per-doc top-k window.  Every stage
     has map-side partials; nothing is driver-side (N is a 1-row agg
     crossJoined in, broadcast)."""
+    # tc feeds THREE branches (doc lengths, document frequencies, and
+    # the score join base): persist so the explode + (doc_id, term)
+    # shuffle run once, not three times
     tc = _exploded_terms(docs).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf_raw")
-    )
+    ).persist()
     dlen = tc.groupBy("doc_id").agg(F.sum("tf_raw").alias("doc_len"))
     dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
