@@ -819,10 +819,13 @@ def term_pmi_pairs(
             )
         ).alias("p"),
     ).select("doc_id", "p.ta", "p.tb")
+    # uni broadcasts into the scored join TWICE (df_a and df_b sides):
+    # persist so its explode + shuffle run once
     uni = (
         toked.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
+        .persist()
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     pc = (
