@@ -473,6 +473,9 @@ def simhash_pairs(
     n_blocks = max_hamming + 1
     block_bits = (bits + n_blocks - 1) // n_blocks
     mask = (1 << block_bits) - 1
+    # blocked sits on BOTH sides of the candidate self-join: persist so
+    # the simhash projection + block explode run once (the
+    # minhash_band_pairs persisted-signatures pattern)
     blocked = s.select(
         "doc_id",
         "simhash",
@@ -484,7 +487,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("block_idx", "block_val"),
-    )
+    ).persist()
     a = blocked.alias("a")
     b = blocked.alias("b")
     cands = (
