@@ -1351,6 +1351,14 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
+def _q_sq8_stats(spark, sf_dir):
+    """Per-vector int8 scalar-quantization audit (scale + reconstruction
+    error) — the storage/IO-compression quality gate for the embedding
+    corpus; floor(x+0.5) rounding and nullif zero-guard keep both
+    engines' doubles identical."""
+    return similarity.sq8_stats(_embs(spark, sf_dir))
+
+
 def _q_media_features(spark, sf_dir):
     return multimodal.extract_features(
         multimodal.synthesize_media(_docs(spark, sf_dir))
@@ -1567,6 +1575,7 @@ _SF_SCALE = {
     "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
+    "sq8_stats",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "chunk_text", "incremental_dedup", "budget_sample",
@@ -1786,6 +1795,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_ivf": _q_dedup_embedding_cosine_ivf,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "sq8_stats": _q_sq8_stats,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "decontaminate": _q_decontaminate,
@@ -3219,6 +3229,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dedup_embedding_cosine_ivf"] = similarity.ivf_cosine_pairs_oracle()
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
+    sql["sq8_stats"] = similarity.sq8_stats_oracle()
     sql["media_features"] = multimodal.extract_features_oracle()
     sql["media_frames"] = multimodal.sample_frames_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()

@@ -155,6 +155,7 @@ def main() -> None:
         "graph_kcore",
         "vocab_drift",
         "graph_hits",
+        "sq8_stats",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -517,3 +517,74 @@ ranked AS (
 SELECT query_id, vec_id AS neighbor_id, rank, cos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------------------------ #
+# int8 scalar quantization (storage/IO compression for ANN corpora)
+# ------------------------------------------------------------------ #
+
+
+def sq8_stats(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, scale, mse, max_abs_err) — per-vector symmetric int8
+    scalar quantization audit: ``scale = max|v_i| / 127``, codes
+    ``q_i = round_half_up(v_i / scale)``, and the reconstruction error
+    of ``q_i * scale`` against the original.  The 4x storage/IO cut a
+    100 TB embedding corpus takes before ANN serving; this op is the
+    quality gate that decides whether int8 (vs fp16 / no-op) is safe
+    for a given embedding family.
+
+    Engine-portable arithmetic: elements cast to DOUBLE first,
+    ``floor(x + 0.5)`` instead of ``round`` (Spark/DuckDB half-rules
+    differ — CLAUDE.md), zero vectors guarded via ``nullif(scale, 0)``
+    with a coalesce-to-0 reconstruction.  Pure per-row projection —
+    no shuffle, embarrassingly parallel at any scale (higher-order
+    exprs are CodegenFallback, but this is a scan projection, not a
+    join-side or aggregate expression — the interpreted cost is one
+    pass over each vector)."""
+    errs = (
+        "transform(embedding, x -> CAST(x AS DOUBLE) - "
+        "coalesce(floor(CAST(x AS DOUBLE) / nullif(scale, 0d) + 0.5d)"
+        " * scale, 0d))"
+    )
+    return (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                "array_max(transform(embedding,"
+                " x -> abs(CAST(x AS DOUBLE)))) / 127.0d"
+            ).alias("scale"),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.expr(
+                f"aggregate({errs}, 0d, (acc, e) -> acc + e * e)"
+                " / size(embedding)"
+            ).alias("mse"),
+            F.expr(f"array_max(transform({errs}, e -> abs(e)))").alias(
+                "max_abs_err"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def sq8_stats_oracle() -> str:
+    errs = (
+        "list_transform(emb, x -> x - "
+        "coalesce(floor(x / nullif(scale, 0) + 0.5) * scale, 0))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+    list_aggregate(list_transform(emb, x -> abs(x)), 'max') / 127.0 AS scale
+  FROM e),
+err AS (SELECT vec_id, scale, {errs} AS er FROM s)
+SELECT vec_id, scale,
+  list_aggregate(list_transform(er, x -> x * x), 'sum') / len(er) AS mse,
+  list_aggregate(list_transform(er, x -> abs(x)), 'max') AS max_abs_err
+FROM err ORDER BY vec_id
+"""

@@ -482,3 +482,26 @@ def test_degree_ordered_triangles_no_cartesian(spark):
 
     plan = _plan(G.triangle_count(edges, degree_ordered=True))
     assert "CartesianProduct" not in plan
+
+
+def test_sq8_quantization_error_bound_and_zero_guard(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import similarity
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, -0.5, 0.25, 127.0], label=0),
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0], label=0),  # zero vec
+        Row(vec_id=2, embedding=[-2.0, 2.0, 1.0, -1.0], label=0),
+    ]
+    out = {r["vec_id"]: r for r in similarity.sq8_stats(
+        spark.createDataFrame(rows)).collect()}
+    # per-element error of round-to-nearest is <= scale/2
+    for v in (0, 2):
+        assert out[v]["max_abs_err"] <= out[v]["scale"] / 2 + 1e-12
+        assert out[v]["mse"] <= (out[v]["scale"] / 2) ** 2 + 1e-12
+    # zero vector: scale 0, perfect reconstruction, no NaN/inf
+    assert out[1]["scale"] == 0.0
+    assert out[1]["mse"] == 0.0 and out[1]["max_abs_err"] == 0.0
+    # plan stays a pure projection: no exchange besides the final sort
+    plan = _plan(similarity.sq8_stats(spark.createDataFrame(rows)))
+    assert "CartesianProduct" not in plan and "Window" not in plan
