@@ -1525,6 +1525,17 @@ def _q_walk_skipgrams(spark, sf_dir):
     return graphstats.walk_skipgrams(walks, window=2)
 
 
+def _q_graph_component_sizes(spark, sf_dir):
+    """Connected-component size distribution of the tri-partite
+    lineitem slice — the canonicalization-QA fragmentation monitor
+    (over-linking = one giant component, under-linking = a wall of
+    tiny ones); oracle = recursive min-label reachability + the same
+    two aggregations."""
+    return graphstats.component_size_dist(
+        relational.induce_lineitem_edges(spark, sf_dir)
+    )
+
+
 def _q_graph_hits(spark, sf_dir):
     """HITS hubs/authorities over the induced entity graph (3 L1-
     normalized synchronous rounds) — the directed complement to
@@ -1582,6 +1593,7 @@ _SF_SCALE = {
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
     "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore", "graph_hits",
+    "graph_component_sizes",
 }
 
 
@@ -1816,6 +1828,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
         "graph_hits": _q_graph_hits,
+        "graph_component_sizes": _q_graph_component_sizes,
         "walk_skipgrams": _q_walk_skipgrams,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
@@ -3272,6 +3285,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_hits"] = graphstats.hits_sql(
         relational.ENTITY_EDGES_SQL, iters=3
+    )
+    sql["graph_component_sizes"] = graphstats.component_size_dist_sql(
+        relational.lineitem_edges_sql()
     )
     sql["walk_skipgrams"] = graphstats.walk_skipgrams_sql(
         graphstats.random_walks_sql(

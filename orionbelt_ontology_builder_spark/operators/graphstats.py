@@ -934,3 +934,53 @@ FROM nodes n JOIN h{iters} h ON n.node = h.node
 JOIN a{iters} a ON n.node = a.node
 ORDER BY n.node"""
     )
+
+
+# ------------------------------------------------------------------ #
+# connected-component size distribution (fragmentation monitor)
+# ------------------------------------------------------------------ #
+
+
+def component_size_dist(edges: DataFrame) -> DataFrame:
+    """(csize, n_components) — how many connected components exist at
+    each size, size-ascending.  The canonicalization QA statistic: a
+    healthy alias-merge yields many small components and a bounded
+    giant one; an over-aggressive linker shows up as one component
+    swallowing the graph, an under-linker as a flat wall of singleton
+    pairs.  Composition: large/small-star CC (O(log n) rounds) ->
+    groupBy(component).count -> groupBy(count).count — every stage a
+    key-partitioned aggregation."""
+    from .fixpoint import connected_components
+
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("csize")
+    )
+
+
+def component_size_dist_sql(edges_cte: str) -> str:
+    """DuckDB twin: recursive min-label reachability (MATERIALIZED —
+    the recursive CTE would otherwise re-run per reference), then the
+    same two aggregations.  Self-loops count their node; isolated
+    endpoints keep a singleton component, matching the Spark CC
+    contract."""
+    return f"""
+WITH RECURSIVE {edges_cte.strip()},
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+  UNION SELECT dst, src FROM edges WHERE src <> dst),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS n FROM sym UNION SELECT DISTINCT v FROM sym
+  UNION SELECT src FROM edges UNION SELECT dst FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u),
+comp AS MATERIALIZED (SELECT n AS node, min(m) AS component FROM reach GROUP BY n),
+sizes AS (SELECT component, count(*)::BIGINT AS csize FROM comp GROUP BY component)
+SELECT csize, count(*)::BIGINT AS n_components
+FROM sizes GROUP BY csize ORDER BY csize
+"""

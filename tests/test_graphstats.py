@@ -385,3 +385,28 @@ def test_hits_matches_sql_twin(spark):
     )
     con.close()
     assert got == want
+
+
+def test_component_size_dist(spark):
+    # chain of 3 + pair + self-loop singleton -> sizes {3:1, 2:1, 1:1}
+    rows = [("e1", "e2"), ("e2", "e3"), ("f1", "f2"), ("g1", "g1")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {r["csize"]: r["n_components"]
+           for r in G.component_size_dist(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_component_size_dist_matches_sql_twin(spark):
+    import duckdb
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"),
+            ("f", "f"), ("g", "h"), ("h", "i"), ("j", "k")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted(map(tuple, G.component_size_dist(edges).collect()))
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.sql(
+        G.component_size_dist_sql(f"edges(src, dst) AS (VALUES {vals})")
+    ).fetchall()))
+    con.close()
+    assert got == want
