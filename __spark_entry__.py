@@ -527,6 +527,13 @@ def _q_vocab_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_summary(_docs(spark, sf_dir))
 
 
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id confusion matrix vs the golden lang column with each
+    row's share of its true-language total — the eval gate read before
+    trusting the classifier to route documents."""
+    return textstats.lang_confusion(_docs(spark, sf_dir))
+
+
 def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-drift monitor: top-20 terms by |log freq-ratio| between
     the even/odd doc_id slices (deterministic stand-in for previous vs
@@ -1576,7 +1583,7 @@ _SF_SCALE = {
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
-    "zipf_topk", "vocab_summary", "vocab_drift",
+    "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
@@ -1736,6 +1743,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_topk": _q_zipf_topk,
         "vocab_summary": _q_vocab_summary,
         "vocab_drift": _q_vocab_drift,
+        "lang_confusion": _q_lang_confusion,
         "resource_options": _q_resource_options,
         "viz_nodes": _q_viz_nodes,
         "viz_edges": _q_viz_edges,
@@ -2466,6 +2474,7 @@ ORDER BY user_id, session_idx
     sql["zipf_topk"] = textstats.zipf_topk_oracle(k=20)
     sql["vocab_summary"] = textstats.vocab_summary_oracle()
     sql["vocab_drift"] = textstats.vocab_drift_oracle(k=20)
+    sql["lang_confusion"] = textstats.lang_confusion_oracle()
 
     # -- sources/sinks ------------------------------------------------ #
     ax = _fx("axioms_om")

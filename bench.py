@@ -157,6 +157,7 @@ def main() -> None:
         "graph_hits",
         "sq8_stats",
         "graph_component_sizes",
+        "lang_confusion",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

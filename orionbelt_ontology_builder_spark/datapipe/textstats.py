@@ -288,6 +288,45 @@ FROM s ORDER BY doc_id
 """
 
 
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """(lang, predicted_lang, n_docs, frac_of_lang) — the lang_id
+    confusion matrix against the corpus's golden ``lang`` column, with
+    each row's share of its true-language total.  The eval half of the
+    language-ID op: a production pipeline reads this before trusting
+    the classifier to route documents (the "measure, don't guess"
+    counterpart to ``lang_id`` itself).  One aggregation over the
+    lang_id projection plus a broadcast join of the per-language
+    totals; scales as a groupBy on a tiny key space."""
+    pred = lang_id(docs).select("lang", "predicted_lang")
+    cm = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).persist()
+    tot = cm.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang", "predicted_lang", "n_docs",
+            (F.col("n_docs") / F.col("lang_total")).alias("frac_of_lang"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def lang_confusion_oracle() -> str:
+    return f"""
+WITH li AS MATERIALIZED ({lang_id_oracle().strip()}),
+cm AS MATERIALIZED (
+  SELECT lang, predicted_lang, count(*)::BIGINT AS n_docs
+  FROM li GROUP BY lang, predicted_lang),
+tot AS (SELECT lang, sum(n_docs)::BIGINT AS lang_total FROM cm GROUP BY lang)
+SELECT cm.lang, cm.predicted_lang, cm.n_docs,
+  cm.n_docs / tot.lang_total::DOUBLE AS frac_of_lang
+FROM cm JOIN tot ON cm.lang = tot.lang
+ORDER BY cm.lang, cm.predicted_lang
+"""
+
+
 # ------------------------------------------------------------------ #
 # Document fingerprinting (rolling word-gram hash, winnowing-lite)
 # ------------------------------------------------------------------ #

@@ -719,3 +719,24 @@ def test_vocab_drift_laws(spark):
     assert out["gamma"]["drift"] > out["beta"]["drift"]
     # smoothing keeps every ratio finite
     assert all(abs(r["log_ratio"]) < float("inf") for r in out.values())
+
+
+def test_lang_confusion_laws(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(0, "the cat is on the mat and the dog", "en"),
+         (1, "der hund ist nicht auf der matte und das", "de"),
+         (2, "xyzzy qwerty", "en")],       # no stopword hits -> 'en' tie-break
+        "doc_id long, text string, lang string",
+    )
+    rows = TS.lang_confusion(docs).collect()
+    out = {(r["lang"], r["predicted_lang"]): r for r in rows}
+    assert out[("en", "en")]["n_docs"] == 2
+    assert out[("de", "de")]["n_docs"] == 1
+    # per-language fractions sum to 1
+    import collections
+    frac = collections.defaultdict(float)
+    for r in rows:
+        frac[r["lang"]] += r["frac_of_lang"]
+    assert all(abs(v - 1.0) < 1e-12 for v in frac.values())
