@@ -501,6 +501,18 @@ def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_idx")
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session Markov transition matrix over the event stream
+    (6 h session gap): lag(type) rides sessionization's window shuffle,
+    boundary-crossing pairs dropped, tiny-key final aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return temporal.event_transitions(
+        ev, on="user_id", gap_sec=21600, tiebreak="event_id"
+    )
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
 
@@ -1581,7 +1593,8 @@ _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "tpch_q1", "top_customers", "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
-    "hypertable_rollup", "session_stats_events", "tfidf_topk",
+    "hypertable_rollup", "session_stats_events", "event_transitions",
+    "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
@@ -1737,6 +1750,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _q_range_join_events,
         "hypertable_rollup": _q_hypertable_rollup,
         "session_stats_events": _q_session_stats,
+        "event_transitions": _q_event_transitions,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2445,6 +2459,9 @@ UNION ALL SELECT 'month', * FROM mo
 ORDER BY resolution, bucket
 """
 
+    sql["event_transitions"] = temporal.event_transitions_sql(
+        gap_sec=21600
+    )
     sql["session_stats_events"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

@@ -158,6 +158,7 @@ def main() -> None:
         "sq8_stats",
         "graph_component_sizes",
         "lang_confusion",
+        "event_transitions",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

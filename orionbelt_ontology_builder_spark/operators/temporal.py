@@ -336,3 +336,92 @@ def session_stats(
             (F.max(_us(F.col(ts))) - F.min(_us(F.col(ts)))) / F.lit(1e6)
         ).alias("duration_sec"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    on: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    typ: str = "event_type",
+    gap_sec: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """(from_type, to_type, n, frac_of_from) — within-session Markov
+    transition counts over the event stream, with each row's share of
+    its from-type total.  The behavioural complement to
+    ``session_stats``: funnels, loop detection, and anomalous-flow
+    monitoring all read this matrix.
+
+    ``lag(type)`` rides the SAME (key)-partitioned, ts-ordered window
+    shuffle that sessionization uses; transitions crossing a session
+    boundary are dropped (the lagged session_idx must match).  The
+    final aggregation keys on the tiny (from, to) type space, so
+    nothing ever buffers an unbounded group."""
+    keys = _keys(on)
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak is not None else [])
+    s = sessionize(events, on=on, ts=ts, gap_sec=gap_sec, tiebreak=tiebreak)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pairs = (
+        s.withColumn("from_type", F.lag(typ).over(w))
+        .withColumn("prev_sess", F.lag("session_idx").over(w))
+        .filter(
+            F.col("from_type").isNotNull()
+            & (F.col("prev_sess") == F.col("session_idx"))
+        )
+        .select("from_type", F.col(typ).alias("to_type"))
+    )
+    cm = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
+    tot = cm.groupBy("from_type").agg(F.sum("n").alias("from_total"))
+    return (
+        cm.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            (F.col("n") / F.col("from_total")).alias("frac_of_from"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    on: str = "user_id",
+    ts: str = "ts",
+    typ: str = "event_type",
+    gap_sec: int = 1800,
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin: identical two-window sessionization, lagged type,
+    boundary filter, and the two aggregations."""
+    gap_us = int(gap_sec) * 1_000_000
+    return f"""
+WITH flags AS (
+  SELECT {on}, {ts}, {typ}, {tiebreak},
+    CASE WHEN lag({ts}) OVER w IS NULL THEN 1
+         WHEN epoch_us({ts}) - epoch_us(lag({ts}) OVER w) > {gap_us} THEN 1
+         ELSE 0 END AS new_sess
+  FROM {table}
+  WINDOW w AS (PARTITION BY {on} ORDER BY {ts}, {tiebreak})),
+sess AS (
+  SELECT *, sum(new_sess) OVER
+    (PARTITION BY {on} ORDER BY {ts}, {tiebreak}
+     ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flags),
+pairs AS (
+  SELECT lag({typ}) OVER w AS from_type,
+         lag(session_idx) OVER w AS prev_sess,
+         session_idx, {typ} AS to_type
+  FROM sess
+  WINDOW w AS (PARTITION BY {on} ORDER BY {ts}, {tiebreak})),
+cm AS MATERIALIZED (
+  SELECT from_type, to_type, count(*)::BIGINT AS n
+  FROM pairs
+  WHERE from_type IS NOT NULL AND prev_sess = session_idx
+  GROUP BY from_type, to_type),
+tot AS (SELECT from_type, sum(n)::BIGINT AS from_total FROM cm GROUP BY from_type)
+SELECT cm.from_type, cm.to_type, cm.n,
+  cm.n / tot.from_total::DOUBLE AS frac_of_from
+FROM cm JOIN tot ON cm.from_type = tot.from_type
+ORDER BY cm.from_type, cm.to_type
+"""

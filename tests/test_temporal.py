@@ -245,3 +245,30 @@ def test_us_is_session_timezone_independent_for_ntz(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
     assert results["UTC"] == results["America/New_York"] == [(1, 1), (2, 2)]
+
+
+def test_event_transitions_session_boundary_dropped(spark):
+    import datetime as dt
+    from orionbelt_ontology_builder_spark.operators import temporal as T
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1, one session: a -> b -> a
+        (1, t0, 0, "a"), (1, t0 + dt.timedelta(minutes=1), 1, "b"),
+        (1, t0 + dt.timedelta(minutes=2), 2, "a"),
+        # user 1, new session after a 2h gap: c (no transition from 'a')
+        (1, t0 + dt.timedelta(hours=3), 3, "c"),
+        # user 2: a -> b
+        (2, t0, 4, "a"), (2, t0 + dt.timedelta(minutes=5), 5, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {(r["from_type"], r["to_type"]): r for r in T.event_transitions(
+        ev, gap_sec=3600, tiebreak="event_id").collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("b", "a")]["n"] == 1
+    assert ("a", "c") not in out          # boundary transition dropped
+    # per-from fractions sum to 1
+    assert abs(out[("a", "b")]["frac_of_from"] - 1.0) < 1e-12
+    assert abs(out[("b", "a")]["frac_of_from"] - 1.0) < 1e-12
