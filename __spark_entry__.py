@@ -539,6 +539,13 @@ def _q_vocab_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_summary(_docs(spark, sf_dir))
 
 
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram with per-bucket corpus
+    fractions — chunk-size calibration / truncation-cliff detection;
+    floor(log2) on integer counts keeps bucket edges engine-portable."""
+    return textstats.length_histogram(_docs(spark, sf_dir))
+
+
 def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lang_id confusion matrix vs the golden lang column with each
     row's share of its true-language total — the eval gate read before
@@ -1597,6 +1604,7 @@ _SF_SCALE = {
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
+    "length_histogram",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "text_token_counts",
@@ -1758,6 +1766,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_summary": _q_vocab_summary,
         "vocab_drift": _q_vocab_drift,
         "lang_confusion": _q_lang_confusion,
+        "length_histogram": _q_length_histogram,
         "resource_options": _q_resource_options,
         "viz_nodes": _q_viz_nodes,
         "viz_edges": _q_viz_edges,
@@ -2492,6 +2501,7 @@ ORDER BY user_id, session_idx
     sql["vocab_summary"] = textstats.vocab_summary_oracle()
     sql["vocab_drift"] = textstats.vocab_drift_oracle(k=20)
     sql["lang_confusion"] = textstats.lang_confusion_oracle()
+    sql["length_histogram"] = textstats.length_histogram_oracle()
 
     # -- sources/sinks ------------------------------------------------ #
     ax = _fx("axioms_om")

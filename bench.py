@@ -159,6 +159,7 @@ def main() -> None:
         "graph_component_sizes",
         "lang_confusion",
         "event_transitions",
+        "length_histogram",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -327,6 +327,65 @@ ORDER BY cm.lang, cm.predicted_lang
 """
 
 
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """(bucket, lo_tokens, n_docs, frac) — doc counts per power-of-two
+    token-length bucket (bucket b holds docs with 2^b <= n_tokens <
+    2^(b+1); empty docs land in bucket -1).  The curation statistic
+    that calibrates chunk sizes, spots truncation cliffs, and feeds
+    the packing planner.  One narrow projection + a tiny-key
+    aggregation; ``floor(log2())`` on integer token counts is exact in
+    both engines (doubles represent ints < 2^53 exactly, log2 of a
+    power of two is exact), so bucket boundaries are engine-portable.
+    """
+    n_tok = (
+        F.when(norm_col() == "", 0)
+        .otherwise(F.size(tokens_col("norm")))
+    )
+    d = docs.withColumn("norm", norm_col()).select(
+        F.when(n_tok == 0, F.lit(-1))
+        .otherwise(F.floor(F.log2(n_tok.cast("double"))))
+        .cast("int")
+        .alias("bucket")
+    )
+    cm = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs")).persist()
+    tot = cm.agg(F.sum("n_docs").alias("total"))
+    return (
+        cm.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") < 0, F.lit(0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket")).cast("long"))
+            .alias("lo_tokens"),
+            "n_docs",
+            (F.col("n_docs") / F.col("total")).alias("frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def length_histogram_oracle() -> str:
+    return f"""
+WITH n AS (SELECT doc_id, {norm_sql()} AS norm FROM documents),
+t AS (
+  SELECT CASE WHEN norm = '' THEN 0
+              ELSE len({tokens_sql()}) END AS n_tokens
+  FROM n),
+b AS (
+  SELECT CASE WHEN n_tokens = 0 THEN -1
+              ELSE floor(log2(n_tokens::DOUBLE)) END::INT AS bucket
+  FROM t),
+cm AS MATERIALIZED (
+  SELECT bucket, count(*)::BIGINT AS n_docs FROM b GROUP BY bucket),
+tot AS (SELECT sum(n_docs)::BIGINT AS total FROM cm)
+SELECT bucket,
+  CASE WHEN bucket < 0 THEN 0
+       ELSE pow(2.0, bucket)::BIGINT END AS lo_tokens,
+  n_docs, n_docs / total::DOUBLE AS frac
+FROM cm CROSS JOIN tot ORDER BY bucket
+"""
+
+
 # ------------------------------------------------------------------ #
 # Document fingerprinting (rolling word-gram hash, winnowing-lite)
 # ------------------------------------------------------------------ #

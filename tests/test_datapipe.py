@@ -740,3 +740,22 @@ def test_lang_confusion_laws(spark):
     for r in rows:
         frac[r["lang"]] += r["frac_of_lang"]
     assert all(abs(v - 1.0) < 1e-12 for v in frac.values())
+
+
+def test_length_histogram_buckets_and_fracs(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(0, "one"),                       # 1 token  -> bucket 0
+         (1, "two words"),                 # 2 tokens -> bucket 1
+         (2, "three little words"),        # 3 tokens -> bucket 1
+         (3, "a b c d e f g h"),           # 8 tokens -> bucket 3
+         (4, "...")],                      # normalizes to empty -> -1
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in TS.length_histogram(docs).collect()}
+    assert out[-1]["n_docs"] == 1 and out[-1]["lo_tokens"] == 0
+    assert out[0]["n_docs"] == 1 and out[0]["lo_tokens"] == 1
+    assert out[1]["n_docs"] == 2 and out[1]["lo_tokens"] == 2
+    assert out[3]["n_docs"] == 1 and out[3]["lo_tokens"] == 8
+    assert abs(sum(r["frac"] for r in out.values()) - 1.0) < 1e-12
