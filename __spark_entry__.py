@@ -513,6 +513,19 @@ def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view -> click -> purchase funnel per session
+    (6 h gap): per stage one key-partitioned join + min-agg; fractions
+    computed over the k-row result only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return temporal.funnel_completion(
+        ev, ["view", "click", "purchase"],
+        on="user_id", gap_sec=21600, tiebreak="event_id",
+    )
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
 
@@ -1601,7 +1614,7 @@ _SF_SCALE = {
     "induced_search", "tpch_q1", "top_customers", "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "event_transitions",
-    "tfidf_topk",
+    "funnel_completion", "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
     "length_histogram",
@@ -1759,6 +1772,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": _q_hypertable_rollup,
         "session_stats_events": _q_session_stats,
         "event_transitions": _q_event_transitions,
+        "funnel_completion": _q_funnel_completion,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2470,6 +2484,9 @@ ORDER BY resolution, bucket
 
     sql["event_transitions"] = temporal.event_transitions_sql(
         gap_sec=21600
+    )
+    sql["funnel_completion"] = temporal.funnel_completion_sql(
+        ["view", "click", "purchase"], gap_sec=21600
     )
     sql["session_stats_events"] = """
 WITH o AS (

@@ -160,6 +160,7 @@ def main() -> None:
         "lang_confusion",
         "event_transitions",
         "length_histogram",
+        "funnel_completion",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -425,3 +425,114 @@ SELECT cm.from_type, cm.to_type, cm.n,
 FROM cm JOIN tot ON cm.from_type = tot.from_type
 ORDER BY cm.from_type, cm.to_type
 """
+
+
+def funnel_completion(
+    events: DataFrame,
+    steps: Sequence[str],
+    on: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    typ: str = "event_type",
+    gap_sec: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """(step, step_name, n_sessions, frac_of_all, frac_of_prev) —
+    strictly-ordered funnel completion per session: a session counts
+    for step i when it contains ``steps[i]`` at a timestamp strictly
+    after its earliest completion of step i-1.  The classic
+    conversion-funnel query (view -> click -> purchase) that plain SQL
+    needs k self-joins for — here each stage is one key-partitioned
+    semi-ish join + min-aggregation on the (key, session) grain, and
+    the final fraction table is k rows (the only window runs over
+    those k rows, not over data)."""
+    sk = [*_keys(on), "session_idx"]
+    s = sessionize(
+        events, on=on, ts=ts, gap_sec=gap_sec, tiebreak=tiebreak
+    ).persist()
+    total = s.select(*sk).distinct().count()
+    reached = None
+    rows = []
+    for i, name in enumerate(steps):
+        cand = s.filter(F.col(typ) == name)
+        if reached is None:
+            stage = cand.groupBy(*sk).agg(F.min(ts).alias("t"))
+        else:
+            stage = (
+                cand.join(reached.withColumnRenamed("t", "prev_t"), sk)
+                .filter(F.col(ts) > F.col("prev_t"))
+                .groupBy(*sk)
+                .agg(F.min(ts).alias("t"))
+            )
+        reached = stage.localCheckpoint(eager=True)
+        rows.append((i + 1, name, reached.count()))
+    spark = events.sparkSession
+    out = spark.createDataFrame(
+        rows, "step int, step_name string, n_sessions long"
+    )
+    prev = F.lag("n_sessions").over(
+        Window.orderBy("step")  # k rows total — not a data-scale window
+    )
+    return out.select(
+        "step", "step_name", "n_sessions",
+        (F.col("n_sessions") / F.lit(float(total))).alias("frac_of_all"),
+        (F.col("n_sessions") / F.coalesce(prev, F.lit(float(total))))
+        .alias("frac_of_prev"),
+    ).orderBy("step")
+
+
+def funnel_completion_sql(
+    steps: Sequence[str],
+    table: str = "events",
+    on: str = "user_id",
+    ts: str = "ts",
+    typ: str = "event_type",
+    gap_sec: int = 1800,
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin: sessionize, then one chained min-after-previous CTE
+    per step, then the k-row fraction table."""
+    gap_us = int(gap_sec) * 1_000_000
+    parts = [f"""flags AS (
+  SELECT {on}, {ts}, {typ}, {tiebreak},
+    CASE WHEN lag({ts}) OVER w IS NULL THEN 1
+         WHEN epoch_us({ts}) - epoch_us(lag({ts}) OVER w) > {gap_us} THEN 1
+         ELSE 0 END AS new_sess
+  FROM {table}
+  WINDOW w AS (PARTITION BY {on} ORDER BY {ts}, {tiebreak}))""",
+        f"""sess AS MATERIALIZED (
+  SELECT *, sum(new_sess) OVER
+    (PARTITION BY {on} ORDER BY {ts}, {tiebreak}
+     ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flags)""",
+        f"""tot AS (SELECT count(*)::DOUBLE AS n FROM
+  (SELECT DISTINCT {on}, session_idx FROM sess))""",
+    ]
+    for i, name in enumerate(steps, start=1):
+        if i == 1:
+            parts.append(f"""r1 AS MATERIALIZED (
+  SELECT {on}, session_idx, min({ts}) AS t FROM sess
+  WHERE {typ} = '{name}' GROUP BY {on}, session_idx)""")
+        else:
+            parts.append(f"""r{i} AS MATERIALIZED (
+  SELECT s.{on}, s.session_idx, min(s.{ts}) AS t
+  FROM sess s JOIN r{i - 1} p
+    ON s.{on} = p.{on} AND s.session_idx = p.session_idx
+  WHERE s.{typ} = '{name}' AND s.{ts} > p.t
+  GROUP BY s.{on}, s.session_idx)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {i} AS step, '{name}' AS step_name,"
+        f" (SELECT count(*) FROM r{i})::BIGINT AS n_sessions"
+        for i, name in enumerate(steps, start=1)
+    )
+    parts.append(f"counts AS ({unions})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT step, step_name, n_sessions,
+  n_sessions / tot.n AS frac_of_all,
+  n_sessions / coalesce(lag(n_sessions::DOUBLE) OVER (ORDER BY step), tot.n)
+    AS frac_of_prev
+FROM counts CROSS JOIN tot ORDER BY step
+"""
+    )

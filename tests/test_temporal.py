@@ -272,3 +272,32 @@ def test_event_transitions_session_boundary_dropped(spark):
     # per-from fractions sum to 1
     assert abs(out[("a", "b")]["frac_of_from"] - 1.0) < 1e-12
     assert abs(out[("b", "a")]["frac_of_from"] - 1.0) < 1e-12
+
+
+def test_funnel_completion_strict_order(spark):
+    import datetime as dt
+    from orionbelt_ontology_builder_spark.operators import temporal as T
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # session A completes the whole funnel in order
+        (1, t0, 0, "view"), (1, t0 + m, 1, "click"), (1, t0 + 2 * m, 2, "purchase"),
+        # session B: click BEFORE view -> stops at step 1
+        (2, t0, 3, "click"), (2, t0 + m, 4, "view"),
+        # session C: view only
+        (3, t0, 5, "view"),
+        # session D: no funnel events at all
+        (4, t0, 6, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r["step_name"]: r for r in T.funnel_completion(
+        ev, ["view", "click", "purchase"], gap_sec=3600, tiebreak="event_id"
+    ).collect()}
+    assert out["view"]["n_sessions"] == 3
+    assert out["click"]["n_sessions"] == 1      # B's click precedes its view
+    assert out["purchase"]["n_sessions"] == 1
+    assert abs(out["view"]["frac_of_all"] - 0.75) < 1e-12
+    assert abs(out["purchase"]["frac_of_prev"] - 1.0) < 1e-12
