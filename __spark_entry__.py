@@ -1390,6 +1390,13 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
+def _q_label_centroids(spark, sf_dir):
+    """Per-label embedding prototypes summarized as (n, centroid norm,
+    within-class dispersion via E||x||^2 - ||mu||^2 — no second pass
+    over vector-centroid pairs)."""
+    return similarity.label_centroids(_embs(spark, sf_dir))
+
+
 def _q_sq8_stats(spark, sf_dir):
     """Per-vector int8 scalar-quantization audit (scale + reconstruction
     error) — the storage/IO-compression quality gate for the embedding
@@ -1627,7 +1634,7 @@ _SF_SCALE = {
     "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
-    "sq8_stats",
+    "sq8_stats", "label_centroids",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "chunk_text", "incremental_dedup", "budget_sample",
@@ -1853,6 +1860,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "sq8_stats": _q_sq8_stats,
+        "label_centroids": _q_label_centroids,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "decontaminate": _q_decontaminate,
@@ -3296,6 +3304,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
     sql["sq8_stats"] = similarity.sq8_stats_oracle()
+    sql["label_centroids"] = similarity.label_centroids_oracle()
     sql["media_features"] = multimodal.extract_features_oracle()
     sql["media_frames"] = multimodal.sample_frames_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()

@@ -161,6 +161,7 @@ def main() -> None:
         "event_transitions",
         "length_histogram",
         "funnel_completion",
+        "label_centroids",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

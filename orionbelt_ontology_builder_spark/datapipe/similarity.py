@@ -588,3 +588,71 @@ SELECT vec_id, scale,
   list_aggregate(list_transform(er, x -> abs(x)), 'max') AS max_abs_err
 FROM err ORDER BY vec_id
 """
+
+
+# ------------------------------------------------------------------ #
+# per-label centroids (class prototypes / cluster-quality probe)
+# ------------------------------------------------------------------ #
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """(label, n_vecs, centroid_norm, avg_dist2) — per-label mean
+    embedding summarized by its L2 norm, plus the mean squared
+    distance of members to their centroid (within-class dispersion).
+    The prototype/cluster-quality probe: nearest-centroid classifiers,
+    SemDeDup-style cluster pruning, and embedding-drift monitors all
+    start here.
+
+    Plan: posexplode to (label, dim_idx, value) -> one groupBy(label,
+    dim_idx) average (keys uniform, map-side partials) -> per-label
+    norm.  Dispersion uses the identity E||x - mu||^2 = E||x||^2 -
+    ||mu||^2, so it needs NO second pass over (vector x centroid)
+    pairs — one extra per-label aggregate of precomputed ||x||^2.
+    Summary scalars (not the raw centroid array) keep the output
+    engine-portable; per-group accumulation order differs between
+    engines, but the ULP-level noise sits far inside the driver's
+    %.6g comparison (verified at sf0.001 and sf0.01)."""
+    ex = embeddings.select(
+        "label",
+        F.expr(f"aggregate({_D}, 0d, (a, x) -> a + x * x)").alias("sq"),
+        F.posexplode(F.col("embedding")).alias("dim_idx", "v"),
+    )
+    per_dim = ex.groupBy("label", "dim_idx").agg(
+        F.avg(F.col("v").cast("double")).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("sq").alias("esq"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("centroid_norm"),
+            (F.max("esq") - F.sum(F.col("m") * F.col("m"))).alias("avg_dist2"),
+        )
+        .orderBy("label")
+    )
+
+
+_D = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def label_centroids_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS emb,
+    list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')
+      AS sq
+  FROM embeddings),
+ex AS (
+  SELECT label, sq, unnest(emb) AS v,
+         unnest(range(1, len(emb) + 1)) AS dim_idx
+  FROM e),
+per_dim AS MATERIALIZED (
+  SELECT label, dim_idx, avg(v) AS m, count(*)::BIGINT AS n,
+         avg(sq) AS esq
+  FROM ex GROUP BY label, dim_idx)
+SELECT label, max(n) AS n_vecs,
+  sqrt(sum(m * m)) AS centroid_norm,
+  max(esq) - sum(m * m) AS avg_dist2
+FROM per_dim GROUP BY label ORDER BY label
+"""

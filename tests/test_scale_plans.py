@@ -505,3 +505,24 @@ def test_sq8_quantization_error_bound_and_zero_guard(spark):
     # plan stays a pure projection: no exchange besides the final sort
     plan = _plan(similarity.sq8_stats(spark.createDataFrame(rows)))
     assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+def test_label_centroids_dispersion_identity(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import similarity
+
+    # label 0: two opposite unit vectors -> centroid 0, dispersion 1
+    # label 1: two identical vectors -> centroid = the vector, dispersion 0
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[-1.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.0, 2.0], label=1),
+        Row(vec_id=3, embedding=[0.0, 2.0], label=1),
+    ]
+    out = {r["label"]: r for r in similarity.label_centroids(
+        spark.createDataFrame(rows)).collect()}
+    assert out[0]["n_vecs"] == 2
+    assert abs(out[0]["centroid_norm"]) < 1e-12
+    assert abs(out[0]["avg_dist2"] - 1.0) < 1e-12
+    assert abs(out[1]["centroid_norm"] - 2.0) < 1e-12
+    assert abs(out[1]["avg_dist2"]) < 1e-12
