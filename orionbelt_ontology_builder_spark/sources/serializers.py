@@ -88,6 +88,14 @@ def _ttl_term(
     return out
 
 
+def _row_key(r: Row6) -> tuple:
+    """None-safe sort key for 6-tuple triple rows: None fields (lang/dt
+    of non-literals, plain literals) sort as '' instead of raising
+    TypeError against str (hypothesis-found: two rows sharing
+    (subj, pred, obj, kind) but one with lang=None, one with a dt)."""
+    return tuple("" if v is None else v for v in r)
+
+
 def to_turtle(rows: list[Row6], prefixes: dict[str, str] | None = None) -> str:
     """Subject-grouped Turtle with prefix compaction and ``a`` shorthand."""
     prefixes = {**STANDARD_PREFIXES, **(prefixes or {})}
@@ -104,7 +112,7 @@ def to_turtle(rows: list[Row6], prefixes: dict[str, str] | None = None) -> str:
         s = _ttl_term(subj, "bnode" if subj.startswith("_:") else "uri",
                       None, None, rev)
         preds: dict[str, list[str]] = defaultdict(list)
-        for _, p, o, k, lg, dt in sorted(by_subj[subj]):
+        for _, p, o, k, lg, dt in sorted(by_subj[subj], key=_row_key):
             pt = "a" if p == RDF_NS + "type" else _ttl_term(p, "uri", None, None, rev)
             preds[pt].append(_ttl_term(o, k, lg, dt, rev))
         parts = [f"    {pt} {', '.join(objs)}" for pt, objs in preds.items()]
@@ -152,7 +160,7 @@ def to_rdfxml(rows: list[Row6]) -> str:
             out.append(f'  <rdf:Description rdf:nodeID={quoteattr(subj[2:])}>')
         else:
             out.append(f'  <rdf:Description rdf:about={quoteattr(subj)}>')
-        for _, p, o, k, lg, dt in sorted(by_subj[subj]):
+        for _, p, o, k, lg, dt in sorted(by_subj[subj], key=_row_key):
             ns, local = _split_qname(p)
             tag = f'q:{local} xmlns:q={quoteattr(ns)}'
             if k == "uri":

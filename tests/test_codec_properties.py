@@ -83,12 +83,17 @@ def _nt_line(row):
 _NT_BAD = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 
+def _k(r):
+    # None-safe tuple sort (rows mix None and str in lang/dt slots)
+    return tuple("" if v is None else v for v in r)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(triple(), min_size=1, max_size=8))
 def test_turtle_roundtrip_property(rows):
     rows = list({r for r in rows})
     got = PAR.parse_turtle(SER.to_turtle(rows))
-    assert sorted(set(got)) == sorted(set(rows))
+    assert sorted(set(got), key=_k) == sorted(set(rows), key=_k)
 
 
 @settings(max_examples=100, deadline=None)
@@ -96,7 +101,7 @@ def test_turtle_roundtrip_property(rows):
 def test_jsonld_roundtrip_property(rows):
     rows = list({r for r in rows})
     got = PAR.parse_jsonld(SER.to_jsonld(rows))
-    assert sorted(set(got)) == sorted(set(rows))
+    assert sorted(set(got), key=_k) == sorted(set(rows), key=_k)
 
 
 @settings(max_examples=100, deadline=None)
@@ -108,4 +113,4 @@ def test_rdfxml_roundtrip_property(rows):
     if not rows:
         return
     got = PAR.parse_rdfxml(SER.to_rdfxml(rows))
-    assert sorted(set(got)) == sorted(set(rows))
+    assert sorted(set(got), key=_k) == sorted(set(rows), key=_k)
