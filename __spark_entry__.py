@@ -526,6 +526,15 @@ def _q_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ingest-rate z-scores against a trailing 24 h baseline —
+    the stream-health monitor.  Data-scale work is one map-side
+    groupBy(hour); the unpartitioned window runs over the bounded
+    hourly series only (8,760 rows/year)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts")
+    return temporal.event_rate_anomaly(ev, ts="ts")
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
 
@@ -1621,7 +1630,7 @@ _SF_SCALE = {
     "induced_search", "tpch_q1", "top_customers", "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "event_transitions",
-    "funnel_completion", "tfidf_topk",
+    "funnel_completion", "event_rate_anomaly", "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
     "length_histogram",
@@ -1780,6 +1789,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": _q_session_stats,
         "event_transitions": _q_event_transitions,
         "funnel_completion": _q_funnel_completion,
+        "event_rate_anomaly": _q_event_rate_anomaly,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2496,6 +2506,7 @@ ORDER BY resolution, bucket
     sql["funnel_completion"] = temporal.funnel_completion_sql(
         ["view", "click", "purchase"], gap_sec=21600
     )
+    sql["event_rate_anomaly"] = temporal.event_rate_anomaly_sql()
     sql["session_stats_events"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

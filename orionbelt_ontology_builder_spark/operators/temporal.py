@@ -536,3 +536,77 @@ SELECT step, step_name, n_sessions,
 FROM counts CROSS JOIN tot ORDER BY step
 """
     )
+
+
+def event_rate_anomaly(
+    events: DataFrame,
+    ts: str = "ts",
+    trailing: int = 24,
+    min_history: int = 6,
+) -> DataFrame:
+    """(bucket, n_events, base_mean, base_std, z) — hourly event counts
+    scored against their trailing ``trailing``-hour mean/std (sample
+    std; rows with fewer than ``min_history`` preceding hours are
+    dropped — no z-score without a baseline).  The stream-health
+    monitor: ingestion gaps, crawler storms, and clock bugs all
+    surface as |z| spikes.
+
+    The only window runs over the HOURLY bucket series — bounded by
+    the time dimension (8,760 rows/year), not by data volume, so the
+    unpartitioned ordering is safe at any corpus size; the data-scale
+    work is one map-side-combinable groupBy(hour)."""
+    hourly = (
+        events.select(F.date_trunc("hour", F.col(ts)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    scored = hourly.select(
+        "bucket",
+        "n_events",
+        F.avg("n_events").over(w).alias("base_mean"),
+        F.stddev_samp("n_events").over(w).alias("base_std"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_hist") >= min_history) & (F.col("base_std") > 0)
+        )
+        .select(
+            "bucket", "n_events", "base_mean", "base_std",
+            ((F.col("n_events") - F.col("base_mean")) / F.col("base_std"))
+            .alias("z"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def event_rate_anomaly_sql(
+    table: str = "events",
+    ts: str = "ts",
+    trailing: int = 24,
+    min_history: int = 6,
+) -> str:
+    """DuckDB twin: identical hourly rollup + trailing window (DuckDB
+    ``stddev`` is the sample form, matching Spark ``stddev_samp``)."""
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', {ts}) AS bucket, count(*)::BIGINT AS n_events
+  FROM {table} GROUP BY 1),
+scored AS (
+  SELECT bucket, n_events,
+    avg(n_events) OVER w AS base_mean,
+    stddev(n_events) OVER w AS base_std,
+    count(*) OVER w AS n_hist
+  FROM hourly
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING))
+SELECT bucket, n_events, base_mean, base_std,
+  (n_events - base_mean) / base_std AS z
+FROM scored
+WHERE n_hist >= {min_history} AND base_std > 0
+ORDER BY bucket
+"""

@@ -301,3 +301,43 @@ def test_funnel_completion_strict_order(spark):
     assert out["purchase"]["n_sessions"] == 1
     assert abs(out["view"]["frac_of_all"] - 0.75) < 1e-12
     assert abs(out["purchase"]["frac_of_prev"] - 1.0) < 1e-12
+
+
+def test_event_rate_anomaly_spike_detected(spark):
+    """10 steady hours at 5 events/hr with one hour at 50: the spike
+    hour gets the max |z|; warm-up hours (< min_history) are absent."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(12):
+        n = 50 if h == 9 else 5 + (h % 2)  # mild alternation, one spike
+        for i in range(n):
+            rows.append((t0 + dt.timedelta(hours=h, minutes=i % 60), eid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "ts timestamp, event_id long")
+    out = T.event_rate_anomaly(ev, ts="ts", trailing=24, min_history=6)
+    got = {r["bucket"].hour: r for r in out.collect()}
+    # hours 0-5 have < 6 preceding hours -> dropped
+    assert min(got) >= 6
+    # the spike hour is present and has the largest z
+    assert 9 in got
+    zmax = max(abs(r["z"]) for r in got.values())
+    assert abs(got[9]["z"]) == zmax and got[9]["z"] > 3
+    # baseline stats sane for a steady hour
+    assert abs(got[6]["base_mean"] - 5.5) < 0.6
+
+
+def test_event_rate_anomaly_constant_rate_dropped(spark):
+    """A perfectly constant series has base_std = 0 everywhere ->
+    every scored row is filtered (no divide-by-zero rows leak)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=h, minutes=m), h * 10 + m)
+        for h in range(10) for m in range(3)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_id long")
+    assert T.event_rate_anomaly(ev, ts="ts").count() == 0
