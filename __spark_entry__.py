@@ -535,6 +535,18 @@ def _q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.event_rate_anomaly(ev, ts="ts")
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the event stream (url/user
+    re-visit decay).  ONE shuffle on user_id: distinct activity, the
+    min-week cohort agg, and the activity⋈cohort join all share that
+    partitioning; the final groupBy and the offset-0 window run on the
+    bounded (cohort_week, offset) series only."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts"
+    )
+    return temporal.cohort_retention(ev, on="user_id", ts="ts")
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
 
@@ -1630,7 +1642,8 @@ _SF_SCALE = {
     "induced_search", "tpch_q1", "top_customers", "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "event_transitions",
-    "funnel_completion", "event_rate_anomaly", "tfidf_topk",
+    "funnel_completion", "event_rate_anomaly", "cohort_retention",
+    "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
     "length_histogram",
@@ -1790,6 +1803,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "funnel_completion": _q_funnel_completion,
         "event_rate_anomaly": _q_event_rate_anomaly,
+        "cohort_retention": _q_cohort_retention,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2507,6 +2521,9 @@ ORDER BY resolution, bucket
         ["view", "click", "purchase"], gap_sec=21600
     )
     sql["event_rate_anomaly"] = temporal.event_rate_anomaly_sql()
+    sql["cohort_retention"] = temporal.cohort_retention_sql(
+        on="user_id", ts="ts"
+    )
     sql["session_stats_events"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

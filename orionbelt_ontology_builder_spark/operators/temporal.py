@@ -53,6 +53,8 @@ __all__ = [
     "latest_snapshot",
     "range_join_binned",
     "rollup_cascade",
+    "cohort_retention",
+    "cohort_retention_sql",
     "session_stats",
     "sessionize",
 ]
@@ -609,4 +611,96 @@ SELECT bucket, n_events, base_mean, base_std,
 FROM scored
 WHERE n_hist >= {min_history} AND base_std > 0
 ORDER BY bucket
+"""
+
+
+def cohort_retention(
+    events: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    max_weeks: int | None = 12,
+) -> DataFrame:
+    """(cohort_week, week_offset, n_active, cohort_size, retention) —
+    classic weekly cohort-retention triangle: users are assigned to the
+    week of their FIRST event; ``retention`` is the fraction of that
+    cohort active again ``week_offset`` weeks later.
+
+    The crawl-freshness twin of the product-analytics op: with
+    url-as-user and fetch-as-event it answers "of the urls first seen
+    in week W, what share were re-crawled k weeks on" — the coverage
+    decay curve a Common-Crawl-scale pipeline tracks per source.
+
+    Scale shape: ONE shuffle on the entity key.  Per-(user, week)
+    activity is a distinct-style aggregation keyed by ``on``; the
+    per-user cohort week is a second aggregation of THAT output on the
+    same key (AQE reuses the partitioning — no new exchange), and the
+    activity⋈cohort join is co-partitioned for free.  The final
+    groupBy lands on (cohort_week, week_offset) — bounded by the time
+    dimension squared, a few thousand rows for years of data — so the
+    window fetching offset-0 cohort sizes runs on a tiny series, never
+    on data-scale rows.  ``cohort_size`` needs no extra pass: every
+    user is active in their own cohort week by construction, so the
+    offset-0 row IS the cohort size."""
+    # DATE (not timestamp) to match DuckDB's date_trunc('week') type.
+    week = F.to_date(F.date_trunc("week", F.col(ts))).alias("week")
+    activity = events.select(F.col(on).alias("uid"), week).distinct()
+    cohort = activity.groupBy("uid").agg(F.min("week").alias("cohort_week"))
+    joined = activity.join(cohort, "uid")
+    offs = (F.datediff("week", "cohort_week") / 7).cast("int")
+    counts = (
+        joined.select("cohort_week", offs.alias("week_offset"), "uid")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    if max_weeks is not None:
+        counts = counts.filter(F.col("week_offset") <= max_weeks)
+    w0 = Window.partitionBy("cohort_week")
+    sized = counts.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("week_offset") == 0, F.col("n_active"))
+        ).over(w0),
+    )
+    return sized.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    on: str = "user_id",
+    ts: str = "ts",
+    max_weeks: int | None = 12,
+) -> str:
+    """DuckDB twin: identical distinct-activity → min-week cohort →
+    offset counts → offset-0 window size."""
+    cap = (
+        f"WHERE week_offset <= {max_weeks}" if max_weeks is not None else ""
+    )
+    return f"""
+WITH activity AS (
+  SELECT DISTINCT {on} AS uid, date_trunc('week', {ts})::DATE AS week
+  FROM {table}),
+cohort AS (
+  SELECT uid, min(week) AS cohort_week FROM activity GROUP BY uid),
+counts AS (
+  SELECT cohort_week,
+    (date_diff('day', cohort_week::DATE, week::DATE) / 7)::INT
+      AS week_offset,
+    count(*)::BIGINT AS n_active
+  FROM activity JOIN cohort USING (uid)
+  GROUP BY 1, 2),
+capped AS (SELECT * FROM counts {cap})
+SELECT cohort_week, week_offset, n_active,
+  max(CASE WHEN week_offset = 0 THEN n_active END)
+    OVER (PARTITION BY cohort_week) AS cohort_size,
+  n_active::DOUBLE
+    / max(CASE WHEN week_offset = 0 THEN n_active END)
+        OVER (PARTITION BY cohort_week) AS retention
+FROM capped
+ORDER BY cohort_week, week_offset
 """

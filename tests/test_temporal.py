@@ -341,3 +341,45 @@ def test_event_rate_anomaly_constant_rate_dropped(spark):
     ]
     ev = spark.createDataFrame(rows, "ts timestamp, event_id long")
     assert T.event_rate_anomaly(ev, ts="ts").count() == 0
+
+
+def test_cohort_retention_triangle(spark):
+    """A active weeks 0/1/2, B weeks 0/2, C week 1 (Mondays, so the
+    week-truncation is exact): cohort w0 = {A,B} retains 1/2 at +1 and
+    2/2 at +2; cohort w1 = {C} has only its offset-0 row."""
+    import datetime as dt
+
+    w = [dt.datetime(2024, 1, 1 + 7 * k, 12, 0) for k in range(3)]
+    rows = [
+        ("A", w[0]), ("A", w[1]), ("A", w[2]),
+        ("B", w[0]), ("B", w[2]),
+        ("C", w[1]),
+        ("A", w[0] + dt.timedelta(days=2)),  # same-week dup collapses
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): r
+        for r in T.cohort_retention(ev, on="user_id", ts="ts").collect()
+    }
+    assert set(out) == {
+        ("2024-01-01", 0), ("2024-01-01", 1), ("2024-01-01", 2),
+        ("2024-01-08", 0),
+    }
+    r0 = out[("2024-01-01", 0)]
+    assert r0["n_active"] == 2 and r0["cohort_size"] == 2
+    assert abs(out[("2024-01-01", 1)]["retention"] - 0.5) < 1e-12
+    assert abs(out[("2024-01-01", 2)]["retention"] - 1.0) < 1e-12
+    assert out[("2024-01-08", 0)]["cohort_size"] == 1
+
+
+def test_cohort_retention_max_weeks_cap(spark):
+    """Offsets past max_weeks are dropped but offset-0 sizing remains
+    intact for the kept rows."""
+    import datetime as dt
+
+    rows = [("u", dt.datetime(2024, 1, 1) + dt.timedelta(days=7 * k))
+            for k in (0, 1, 30)]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = T.cohort_retention(ev, on="user_id", ts="ts", max_weeks=2)
+    offsets = [r["week_offset"] for r in out.collect()]
+    assert offsets == [0, 1]
