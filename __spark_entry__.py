@@ -31,6 +31,7 @@ from orionbelt_ontology_builder_spark.operators import (
     graphstats,
     lists,
     mutations,
+    profiling,
     setops,
     temporal,
     views,
@@ -319,6 +320,32 @@ def _q_induced_individuals_per_class(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count_distinct("subj").alias("n_individuals"))
         .orderBy("class_name")
     )
+
+
+def _q_predicate_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate fan-out/fan-in profile over the induced graph —
+    the owl:Functional/InverseFunctionalProperty evidence table.  Two
+    two-phase aggs keyed (pred,subj)/(pred,obj), vocab-sized join."""
+    return profiling.predicate_cardinality(
+        relational.induce_triples(spark, sf_dir)
+    )
+
+
+def _q_predicate_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-level predicate-pair support over the induced graph —
+    the class-proposal signal of schema discovery.  distinct(subj,pred)
+    persisted once, subj-keyed self-join, vocab²-sized output."""
+    return profiling.predicate_cooccurrence(
+        relational.induce_triples(spark, sf_dir)
+    )
+
+
+def _q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key presence/type/cardinality profile of the events.props
+    JSON column — the 'what attributes exist' pass over a raw event
+    stream before modeling it."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("props")
+    return profiling.json_props_profile(ev, col="props")
 
 
 def _q_induced_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1643,6 +1670,8 @@ _SF_SCALE = {
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
+    "predicate_cardinality", "predicate_cooccurrence",
+    "json_props_profile",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -1804,6 +1833,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_completion": _q_funnel_completion,
         "event_rate_anomaly": _q_event_rate_anomaly,
         "cohort_retention": _q_cohort_retention,
+        "predicate_cardinality": _q_predicate_cardinality,
+        "predicate_cooccurrence": _q_predicate_cooccurrence,
+        "json_props_profile": _q_json_props_profile,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2523,6 +2555,12 @@ ORDER BY resolution, bucket
     sql["event_rate_anomaly"] = temporal.event_rate_anomaly_sql()
     sql["cohort_retention"] = temporal.cohort_retention_sql(
         on="user_id", ts="ts"
+    )
+    _tr = "WITH " + relational.induce_triples_sql()
+    sql["predicate_cardinality"] = profiling.predicate_cardinality_sql(_tr)
+    sql["predicate_cooccurrence"] = profiling.predicate_cooccurrence_sql(_tr)
+    sql["json_props_profile"] = profiling.json_props_profile_sql(
+        table="events", col="props"
     )
     sql["session_stats_events"] = """
 WITH o AS (

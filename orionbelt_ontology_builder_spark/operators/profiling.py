@@ -1,0 +1,300 @@
+"""Schema/shape profiling operators — the "look at the data before you
+model it" pass of KG construction.
+
+The reference app exposes curated *views* of an ontology the user
+already built (``/root/reference/app.py`` statistics/hierarchy panes);
+a web-scale ingest needs the inverse: profile a raw triple pile or a
+semi-structured event stream and *propose* the schema.  These operators
+compute the three classic induction signals:
+
+* :func:`json_props_profile` — per-key presence/type/cardinality stats
+  over a JSON properties column (the "what attributes exist" question
+  for event streams and crawled structured data).
+* :func:`predicate_cardinality` — per-predicate fan-out/fan-in profile
+  over a triples table; the functional / inverse-functional evidence an
+  ontology-induction step turns into ``owl:FunctionalProperty``
+  axioms (ref's object-property flags, ``ontology_manager.py``
+  add_object_property signature).
+* :func:`predicate_cooccurrence` — subject-level predicate pair
+  support; predicates that always co-occur on the same subjects are
+  the clustering signal for proposing classes (schema discovery).
+
+All three are two-phase hash aggregations with map-side partials —
+data-scale shuffles are keyed by (key)/(pred, subj)/(subj) and collapse
+to vocabulary-bounded outputs, so they hold at 100 TB: the output of
+every stage after the first partial agg is schema-sized, not data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "json_props_profile",
+    "json_props_profile_sql",
+    "predicate_cardinality",
+    "predicate_cardinality_sql",
+    "predicate_cooccurrence",
+    "predicate_cooccurrence_sql",
+]
+
+# Type classification is a pure function of the *normalized value text*
+# (JSON strings unquoted, numbers/bools as their literal token) so Spark
+# and DuckDB agree bit-for-bit without sharing a JSON parser.
+_INT_RE = r"^-?[0-9]+$"
+_FLOAT_RE = r"^-?[0-9]*\.[0-9]+([eE][-+]?[0-9]+)?$"
+
+
+def _vt(col):
+    return (
+        F.when(col.isNull(), "null")
+        .when(col.rlike(_INT_RE), "int")
+        .when(col.rlike(_FLOAT_RE), "float")
+        .when(col.isin("true", "false"), "bool")
+        .otherwise("string")
+    )
+
+
+def json_props_profile(events: DataFrame, col: str = "props") -> DataFrame:
+    """(key, n_present, frac_present, n_distinct, n_int, n_float,
+    n_bool, n_string, n_null, dtype) — one row per JSON key.
+
+    ``dtype`` is 'int'/'float'/'bool'/'string' when every non-null value
+    classifies the same way, else 'mixed' ('null' if the key only ever
+    holds nulls).
+
+    Scale shape: explode(map) is map-side; the groupBy(key, value)
+    pre-pass gives exact n_distinct with map-side combine (values per
+    key are bounded by the value domain, keys by the schema — the
+    second-stage agg is vocabulary-sized).  The total-row count rides a
+    1-row broadcast cross join, not a driver collect."""
+    m = F.from_json(F.col(col), "map<string,string>")
+    kv = events.select(F.explode(m).alias("key", "value"))
+    typed = kv.withColumn("vt", _vt(F.col("value")))
+    # exact distinct via (key, value) pre-agg: map-side combine on both
+    # stages; carries the per-type counts along so one pass suffices.
+    per_val = typed.groupBy("key", "value", "vt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    prof = per_val.groupBy("key").agg(
+        F.sum("c").alias("n_present"),
+        F.count(F.when(F.col("value").isNotNull(), F.lit(1))).alias(
+            "n_distinct"
+        ),
+        F.sum(F.when(F.col("vt") == "int", F.col("c")).otherwise(0)).alias(
+            "n_int"
+        ),
+        F.sum(F.when(F.col("vt") == "float", F.col("c")).otherwise(0)).alias(
+            "n_float"
+        ),
+        F.sum(F.when(F.col("vt") == "bool", F.col("c")).otherwise(0)).alias(
+            "n_bool"
+        ),
+        F.sum(F.when(F.col("vt") == "string", F.col("c")).otherwise(0)).alias(
+            "n_string"
+        ),
+        F.sum(F.when(F.col("vt") == "null", F.col("c")).otherwise(0)).alias(
+            "n_null"
+        ),
+    )
+    total = events.select(F.count(F.lit(1)).alias("n_rows"))
+    nn = F.col("n_present") - F.col("n_null")
+    dtype = (
+        F.when(nn == 0, "null")
+        .when(F.col("n_int") == nn, "int")
+        .when(F.col("n_float") == nn, "float")
+        .when(F.col("n_bool") == nn, "bool")
+        .when(F.col("n_string") == nn, "string")
+        .otherwise("mixed")
+    )
+    return (
+        prof.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            (F.col("n_present") / F.col("n_rows")).alias("frac_present"),
+            "n_distinct",
+            "n_int",
+            "n_float",
+            "n_bool",
+            "n_string",
+            "n_null",
+            dtype.alias("dtype"),
+        )
+        .orderBy("key")
+    )
+
+
+def json_props_profile_sql(table: str = "events", col: str = "props") -> str:
+    """DuckDB twin — json_keys + unnest enumerates pairs;
+    json_extract_string normalizes value text exactly like Spark's
+    from_json into map<string,string>."""
+    return f"""
+WITH kv AS (
+  SELECT k AS key, json_extract_string({col}, '$.' || k) AS value
+  FROM {table}, unnest(json_keys({col})) AS t(k)),
+typed AS (
+  SELECT key, value,
+    CASE WHEN value IS NULL THEN 'null'
+         WHEN regexp_matches(value, '{_INT_RE}') THEN 'int'
+         WHEN regexp_matches(value, '{_FLOAT_RE}') THEN 'float'
+         WHEN value IN ('true','false') THEN 'bool'
+         ELSE 'string' END AS vt
+  FROM kv),
+prof AS (
+  SELECT key,
+    count(*)::BIGINT AS n_present,
+    count(DISTINCT value)::BIGINT AS n_distinct,
+    sum(CASE WHEN vt='int' THEN 1 ELSE 0 END)::BIGINT AS n_int,
+    sum(CASE WHEN vt='float' THEN 1 ELSE 0 END)::BIGINT AS n_float,
+    sum(CASE WHEN vt='bool' THEN 1 ELSE 0 END)::BIGINT AS n_bool,
+    sum(CASE WHEN vt='string' THEN 1 ELSE 0 END)::BIGINT AS n_string,
+    sum(CASE WHEN vt='null' THEN 1 ELSE 0 END)::BIGINT AS n_null
+  FROM typed GROUP BY key)
+SELECT key, n_present,
+  n_present::DOUBLE / (SELECT count(*) FROM {table}) AS frac_present,
+  n_distinct, n_int, n_float, n_bool, n_string, n_null,
+  CASE WHEN n_present - n_null = 0 THEN 'null'
+       WHEN n_int = n_present - n_null THEN 'int'
+       WHEN n_float = n_present - n_null THEN 'float'
+       WHEN n_bool = n_present - n_null THEN 'bool'
+       WHEN n_string = n_present - n_null THEN 'string'
+       ELSE 'mixed' END AS dtype
+FROM prof
+ORDER BY key
+"""
+
+
+def predicate_cardinality(triples: DataFrame) -> DataFrame:
+    """(pred, n_triples, n_subjects, n_objects, max_fanout, max_fanin,
+    functional, inverse_functional, cardinality) — per-predicate shape.
+
+    ``functional`` = no subject carries two values (max_fanout == 1);
+    ``inverse_functional`` = no object is shared (max_fanin == 1);
+    ``cardinality`` classifies the pair as 1:1 / 1:N / N:1 / M:N —
+    the evidence table an induction step turns into
+    owl:FunctionalProperty / owl:InverseFunctionalProperty proposals.
+
+    Scale shape: two independent two-phase aggs — (pred, subj) then
+    pred for the fan-out side, (pred, obj) then pred for the fan-in
+    side — each with map-side partials; the final join is on the
+    vocabulary-sized pred key.  The triples input is scanned twice;
+    it's a map-side projection of the source tables, so re-scan beats
+    caching data-scale rows."""
+    out_side = (
+        triples.groupBy("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("pred")
+        .agg(
+            F.sum("c").alias("n_triples"),
+            F.count(F.lit(1)).alias("n_subjects"),
+            F.max("c").alias("max_fanout"),
+        )
+    )
+    in_side = (
+        triples.groupBy("pred", "obj")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.max("c").alias("max_fanin"),
+        )
+    )
+    card = (
+        F.when(
+            (F.col("max_fanout") == 1) & (F.col("max_fanin") == 1), "1:1"
+        )
+        .when(F.col("max_fanout") == 1, "N:1")
+        .when(F.col("max_fanin") == 1, "1:N")
+        .otherwise("M:N")
+    )
+    return (
+        out_side.join(in_side, "pred")
+        .select(
+            "pred",
+            "n_triples",
+            "n_subjects",
+            "n_objects",
+            "max_fanout",
+            "max_fanin",
+            (F.col("max_fanout") == 1).alias("functional"),
+            (F.col("max_fanin") == 1).alias("inverse_functional"),
+            card.alias("cardinality"),
+        )
+        .orderBy("pred")
+    )
+
+
+def predicate_cardinality_sql(triples_cte: str) -> str:
+    """DuckDB twin; ``triples_cte`` is a full ``WITH`` clause defining
+    ``triples(subj, pred, obj, ...)`` (see relational.induce_triples_sql)."""
+    return f"""{triples_cte},
+out_side AS (
+  SELECT pred, sum(c)::BIGINT AS n_triples, count(*)::BIGINT AS n_subjects,
+         max(c)::BIGINT AS max_fanout
+  FROM (SELECT pred, subj, count(*) AS c FROM triples GROUP BY 1, 2)
+  GROUP BY pred),
+in_side AS (
+  SELECT pred, count(*)::BIGINT AS n_objects, max(c)::BIGINT AS max_fanin
+  FROM (SELECT pred, obj, count(*) AS c FROM triples GROUP BY 1, 2)
+  GROUP BY pred)
+SELECT pred, n_triples, n_subjects, n_objects, max_fanout, max_fanin,
+  max_fanout = 1 AS functional,
+  max_fanin = 1 AS inverse_functional,
+  CASE WHEN max_fanout = 1 AND max_fanin = 1 THEN '1:1'
+       WHEN max_fanout = 1 THEN 'N:1'
+       WHEN max_fanin = 1 THEN '1:N'
+       ELSE 'M:N' END AS cardinality
+FROM out_side JOIN in_side USING (pred)
+ORDER BY pred
+"""
+
+
+def predicate_cooccurrence(triples: DataFrame) -> DataFrame:
+    """(pred_a, pred_b, n_subjects, support) for pred_a < pred_b —
+    how many subjects carry BOTH predicates, as a fraction of all
+    subjects.  Pairs with support ≈ 1 always travel together — the
+    class-proposal signal of schema discovery (attributes of one
+    entity type); support ≈ 0 pairs separate types.
+
+    Scale shape: distinct (subj, pred) first (two-phase, map-side
+    combine) and ``persist()`` — it feeds BOTH sides of the self-join
+    (multi-consumer recompute trap, see CLAUDE.md).  The self-join is
+    keyed on subj; per-subject distinct predicates are bounded by the
+    vocabulary, so the pair blowup per subject is a small constant and
+    no key is data-skewed.  Final agg lands on vocab² keys."""
+    sp = triples.select("subj", "pred").distinct().persist()
+    a = sp.select(F.col("subj"), F.col("pred").alias("pred_a"))
+    b = sp.select(F.col("subj"), F.col("pred").alias("pred_b"))
+    pairs = (
+        a.join(b, "subj")
+        .filter(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_subjects"))
+    )
+    total = sp.select(F.count_distinct("subj").alias("n_all_subjects"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_subjects",
+            (F.col("n_subjects") / F.col("n_all_subjects")).alias("support"),
+        )
+        .orderBy("pred_a", "pred_b")
+    )
+
+
+def predicate_cooccurrence_sql(triples_cte: str) -> str:
+    """DuckDB twin.  The shared ``sp`` CTE is MATERIALIZED — DuckDB
+    re-inlines plain CTEs at every reference site (CLAUDE.md)."""
+    return f"""{triples_cte},
+sp AS MATERIALIZED (SELECT DISTINCT subj, pred FROM triples)
+SELECT a.pred AS pred_a, b.pred AS pred_b,
+  count(*)::BIGINT AS n_subjects,
+  count(*)::DOUBLE / (SELECT count(DISTINCT subj) FROM sp) AS support
+FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+GROUP BY 1, 2
+ORDER BY pred_a, pred_b
+"""

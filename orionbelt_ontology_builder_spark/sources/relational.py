@@ -213,3 +213,58 @@ edges AS (
   SELECT 'o:' || l_orderkey, 's:' || l_suppkey
   FROM lineitem WHERE l_orderkey <= {max_orderkey})
 """
+
+
+def induce_triples_sql(include_individuals: bool = True) -> str:
+    """DuckDB CTE fragment ``triples(subj, pred, obj, obj_kind)``
+    mirroring :func:`induce_triples` row-for-row (lang/datatype slots
+    omitted — the profiling consumers read only the four core columns).
+    Compose as ``"WITH " + induce_triples_sql() + ", ..."``."""
+    core = f"""triples AS (
+  SELECT '{BASE}Region_' || r_name AS subj, '{RDF.type}' AS pred,
+         '{OWL.Class}' AS obj, 'uri' AS obj_kind FROM region
+  UNION ALL
+  SELECT '{BASE}Region_' || r_name, '{RDFS.label}', r_name, 'literal'
+  FROM region
+  UNION ALL
+  SELECT '{BASE}Nation_' || n_name, '{RDF.type}', '{OWL.Class}', 'uri'
+  FROM nation
+  UNION ALL
+  SELECT '{BASE}Nation_' || n_name, '{RDFS.label}', n_name, 'literal'
+  FROM nation
+  UNION ALL
+  SELECT '{BASE}Nation_' || n_name, '{RDFS.subClassOf}',
+         '{BASE}Region_' || r_name, 'uri'
+  FROM nation JOIN region ON n_regionkey = r_regionkey"""
+    if include_individuals:
+        core += f"""
+  UNION ALL
+  SELECT '{BASE}customer_' || c_custkey, '{RDF.type}',
+         '{OWL.NamedIndividual}', 'uri' FROM customer
+  UNION ALL
+  SELECT '{BASE}customer_' || c_custkey, '{RDF.type}',
+         '{BASE}Nation_' || n_name, 'uri'
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT '{BASE}customer_' || c_custkey, '{RDFS.label}', c_name, 'literal'
+  FROM customer
+  UNION ALL
+  SELECT '{BASE}customer_' || c_custkey, '{BASE}acctbal',
+         printf('%.2f', c_acctbal), 'literal' FROM customer
+  UNION ALL
+  SELECT '{BASE}customer_' || c_custkey, '{BASE}mktsegment',
+         c_mktsegment, 'literal' FROM customer
+  UNION ALL
+  SELECT '{BASE}supplier_' || s_suppkey, '{RDF.type}',
+         '{OWL.NamedIndividual}', 'uri' FROM supplier
+  UNION ALL
+  SELECT '{BASE}supplier_' || s_suppkey, '{RDF.type}',
+         '{BASE}Nation_' || n_name, 'uri'
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT '{BASE}supplier_' || s_suppkey, '{RDFS.label}', s_name, 'literal'
+  FROM supplier
+  UNION ALL
+  SELECT '{BASE}supplier_' || s_suppkey, '{BASE}acctbal',
+         printf('%.2f', s_acctbal), 'literal' FROM supplier"""
+    return core + ")"

@@ -1,0 +1,91 @@
+"""Unit semantics for the profiling operators (json key profile,
+predicate cardinality, predicate co-occurrence) on hand-built fixtures,
+plus a plan-shape check that the co-occurrence self-join is an
+equi-join (no cartesian stage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from orionbelt_ontology_builder_spark.operators import profiling as P
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o, obj_kind="uri") for s, p, o in rows]
+    )
+
+
+def test_json_props_profile_types_and_presence(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(props='{"a": 1, "b": "x"}'),
+            Row(props='{"a": 2, "b": "x", "c": 1.5}'),
+            Row(props='{"a": "oops"}'),
+            Row(props='{"d": true, "e": null}'),
+        ]
+    )
+    out = {r["key"]: r for r in P.json_props_profile(ev).collect()}
+    assert set(out) == {"a", "b", "c", "d", "e"}
+    # a: two ints + one string -> mixed, present in 3/4 rows
+    assert out["a"]["dtype"] == "mixed"
+    assert out["a"]["n_present"] == 3 and out["a"]["n_int"] == 2
+    assert abs(out["a"]["frac_present"] - 0.75) < 1e-12
+    # b: same value twice -> 1 distinct, clean string
+    assert out["b"]["dtype"] == "string" and out["b"]["n_distinct"] == 1
+    assert out["c"]["dtype"] == "float"
+    assert out["d"]["dtype"] == "bool"
+    # e only holds null
+    assert out["e"]["dtype"] == "null" and out["e"]["n_null"] == 1
+
+
+def test_predicate_cardinality_flags(spark):
+    # :name  — every subject exactly one value, values unique  -> 1:1
+    # :type  — one value per subject, objects shared           -> N:1
+    # :alias — s1 has two values, aliases unique               -> 1:N
+    # :knows — multi both ways                                 -> M:N
+    t = _triples(spark, [
+        ("s1", ":name", "n1"), ("s2", ":name", "n2"),
+        ("s1", ":type", "T"), ("s2", ":type", "T"),
+        ("s1", ":alias", "a1"), ("s1", ":alias", "a2"),
+        ("s1", ":knows", "s2"), ("s1", ":knows", "s3"),
+        ("s2", ":knows", "s3"),
+    ])
+    out = {r["pred"]: r for r in P.predicate_cardinality(t).collect()}
+    assert out[":name"]["cardinality"] == "1:1"
+    assert out[":name"]["functional"] and out[":name"]["inverse_functional"]
+    assert out[":type"]["cardinality"] == "N:1"
+    assert out[":type"]["functional"] and not out[":type"]["inverse_functional"]
+    assert out[":alias"]["cardinality"] == "1:N"
+    assert out[":knows"]["cardinality"] == "M:N"
+    assert out[":knows"]["n_triples"] == 3
+    assert out[":knows"]["n_subjects"] == 2 and out[":knows"]["n_objects"] == 2
+    assert out[":knows"]["max_fanout"] == 2 and out[":knows"]["max_fanin"] == 2
+
+
+def test_predicate_cooccurrence_support(spark):
+    # 4 subjects: a+b together on 2, a alone on 1, b+c on 1
+    t = _triples(spark, [
+        ("s1", "a", "x"), ("s1", "b", "x"),
+        ("s2", "a", "x"), ("s2", "b", "x"),
+        ("s3", "a", "x"),
+        ("s4", "b", "x"), ("s4", "c", "x"),
+        ("s4", "b", "y"),  # duplicate (subj,pred) must not double-count
+    ])
+    out = {(r["pred_a"], r["pred_b"]): r
+           for r in P.predicate_cooccurrence(t).collect()}
+    assert set(out) == {("a", "b"), ("b", "c")}
+    assert out[("a", "b")]["n_subjects"] == 2
+    assert abs(out[("a", "b")]["support"] - 0.5) < 1e-12
+    assert out[("b", "c")]["n_subjects"] == 1
+    assert abs(out[("b", "c")]["support"] - 0.25) < 1e-12
+
+
+def test_predicate_cooccurrence_plan_no_cartesian(spark):
+    t = _triples(spark, [("s1", "a", "x"), ("s1", "b", "x")])
+    plan = _plan(P.predicate_cooccurrence(t))
+    assert "CartesianProduct" not in plan
