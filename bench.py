@@ -162,6 +162,12 @@ def main() -> None:
         "length_histogram",
         "funnel_completion",
         "label_centroids",
+        "event_rate_anomaly",
+        # schema-profiling ops (r2 late)
+        "cohort_retention",
+        "predicate_cardinality",
+        "predicate_cooccurrence",
+        "json_props_profile",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
