@@ -340,6 +340,38 @@ def _q_predicate_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_deep_instance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure-aware per-class instance counts over the induced graph:
+    customers/suppliers typed by nation roll up to their region class.
+    Vocabulary-sized closure broadcast; data-scale work is the rdf:type
+    scan + two-phase countDistinct."""
+    return views.deep_instance_counts(
+        relational.induce_triples(spark, sf_dir)
+    )
+
+
+#: SHACL-lite shape table for the populated fixture: Person instances
+#: need >=1 hasName (alice has none -> minCount) and exactly one
+#: rdf:type (alice has 2 -> maxCount); Organization label conforms.
+_SHACL_SHAPES: list[tuple] = [
+    (FX.BASE + "Person", FX.BASE + "hasName", 1, None),
+    (FX.BASE + "Person", M.RDF.type, 1, 1),
+    (FX.BASE + "Organization", M.RDFS.label, 1, 1),
+]
+
+
+def _q_shacl_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shapes = spark.createDataFrame(
+        _SHACL_SHAPES,
+        "cls string, prop string, min_count long, max_count long",
+    )
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    return validation.shacl_min_max(
+        FX.fixture_triples(spark, "populated_om"), shapes
+    )
+
+
 def _q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key presence/type/cardinality profile of the events.props
     JSON column — the 'what attributes exist' pass over a raw event
@@ -1671,7 +1703,7 @@ _SF_SCALE = {
     "hypertable_rollup", "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
-    "json_props_profile",
+    "json_props_profile", "deep_instance_counts",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -1836,6 +1868,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_cardinality": _q_predicate_cardinality,
         "predicate_cooccurrence": _q_predicate_cooccurrence,
         "json_props_profile": _q_json_props_profile,
+        "deep_instance_counts": _q_deep_instance_counts,
+        "shacl_conformance": _q_shacl_conformance,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2561,6 +2595,24 @@ ORDER BY resolution, bucket
     sql["predicate_cooccurrence"] = profiling.predicate_cooccurrence_sql(_tr)
     sql["json_props_profile"] = profiling.json_props_profile_sql(
         table="events", col="props"
+    )
+    from orionbelt_ontology_builder_spark.operators import (
+        validation as _validation,
+    )
+
+    sql["deep_instance_counts"] = views.deep_instance_counts_sql(_tr)
+    def _sq(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    _shape_rows = ", ".join(
+        f"({_sq(c)}, {_sq(p)}, {mn}::BIGINT, "
+        + (f"{mx}::BIGINT" if mx is not None else "CAST(NULL AS BIGINT)")
+        + ")"
+        for c, p, mn, mx in _SHACL_SHAPES
+    )
+    sql["shacl_conformance"] = _validation.shacl_min_max_sql(
+        "WITH " + FX.fixture_cte("populated_om"),
+        f"(VALUES {_shape_rows})",
     )
     sql["session_stats_events"] = """
 WITH o AS (

@@ -1370,3 +1370,105 @@ def viz_triple_expansion(triples: DataFrame, max_new: int = 200) -> DataFrame:
     return linked.unionByName(kept).orderBy(
         "src", "pred_name", "obj_id"
     )
+
+
+# --------------------------------------------------------------------------
+# closure-aware instance counting
+# --------------------------------------------------------------------------
+
+
+def deep_instance_counts(triples: DataFrame) -> DataFrame:
+    """(class_uri, n_direct, n_deep) — per-class instance counts, where
+    ``n_deep`` rolls every instance up through the rdfs:subClassOf
+    closure (an instance of Employee also counts for Person).  The
+    closure-aware twin of the reference's per-class counts
+    (``app.py`` hierarchy pane shows direct counts only); deep counts
+    are what a 10^12-document KG's coverage dashboard actually needs.
+
+    Scale shape: the class list and the subclass closure are
+    vocabulary-sized — both broadcast.  The only data-scale work is the
+    rdf:type scan; direct and deep counts are two-phase countDistinct
+    aggs keyed on (class, ind) with map-side partials, so a hot root
+    class (every individual rolls up to it) pre-aggregates per
+    partition instead of hot-keying one reducer.  ``typed`` is a
+    map-side projection, so the double scan beats caching data-scale
+    rows."""
+    from .fixpoint import expand_superclasses
+
+    classes = (
+        triples.filter(
+            (F.col("pred") == RDF.type) & (F.col("obj") == OWL.Class)
+        )
+        .select(F.col("subj").alias("cls"))
+        .distinct()
+    )
+    anc = (
+        expand_superclasses(triples, RDFS.subClassOf)
+        .unionByName(
+            classes.select("cls", F.col("cls").alias("ancestor"))
+        )
+        .distinct()
+    )
+    typed = (
+        triples.filter(F.col("pred") == RDF.type)
+        .join(
+            F.broadcast(classes),
+            F.col("obj") == F.col("cls"),
+            "left_semi",
+        )
+        .select(F.col("subj").alias("ind"), F.col("obj").alias("cls"))
+    )
+    direct = typed.groupBy("cls").agg(
+        F.count_distinct("ind").alias("n_direct")
+    )
+    deep = (
+        typed.join(F.broadcast(anc), "cls")
+        .groupBy(F.col("ancestor").alias("cls"))
+        .agg(F.count_distinct("ind").alias("n_deep"))
+    )
+    return (
+        classes.join(direct, "cls", "left")
+        .join(deep, "cls", "left")
+        .select(
+            F.col("cls").alias("class_uri"),
+            F.coalesce("n_direct", F.lit(0)).alias("n_direct"),
+            F.coalesce("n_deep", F.lit(0)).alias("n_deep"),
+        )
+        .orderBy("class_uri")
+    )
+
+
+def deep_instance_counts_sql(triples_cte: str) -> str:
+    """DuckDB twin over a ``triples`` CTE (recursive closure; shared
+    CTEs MATERIALIZED — DuckDB re-inlines per reference site)."""
+    return f"""{triples_cte},
+classes AS MATERIALIZED (
+  SELECT DISTINCT subj AS cls FROM triples
+  WHERE pred = '{RDF.type}' AND obj = '{OWL.Class}'),
+edges AS (
+  SELECT subj AS cls, obj AS parent FROM triples
+  WHERE pred = '{RDFS.subClassOf}'),
+anc AS MATERIALIZED (
+  WITH RECURSIVE r(cls, ancestor) AS (
+    SELECT cls, cls FROM classes
+    UNION
+    SELECT r.cls, e.parent FROM r JOIN edges e ON r.ancestor = e.cls)
+  SELECT * FROM r),
+typed AS MATERIALIZED (
+  SELECT t.subj AS ind, t.obj AS cls
+  FROM triples t JOIN classes c ON t.obj = c.cls
+  WHERE t.pred = '{RDF.type}'),
+direct AS (
+  SELECT cls, count(DISTINCT ind)::BIGINT AS n_direct
+  FROM typed GROUP BY cls),
+deep AS (
+  SELECT a.ancestor AS cls, count(DISTINCT t.ind)::BIGINT AS n_deep
+  FROM typed t JOIN anc a ON t.cls = a.cls GROUP BY 1)
+SELECT c.cls AS class_uri,
+  coalesce(d.n_direct, 0) AS n_direct,
+  coalesce(p.n_deep, 0) AS n_deep
+FROM classes c
+LEFT JOIN direct d ON c.cls = d.cls
+LEFT JOIN deep p ON c.cls = p.cls
+ORDER BY class_uri
+"""

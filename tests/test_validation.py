@@ -92,3 +92,39 @@ def test_skos_negative(spark, skos_om):
     assert ("missing_prefLabel", BASE + "NoPref") in got
     assert ("broader_cycle", BASE + "X") in got
     assert ("broader_cycle", BASE + "Y") in got
+
+
+def test_shacl_min_max_targets_subclasses(spark):
+    """A Person shape targets alice (typed Employee only): hasName
+    minCount 1 fires with n=0; rdf:type maxCount 1 fires with n=2;
+    a satisfied Organization label shape emits nothing."""
+    shapes = spark.createDataFrame(
+        [
+            (BASE + "Person", BASE + "hasName", 1, None),
+            (BASE + "Person", RDF.type, 1, 1),
+            (BASE + "Organization", RDFS.label, 1, 1),
+        ],
+        "cls string, prop string, min_count long, max_count long",
+    )
+    out = validation.shacl_min_max(
+        fixture_triples(spark, "populated_om"), shapes
+    ).collect()
+    got = {(r["focus"], r["prop"], r["violation"], r["n_values"])
+           for r in out}
+    assert got == {
+        (BASE + "alice", BASE + "hasName", "minCount", 0),
+        (BASE + "alice", RDF.type, "maxCount", 2),
+    }
+
+
+def test_shacl_min_max_unbounded_max(spark):
+    """max_count NULL never fires maxCount, whatever the count."""
+    shapes = spark.createDataFrame(
+        [(OWL.Class, RDF.type, 1, None)],
+        "cls string, prop string, min_count long, max_count long",
+    )
+    # every declared class has exactly one rdf:type owl:Class triple
+    out = validation.shacl_min_max(
+        fixture_triples(spark, "populated_om"), shapes
+    ).collect()
+    assert out == []

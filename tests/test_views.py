@@ -264,3 +264,19 @@ def test_usages_laws(populated_om):
     iso = mutations.add_class(populated_om, "Isolated2", BASE)
     u3 = views.get_resource_usages(iso, BASE + "Isolated2").collect()
     assert all(r["direction"] != "inbound" for r in u3)
+
+
+def test_deep_instance_counts_rollup(populated_om):
+    """alice is a direct Employee instance and rolls up to Person
+    through the closure; Organization counts acme only; Person has no
+    direct instances."""
+    out = {r["class_uri"]: r
+           for r in views.deep_instance_counts(populated_om).collect()}
+    assert set(out) == {BASE + c
+                        for c in ("Person", "Organization", "Employee")}
+    assert out[BASE + "Employee"]["n_direct"] == 1
+    assert out[BASE + "Employee"]["n_deep"] == 1
+    assert out[BASE + "Person"]["n_direct"] == 0
+    assert out[BASE + "Person"]["n_deep"] == 1
+    assert out[BASE + "Organization"]["n_direct"] == 1
+    assert out[BASE + "Organization"]["n_deep"] == 1
