@@ -372,6 +372,15 @@ def _q_shacl_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skolemize_axioms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WL-signature bnode skolemization of the axioms fixture: all 12
+    restriction/list-spine bnodes get content-hash IRIs, stable across
+    re-serialization (the merge-safety property rdflib ids lack)."""
+    from orionbelt_ontology_builder_spark.operators import skolem
+
+    return skolem.skolemize_bnodes(FX.fixture_triples(spark, "axioms_om"))
+
+
 def _q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key presence/type/cardinality profile of the events.props
     JSON column — the 'what attributes exist' pass over a raw event
@@ -1870,6 +1879,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_profile": _q_json_props_profile,
         "deep_instance_counts": _q_deep_instance_counts,
         "shacl_conformance": _q_shacl_conformance,
+        "skolemize_axioms": _q_skolemize_axioms,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2613,6 +2623,11 @@ ORDER BY resolution, bucket
     sql["shacl_conformance"] = _validation.shacl_min_max_sql(
         "WITH " + FX.fixture_cte("populated_om"),
         f"(VALUES {_shape_rows})",
+    )
+    from orionbelt_ontology_builder_spark.operators import skolem as _skolem
+
+    sql["skolemize_axioms"] = _skolem.skolemize_bnodes_sql(
+        "WITH " + FX.fixture_cte("axioms_om")
     )
     sql["session_stats_events"] = """
 WITH o AS (
