@@ -381,6 +381,18 @@ def _q_skolemize_axioms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skolem.skolemize_bnodes(FX.fixture_triples(spark, "axioms_om"))
 
 
+def _q_align_ontologies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label/name/token alignment proposals between the populated
+    fixture and the Organization starter template (the find-the-
+    matches stage that precedes merge)."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    return align.align_entities(
+        FX.fixture_triples(spark, "populated_om"),
+        FX.fixture_triples(spark, "template_org"),
+    )
+
+
 def _q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key presence/type/cardinality profile of the events.props
     JSON column — the 'what attributes exist' pass over a raw event
@@ -1880,6 +1892,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deep_instance_counts": _q_deep_instance_counts,
         "shacl_conformance": _q_shacl_conformance,
         "skolemize_axioms": _q_skolemize_axioms,
+        "align_ontologies": _q_align_ontologies,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2628,6 +2641,12 @@ ORDER BY resolution, bucket
 
     sql["skolemize_axioms"] = _skolem.skolemize_bnodes_sql(
         "WITH " + FX.fixture_cte("axioms_om")
+    )
+    from orionbelt_ontology_builder_spark.operators import align as _align
+
+    sql["align_ontologies"] = _align.align_entities_sql(
+        "WITH " + FX.fixture_cte("populated_om", alias="ta"),
+        FX.fixture_cte("template_org", alias="tb"),
     )
     sql["session_stats_events"] = """
 WITH o AS (

@@ -89,3 +89,60 @@ def test_predicate_cooccurrence_plan_no_cartesian(spark):
     t = _triples(spark, [("s1", "a", "x"), ("s1", "b", "x")])
     plan = _plan(P.predicate_cooccurrence(t))
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------ #
+# cross-graph alignment (operators/align.py)
+# ------------------------------------------------------------------ #
+
+
+def _graph(spark, rows):
+    from orionbelt_ontology_builder_spark.model import TRIPLES_SCHEMA
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+
+def test_align_label_beats_tokens(spark):
+    from orionbelt_ontology_builder_spark.model import OWL, RDF, RDFS
+    from orionbelt_ontology_builder_spark.operators import align
+
+    a = _graph(spark, [
+        ("http://a#FullName", RDF.type, OWL.Class, "uri", None, None),
+        ("http://a#FullName", RDFS.label, "full name", "literal", None, None),
+        ("http://a#City", RDF.type, OWL.Class, "uri", None, None),
+        ("http://a#City", RDFS.label, "city name", "literal", None, None),
+    ])
+    b = _graph(spark, [
+        ("http://b#PersonName", RDF.type, OWL.Class, "uri", None, None),
+        ("http://b#PersonName", RDFS.label, "full name", "literal",
+         None, None),
+    ])
+    out = {(r["uri_a"], r["uri_b"]): r
+           for r in align.align_entities(a, b).collect()}
+    # exact label match wins with evidence 'label', score 1.0
+    m = out[("http://a#FullName", "http://b#PersonName")]
+    assert m["evidence"] == "label" and m["score"] == 1.0
+    # City shares token 'name' only: jaccard 1/3 < 0.5 -> filtered
+    assert ("http://a#City", "http://b#PersonName") not in out
+
+
+def test_align_token_jaccard_and_kind_isolation(spark):
+    from orionbelt_ontology_builder_spark.model import OWL, RDF, RDFS
+    from orionbelt_ontology_builder_spark.operators import align
+
+    a = _graph(spark, [
+        ("http://a#P", RDF.type, OWL.Class, "uri", None, None),
+        ("http://a#P", RDFS.label, "red apple tree", "literal", None, None),
+        ("http://a#Q", RDF.type, OWL.ObjectProperty, "uri", None, None),
+        ("http://a#Q", RDFS.label, "apple orchard", "literal", None, None),
+    ])
+    b = _graph(spark, [
+        ("http://b#X", RDF.type, OWL.Class, "uri", None, None),
+        ("http://b#X", RDFS.label, "apple tree", "literal", None, None),
+    ])
+    out = {(r["uri_a"], r["uri_b"]): r
+           for r in align.align_entities(a, b).collect()}
+    # P: {red, apple, tree} vs {apple, tree} -> 2/3 jaccard, 'tokens'
+    m = out[("http://a#P", "http://b#X")]
+    assert m["evidence"] == "tokens" and abs(m["score"] - 2 / 3) < 1e-12
+    # Q is an ObjectProperty: kinds never cross-match
+    assert ("http://a#Q", "http://b#X") not in out
