@@ -393,6 +393,26 @@ def _q_align_ontologies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BGP over the induced graph: individuals with their class, its
+#: superclass, and their market segment — a 3-pattern conjunctive query.
+_BGP_PATTERNS = [
+    ("?ind", M.RDF.type, "?cls"),
+    ("?cls", M.RDFS.subClassOf, "?sup"),
+    ("?ind", "http://example.org/tpch#mktsegment", "?seg"),
+]
+
+
+def _q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-shaped basic-graph-pattern query compiled to DataFrame
+    joins (constant slots pushed into the scan, shared vars as
+    equi-join keys, AQE picks broadcast/reorder at runtime)."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.match_bgp(
+        relational.induce_triples(spark, sf_dir), _BGP_PATTERNS
+    )
+
+
 def _q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key presence/type/cardinality profile of the events.props
     JSON column — the 'what attributes exist' pass over a raw event
@@ -1724,7 +1744,7 @@ _SF_SCALE = {
     "hypertable_rollup", "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
-    "json_props_profile", "deep_instance_counts",
+    "json_props_profile", "deep_instance_counts", "bgp_match",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -1893,6 +1913,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_conformance": _q_shacl_conformance,
         "skolemize_axioms": _q_skolemize_axioms,
         "align_ontologies": _q_align_ontologies,
+        "bgp_match": _q_bgp_match,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2648,6 +2669,9 @@ ORDER BY resolution, bucket
         "WITH " + FX.fixture_cte("populated_om", alias="ta"),
         FX.fixture_cte("template_org", alias="tb"),
     )
+    from orionbelt_ontology_builder_spark.operators import query as _query
+
+    sql["bgp_match"] = _query.match_bgp_sql(_tr, _BGP_PATTERNS)
     sql["session_stats_events"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

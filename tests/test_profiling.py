@@ -146,3 +146,47 @@ def test_align_token_jaccard_and_kind_isolation(spark):
     assert m["evidence"] == "tokens" and abs(m["score"] - 2 / 3) < 1e-12
     # Q is an ObjectProperty: kinds never cross-match
     assert ("http://a#Q", "http://b#X") not in out
+
+
+# ------------------------------------------------------------------ #
+# BGP matching (operators/query.py)
+# ------------------------------------------------------------------ #
+
+
+def test_bgp_join_on_shared_vars(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "C"), ("b", "type", "C"), ("c", "type", "D"),
+        ("a", "knows", "b"), ("b", "knows", "c"),
+    ])
+    out = query.match_bgp(t, [
+        ("?x", "type", "C"), ("?x", "knows", "?y"), ("?y", "type", "C"),
+    ]).collect()
+    assert [(r["x"], r["y"]) for r in out] == [("a", "b")]
+
+
+def test_bgp_repeated_var_and_constant_filter(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("n1", "likes", "n1"), ("n1", "likes", "n2"), ("n2", "likes", "n2"),
+    ])
+    out = query.match_bgp(t, [("?x", "likes", "?x")]).collect()
+    assert sorted(r["x"] for r in out) == ["n1", "n2"]
+
+
+def test_bgp_cross_join_when_disconnected(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [("a", "p", "u"), ("b", "q", "v")])
+    out = query.match_bgp(t, [("?x", "p", "u"), ("?y", "q", "v")]).collect()
+    assert [(r["x"], r["y"]) for r in out] == [("a", "b")]
+
+
+def test_bgp_plan_pushes_constant_filters(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [("a", "type", "C")])
+    txt = _plan(query.match_bgp(t, [("?x", "type", "C")]))
+    assert "CartesianProduct" not in txt
