@@ -413,6 +413,22 @@ def _q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: property path: individual --rdf:type--> class --subClassOf+--> ancestor
+_PATH_SPEC = [M.RDF.type, M.RDFS.subClassOf + "+"]
+
+
+def _q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path evaluation (type / subClassOf+) over the
+    induced graph: every individual paired with every strict ancestor
+    class.  Predicate-sliced scans, + closure via the O(log D)
+    doubling fixpoint, distinct after each hop."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.eval_path(
+        relational.induce_triples(spark, sf_dir), _PATH_SPEC
+    )
+
+
 def _q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key presence/type/cardinality profile of the events.props
     JSON column — the 'what attributes exist' pass over a raw event
@@ -1745,6 +1761,7 @@ _SF_SCALE = {
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
+    "path_query",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -1914,6 +1931,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skolemize_axioms": _q_skolemize_axioms,
         "align_ontologies": _q_align_ontologies,
         "bgp_match": _q_bgp_match,
+        "path_query": _q_path_query,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2672,6 +2690,7 @@ ORDER BY resolution, bucket
     from orionbelt_ontology_builder_spark.operators import query as _query
 
     sql["bgp_match"] = _query.match_bgp_sql(_tr, _BGP_PATTERNS)
+    sql["path_query"] = _query.eval_path_sql(_tr, _PATH_SPEC)
     sql["session_stats_events"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

@@ -113,3 +113,110 @@ SELECT DISTINCT {", ".join(allvars)}
 FROM {chr(10).join(joins)}
 ORDER BY {", ".join(allvars)}
 """
+
+
+# --------------------------------------------------------------------------
+# property paths
+# --------------------------------------------------------------------------
+
+
+def _step_edges(triples: DataFrame, step) -> DataFrame:
+    """One path step -> (src, dst) edge set.
+
+    Step grammar (SPARQL property-path subset):
+      * ``"pred"``      — forward edge
+      * ``"^pred"``     — inverse edge
+      * ``"pred+"``     — transitive closure (1 or more hops)
+      * ``["a", "b"]``  — alternation (union of the member steps)
+    """
+    from .fixpoint import transitive_closure
+
+    if isinstance(step, (list, tuple)):
+        parts = [_step_edges(triples, s) for s in step]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+    closure = step.endswith("+")
+    pred = step[:-1] if closure else step
+    inverse = pred.startswith("^")
+    pred = pred[1:] if inverse else pred
+    s, d = ("obj", "subj") if inverse else ("subj", "obj")
+    edges = triples.filter(F.col("pred") == pred).select(
+        F.col(s).alias("src"), F.col(d).alias("dst")
+    ).distinct()
+    return transitive_closure(edges) if closure else edges
+
+
+def eval_path(triples: DataFrame, path) -> DataFrame:
+    """(src, dst) pairs connected by the sequence of path steps —
+    SPARQL property-path evaluation as a chain of equi-joins, with
+    ``+``-closures delegated to the O(log D) doubling fixpoint.
+
+    Scale shape: each step is a predicate-sliced scan (filter pushed
+    down); the hop composition joins dst→src with distinct after each
+    hop to keep the relation a set (prevents path-multiplicity blowup
+    on diamond graphs — the join stays |pairs|, not |paths|)."""
+    if not path:
+        raise ValueError("empty path")
+    result = _step_edges(triples, path[0])
+    for step in path[1:]:
+        nxt = _step_edges(triples, step).withColumnRenamed(
+            "src", "mid"
+        )
+        result = (
+            result.join(nxt, result["dst"] == nxt["mid"])
+            .select(result["src"], nxt["dst"])
+            .distinct()
+        )
+    return result.orderBy("src", "dst")
+
+
+def eval_path_sql(triples_cte: str, path) -> str:
+    """DuckDB twin (closures as recursive CTEs, hops as joins)."""
+    steps_sql = []
+    for i, step in enumerate(path):
+        name = f"step{i}"
+        if isinstance(step, (list, tuple)):
+            members = []
+            for s in step:
+                inv = s.startswith("^")
+                p = s[1:] if inv else s
+                a, b = ("obj", "subj") if inv else ("subj", "obj")
+                members.append(
+                    f"SELECT DISTINCT {a} AS src, {b} AS dst"
+                    f" FROM triples WHERE pred = '{p}'"
+                )
+            steps_sql.append(f"{name} AS ({' UNION '.join(members)})")
+            continue
+        closure = step.endswith("+")
+        p = step[:-1] if closure else step
+        inv = p.startswith("^")
+        p = p[1:] if inv else p
+        a, b = ("obj", "subj") if inv else ("subj", "obj")
+        base = (
+            f"SELECT DISTINCT {a} AS src, {b} AS dst"
+            f" FROM triples WHERE pred = '{p}'"
+        )
+        if closure:
+            steps_sql.append(
+                f"""{name} AS (
+  WITH RECURSIVE r(src, dst) AS (
+    {base}
+    UNION
+    SELECT r.src, e.dst FROM r
+      JOIN ({base}) e ON r.dst = e.src)
+  SELECT * FROM r)"""
+            )
+        else:
+            steps_sql.append(f"{name} AS ({base})")
+    frm = ["step0"]
+    for i in range(1, len(path)):
+        frm.append(f"JOIN step{i} ON step{i - 1}.dst = step{i}.src")
+    last = f"step{len(path) - 1}"
+    return f"""{triples_cte},
+{",".join(steps_sql)}
+SELECT DISTINCT step0.src AS src, {last}.dst AS dst
+FROM {chr(10).join(frm)}
+ORDER BY src, dst
+"""

@@ -190,3 +190,32 @@ def test_bgp_plan_pushes_constant_filters(spark):
     t = _triples(spark, [("a", "type", "C")])
     txt = _plan(query.match_bgp(t, [("?x", "type", "C")]))
     assert "CartesianProduct" not in txt
+
+
+def test_eval_path_sequence_inverse_closure(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "sub", "b"), ("b", "sub", "c"),          # chain a<b<c
+        ("x", "type", "a"), ("y", "type", "b"),
+    ])
+    # type / sub+ : strict ancestors of each instance's class
+    out = {(r["src"], r["dst"])
+           for r in query.eval_path(t, ["type", "sub+"]).collect()}
+    assert out == {("x", "b"), ("x", "c"), ("y", "c")}
+    # inverse: ^type from a class reaches its instances
+    inv = {(r["src"], r["dst"])
+           for r in query.eval_path(t, ["^type"]).collect()}
+    assert inv == {("a", "x"), ("b", "y")}
+
+
+def test_eval_path_alternation_and_diamond_dedup(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("s", "p", "m1"), ("s", "q", "m2"),
+        ("m1", "r", "d"), ("m2", "r", "d"),  # diamond onto d
+    ])
+    out = query.eval_path(t, [["p", "q"], "r"]).collect()
+    # two paths s->d collapse to ONE pair (set semantics)
+    assert [(r["src"], r["dst"]) for r in out] == [("s", "d")]
