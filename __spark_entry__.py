@@ -663,6 +663,13 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.cohort_retention(ev, on="user_id", ts="ts")
 
 
+def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration 1 of BPE vocabulary learning: adjacent char-pair
+    weights over the word-frequency table.  One corpus-scale agg; pair
+    generation is a vocab-sized in-array projection."""
+    return textstats.bpe_merge_pairs(_docs(spark, sf_dir), k=30)
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
 
@@ -1761,7 +1768,7 @@ _SF_SCALE = {
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
-    "path_query",
+    "path_query", "bpe_merge_pairs",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -1923,6 +1930,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_completion": _q_funnel_completion,
         "event_rate_anomaly": _q_event_rate_anomaly,
         "cohort_retention": _q_cohort_retention,
+        "bpe_merge_pairs": _q_bpe_merge_pairs,
         "predicate_cardinality": _q_predicate_cardinality,
         "predicate_cooccurrence": _q_predicate_cooccurrence,
         "json_props_profile": _q_json_props_profile,
@@ -2691,6 +2699,7 @@ ORDER BY resolution, bucket
 
     sql["bgp_match"] = _query.match_bgp_sql(_tr, _BGP_PATTERNS)
     sql["path_query"] = _query.eval_path_sql(_tr, _PATH_SPEC)
+    sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
     sql["session_stats_events"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

@@ -1058,3 +1058,69 @@ FROM p GROUP BY gram
 ORDER BY count DESC, gram
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------------ #
+# BPE merge-pair statistics (tokenizer-training iteration 1)
+# ------------------------------------------------------------------ #
+
+
+def bpe_merge_pairs(docs: DataFrame, k: int = 30) -> DataFrame:
+    """(sym_a, sym_b, weight) — the ``k`` most frequent adjacent
+    character pairs across the corpus, weighted by word frequency:
+    iteration 1 of byte-pair-encoding vocabulary learning (Sennrich et
+    al., public literature), distributed.
+
+    Scale shape: the ONLY corpus-scale pass is the word-count agg
+    (explode + two-phase groupBy with map-side combine).  Pair
+    generation then runs over the *distinct-word vocabulary* — Zipf
+    bounds it at a tiny fraction of corpus size — as an in-array
+    projection (sequence + transform, no shuffle), and the final pair
+    agg is alphabet²-sized.  A full BPE trainer repeats this with the
+    winning pair merged; each iteration is this same vocab-scale job,
+    which is why distributed BPE trainers checkpoint the vocab table,
+    not the corpus."""
+    words = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substring(word, i, 1) AS sym_a,"
+                "             substring(word, i + 1, 1) AS sym_b))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.select("freq", "pair.sym_a", "pair.sym_b")
+        .groupBy("sym_a", "sym_b")
+        .agg(F.sum("freq").alias("weight"))
+        .orderBy(F.col("weight").desc(), "sym_a", "sym_b")
+        .limit(k)
+    )
+
+
+def bpe_merge_pairs_oracle(k: int = 30) -> str:
+    return f"""
+WITH words AS (
+  SELECT word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest({tokens_sql(norm_sql())}) AS word
+        FROM documents
+        WHERE {norm_sql()} <> '')
+  GROUP BY word),
+pairs AS (
+  SELECT substring(word, i, 1) AS sym_a,
+         substring(word, i + 1, 1) AS sym_b, freq
+  FROM words, unnest(range(1, len(word))) AS u(i)
+  WHERE len(word) >= 2)
+SELECT sym_a, sym_b, sum(freq)::BIGINT AS weight
+FROM pairs GROUP BY 1, 2
+ORDER BY weight DESC, sym_a, sym_b
+LIMIT {k}
+"""

@@ -759,3 +759,30 @@ def test_length_histogram_buckets_and_fracs(spark):
     assert out[1]["n_docs"] == 2 and out[1]["lo_tokens"] == 2
     assert out[3]["n_docs"] == 1 and out[3]["lo_tokens"] == 8
     assert abs(sum(r["frac"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_bpe_merge_pairs_weighted_by_word_freq(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="aba aba ab"),
+        Row(doc_id=1, text="aba cd"),
+    ])
+    out = {(r["sym_a"], r["sym_b"]): r["weight"]
+           for r in TS.bpe_merge_pairs(docs, k=10).collect()}
+    # 'aba' freq 3 contributes (a,b)+(b,a) each x3; 'ab' freq 1 adds (a,b)
+    assert out[("a", "b")] == 4
+    assert out[("b", "a")] == 3
+    assert out[("c", "d")] == 1
+
+
+def test_bpe_merge_pairs_topk_deterministic(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="xy yz zx")])
+    rows = TS.bpe_merge_pairs(docs, k=2).collect()
+    # all three pairs weight 1: deterministic (sym_a, sym_b) tiebreak
+    assert [(r["sym_a"], r["sym_b"]) for r in rows] == [
+        ("x", "y"), ("y", "z")]
