@@ -429,6 +429,58 @@ def _q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CONSTRUCT rule: individuals typed by a nation class get a direct
+#: :inRegion edge to the region (shortcut-edge materialization).
+_RULE_PATTERNS = [
+    ("?ind", M.RDF.type, "?cls"),
+    ("?cls", M.RDFS.subClassOf, "?reg"),
+]
+_RULE_TEMPLATE = [
+    ("?ind", "http://example.org/tpch#inRegion", "?reg", "uri"),
+]
+
+
+def _q_construct_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-CONSTRUCT rule materialization over the induced graph:
+    one BGP evaluation + template projections, zero extra shuffles."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.construct(
+        relational.induce_triples(spark, sf_dir),
+        _RULE_PATTERNS,
+        _RULE_TEMPLATE,
+    )
+
+
+def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins conflict resolution over provenance-stamped
+    assertions induced from orders: each customer's latest
+    order-status/priority assertion wins on (ts, source, obj); version
+    and source counts ride the same single shuffle."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+    quads = o.select(
+        cust.alias("subj"),
+        F.lit("latestStatus").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias(
+            "source"
+        ),
+        F.col("o_orderdate").alias("ts"),
+    ).unionByName(
+        o.select(
+            cust.alias("subj"),
+            F.lit("latestPriority").alias("pred"),
+            F.col("o_orderpriority").alias("obj"),
+            F.concat(
+                F.lit("order:"), F.col("o_orderkey").cast("string")
+            ).alias("source"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    return setops.latest_wins(quads)
+
+
 def _q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key presence/type/cardinality profile of the events.props
     JSON column — the 'what attributes exist' pass over a raw event
@@ -1768,7 +1820,7 @@ _SF_SCALE = {
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
-    "path_query", "bpe_merge_pairs",
+    "path_query", "bpe_merge_pairs", "construct_rule", "latest_wins",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -1940,6 +1992,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_ontologies": _q_align_ontologies,
         "bgp_match": _q_bgp_match,
         "path_query": _q_path_query,
+        "construct_rule": _q_construct_rule,
+        "latest_wins": _q_latest_wins,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2700,6 +2754,19 @@ ORDER BY resolution, bucket
     sql["bgp_match"] = _query.match_bgp_sql(_tr, _BGP_PATTERNS)
     sql["path_query"] = _query.eval_path_sql(_tr, _PATH_SPEC)
     sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
+    sql["construct_rule"] = _query.construct_sql(
+        _tr, _RULE_PATTERNS, _RULE_TEMPLATE
+    )
+    sql["latest_wins"] = setops.latest_wins_sql("""
+WITH quads AS (
+  SELECT 'cust:' || o_custkey AS subj, 'latestStatus' AS pred,
+         o_orderstatus AS obj, 'order:' || o_orderkey AS source,
+         o_orderdate AS ts
+  FROM orders
+  UNION ALL
+  SELECT 'cust:' || o_custkey, 'latestPriority', o_orderpriority,
+         'order:' || o_orderkey, o_orderdate
+  FROM orders)""")
     sql["session_stats_events"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,

@@ -220,3 +220,71 @@ SELECT DISTINCT step0.src AS src, {last}.dst AS dst
 FROM {chr(10).join(frm)}
 ORDER BY src, dst
 """
+
+
+# --------------------------------------------------------------------------
+# CONSTRUCT-style rule materialization
+# --------------------------------------------------------------------------
+
+
+def construct(triples: DataFrame, patterns, template) -> DataFrame:
+    """SPARQL-CONSTRUCT / Datalog-rule materialization: evaluate the
+    BGP ``patterns``, then instantiate each ``template`` entry
+    (s, p, o, obj_kind) — ``?var`` slots substituted from the
+    bindings, everything else constant — and return the distinct new
+    triples (subj, pred, obj, obj_kind).
+
+    One rule application = one BGP evaluation + a union of cheap
+    projections; iterating rules to fixpoint is the semi-naive loop
+    the reasoning module already implements for its RDFS subset —
+    this operator is the user-definable-rule generalization.
+
+    Scale shape: inherits match_bgp's join plan; template
+    instantiation adds zero shuffles (pure projections + one distinct
+    keyed on the emitted triple)."""
+    bindings = match_bgp(triples, patterns)
+
+    def _slot(v):
+        return (
+            F.col(v[1:]) if isinstance(v, str) and v.startswith("?")
+            else F.lit(v)
+        )
+
+    parts = [
+        bindings.select(
+            _slot(s).alias("subj"),
+            _slot(p).alias("pred"),
+            _slot(o).alias("obj"),
+            F.lit(kind).alias("obj_kind"),
+        )
+        for s, p, o, kind in template
+    ]
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.distinct().orderBy("subj", "pred", "obj")
+
+
+def construct_sql(triples_cte: str, patterns, template) -> str:
+    """DuckDB twin: the BGP select feeding one projection per
+    template entry, UNION'd."""
+    bgp = match_bgp_sql(triples_cte, patterns)
+    # keep only the top-level SELECT (everything after the passed CTE),
+    # minus its trailing ORDER BY: it feeds the bindings CTE
+    body = bgp[len(triples_cte):]
+    body = body[: body.rindex("ORDER BY")]
+
+    def _slot(v):
+        return v[1:] if isinstance(v, str) and v.startswith("?") else f"'{v}'"
+
+    projs = [
+        f"SELECT {_slot(s)} AS subj, {_slot(p)} AS pred,"
+        f" {_slot(o)} AS obj, '{kind}' AS obj_kind FROM bindings"
+        for s, p, o, kind in template
+    ]
+    return f"""{triples_cte},
+bindings AS MATERIALIZED ({body})
+SELECT DISTINCT subj, pred, obj, obj_kind
+FROM ({" UNION ALL ".join(projs)})
+ORDER BY subj, pred, obj
+"""

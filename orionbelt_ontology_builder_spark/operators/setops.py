@@ -528,3 +528,55 @@ def format_diff_report(
     return all_lines.select(
         (F.row_number().over(w) - 1).alias("idx"), "line"
     ).orderBy("idx")
+
+
+def latest_wins(quads: DataFrame) -> DataFrame:
+    """(subj, pred, obj, source, ts, n_versions, n_sources) —
+    last-writer-wins conflict resolution over provenance-stamped
+    assertions: per (subj, pred) keep the value with the greatest
+    (ts, source, obj) — total order, so the winner is deterministic
+    even on timestamp ties across sources.
+
+    The multi-source twin of MERGE_OVERWRITE (reference merge modes,
+    ``ontology_manager.py``): when N crawls/extractors assert the same
+    functional property, freshest wins, and the version/source counts
+    expose how contested each assertion was.
+
+    Scale shape: ONE two-phase aggregation keyed (subj, pred) — the
+    struct-max and both counts ride the same shuffle with map-side
+    partials; no window, no self-join."""
+    w = F.max(F.struct("ts", "source", "obj")).alias("w")
+    return (
+        quads.groupBy("subj", "pred")
+        .agg(
+            w,
+            F.count(F.lit(1)).alias("n_versions"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("w.obj").alias("obj"),
+            F.col("w.source").alias("source"),
+            F.col("w.ts").alias("ts"),
+            "n_versions",
+            "n_sources",
+        )
+        .orderBy("subj", "pred")
+    )
+
+
+def latest_wins_sql(quads_cte: str) -> str:
+    """DuckDB twin (struct max orders fields lexicographically,
+    matching Spark's struct ordering)."""
+    return f"""{quads_cte}
+SELECT subj, pred,
+  (max({{'ts': ts, 'source': source, 'obj': obj}})).obj AS obj,
+  (max({{'ts': ts, 'source': source, 'obj': obj}})).source AS source,
+  (max({{'ts': ts, 'source': source, 'obj': obj}})).ts AS ts,
+  count(*)::BIGINT AS n_versions,
+  count(DISTINCT source)::BIGINT AS n_sources
+FROM quads
+GROUP BY subj, pred
+ORDER BY subj, pred
+"""

@@ -219,3 +219,24 @@ def test_eval_path_alternation_and_diamond_dedup(spark):
     out = query.eval_path(t, [["p", "q"], "r"]).collect()
     # two paths s->d collapse to ONE pair (set semantics)
     assert [(r["src"], r["dst"]) for r in out] == [("s", "d")]
+
+
+def test_construct_template_vars_and_constants(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "C"), ("b", "type", "C"),
+        ("C", "sub", "S"),
+    ])
+    out = query.construct(
+        t,
+        [("?x", "type", "?c"), ("?c", "sub", "?s")],
+        [("?x", "deepType", "?s", "uri"),
+         ("?s", "hasMember", "?x", "uri")],
+    ).collect()
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out}
+    assert got == {
+        ("a", "deepType", "S"), ("b", "deepType", "S"),
+        ("S", "hasMember", "a"), ("S", "hasMember", "b"),
+    }
+    assert all(r["obj_kind"] == "uri" for r in out)

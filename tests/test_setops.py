@@ -187,3 +187,26 @@ def test_preview_import_surfaces_incoming_stats_and_meta(diff_a, diff_b):
     assert stats["classes"] >= 2  # Cat + Person (+Animal)
     meta_cols = set(prev["incoming_meta"].columns)
     assert "uri" in meta_cols or "ontology_uri" in meta_cols
+
+
+def test_latest_wins_freshest_then_source_tiebreak(spark):
+    import datetime as dt
+    from orionbelt_ontology_builder_spark.operators import setops as S
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    quads = spark.createDataFrame(
+        [
+            ("e1", "status", "old", "src_z", t0),
+            ("e1", "status", "new", "src_a", t1),   # freshest wins
+            ("e2", "status", "a", "src_1", t0),
+            ("e2", "status", "b", "src_2", t0),     # ts tie: max source
+            ("e3", "status", "only", "src_1", t0),
+        ],
+        "subj string, pred string, obj string, source string, ts timestamp",
+    )
+    out = {r["subj"]: r for r in S.latest_wins(quads).collect()}
+    assert out["e1"]["obj"] == "new" and out["e1"]["source"] == "src_a"
+    assert out["e1"]["n_versions"] == 2 and out["e1"]["n_sources"] == 2
+    assert out["e2"]["obj"] == "b" and out["e2"]["source"] == "src_2"
+    assert out["e3"]["n_versions"] == 1
