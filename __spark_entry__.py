@@ -1593,6 +1593,13 @@ def _q_label_centroids(spark, sf_dir):
     return similarity.label_centroids(_embs(spark, sf_dir))
 
 
+def _q_embedding_covariance(spark, sf_dir):
+    """One-pass population covariance matrix of the embedding corpus
+    (PCA/whitening/OPQ prep): in-row upper-triangle cross products,
+    dim²/2-keyed groupBy with map-side partials — no self-join."""
+    return similarity.embedding_covariance(_embs(spark, sf_dir), dim=64)
+
+
 def _q_sq8_stats(spark, sf_dir):
     """Per-vector int8 scalar-quantization audit (scale + reconstruction
     error) — the storage/IO-compression quality gate for the embedding
@@ -1834,7 +1841,7 @@ _SF_SCALE = {
     "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
-    "sq8_stats", "label_centroids",
+    "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "chunk_text", "incremental_dedup", "budget_sample",
@@ -2074,6 +2081,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "sq8_stats": _q_sq8_stats,
+        "embedding_covariance": _q_embedding_covariance,
         "label_centroids": _q_label_centroids,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -3575,6 +3583,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
     sql["sq8_stats"] = similarity.sq8_stats_oracle()
+    sql["embedding_covariance"] = similarity.embedding_covariance_oracle(
+        dim=64
+    )
     sql["label_centroids"] = similarity.label_centroids_oracle()
     sql["media_features"] = multimodal.extract_features_oracle()
     sql["media_frames"] = multimodal.sample_frames_oracle()

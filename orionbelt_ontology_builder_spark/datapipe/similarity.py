@@ -656,3 +656,85 @@ SELECT label, max(n) AS n_vecs,
   max(esq) - sum(m * m) AS avg_dist2
 FROM per_dim GROUP BY label ORDER BY label
 """
+
+
+# ------------------------------------------------------------------ #
+# covariance statistics (PCA / whitening prep)
+# ------------------------------------------------------------------ #
+
+
+def embedding_covariance(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """(i, j, cov) for 0 <= i <= j < dim — the population covariance
+    matrix of the embedding corpus in ONE data pass: the
+    PCA/whitening/OPQ-rotation prep statistic every IVF-PQ-style index
+    build starts from (public ANN literature).
+
+    Scale shape: the upper-triangle cross products are generated
+    *in-row* (nested transform over the array — no self-join, no
+    data-scale shuffle); the only shuffle is the dim²/2-keyed groupBy
+    with map-side partial sums, so reducer input is #partitions ×
+    2080 rows, not #vectors × 2080.  Means ride a second tiny agg on
+    the same scan.  The d×d result is driver-sized by construction —
+    feed it to any eigensolver."""
+    pairs = F.explode(
+        F.expr(
+            f"""flatten(transform(slice(embedding, 1, {dim}), (x, i) ->
+                 transform(slice(embedding, i + 1, {dim} - i), (y, k) ->
+                   struct(i AS i, i + k AS j,
+                          CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS xy))))"""
+        )
+    ).alias("p")
+    sums = (
+        embeddings.select(pairs)
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n"))
+    )
+    means = (
+        embeddings.select(
+            F.posexplode(F.expr(f"slice(embedding, 1, {dim})")).alias(
+                "i", "x"
+            )
+        )
+        .groupBy("i")
+        .agg((F.sum(F.col("x").cast("double")) / F.count(F.lit(1))).alias("mean"))
+    )
+    mi = means.select(F.col("i"), F.col("mean").alias("mean_i"))
+    mj = means.select(F.col("i").alias("j"), F.col("mean").alias("mean_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sxy") / F.col("n")
+                - F.col("mean_i") * F.col("mean_j")
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def embedding_covariance_oracle(dim: int = 64) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT i.i AS i, j.j AS j,
+    embedding[i.i + 1]::DOUBLE * embedding[j.j + 1]::DOUBLE AS xy
+  FROM embeddings,
+       unnest(range(0, {dim})) AS i(i),
+       unnest(range(0, {dim})) AS j(j)
+  WHERE j.j >= i.i),
+sums AS (
+  SELECT i, j, sum(xy) AS sxy, count(*) AS n
+  FROM pairs GROUP BY 1, 2),
+means AS (
+  SELECT i.i AS i, sum(embedding[i.i + 1]::DOUBLE) / count(*) AS mean
+  FROM embeddings, unnest(range(0, {dim})) AS i(i)
+  GROUP BY 1)
+SELECT s.i, s.j, s.sxy / s.n - mi.mean * mj.mean AS cov
+FROM sums s
+JOIN means mi ON s.i = mi.i
+JOIN means mj ON s.j = mj.i
+ORDER BY s.i, s.j
+"""

@@ -786,3 +786,22 @@ def test_bpe_merge_pairs_topk_deterministic(spark):
     # all three pairs weight 1: deterministic (sym_a, sym_b) tiebreak
     assert [(r["sym_a"], r["sym_b"]) for r in rows] == [
         ("x", "y"), ("y", "z")]
+
+
+def test_embedding_covariance_known_matrix(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import similarity as SIM
+
+    # 2-dim corpus with known covariance: x = [1,2,3], y = [2,4,6]
+    # mean_x = 2, mean_y = 4; var_x = 2/3, cov_xy = 4/3, var_y = 8/3
+    embs = spark.createDataFrame([
+        Row(vec_id=0, embedding=[1.0, 2.0]),
+        Row(vec_id=1, embedding=[2.0, 4.0]),
+        Row(vec_id=2, embedding=[3.0, 6.0]),
+    ])
+    out = {(r["i"], r["j"]): r["cov"]
+           for r in SIM.embedding_covariance(embs, dim=2).collect()}
+    assert abs(out[(0, 0)] - 2 / 3) < 1e-12
+    assert abs(out[(0, 1)] - 4 / 3) < 1e-12
+    assert abs(out[(1, 1)] - 8 / 3) < 1e-12
+    assert set(out) == {(0, 0), (0, 1), (1, 1)}  # upper triangle only
