@@ -452,6 +452,31 @@ def _q_construct_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: OPTIONAL/FILTER BGP: all labeled individuals, optionally their
+#: market segment (suppliers have none -> null), filtered to the
+#: unmatched rows plus one segment.
+_OPT_REQUIRED = [
+    ("?x", M.RDF.type, M.OWL.NamedIndividual),
+    ("?x", M.RDFS.label, "?name"),
+]
+_OPT_GROUPS = [[("?x", "http://example.org/tpch#mktsegment", "?seg")]]
+_OPT_FILTERS = ["seg IS NULL OR seg = 'BUILDING'"]
+
+
+def _q_bgp_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL (left-join pattern group) + FILTER over the
+    induced graph: suppliers surface with null segment, customers only
+    when in BUILDING."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.match_bgp(
+        relational.induce_triples(spark, sf_dir),
+        _OPT_REQUIRED,
+        optional=_OPT_GROUPS,
+        filters=_OPT_FILTERS,
+    )
+
+
 def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins conflict resolution over provenance-stamped
     assertions induced from orders: each customer's latest
@@ -1828,6 +1853,7 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "construct_rule", "latest_wins",
+    "bgp_optional_filter",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -2001,6 +2027,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_query": _q_path_query,
         "construct_rule": _q_construct_rule,
         "latest_wins": _q_latest_wins,
+        "bgp_optional_filter": _q_bgp_optional_filter,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2761,6 +2788,9 @@ ORDER BY resolution, bucket
 
     sql["bgp_match"] = _query.match_bgp_sql(_tr, _BGP_PATTERNS)
     sql["path_query"] = _query.eval_path_sql(_tr, _PATH_SPEC)
+    sql["bgp_optional_filter"] = _query.match_bgp_sql(
+        _tr, _OPT_REQUIRED, optional=_OPT_GROUPS, filters=_OPT_FILTERS
+    )
     sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
     sql["construct_rule"] = _query.construct_sql(
         _tr, _RULE_PATTERNS, _RULE_TEMPLATE

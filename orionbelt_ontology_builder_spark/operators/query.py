@@ -54,17 +54,8 @@ def _pattern_df(triples: DataFrame, pattern) -> DataFrame:
     ).distinct()
 
 
-def match_bgp(triples: DataFrame, patterns) -> DataFrame:
-    """Evaluate a conjunction of (s, p, o) patterns; ``?name`` slots
-    are variables, everything else matches exactly.  Returns the
-    distinct variable bindings, one column per variable, ordered by
-    the sorted variable names (deterministic).
-
-    Patterns sharing no variable with the accumulated bindings produce
-    a cross join (the SPARQL product semantics) — intentional, but at
-    scale order your patterns so each one connects."""
-    if not patterns:
-        raise ValueError("empty BGP")
+def _bgp_df(triples: DataFrame, patterns) -> DataFrame:
+    """Inner join chain over the patterns (no final projection)."""
     result = _pattern_df(triples, patterns[0])
     for pat in patterns[1:]:
         part = _pattern_df(triples, pat)
@@ -72,15 +63,44 @@ def match_bgp(triples: DataFrame, patterns) -> DataFrame:
         result = (
             result.join(part, shared) if shared else result.crossJoin(part)
         )
+    return result
+
+
+def match_bgp(
+    triples: DataFrame, patterns, optional=None, filters=None
+) -> DataFrame:
+    """Evaluate a conjunction of (s, p, o) patterns; ``?name`` slots
+    are variables, everything else matches exactly.  Returns the
+    distinct variable bindings, one column per variable, ordered by
+    the sorted variable names (deterministic).
+
+    ``optional``: a list of pattern *groups*; each group is evaluated
+    as its own BGP and LEFT-joined on the shared variables (SPARQL
+    OPTIONAL — unmatched rows keep the required bindings with nulls).
+    ``filters``: SQL boolean expressions over the variable columns,
+    applied after all joins (SPARQL FILTER); written in the common
+    Spark/ANSI subset they run identically on the DuckDB twin.
+
+    Patterns sharing no variable with the accumulated bindings produce
+    a cross join (the SPARQL product semantics) — intentional, but at
+    scale order your patterns so each one connects."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    result = _bgp_df(triples, patterns)
+    for group in optional or []:
+        part = _bgp_df(triples, group)
+        shared = sorted(set(result.columns) & set(part.columns))
+        if not shared:
+            raise ValueError("OPTIONAL group shares no variable")
+        result = result.join(part, shared, "left")
+    for f in filters or []:
+        result = result.filter(F.expr(f))
     cols = sorted(result.columns)
     return result.select(*cols).distinct().orderBy(*cols)
 
 
-def match_bgp_sql(triples_cte: str, patterns) -> str:
-    """DuckDB twin: the mechanical SPARQL-to-SQL translation — one
-    subquery per pattern, JOIN USING on shared variables."""
+def _bgp_parts(patterns, prefix: str):
     parts = []
-    bound_so_far: list[set] = []
     for i, pattern in enumerate(patterns):
         wheres, sels = [], {}
         for slot_val, col in zip(pattern, _SLOTS):
@@ -94,9 +114,16 @@ def match_bgp_sql(triples_cte: str, patterns) -> str:
                 wheres.append(f"{col} = '{slot_val}'")
         sel = ", ".join(f"{c} AS {v}" for v, c in sels.items())
         cond = (" WHERE " + " AND ".join(wheres)) if wheres else ""
-        parts.append((f"(SELECT DISTINCT {sel} FROM triples{cond}) p{i}",
-                      set(sels)))
-        bound_so_far.append(set(sels))
+        parts.append(
+            (f"(SELECT DISTINCT {sel} FROM triples{cond}) {prefix}{i}",
+             set(sels))
+        )
+    return parts
+
+
+def _bgp_join_sql(patterns, prefix: str):
+    """FROM-clause join chain + the variable set it binds."""
+    parts = _bgp_parts(patterns, prefix)
     joins = [parts[0][0]]
     seen = set(parts[0][1])
     for i in range(1, len(parts)):
@@ -107,11 +134,35 @@ def match_bgp_sql(triples_cte: str, patterns) -> str:
         else:
             joins.append(f"CROSS JOIN {sub}")
         seen |= vs
+    return "\n".join(joins), seen
+
+
+def match_bgp_sql(
+    triples_cte: str, patterns, optional=None, filters=None
+) -> str:
+    """DuckDB twin: the mechanical SPARQL-to-SQL translation — one
+    subquery per pattern, JOIN USING on shared vars, OPTIONAL groups
+    as LEFT JOIN sub-selects, FILTERs in the outer WHERE."""
+    frm, seen = _bgp_join_sql(patterns, "p")
+    for gi, group in enumerate(optional or []):
+        gfrm, gvars = _bgp_join_sql(group, f"o{gi}_")
+        shared = sorted(seen & gvars)
+        gsel = ", ".join(sorted(gvars))
+        frm += (
+            f"\nLEFT JOIN (SELECT DISTINCT {gsel} FROM {gfrm}) g{gi}"
+            f" USING ({', '.join(shared)})"
+        )
+        seen |= gvars
     allvars = sorted(seen)
+    where = (
+        ("WHERE " + " AND ".join(f"({f})" for f in filters) + "\n")
+        if filters
+        else ""
+    )
     return f"""{triples_cte}
 SELECT DISTINCT {", ".join(allvars)}
-FROM {chr(10).join(joins)}
-ORDER BY {", ".join(allvars)}
+FROM {frm}
+{where}ORDER BY {", ".join(allvars)}
 """
 
 

@@ -240,3 +240,33 @@ def test_construct_template_vars_and_constants(spark):
         ("S", "hasMember", "a"), ("S", "hasMember", "b"),
     }
     assert all(r["obj_kind"] == "uri" for r in out)
+
+
+def test_bgp_optional_keeps_unmatched_with_nulls(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "T"), ("b", "type", "T"),
+        ("a", "seg", "S1"),
+    ])
+    out = {r["x"]: r for r in query.match_bgp(
+        t, [("?x", "type", "T")],
+        optional=[[("?x", "seg", "?s")]],
+    ).collect()}
+    assert out["a"]["s"] == "S1"
+    assert out["b"]["s"] is None
+
+
+def test_bgp_filter_applies_after_optional(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "T"), ("b", "type", "T"), ("c", "type", "T"),
+        ("a", "seg", "KEEP"), ("c", "seg", "DROP"),
+    ])
+    out = query.match_bgp(
+        t, [("?x", "type", "T")],
+        optional=[[("?x", "seg", "?s")]],
+        filters=["s IS NULL OR s = 'KEEP'"],
+    ).collect()
+    assert sorted(r["x"] for r in out) == ["a", "b"]
