@@ -1657,6 +1657,20 @@ def _q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(_docs(spark, sf_dir))
 
 
+def _q_domain_quality(spark, sf_dir):
+    """Per-domain quality roll-up + blocklist proposal (hosts, not
+    pages, are the curation unit): one (source)-keyed two-phase agg
+    over the map-side per-doc quality projection."""
+    return curation.domain_quality(_docs(spark, sf_dir))
+
+
+def _q_cluster_representatives(spark, sf_dir):
+    """Quality-aware dedup keep policy: best-quality member per
+    near-dup cluster via (quality, -doc_id) struct max — composition
+    of the LSH->verify->CC cluster map with the quality projection."""
+    return curation.cluster_representatives(_docs(spark, sf_dir))
+
+
 def _q_quality_funnel(spark, sf_dir):
     return curation.quality_funnel(_docs(spark, sf_dir))
 
@@ -1870,6 +1884,7 @@ _SF_SCALE = {
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
+    "domain_quality", "cluster_representatives",
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
@@ -2115,6 +2130,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "quality_funnel": _q_quality_funnel,
+        "domain_quality": _q_domain_quality,
+        "cluster_representatives": _q_cluster_representatives,
         "curation_pipeline": _q_curation_pipeline,
         "corpus_split": _q_corpus_split,
         "quota_sample": _q_quota_sample,
@@ -3622,6 +3639,8 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["decontaminate"] = curation.decontaminate_oracle()
     sql["pack_sequences"] = curation.pack_sequences_oracle()
     sql["quality_funnel"] = curation.quality_funnel_oracle()
+    sql["domain_quality"] = curation.domain_quality_oracle()
+    sql["cluster_representatives"] = curation.cluster_representatives_oracle()
     sql["curation_pipeline"] = curation.curate_corpus_oracle()
     sql["corpus_split"] = curation.split_corpus_oracle()
     sql["budget_sample"] = curation.budget_sample_oracle(

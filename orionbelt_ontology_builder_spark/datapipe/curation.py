@@ -832,3 +832,126 @@ SELECT {group}, doc_id, n_tokens, cum_tokens
 FROM c WHERE cum_tokens - n_tokens < {budget}
 ORDER BY {group}, cum_tokens
 """
+
+
+def domain_quality(
+    docs: DataFrame, min_docs: int = 5, block_threshold: float = 0.4
+) -> DataFrame:
+    """(source, n_docs, mean_quality, min_quality, frac_low, blocked)
+    — per-domain quality roll-up and blocklist proposal: the way web
+    curation actually operates (C4/RefinedWeb drop whole hosts, not
+    single pages — public literature).  ``blocked`` proposes domains
+    with >= ``min_docs`` pages whose mean quality falls below
+    ``block_threshold``.
+
+    Scale shape: the per-doc quality metrics are one narrow map-side
+    projection; the roll-up is ONE (source)-keyed two-phase agg.
+    Domain count is host-vocabulary-sized — no window, no join."""
+    from .textstats import quality_scores
+
+    q = quality_scores(docs).select("doc_id", "quality")
+    src = docs.select("doc_id", "source")
+    per = src.join(q, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("quality").alias("mean_quality"),
+        F.min("quality").alias("min_quality"),
+        F.avg(
+            F.when(F.col("quality") < block_threshold, 1.0).otherwise(0.0)
+        ).alias("frac_low"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "mean_quality",
+        "min_quality",
+        "frac_low",
+        (
+            (F.col("n_docs") >= min_docs)
+            & (F.col("mean_quality") < block_threshold)
+        ).alias("blocked"),
+    ).orderBy("source")
+
+
+def domain_quality_oracle(
+    min_docs: int = 5, block_threshold: float = 0.4
+) -> str:
+    from .textstats import quality_scores_oracle
+
+    inner = quality_scores_oracle().strip().rstrip()
+    # reuse the per-doc quality oracle verbatim as a subquery
+    return f"""
+WITH q AS ({inner.replace("ORDER BY doc_id", "")}),
+per AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+    avg(q.quality) AS mean_quality,
+    min(q.quality) AS min_quality,
+    avg(CASE WHEN q.quality < {block_threshold} THEN 1.0 ELSE 0.0 END)
+      AS frac_low
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  GROUP BY d.source)
+SELECT source, n_docs, mean_quality, min_quality, frac_low,
+  n_docs >= {min_docs} AND mean_quality < {block_threshold} AS blocked
+FROM per ORDER BY source
+"""
+
+
+def cluster_representatives(
+    docs: DataFrame, jaccard_threshold: float = 0.5
+) -> DataFrame:
+    """(keeper_doc_id, rep_doc_id, cluster_size, rep_quality) — pick
+    the highest-quality member of every near-dup cluster as its
+    representative (quality-aware keep policy, vs dedup_clusters'
+    min-id keeper).  The dedup decision a curation pipeline actually
+    wants: keep the best copy, not the first-crawled one.
+
+    Composition: dedup_clusters (LSH -> verify -> CC) x quality_scores
+    — the representative is the (quality, -doc_id) struct max per
+    cluster, one two-phase agg over the cluster-involved docs only."""
+    from .dedup import dedup_clusters
+    from .textstats import quality_scores
+
+    clusters = dedup_clusters(docs, jaccard_threshold)
+    q = quality_scores(docs).select("doc_id", "quality")
+    joined = clusters.join(q, "doc_id")
+    best = (
+        joined.groupBy("keeper_doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+            ).alias("w"),
+            F.max("cluster_size").alias("cluster_size"),
+        )
+        .select(
+            "keeper_doc_id",
+            (-F.col("w.nid")).cast("long").alias("rep_doc_id"),
+            "cluster_size",
+            F.col("w.quality").alias("rep_quality"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+    return best
+
+
+def cluster_representatives_oracle(jaccard_threshold: float = 0.5) -> str:
+    from .dedup import dedup_clusters_oracle
+    from .textstats import quality_scores_oracle
+
+    clusters = dedup_clusters_oracle(jaccard_threshold).strip()
+    clusters = clusters[: clusters.rindex("ORDER BY")]
+    quality = quality_scores_oracle().strip()
+    quality = quality[: quality.rindex("ORDER BY")]
+    return f"""
+WITH clusters AS ({clusters}),
+q AS ({quality}),
+j AS (
+  SELECT c.keeper_doc_id, c.doc_id, c.cluster_size, q.quality
+  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+SELECT keeper_doc_id,
+  CAST(-((max({{'quality': quality, 'nid': -doc_id}})).nid) AS BIGINT)
+    AS rep_doc_id,
+  max(cluster_size)::BIGINT AS cluster_size,
+  (max({{'quality': quality, 'nid': -doc_id}})).quality AS rep_quality
+FROM j
+GROUP BY keeper_doc_id
+ORDER BY keeper_doc_id
+"""

@@ -89,3 +89,44 @@ def test_pack_sequences_matches_python_reference(spark, texts, cap, shards):
         last = (start + ntok - 1) // cap if ntok > 0 else start // cap
         assert r["last_chunk"] == last
         assert r["n_chunks"] == last - start // cap + 1
+
+
+def test_domain_quality_blocklist_threshold(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog again and again"] * 10
+    )
+    bad = "000 111 222"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=good, source="good.com") for i in range(5)]
+        + [Row(doc_id=10 + i, text=bad, source="bad.com") for i in range(5)]
+        + [Row(doc_id=100, text=bad, source="tiny.com")]
+    )
+    out = {r["source"]: r for r in C.domain_quality(
+        docs, min_docs=5, block_threshold=0.4).collect()}
+    assert not out["good.com"]["blocked"]
+    assert out["bad.com"]["blocked"] and out["bad.com"]["n_docs"] == 5
+    # below min_docs: never proposed even if low quality
+    assert not out["tiny.com"]["blocked"]
+
+
+def test_cluster_representatives_picks_best_quality(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls softly on the quiet green meadow near the bridge")
+    docs = spark.createDataFrame([
+        # near-dup pair: doc 1 is longer -> higher quality than doc 0
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base + " and the river runs past the old mill"),
+        Row(doc_id=2, text="completely unrelated text about spark plans"),
+    ])
+    out = C.cluster_representatives(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["keeper_doc_id"] == 0          # min-id cluster key
+    assert r["rep_doc_id"] == 1             # best-quality member wins
+    assert r["cluster_size"] == 2
