@@ -168,6 +168,16 @@ def main() -> None:
         "predicate_cardinality",
         "predicate_cooccurrence",
         "json_props_profile",
+        # query-engine + KG ops (r2 late)
+        "deep_instance_counts",
+        "bgp_match",
+        "path_query",
+        "construct_rule",
+        "latest_wins",
+        # embedding / tokenizer / curation ops (r2 late)
+        "embedding_covariance",
+        "bpe_merge_pairs",
+        "domain_quality",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
