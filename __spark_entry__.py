@@ -477,6 +477,20 @@ def _q_bgp_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_construct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-naive incremental rule maintenance: conclusions of the
+    inRegion rule that touch the 'delta' slice (subjects ending in 0 —
+    a stand-in for a crawl increment).  Every join anchors on the
+    small delta side; the full graph is never re-derived."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    triples = relational.induce_triples(spark, sf_dir)
+    delta = triples.filter(F.col("subj").endswith("0"))
+    return query.construct_delta(
+        triples, delta, _RULE_PATTERNS, _RULE_TEMPLATE
+    )
+
+
 def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins conflict resolution over provenance-stamped
     assertions induced from orders: each customer's latest
@@ -1867,7 +1881,7 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "construct_rule", "latest_wins",
-    "bgp_optional_filter",
+    "bgp_optional_filter", "construct_delta",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -2043,6 +2057,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "construct_rule": _q_construct_rule,
         "latest_wins": _q_latest_wins,
         "bgp_optional_filter": _q_bgp_optional_filter,
+        "construct_delta": _q_construct_delta,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2807,6 +2822,12 @@ ORDER BY resolution, bucket
     sql["path_query"] = _query.eval_path_sql(_tr, _PATH_SPEC)
     sql["bgp_optional_filter"] = _query.match_bgp_sql(
         _tr, _OPT_REQUIRED, optional=_OPT_GROUPS, filters=_OPT_FILTERS
+    )
+    sql["construct_delta"] = _query.construct_delta_sql(
+        _tr,
+        "delta AS (SELECT * FROM triples WHERE subj LIKE '%0')",
+        _RULE_PATTERNS,
+        _RULE_TEMPLATE,
     )
     sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
     sql["construct_rule"] = _query.construct_sql(

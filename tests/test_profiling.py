@@ -270,3 +270,34 @@ def test_bgp_filter_applies_after_optional(spark):
         filters=["s IS NULL OR s = 'KEEP'"],
     ).collect()
     assert sorted(r["x"] for r in out) == ["a", "b"]
+
+
+def test_construct_delta_seminaive_law(spark):
+    """construct(old + delta) == construct(old) UNION
+    construct_delta(old + delta, delta)."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    old_rows = [
+        ("a", "type", "C"), ("C", "sub", "S"),
+        ("b", "type", "D"), ("D", "sub", "S"),
+    ]
+    delta_rows = [("c", "type", "C"), ("D", "sub", "S2")]
+    old = _triples(spark, old_rows)
+    full = _triples(spark, old_rows + delta_rows)
+    delta = _triples(spark, delta_rows)
+    pats = [("?x", "type", "?c"), ("?c", "sub", "?s")]
+    tmpl = [("?x", "deep", "?s", "uri")]
+
+    def rows(df):
+        return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+    got = rows(query.construct(old, pats, tmpl)) | rows(
+        query.construct_delta(full, delta, pats, tmpl)
+    )
+    want = rows(query.construct(full, pats, tmpl))
+    assert got == want
+    # and the delta result alone contains the delta-anchored conclusions
+    d = rows(query.construct_delta(full, delta, pats, tmpl))
+    assert ("c", "deep", "S") in d          # new instance
+    assert ("b", "deep", "S2") in d         # new superclass edge
+    assert ("a", "deep", "S") not in d      # untouched old conclusion
