@@ -754,6 +754,13 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.cohort_retention(ev, on="user_id", ts="ts")
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-filter stand-in: mean per-token logprob
+    under the corpus's own smoothed unigram LM; vocab agg + doc agg
+    share one explode shape, LM constants ride a 1-row broadcast."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iteration 1 of BPE vocabulary learning: adjacent char-pair
     weights over the word-frequency table.  One corpus-scale agg; pair
@@ -1880,7 +1887,8 @@ _SF_SCALE = {
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
-    "path_query", "bpe_merge_pairs", "construct_rule", "latest_wins",
+    "path_query", "bpe_merge_pairs", "unigram_logprob",
+    "construct_rule", "latest_wins",
     "bgp_optional_filter", "construct_delta",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
@@ -2045,6 +2053,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_anomaly": _q_event_rate_anomaly,
         "cohort_retention": _q_cohort_retention,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
+        "unigram_logprob": _q_unigram_logprob,
         "predicate_cardinality": _q_predicate_cardinality,
         "predicate_cooccurrence": _q_predicate_cooccurrence,
         "json_props_profile": _q_json_props_profile,
@@ -2830,6 +2839,7 @@ ORDER BY resolution, bucket
         _RULE_TEMPLATE,
     )
     sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
+    sql["unigram_logprob"] = textstats.unigram_logprob_oracle()
     sql["construct_rule"] = _query.construct_sql(
         _tr, _RULE_PATTERNS, _RULE_TEMPLATE
     )

@@ -1124,3 +1124,77 @@ FROM pairs GROUP BY 1, 2
 ORDER BY weight DESC, sym_a, sym_b
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------------ #
+# Unigram-LM log-probability scoring (CCNet-style perplexity filter)
+# ------------------------------------------------------------------ #
+
+
+def unigram_logprob(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob) — mean per-token natural-log
+    probability of each document under the corpus's own
+    Lidstone-smoothed unigram LM: p(w) = (c_w + alpha) /
+    (N + alpha * (V + 1)), unseen mass included via the +1.  The
+    cheap stand-in for the KenLM-perplexity quality filter of
+    CCNet/RefinedWeb (public literature): documents far below the
+    corpus-typical mean logprob are boilerplate/gibberish; far above
+    are degenerate repetition.
+
+    Scale shape: two corpus passes sharing one token explode shape —
+    the vocabulary agg (two-phase, Zipf-bounded output) and the
+    per-doc score agg keyed by doc_id; the vocab joins the token
+    stream by term (broadcast when it fits, shuffle-hash otherwise —
+    AQE decides).  The LM constants N and V ride a 1-row broadcast."""
+    toks = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
+    consts = vocab.agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("v_size"),
+    )
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("c") + F.lit(alpha))
+                    / (
+                        F.col("n_total")
+                        + F.lit(alpha) * (F.col("v_size") + 1)
+                    )
+                )
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("lp").alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logprob_oracle(alpha: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql(norm_sql())}) AS term
+  FROM documents WHERE {norm_sql()} <> ''),
+vocab AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+consts AS (
+  SELECT sum(c)::BIGINT AS n_total, count(*)::BIGINT AS v_size
+  FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+    ln((v.c + {alpha}) / (co.n_total + {alpha} * (co.v_size + 1))) AS lp
+  FROM toks t JOIN vocab v USING (term) CROSS JOIN consts co)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, avg(lp) AS mean_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

@@ -805,3 +805,34 @@ def test_embedding_covariance_known_matrix(spark):
     assert abs(out[(0, 1)] - 4 / 3) < 1e-12
     assert abs(out[(1, 1)] - 8 / 3) < 1e-12
     assert set(out) == {(0, 0), (0, 1), (1, 1)}  # upper triangle only
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    # corpus: "a a b" + "b" -> counts a:2 b:2, N=4, V=2, alpha=0.5
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a a b"),
+        Row(doc_id=1, text="b"),
+    ])
+    out = {r["doc_id"]: r for r in TS.unigram_logprob(docs).collect()}
+    p = (2 + 0.5) / (4 + 0.5 * 3)  # both terms share count 2
+    assert abs(out[0]["mean_logprob"] - math.log(p)) < 1e-12
+    assert abs(out[1]["mean_logprob"] - math.log(p)) < 1e-12
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 1
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    common = "the cat sat on the mat " * 5
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=common),
+        Row(doc_id=1, text="zqx wvu jkl"),  # singletons only
+    ])
+    out = {r["doc_id"]: r["mean_logprob"]
+           for r in TS.unigram_logprob(docs).collect()}
+    assert out[1] < out[0]
