@@ -754,6 +754,18 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.cohort_retention(ev, on="user_id", ts="ts")
 
 
+_MENTION_TERMS = ["spark", "customer"]
+
+
+def _q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±3-token context windows around dictionary terms — the
+    entity-linker training-window extraction: one posexplode pass,
+    broadcast term filter before any shuffle, in-row slice."""
+    return textstats.mention_contexts(
+        _docs(spark, sf_dir), _MENTION_TERMS, window=3
+    )
+
+
 def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-filter stand-in: mean per-token logprob
     under the corpus's own smoothed unigram LM; vocab agg + doc agg
@@ -1888,7 +1900,7 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob",
-    "construct_rule", "latest_wins",
+    "mention_contexts", "construct_rule", "latest_wins",
     "bgp_optional_filter", "construct_delta",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
@@ -2054,6 +2066,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "unigram_logprob": _q_unigram_logprob,
+        "mention_contexts": _q_mention_contexts,
         "predicate_cardinality": _q_predicate_cardinality,
         "predicate_cooccurrence": _q_predicate_cooccurrence,
         "json_props_profile": _q_json_props_profile,
@@ -2840,6 +2853,9 @@ ORDER BY resolution, bucket
     )
     sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
     sql["unigram_logprob"] = textstats.unigram_logprob_oracle()
+    sql["mention_contexts"] = textstats.mention_contexts_oracle(
+        _MENTION_TERMS, window=3
+    )
     sql["construct_rule"] = _query.construct_sql(
         _tr, _RULE_PATTERNS, _RULE_TEMPLATE
     )

@@ -1198,3 +1198,68 @@ scored AS (
 SELECT doc_id, count(*)::BIGINT AS n_tokens, avg(lp) AS mean_logprob
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------------------ #
+# Mention-context extraction (entity-linker / NER training windows)
+# ------------------------------------------------------------------ #
+
+
+def mention_contexts(
+    docs: DataFrame, terms: list[str], window: int = 3
+) -> DataFrame:
+    """(doc_id, term, pos, context) — a ±``window``-token span around
+    every occurrence of every term (0-based token position): the
+    context-window extraction that feeds entity-linking / NER
+    training sets from a raw corpus.
+
+    Scale shape: ONE posexplode pass over the normalized token stream;
+    the term list is a broadcast semi-join filter applied before any
+    shuffle (at web scale the mention dictionary is the alias table —
+    still broadcastable, or bucket-joined when it isn't).  The window
+    slice re-reads the in-row token array — no self-join, no window
+    function; output is mention-scale, not token-scale."""
+    t = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .withColumn("toks", tokens_col())
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode("toks").alias("pos", "term"),
+        )
+    )
+    term_df = F.broadcast(
+        t.sparkSession.createDataFrame(
+            [(x,) for x in terms], "term string"
+        )
+    )
+    hits = t.join(term_df, "term", "left_semi")
+    start = F.greatest(F.lit(1), F.col("pos") + 1 - window)  # 1-based
+    length = F.col("pos") + 1 + window - start + 1
+    return hits.select(
+        "doc_id",
+        "term",
+        "pos",
+        F.array_join(F.slice("toks", start, length), " ").alias("context"),
+    ).orderBy("doc_id", "pos", "term")
+
+
+def mention_contexts_oracle(terms: list[str], window: int = 3) -> str:
+    tlist = ", ".join(f"('{x}')" for x in terms)
+    return f"""
+WITH terms(term) AS (VALUES {tlist}),
+t AS (
+  SELECT doc_id, {tokens_sql(norm_sql())} AS toks
+  FROM documents WHERE {norm_sql()} <> ''),
+hits AS (
+  SELECT t.doc_id, t.toks, i.i - 1 AS pos, t.toks[i.i] AS term
+  FROM t, unnest(range(1, len(t.toks) + 1)) AS i(i)
+  WHERE t.toks[i.i] IN (SELECT term FROM terms))
+SELECT doc_id, term, pos,
+  array_to_string(
+    toks[greatest(1, pos + 1 - {window}):pos + 1 + {window}], ' ')
+    AS context
+FROM hits
+ORDER BY doc_id, pos, term
+"""

@@ -836,3 +836,30 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
     out = {r["doc_id"]: r["mean_logprob"]
            for r in TS.unigram_logprob(docs).collect()}
     assert out[1] < out[0]
+
+
+def test_mention_contexts_window_clamping(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="alpha beta TARGET gamma delta epsilon"),
+        Row(doc_id=1, text="TARGET at start"),
+    ])
+    out = {(r["doc_id"], r["pos"]): r["context"]
+           for r in TS.mention_contexts(docs, ["target"], window=2)
+           .collect()}
+    # mid-doc: two tokens either side
+    assert out[(0, 2)] == "alpha beta target gamma delta"
+    # doc start: left side clamps
+    assert out[(1, 0)] == "target at start"
+
+
+def test_mention_contexts_multiple_occurrences(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="x y x z")])
+    rows = TS.mention_contexts(docs, ["x"], window=1).collect()
+    assert [(r["pos"], r["context"]) for r in rows] == [
+        (0, "x y"), (2, "y x z")]
