@@ -491,6 +491,24 @@ def _q_construct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-derived TransE-style corrupted tails over the induced
+    graph's uri edges; the dense entity index is the scalable
+    two-phase rank (256-bucket offsets + partition-parallel intra
+    row_number), proven equal to the oracle's naive global rank."""
+    from orionbelt_ontology_builder_spark.datapipe import negatives
+
+    t = relational.induce_triples(spark, sf_dir)
+    edges = t.filter(
+        (F.col("obj_kind") == "uri") & (F.col("pred") != M.RDF.type)
+    ).select(
+        F.col("subj").alias("h"),
+        F.col("pred").alias("r"),
+        F.col("obj").alias("t"),
+    )
+    return negatives.kg_negative_samples(edges, k=2)
+
+
 def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins conflict resolution over provenance-stamped
     assertions induced from orders: each customer's latest
@@ -1901,7 +1919,7 @@ _SF_SCALE = {
     "json_props_profile", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob",
     "mention_contexts", "construct_rule", "latest_wins",
-    "bgp_optional_filter", "construct_delta",
+    "bgp_optional_filter", "construct_delta", "kg_negative_samples",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -2080,6 +2098,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_wins": _q_latest_wins,
         "bgp_optional_filter": _q_bgp_optional_filter,
         "construct_delta": _q_construct_delta,
+        "kg_negative_samples": _q_kg_negative_samples,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2844,6 +2863,22 @@ ORDER BY resolution, bucket
     sql["path_query"] = _query.eval_path_sql(_tr, _PATH_SPEC)
     sql["bgp_optional_filter"] = _query.match_bgp_sql(
         _tr, _OPT_REQUIRED, optional=_OPT_GROUPS, filters=_OPT_FILTERS
+    )
+    from orionbelt_ontology_builder_spark.datapipe import (
+        negatives as _negatives,
+    )
+
+    sql["kg_negative_samples"] = _negatives.kg_negative_samples_sql(
+        _tr.replace(
+            "triples AS (",
+            "triples0 AS (",
+        )
+        + """,
+edges AS (
+  SELECT subj AS h, pred AS r, obj AS t FROM triples0
+  WHERE obj_kind = 'uri'
+    AND pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')""",
+        k=2,
     )
     sql["construct_delta"] = _query.construct_delta_sql(
         _tr,

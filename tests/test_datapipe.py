@@ -863,3 +863,34 @@ def test_mention_contexts_multiple_occurrences(spark):
     rows = TS.mention_contexts(docs, ["x"], window=1).collect()
     assert [(r["pos"], r["context"]) for r in rows] == [
         (0, "x y"), (2, "y x z")]
+
+
+def test_entity_index_matches_global_rank(spark):
+    import hashlib
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import negatives as NEG
+
+    ents = [f"e{i}" for i in range(50)]
+    edges = spark.createDataFrame(
+        [Row(h=ents[i], r="r", t=ents[(i + 7) % 50]) for i in range(50)]
+    )
+    got = {r["entity"]: r["idx"]
+           for r in NEG.entity_index(edges).collect()}
+    want = {e: i for i, e in enumerate(
+        sorted(ents, key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e)))}
+    assert got == want  # two-phase rank == naive global rank
+
+
+def test_kg_negative_samples_deterministic_and_flagged(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import negatives as NEG
+
+    edges = spark.createDataFrame(
+        [Row(h=f"h{i}", r="rel", t=f"t{i}") for i in range(10)]
+    )
+    a = NEG.kg_negative_samples(edges, k=3).collect()
+    b = NEG.kg_negative_samples(edges.repartition(7), k=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # partition-invariant
+    assert len(a) == 30
+    for r in a:
+        assert r["is_false_negative"] == (r["neg_tail"] == r["t"])
