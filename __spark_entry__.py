@@ -491,6 +491,21 @@ def _q_construct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_triple_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate crawl-over-crawl change monitor: new version drops
+    the '%7' subject slice and gains the materialized inRegion edges;
+    one union+fold shuffle classifies added/removed/retained."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = relational.induce_triples(spark, sf_dir)
+    newer = t.filter(~F.col("subj").endswith("7")).select(
+        "subj", "pred", "obj", "obj_kind"
+    ).unionByName(
+        query.construct(t, _RULE_PATTERNS, _RULE_TEMPLATE)
+    )
+    return setops.triple_churn(t, newer)
+
+
 def _q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-derived TransE-style corrupted tails over the induced
     graph's uri edges; the dense entity index is the scalable
@@ -1920,6 +1935,7 @@ _SF_SCALE = {
     "path_query", "bpe_merge_pairs", "unigram_logprob",
     "mention_contexts", "construct_rule", "latest_wins",
     "bgp_optional_filter", "construct_delta", "kg_negative_samples",
+    "triple_churn",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
@@ -2099,6 +2115,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional_filter": _q_bgp_optional_filter,
         "construct_delta": _q_construct_delta,
         "kg_negative_samples": _q_kg_negative_samples,
+        "triple_churn": _q_triple_churn,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2879,6 +2896,20 @@ edges AS (
   WHERE obj_kind = 'uri'
     AND pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')""",
         k=2,
+    )
+    sql["triple_churn"] = setops.triple_churn_sql(
+        _tr + """,
+ga AS (SELECT subj, pred, obj, obj_kind FROM triples)""",
+        f"""rule AS (
+  SELECT DISTINCT t1.subj AS subj,
+    'http://example.org/tpch#inRegion' AS pred,
+    t2.obj AS obj, 'uri' AS obj_kind
+  FROM triples t1 JOIN triples t2 ON t1.obj = t2.subj
+  WHERE t1.pred = '{M.RDF.type}' AND t2.pred = '{M.RDFS.subClassOf}'),
+gb AS (
+  SELECT subj, pred, obj, obj_kind FROM triples
+  WHERE subj NOT LIKE '%7'
+  UNION ALL SELECT * FROM rule)""",
     )
     sql["construct_delta"] = _query.construct_delta_sql(
         _tr,

@@ -580,3 +580,82 @@ FROM quads
 GROUP BY subj, pred
 ORDER BY subj, pred
 """
+
+
+def triple_churn(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(pred, n_added, n_removed, n_retained, churn) — per-predicate
+    change summary between two graph versions (old ``a`` -> new
+    ``b``); ``churn`` = (added + removed) / max(1, old-size).  The
+    crawl-over-crawl KG health monitor: a predicate whose churn spikes
+    signals an extractor regression before any downstream eval does.
+
+    Scale shape: ONE shuffle — both (distinct) triple sets union with
+    a side bit, groupBy the triple key folds the bits (map-side
+    combine), and the per-predicate rollup runs on the vocab-keyed
+    output of that same exchange.  No exceptAll/intersect passes (each
+    would be its own shuffle pair)."""
+    cols = ["subj", "pred", "obj", "obj_kind"]
+    tagged = (
+        a.select(*cols).distinct().withColumn("in_a", F.lit(1))
+        .withColumn("in_b", F.lit(0))
+        .unionByName(
+            b.select(*cols).distinct().withColumn("in_a", F.lit(0))
+            .withColumn("in_b", F.lit(1))
+        )
+    )
+    folded = tagged.groupBy(*cols).agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    per_pred = folded.groupBy("pred").agg(
+        F.sum(
+            F.when((F.col("in_b") == 1) & (F.col("in_a") == 0), 1).otherwise(0)
+        ).alias("n_added"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0)
+        ).alias("n_removed"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("n_retained"),
+    )
+    old_size = F.col("n_removed") + F.col("n_retained")
+    return per_pred.select(
+        "pred",
+        "n_added",
+        "n_removed",
+        "n_retained",
+        (
+            (F.col("n_added") + F.col("n_removed"))
+            / F.greatest(F.lit(1), old_size)
+        ).alias("churn"),
+    ).orderBy("pred")
+
+
+def triple_churn_sql(cte_a: str, cte_b: str) -> str:
+    """DuckDB twin; ``cte_a``/``cte_b`` define relations ``ga``/``gb``
+    with triple columns."""
+    return f"""{cte_a},{cte_b},
+tagged AS (
+  SELECT subj, pred, obj, obj_kind, 1 AS in_a, 0 AS in_b
+  FROM (SELECT DISTINCT subj, pred, obj, obj_kind FROM ga)
+  UNION ALL
+  SELECT subj, pred, obj, obj_kind, 0, 1
+  FROM (SELECT DISTINCT subj, pred, obj, obj_kind FROM gb)),
+folded AS (
+  SELECT subj, pred, obj, obj_kind,
+         max(in_a) AS in_a, max(in_b) AS in_b
+  FROM tagged GROUP BY 1, 2, 3, 4),
+per_pred AS (
+  SELECT pred,
+    sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)::BIGINT
+      AS n_added,
+    sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)::BIGINT
+      AS n_removed,
+    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT
+      AS n_retained
+  FROM folded GROUP BY pred)
+SELECT pred, n_added, n_removed, n_retained,
+  (n_added + n_removed)::DOUBLE
+    / greatest(1, n_removed + n_retained) AS churn
+FROM per_pred
+ORDER BY pred
+"""

@@ -210,3 +210,22 @@ def test_latest_wins_freshest_then_source_tiebreak(spark):
     assert out["e1"]["n_versions"] == 2 and out["e1"]["n_sources"] == 2
     assert out["e2"]["obj"] == "b" and out["e2"]["source"] == "src_2"
     assert out["e3"]["n_versions"] == 1
+
+
+def test_triple_churn_classification(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.operators import setops as S
+
+    def g(rows):
+        return spark.createDataFrame(
+            [Row(subj=s, pred=p, obj=o, obj_kind="uri") for s, p, o in rows]
+        )
+
+    a = g([("s1", "p", "x"), ("s2", "p", "y"), ("s3", "q", "z")])
+    b = g([("s1", "p", "x"), ("s4", "p", "w"), ("s4", "p", "w")])  # dup
+    out = {r["pred"]: r for r in S.triple_churn(a, b).collect()}
+    p = out["p"]
+    assert (p["n_added"], p["n_removed"], p["n_retained"]) == (1, 1, 1)
+    assert abs(p["churn"] - 1.0) < 1e-12  # (1+1)/2 old triples
+    q = out["q"]
+    assert (q["n_added"], q["n_removed"], q["n_retained"]) == (0, 1, 0)
