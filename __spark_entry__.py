@@ -372,6 +372,15 @@ def _q_shacl_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_module(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality-style module extraction from the axioms fixture seeded
+    at Employee: pulls Person, the worksFor restriction bnode chain,
+    and everything those axioms depend on — never the instance data."""
+    return views.extract_module(
+        FX.fixture_triples(spark, "axioms_om"), [FX.BASE + "Employee"]
+    )
+
+
 def _q_skolemize_axioms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WL-signature bnode skolemization of the axioms fixture: all 12
     restriction/list-spine bnodes get content-hash IRIs, stable across
@@ -2116,6 +2125,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "construct_delta": _q_construct_delta,
         "kg_negative_samples": _q_kg_negative_samples,
         "triple_churn": _q_triple_churn,
+        "extract_module": _q_extract_module,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2867,6 +2877,9 @@ ORDER BY resolution, bucket
 
     sql["skolemize_axioms"] = _skolem.skolemize_bnodes_sql(
         "WITH " + FX.fixture_cte("axioms_om")
+    )
+    sql["extract_module"] = views.extract_module_sql(
+        "WITH " + FX.fixture_cte("axioms_om"), [FX.BASE + "Employee"]
     )
     from orionbelt_ontology_builder_spark.operators import align as _align
 

@@ -1472,3 +1472,96 @@ LEFT JOIN direct d ON c.cls = d.cls
 LEFT JOIN deep p ON c.cls = p.cls
 ORDER BY class_uri
 """
+
+
+# --------------------------------------------------------------------------
+# locality-based module extraction
+# --------------------------------------------------------------------------
+
+#: axiom-dependency predicates followed during module extraction (the
+#: structural set minus rdf:type — typing edges would pull every
+#: instance — plus the restriction/list machinery that bridges bnodes).
+MODULE_EDGE_PREDS = sorted(
+    (STRUCTURAL_PREDICATES - {RDF.type})
+    | {
+        OWL.someValuesFrom,
+        OWL.allValuesFrom,
+        OWL.hasValue,
+        OWL.onClass,
+        OWL.unionOf,
+        OWL.intersectionOf,
+        OWL.complementOf,
+        OWL.disjointUnionOf,
+        OWL.propertyChainAxiom,
+        OWL.hasKey,
+        OWL.distinctMembers,
+        RDF.first,
+        RDF.rest,
+    }
+)
+
+
+def extract_module(triples: DataFrame, seeds: list[str]) -> DataFrame:
+    """The sub-ontology a seed signature depends on: follow the
+    axiom-dependency edges (subclass/equivalence/property topology,
+    restriction bnodes, RDF-list spines) transitively from ``seeds``
+    and keep every triple asserted about a reached entity.  The
+    syntactic locality-module idea (OWL modularity literature; the
+    OWL-API offers the same extraction) — what you ship when a
+    downstream team needs "just the part of the 10^6-class ontology
+    that Employee touches".
+
+    Scale shape: the dependency graph is axiom-scale (schema + bnode
+    machinery, no instance typing edges), so its transitive closure —
+    the doubling fixpoint — runs on vocabulary-sized tables; the only
+    data-scale pass is the final broadcast semi-join selecting the
+    module's triples."""
+    from .fixpoint import transitive_closure
+
+    edges = triples.filter(
+        F.col("pred").isin(MODULE_EDGE_PREDS)
+        & F.col("obj_kind").isin("uri", "bnode")
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    seed_df = triples.sparkSession.createDataFrame(
+        [(s,) for s in seeds], "entity string"
+    )
+    reach = (
+        transitive_closure(edges)
+        .join(
+            F.broadcast(seed_df),
+            F.col("src") == F.col("entity"),
+            "left_semi",
+        )
+        .select(F.col("dst").alias("entity"))
+    )
+    module_entities = seed_df.unionByName(reach).distinct()
+    return (
+        triples.join(
+            F.broadcast(module_entities),
+            triples["subj"] == module_entities["entity"],
+            "left_semi",
+        )
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+def extract_module_sql(triples_cte: str, seeds: list[str]) -> str:
+    """DuckDB twin (recursive reachability over the same edge set)."""
+    preds = ", ".join(f"'{p}'" for p in MODULE_EDGE_PREDS)
+    seed_vals = ", ".join(f"('{s}')" for s in seeds)
+    return f"""{triples_cte},
+seeds(entity) AS (VALUES {seed_vals}),
+dep AS (
+  SELECT subj AS src, obj AS dst FROM triples
+  WHERE pred IN ({preds}) AND obj_kind IN ('uri', 'bnode')),
+reach AS (
+  WITH RECURSIVE r(entity) AS (
+    SELECT entity FROM seeds
+    UNION
+    SELECT d.dst FROM r JOIN dep d ON d.src = r.entity)
+  SELECT * FROM r)
+SELECT t.subj, t.pred, t.obj, t.obj_kind, t.obj_lang, t.obj_dt
+FROM triples t JOIN (SELECT DISTINCT entity FROM reach) m
+  ON t.subj = m.entity
+ORDER BY subj, pred, obj
+"""

@@ -280,3 +280,22 @@ def test_deep_instance_counts_rollup(populated_om):
     assert out[BASE + "Person"]["n_deep"] == 1
     assert out[BASE + "Organization"]["n_direct"] == 1
     assert out[BASE + "Organization"]["n_deep"] == 1
+
+
+def test_extract_module_follows_axiom_deps(spark):
+    """Seeding at Employee pulls Person (subClassOf), the someValuesFrom
+    restriction bnode and its onProperty/filler targets, and Worker
+    (equivalentClass) — but no individuals and not Agent's machinery."""
+    from orionbelt_ontology_builder_spark.fixtures import fixture_triples
+
+    mod = views.extract_module(
+        fixture_triples(spark, "axioms_om"), [BASE + "Employee"]
+    ).collect()
+    subjects = {r["subj"] for r in mod}
+    assert BASE + "Employee" in subjects
+    assert BASE + "Person" in subjects           # via subClassOf
+    assert "_:r1" in subjects                    # Employee's restriction
+    assert BASE + "worksFor" in subjects         # via onProperty
+    assert BASE + "Worker" in subjects           # via equivalentClass
+    assert BASE + "alice" not in subjects        # instances excluded
+    assert BASE + "Agent" not in subjects        # unrelated machinery
