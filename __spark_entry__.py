@@ -799,6 +799,13 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MENTION_TERMS = ["spark", "customer"]
 
 
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-length percentiles (truncation-budget
+    calibration); percentile agg safe because the key set is the
+    language vocabulary."""
+    return textstats.length_percentiles(_docs(spark, sf_dir))
+
+
 def _q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """±3-token context windows around dictionary terms — the
     entity-linker training-window extraction: one posexplode pass,
@@ -1942,7 +1949,8 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob",
-    "mention_contexts", "construct_rule", "latest_wins",
+    "mention_contexts", "length_percentiles",
+    "construct_rule", "latest_wins",
     "bgp_optional_filter", "construct_delta", "kg_negative_samples",
     "triple_churn",
     "tfidf_topk",
@@ -2110,6 +2118,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "unigram_logprob": _q_unigram_logprob,
         "mention_contexts": _q_mention_contexts,
+        "length_percentiles": _q_length_percentiles,
         "predicate_cardinality": _q_predicate_cardinality,
         "predicate_cooccurrence": _q_predicate_cooccurrence,
         "json_props_profile": _q_json_props_profile,
@@ -2935,6 +2944,7 @@ gb AS (
     sql["mention_contexts"] = textstats.mention_contexts_oracle(
         _MENTION_TERMS, window=3
     )
+    sql["length_percentiles"] = textstats.length_percentiles_oracle()
     sql["construct_rule"] = _query.construct_sql(
         _tr, _RULE_PATTERNS, _RULE_TEMPLATE
     )

@@ -1263,3 +1263,62 @@ SELECT doc_id, term, pos,
 FROM hits
 ORDER BY doc_id, pos, term
 """
+
+
+# ------------------------------------------------------------------ #
+# Per-language length percentiles (truncation-policy calibration)
+# ------------------------------------------------------------------ #
+
+
+def length_percentiles(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, mean_tokens, p10, p50, p90, p99) — exact
+    token-length percentiles per language: the statistic that sets
+    per-language context/truncation budgets (uniform caps over-trim
+    CJK-like dense languages, under-trim verbose ones).
+
+    Scale shape: the token count is a narrow map-side projection; the
+    percentile aggregation is keyed by the language vocabulary (tens
+    of keys), so Spark's exact ``percentile`` — which gathers each
+    group's values — is safe ONLY because group count is tiny and
+    per-group data is a numeric column, not rows; for data-scale keys
+    you'd switch to approx_percentile (documented trade)."""
+    n = (
+        docs.withColumn("norm", norm_col())
+        .select(
+            "lang",
+            F.when(F.col("norm") == "", 0)
+            .otherwise(F.size(tokens_col()))
+            .alias("n_tokens"),
+        )
+    )
+    return (
+        n.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_tokens").alias("mean_tokens"),
+            F.expr("percentile(n_tokens, 0.10)").alias("p10"),
+            F.expr("percentile(n_tokens, 0.50)").alias("p50"),
+            F.expr("percentile(n_tokens, 0.90)").alias("p90"),
+            F.expr("percentile(n_tokens, 0.99)").alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+def length_percentiles_oracle() -> str:
+    """DuckDB twin — quantile_cont matches Spark's exact linear-
+    interpolation percentile bit-for-bit under %.6g."""
+    return f"""
+WITH n AS (
+  SELECT lang,
+    CASE WHEN {norm_sql()} = '' THEN 0
+         ELSE len({tokens_sql(norm_sql())}) END AS n_tokens
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+  avg(n_tokens) AS mean_tokens,
+  quantile_cont(n_tokens, 0.10)::DOUBLE AS p10,
+  quantile_cont(n_tokens, 0.50)::DOUBLE AS p50,
+  quantile_cont(n_tokens, 0.90)::DOUBLE AS p90,
+  quantile_cont(n_tokens, 0.99)::DOUBLE AS p99
+FROM n GROUP BY lang ORDER BY lang
+"""

@@ -894,3 +894,20 @@ def test_kg_negative_samples_deterministic_and_flagged(spark):
     assert len(a) == 30
     for r in a:
         assert r["is_false_negative"] == (r["neg_tail"] == r["t"])
+
+
+def test_length_percentiles_exact_interpolation(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    # en docs with 1..5 tokens -> p50 = 3, p90 = 1 + 0.9*4 = 4.6
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (i + 1)), lang="en")
+         for i in range(5)]
+        + [Row(doc_id=10, text="a b", lang="fr")]
+    )
+    out = {r["lang"]: r for r in TS.length_percentiles(docs).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 5 and abs(en["p50"] - 3.0) < 1e-12
+    assert abs(en["p90"] - 4.6) < 1e-12
+    assert out["fr"]["p10"] == out["fr"]["p99"] == 2.0
