@@ -372,6 +372,25 @@ def _q_shacl_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: assertion rows planted for the viz property-edge layers: one visible
+#: individual->individual assertion and one dangling edge to an
+#: undeclared node (must be filtered by the both-ends rule).
+_VIZ_EXTRA: list[tuple] = [
+    M.t_uri(FX.BASE + "alice", FX.BASE + "worksFor", FX.BASE + "acme"),
+    M.t_uri(FX.BASE + "alice", FX.BASE + "worksFor", FX.BASE + "ghost"),
+]
+
+
+def _q_viz_property_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-property schema edges (domain -> range) and individual
+    assertion edges under the both-ends visibility rule — the two viz
+    layers beyond the taxonomy (ref app.py:3132-3144, :3209-3217)."""
+    t = FX.fixture_triples(spark, "populated_om").unionByName(
+        spark.createDataFrame(_VIZ_EXTRA, M.TRIPLES_SCHEMA)
+    )
+    return views.viz_property_edges(t)
+
+
 def _q_extract_module(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Locality-style module extraction from the axioms fixture seeded
     at Employee: pulls Person, the worksFor restriction bnode chain,
@@ -2135,6 +2154,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "triple_churn": _q_triple_churn,
         "extract_module": _q_extract_module,
+        "viz_property_edges": _q_viz_property_edges,
         "tfidf_topk": _q_tfidf_topk,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
@@ -2889,6 +2909,20 @@ ORDER BY resolution, bucket
     )
     sql["extract_module"] = views.extract_module_sql(
         "WITH " + FX.fixture_cte("axioms_om"), [FX.BASE + "Employee"]
+    )
+    _viz_extra_vals = ",\n    ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'"
+            for v in row
+        ) + ")"
+        for row in _VIZ_EXTRA
+    )
+    sql["viz_property_edges"] = views.viz_property_edges_sql(
+        f"""WITH base(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS
+  (SELECT * FROM {FX.fixture_sql_values("populated_om")}),
+extra(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {_viz_extra_vals}),
+triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     )
     from orionbelt_ontology_builder_spark.operators import align as _align
 

@@ -1565,3 +1565,120 @@ FROM triples t JOIN (SELECT DISTINCT entity FROM reach) m
   ON t.subj = m.entity
 ORDER BY subj, pred, obj
 """
+
+
+def viz_property_edges(
+    triples: DataFrame, max_per_layer: int = 500
+) -> DataFrame:
+    """(src, dst, kind, label) — the two viz edge layers beyond the
+    taxonomy: object-property schema edges drawn domain -> range when
+    BOTH ends are visible classes (reference ``app.py:3132-3144``),
+    and individual -> individual assertion edges for triples whose
+    predicate is a declared object property (``app.py:3209-3217``).
+    Same both-ends visibility rule as viz_edges.
+
+    Scale shape: property/domain/range tables are schema-sized
+    (broadcast); the assertion layer is one predicate-semi-join slice
+    of the triples scan followed by two visibility semi-joins."""
+    nodes = viz_nodes(triples, max_per_layer).select(F.col("id"))
+
+    def both_ends(df):
+        return (
+            df.join(nodes.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(nodes.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        )
+
+    props = type_slice(triples, OWL.ObjectProperty).select(
+        F.col("subj").alias("prop")
+    )
+    dom = triples.filter(F.col("pred") == RDFS.domain).select(
+        F.col("subj").alias("prop"), F.col("obj").alias("src")
+    )
+    rng = triples.filter(F.col("pred") == RDFS.range).select(
+        F.col("subj").alias("prop"), F.col("obj").alias("dst")
+    )
+    schema_edges = both_ends(
+        props.join(dom, "prop")
+        .join(rng, "prop")
+        .select(
+            "src",
+            "dst",
+            F.lit("property").alias("kind"),
+            local_name_col(F.col("prop")).alias("label"),
+        )
+    )
+    assertions = both_ends(
+        triples.join(
+            F.broadcast(props),
+            triples["pred"] == props["prop"],
+            "left_semi",
+        )
+        .filter(F.col("obj_kind") == "uri")
+        .select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            F.lit("assertion").alias("kind"),
+            local_name_col(F.col("pred")).alias("label"),
+        )
+    )
+    return (
+        schema_edges.unionByName(assertions)
+        .distinct()
+        .orderBy("kind", "src", "dst", "label")
+    )
+
+
+def viz_property_edges_sql(triples_cte: str, max_per_layer: int = 500) -> str:
+    """DuckDB twin (shares viz_nodes' per-layer cap semantics)."""
+    return f"""{triples_cte},
+labels AS (
+  SELECT subj, min(obj) AS label FROM triples
+  WHERE pred IN ('{RDFS.label}', '{SKOS.prefLabel}')
+  GROUP BY subj),
+nodes AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT t.subj AS id FROM (
+      SELECT DISTINCT subj FROM triples
+      WHERE pred = '{RDF.type}' AND obj = '{OWL.Class}'
+        AND NOT starts_with(subj, '_:')) t
+    ORDER BY t.subj LIMIT {max_per_layer})
+  UNION
+  SELECT id FROM (
+    SELECT t.subj AS id FROM (
+      SELECT DISTINCT subj FROM triples
+      WHERE pred = '{RDF.type}' AND obj = '{OWL.NamedIndividual}'
+        AND NOT starts_with(subj, '_:')) t
+    ORDER BY t.subj LIMIT {max_per_layer})
+  UNION
+  SELECT id FROM (
+    SELECT t.subj AS id FROM (
+      SELECT DISTINCT subj FROM triples
+      WHERE pred = '{RDF.type}' AND obj = '{SKOS.Concept}'
+        AND NOT starts_with(subj, '_:')) t
+    ORDER BY t.subj LIMIT {max_per_layer})),
+props AS (
+  SELECT DISTINCT subj AS prop FROM triples
+  WHERE pred = '{RDF.type}' AND obj = '{OWL.ObjectProperty}'),
+schema_edges AS (
+  SELECT d.obj AS src, r.obj AS dst, 'property' AS kind,
+    coalesce(nullif(regexp_extract(p.prop, '([^/#]+)$', 1), ''), p.prop)
+      AS label
+  FROM props p
+  JOIN (SELECT subj, obj FROM triples WHERE pred = '{RDFS.domain}') d
+    ON d.subj = p.prop
+  JOIN (SELECT subj, obj FROM triples WHERE pred = '{RDFS.range}') r
+    ON r.subj = p.prop),
+assertions AS (
+  SELECT t.subj AS src, t.obj AS dst, 'assertion' AS kind,
+    coalesce(nullif(regexp_extract(t.pred, '([^/#]+)$', 1), ''), t.pred)
+      AS label
+  FROM triples t
+  WHERE t.pred IN (SELECT prop FROM props) AND t.obj_kind = 'uri'),
+unioned AS (
+  SELECT * FROM schema_edges UNION SELECT * FROM assertions)
+SELECT DISTINCT u.src, u.dst, u.kind, u.label
+FROM unioned u
+JOIN nodes ns ON u.src = ns.id
+JOIN nodes nd ON u.dst = nd.id
+ORDER BY kind, src, dst, label
+"""

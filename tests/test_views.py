@@ -299,3 +299,25 @@ def test_extract_module_follows_axiom_deps(spark):
     assert BASE + "Worker" in subjects           # via equivalentClass
     assert BASE + "alice" not in subjects        # instances excluded
     assert BASE + "Agent" not in subjects        # unrelated machinery
+
+
+def test_viz_property_edges_layers_and_both_ends(spark):
+    from orionbelt_ontology_builder_spark.fixtures import fixture_triples
+    from orionbelt_ontology_builder_spark.model import TRIPLES_SCHEMA, t_uri
+
+    extra = [
+        t_uri(BASE + "alice", BASE + "worksFor", BASE + "acme"),
+        t_uri(BASE + "alice", BASE + "worksFor", BASE + "ghost"),
+    ]
+    t = fixture_triples(spark, "populated_om").unionByName(
+        spark.createDataFrame(extra, TRIPLES_SCHEMA)
+    )
+    out = {(r["src"], r["dst"], r["kind"]): r["label"]
+           for r in views.viz_property_edges(t).collect()}
+    # schema layer: worksFor drawn domain(Person) -> range(Organization)
+    assert out[(BASE + "Person", BASE + "Organization", "property")] \
+        == "worksFor"
+    # assertion layer: alice -> acme labeled by the predicate
+    assert out[(BASE + "alice", BASE + "acme", "assertion")] == "worksFor"
+    # dangling edge to undeclared 'ghost' filtered by both-ends rule
+    assert not any(d.endswith("ghost") for _, d, _k in out)
