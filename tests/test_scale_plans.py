@@ -526,3 +526,70 @@ def test_label_centroids_dispersion_identity(spark):
     assert abs(out[0]["avg_dist2"] - 1.0) < 1e-12
     assert abs(out[1]["centroid_norm"] - 2.0) < 1e-12
     assert abs(out[1]["avg_dist2"]) < 1e-12
+
+
+# ------------------------------------------------------------------ #
+# r2 session-6 ops: plan-shape guards
+# ------------------------------------------------------------------ #
+
+
+def test_latest_wins_single_agg_no_window(spark):
+    """LWW must be one two-phase agg: no window function, no
+    sort-merge join, no cartesian in the plan."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.operators import setops as S
+
+    quads = spark.createDataFrame(
+        [Row(subj=f"s{i}", pred="p", obj=f"v{i}", source="x",
+             ts=dt.datetime(2024, 1, 1)) for i in range(10)]
+    )
+    p = _plan(S.latest_wins(quads))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mention_contexts_broadcast_term_filter(spark):
+    """The dictionary filter must be a broadcast join with no hash
+    shuffle of the token stream (only the final sort exchanges)."""
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha target beta") for i in range(20)]
+    )
+    p = _plan(TS.mention_contexts(docs, ["target"], window=2))
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_bgp_match_no_cartesian_on_connected_patterns(spark):
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = spark.createDataFrame(
+        [Row(subj=f"s{i}", pred="type", obj="C", obj_kind="uri")
+         for i in range(10)]
+        + [Row(subj=f"s{i}", pred="knows", obj=f"s{i+1}", obj_kind="uri")
+           for i in range(9)]
+    )
+    p = _plan(query.match_bgp(
+        t, [("?x", "type", "C"), ("?x", "knows", "?y")]))
+    assert "CartesianProduct" not in p
+
+
+def test_negative_samples_no_global_single_partition_window(spark):
+    """The dense entity index must not use an unpartitioned window
+    (the single-reducer global row_number)."""
+    from pyspark.sql import Row
+    from orionbelt_ontology_builder_spark.datapipe import negatives as NEG
+
+    edges = spark.createDataFrame(
+        [Row(h=f"h{i}", r="r", t=f"t{i}") for i in range(20)]
+    )
+    p = _plan(NEG.entity_index(edges))
+    # the data-scale row_number must be bucket-PARTITIONED; the only
+    # unpartitioned window allowed is the 256-row bucket-offset cumsum
+    assert "row_number() windowspecdefinition(bucket" in p
+    assert "CartesianProduct" not in p
