@@ -1499,6 +1499,24 @@ def _q_nt_roundtrip(spark, sf_dir):
     ).distinct()
 
 
+_NQ_GRAPH = "http://crawl.example/2024-01"
+
+
+def _q_nq_roundtrip(spark, sf_dir):
+    """N-Quads codec roundtrip: literal-object rows carry a provenance
+    graph IRI, the rest ride the default graph (null); both survive
+    serialize -> parse bit-identically."""
+    from orionbelt_ontology_builder_spark.sources import ntriples as NT
+
+    quads = FX.fixture_triples(spark, "axioms_om").withColumn(
+        "graph",
+        F.when(F.col("obj_kind") == "literal", F.lit(_NQ_GRAPH)),
+    )
+    return NT.parse_nq(NT.serialize_nq(quads)).select(
+        "subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt", "graph"
+    ).distinct()
+
+
 def _codec_roundtrip(spark, fmt):
     from orionbelt_ontology_builder_spark.sources import parsers as PAR
     from orionbelt_ontology_builder_spark.sources import serializers as SER
@@ -2174,6 +2192,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_totals": _q_stream_user_totals,
         "stream_dedup": _q_stream_dedup,
         "nt_roundtrip": _q_nt_roundtrip,
+        "nq_roundtrip": _q_nq_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
         "rdfxml_roundtrip": _q_rdfxml_roundtrip,
         "jsonld_roundtrip": _q_jsonld_roundtrip,
@@ -3161,6 +3180,12 @@ WITH {ax}
 SELECT DISTINCT subj, pred, obj, obj_kind, obj_lang, obj_dt FROM triples
 """
     sql["nt_roundtrip"] = roundtrip_identity
+    sql["nq_roundtrip"] = f"""
+WITH {ax}
+SELECT DISTINCT subj, pred, obj, obj_kind, obj_lang, obj_dt,
+  CASE WHEN obj_kind = 'literal' THEN '{_NQ_GRAPH}' END AS graph
+FROM triples
+"""
     sql["turtle_roundtrip"] = roundtrip_identity
     sql["rdfxml_roundtrip"] = roundtrip_identity
     sql["jsonld_roundtrip"] = roundtrip_identity

@@ -50,8 +50,9 @@ def _term(node, kind):
     )
 
 
-def serialize_nt(triples: DataFrame) -> DataFrame:
-    """triples -> one N-Triples ``line`` per row (order-insensitive)."""
+def _nt_line_expr():
+    """Column expression rendering the 6 triple columns as one
+    N-Triples line (shared by serialize_nt / serialize_nq)."""
     subj_kind = F.when(
         F.col("subj").startswith("_:"), F.lit("bnode")
     ).otherwise(F.lit("uri"))
@@ -67,16 +68,19 @@ def serialize_nt(triples: DataFrame) -> DataFrame:
         )
         .otherwise(obj_base)
     )
-    return triples.select(
-        F.concat(
-            _term(F.col("subj"), subj_kind),
-            F.lit(" <"),
-            F.col("pred"),
-            F.lit("> "),
-            obj_full,
-            F.lit(" ."),
-        ).alias("line")
+    return F.concat(
+        _term(F.col("subj"), subj_kind),
+        F.lit(" <"),
+        F.col("pred"),
+        F.lit("> "),
+        obj_full,
+        F.lit(" ."),
     )
+
+
+def serialize_nt(triples: DataFrame) -> DataFrame:
+    """triples -> one N-Triples ``line`` per row (order-insensitive)."""
+    return triples.select(_nt_line_expr().alias("line"))
 
 
 #: One regex per term position; anchored so junk lines yield NULLs.
@@ -150,3 +154,71 @@ def snapshot(triples: DataFrame, path: str) -> None:
 def restore(spark: SparkSession, path: str) -> DataFrame:
     """Read a snapshot back (reference ``restore_snapshot`` ``:2404-2408``)."""
     return spark.read.schema(TRIPLES_SCHEMA).parquet(path)
+
+
+# --------------------------------------------------------------------------
+# N-Quads (triples + named graph / provenance term)
+# --------------------------------------------------------------------------
+
+#: object term optionally followed by a <graph> IRI before the dot.
+_OBJQ = (
+    r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+"
+    r"(?:<([^>]*)>|(_:\S+)|\"((?:[^\"\\]|\\.)*)\""
+    r"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?)"
+    r"(?:\s+<([^>]*)>)?\s*\.\s*$"
+)
+
+
+def serialize_nq(quads: DataFrame) -> DataFrame:
+    """quads (triples + nullable ``graph`` uri column) -> one N-Quads
+    ``line`` per row.  Null graph = default graph (plain triple line)
+    — the standard way to ship per-source provenance
+    (graph = crawl/source IRI) through a line-parallel bulk format.
+    Pure projection like serialize_nt."""
+    line = _nt_line_expr()
+    return quads.select(
+        F.when(
+            F.col("graph").isNotNull(),
+            F.concat(
+                F.regexp_replace(line, r" \.$", ""),
+                F.lit(" <"),
+                F.col("graph"),
+                F.lit("> ."),
+            ),
+        )
+        .otherwise(line)
+        .alias("line")
+    )
+
+
+def parse_nq(lines: DataFrame, column: str = "line") -> DataFrame:
+    """N-Quads lines -> 7-column quads (6 triple columns + ``graph``,
+    null for default-graph lines; malformed lines dropped).  The same
+    anchored-regex pure projection as parse_nt — per-block line
+    parsing, no cross-row state, no joins."""
+    c = F.col(column)
+    s_uri = F.regexp_extract(c, _SUBJ, 1)
+    s_bn = F.regexp_extract(c, _SUBJ, 2)
+    pred = F.regexp_extract(c, _PRED, 1)
+    o_uri = F.regexp_extract(c, _OBJQ, 1)
+    o_bn = F.regexp_extract(c, _OBJQ, 2)
+    o_lit = F.regexp_extract(c, _OBJQ, 3)
+    o_lang = F.regexp_extract(c, _OBJQ, 4)
+    o_dt = F.regexp_extract(c, _OBJQ, 5)
+    graph = F.regexp_extract(c, _OBJQ, 6)
+    parsed = lines.filter(c.rlike(_OBJQ)).select(
+        F.when(s_uri != "", s_uri).otherwise(s_bn).alias("subj"),
+        pred.alias("pred"),
+        F.when(o_uri != "", o_uri)
+        .when(o_bn != "", o_bn)
+        .otherwise(_unescape(o_lit))
+        .alias("obj"),
+        F.when(o_uri != "", F.lit("uri"))
+        .when(o_bn != "", F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+        .alias("obj_kind"),
+        F.when(o_lang != "", o_lang).cast("string").alias("obj_lang"),
+        F.when(o_dt != "", o_dt).cast("string").alias("obj_dt"),
+        F.when(graph != "", graph).cast("string").alias("graph"),
+    )
+    return parsed.filter((F.col("subj") != "") & (F.col("pred") != ""))

@@ -67,3 +67,41 @@ def test_write_read_nt_files(spark, tmp_path):
     NT.write_nt(df, str(tmp_path / "dump"))
     back = NT.read_nt(spark, str(tmp_path / "dump"))
     assert sorted(map(tuple, back.collect())) == sorted(TRICKY)
+
+
+def test_nq_roundtrip_graph_term(spark):
+    from pyspark.sql import functions as F
+    from orionbelt_ontology_builder_spark.fixtures import fixture_triples
+    from orionbelt_ontology_builder_spark.sources import ntriples as NT
+
+    quads = fixture_triples(spark, "axioms_om").withColumn(
+        "graph",
+        F.when(F.col("obj_kind") == "literal", F.lit("http://g/a")),
+    )
+    back = NT.parse_nq(NT.serialize_nq(quads))
+    want = sorted(map(tuple, quads.collect()))
+    got = sorted(map(tuple, back.select(*quads.columns).collect()))
+    assert got == want
+    # graph term round-trips exactly where set, null elsewhere
+    assert any(r[-1] == "http://g/a" for r in got)
+    assert any(r[-1] is None for r in got)
+
+
+def test_nq_malformed_and_default_graph_lines(spark):
+    from orionbelt_ontology_builder_spark.sources import ntriples as NT
+
+    lines = spark.createDataFrame(
+        [
+            ('<s> <p> "v" <http://g> .',),
+            ("<s> <p> <o> .",),                       # default graph
+            ('<s> <p> "x"@en <http://g> .',),
+            ("<s> <p> .",),                           # malformed: dropped
+            ('<s> <p> "tricky ." <http://g> .',),     # dot inside literal
+        ],
+        "line string",
+    )
+    rows = {(r["obj"], r["graph"]) for r in NT.parse_nq(lines).collect()}
+    assert rows == {
+        ("v", "http://g"), ("o", None), ("x", "http://g"),
+        ("tricky .", "http://g"),
+    }
