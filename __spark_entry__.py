@@ -505,6 +505,55 @@ def _q_bgp_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MINUS BGP: labeled named individuals WITHOUT a market segment
+#: (SPARQL MINUS / FILTER NOT EXISTS -> left_anti on the shared var).
+_MINUS_REQUIRED = [
+    ("?x", M.RDF.type, M.OWL.NamedIndividual),
+    ("?x", M.RDFS.label, "?name"),
+]
+_MINUS_GROUPS = [[("?x", "http://example.org/tpch#mktsegment", "?seg")]]
+
+
+def _q_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS over the induced graph: every labeled individual
+    that has no mktsegment edge (suppliers, nations, regions).  The
+    negation side collapses to its distinct shared-variable projection
+    before the anti-join probe."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.match_bgp(
+        relational.induce_triples(spark, sf_dir),
+        _MINUS_REQUIRED,
+        minus=_MINUS_GROUPS,
+    )
+
+
+#: Aggregate BGP: per (class, market segment) individual counts with a
+#: HAVING prune — SPARQL SELECT ... GROUP BY ... HAVING.
+_AGG_PATTERNS = [
+    ("?ind", M.RDF.type, "?cls"),
+    ("?ind", "http://example.org/tpch#mktsegment", "?seg"),
+]
+_AGG_GROUP_BY = ["cls", "seg"]
+_AGG_AGGS = {"n_ind": "count(*)", "first_ind": "min(ind)"}
+_AGG_HAVING = "n_ind >= 2"
+
+
+def _q_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY/HAVING over the binding set: segment-by-class
+    individual counts from a 2-pattern join, one hash aggregation with
+    map-side combine, HAVING on the (small) grouped result."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.select_agg(
+        relational.induce_triples(spark, sf_dir),
+        _AGG_PATTERNS,
+        _AGG_GROUP_BY,
+        _AGG_AGGS,
+        having=_AGG_HAVING,
+    )
+
+
 def _q_construct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-naive incremental rule maintenance: conclusions of the
     inRegion rule that touch the 'delta' slice (subjects ending in 0 —
@@ -1706,6 +1755,13 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, max_doc_id=120)
 
 
+def _q_passage_dup(spark, sf_dir):
+    """Per-document duplicated-passage fraction (positional word
+    n-grams shared with any other document) — the substring-dedup
+    signal; two uniform-key shuffles, no pairwise stage."""
+    return dedup.duplicated_passages(_docs(spark, sf_dir))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -1988,7 +2044,8 @@ _SF_SCALE = {
     "path_query", "bpe_merge_pairs", "unigram_logprob",
     "mention_contexts", "length_percentiles",
     "construct_rule", "latest_wins",
-    "bgp_optional_filter", "construct_delta", "kg_negative_samples",
+    "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
+    "construct_delta", "kg_negative_samples",
     "triple_churn",
     "tfidf_topk",
     "term_cooccurrence", "ngram_lm_counts",
@@ -2000,7 +2057,7 @@ _SF_SCALE = {
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "passage_dup", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
     "sq8_stats", "label_centroids", "embedding_covariance",
@@ -2168,6 +2225,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "construct_rule": _q_construct_rule,
         "latest_wins": _q_latest_wins,
         "bgp_optional_filter": _q_bgp_optional_filter,
+        "bgp_minus": _q_bgp_minus,
+        "bgp_aggregate": _q_bgp_aggregate,
         "construct_delta": _q_construct_delta,
         "kg_negative_samples": _q_kg_negative_samples,
         "triple_churn": _q_triple_churn,
@@ -2247,6 +2306,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "passage_dup": _q_passage_dup,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -2955,6 +3015,12 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["path_query"] = _query.eval_path_sql(_tr, _PATH_SPEC)
     sql["bgp_optional_filter"] = _query.match_bgp_sql(
         _tr, _OPT_REQUIRED, optional=_OPT_GROUPS, filters=_OPT_FILTERS
+    )
+    sql["bgp_minus"] = _query.match_bgp_sql(
+        _tr, _MINUS_REQUIRED, minus=_MINUS_GROUPS
+    )
+    sql["bgp_aggregate"] = _query.select_agg_sql(
+        _tr, _AGG_PATTERNS, _AGG_GROUP_BY, _AGG_AGGS, having=_AGG_HAVING
     )
     from orionbelt_ontology_builder_spark.datapipe import (
         negatives as _negatives,
@@ -3818,6 +3884,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dedup_minhash_pairs"] = dedup.minhash_band_pairs_oracle()
     sql["dedup_clusters"] = dedup.dedup_clusters_oracle()
     sql["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(threshold=0.3, max_doc_id=120)
+    sql["passage_dup"] = dedup.duplicated_passages_oracle()
     sql["dedup_simhash"] = dedup.simhash_oracle()
     sql["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle()
     sql["dedup_embedding_cosine"] = dedup.cosine_pairs_oracle(max_vec_id=300)

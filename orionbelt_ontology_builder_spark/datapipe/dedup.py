@@ -1019,3 +1019,106 @@ WHERE s.shared::DOUBLE / fa.fp_n::DOUBLE >= {threshold}
    OR s.shared::DOUBLE / fb.fp_n::DOUBLE >= {threshold}
 ORDER BY s.doc_a, s.doc_b
 """
+
+
+# ------------------------------------------------------------------ #
+# Passage-level duplication (substring-dedup signal)
+# ------------------------------------------------------------------ #
+
+PASSAGE_N = 3  # word n-gram width (test-corpus scale; 50-token spans
+               # in the published substring-dedup rule)
+
+
+def _pos_grams_expr(n: int, toks: str = "toks") -> str:
+    """POSITIONAL token n-grams (NOT distinct — every occurrence keeps
+    its slot so the duplicated fraction is over passage positions).
+    Spark sequence(1, 0) descends instead of emitting empty, hence the
+    explicit CASE guard for docs shorter than ``n`` tokens."""
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks})-{n}+1),"
+        f" i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def _pos_grams_sql(n: int, toks: str = "toks") -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks})-{n}+1),"
+        f" i -> array_to_string({toks}[i:i+{n}-1], ' ')) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def duplicated_passages(docs: DataFrame, n: int = PASSAGE_N) -> DataFrame:
+    """(doc_id, total_ngrams, dup_ngrams, dup_fraction): per document,
+    the fraction of positional word ``n``-grams that also occur in at
+    least one OTHER document — the passage/substring-level dedup
+    signal (cross-document boilerplate and copied spans; the
+    train-data-dedup rule published as "deduplicating training data
+    makes language models better", re-expressed corpus-relational
+    instead of suffix-array).
+
+    Scale shape: explode positional grams (narrow codegen projection,
+    pre-repartitioned against AQE 1-partition coalesce) -> ONE
+    (doc_id, gram) count aggregation with map-side combine -> a
+    gram-keyed min!=max doc aggregation flags cross-document grams (no
+    countDistinct) -> gram-keyed join back -> per-doc sum.  Two
+    uniform-key shuffles, no all-pairs stage; a gram shared by millions
+    of pages is one aggregation key, never a pairwise blowup.  Docs
+    shorter than ``n`` tokens carry no passage positions and are
+    excluded (documented contract, matches the DuckDB twin)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        docs.repartition(par)
+        .withColumn("norm", norm_col())
+        .withColumn("toks", tokens_col())
+        .select(
+            "doc_id",
+            F.explode(F.expr(_pos_grams_expr(n))).alias("gram"),
+        )
+    )
+    per = ex.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    cross = (
+        per.groupBy("gram")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .select("gram", (F.col("lo") != F.col("hi")).alias("is_cross"))
+    )
+    return (
+        per.join(cross, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("total_ngrams"),
+            F.sum(F.when(F.col("is_cross"), F.col("cnt")).otherwise(0))
+            .alias("dup_ngrams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("dup_ngrams") / F.col("total_ngrams").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def duplicated_passages_oracle(n: int = PASSAGE_N) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql(norm_sql())} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, unnest({_pos_grams_sql(n)}) AS gram FROM tok),
+per AS MATERIALIZED (
+  SELECT doc_id, gram, count(*) AS cnt FROM ex GROUP BY 1, 2),
+crossg AS (
+  SELECT gram, (min(doc_id) <> max(doc_id)) AS is_cross
+  FROM per GROUP BY gram)
+SELECT per.doc_id,
+  sum(per.cnt)::BIGINT AS total_ngrams,
+  sum(CASE WHEN crossg.is_cross THEN per.cnt ELSE 0 END)::BIGINT
+    AS dup_ngrams,
+  sum(CASE WHEN crossg.is_cross THEN per.cnt ELSE 0 END)
+    / sum(per.cnt)::DOUBLE AS dup_fraction
+FROM per JOIN crossg USING (gram)
+GROUP BY per.doc_id
+ORDER BY per.doc_id
+"""

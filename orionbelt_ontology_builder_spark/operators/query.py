@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["match_bgp", "match_bgp_sql"]
+__all__ = ["match_bgp", "match_bgp_sql", "select_agg", "select_agg_sql"]
 
 _SLOTS = ("subj", "pred", "obj")
 
@@ -66,24 +66,12 @@ def _bgp_df(triples: DataFrame, patterns) -> DataFrame:
     return result
 
 
-def match_bgp(
-    triples: DataFrame, patterns, optional=None, filters=None
+def _bindings_df(
+    triples: DataFrame, patterns, optional=None, minus=None, filters=None
 ) -> DataFrame:
-    """Evaluate a conjunction of (s, p, o) patterns; ``?name`` slots
-    are variables, everything else matches exactly.  Returns the
-    distinct variable bindings, one column per variable, ordered by
-    the sorted variable names (deterministic).
-
-    ``optional``: a list of pattern *groups*; each group is evaluated
-    as its own BGP and LEFT-joined on the shared variables (SPARQL
-    OPTIONAL — unmatched rows keep the required bindings with nulls).
-    ``filters``: SQL boolean expressions over the variable columns,
-    applied after all joins (SPARQL FILTER); written in the common
-    Spark/ANSI subset they run identically on the DuckDB twin.
-
-    Patterns sharing no variable with the accumulated bindings produce
-    a cross join (the SPARQL product semantics) — intentional, but at
-    scale order your patterns so each one connects."""
+    """Required BGP -> OPTIONAL left joins -> MINUS anti joins ->
+    FILTERs, in SPARQL algebra order.  Shared helper for the SELECT
+    and aggregate entry points."""
     if not patterns:
         raise ValueError("empty BGP")
     result = _bgp_df(triples, patterns)
@@ -93,10 +81,78 @@ def match_bgp(
         if not shared:
             raise ValueError("OPTIONAL group shares no variable")
         result = result.join(part, shared, "left")
+    for group in minus or []:
+        part = _bgp_df(triples, group)
+        shared = sorted(set(result.columns) & set(part.columns))
+        if not shared:
+            raise ValueError("MINUS group shares no variable")
+        result = result.join(
+            part.select(*shared).distinct(), shared, "left_anti"
+        )
     for f in filters or []:
         result = result.filter(F.expr(f))
+    return result
+
+
+def match_bgp(
+    triples: DataFrame, patterns, optional=None, filters=None, minus=None
+) -> DataFrame:
+    """Evaluate a conjunction of (s, p, o) patterns; ``?name`` slots
+    are variables, everything else matches exactly.  Returns the
+    distinct variable bindings, one column per variable, ordered by
+    the sorted variable names (deterministic).
+
+    ``optional``: a list of pattern *groups*; each group is evaluated
+    as its own BGP and LEFT-joined on the shared variables (SPARQL
+    OPTIONAL — unmatched rows keep the required bindings with nulls).
+    ``minus``: pattern groups whose solutions REMOVE compatible
+    bindings (SPARQL MINUS / FILTER NOT EXISTS on the shared-variable
+    subset) — compiled to a ``left_anti`` join against the group's
+    distinct shared-variable projection, so the negation side shrinks
+    to its key set before the probe (broadcast-able when selective).
+    ``filters``: SQL boolean expressions over the variable columns,
+    applied after all joins (SPARQL FILTER); written in the common
+    Spark/ANSI subset they run identically on the DuckDB twin.
+
+    Patterns sharing no variable with the accumulated bindings produce
+    a cross join (the SPARQL product semantics) — intentional, but at
+    scale order your patterns so each one connects."""
+    result = _bindings_df(triples, patterns, optional, minus, filters)
     cols = sorted(result.columns)
     return result.select(*cols).distinct().orderBy(*cols)
+
+
+def select_agg(
+    triples: DataFrame,
+    patterns,
+    group_by,
+    aggs,
+    having=None,
+    optional=None,
+    filters=None,
+    minus=None,
+) -> DataFrame:
+    """SPARQL ``SELECT ... GROUP BY ... HAVING`` over the binding set:
+    evaluate the group pattern (required + OPTIONAL + MINUS + FILTER),
+    then one hash aggregation keyed on ``group_by`` with each
+    ``aggs[alias]`` expression (count/sum/min/max/avg over variable
+    columns, common Spark/ANSI subset).  Aggregates are computed over
+    the *distinct* binding set (each pattern projection is distinct,
+    so the join result is already a set — documented semantics shared
+    with the DuckDB twin).
+
+    Scale shape: the aggregation shuffles only (group keys, partials) —
+    map-side combine applies; ``having`` filters the (small) grouped
+    result, never the binding stream."""
+    if not group_by:
+        raise ValueError("empty GROUP BY")
+    b = _bindings_df(triples, patterns, optional, minus, filters)
+    out = b.groupBy(*group_by).agg(
+        *[F.expr(e).alias(a) for a, e in aggs.items()]
+    )
+    if having:
+        out = out.filter(F.expr(having))
+    return out.orderBy(*group_by)
 
 
 def _bgp_parts(patterns, prefix: str):
@@ -137,12 +193,9 @@ def _bgp_join_sql(patterns, prefix: str):
     return "\n".join(joins), seen
 
 
-def match_bgp_sql(
-    triples_cte: str, patterns, optional=None, filters=None
-) -> str:
-    """DuckDB twin: the mechanical SPARQL-to-SQL translation — one
-    subquery per pattern, JOIN USING on shared vars, OPTIONAL groups
-    as LEFT JOIN sub-selects, FILTERs in the outer WHERE."""
+def _bindings_sql(patterns, optional=None, minus=None, filters=None):
+    """(FROM-chain, WHERE-clause, bound-vars) for the binding set —
+    shared by the SELECT and aggregate DuckDB twins."""
     frm, seen = _bgp_join_sql(patterns, "p")
     for gi, group in enumerate(optional or []):
         gfrm, gvars = _bgp_join_sql(group, f"o{gi}_")
@@ -153,16 +206,92 @@ def match_bgp_sql(
             f" USING ({', '.join(shared)})"
         )
         seen |= gvars
-    allvars = sorted(seen)
-    where = (
-        ("WHERE " + " AND ".join(f"({f})" for f in filters) + "\n")
-        if filters
-        else ""
+    conds = [f"({f})" for f in (filters or [])]
+    where = ("WHERE " + " AND ".join(conds) + "\n") if conds else ""
+    # MINUS conditions must correlate with the *outer* binding row, so
+    # they are emitted against an explicit ``__bind`` CTE alias (inside
+    # the NOT EXISTS subquery an unqualified var would resolve to the
+    # subquery's own FROM and short-circuit the correlation).
+    mconds = []
+    for mi, group in enumerate(minus or []):
+        mfrm, mvars = _bgp_join_sql(group, f"m{mi}_")
+        shared = sorted(seen & mvars)
+        if not shared:
+            raise ValueError("MINUS group shares no variable")
+        msel = ", ".join(shared)
+        on = " AND ".join(f"mm{mi}.{v} = __bind.{v}" for v in shared)
+        mconds.append(
+            f"NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT {msel}"
+            f" FROM {mfrm}) mm{mi} WHERE {on})"
+        )
+    return frm, where, mconds, seen
+
+
+def match_bgp_sql(
+    triples_cte: str, patterns, optional=None, filters=None, minus=None
+) -> str:
+    """DuckDB twin: the mechanical SPARQL-to-SQL translation — one
+    subquery per pattern, JOIN USING on shared vars, OPTIONAL groups
+    as LEFT JOIN sub-selects, MINUS groups as correlated NOT EXISTS
+    on the shared variables, FILTERs in the outer WHERE."""
+    frm, where, mconds, seen = _bindings_sql(
+        patterns, optional, minus, filters
     )
-    return f"""{triples_cte}
+    allvars = sorted(seen)
+    if not mconds:
+        return f"""{triples_cte}
 SELECT DISTINCT {", ".join(allvars)}
 FROM {frm}
 {where}ORDER BY {", ".join(allvars)}
+"""
+    return f"""{triples_cte},
+__bind AS (
+SELECT DISTINCT {", ".join(allvars)}
+FROM {frm}
+{where})
+SELECT {", ".join(allvars)}
+FROM __bind
+WHERE {" AND ".join(mconds)}
+ORDER BY {", ".join(allvars)}
+"""
+
+
+def select_agg_sql(
+    triples_cte: str,
+    patterns,
+    group_by,
+    aggs,
+    having=None,
+    optional=None,
+    filters=None,
+    minus=None,
+) -> str:
+    """DuckDB twin of :func:`select_agg` — aggregate over the distinct
+    binding set (identical semantics: the binding CTE is DISTINCT)."""
+    frm, where, mconds, seen = _bindings_sql(
+        patterns, optional, minus, filters
+    )
+    allvars = sorted(seen)
+    sels = ", ".join(
+        list(group_by) + [f"{e} AS {a}" for a, e in aggs.items()]
+    )
+    hav = f"HAVING {having}\n" if having else ""
+    keys = ", ".join(group_by)
+    src = "__bind"
+    if mconds:
+        src = (
+            f"(SELECT * FROM __bind WHERE "
+            f"{' AND '.join(mconds)}) __kept"
+        )
+    return f"""{triples_cte},
+__bind AS (
+SELECT DISTINCT {", ".join(allvars)}
+FROM {frm}
+{where})
+SELECT {sels}
+FROM {src}
+GROUP BY {keys}
+{hav}ORDER BY {keys}
 """
 
 

@@ -911,3 +911,41 @@ def test_length_percentiles_exact_interpolation(spark):
     assert en["n_docs"] == 5 and abs(en["p50"] - 3.0) < 1e-12
     assert abs(en["p90"] - 4.6) < 1e-12
     assert out["fr"]["p10"] == out["fr"]["p99"] == 2.0
+
+
+def test_duplicated_passages_fraction(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0 and 1 share the 4-token prefix -> two shared 3-grams
+            Row(doc_id=0, text="alpha beta gamma delta unique0 tail0"),
+            Row(doc_id=1, text="alpha beta gamma delta unique1 tail1"),
+            # doc 2 shares nothing
+            Row(doc_id=2, text="zeta eta theta iota kappa"),
+            # doc 3 is shorter than n tokens -> excluded (no positions)
+            Row(doc_id=3, text="tiny doc"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicated_passages(docs, n=3).collect()}
+    assert set(out) == {0, 1, 2}
+    # 6 tokens -> 4 positional 3-grams; the 2 prefix grams are cross-doc
+    assert out[0]["total_ngrams"] == 4 and out[0]["dup_ngrams"] == 2
+    assert out[1]["total_ngrams"] == 4 and out[1]["dup_ngrams"] == 2
+    assert abs(out[0]["dup_fraction"] - 0.5) < 1e-12
+    assert out[2]["dup_ngrams"] == 0 and out[2]["dup_fraction"] == 0.0
+
+
+def test_duplicated_passages_within_doc_repeat_not_cross(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup
+
+    # a gram repeated INSIDE one doc is not cross-document duplication
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c a b c"),
+            Row(doc_id=1, text="x y z w v u"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicated_passages(docs, n=3).collect()}
+    assert out[0]["dup_ngrams"] == 0
+    assert out[1]["dup_ngrams"] == 0

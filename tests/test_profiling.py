@@ -301,3 +301,69 @@ def test_construct_delta_seminaive_law(spark):
     assert ("c", "deep", "S") in d          # new instance
     assert ("b", "deep", "S2") in d         # new superclass edge
     assert ("a", "deep", "S") not in d      # untouched old conclusion
+
+
+def test_bgp_minus_removes_compatible_bindings(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "T"), ("b", "type", "T"), ("c", "type", "T"),
+        ("a", "seg", "S1"), ("c", "seg", "S2"),
+    ])
+    out = query.match_bgp(
+        t, [("?x", "type", "T")],
+        minus=[[("?x", "seg", "?s")]],
+    ).collect()
+    # a and c have a seg edge -> removed; only b survives
+    assert [r["x"] for r in out] == ["b"]
+    # minus-group-only vars never surface as output columns
+    assert out[0].asDict().keys() == {"x"}
+
+
+def test_bgp_minus_requires_shared_var(spark):
+    import pytest as _pytest
+
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [("a", "type", "T"), ("u", "q", "v")])
+    with _pytest.raises(ValueError):
+        query.match_bgp(
+            t, [("?x", "type", "T")], minus=[[("?y", "q", "?z")]]
+        ).collect()
+
+
+def test_select_agg_group_by_and_having(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "C"), ("b", "type", "C"), ("c", "type", "D"),
+    ])
+    out = query.select_agg(
+        t, [("?x", "type", "?c")],
+        group_by=["c"],
+        aggs={"n": "count(*)", "first_x": "min(x)"},
+    ).collect()
+    got = {r["c"]: (r["n"], r["first_x"]) for r in out}
+    assert got == {"C": (2, "a"), "D": (1, "c")}
+    # HAVING prunes the grouped result
+    kept = query.select_agg(
+        t, [("?x", "type", "?c")],
+        group_by=["c"],
+        aggs={"n": "count(*)"},
+        having="n >= 2",
+    ).collect()
+    assert [(r["c"], r["n"]) for r in kept] == [("C", 2)]
+
+
+def test_select_agg_counts_distinct_binding_set(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    # duplicate triples in the store must not inflate aggregates:
+    # aggregation is defined over the DISTINCT binding set.
+    t = _triples(spark, [
+        ("a", "type", "C"), ("a", "type", "C"),
+    ])
+    out = query.select_agg(
+        t, [("?x", "type", "?c")], group_by=["c"], aggs={"n": "count(*)"}
+    ).collect()
+    assert [(r["c"], r["n"]) for r in out] == [("C", 1)]
