@@ -1659,6 +1659,17 @@ def _q_page_text_extract(spark, sf_dir):
     ).orderBy("url")
 
 
+def _q_host_link_graph(spark, sf_dir):
+    """Host-level link graph from the synthesized crawl: native
+    regexp href extraction + ONE (src_host, dst_host) aggregation.
+    The DuckDB oracle derives the expected edges arithmetically from
+    the synthesizer's link spec — an independent derivation, so the
+    hash match proves the whole parse+rollup path."""
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    return L.host_link_graph(_pages(spark))
+
+
 #: documents/embeddings are read by ~14 datapipe queries — cache the
 #: (small at driver scale) tables once per (session, sf_dir).
 _TBL_CACHE: dict[tuple, DataFrame] = {}
@@ -2053,7 +2064,8 @@ _SF_SCALE = {
     "length_histogram",
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
-    "kg_class_hierarchy", "page_text_extract", "text_token_counts",
+    "kg_class_hierarchy", "page_text_extract", "host_link_graph",
+    "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
@@ -2260,6 +2272,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_map": _q_kg_canonical_map,
         "kg_class_hierarchy": _q_kg_class_hierarchy,
         "page_text_extract": _q_page_text_extract,
+        "host_link_graph": _q_host_link_graph,
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
         "class_expressions": _q_class_expressions,
@@ -3022,6 +3035,9 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["bgp_aggregate"] = _query.select_agg_sql(
         _tr, _AGG_PATTERNS, _AGG_GROUP_BY, _AGG_AGGS, having=_AGG_HAVING
     )
+    from orionbelt_ontology_builder_spark.pipeline import links as _links
+
+    sql["host_link_graph"] = _links.host_link_graph_oracle(_KG_PAGES)
     from orionbelt_ontology_builder_spark.datapipe import (
         negatives as _negatives,
     )

@@ -178,6 +178,10 @@ def main() -> None:
         "embedding_covariance",
         "bpe_merge_pairs",
         "domain_quality",
+        # SPARQL negation/aggregation + passage dedup (r2 late)
+        "bgp_minus",
+        "bgp_aggregate",
+        "passage_dup",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

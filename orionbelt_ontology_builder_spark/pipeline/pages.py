@@ -132,15 +132,37 @@ def page_sentences(i: int, k: int) -> list[str]:
     return sents
 
 
+#: distinct hosts in the synthetic web (page i lives on site i % N_SITES)
+N_SITES = 97
+
+
+def page_links(i: int) -> list[str]:
+    """Deterministic outlinks of page ``i`` — the pure spec shared by
+    the HTML synthesizer, the link-extraction operator's tests, and the
+    DuckDB arithmetic twin (``pipeline/links.py``).  Three anchors:
+    the site root (self-host), a "related bulletin" at ``i // 2``
+    (generally cross-host), and the next bulletin on the same host at
+    ``i + N_SITES`` (dangles past the crawl tail — real webs have
+    dangling links)."""
+    return [
+        f"https://site{i % N_SITES}.example/",
+        page_url(i // 2),
+        page_url(i + N_SITES),
+    ]
+
+
 def page_html(i: int, k: int) -> bytes:
     sents = page_sentences(i, k)
     body = "</p>\n<p>".join(sents)
     title = f"Bulletin {i}"
+    home, rel, nxt = page_links(i)
     html = (
         f"<!DOCTYPE html><html><head><title>{title}</title>"
         f"<style>p {{ margin: 0 }}</style>"
         f"<script>var x = {i}; // tracking &amp; noise</script>"
-        f"</head>\n<body>\n<nav>Home | Archive | About</nav>\n"
+        f"</head>\n<body>\n<nav><a href=\"{home}\">Home</a> | Archive"
+        f" | About | <a href=\"{rel}\">Bulletin {i // 2}</a>"
+        f" | <a href=\"{nxt}\">Bulletin {i + N_SITES}</a></nav>\n"
         f"<!-- page {i} -->\n"
         f"<h1>{title}</h1>\n<p>{body}</p>\n"
         f"<footer>&copy; Bulletin syndicate &amp; co</footer>\n"
@@ -149,7 +171,7 @@ def page_html(i: int, k: int) -> bytes:
     return html.encode("utf-8")
 
 
-def page_url(i: int, n_sites: int = 97) -> str:
+def page_url(i: int, n_sites: int = N_SITES) -> str:
     return f"https://site{i % n_sites}.example/page/{i}"
 
 

@@ -220,3 +220,38 @@ def test_slice_col_uses_existing_bucket_column(spark, pages_df, tmp_path):
     out2 = str(tmp_path / "hashed")
     raw2 = run_extraction_with_checkpoints(spark, pages_df, out2, n_slices=3)
     assert raw.count() == raw2.count()
+
+
+def test_extract_links_matches_spec(spark, pages_df):
+    """Parsed hrefs == the synthesizer's pure link spec, per page."""
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    got = {}
+    for r in L.extract_links(pages_df).collect():
+        got.setdefault(r["src_url"], []).append(r["dst_url"])
+    assert len(got) == N_PAGES
+    for i in range(0, N_PAGES, 37):
+        assert sorted(got[P.page_url(i)]) == sorted(P.page_links(i))
+
+
+def test_host_link_graph_counts(spark, pages_df):
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    rows = L.host_link_graph(pages_df).collect()
+    # recompute expectation from the spec
+    from collections import Counter, defaultdict
+
+    n_links = Counter()
+    src_pages = defaultdict(set)
+    for i in range(N_PAGES):
+        src = f"site{i % P.N_SITES}.example"
+        for dst_url in P.page_links(i):
+            dst = dst_url.split("/")[2]
+            n_links[(src, dst)] += 1
+            src_pages[(src, dst)].add(i)
+    got = {(r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+           for r in rows}
+    assert got == {k: (v, len(src_pages[k])) for k, v in n_links.items()}
+    # every host links to itself (Home + next-on-host anchors)
+    assert all(got[(f"site{h}.example", f"site{h}.example")][0] >= 2
+               for h in range(min(P.N_SITES, N_PAGES)))
