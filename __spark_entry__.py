@@ -1670,6 +1670,28 @@ def _q_host_link_graph(spark, sf_dir):
     return L.host_link_graph(_pages(spark))
 
 
+def _q_host_rank(spark, sf_dir):
+    """Host quality prior: PageRank over the crawl's host link graph
+    (the WebGraph/harmonic-centrality style crawl-prioritization
+    signal).  Composes the href extraction with the synchronous
+    PageRank fixpoint; oracle = arithmetic edge twin + the identical
+    update rule unrolled as chained CTEs."""
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    edges = L.host_link_graph(_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return graphstats.pagerank(edges, iters=3)
+
+
+def _q_crawl_frontier(spark, sf_dir):
+    """Politeness-capped crawl scheduling round: linked-but-uncrawled
+    URLs ranked by in-link count, at most 2 per destination host."""
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    return L.crawl_frontier(_pages(spark), k_per_host=2)
+
+
 #: documents/embeddings are read by ~14 datapipe queries — cache the
 #: (small at driver scale) tables once per (session, sf_dir).
 _TBL_CACHE: dict[tuple, DataFrame] = {}
@@ -2065,7 +2087,7 @@ _SF_SCALE = {
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "host_link_graph",
-    "text_token_counts",
+    "host_rank", "crawl_frontier", "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
@@ -2273,6 +2295,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_class_hierarchy": _q_kg_class_hierarchy,
         "page_text_extract": _q_page_text_extract,
         "host_link_graph": _q_host_link_graph,
+        "host_rank": _q_host_rank,
+        "crawl_frontier": _q_crawl_frontier,
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
         "class_expressions": _q_class_expressions,
@@ -3038,6 +3062,12 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     from orionbelt_ontology_builder_spark.pipeline import links as _links
 
     sql["host_link_graph"] = _links.host_link_graph_oracle(_KG_PAGES)
+    sql["host_rank"] = graphstats.pagerank_sql(
+        _links.host_edges_cte(_KG_PAGES), iters=3
+    )
+    sql["crawl_frontier"] = _links.crawl_frontier_oracle(
+        _KG_PAGES, k_per_host=2
+    )
     from orionbelt_ontology_builder_spark.datapipe import (
         negatives as _negatives,
     )

@@ -182,6 +182,10 @@ def main() -> None:
         "bgp_minus",
         "bgp_aggregate",
         "passage_dup",
+        # crawl link-graph ops (r2 late)
+        "host_link_graph",
+        "host_rank",
+        "crawl_frontier",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

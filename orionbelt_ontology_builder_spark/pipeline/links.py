@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["extract_links", "host_link_graph", "host_link_graph_oracle"]
+__all__ = [
+    "extract_links",
+    "host_link_graph",
+    "host_link_graph_oracle",
+    "host_edges_cte",
+    "crawl_frontier",
+    "crawl_frontier_oracle",
+]
 
 #: one regex both for Spark and tests: anchor href values
 _HREF_RE = r'href="([^"]+)"'
@@ -98,4 +105,98 @@ SELECT src_host, dst_host,
 FROM links
 GROUP BY src_host, dst_host
 ORDER BY src_host, dst_host
+"""
+
+
+def host_edges_cte(n_pages: int) -> str:
+    """``edges(src, dst)`` CTE chain (arithmetic twin of the distinct
+    host-pair set) for composing with ``graphstats``' SQL twins."""
+    from .pages import N_SITES
+
+    h = f"'site' || (i % {N_SITES}) || '.example'"
+    return f"""ids AS (SELECT unnest(generate_series(0, {n_pages - 1})) AS i),
+lnk AS (
+  SELECT {h} AS src, {h} AS dst FROM ids
+  UNION ALL
+  SELECT {h}, 'site' || ((i // 2) % {N_SITES}) || '.example' FROM ids
+  UNION ALL
+  SELECT {h}, 'site' || ((i + {N_SITES}) % {N_SITES}) || '.example'
+  FROM ids
+),
+edges AS (SELECT DISTINCT src, dst FROM lnk)"""
+
+
+def crawl_frontier(
+    pages: DataFrame, k_per_host: int = 2
+) -> DataFrame:
+    """(host, url, n_inlinks, pos): the next politeness-capped fetch
+    batch — linked-but-not-yet-crawled URLs, prioritized by in-link
+    count, at most ``k_per_host`` per destination host (the per-host
+    cap IS the politeness budget of one scheduling round).
+
+    Scale shape: candidate set = anti-join of distinct link targets
+    against the crawled url set (both sides pre-shrunk to distinct
+    urls); priority = ONE url-keyed count aggregation; the per-host
+    rank window partitions by host, whose population is already capped
+    by the candidate dedup — at web scale hosts are many and small,
+    the window never sees a corpus-sized partition."""
+    links = extract_links(pages)
+    crawled = pages.select(F.col("url").alias("dst_url")).distinct()
+    cand = (
+        links.select("dst_url")
+        .join(crawled, "dst_url", "left_anti")
+        .groupBy("dst_url")
+        .agg(F.count("*").alias("n_inlinks"))
+        .withColumn("host", F.regexp_extract("dst_url", _HOST_RE, 1))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_inlinks"), F.col("dst_url")
+    )
+    return (
+        cand.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k_per_host)
+        .select(
+            "host", F.col("dst_url").alias("url"), "n_inlinks", "pos"
+        )
+        .orderBy("host", "pos")
+    )
+
+
+def crawl_frontier_oracle(n_pages: int, k_per_host: int = 2) -> str:
+    """DuckDB twin — again an independent arithmetic derivation of the
+    frontier from the synthesizer's link spec + crawled-id range."""
+    from .pages import N_SITES
+
+    root = f"'https://site' || (i % {N_SITES}) || '.example/'"
+
+    def page(url_i: str) -> str:
+        return (
+            f"'https://site' || (({url_i}) % {N_SITES})"
+            f" || '.example/page/' || ({url_i})"
+        )
+
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_pages - 1})) AS i),
+targets AS (
+  SELECT {root} AS dst_url FROM ids
+  UNION ALL SELECT {page('i // 2')} FROM ids
+  UNION ALL SELECT {page(f'i + {N_SITES}')} FROM ids
+),
+crawled AS (SELECT {page('i')} AS dst_url FROM ids),
+cand AS (
+  SELECT t.dst_url, count(*)::BIGINT AS n_inlinks
+  FROM targets t ANTI JOIN crawled c ON t.dst_url = c.dst_url
+  GROUP BY t.dst_url),
+ranked AS (
+  SELECT regexp_extract(dst_url, '^https?://([^/]+)', 1) AS host,
+    dst_url AS url, n_inlinks,
+    row_number() OVER (
+      PARTITION BY regexp_extract(dst_url, '^https?://([^/]+)', 1)
+      ORDER BY n_inlinks DESC, dst_url) AS pos
+  FROM cand)
+SELECT host, url, n_inlinks, pos
+FROM ranked WHERE pos <= {k_per_host}
+ORDER BY host, pos
 """

@@ -255,3 +255,21 @@ def test_host_link_graph_counts(spark, pages_df):
     # every host links to itself (Home + next-on-host anchors)
     assert all(got[(f"site{h}.example", f"site{h}.example")][0] >= 2
                for h in range(min(P.N_SITES, N_PAGES)))
+
+
+def test_crawl_frontier_politeness_cap_and_candidates(spark, pages_df):
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    rows = L.crawl_frontier(pages_df, k_per_host=2).collect()
+    crawled = {P.page_url(i) for i in range(N_PAGES)}
+    per_host = {}
+    for r in rows:
+        assert r["url"] not in crawled          # frontier is uncrawled
+        per_host[r["host"]] = per_host.get(r["host"], 0) + 1
+        assert 1 <= r["pos"] <= 2
+    assert per_host and max(per_host.values()) <= 2   # politeness cap
+    # site roots are linked from every page of the host -> they carry
+    # the most inlinks and must win slot 1 on their host
+    roots = {r["host"]: r["url"] for r in rows if r["pos"] == 1}
+    for host, url in list(roots.items())[:5]:
+        assert url == f"https://{host}/"
