@@ -528,6 +528,53 @@ def _q_bgp_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: VALUES + LIMIT BGP: typed+labeled individuals restricted to an
+#: inline class table (SPARQL VALUES -> broadcast join), top-25 under
+#: the total variable order (SPARQL LIMIT).
+_VAL_PATTERNS = [
+    ("?ind", M.RDF.type, "?cls"),
+    ("?ind", M.RDFS.label, "?name"),
+]
+_VAL_VALUES = (
+    ["cls"],
+    [
+        ("http://example.org/tpch#Nation_NATION_1",),
+        ("http://example.org/tpch#Nation_NATION_2",),
+        ("http://example.org/tpch#Nation_NATION_3",),
+    ],
+)
+_VAL_LIMIT = 25
+
+
+def _q_bgp_values_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES inline bindings (broadcast-joined constant table
+    restricting the scan) + deterministic LIMIT top-k."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.match_bgp(
+        relational.induce_triples(spark, sf_dir),
+        _VAL_PATTERNS,
+        values=_VAL_VALUES,
+        limit=_VAL_LIMIT,
+    )
+
+
+#: reflexive-transitive path: class + every ancestor including itself.
+_PATH_STAR_SPEC = [M.RDF.type, M.RDFS.subClassOf + "*"]
+
+
+def _q_path_query_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``subClassOf*`` (zero-or-more) — each individual paired
+    with its class AND every strict ancestor; the zero-length leg is
+    the graph-term identity relation, joined so only reachable pairs
+    survive."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.eval_path(
+        relational.induce_triples(spark, sf_dir), _PATH_STAR_SPEC
+    )
+
+
 #: Aggregate BGP: per (class, market segment) individual counts with a
 #: HAVING prune — SPARQL SELECT ... GROUP BY ... HAVING.
 _AGG_PATTERNS = [
@@ -2078,6 +2125,7 @@ _SF_SCALE = {
     "mention_contexts", "length_percentiles",
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
+    "bgp_values_limit", "path_query_star",
     "construct_delta", "kg_negative_samples",
     "triple_churn",
     "tfidf_topk",
@@ -2261,6 +2309,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional_filter": _q_bgp_optional_filter,
         "bgp_minus": _q_bgp_minus,
         "bgp_aggregate": _q_bgp_aggregate,
+        "bgp_values_limit": _q_bgp_values_limit,
+        "path_query_star": _q_path_query_star,
         "construct_delta": _q_construct_delta,
         "kg_negative_samples": _q_kg_negative_samples,
         "triple_churn": _q_triple_churn,
@@ -3056,6 +3106,10 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["bgp_minus"] = _query.match_bgp_sql(
         _tr, _MINUS_REQUIRED, minus=_MINUS_GROUPS
     )
+    sql["bgp_values_limit"] = _query.match_bgp_sql(
+        _tr, _VAL_PATTERNS, values=_VAL_VALUES, limit=_VAL_LIMIT
+    )
+    sql["path_query_star"] = _query.eval_path_sql(_tr, _PATH_STAR_SPEC)
     sql["bgp_aggregate"] = _query.select_agg_sql(
         _tr, _AGG_PATTERNS, _AGG_GROUP_BY, _AGG_AGGS, having=_AGG_HAVING
     )

@@ -186,6 +186,9 @@ def main() -> None:
         "host_link_graph",
         "host_rank",
         "crawl_frontier",
+        # SPARQL VALUES/LIMIT + star paths (r2 late)
+        "bgp_values_limit",
+        "path_query_star",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -94,8 +94,23 @@ def _bindings_df(
     return result
 
 
+def _values_df(triples: DataFrame, values) -> DataFrame:
+    """(vars, rows) inline binding table -> small DataFrame (SPARQL
+    VALUES; no UNDEF support — every row binds every listed var)."""
+    vars_, rows = values
+    return triples.sparkSession.createDataFrame(
+        [tuple(r) for r in rows], list(vars_)
+    ).distinct()
+
+
 def match_bgp(
-    triples: DataFrame, patterns, optional=None, filters=None, minus=None
+    triples: DataFrame,
+    patterns,
+    optional=None,
+    filters=None,
+    minus=None,
+    values=None,
+    limit=None,
 ) -> DataFrame:
     """Evaluate a conjunction of (s, p, o) patterns; ``?name`` slots
     are variables, everything else matches exactly.  Returns the
@@ -114,12 +129,26 @@ def match_bgp(
     applied after all joins (SPARQL FILTER); written in the common
     Spark/ANSI subset they run identically on the DuckDB twin.
 
+    ``values``: a ``(vars, rows)`` inline binding table (SPARQL
+    VALUES) inner-joined on its variables — compiled to a broadcast
+    hash join, i.e. the constant table *restricts the scan* instead of
+    filtering post-hoc.  ``limit``: top-k bindings under the total
+    variable-name order (SPARQL LIMIT; deterministic because the sort
+    covers every column).
+
     Patterns sharing no variable with the accumulated bindings produce
     a cross join (the SPARQL product semantics) — intentional, but at
     scale order your patterns so each one connects."""
     result = _bindings_df(triples, patterns, optional, minus, filters)
+    if values is not None:
+        v = _values_df(triples, values)
+        shared = sorted(set(result.columns) & set(v.columns))
+        if not shared:
+            raise ValueError("VALUES shares no variable")
+        result = result.join(F.broadcast(v), shared)
     cols = sorted(result.columns)
-    return result.select(*cols).distinct().orderBy(*cols)
+    out = result.select(*cols).distinct().orderBy(*cols)
+    return out.limit(limit) if limit is not None else out
 
 
 def select_agg(
@@ -227,22 +256,49 @@ def _bindings_sql(patterns, optional=None, minus=None, filters=None):
     return frm, where, mconds, seen
 
 
+def _values_sql(values) -> tuple[str, set]:
+    vars_, rows = values
+    def q(x):
+        return "'" + str(x).replace("'", "''") + "'"
+    body = ", ".join("(" + ", ".join(q(c) for c in r) + ")" for r in rows)
+    return (
+        f"(SELECT DISTINCT * FROM (VALUES {body})"
+        f" __v({', '.join(vars_)})) v",
+        set(vars_),
+    )
+
+
 def match_bgp_sql(
-    triples_cte: str, patterns, optional=None, filters=None, minus=None
+    triples_cte: str,
+    patterns,
+    optional=None,
+    filters=None,
+    minus=None,
+    values=None,
+    limit=None,
 ) -> str:
     """DuckDB twin: the mechanical SPARQL-to-SQL translation — one
     subquery per pattern, JOIN USING on shared vars, OPTIONAL groups
     as LEFT JOIN sub-selects, MINUS groups as correlated NOT EXISTS
-    on the shared variables, FILTERs in the outer WHERE."""
+    on the shared variables, VALUES as an inline-table join, FILTERs
+    in the outer WHERE, LIMIT after the total ORDER BY."""
     frm, where, mconds, seen = _bindings_sql(
         patterns, optional, minus, filters
     )
+    if values is not None:
+        vsql, vvars = _values_sql(values)
+        shared = sorted(seen & vvars)
+        if not shared:
+            raise ValueError("VALUES shares no variable")
+        frm += f"\nJOIN {vsql} USING ({', '.join(shared)})"
+        seen |= vvars
     allvars = sorted(seen)
+    lim = f"\nLIMIT {limit}" if limit is not None else ""
     if not mconds:
         return f"""{triples_cte}
 SELECT DISTINCT {", ".join(allvars)}
 FROM {frm}
-{where}ORDER BY {", ".join(allvars)}
+{where}ORDER BY {", ".join(allvars)}{lim}
 """
     return f"""{triples_cte},
 __bind AS (
@@ -252,7 +308,7 @@ FROM {frm}
 SELECT {", ".join(allvars)}
 FROM __bind
 WHERE {" AND ".join(mconds)}
-ORDER BY {", ".join(allvars)}
+ORDER BY {", ".join(allvars)}{lim}
 """
 
 
@@ -307,7 +363,14 @@ def _step_edges(triples: DataFrame, step) -> DataFrame:
       * ``"pred"``      — forward edge
       * ``"^pred"``     — inverse edge
       * ``"pred+"``     — transitive closure (1 or more hops)
+      * ``"pred*"``     — reflexive-transitive closure (0 or more)
+      * ``"pred?"``     — zero or one hop
       * ``["a", "b"]``  — alternation (union of the member steps)
+
+    Zero-length semantics (``*`` / ``?``): the identity pair (n, n)
+    for every term occurring in the graph (subject or object of any
+    triple) — the standalone-evaluation reading of SPARQL's
+    zero-length path, documented engine contract.
     """
     from .fixpoint import transitive_closure
 
@@ -318,14 +381,29 @@ def _step_edges(triples: DataFrame, step) -> DataFrame:
             out = out.unionByName(p)
         return out.distinct()
     closure = step.endswith("+")
-    pred = step[:-1] if closure else step
+    star = step.endswith("*")
+    opt = step.endswith("?")
+    pred = step[:-1] if (closure or star or opt) else step
     inverse = pred.startswith("^")
     pred = pred[1:] if inverse else pred
     s, d = ("obj", "subj") if inverse else ("subj", "obj")
     edges = triples.filter(F.col("pred") == pred).select(
         F.col(s).alias("src"), F.col(d).alias("dst")
     ).distinct()
-    return transitive_closure(edges) if closure else edges
+    if closure:
+        return transitive_closure(edges)
+    if star or opt:
+        nodes = (
+            triples.select(F.col("subj").alias("n"))
+            .unionByName(triples.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+        ident = nodes.select(
+            F.col("n").alias("src"), F.col("n").alias("dst")
+        )
+        base = transitive_closure(edges) if star else edges
+        return base.unionByName(ident).distinct()
+    return edges
 
 
 def eval_path(triples: DataFrame, path) -> DataFrame:
@@ -370,7 +448,9 @@ def eval_path_sql(triples_cte: str, path) -> str:
             steps_sql.append(f"{name} AS ({' UNION '.join(members)})")
             continue
         closure = step.endswith("+")
-        p = step[:-1] if closure else step
+        star = step.endswith("*")
+        opt = step.endswith("?")
+        p = step[:-1] if (closure or star or opt) else step
         inv = p.startswith("^")
         p = p[1:] if inv else p
         a, b = ("obj", "subj") if inv else ("subj", "obj")
@@ -378,16 +458,23 @@ def eval_path_sql(triples_cte: str, path) -> str:
             f"SELECT DISTINCT {a} AS src, {b} AS dst"
             f" FROM triples WHERE pred = '{p}'"
         )
-        if closure:
-            steps_sql.append(
-                f"""{name} AS (
-  WITH RECURSIVE r(src, dst) AS (
+        ident = (
+            "SELECT DISTINCT n AS src, n AS dst FROM ("
+            "SELECT subj AS n FROM triples"
+            " UNION SELECT obj FROM triples)"
+        )
+        if closure or star:
+            rec = f"""WITH RECURSIVE r(src, dst) AS (
     {base}
     UNION
     SELECT r.src, e.dst FROM r
       JOIN ({base}) e ON r.dst = e.src)
-  SELECT * FROM r)"""
-            )
+  SELECT * FROM r"""
+            if star:
+                rec += f" UNION {ident}"
+            steps_sql.append(f"{name} AS (\n  {rec})")
+        elif opt:
+            steps_sql.append(f"{name} AS ({base} UNION {ident})")
         else:
             steps_sql.append(f"{name} AS ({base})")
     frm = ["step0"]

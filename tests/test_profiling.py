@@ -367,3 +367,50 @@ def test_select_agg_counts_distinct_binding_set(spark):
         t, [("?x", "type", "?c")], group_by=["c"], aggs={"n": "count(*)"}
     ).collect()
     assert [(r["c"], r["n"]) for r in out] == [("C", 1)]
+
+
+def test_bgp_values_restricts_and_limit_truncates(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "C"), ("b", "type", "D"), ("c", "type", "E"),
+    ])
+    out = query.match_bgp(
+        t, [("?x", "type", "?c")],
+        values=(["c"], [("C",), ("D",)]),
+    ).collect()
+    assert sorted((r["c"], r["x"]) for r in out) == [("C", "a"), ("D", "b")]
+    # LIMIT under the total (c, x) order
+    lim = query.match_bgp(
+        t, [("?x", "type", "?c")], limit=2
+    ).collect()
+    assert [(r["c"], r["x"]) for r in lim] == [("C", "a"), ("D", "b")]
+
+
+def test_bgp_values_can_introduce_new_vars(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [("a", "type", "C"), ("b", "type", "D")])
+    out = query.match_bgp(
+        t, [("?x", "type", "?c")],
+        values=(["c", "tag"], [("C", "keep"), ("D", "drop")]),
+    ).collect()
+    got = {(r["c"], r["tag"]) for r in out}
+    assert got == {("C", "keep"), ("D", "drop")}
+
+
+def test_eval_path_star_and_opt(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "sub", "b"), ("b", "sub", "c"),
+        ("x", "type", "a"),
+    ])
+    # sub* from a class: itself + all ancestors
+    star = {(r["src"], r["dst"])
+            for r in query.eval_path(t, ["type", "sub*"]).collect()}
+    assert star == {("x", "a"), ("x", "b"), ("x", "c")}
+    # sub? : zero or one hop only
+    opt = {(r["src"], r["dst"])
+           for r in query.eval_path(t, ["type", "sub?"]).collect()}
+    assert opt == {("x", "a"), ("x", "b")}
