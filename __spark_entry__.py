@@ -1858,6 +1858,12 @@ def _q_dedup_embedding_cosine_ivf(spark, sf_dir):
     return similarity.ivf_cosine_pairs(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """ANN-mined contrastive hard negatives: IVF shared-list pairs in
+    the confusable cosine band, top-3 hardest per anchor."""
+    return similarity.hard_negatives(_embs(spark, sf_dir), dim=EMB_DIM)
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     return similarity.brute_topk(_embs(spark, sf_dir), dim=EMB_DIM)
 
@@ -2141,7 +2147,8 @@ _SF_SCALE = {
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
     "passage_dup", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_ivf", "ann_cosine_topk", "ann_ivf_topk",
+    "dedup_embedding_cosine_ivf", "hard_negatives",
+    "ann_cosine_topk", "ann_ivf_topk",
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
@@ -2398,6 +2405,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_cosine_ivf": _q_dedup_embedding_cosine_ivf,
+        "hard_negatives": _q_hard_negatives,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "sq8_stats": _q_sq8_stats,
@@ -3989,6 +3997,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle()
     sql["dedup_embedding_cosine"] = dedup.cosine_pairs_oracle(max_vec_id=300)
     sql["dedup_embedding_cosine_ivf"] = similarity.ivf_cosine_pairs_oracle()
+    sql["hard_negatives"] = similarity.hard_negatives_oracle()
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
     sql["sq8_stats"] = similarity.sq8_stats_oracle()

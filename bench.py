@@ -189,6 +189,8 @@ def main() -> None:
         # SPARQL VALUES/LIMIT + star paths (r2 late)
         "bgp_values_limit",
         "path_query_star",
+        # contrastive hard negatives (r2 late)
+        "hard_negatives",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

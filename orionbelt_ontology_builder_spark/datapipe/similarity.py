@@ -738,3 +738,78 @@ JOIN means mi ON s.i = mi.i
 JOIN means mj ON s.j = mj.i
 ORDER BY s.i, s.j
 """
+
+
+# ------------------------------------------------------------------ #
+# Contrastive hard-negative mining (embedding-training pairs)
+# ------------------------------------------------------------------ #
+
+HARD_LO = 0.30   # band floor: below this a pair is an easy negative
+HARD_HI = 0.42   # band ceiling: at/above this it's a near-dup positive
+HARD_M = 3       # hardest negatives kept per anchor
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    lo: float = HARD_LO,
+    hi: float = HARD_HI,
+    m: int = HARD_M,
+    dim: int | None = None,
+) -> DataFrame:
+    """(anchor_id, neg_id, cos, pos): contrastive-training hard
+    negatives — vectors *close enough to confuse* (cosine in
+    ``[lo, hi)``) but below the near-dup threshold, the standard
+    ANN-mined hard-negative recipe for embedding/retrieval training.
+    Top-``m`` hardest per anchor, symmetric (each pair feeds both
+    anchors).
+
+    Scale shape: candidates come from the IVF inverted lists (shared-
+    list self-join — O(n^1.5) total, never all-pairs); the per-anchor
+    rank window partitions on anchor_id, whose population is bounded
+    by the band filter, not the corpus."""
+    from pyspark.sql import Window
+
+    pairs = ivf_cosine_pairs(
+        embeddings, threshold=lo, dim=dim
+    ).filter(F.col("cos") < hi)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("neg_id"),
+        "cos",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("neg_id"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.col("neg_id")
+    )
+    return (
+        sym.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= m)
+        .orderBy("anchor_id", "pos")
+    )
+
+
+def hard_negatives_oracle(
+    lo: float = HARD_LO, hi: float = HARD_HI, m: int = HARD_M
+) -> str:
+    inner = ivf_cosine_pairs_oracle(threshold=lo)
+    return f"""
+WITH pairs AS ({inner}),
+band AS (SELECT * FROM pairs WHERE cos < {hi}),
+sym AS (
+  SELECT id_a AS anchor_id, id_b AS neg_id, cos FROM band
+  UNION ALL
+  SELECT id_b, id_a, cos FROM band),
+ranked AS (
+  SELECT anchor_id, neg_id, cos,
+    row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY cos DESC, neg_id) AS pos
+  FROM sym)
+SELECT anchor_id, neg_id, cos, pos
+FROM ranked WHERE pos <= {m}
+ORDER BY anchor_id, pos
+"""

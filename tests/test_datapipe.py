@@ -949,3 +949,23 @@ def test_duplicated_passages_within_doc_repeat_not_cross(spark):
     out = {r["doc_id"]: r for r in dedup.duplicated_passages(docs, n=3).collect()}
     assert out[0]["dup_ngrams"] == 0
     assert out[1]["dup_ngrams"] == 0
+
+
+def test_hard_negatives_band_and_cap(spark, embs):
+    from orionbelt_ontology_builder_spark.datapipe import similarity as SIM
+
+    # wide-open band, m=2: every surviving pair is in [lo, hi), no
+    # anchor carries more than m rows, and the listing is symmetric
+    out = SIM.hard_negatives(embs, lo=0.0, hi=0.99, m=2, dim=8).collect()
+    assert out, "band should catch cross-cluster confusables"
+    per_anchor = {}
+    pairs = set()
+    for r in out:
+        assert 0.0 <= r["cos"] < 0.99
+        per_anchor[r["anchor_id"]] = per_anchor.get(r["anchor_id"], 0) + 1
+        pairs.add((r["anchor_id"], r["neg_id"]))
+    assert max(per_anchor.values()) <= 2
+    assert all(1 <= r["pos"] <= 2 for r in out)
+    # near-dups (same tight cluster, cos ~ 1) are excluded by hi
+    same_cluster = [(a, b) for a, b in pairs if a % 3 == b % 3]
+    assert not same_cluster
