@@ -1717,6 +1717,15 @@ def _q_host_link_graph(spark, sf_dir):
     return L.host_link_graph(_pages(spark))
 
 
+def _q_anchor_texts(spark, sf_dir):
+    """Anchor-text index over the synthesized crawl (off-page naming
+    evidence per linked URL); one regexp pass + one count agg, oracle
+    derived arithmetically from the link spec."""
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    return L.anchor_texts(_pages(spark))
+
+
 def _q_host_rank(spark, sf_dir):
     """Host quality prior: PageRank over the crawl's host link graph
     (the WebGraph/harmonic-centrality style crawl-prioritization
@@ -2141,7 +2150,7 @@ _SF_SCALE = {
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "host_link_graph",
-    "host_rank", "crawl_frontier", "text_token_counts",
+    "host_rank", "crawl_frontier", "anchor_texts", "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
@@ -2353,6 +2362,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_text_extract": _q_page_text_extract,
         "host_link_graph": _q_host_link_graph,
         "host_rank": _q_host_rank,
+        "anchor_texts": _q_anchor_texts,
         "crawl_frontier": _q_crawl_frontier,
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
@@ -3130,6 +3140,7 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["crawl_frontier"] = _links.crawl_frontier_oracle(
         _KG_PAGES, k_per_host=2
     )
+    sql["anchor_texts"] = _links.anchor_texts_oracle(_KG_PAGES)
     from orionbelt_ontology_builder_spark.datapipe import (
         negatives as _negatives,
     )

@@ -191,6 +191,7 @@ def main() -> None:
         "path_query_star",
         # contrastive hard negatives (r2 late)
         "hard_negatives",
+        "anchor_texts",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -30,6 +30,8 @@ __all__ = [
     "host_edges_cte",
     "crawl_frontier",
     "crawl_frontier_oracle",
+    "anchor_texts",
+    "anchor_texts_oracle",
 ]
 
 #: one regex both for Spark and tests: anchor href values
@@ -199,4 +201,63 @@ ranked AS (
 SELECT host, url, n_inlinks, pos
 FROM ranked WHERE pos <= {k_per_host}
 ORDER BY host, pos
+"""
+
+
+def anchor_texts(pages: DataFrame) -> DataFrame:
+    """(url, anchor, n_refs): the anchor-text index — for every linked
+    URL, each distinct text used to link to it and how often.  Anchor
+    text is the classic off-page naming evidence for entity linking
+    and search (the linked page's "what others call it" signal).
+
+    Scale shape: whole anchor tags come out of ONE
+    ``regexp_extract_all`` pass; href/text split per element inside a
+    ``transform`` lambda (no second scan, no Python); then a single
+    (url, anchor) count aggregation with map-side combine."""
+    pair = F.explode(
+        F.expr(
+            "transform(regexp_extract_all(decode(html, 'UTF-8'),"
+            " '<a href=\"[^\"]*\">[^<]*</a>', 0),"
+            " t -> struct(regexp_extract(t, 'href=\"([^\"]+)\"', 1)"
+            " AS url, regexp_extract(t, '>([^<]*)<', 1) AS anchor))"
+        )
+    ).alias("p")
+    return (
+        pages.select(pair)
+        .select("p.url", "p.anchor")
+        .filter(F.col("url").rlike(_HOST_RE))
+        .groupBy("url", "anchor")
+        .agg(F.count("*").alias("n_refs"))
+        .orderBy("url", "anchor")
+    )
+
+
+def anchor_texts_oracle(n_pages: int) -> str:
+    """DuckDB arithmetic twin: the synthesizer's three anchors per page
+    are ('Home' -> site root), ('Bulletin i//2' -> page i//2),
+    ('Bulletin i+N_SITES' -> page i+N_SITES)."""
+    from .pages import N_SITES
+
+    root = f"'https://site' || (i % {N_SITES}) || '.example/'"
+
+    def page(url_i: str) -> str:
+        return (
+            f"'https://site' || (({url_i}) % {N_SITES})"
+            f" || '.example/page/' || ({url_i})"
+        )
+
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_pages - 1})) AS i),
+anchors AS (
+  SELECT {root} AS url, 'Home' AS anchor FROM ids
+  UNION ALL
+  SELECT {page('i // 2')}, 'Bulletin ' || (i // 2) FROM ids
+  UNION ALL
+  SELECT {page(f'i + {N_SITES}')}, 'Bulletin ' || (i + {N_SITES})
+  FROM ids
+)
+SELECT url, anchor, count(*)::BIGINT AS n_refs
+FROM anchors
+GROUP BY url, anchor
+ORDER BY url, anchor
 """
