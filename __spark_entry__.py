@@ -1253,6 +1253,30 @@ _OWLRL_OM: list[tuple] = [
 ]
 
 
+_CHAIN_EXTRA: list[tuple] = [
+    # two worksFor hops so the worksFor∘worksFor chain in axioms_om
+    # actually composes: alice -> acme -> megacorp
+    M.t_uri(FX.BASE + "alice", FX.BASE + "worksFor", FX.BASE + "acme"),
+    M.t_uri(FX.BASE + "acme", FX.BASE + "worksFor", FX.BASE + "megacorp"),
+    M.t_uri(FX.BASE + "megacorp", M.RDF.type, M.OWL.NamedIndividual),
+]
+
+
+def _q_reasoning_chain(spark, sf_dir):
+    """owl-rl prp-spo2 one-shot materialization: the axioms fixture's
+    worksFor∘worksFor chain composed over an added second hop; chain
+    defs decoded from the rdf list spine, composition via predicate-
+    sliced equi-joins, existing edges subtracted."""
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    t = FX.fixture_triples(spark, "axioms_om").unionByName(
+        spark.createDataFrame(_CHAIN_EXTRA, M.TRIPLES_SCHEMA)
+    )
+    return reasoning.apply_property_chains(t).select(
+        "subj", "pred", "obj", "obj_kind"
+    )
+
+
 def _q_reasoning_owlrl(spark, sf_dir):
     from orionbelt_ontology_builder_spark.operators import reasoning
 
@@ -2383,6 +2407,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_skos": _q_validate_skos,
         "reasoning_rdfs": _q_reasoning_rdfs,
         "reasoning_owlrl": _q_reasoning_owlrl,
+        "reasoning_chain": _q_reasoning_chain,
         "reasoning_fp_hv": _q_reasoning_fp_hv,
         "restriction_add_delete": _q_restriction_add_delete,
         "axiom_builders": _q_axiom_builders,
@@ -3437,6 +3462,44 @@ WITH RECURSIVE {ax},
 SELECT t.subj AS property, larr.items_csv AS chain_csv
 FROM triples t JOIN larr ON t.obj = larr.head
 WHERE t.pred='{M.OWL.propertyChainAxiom}' ORDER BY property
+"""
+
+    _chain_extra_vals = ",\n    ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'"
+            for v in row
+        ) + ")"
+        for row in _CHAIN_EXTRA
+    )
+    sql["reasoning_chain"] = f"""WITH RECURSIVE base(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS
+  (SELECT * FROM {FX.fixture_sql_values("axioms_om")}),
+extra(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {_chain_extra_vals}),
+triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra),
+{list_ctes},
+chains AS (SELECT subj AS property, obj AS head FROM triples
+           WHERE pred='{M.OWL.propertyChainAxiom}'),
+clen AS (SELECT head, max(pos) + 1 AS k FROM litems GROUP BY head),
+comp(property, head, pos, src, dst) AS (
+  SELECT c.property, c.head, 0, e.subj, e.obj
+  FROM chains c JOIN litems m ON m.head = c.head AND m.pos = 0
+  JOIN triples e ON e.pred = m.item
+  UNION
+  SELECT comp.property, comp.head, comp.pos + 1, comp.src, e.obj
+  FROM comp JOIN litems m ON m.head = comp.head AND m.pos = comp.pos + 1
+  JOIN triples e ON e.pred = m.item AND e.subj = comp.dst
+),
+concl AS (
+  SELECT DISTINCT comp.src AS subj, comp.property AS pred,
+         comp.dst AS obj
+  FROM comp JOIN clen ON clen.head = comp.head
+  WHERE comp.pos = clen.k - 1)
+SELECT c.subj, c.pred, c.obj, 'uri' AS obj_kind
+FROM concl c
+WHERE NOT EXISTS (SELECT 1 FROM triples t
+                  WHERE t.subj = c.subj AND t.pred = c.pred
+                    AND t.obj = c.obj)
+ORDER BY subj, pred, obj
 """
 
     sql["class_expressions"] = f"""

@@ -192,6 +192,7 @@ def main() -> None:
         # contrastive hard negatives (r2 late)
         "hard_negatives",
         "anchor_texts",
+        "reasoning_chain",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

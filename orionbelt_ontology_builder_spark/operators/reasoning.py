@@ -103,6 +103,7 @@ def _schema_probe(triples: DataFrame) -> tuple[int, dict]:
         has(F.col("pred") == OWL.onProperty).alias("onprop"),
         has(F.col("pred") == OWL.hasValue).alias("hasval"),
         has(F.col("pred") == OWL.sameAs).alias("sameas"),
+        has(F.col("pred") == OWL.propertyChainAxiom).alias("chain"),
     ).collect()[0]
     d = row.asDict()
     n = int(d.pop("n_rows"))
@@ -474,6 +475,55 @@ def _round(
 
 
 # --------------------------------------------------------------------------
+# property-chain axioms (OWL-RL prp-spo2)
+# --------------------------------------------------------------------------
+
+
+def apply_property_chains(triples: DataFrame) -> DataFrame:
+    """prp-spo2, one application: for every ``owl:propertyChainAxiom``
+    (p, [p1 .. pk]) materialize p(x0, xk) wherever the edge
+    composition p1 ∘ … ∘ pk connects x0 to xk; returns ONLY the new
+    conclusions (existing p-edges subtracted).
+
+    Chain *definitions* are schema — decoded from the rdf:first/rest
+    spines and collected to the driver (bounded by ontology size, the
+    same altitude at which every rule in ``_round`` broadcasts its
+    schema slice).  The *composition* is fully distributed: one
+    predicate-sliced scan per chain member, equi-joins hop to hop with
+    a distinct after each (|pairs| not |paths| — ``query.eval_path``'s
+    plan).  Reference surface: owlrl's prp-spo2 under
+    ``apply_reasoning(profile='owl-rl')``, ``ontology_manager.py:
+    2853-2864``."""
+    from .lists import get_property_chains
+    from .query import eval_path
+
+    chains = get_property_chains(triples).collect()
+    if not chains:
+        return triples.select(*TRIPLE_COLS).limit(0)
+    out = None
+    for row in chains:
+        pairs = eval_path(triples, list(row["chain"]))
+        concl = pairs.select(
+            F.col("src").alias("subj"),
+            F.lit(row["property"]).alias("pred"),
+            F.col("dst").alias("obj"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_dt"),
+        )
+        out = concl if out is None else out.unionByName(concl)
+    return (
+        out.dropDuplicates(TRIPLE_COLS)
+        .join(
+            triples.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        )
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+# --------------------------------------------------------------------------
 # sameAs equality reasoning via connected components
 # --------------------------------------------------------------------------
 
@@ -594,7 +644,7 @@ def apply_reasoning(
     current = triples.dropDuplicates(TRIPLE_COLS).localCheckpoint(eager=True)
     n, flags = _schema_probe(current)
     n0 = n
-    for _outer in range(3):
+    for _outer in range(4):
         grew_inner = False
         for _ in range(max_rounds):
             grown = (
@@ -613,6 +663,20 @@ def apply_reasoning(
                 break
             n = n2
             grew_inner = True
+        # property chains (owl-rl prp-spo2): apply after the inner
+        # fixpoint; a derived edge can re-trigger every rule family,
+        # so new chain facts re-enter the rule loop via the outer
+        # iteration instead of special-casing the inner one
+        if with_eq and flags.get("chain"):
+            new_chain = apply_property_chains(current)
+            if not new_chain.isEmpty():
+                current = (
+                    current.unionByName(new_chain)
+                    .dropDuplicates(TRIPLE_COLS)
+                    .localCheckpoint(eager=True)
+                )
+                n, flags = _schema_probe(current)
+                continue
         # equality reasoning: one CC pass per outer round (skipped
         # entirely when the graph asserts no sameAs — the common case
         # for pure-RDFS ontologies; the flag probe already covers it)

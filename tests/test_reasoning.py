@@ -285,3 +285,46 @@ def test_functional_declaration_derived_mid_fixpoint(spark):
     )
     got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
     assert (B + "k1", OWL.sameAs, B + "k2") in got
+
+
+def test_property_chain_one_shot_and_fixpoint(spark):
+    from orionbelt_ontology_builder_spark import model as M
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    B = "http://t#"
+    rows = [
+        # hasGrandparent <- hasParent o hasParent
+        M.t_bnode(B + "hasGrandparent", M.OWL.propertyChainAxiom, "_:c"),
+        M.t_uri("_:c", M.RDF.first, B + "hasParent"),
+        M.t_bnode("_:c", M.RDF.rest, "_:c2"),
+        M.t_uri("_:c2", M.RDF.first, B + "hasParent"),
+        M.t_uri("_:c2", M.RDF.rest, M.RDF.nil),
+        M.t_uri(B + "a", B + "hasParent", B + "b"),
+        M.t_uri(B + "b", B + "hasParent", B + "c"),
+        M.t_uri(B + "c", B + "hasParent", B + "d"),
+    ]
+    t = spark.createDataFrame(rows, M.TRIPLES_SCHEMA)
+    got = {(r["subj"], r["obj"])
+           for r in reasoning.apply_property_chains(t).collect()}
+    assert got == {(B + "a", B + "c"), (B + "b", B + "d")}
+
+    # fixpoint integration: owl-rl profile derives the same facts and
+    # the chain conclusions feed downstream rules (domain typing)
+    rows += [M.t_uri(B + "hasGrandparent", M.RDFS.domain, B + "Person")]
+    t2 = spark.createDataFrame(rows, M.TRIPLES_SCHEMA)
+    expanded, n = reasoning.apply_reasoning(t2, profile="owl-rl")
+    facts = {(r["subj"], r["pred"], r["obj"]) for r in expanded.collect()}
+    assert (B + "a", B + "hasGrandparent", B + "c") in facts
+    assert (B + "a", M.RDF.type, B + "Person") in facts   # re-triggered rdfs2
+    assert n >= 3
+
+
+def test_property_chains_noop_without_axioms(spark):
+    from orionbelt_ontology_builder_spark import model as M
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    t = spark.createDataFrame(
+        [M.t_uri("http://t#a", "http://t#p", "http://t#b")],
+        M.TRIPLES_SCHEMA,
+    )
+    assert reasoning.apply_property_chains(t).count() == 0
