@@ -601,6 +601,29 @@ def _q_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ASK / DESCRIBE specs over the induced graph.
+_ASK_PATTERNS = [("?x", "http://example.org/tpch#mktsegment", "BUILDING")]
+_DESCRIBE_RES = "http://example.org/tpch#customer_1"
+
+
+def _q_bgp_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK: existence of any BUILDING-segment individual — the
+    binding plan is limit(1)-truncated before the existence count."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.ask(relational.induce_triples(spark, sf_dir), _ASK_PATTERNS)
+
+
+def _q_describe_resource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE-lite: every triple touching customer_1 (two
+    pushed-down scans unioned, no shuffle)."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.describe(
+        relational.induce_triples(spark, sf_dir), _DESCRIBE_RES
+    )
+
+
 def _q_construct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-naive incremental rule maintenance: conclusions of the
     inRegion rule that touch the 'delta' slice (subjects ending in 0 —
@@ -1750,6 +1773,14 @@ def _q_anchor_texts(spark, sf_dir):
     return L.anchor_texts(_pages(spark))
 
 
+def _q_host_reciprocity(spark, sf_dir):
+    """Link-farm signal: per-host distinct in/out neighbor hosts and
+    reciprocal-link ratio over the crawl's host graph."""
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    return L.host_reciprocity(_pages(spark))
+
+
 def _q_host_rank(spark, sf_dir):
     """Host quality prior: PageRank over the crawl's host link graph
     (the WebGraph/harmonic-centrality style crawl-prioritization
@@ -1866,6 +1897,12 @@ def _q_dedup_clusters(spark, sf_dir):
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, max_doc_id=120)
+
+
+def _q_source_dup_rate(spark, sf_dir):
+    """Per-source exact-duplication rate (ingest-budget diagnostic):
+    corpus-wide hash count, hash-keyed join back, source rollup."""
+    return dedup.source_dup_rate(_docs(spark, sf_dir))
 
 
 def _q_passage_dup(spark, sf_dir):
@@ -2164,7 +2201,7 @@ _SF_SCALE = {
     "mention_contexts", "length_percentiles",
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
-    "bgp_values_limit", "path_query_star",
+    "bgp_values_limit", "path_query_star", "bgp_ask", "describe_resource",
     "construct_delta", "kg_negative_samples",
     "triple_churn",
     "tfidf_topk",
@@ -2174,11 +2211,12 @@ _SF_SCALE = {
     "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "host_link_graph",
-    "host_rank", "crawl_frontier", "anchor_texts", "text_token_counts",
+    "host_rank", "crawl_frontier", "anchor_texts", "host_reciprocity",
+    "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
-    "passage_dup", "dedup_simhash",
+    "passage_dup", "source_dup_rate", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "dedup_embedding_cosine_ivf", "hard_negatives",
     "ann_cosine_topk", "ann_ivf_topk",
@@ -2350,6 +2388,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_minus": _q_bgp_minus,
         "bgp_aggregate": _q_bgp_aggregate,
         "bgp_values_limit": _q_bgp_values_limit,
+        "bgp_ask": _q_bgp_ask,
+        "describe_resource": _q_describe_resource,
         "path_query_star": _q_path_query_star,
         "construct_delta": _q_construct_delta,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -2387,6 +2427,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": _q_host_link_graph,
         "host_rank": _q_host_rank,
         "anchor_texts": _q_anchor_texts,
+        "host_reciprocity": _q_host_reciprocity,
         "crawl_frontier": _q_crawl_frontier,
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
@@ -2436,6 +2477,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "passage_dup": _q_passage_dup,
+        "source_dup_rate": _q_source_dup_rate,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -3153,6 +3195,8 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
         _tr, _VAL_PATTERNS, values=_VAL_VALUES, limit=_VAL_LIMIT
     )
     sql["path_query_star"] = _query.eval_path_sql(_tr, _PATH_STAR_SPEC)
+    sql["bgp_ask"] = _query.ask_sql(_tr, _ASK_PATTERNS)
+    sql["describe_resource"] = _query.describe_sql(_tr, _DESCRIBE_RES)
     sql["bgp_aggregate"] = _query.select_agg_sql(
         _tr, _AGG_PATTERNS, _AGG_GROUP_BY, _AGG_AGGS, having=_AGG_HAVING
     )
@@ -3166,6 +3210,7 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
         _KG_PAGES, k_per_host=2
     )
     sql["anchor_texts"] = _links.anchor_texts_oracle(_KG_PAGES)
+    sql["host_reciprocity"] = _links.host_reciprocity_oracle(_KG_PAGES)
     from orionbelt_ontology_builder_spark.datapipe import (
         negatives as _negatives,
     )
@@ -4067,6 +4112,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dedup_clusters"] = dedup.dedup_clusters_oracle()
     sql["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(threshold=0.3, max_doc_id=120)
     sql["passage_dup"] = dedup.duplicated_passages_oracle()
+    sql["source_dup_rate"] = dedup.source_dup_rate_oracle()
     sql["dedup_simhash"] = dedup.simhash_oracle()
     sql["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle()
     sql["dedup_embedding_cosine"] = dedup.cosine_pairs_oracle(max_vec_id=300)

@@ -193,6 +193,11 @@ def main() -> None:
         "hard_negatives",
         "anchor_texts",
         "reasoning_chain",
+        # ASK/DESCRIBE, reciprocity, source dup (r2 late)
+        "bgp_ask",
+        "describe_resource",
+        "host_reciprocity",
+        "source_dup_rate",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

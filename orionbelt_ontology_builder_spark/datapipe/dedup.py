@@ -1122,3 +1122,51 @@ FROM per JOIN crossg USING (gram)
 GROUP BY per.doc_id
 ORDER BY per.doc_id
 """
+
+
+def source_dup_rate(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_dup_docs, dup_rate): per-source exact-
+    duplication diagnostic — which feeds/sites contribute duplicated
+    text (a doc counts as duplicated when its normalized text occurs
+    >= 2 times corpus-wide, so cross-source copies charge BOTH
+    sources).  Drives per-source crawl/ingest budget decisions.
+
+    Scale shape: one corpus-wide hash count (map-side partials), one
+    hash-keyed join back, one source-keyed aggregation — the same
+    uniform-key pattern as exact dedup, never pairwise."""
+    hashed = docs.select("source", F.md5(norm_col()).alias("text_hash"))
+    counts = hashed.groupBy("text_hash").agg(
+        F.count("*").alias("n_copies")
+    )
+    return (
+        hashed.join(counts, "text_hash")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_copies") >= 2).cast("bigint")).alias(
+                "n_dup_docs"
+            ),
+        )
+        .withColumn(
+            "dup_rate",
+            F.col("n_dup_docs") / F.col("n_docs").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_dup_rate_oracle() -> str:
+    return f"""
+WITH h AS (
+  SELECT source, md5({norm_sql()}) AS text_hash FROM documents),
+c AS (
+  SELECT text_hash, count(*) AS n_copies FROM h GROUP BY 1)
+SELECT h.source,
+  count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN c.n_copies >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+  sum(CASE WHEN c.n_copies >= 2 THEN 1 ELSE 0 END)
+    / count(*)::DOUBLE AS dup_rate
+FROM h JOIN c USING (text_hash)
+GROUP BY h.source
+ORDER BY h.source
+"""

@@ -671,3 +671,59 @@ SELECT DISTINCT subj, pred, obj, obj_kind
 FROM ({" UNION ALL ".join(anchored)})
 ORDER BY subj, pred, obj
 """
+
+
+# --------------------------------------------------------------------------
+# ASK / DESCRIBE
+# --------------------------------------------------------------------------
+
+
+def ask(
+    triples: DataFrame, patterns, optional=None, filters=None, minus=None
+) -> DataFrame:
+    """SPARQL ASK: ONE row ``(exists_flag int)`` — 1 iff the group
+    pattern has at least one solution.  The binding plan is truncated
+    with ``limit(1)`` BEFORE the existence count, so Spark stops the
+    scan at the first match (the same early-out a SQL EXISTS gets)."""
+    b = _bindings_df(triples, patterns, optional, minus, filters)
+    return b.limit(1).agg(
+        (F.count(F.lit(1)) > 0).cast("int").alias("exists_flag")
+    )
+
+
+def ask_sql(
+    triples_cte: str, patterns, optional=None, filters=None, minus=None
+) -> str:
+    """DuckDB twin: EXISTS over the same FROM chain."""
+    frm, where, mconds, seen = _bindings_sql(
+        patterns, optional, minus, filters
+    )
+    if mconds:
+        raise ValueError("ASK twin does not support MINUS groups")
+    return f"""{triples_cte}
+SELECT CASE WHEN EXISTS (SELECT 1 FROM {frm}
+{where}) THEN 1 ELSE 0 END AS exists_flag
+"""
+
+
+def describe(triples: DataFrame, resource: str) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded-description lite): every triple
+    where ``resource`` is the subject or the object — two pushed-down
+    scans unioned, no shuffle."""
+    return (
+        triples.filter(
+            (F.col("subj") == resource) | (F.col("obj") == resource)
+        )
+        .select("subj", "pred", "obj", "obj_kind")
+        .distinct()
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+def describe_sql(triples_cte: str, resource: str) -> str:
+    return f"""{triples_cte}
+SELECT DISTINCT subj, pred, obj, obj_kind
+FROM triples
+WHERE subj = '{resource}' OR obj = '{resource}'
+ORDER BY subj, pred, obj
+"""

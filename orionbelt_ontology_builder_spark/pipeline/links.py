@@ -261,3 +261,72 @@ FROM anchors
 GROUP BY url, anchor
 ORDER BY url, anchor
 """
+
+
+def host_reciprocity(pages: DataFrame) -> DataFrame:
+    """(host, n_out_hosts, n_in_hosts, n_reciprocal, reciprocity):
+    link-farm / spam-ring signal — per host, distinct outbound and
+    inbound neighbor hosts and how many outbound links are returned
+    (TrustRank-style reciprocity; farms show reciprocity near 1.0,
+    organic hosts much lower).  Self-loops excluded.
+
+    Scale shape: distinct host pairs only (vocabulary-sized after the
+    page rollup); reciprocity = ONE self-join of that pair set on the
+    reversed key + two tiny per-host aggregations."""
+    links = extract_links(pages)
+    e = (
+        links.select(
+            F.regexp_extract("src_url", _HOST_RE, 1).alias("src"),
+            F.regexp_extract("dst_url", _HOST_RE, 1).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.intersect(rev)
+    outs = e.groupBy("src").agg(F.count("*").alias("n_out_hosts"))
+    ins = e.groupBy("dst").agg(F.count("*").alias("n_in_hosts"))
+    rec = recip.groupBy("src").agg(F.count("*").alias("n_reciprocal"))
+    return (
+        outs.withColumnRenamed("src", "host")
+        .join(ins.withColumnRenamed("dst", "host"), "host", "outer")
+        .join(rec.withColumnRenamed("src", "host"), "host", "outer")
+        .select(
+            "host",
+            F.coalesce("n_out_hosts", F.lit(0)).alias("n_out_hosts"),
+            F.coalesce("n_in_hosts", F.lit(0)).alias("n_in_hosts"),
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+            (
+                F.coalesce("n_reciprocal", F.lit(0))
+                / F.greatest(F.coalesce("n_out_hosts", F.lit(0)), F.lit(1))
+                .cast("double")
+            ).alias("reciprocity"),
+        )
+        .orderBy("host")
+    )
+
+
+def host_reciprocity_oracle(n_pages: int) -> str:
+    """DuckDB twin over the arithmetic edge derivation."""
+    return f"""
+WITH {host_edges_cte(n_pages)},
+e AS (SELECT src, dst FROM edges WHERE src <> dst),
+recip AS (
+  SELECT a.src, a.dst FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+outs AS (SELECT src AS host, count(*)::BIGINT AS n_out_hosts FROM e GROUP BY 1),
+ins AS (SELECT dst AS host, count(*)::BIGINT AS n_in_hosts FROM e GROUP BY 1),
+rec AS (SELECT src AS host, count(*)::BIGINT AS n_reciprocal FROM recip GROUP BY 1),
+hosts AS (
+  SELECT host FROM outs UNION SELECT host FROM ins)
+SELECT h.host,
+  coalesce(o.n_out_hosts, 0)::BIGINT AS n_out_hosts,
+  coalesce(i.n_in_hosts, 0)::BIGINT AS n_in_hosts,
+  coalesce(r.n_reciprocal, 0)::BIGINT AS n_reciprocal,
+  coalesce(r.n_reciprocal, 0)
+    / greatest(coalesce(o.n_out_hosts, 0), 1)::DOUBLE AS reciprocity
+FROM hosts h
+LEFT JOIN outs o USING (host)
+LEFT JOIN ins i USING (host)
+LEFT JOIN rec r USING (host)
+ORDER BY h.host
+"""

@@ -273,3 +273,13 @@ def test_crawl_frontier_politeness_cap_and_candidates(spark, pages_df):
     roots = {r["host"]: r["url"] for r in rows if r["pos"] == 1}
     for host, url in list(roots.items())[:5]:
         assert url == f"https://{host}/"
+
+
+def test_host_reciprocity_bounds(spark, pages_df):
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    rows = L.host_reciprocity(pages_df).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_reciprocal"] <= r["n_out_hosts"] or r["n_out_hosts"] == 0
+        assert 0.0 <= r["reciprocity"] <= 1.0

@@ -414,3 +414,16 @@ def test_eval_path_star_and_opt(spark):
     opt = {(r["src"], r["dst"])
            for r in query.eval_path(t, ["type", "sub?"]).collect()}
     assert opt == {("x", "a"), ("x", "b")}
+
+
+def test_ask_true_false_and_describe(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "T"), ("a", "seg", "S1"), ("b", "likes", "a"),
+    ])
+    assert query.ask(t, [("?x", "seg", "?s")]).collect()[0]["exists_flag"] == 1
+    assert query.ask(t, [("?x", "seg", "NOPE")]).collect()[0]["exists_flag"] == 0
+    d = {(r["subj"], r["pred"], r["obj"])
+         for r in query.describe(t, "a").collect()}
+    assert d == {("a", "type", "T"), ("a", "seg", "S1"), ("b", "likes", "a")}
