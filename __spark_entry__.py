@@ -1781,6 +1781,14 @@ def _q_host_reciprocity(spark, sf_dir):
     return L.host_reciprocity(_pages(spark))
 
 
+def _q_host_crawl_recency(spark, sf_dir):
+    """Per-host crawl coverage (page count, first/last warc_ts, span);
+    one host-keyed min/max/count agg, arithmetic-twin oracle."""
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    return L.host_crawl_recency(_pages(spark))
+
+
 def _q_host_rank(spark, sf_dir):
     """Host quality prior: PageRank over the crawl's host link graph
     (the WebGraph/harmonic-centrality style crawl-prioritization
@@ -2212,6 +2220,7 @@ _SF_SCALE = {
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "host_link_graph",
     "host_rank", "crawl_frontier", "anchor_texts", "host_reciprocity",
+    "host_crawl_recency",
     "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
@@ -2428,6 +2437,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "anchor_texts": _q_anchor_texts,
         "host_reciprocity": _q_host_reciprocity,
+        "host_crawl_recency": _q_host_crawl_recency,
         "crawl_frontier": _q_crawl_frontier,
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
@@ -3211,6 +3221,7 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     )
     sql["anchor_texts"] = _links.anchor_texts_oracle(_KG_PAGES)
     sql["host_reciprocity"] = _links.host_reciprocity_oracle(_KG_PAGES)
+    sql["host_crawl_recency"] = _links.host_crawl_recency_oracle(_KG_PAGES)
     from orionbelt_ontology_builder_spark.datapipe import (
         negatives as _negatives,
     )

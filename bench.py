@@ -198,6 +198,7 @@ def main() -> None:
         "describe_resource",
         "host_reciprocity",
         "source_dup_rate",
+        "host_crawl_recency",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

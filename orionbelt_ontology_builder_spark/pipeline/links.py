@@ -330,3 +330,55 @@ LEFT JOIN ins i USING (host)
 LEFT JOIN rec r USING (host)
 ORDER BY h.host
 """
+
+
+def host_crawl_recency(pages: DataFrame) -> DataFrame:
+    """(host, n_pages, first_ts, last_ts, span_hours): per-host crawl
+    coverage — how many pages, when first/last fetched, and the span.
+    Drives re-crawl scheduling (stale hosts first) and coverage audits.
+
+    Scale shape: ONE host-keyed min/max/count aggregation over a
+    narrow (host, warc_ts) projection; map-side partials absorb the
+    host skew."""
+    return (
+        pages.select(
+            F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+            "warc_ts",
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+        .withColumn(
+            "span_hours",
+            (
+                F.col("last_ts").cast("long")
+                - F.col("first_ts").cast("long")
+            )
+            / F.lit(3600.0),
+        )
+        .orderBy("host")
+    )
+
+
+def host_crawl_recency_oracle(n_pages: int) -> str:
+    """Arithmetic twin: warc_ts = EPOCH + i*60 by the synthesizer spec."""
+    from .pages import EPOCH, N_SITES
+
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_pages - 1})) AS i),
+p AS (
+  SELECT 'site' || (i % {N_SITES}) || '.example' AS host,
+         to_timestamp({EPOCH} + i * 60)::TIMESTAMP AS warc_ts
+  FROM ids)
+SELECT host,
+  count(*)::BIGINT AS n_pages,
+  min(warc_ts) AS first_ts,
+  max(warc_ts) AS last_ts,
+  (epoch(max(warc_ts)) - epoch(min(warc_ts))) / 3600.0 AS span_hours
+FROM p
+GROUP BY host
+ORDER BY host
+"""
