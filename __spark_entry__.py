@@ -1803,6 +1803,22 @@ def _q_host_rank(spark, sf_dir):
     return graphstats.pagerank(edges, iters=3)
 
 
+#: TrustRank seed hosts (vetted list: the three lowest-numbered sites).
+_TRUST_SEEDS = ["site0.example", "site1.example", "site2.example"]
+
+
+def _q_host_trustrank(spark, sf_dir):
+    """TrustRank-style personalized PageRank over the host graph:
+    teleport + dangling mass return to a vetted seed list, so quality
+    propagates outward from the seeds (spam rings starve)."""
+    from orionbelt_ontology_builder_spark.pipeline import links as L
+
+    edges = L.host_link_graph(_pages(spark)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return graphstats.personalized_pagerank(edges, _TRUST_SEEDS, iters=3)
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """Politeness-capped crawl scheduling round: linked-but-uncrawled
     URLs ranked by in-link count, at most 2 per destination host."""
@@ -2220,7 +2236,7 @@ _SF_SCALE = {
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "host_link_graph",
     "host_rank", "crawl_frontier", "anchor_texts", "host_reciprocity",
-    "host_crawl_recency",
+    "host_crawl_recency", "host_trustrank",
     "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
@@ -2438,6 +2454,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": _q_anchor_texts,
         "host_reciprocity": _q_host_reciprocity,
         "host_crawl_recency": _q_host_crawl_recency,
+        "host_trustrank": _q_host_trustrank,
         "crawl_frontier": _q_crawl_frontier,
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
@@ -3222,6 +3239,9 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["anchor_texts"] = _links.anchor_texts_oracle(_KG_PAGES)
     sql["host_reciprocity"] = _links.host_reciprocity_oracle(_KG_PAGES)
     sql["host_crawl_recency"] = _links.host_crawl_recency_oracle(_KG_PAGES)
+    sql["host_trustrank"] = graphstats.personalized_pagerank_sql(
+        _links.host_edges_cte(_KG_PAGES), _TRUST_SEEDS, iters=3
+    )
     from orionbelt_ontology_builder_spark.datapipe import (
         negatives as _negatives,
     )

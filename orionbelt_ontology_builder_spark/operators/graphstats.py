@@ -984,3 +984,102 @@ sizes AS (SELECT component, count(*)::BIGINT AS csize FROM comp GROUP BY compone
 SELECT csize, count(*)::BIGINT AS n_components
 FROM sizes GROUP BY csize ORDER BY csize
 """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(node, rank): personalized PageRank — teleport (and dangling)
+    mass returns to the ``seeds`` set instead of the uniform vector
+    (the TrustRank recipe: propagate quality from a vetted seed list;
+    spam rings that only cite each other receive no teleport inflow).
+
+        rank' = (1-d)*s(v) + d * (sum_in rank/out_deg + dangling*s(v))
+        s(v)  = 1/|seeds| for seed nodes, else 0
+
+    Same distributed shape as :func:`pagerank` (per-round: one edge
+    join + one aggregation + a broadcast dangling scalar); the seed
+    vector is a literal ``isin`` projection, no extra table."""
+    if not seeds:
+        raise ValueError("empty seed set")
+    nodes = _nodes(edges).localCheckpoint(eager=True)
+    s = (
+        F.when(F.col("node").isin(list(seeds)), 1.0 / len(seeds))
+        .otherwise(0.0)
+    )
+    out_d = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    ej = edges.join(
+        out_d.select(F.col("node").alias("src"), "out_deg"), "src"
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select("node", s.alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ej.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        dangling = (
+            ranks.join(out_d, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * s
+                    + F.lit(damping)
+                    * (F.coalesce("c", F.lit(0.0)) + F.col("dm") * s)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.orderBy("node")
+
+
+def personalized_pagerank_sql(
+    edges_cte: str,
+    seeds: list[str],
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+) -> str:
+    """DuckDB twin: identical update rule unrolled, seed vector as a
+    CASE over an inline list."""
+    d = repr(damping)
+    inlist = ", ".join("'" + x.replace("'", "''") + "'" for x in seeds)
+    sv = f"(CASE WHEN {{al}}.node IN ({inlist}) THEN 1.0 / {len(seeds)} ELSE 0.0 END)"
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+    (1.0 - {d}) * {sv.format(al="n")}
+      + {d} * (coalesce(c.c, 0.0) + dg.dm * {sv.format(al="n")}) AS rank
+  FROM nodes n
+  CROSS JOIN (
+    SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {prev} r
+    LEFT JOIN od ON r.node = od.node WHERE od.node IS NULL) dg
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / od.out_deg) AS c
+    FROM edges e JOIN {prev} r ON e.src = r.node
+    JOIN od ON e.src = od.node
+    GROUP BY e.dst) c ON n.node = c.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH {edges_cte.strip()},
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+od AS MATERIALIZED (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, {sv.format(al="nodes")} AS rank FROM nodes),
+{",".join(rounds)}
+SELECT node, rank FROM {prev} ORDER BY node
+"""
