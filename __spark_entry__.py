@@ -960,6 +960,14 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LM order up from unigram_logprob: mean conditional bigram
+    logprob per doc under the corpus's own Lidstone bigram LM — the
+    closer KenLM-filter stand-in (word-order-scrambled text scores at
+    the unigram floor).  In-row zip_with bigrams, no window shuffle."""
+    return textstats.bigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iteration 1 of BPE vocabulary learning: adjacent char-pair
     weights over the word-frequency table.  One corpus-scale agg; pair
@@ -2179,6 +2187,42 @@ def _q_graph_component_sizes(spark, sf_dir):
     )
 
 
+def _q_graph_scc(spark, sf_dir):
+    """Strongly connected components over a deterministic directed
+    graph on the documents id space — the directed-cycle detector
+    (redirect loops / sameAs cycles / mutually-linking spam rings)
+    that undirected CC cannot express.  Graph spec (arithmetic, so the
+    oracle derives the answer INDEPENDENTLY, no reachability run):
+    4-id blocks alternate ring (even block: i -> base+(pos+1)%4, one
+    SCC of 4) and ascending chain (odd block: i -> i+1, singletons)
+    with a cross edge chain-tail -> previous ring head, which forces a
+    multi-round peel (the ring's colors are polluted by the higher-id
+    chain tail in round 1).  Ids assumed dense 0..n-1; guards keep
+    partial tail blocks consistent on both sides."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = docs.count()
+    b = F.expr("i DIV 4")
+    pos = F.col("i") % 4
+    base = (b * 4).cast("long")
+    dst = F.when((b % 2) == 0, base + (pos + 1) % 4).otherwise(
+        F.when(pos < 3, F.col("i") + 1).otherwise(base - 4)
+    )
+    edges = docs.select(
+        F.col("i").alias("src"), dst.cast("long").alias("dst")
+    ).filter((F.col("dst") >= 0) & (F.col("dst") <= n - 1))
+    comp = graphstats.scc(edges)
+    return (
+        docs.join(comp, docs["i"] == comp["node"], "left")
+        .select(
+            docs["i"].alias("node"),
+            F.coalesce(comp["scc_id"], docs["i"]).alias("scc_id"),
+        )
+        .orderBy("node")
+    )
+
+
 def _q_graph_hits(spark, sf_dir):
     """HITS hubs/authorities over the induced entity graph (3 L1-
     normalized synchronous rounds) — the directed complement to
@@ -2221,7 +2265,7 @@ _SF_SCALE = {
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
-    "path_query", "bpe_merge_pairs", "unigram_logprob",
+    "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
     "mention_contexts", "length_percentiles",
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
@@ -2253,7 +2297,7 @@ _SF_SCALE = {
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
     "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore", "graph_hits",
-    "graph_component_sizes",
+    "graph_component_sizes", "graph_scc",
 }
 
 
@@ -2396,6 +2440,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "mention_contexts": _q_mention_contexts,
         "length_percentiles": _q_length_percentiles,
         "predicate_cardinality": _q_predicate_cardinality,
@@ -2538,6 +2583,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_graph_kcore,
         "graph_hits": _q_graph_hits,
         "graph_component_sizes": _q_graph_component_sizes,
+        "graph_scc": _q_graph_scc,
         "walk_skipgrams": _q_walk_skipgrams,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
@@ -3280,6 +3326,7 @@ gb AS (
     )
     sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
     sql["unigram_logprob"] = textstats.unigram_logprob_oracle()
+    sql["bigram_logprob"] = textstats.bigram_logprob_oracle()
     sql["mention_contexts"] = textstats.mention_contexts_oracle(
         _MENTION_TERMS, window=3
     )
@@ -4204,6 +4251,19 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["graph_component_sizes"] = graphstats.component_size_dist_sql(
         relational.lineitem_edges_sql()
     )
+    # graph_scc oracle: arithmetic twin — the expected component ids
+    # follow from the block spec directly (even 4-block = ring -> SCC
+    # id base+3; everything else singleton); no reachability run, so
+    # hash-equality proves the Spark coloring/peel algorithm, not that
+    # two closures agree.
+    sql["graph_scc"] = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ids AS (SELECT unnest(generate_series(0, (SELECT n FROM n) - 1)) AS i)
+SELECT i::BIGINT AS node,
+  (CASE WHEN (i // 4) % 2 = 0 AND (i // 4) * 4 + 3 <= (SELECT n FROM n) - 1
+        THEN (i // 4) * 4 + 3 ELSE i END)::BIGINT AS scc_id
+FROM ids ORDER BY node
+"""
     sql["walk_skipgrams"] = graphstats.walk_skipgrams_sql(
         graphstats.random_walks_sql(
             relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1

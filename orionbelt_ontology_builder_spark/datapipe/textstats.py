@@ -1322,3 +1322,102 @@ SELECT lang, count(*)::BIGINT AS n_docs,
   quantile_cont(n_tokens, 0.99)::DOUBLE AS p99
 FROM n GROUP BY lang ORDER BY lang
 """
+
+
+# ------------------------------------------------------------------ #
+# Bigram-LM document scoring (the CCNet/KenLM filter, one order up)
+# ------------------------------------------------------------------ #
+
+
+def bigram_logprob(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(doc_id, n_bigrams, mean_logprob) — mean natural-log conditional
+    probability of each document's token bigrams under the corpus's own
+    Lidstone-smoothed bigram LM:
+
+        p(w2 | w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * (V + 1))
+
+    One order up from :func:`unigram_logprob` — the closer stand-in for
+    the KenLM-perplexity quality filter of CCNet/RefinedWeb (public
+    literature): word-order-scrambled or template-stuffed documents
+    score near the unigram model, while fluent text gains from the
+    conditional.  Docs with fewer than two tokens emit no bigrams and
+    drop out (consistent with the oracle).
+
+    Scale shape: bigram construction is IN-ROW (``zip_with`` over two
+    ``slice`` views of the token array — no window function, no
+    positional self-join, no array duplication per token), then a single
+    explode.  Three aggregations share that stream: the unigram vocab
+    (two-phase, Zipf-bounded), the bigram table (two-phase, bounded by
+    distinct-pair count), and the per-doc score agg.  The scoring joins
+    are by term key — broadcast when the vocab fits, shuffle-hash
+    otherwise (AQE decides)."""
+    toks = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select("doc_id", tokens_col().alias("t"))
+    )
+    n1 = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("t", 1, n1),
+        F.slice("t", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = toks.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    consts = uni.agg(F.count(F.lit(1)).alias("v_size"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * (F.col("v_size") + 1))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("lp").alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_logprob_oracle(alpha: float = 0.5) -> str:
+    """DuckDB twin — bigrams via a lateral ``generate_series`` index
+    walk over the same token list (1-based ``t[i]``/``t[i+1]``)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql(norm_sql())} AS t
+  FROM documents WHERE {norm_sql()} <> ''),
+uni AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term),
+consts AS (SELECT count(*)::BIGINT AS v_size FROM uni),
+big AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+bc AS MATERIALIZED (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY w1, w2),
+scored AS (
+  SELECT b.doc_id,
+    ln((bc.c12 + {alpha}) / (u.c1 + {alpha} * (co.v_size + 1))) AS lp
+  FROM big b
+  JOIN bc USING (w1, w2)
+  JOIN uni u ON b.w1 = u.term
+  CROSS JOIN consts co)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(lp) AS mean_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

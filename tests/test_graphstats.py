@@ -410,3 +410,54 @@ def test_component_size_dist_matches_sql_twin(spark):
     ).fetchall()))
     con.close()
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# Strongly connected components (color-propagation peel)
+# ------------------------------------------------------------------ #
+
+
+def _scc_map(spark, rows):
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    return {r["node"]: r["scc_id"] for r in G.scc(edges).collect()}
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    # cycle {a,b,c}, cycle {x,y}, one-way bridge c -> x: two SCCs,
+    # NOT merged (an undirected CC would glue all five).
+    out = _scc_map(spark, [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("x", "y"), ("y", "x"), ("c", "x"),
+    ])
+    assert out == {"a": "c", "b": "c", "c": "c", "x": "y", "y": "y"}
+
+
+def test_scc_dag_all_singletons(spark):
+    out = _scc_map(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    assert out == {k: k for k in "abcd"}
+
+
+def test_scc_self_loop_and_isolated_sink(spark):
+    out = _scc_map(spark, [("s", "s"), ("s", "t")])
+    assert out == {"s": "s", "t": "t"}
+
+
+def test_scc_nested_defer_chain(spark):
+    # big-id cycle {p,q} floods into small-id cycle {a,b} which floods
+    # into {m,n}: forces multiple outer peel rounds (defer chain).
+    out = _scc_map(spark, [
+        ("p", "q"), ("q", "p"), ("p", "a"),
+        ("a", "b"), ("b", "a"), ("b", "m"),
+        ("m", "n"), ("n", "m"),
+    ])
+    assert out == {"p": "q", "q": "q", "a": "b", "b": "b",
+                   "m": "n", "n": "n"}
+
+
+def test_scc_figure_eight_shares_node(spark):
+    # two cycles sharing node b are ONE SCC of size 5
+    out = _scc_map(spark, [
+        ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "b"),
+        ("d", "e"),
+    ])
+    assert out == {"a": "d", "b": "d", "c": "d", "d": "d", "e": "e"}
