@@ -968,6 +968,32 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary size, exact vs a 256-register
+    HyperLogLog built from the same token stream — integer register
+    path (portable md5 slices), linear-counting small-range branch."""
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    return sketches.hll_distinct(_docs(spark, sf_dir))
+
+
+def _q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens: exact count vs the 4x256 Count-Min grid
+    estimate (min over salted rows; overestimate-only by law)."""
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    return sketches.countmin_topk(_docs(spark, sf_dir), k=20)
+
+
+def _q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-URL Bloom-filter health: k=4 probes into 4096 bits over
+    document keys; exact occupancy + implied FP rate + analytical
+    expected fill."""
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    return sketches.bloom_stats(_docs(spark, sf_dir))
+
+
 def _q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iteration 1 of BPE vocabulary learning: adjacent char-pair
     weights over the word-frequency table.  One corpus-scale agg; pair
@@ -2266,6 +2292,7 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
+    "sketch_hll", "sketch_countmin", "sketch_bloom",
     "mention_contexts", "length_percentiles",
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
@@ -2441,6 +2468,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
+        "sketch_hll": _q_sketch_hll,
+        "sketch_countmin": _q_sketch_countmin,
+        "sketch_bloom": _q_sketch_bloom,
         "mention_contexts": _q_mention_contexts,
         "length_percentiles": _q_length_percentiles,
         "predicate_cardinality": _q_predicate_cardinality,
@@ -3327,6 +3357,11 @@ gb AS (
     sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
     sql["unigram_logprob"] = textstats.unigram_logprob_oracle()
     sql["bigram_logprob"] = textstats.bigram_logprob_oracle()
+    from orionbelt_ontology_builder_spark.datapipe import sketches as _sk
+
+    sql["sketch_hll"] = _sk.hll_distinct_oracle()
+    sql["sketch_countmin"] = _sk.countmin_topk_oracle(k=20)
+    sql["sketch_bloom"] = _sk.bloom_stats_oracle()
     sql["mention_contexts"] = textstats.mention_contexts_oracle(
         _MENTION_TERMS, window=3
     )

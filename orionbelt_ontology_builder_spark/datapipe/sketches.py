@@ -1,0 +1,290 @@
+"""Probabilistic sketches over the document corpus — HyperLogLog
+distinct-count, Count-Min heavy-hitter frequencies, and Bloom-filter
+membership stats (the seen-URL / vocabulary / frequency primitives every
+web-scale crawl-and-curate loop carries; public literature: Flajolet et
+al. 2007, Cormode & Muthukrishnan 2005, Bloom 1970).
+
+Verification stance: each op computes the sketch AND the exact answer
+from the same stream, so the oracle proves both the register arithmetic
+(bit-identical: every hash is the engine's portable md5-hex idiom, every
+register an integer — no float until the final estimator division) and
+the estimator quality (rel-err / overestimate-invariant columns the
+tests assert on).
+
+Scale stance: a sketch is precisely the thing that DOES survive 100 TB —
+registers are a fixed-size groupBy (256 / 4x256 / 4096 cells) with
+map-side partial aggregation, so the shuffle is O(cells), not O(rows);
+the exact twin columns are the sf-scale test harness, which a production
+run would simply drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import norm_col, norm_sql, tokens_col, tokens_sql
+
+#: HLL: m = 2^8 = 256 buckets (2 hex chars), 24-bit rho window.
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: CMS: depth 4 salted rows x width 256 (2 hex chars).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+#: Bloom: k = 4 salted probes into m = 4096 bits (3 hex chars).
+BLOOM_K = 4
+BLOOM_M = 4096
+
+
+def _hex_int(col: Column, start: int, n: int) -> Column:
+    """Integer value of ``n`` hex chars of an md5-hex column (1-based
+    ``start``) — the portable Spark<->DuckDB hash slice."""
+    return F.conv(F.substring(col, start, n), 16, 10).cast("long")
+
+
+def _hex_int_sql(expr: str, start: int, n: int) -> str:
+    return f"('0x' || substr({expr}, {start}, {n}))::BIGINT"
+
+
+def hll_distinct(docs: DataFrame) -> DataFrame:
+    """(lang, n_exact, hll_est, rel_err) — per-language vocabulary size,
+    exact vs a 256-register HyperLogLog built from the same token
+    stream.
+
+    Register pipeline (all integer, so both engines agree bitwise):
+    bucket = md5[1:2] hex, w = md5[3:8] hex (24 bits), rho = 25 -
+    bit_length(w) (w = 0 -> 25, the all-zero window).  Per (lang,
+    bucket) keep max rho; the harmonic sum is computed as the INTEGER
+    sum(2^(25 - rho)) with absent buckets contributing 2^25, so no
+    float enters until the single estimator division.  Small-range
+    correction: linear counting m*ln(m/V) when E <= 2.5m and V > 0
+    (Flajolet's rule), branch decided on the same deterministic
+    integers both sides.
+
+    Scale: one token-stream pass -> 256-cell agg per lang (map-side
+    combinable); the n_exact column is the sf-scale truth harness."""
+    toks = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select("lang", F.explode(tokens_col()).alias("term"))
+        .withColumn("h", F.md5("term"))
+    )
+    w = _hex_int(F.col("h"), 3, 6)
+    regs = (
+        toks.select(
+            "lang",
+            _hex_int(F.col("h"), 1, 2).alias("bucket"),
+            F.when(w == 0, F.lit(25))
+            .otherwise(25 - F.length(F.conv(F.substring("h", 3, 6), 16, 2)))
+            .alias("rho"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    m = HLL_M
+    summed = regs.groupBy("lang").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), 25 - F.col("r")).cast("long"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
+        ).alias("int_sum"),
+        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
+    )
+    e_raw = F.lit(HLL_ALPHA * m * m * (1 << 25)) / F.col("int_sum")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("term").alias("n_exact")
+    )
+    return (
+        exact.join(summed, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            est.alias("hll_est"),
+            (est / F.col("n_exact") - 1.0).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
+def hll_distinct_oracle() -> str:
+    m = HLL_M
+    h = "md5(term)"
+    w = _hex_int_sql(h, 3, 6)
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest({tokens_sql(norm_sql())}) AS term
+  FROM documents WHERE {norm_sql()} <> ''),
+regs AS (
+  SELECT lang, {_hex_int_sql(h, 1, 2)} AS bucket,
+    max(CASE WHEN {w} = 0 THEN 25 ELSE 25 - len(bin({w})) END) AS r
+  FROM toks GROUP BY lang, bucket),
+summed AS (
+  SELECT lang,
+    (sum((2::BIGINT ^ (25 - r))::BIGINT)::BIGINT
+      + ({m} - count(*)) * {1 << 25})::BIGINT AS int_sum,
+    ({m} - count(*))::BIGINT AS v_zero
+  FROM regs GROUP BY lang),
+exact AS (
+  SELECT lang, count(DISTINCT term)::BIGINT AS n_exact
+  FROM toks GROUP BY lang),
+est AS (
+  SELECT s.lang, e.n_exact,
+    CASE WHEN ({HLL_ALPHA * m * m * (1 << 25)!r} / s.int_sum) <= {2.5 * m}
+              AND s.v_zero > 0
+         THEN {float(m)} * ln({float(m)} / s.v_zero)
+         ELSE {HLL_ALPHA * m * m * (1 << 25)!r} / s.int_sum END AS hll_est
+  FROM summed s JOIN exact e USING (lang))
+SELECT lang, n_exact, hll_est, hll_est / n_exact - 1.0 AS rel_err
+FROM est ORDER BY lang
+"""
+
+
+def countmin_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(term, c_exact, c_cms) — the ``k`` highest-frequency tokens with
+    exact corpus count and the Count-Min sketch estimate from a 4x256
+    depth-by-width counter grid (salted md5 column choice per row).
+
+    CMS law the tests pin: c_cms >= c_exact always (collisions only
+    ever ADD), with equality for terms whose 4 cells saw no collision.
+    All counters are integers -> bit-identical both engines.
+
+    Scale: the grid is built from the (term, count) aggregate (same
+    totals as streaming raw occurrences, one shuffle cheaper); the grid
+    agg itself is 1024 cells regardless of corpus size."""
+    counts = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select(F.explode(tokens_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                _hex_int(
+                    F.md5(F.concat(F.lit(f"{r}:"), F.col("term"))), 1, 2
+                ).alias("col"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        counts.select(F.explode(probes).alias("p"), "c")
+        .select(
+            F.col("p.r").alias("r"), F.col("p.col").alias("col"), "c"
+        )
+        .groupBy("r", "col")
+        .agg(F.sum("c").alias("cell"))
+    )
+    topk = counts.orderBy(F.desc("c"), "term").limit(k)
+    return (
+        topk.select("term", "c", F.explode(probes).alias("p"))
+        .select(
+            "term", "c",
+            F.col("p.r").alias("r"), F.col("p.col").alias("col"),
+        )
+        .join(F.broadcast(cells), ["r", "col"])
+        .groupBy("term", "c")
+        .agg(F.min("cell").alias("c_cms"))
+        .select("term", F.col("c").alias("c_exact"), "c_cms")
+        .orderBy(F.desc("c_exact"), "term")
+    )
+
+
+def countmin_topk_oracle(k: int = 20) -> str:
+    probe = lambda r: _hex_int_sql(f"md5('{r}:' || term)", 1, 2)  # noqa: E731
+    probes = "\nUNION ALL\n".join(
+        f"SELECT term, c, {r} AS r, {probe(r)} AS col FROM counts"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS c
+  FROM (SELECT unnest({tokens_sql(norm_sql())}) AS term
+        FROM documents WHERE {norm_sql()} <> '')
+  GROUP BY term),
+probes AS MATERIALIZED ({probes}),
+cells AS MATERIALIZED (
+  SELECT r, col, sum(c)::BIGINT AS cell FROM probes GROUP BY r, col),
+topk AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT {k})
+SELECT t.term AS term, t.c AS c_exact, min(cl.cell)::BIGINT AS c_cms
+FROM topk t
+JOIN probes p ON p.term = t.term
+JOIN cells cl ON cl.r = p.r AND cl.col = p.col
+GROUP BY t.term, t.c ORDER BY c_exact DESC, t.term
+"""
+
+
+def bloom_stats(docs: DataFrame) -> DataFrame:
+    """One row (n_items, n_bits_set, fill_ratio, est_fp_rate,
+    expected_fill) — the seen-URL Bloom filter health check: insert
+    every document key (``source:doc_id``, the engine's URL stand-in)
+    with k=4 salted probes into an m=4096-bit array, report the exact
+    occupancy (distinct bit positions — integers, bit-identical both
+    engines), the implied false-positive rate fill^k, and the
+    analytical expected fill 1-(1-1/m)^(k*n) the tests compare it to.
+
+    Scale: the 'bit array' never materializes as state — occupancy is
+    count(distinct position) over a stream of k*n small integers, a
+    two-phase agg bounded by m; at crawl scale m grows with the
+    frontier but the plan shape is unchanged."""
+    keys = docs.select(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id")).alias("key")
+    )
+    pos = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    _hex_int(
+                        F.md5(F.concat(F.lit(f"{r}:"), F.col("key"))), 1, 3
+                    )
+                    for r in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    )
+    m, k = BLOOM_M, BLOOM_K
+    return pos.agg(
+        F.countDistinct("key").alias("n_items"),
+        F.countDistinct("pos").alias("n_bits_set"),
+    ).select(
+        "n_items",
+        "n_bits_set",
+        (F.col("n_bits_set") / F.lit(float(m))).alias("fill_ratio"),
+        F.pow(F.col("n_bits_set") / F.lit(float(m)), k).alias(
+            "est_fp_rate"
+        ),
+        (
+            1.0
+            - F.pow(F.lit(1.0 - 1.0 / m), F.col("n_items") * F.lit(k))
+        ).alias("expected_fill"),
+    )
+
+
+def bloom_stats_oracle() -> str:
+    m, k = BLOOM_M, BLOOM_K
+    parts = []
+    for r in range(BLOOM_K):
+        slice_ = _hex_int_sql(f"md5('{r}:' || key)", 1, 3)
+        parts.append(f"SELECT key, {slice_} AS pos FROM keys")
+    probes = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH keys AS (
+  SELECT source || ':' || doc_id AS key FROM documents),
+pos AS ({probes}),
+agg AS (
+  SELECT count(DISTINCT key)::BIGINT AS n_items,
+         count(DISTINCT pos)::BIGINT AS n_bits_set
+  FROM pos)
+SELECT n_items, n_bits_set,
+  n_bits_set / {float(m)} AS fill_ratio,
+  (n_bits_set / {float(m)}) ^ {k} AS est_fp_rate,
+  1.0 - (1.0 - 1.0 / {m}) ^ (n_items * {k}) AS expected_fill
+FROM agg
+"""

@@ -969,3 +969,33 @@ def test_hard_negatives_band_and_cap(spark, embs):
     # near-dups (same tight cluster, cos ~ 1) are excluded by hi
     same_cluster = [(a, b) for a, b in pairs if a % 3 == b % 3]
     assert not same_cluster
+
+
+# ------------------------------------------------------------------ #
+# Sketches: HLL / Count-Min / Bloom laws
+# ------------------------------------------------------------------ #
+
+
+def test_sketch_laws(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    # HLL: estimate within the textbook error envelope for m=256
+    # (1.04/sqrt(m) ~ 6.5%; allow 3 sigma) and positive.
+    for r in sketches.hll_distinct(docs).collect():
+        assert r["n_exact"] > 0 and r["hll_est"] > 0
+        assert abs(r["rel_err"]) < 0.20, r
+
+    # CMS: overestimate-only, and estimates of heavy hitters are
+    # within one grid-collision of exact (width 256 >> distinct mass
+    # per cell at fixture scale).
+    cms = sketches.countmin_topk(docs, k=10).collect()
+    assert len(cms) == 10
+    for r in cms:
+        assert r["c_cms"] >= r["c_exact"], r
+
+    # Bloom: occupancy positive, never above k*n bits nor m, and the
+    # analytical expected fill agrees with the measured fill within a
+    # few points at fixture scale.
+    b = sketches.bloom_stats(docs).collect()[0]
+    assert 0 < b["n_bits_set"] <= min(4096, 4 * b["n_items"])
+    assert abs(b["fill_ratio"] - b["expected_fill"]) < 0.05, b
