@@ -2068,6 +2068,19 @@ def _q_corpus_split(spark, sf_dir):
     return curation.split_corpus(_docs(spark, sf_dir))
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Length-proportional weighted sample (Efraimidis-Spirakis A-ES
+    keys from portable md5 bits): deterministic unequal-probability
+    draw; global top-k, no corpus shuffle."""
+    return curation.weighted_sample(_docs(spark, sf_dir), k=32)
+
+
+def _q_grouped_split(spark, sf_dir):
+    """Leakage-safe whole-source split rollup (GroupShuffleSplit
+    discipline: intra-host near-dups cannot straddle train/val)."""
+    return curation.grouped_split(_docs(spark, sf_dir))
+
+
 def _q_chunk_text(spark, sf_dir):
     """Sliding-window doc chunking (64-token windows, 8 overlap) — the
     RAG/pretraining splitter; shuffle-free posexplode fan-out."""
@@ -2319,6 +2332,7 @@ _SF_SCALE = {
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
+    "weighted_sample", "grouped_split",
     "domain_quality", "cluster_representatives",
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
@@ -2599,6 +2613,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": _q_cluster_representatives,
         "curation_pipeline": _q_curation_pipeline,
         "corpus_split": _q_corpus_split,
+        "weighted_sample": _q_weighted_sample,
+        "grouped_split": _q_grouped_split,
         "quota_sample": _q_quota_sample,
         "incremental_dedup": _q_incremental_dedup,
         "budget_sample": _q_budget_sample,
@@ -4247,6 +4263,8 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["cluster_representatives"] = curation.cluster_representatives_oracle()
     sql["curation_pipeline"] = curation.curate_corpus_oracle()
     sql["corpus_split"] = curation.split_corpus_oracle()
+    sql["weighted_sample"] = curation.weighted_sample_oracle(k=32)
+    sql["grouped_split"] = curation.grouped_split_oracle()
     sql["budget_sample"] = curation.budget_sample_oracle(
         token_budget=800, overrides={"src1": 200}
     )

@@ -955,3 +955,125 @@ FROM j
 GROUP BY keeper_doc_id
 ORDER BY keeper_doc_id
 """
+
+
+# ------------------------------------------------------------------ #
+# Unequal-probability sampling + leakage-safe grouped split
+# ------------------------------------------------------------------ #
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = 32, salt: str = SPLIT_SALT
+) -> DataFrame:
+    """(doc_id, source, weight, key) — a deterministic weighted random
+    sample WITHOUT replacement of ``k`` documents with inclusion
+    probability proportional to length (weight = n_chars): the
+    Efraimidis–Spirakis A-ES reservoir scheme (public literature),
+    which is THE one-pass distributed recipe — each row gets key =
+    ln(u) / w for u ~ U(0,1) and the global top-k keys are the sample
+    (ln(u)/w is the monotone, well-conditioned form of u^(1/w)).
+
+    Determinism: u is the portable md5 slice (12 hex = 48 bits, +1 so
+    u > 0; numerator and denominator both exactly representable), so
+    the sample is reproducible across runs, engines, and partitionings
+    — the property df.sample() cannot give and a training-mixture
+    recipe must have.
+
+    Scale: narrow projection + global top-k (TakeOrdered — partial
+    per-partition heaps, no full sort, no shuffle of the corpus)."""
+    u = (
+        _hex48(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))))
+        + 1.0
+    ) / float((1 << 48) + 1)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            key.alias("key"),
+        )
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(k)
+    )
+
+
+def _hex48(h):
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long").cast("double")
+
+
+def weighted_sample_oracle(k: int = 32, salt: str = SPLIT_SALT) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars AS weight,
+    ln((('0x' || substr(md5('{salt}' || doc_id), 1, 12))::BIGINT + 1.0)
+       / {float((1 << 48) + 1)!r}) / n_chars AS key
+  FROM documents)
+SELECT doc_id, source, weight, key
+FROM keyed ORDER BY key DESC, doc_id LIMIT {k}
+"""
+
+
+def grouped_split(
+    docs: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    group: str = "source",
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """(split, n_groups, n_docs) — the leakage-safe corpus split:
+    hash-bucket WHOLE groups (hosts/sources), not documents, so near-
+    duplicate pages from one site can never straddle train/val — the
+    GroupShuffleSplit discipline that doc-level splitting (see
+    ``split_corpus``) violates on a web corpus where intra-host
+    near-dups are the norm.
+
+    Assignment is one md5 of the group key (content-independent,
+    incremental-load stable); the rollup is a two-level agg.  At scale
+    the assignment is a broadcast-joinable group->split table, and the
+    audit rollup here is its health check."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(group))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select(F.col(group).alias("grp"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("grp").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+def grouped_split_oracle(
+    val_pct: int = 10,
+    test_pct: int = 10,
+    group: str = "source",
+    salt: str = SPLIT_SALT,
+) -> str:
+    return f"""
+WITH b AS (
+  SELECT {group} AS grp,
+    ('0x' || substr(md5('{salt}' || {group}), 1, 4))::BIGINT % 100 AS bucket
+  FROM documents),
+s AS (
+  SELECT grp,
+    CASE WHEN bucket < {test_pct} THEN 'test'
+         WHEN bucket < {test_pct} + {val_pct} THEN 'val'
+         ELSE 'train' END AS split
+  FROM b)
+SELECT split, count(DISTINCT grp)::BIGINT AS n_groups,
+       count(*)::BIGINT AS n_docs
+FROM s GROUP BY split ORDER BY split
+"""

@@ -999,3 +999,34 @@ def test_sketch_laws(spark, docs):
     b = sketches.bloom_stats(docs).collect()[0]
     assert 0 < b["n_bits_set"] <= min(4096, 4 * b["n_items"])
     assert abs(b["fill_ratio"] - b["expected_fill"]) < 0.05, b
+
+
+def test_weighted_sample_laws(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    # k larger than corpus -> everything, keys strictly descending,
+    # deterministic across runs.
+    a = C.weighted_sample(docs, k=10).collect()
+    b = C.weighted_sample(docs, k=10).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 5
+    keys = [r["key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert all(r["key"] < 0 and r["weight"] > 0 for r in a)
+    # truncation takes the key-order prefix
+    top2 = [r["doc_id"] for r in C.weighted_sample(docs, k=2).collect()]
+    assert top2 == [r["doc_id"] for r in a[:2]]
+    # a different salt re-rolls the draw order
+    c = [r["doc_id"] for r in C.weighted_sample(docs, k=5, salt="v2").collect()]
+    assert set(c) == {r["doc_id"] for r in a}  # same 5 docs survive k>=n
+    assert c != [r["doc_id"] for r in a] or True  # order may coincide
+
+
+def test_grouped_split_no_group_straddles(spark, docs):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    out = C.grouped_split(docs, val_pct=30, test_pct=30).collect()
+    assert sum(r["n_docs"] for r in out) == 5
+    assert sum(r["n_groups"] for r in out) == 5  # 5 distinct sources
+    # every group lands in exactly one split: per-split group counts
+    # sum to the total distinct groups (no double counting)
