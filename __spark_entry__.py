@@ -985,6 +985,15 @@ def _q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.countmin_topk(_docs(spark, sf_dir), k=20)
 
 
+def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length quantiles from a bottom-256 md5 priority sample
+    (KMV-style coordinated uniform sample; global top-k, no corpus
+    sort) vs the exact corpus quantiles."""
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    return sketches.quantile_sketch(_docs(spark, sf_dir))
+
+
 def _q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seen-URL Bloom-filter health: k=4 probes into 4096 bits over
     document keys; exact occupancy + implied FP rate + analytical
@@ -2305,7 +2314,7 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
-    "sketch_hll", "sketch_countmin", "sketch_bloom",
+    "sketch_hll", "sketch_countmin", "sketch_bloom", "sketch_quantiles",
     "mention_contexts", "length_percentiles",
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
@@ -2485,6 +2494,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": _q_sketch_hll,
         "sketch_countmin": _q_sketch_countmin,
         "sketch_bloom": _q_sketch_bloom,
+        "sketch_quantiles": _q_sketch_quantiles,
         "mention_contexts": _q_mention_contexts,
         "length_percentiles": _q_length_percentiles,
         "predicate_cardinality": _q_predicate_cardinality,
@@ -3378,6 +3388,7 @@ gb AS (
     sql["sketch_hll"] = _sk.hll_distinct_oracle()
     sql["sketch_countmin"] = _sk.countmin_topk_oracle(k=20)
     sql["sketch_bloom"] = _sk.bloom_stats_oracle()
+    sql["sketch_quantiles"] = _sk.quantile_sketch_oracle()
     sql["mention_contexts"] = textstats.mention_contexts_oracle(
         _MENTION_TERMS, window=3
     )

@@ -199,6 +199,17 @@ def main() -> None:
         "host_reciprocity",
         "source_dup_rate",
         "host_crawl_recency",
+        # session-8: trust propagation, LM scoring, SCC, sketches,
+        # unequal-probability sampling, leakage-safe split
+        "host_trustrank",
+        "bigram_logprob",
+        "graph_scc",
+        "sketch_hll",
+        "sketch_countmin",
+        "sketch_bloom",
+        "sketch_quantiles",
+        "weighted_sample",
+        "grouped_split",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -288,3 +288,78 @@ SELECT n_items, n_bits_set,
   1.0 - (1.0 - 1.0 / {m}) ^ (n_items * {k}) AS expected_fill
 FROM agg
 """
+
+
+#: Quantile sketch: bottom-k priority sample size.
+KMV_K = 256
+QUANTS = (0.1, 0.5, 0.9, 0.99)
+
+
+def quantile_sketch(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(quantile, est_tokens, exact_tokens, rel_err) — token-length
+    quantiles estimated from a bottom-``k`` PRIORITY SAMPLE (rank all
+    docs by the portable md5 of their id, keep the k smallest hashes —
+    the KMV-style uniform coordinated sample) against the exact
+    corpus quantiles computed from the full stream.
+
+    Why this shape at 100 TB: the bottom-k sample is a global top-k
+    (per-partition heaps, no corpus shuffle, no sort), is COORDINATED
+    across runs and engines (hash order, not RNG), and 256 points pin
+    every decile of a unimodal length distribution well inside the
+    corpus-noise band — the cheap stand-in for a full KLL/t-digest
+    register merge, with the exact twin as the sf-scale truth
+    harness.  Exact-side percentile is Spark's linear-interpolation
+    `percentile`, bit-matched by DuckDB's `quantile_cont` (the
+    engine's established pairing)."""
+    lens = docs.select(
+        "doc_id",
+        F.when(norm_col() == "", 0)
+        .otherwise(F.size(F.split(norm_col(), " ")))
+        .alias("n_tokens"),
+        F.md5(F.concat(F.lit("kmv:"), F.col("doc_id").cast("string"))).alias(
+            "pri"
+        ),
+    )
+    sample = lens.orderBy("pri", "doc_id").limit(k)
+    qs = list(QUANTS)
+    qarr = ", ".join(str(q) for q in qs)
+    s_est = sample.agg(
+        F.expr(f"percentile(n_tokens, array({qarr}))").alias("est")
+    )
+    s_exact = lens.agg(
+        F.expr(f"percentile(n_tokens, array({qarr}))").alias("exact")
+    )
+    zipped = s_est.crossJoin(s_exact).select(
+        F.posexplode(F.arrays_zip("est", "exact")).alias("i", "z")
+    )
+    qlit = F.array(*[F.lit(q) for q in qs])
+    return zipped.select(
+        F.element_at(qlit, F.col("i") + 1).alias("quantile"),
+        F.col("z.est").alias("est_tokens"),
+        F.col("z.exact").alias("exact_tokens"),
+        (F.col("z.est") / F.col("z.exact") - 1.0).alias("rel_err"),
+    ).orderBy("quantile")
+
+
+def quantile_sketch_oracle(k: int = KMV_K) -> str:
+    qs = list(QUANTS)
+    qarr = ", ".join(str(q) for q in qs)
+    return f"""
+WITH lens AS (
+  SELECT doc_id,
+    CASE WHEN {norm_sql()} = '' THEN 0
+         ELSE len({tokens_sql(norm_sql())}) END AS n_tokens,
+    md5('kmv:' || doc_id) AS pri
+  FROM documents),
+sample AS (SELECT * FROM lens ORDER BY pri, doc_id LIMIT {k}),
+est AS (SELECT quantile_cont(n_tokens, [{qarr}]) AS e FROM sample),
+exact AS (SELECT quantile_cont(n_tokens, [{qarr}]) AS x FROM lens),
+q AS (SELECT unnest([{qarr}]) AS quantile,
+             unnest(generate_series(1, {len(qs)})) AS i)
+SELECT q.quantile::DOUBLE AS quantile,
+  est.e[q.i]::DOUBLE AS est_tokens,
+  exact.x[q.i]::DOUBLE AS exact_tokens,
+  est.e[q.i] / exact.x[q.i] - 1.0 AS rel_err
+FROM q CROSS JOIN est CROSS JOIN exact
+ORDER BY q.quantile
+"""
