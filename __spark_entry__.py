@@ -2235,6 +2235,26 @@ def _q_graph_component_sizes(spark, sf_dir):
     )
 
 
+def _q_graph_assortativity(spark, sf_dir):
+    """Degree-assortativity coefficient (Newman r) of the induced
+    entity graph — the hub-wiring health signal (organic graphs are
+    mildly disassortative; link farms push r positive)."""
+    return graphstats.assortativity(
+        relational.induce_entity_edges(spark, sf_dir)
+    )
+
+
+def _q_graph_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function over the induced entity graph:
+    per-node 3-hop out-ball size, exact set propagation vs the 16-
+    register integer-HLL estimate propagated by max-merge (the
+    web-graph diameter/centrality algorithm; O(n*m) state vs the
+    exact twin's O(n*reach))."""
+    return graphstats.hyperball_reach(
+        relational.induce_entity_edges(spark, sf_dir), t=3
+    )
+
+
 def _q_graph_scc(spark, sf_dir):
     """Strongly connected components over a deterministic directed
     graph on the documents id space — the directed-cycle detector
@@ -2347,7 +2367,8 @@ _SF_SCALE = {
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
     "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore", "graph_hits",
-    "graph_component_sizes", "graph_scc",
+    "graph_component_sizes", "graph_scc", "graph_assortativity",
+    "graph_hyperball",
 }
 
 
@@ -2640,6 +2661,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": _q_graph_hits,
         "graph_component_sizes": _q_graph_component_sizes,
         "graph_scc": _q_graph_scc,
+        "graph_assortativity": _q_graph_assortativity,
+        "graph_hyperball": _q_graph_hyperball,
         "walk_skipgrams": _q_walk_skipgrams,
         "template_render": _q_template_render,
         "display_name": _q_display_name,
@@ -4314,6 +4337,12 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_component_sizes"] = graphstats.component_size_dist_sql(
         relational.lineitem_edges_sql()
+    )
+    sql["graph_assortativity"] = graphstats.assortativity_sql(
+        relational.ENTITY_EDGES_SQL
+    )
+    sql["graph_hyperball"] = graphstats.hyperball_reach_sql(
+        relational.ENTITY_EDGES_SQL, t=3
     )
     # graph_scc oracle: arithmetic twin — the expected component ids
     # follow from the block spec directly (even 4-block = ring -> SCC

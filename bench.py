@@ -210,6 +210,8 @@ def main() -> None:
         "sketch_quantiles",
         "weighted_sample",
         "grouped_split",
+        "graph_assortativity",
+        "graph_hyperball",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -1197,3 +1197,206 @@ def scc(
     for d in done[1:]:
         out = out.unionByName(d)
     return out.orderBy("node")
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, assortativity) — degree-assortativity
+    coefficient (Newman 2002): the Pearson correlation of endpoint
+    total-degrees over the symmetrized undirected edge set.  A classic
+    web-graph health signal: organic link graphs are mildly
+    DISassortative (hubs link to leaves, r < 0), while link farms and
+    mutual-citation rings push r positive.
+
+    One degree agg + two broadcast-sized joins + corr() (a single
+    distributed moment aggregation — no pair materialization beyond
+    the edge list itself)."""
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    pairs = (
+        sym.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("x")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("y")), "b")
+    )
+    return pairs.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.corr("x", "y").alias("assortativity"),
+    )
+
+
+def assortativity_sql(edges_cte: str) -> str:
+    """DuckDB twin; ``edges_cte`` must define ``edges(src, dst)``."""
+    return f"""
+WITH {edges_cte.strip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+pairs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM sym JOIN deg da ON sym.a = da.node JOIN deg db ON sym.b = db.node)
+SELECT (count(*) / 2)::BIGINT AS n_edges, corr(x, y) AS assortativity
+FROM pairs
+"""
+
+
+#: HyperBall: m = 16 registers (1 hex char), 24-bit rho window.
+HB_M = 16
+HB_ALPHA = 0.673  # Flajolet's alpha_16
+
+
+def hyperball_reach(edges: DataFrame, t: int = 3) -> DataFrame:
+    """(node, exact_reach, est_reach, rel_err) — the size of every
+    node's out-ball (nodes reachable within ``t`` hops, self included):
+    exact set propagation vs a HyperBall estimate (Boldi & Vigna 2013
+    — THE web-graph neighborhood-function/diameter algorithm: each
+    node carries a tiny HLL register vector; one round merges each
+    node's registers with its successors' via max).
+
+    Registers are the engine's integer HLL idiom (bucket = 1 hex char
+    of md5(node), rho from the next 6 hex; register merge = groupBy
+    max — associative, map-side combinable), so a round is ONE edge
+    join + ONE max-agg over (node, bucket): O(t) shuffles total,
+    register state m=16 rows per node.  At 100 TB this is the whole
+    point — exact per-node reach is O(n * reach) state (the twin
+    column here is the fixture-scale truth harness), HyperBall is
+    O(n * m) flat.  Estimator identical to sketches.hll_distinct
+    (integer harmonic sum, linear-counting small-range branch)."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = _nodes(e).localCheckpoint(eager=True)
+    h = F.md5(F.col("seen"))
+    w = F.conv(F.substring(h, 2, 6), 16, 10).cast("long")
+    rho = (
+        F.when(w == 0, F.lit(25))
+        .otherwise(25 - F.length(F.conv(F.substring(h, 2, 6), 16, 2)))
+    )
+    bucket = F.conv(F.substring(h, 1, 1), 16, 10).cast("long")
+    # exact ball via set propagation; registers derived FROM the exact
+    # frontier each round would defeat the point — registers propagate
+    # independently below.
+    ball = nodes.select("node", F.col("node").alias("seen"))
+    regs = nodes.select(
+        "node", F.col("node").alias("seen")
+    ).select("node", bucket.alias("bucket"), rho.alias("rho"))
+    for _ in range(t):
+        ball = (
+            ball.unionByName(
+                e.join(
+                    ball.select(F.col("node").alias("dst"), "seen"), "dst"
+                ).select(F.col("src").alias("node"), "seen")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        regs = (
+            regs.unionByName(
+                e.join(
+                    regs.select(F.col("node").alias("dst"), "bucket", "rho"),
+                    "dst",
+                ).select(F.col("src").alias("node"), "bucket", "rho")
+            )
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+    exact = ball.groupBy("node").agg(
+        F.countDistinct("seen").alias("exact_reach")
+    )
+    m = HB_M
+    summed = regs.groupBy("node").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), 25 - F.col("rho")).cast("long"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
+        ).alias("int_sum"),
+        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
+    )
+    e_raw = F.lit(HB_ALPHA * m * m * (1 << 25)) / F.col("int_sum")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    return (
+        exact.join(summed, "node")
+        .select(
+            "node",
+            "exact_reach",
+            est.alias("est_reach"),
+            (est / F.col("exact_reach") - 1.0).alias("rel_err"),
+        )
+        .orderBy("node")
+    )
+
+
+def hyperball_reach_sql(edges_cte: str, t: int = 3) -> str:
+    """DuckDB twin: identical register rounds unrolled as chained
+    CTEs + a capped recursive reach for the exact column."""
+    m = HB_M
+    rounds = []
+    prev_b, prev_r = "b0", "r0"
+    for i in range(1, t + 1):
+        rounds.append(f"""
+b{i} AS MATERIALIZED (
+  SELECT DISTINCT node, seen FROM (
+    SELECT node, seen FROM {prev_b}
+    UNION ALL
+    SELECT e.src AS node, p.seen FROM edges e
+    JOIN {prev_b} p ON e.dst = p.node)),
+r{i} AS MATERIALIZED (
+  SELECT node, bucket, max(rho) AS rho FROM (
+    SELECT node, bucket, rho FROM {prev_r}
+    UNION ALL
+    SELECT e.src AS node, p.bucket, p.rho FROM edges e
+    JOIN {prev_r} p ON e.dst = p.node)
+  GROUP BY node, bucket)""")
+        prev_b, prev_r = f"b{i}", f"r{i}"
+    alpha_c = repr(HB_ALPHA * m * m * (1 << 25))
+    return f"""
+WITH {edges_cte.strip()},
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+b0 AS MATERIALIZED (SELECT node, node AS seen FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node,
+    ('0x' || substr(md5(node), 1, 1))::BIGINT AS bucket,
+    CASE WHEN ('0x' || substr(md5(node), 2, 6))::BIGINT = 0 THEN 25
+         ELSE 25 - len(bin(('0x' || substr(md5(node), 2, 6))::BIGINT))
+    END AS rho
+  FROM nodes),
+{",".join(rounds)},
+exact AS (
+  SELECT node, count(DISTINCT seen)::BIGINT AS exact_reach
+  FROM {prev_b} GROUP BY node),
+summed AS (
+  SELECT node,
+    (sum((2::BIGINT ^ (25 - rho))::BIGINT)::BIGINT
+      + ({m} - count(*)) * {1 << 25})::BIGINT AS int_sum,
+    ({m} - count(*))::BIGINT AS v_zero
+  FROM {prev_r} GROUP BY node),
+est AS (
+  SELECT x.node, x.exact_reach,
+    CASE WHEN ({alpha_c} / s.int_sum) <= {2.5 * m} AND s.v_zero > 0
+         THEN {float(m)} * ln({float(m)} / s.v_zero)
+         ELSE {alpha_c} / s.int_sum END AS est_reach
+  FROM exact x JOIN summed s USING (node))
+SELECT node, exact_reach, est_reach,
+  est_reach / exact_reach - 1.0 AS rel_err
+FROM est ORDER BY node
+"""
