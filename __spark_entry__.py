@@ -994,6 +994,15 @@ def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.quantile_sketch(_docs(spark, sf_dir))
 
 
+def _q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability: per-source HLL registers max-merged into
+    the union estimate vs the exact cross-source distinct count (and
+    the naive per-shard sum it corrects)."""
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    return sketches.hll_merge(_docs(spark, sf_dir))
+
+
 def _q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seen-URL Bloom-filter health: k=4 probes into 4096 bits over
     document keys; exact occupancy + implied FP rate + analytical
@@ -2335,6 +2344,7 @@ _SF_SCALE = {
     "json_props_profile", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
     "sketch_hll", "sketch_countmin", "sketch_bloom", "sketch_quantiles",
+    "sketch_hll_merge",
     "mention_contexts", "length_percentiles",
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
@@ -2516,6 +2526,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_countmin": _q_sketch_countmin,
         "sketch_bloom": _q_sketch_bloom,
         "sketch_quantiles": _q_sketch_quantiles,
+        "sketch_hll_merge": _q_sketch_hll_merge,
         "mention_contexts": _q_mention_contexts,
         "length_percentiles": _q_length_percentiles,
         "predicate_cardinality": _q_predicate_cardinality,
@@ -3412,6 +3423,7 @@ gb AS (
     sql["sketch_countmin"] = _sk.countmin_topk_oracle(k=20)
     sql["sketch_bloom"] = _sk.bloom_stats_oracle()
     sql["sketch_quantiles"] = _sk.quantile_sketch_oracle()
+    sql["sketch_hll_merge"] = _sk.hll_merge_oracle()
     sql["mention_contexts"] = textstats.mention_contexts_oracle(
         _MENTION_TERMS, window=3
     )

@@ -363,3 +363,109 @@ SELECT q.quantile::DOUBLE AS quantile,
 FROM q CROSS JOIN est CROSS JOIN exact
 ORDER BY q.quantile
 """
+
+
+def hll_merge(docs: DataFrame) -> DataFrame:
+    """One row (n_sources, sum_source_exact, exact_union, merged_est,
+    rel_err) — the MERGEABILITY demonstration that makes sketches the
+    distributed primitive: per-source HLL register vectors (computed as
+    if each source were its own shard) are combined by bucket-wise max
+    into the union sketch, whose estimate is compared against the true
+    cross-source distinct-token count.  ``sum_source_exact`` (the sum
+    of per-shard exact counts) is carried to show what naive addition
+    would claim — cross-shard overlap makes it a large overcount, which
+    the merged sketch removes WITHOUT re-reading any token stream.
+
+    Register construction is identical to :func:`hll_distinct` (integer
+    path, portable md5); the merge is one max-agg over (bucket) — at
+    cluster scale per-shard registers are 256-row side outputs and the
+    union costs O(shards x 256), not a second corpus pass."""
+    toks = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select("source", F.explode(tokens_col()).alias("term"))
+        .withColumn("h", F.md5("term"))
+    )
+    w = _hex_int(F.col("h"), 3, 6)
+    per_source = (
+        toks.select(
+            "source",
+            _hex_int(F.col("h"), 1, 2).alias("bucket"),
+            F.when(w == 0, F.lit(25))
+            .otherwise(25 - F.length(F.conv(F.substring("h", 3, 6), 16, 2)))
+            .alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = per_source.groupBy("bucket").agg(F.max("r").alias("r"))
+    m = HLL_M
+    summed = merged.agg(
+        (
+            F.sum(F.pow(F.lit(2.0), 25 - F.col("r")).cast("long"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
+        ).alias("int_sum"),
+        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
+    )
+    e_raw = F.lit(HLL_ALPHA * m * m * (1 << 25)) / F.col("int_sum")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    exacts = toks.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("term").alias("exact_union"),
+    )
+    per_exact = (
+        toks.groupBy("source")
+        .agg(F.countDistinct("term").alias("c"))
+        .agg(F.sum("c").alias("sum_source_exact"))
+    )
+    return (
+        exacts.crossJoin(per_exact)
+        .crossJoin(summed)
+        .select(
+            "n_sources",
+            "sum_source_exact",
+            "exact_union",
+            est.alias("merged_est"),
+            (est / F.col("exact_union") - 1.0).alias("rel_err"),
+        )
+    )
+
+
+def hll_merge_oracle() -> str:
+    m = HLL_M
+    h = "md5(term)"
+    w = _hex_int_sql(h, 3, 6)
+    alpha_c = repr(HLL_ALPHA * m * m * (1 << 25))
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({tokens_sql(norm_sql())}) AS term
+  FROM documents WHERE {norm_sql()} <> ''),
+per_source AS (
+  SELECT source, {_hex_int_sql(h, 1, 2)} AS bucket,
+    max(CASE WHEN {w} = 0 THEN 25 ELSE 25 - len(bin({w})) END) AS r
+  FROM toks GROUP BY source, bucket),
+merged AS (SELECT bucket, max(r) AS r FROM per_source GROUP BY bucket),
+summed AS (
+  SELECT (sum((2::BIGINT ^ (25 - r))::BIGINT)::BIGINT
+           + ({m} - count(*)) * {1 << 25})::BIGINT AS int_sum,
+         ({m} - count(*))::BIGINT AS v_zero
+  FROM merged),
+exacts AS (
+  SELECT count(DISTINCT source)::BIGINT AS n_sources,
+         count(DISTINCT term)::BIGINT AS exact_union
+  FROM toks),
+per_exact AS (
+  SELECT sum(c)::BIGINT AS sum_source_exact FROM (
+    SELECT count(DISTINCT term)::BIGINT AS c FROM toks GROUP BY source)),
+est AS (
+  SELECT CASE WHEN ({alpha_c} / int_sum) <= {2.5 * m} AND v_zero > 0
+              THEN {float(m)} * ln({float(m)} / v_zero)
+              ELSE {alpha_c} / int_sum END AS merged_est
+  FROM summed)
+SELECT x.n_sources, p.sum_source_exact, x.exact_union, e.merged_est,
+  e.merged_est / x.exact_union - 1.0 AS rel_err
+FROM exacts x CROSS JOIN per_exact p CROSS JOIN est e
+"""
