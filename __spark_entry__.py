@@ -2086,6 +2086,15 @@ def _q_corpus_split(spark, sf_dir):
     return curation.split_corpus(_docs(spark, sf_dir))
 
 
+def _q_mixture_weights(spark, sf_dir):
+    """Temperature-based source-mixing recipe (n^0.3 flattening):
+    per-source sampling weight, expected token draw, implied epochs —
+    computes the budgets that budget_sample executes."""
+    return curation.mixture_weights(
+        _docs(spark, sf_dir), alpha=0.3, token_budget=100_000
+    )
+
+
 def _q_weighted_sample(spark, sf_dir):
     """Length-proportional weighted sample (Efraimidis-Spirakis A-ES
     keys from portable md5 bits): deterministic unequal-probability
@@ -2371,7 +2380,7 @@ _SF_SCALE = {
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
-    "weighted_sample", "grouped_split",
+    "weighted_sample", "grouped_split", "mixture_weights",
     "domain_quality", "cluster_representatives",
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
@@ -2656,6 +2665,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "corpus_split": _q_corpus_split,
         "weighted_sample": _q_weighted_sample,
+        "mixture_weights": _q_mixture_weights,
         "grouped_split": _q_grouped_split,
         "quota_sample": _q_quota_sample,
         "incremental_dedup": _q_incremental_dedup,
@@ -4310,6 +4320,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["curation_pipeline"] = curation.curate_corpus_oracle()
     sql["corpus_split"] = curation.split_corpus_oracle()
     sql["weighted_sample"] = curation.weighted_sample_oracle(k=32)
+    sql["mixture_weights"] = curation.mixture_weights_oracle(
+        alpha=0.3, token_budget=100_000
+    )
     sql["grouped_split"] = curation.grouped_split_oracle()
     sql["budget_sample"] = curation.budget_sample_oracle(
         token_budget=800, overrides={"src1": 200}

@@ -1077,3 +1077,70 @@ SELECT split, count(DISTINCT grp)::BIGINT AS n_groups,
        count(*)::BIGINT AS n_docs
 FROM s GROUP BY split ORDER BY split
 """
+
+
+def mixture_weights(
+    docs: DataFrame, alpha: float = 0.3, token_budget: int = 100_000
+) -> DataFrame:
+    """(source, n_tokens, weight, expected_tokens, epochs) — the
+    temperature-based mixture recipe (mC4 / multilingual-LM sampling,
+    public literature): source i is drawn with weight n_i^alpha /
+    sum_j n_j^alpha, flattening the natural-size distribution so giant
+    sources stop drowning small ones (alpha = 1 is proportional,
+    alpha = 0 uniform).  ``expected_tokens`` = weight x budget;
+    ``epochs`` = expected_tokens / n_i is the over-sampling factor the
+    recipe implies for each small source — the number a data engineer
+    actually checks before a run (epochs >> 1 on a tiny source means
+    memorization risk).
+
+    One token-count aggregation per source + a broadcast total; the
+    weight math is a projection.  Complements ``budget_sample`` (which
+    EXECUTES a draw given explicit budgets) by COMPUTING the budgets."""
+    from .textstats import norm_col, tokens_col
+
+    n = (
+        docs.withColumn("norm", norm_col())
+        .select(
+            "source",
+            F.when(F.col("norm") == "", 0)
+            .otherwise(F.size(tokens_col()))
+            .alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").alias("n_tokens"))
+    )
+    tot = n.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), alpha)).alias("z")
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), alpha) / F.col("z")
+    return (
+        n.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            w.alias("weight"),
+            (w * token_budget).alias("expected_tokens"),
+            (w * token_budget / F.col("n_tokens")).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_weights_oracle(
+    alpha: float = 0.3, token_budget: int = 100_000
+) -> str:
+    from .textstats import norm_sql, tokens_sql
+
+    return f"""
+WITH n AS (
+  SELECT source,
+    sum(CASE WHEN {norm_sql()} = '' THEN 0
+             ELSE len({tokens_sql(norm_sql())}) END)::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens ^ {alpha}) AS z FROM n)
+SELECT source, n_tokens,
+  (n_tokens ^ {alpha}) / tot.z AS weight,
+  (n_tokens ^ {alpha}) / tot.z * {token_budget} AS expected_tokens,
+  (n_tokens ^ {alpha}) / tot.z * {token_budget} / n_tokens AS epochs
+FROM n CROSS JOIN tot ORDER BY source
+"""
