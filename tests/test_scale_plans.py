@@ -593,3 +593,52 @@ def test_negative_samples_no_global_single_partition_window(spark):
     # unpartitioned window allowed is the 256-row bucket-offset cumsum
     assert "row_number() windowspecdefinition(bucket" in p
     assert "CartesianProduct" not in p
+
+
+# ------------------------------------------------------------------ #
+# session-8 ops: sketches / sampling / graph structure
+# ------------------------------------------------------------------ #
+
+
+def test_sketch_register_aggs_partial_and_no_cartesian(docs):
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    for df in (
+        sketches.hll_distinct(docs),
+        sketches.countmin_topk(docs, k=5),
+        sketches.bloom_stats(docs),
+        sketches.hll_merge(docs),
+    ):
+        plan = _plan(df)
+        # register construction is a hash aggregation (map-side partial
+        # -> O(cells) shuffle), never an object-hash agg or a cartesian
+        assert "CartesianProduct" not in plan
+        assert "ObjectHashAggregate" not in plan
+        assert "HashAggregate" in plan
+
+
+def test_weighted_sample_plan_is_take_ordered(docs):
+    from orionbelt_ontology_builder_spark.datapipe import curation
+
+    plan = _plan(curation.weighted_sample(docs, k=3))
+    # global top-k must compile to TakeOrdered (per-partition heaps),
+    # not a full Sort + Exchange of the corpus
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_sample_is_take_ordered(docs):
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    plan = _plan(sketches.quantile_sketch(docs, k=3))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_assortativity_no_cartesian_single_corr_agg(spark):
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], "src string, dst string"
+    )
+    plan = _plan(G.assortativity(edges))
+    assert "CartesianProduct" not in plan
