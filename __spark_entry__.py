@@ -2000,6 +2000,19 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
     return dedup.cosine_pairs(_embs(spark, sf_dir), max_vec_id=300, dim=EMB_DIM)
 
 
+def _q_decontaminate_embedding(spark, sf_dir):
+    """Semantic decontamination: corpus vectors whose max cosine to
+    any benchmark vector (vec_id % 13 = 0 stand-in eval set) reaches
+    the flag threshold — the paraphrase-leakage complement of the
+    n-gram decontaminate pass; broadcast benchmark, one corpus scan +
+    max-agg.  Threshold 0.45 is calibrated to the synthetic embedding
+    corpus (cross-vector cosines top out ~0.51; a real near-dup
+    corpus would run 0.95+) so both flag classes appear in the gate."""
+    return similarity.decontaminate_embedding(
+        _embs(spark, sf_dir), threshold=0.45, dim=EMB_DIM
+    )
+
+
 def _q_dedup_embedding_cosine_ivf(spark, sf_dir):
     return similarity.ivf_cosine_pairs(_embs(spark, sf_dir), dim=EMB_DIM)
 
@@ -2375,6 +2388,7 @@ _SF_SCALE = {
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
     "passage_dup", "source_dup_rate", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
+    "decontaminate_embedding",
     "dedup_embedding_cosine_ivf", "hard_negatives",
     "ann_cosine_topk", "ann_ivf_topk",
     "sq8_stats", "label_centroids", "embedding_covariance",
@@ -2648,6 +2662,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "decontaminate_embedding": _q_decontaminate_embedding,
         "dedup_embedding_cosine_ivf": _q_dedup_embedding_cosine_ivf,
         "hard_negatives": _q_hard_negatives,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -4301,6 +4316,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dedup_simhash"] = dedup.simhash_oracle()
     sql["dedup_simhash_pairs"] = dedup.simhash_pairs_oracle()
     sql["dedup_embedding_cosine"] = dedup.cosine_pairs_oracle(max_vec_id=300)
+    sql["decontaminate_embedding"] = (
+        similarity.decontaminate_embedding_oracle(threshold=0.45)
+    )
     sql["dedup_embedding_cosine_ivf"] = similarity.ivf_cosine_pairs_oracle()
     sql["hard_negatives"] = similarity.hard_negatives_oracle()
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()

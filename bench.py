@@ -214,6 +214,7 @@ def main() -> None:
         "graph_hyperball",
         "sketch_hll_merge",
         "mixture_weights",
+        "decontaminate_embedding",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

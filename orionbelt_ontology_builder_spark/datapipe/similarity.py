@@ -813,3 +813,75 @@ SELECT anchor_id, neg_id, cos, pos
 FROM ranked WHERE pos <= {m}
 ORDER BY anchor_id, pos
 """
+
+
+def decontaminate_embedding(
+    embeddings: DataFrame,
+    bench_mod: int = 13,
+    threshold: float = 0.99,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, max_cos, contaminated) — semantic decontamination: flag
+    every corpus vector whose cosine to ANY benchmark vector reaches
+    ``threshold``.  The embedding-space complement of the n-gram
+    ``curation.decontaminate``: paraphrased or lightly-reworded eval
+    leakage carries no shared 8-gram but sits at cosine ~1 next to its
+    source (the RefinedWeb/FineWeb-style near-dup decon pass, public
+    literature).  Benchmark membership here mirrors the n-gram op's
+    convention: ``vec_id % bench_mod = 0`` stands in for the held-out
+    eval set.
+
+    Plan: benchmark side is DISTINCT + **broadcast** (eval suites are
+    thousands of rows, never corpus-scale); corpus scans once through a
+    broadcast nested-loop scoring join and ONE per-vector max-agg — no
+    corpus shuffle, no pair materialization beyond the stream.  At
+    |bench| beyond broadcast size the same call composes with the IVF
+    path (`ivf_topk` against the benchmark as queries); the brute form
+    is kept oracle-exact."""
+    e = _with_norm(embeddings, dim)
+    bench = e.filter(
+        (F.col("vec_id") % bench_mod) == 0
+    ).select(
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    corpus = e.filter((F.col("vec_id") % bench_mod) != 0)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        (
+            F.expr(dot_expr("embedding", "b_emb", dim))
+            / (F.col("nrm") * F.col("b_nrm"))
+        ).alias("cos"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= threshold).cast("int").alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def decontaminate_embedding_oracle(
+    bench_mod: int = 13, threshold: float = 0.99
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+bench AS (SELECT emb AS b_emb, nrm AS b_nrm FROM e
+          WHERE vec_id % {bench_mod} = 0),
+scored AS (
+  SELECT c.vec_id,
+    max(list_dot_product(c.emb, b.b_emb) / (c.nrm * b.b_nrm)) AS max_cos
+  FROM e c CROSS JOIN bench b
+  WHERE c.vec_id % {bench_mod} <> 0
+  GROUP BY c.vec_id)
+SELECT vec_id, max_cos,
+  (max_cos >= {threshold})::INT AS contaminated
+FROM scored ORDER BY vec_id
+"""
