@@ -2242,6 +2242,16 @@ def _q_graph_triangles(spark, sf_dir):
     return graphstats.triangle_count(relational.induce_lineitem_edges(spark, sf_dir))
 
 
+def _q_graph_local_clustering(spark, sf_dir):
+    """Per-node clustering coefficient on the tri-partite lineitem
+    slice — the over-merge detector (high degree + lcc ~ 0 = a hub
+    built by gluing unrelated aliases); ordered closure join + corner
+    explode + one key agg."""
+    return graphstats.local_clustering(
+        relational.induce_lineitem_edges(spark, sf_dir)
+    )
+
+
 def _q_walk_skipgrams(spark, sf_dir):
     """Skip-gram (center, context) training pairs from the
     deterministic walks — the actual node2vec/DeepWalk input; walks
@@ -2401,7 +2411,7 @@ _SF_SCALE = {
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
     "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore", "graph_hits",
     "graph_component_sizes", "graph_scc", "graph_assortativity",
-    "graph_hyperball",
+    "graph_hyperball", "graph_local_clustering",
 }
 
 
@@ -2698,6 +2708,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_component_sizes": _q_graph_component_sizes,
         "graph_scc": _q_graph_scc,
         "graph_assortativity": _q_graph_assortativity,
+        "graph_local_clustering": _q_graph_local_clustering,
         "graph_hyperball": _q_graph_hyperball,
         "walk_skipgrams": _q_walk_skipgrams,
         "template_render": _q_template_render,
@@ -4383,6 +4394,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_assortativity"] = graphstats.assortativity_sql(
         relational.ENTITY_EDGES_SQL
+    )
+    sql["graph_local_clustering"] = graphstats.local_clustering_sql(
+        relational.lineitem_edges_sql()
     )
     sql["graph_hyperball"] = graphstats.hyperball_reach_sql(
         relational.ENTITY_EDGES_SQL, t=3

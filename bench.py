@@ -215,6 +215,7 @@ def main() -> None:
         "sketch_hll_merge",
         "mixture_weights",
         "decontaminate_embedding",
+        "graph_local_clustering",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

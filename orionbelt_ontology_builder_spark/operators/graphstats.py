@@ -1400,3 +1400,94 @@ SELECT node, exact_reach, est_reach,
   est_reach / exact_reach - 1.0 AS rel_err
 FROM est ORDER BY node
 """
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(node, deg, n_triangles, lcc) — per-node local clustering
+    coefficient over the undirected simple graph: lcc = 2T(v) /
+    (deg(v)(deg(v)-1)), 0 for degree < 2.  The node-level extraction-
+    quality probe next to the global closure rate: a canonical entity
+    whose neighborhood never closes (lcc ~ 0 at high degree) is the
+    classic signature of a hub created by over-merging aliases.
+
+    Same ordered closure join as :func:`triangle_count` (each triangle
+    found once), then each triangle is exploded to its three corners
+    and counted per node — one extra narrow fan-out (x3) plus one
+    key-partitioned agg; per-node counts are orientation-invariant, so
+    the DuckDB twin keeps id-order and stays bit-identical."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    fwd = und.select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    e1, e2, e3 = fwd.alias("e1"), fwd.alias("e2"), fwd.alias("e3")
+    corners = (
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.lo"), F.col("e1.hi"), F.col("e2.hi"))
+            ).alias("node")
+        )
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(0.0)
+            .alias("lcc"),
+        )
+        .orderBy("node")
+    )
+
+
+def local_clustering_sql(edges_cte: str) -> str:
+    return f"""
+WITH {edges_cte.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+tris AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tris UNION ALL
+  SELECT y FROM tris UNION ALL
+  SELECT z FROM tris),
+tc AS (SELECT node, count(*)::BIGINT AS n_triangles
+       FROM corners GROUP BY node)
+SELECT d.node, d.deg, coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+  CASE WHEN d.deg >= 2
+       THEN 2.0 * coalesce(tc.n_triangles, 0) / (d.deg * (d.deg - 1))
+       ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tc ON d.node = tc.node
+ORDER BY d.node
+"""
