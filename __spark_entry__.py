@@ -700,6 +700,16 @@ def _q_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.latest_wins(quads)
 
 
+def _q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unary inclusion-dependency (foreign-key) discovery over the
+    relational source's key columns — the schema-induction pass that
+    justifies the edges sources.relational materializes.  Value-based,
+    so range-coincident keys (suppkey within custkey's 1..N) surface
+    too: that is what inclusion profiling reports; FK ranking adds
+    name/type priors downstream."""
+    return profiling.fk_discovery(spark, sf_dir)
+
+
 def _q_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key presence/type/cardinality profile of the events.props
     JSON column — the 'what attributes exist' pass over a raw event
@@ -2373,7 +2383,7 @@ _SF_SCALE = {
     "hypertable_rollup", "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
-    "json_props_profile", "deep_instance_counts", "bgp_match",
+    "json_props_profile", "fk_discovery", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
     "sketch_hll", "sketch_countmin", "sketch_bloom", "sketch_quantiles",
     "sketch_hll_merge",
@@ -2565,6 +2575,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_cardinality": _q_predicate_cardinality,
         "predicate_cooccurrence": _q_predicate_cooccurrence,
         "json_props_profile": _q_json_props_profile,
+        "fk_discovery": _q_fk_discovery,
         "deep_instance_counts": _q_deep_instance_counts,
         "shacl_conformance": _q_shacl_conformance,
         "skolemize_axioms": _q_skolemize_axioms,
@@ -3334,6 +3345,7 @@ ORDER BY resolution, bucket
     sql["json_props_profile"] = profiling.json_props_profile_sql(
         table="events", col="props"
     )
+    sql["fk_discovery"] = profiling.fk_discovery_sql()
     from orionbelt_ontology_builder_spark.operators import (
         validation as _validation,
     )

@@ -298,3 +298,105 @@ FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
 GROUP BY 1, 2
 ORDER BY pred_a, pred_b
 """
+
+
+#: (table, column) key-ish columns scanned by ``fk_discovery``.
+FK_COLUMNS = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("part", "p_partkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+]
+
+
+def fk_discovery(
+    spark, sf_dir: str, min_inclusion: float = 0.95
+) -> DataFrame:
+    """(col_a, col_b, n_a, n_common, inclusion) — unary inclusion-
+    dependency discovery over the relational source's key-ish columns:
+    directional coefficient |distinct(A) ∩ distinct(B)| / |distinct(A)|
+    per ordered column pair, reported where >= ``min_inclusion`` — the
+    classic foreign-key detector (SPIDER/Bell-Brockhausen family,
+    public literature) that schema-induction runs before ontology
+    induction turns relational rows into typed triples (the engine's
+    ``sources.relational`` needs exactly these edges to exist).
+
+    Plan: ONE tall distinct table (col_id, val) built from per-column
+    DISTINCT projections (each a pushed-down single-column scan), then
+    one self-equi-join on val (col_id pairs, never row pairs) + one
+    count agg per directed pair — no per-pair rescans of the base
+    tables, no cartesian on rows; the tall table is value-distinct so
+    the join fan-out per val is bounded by the column count."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for t, c in FK_COLUMNS:
+        parts.append(
+            spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            .select(F.col(c).cast("string").alias("val"))
+            .distinct()
+            .select(F.lit(f"{t}.{c}").alias("col_id"), "val")
+        )
+    tall = parts[0]
+    for p in parts[1:]:
+        tall = tall.unionByName(p)
+    tall = tall.persist()
+    sizes = tall.groupBy("col_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tall.alias("a"), tall.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.col_id") != F.col("b.col_id")),
+        )
+        .groupBy(
+            F.col("a.col_id").alias("col_a"), F.col("b.col_id").alias("col_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("col_id", "col_a")), "col_a"
+        )
+        .select(
+            "col_a",
+            "col_b",
+            F.col("n").alias("n_a"),
+            "n_common",
+            (F.col("n_common") / F.col("n")).alias("inclusion"),
+        )
+        .filter(F.col("inclusion") >= min_inclusion)
+        .orderBy("col_a", "col_b")
+    )
+
+
+def fk_discovery_sql(min_inclusion: float = 0.95) -> str:
+    sels = "\nUNION ALL\n".join(
+        f"SELECT '{t}.{c}' AS col_id, DISTINCT_VAL AS val FROM "
+        f"(SELECT DISTINCT {c}::VARCHAR AS DISTINCT_VAL FROM {t})"
+        for t, c in FK_COLUMNS
+    )
+    return f"""
+WITH tall AS MATERIALIZED ({sels}),
+sizes AS MATERIALIZED (
+  SELECT col_id, count(*)::BIGINT AS n FROM tall GROUP BY col_id),
+common AS (
+  SELECT a.col_id AS col_a, b.col_id AS col_b, count(*)::BIGINT AS n_common
+  FROM tall a JOIN tall b
+    ON a.val = b.val AND a.col_id <> b.col_id
+  GROUP BY a.col_id, b.col_id)
+SELECT c.col_a, c.col_b, s.n AS n_a, c.n_common,
+  c.n_common / s.n AS inclusion
+FROM common c JOIN sizes s ON s.col_id = c.col_a
+WHERE c.n_common / s.n >= {min_inclusion}
+ORDER BY c.col_a, c.col_b
+"""
