@@ -220,6 +220,7 @@ def main() -> None:
         "mixture_weights",
         "decontaminate_embedding",
         "graph_local_clustering",
+        "fk_discovery",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
