@@ -461,3 +461,42 @@ def test_scc_figure_eight_shares_node(spark):
         ("d", "e"),
     ])
     assert out == {"a": "d", "b": "d", "c": "d", "d": "d", "e": "e"}
+
+
+def _scc_reference(edges):
+    """Exact SCC via transitive closure (python reference)."""
+    nodes = sorted({x for e in edges for x in e})
+    adj = {n: set() for n in nodes}
+    for s, d in edges:
+        adj[s].add(d)
+    reach = {}
+    for n in nodes:
+        seen, stack = {n}, [n]
+        while stack:
+            for m in adj[stack.pop()]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        reach[n] = seen
+    return {
+        n: max(m for m in reach[n] if n in reach[m]) for n in nodes
+    }
+
+
+def test_scc_random_graphs_match_reference(spark):
+    """Property check: the coloring peel equals exact closure SCC on
+    random digraphs (self-loops, parallel intent, multi-SCC chains)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nodes = [f"n{i:02d}" for i in range(8)]
+    edge = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes))
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=18))
+    def run(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["scc_id"] for r in G.scc(df).collect()}
+        assert got == _scc_reference(edges)
+
+    run()
