@@ -970,6 +970,13 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per doc (Arrow mapInPandas — CPU-bound
+    byte work, the sanctioned Python path); rows-only driver check,
+    exact plain-Python pytest twin."""
+    return textstats.compression_ratio(_docs(spark, sf_dir))
+
+
 def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One LM order up from unigram_logprob: mean conditional bigram
     logprob per doc under the corpus's own Lidstone bigram LM — the
@@ -2385,6 +2392,7 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "fk_discovery", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
+    "compression_ratio",
     "sketch_hll", "sketch_countmin", "sketch_bloom", "sketch_quantiles",
     "sketch_hll_merge",
     "mention_contexts", "length_percentiles",
@@ -2565,6 +2573,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": _q_bpe_merge_pairs,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
+        "compression_ratio": _q_compression_ratio,
         "sketch_hll": _q_sketch_hll,
         "sketch_countmin": _q_sketch_countmin,
         "sketch_bloom": _q_sketch_bloom,

@@ -221,6 +221,7 @@ def main() -> None:
         "decontaminate_embedding",
         "graph_local_clustering",
         "fk_discovery",
+        "compression_ratio",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -1421,3 +1421,50 @@ scored AS (
 SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(lp) AS mean_logprob
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio) — zlib(level 6)
+    compressibility per document: THE cheap model-free gibberish/
+    boilerplate detector (highly repetitive boilerplate compresses far
+    below natural prose; random gibberish barely compresses at all —
+    both tails get filtered in C4/Gopher-era pipelines, public
+    literature).
+
+    This is deliberately on the Arrow path (``mapInPandas``): real
+    byte-level compression is CPU-bound per-doc work no SQL builtin
+    expresses, exactly the case the engine reserves Python for — one
+    Arrow batch in/out, no shuffle, runs on the table's existing
+    partitioning.  zlib output is deterministic for a fixed level, so
+    the pytest twin checks EXACT equality against a plain-Python
+    reference; the driver check is rows-only (DuckDB has no zlib)."""
+    import zlib
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = pdf["text"].fillna("").map(lambda t: t.encode("utf-8"))
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "ratio": (
+                        comp / n.where(n > 0, 1)
+                    ).astype("float64"),
+                }
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            batches,
+            "doc_id long, n_bytes long, n_compressed long, ratio double",
+        )
+        .orderBy("doc_id")
+    )

@@ -1030,3 +1030,26 @@ def test_grouped_split_no_group_straddles(spark, docs):
     assert sum(r["n_groups"] for r in out) == 5  # 5 distinct sources
     # every group lands in exactly one split: per-split group counts
     # sum to the total distinct groups (no double counting)
+
+
+def test_compression_ratio_exact_python_twin(spark, docs):
+    import zlib
+
+    from orionbelt_ontology_builder_spark.datapipe import textstats as T
+
+    got = {r["doc_id"]: r for r in T.compression_ratio(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        b = row["text"].encode("utf-8")
+        exp = len(zlib.compress(b, 6))
+        assert got[row["doc_id"]]["n_bytes"] == len(b)
+        assert got[row["doc_id"]]["n_compressed"] == exp
+        assert abs(got[row["doc_id"]]["ratio"] - exp / len(b)) < 1e-12
+    # repetitive text compresses much better than high-entropy text
+    import string
+    rep = spark.createDataFrame(
+        [(0, "spam ham " * 200), (1, string.ascii_letters * 2 + "0123")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["ratio"]
+            for r in T.compression_ratio(rep).collect()}
+    assert rows[0] < 0.05 < rows[1]
