@@ -1684,6 +1684,25 @@ def _q_stream_user_totals(spark, sf_dir):
     return ST.stateful_user_totals_stream(spark, _STAGE_CACHE[key])
 
 
+def _q_stream_distinct_users(spark, sf_dir):
+    """Streaming sketch: per-event-type distinct-user HLL where the
+    STREAM STATE is the 256-row register table (bounded forever),
+    drained availableNow; estimator batch-side; DuckDB recomputes the
+    identical integer registers from the events view."""
+    import tempfile
+
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    key = (id(spark), sf_dir)
+    if key not in _STAGE_CACHE:
+        staged = tempfile.mkdtemp(prefix="obelt_events_")
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        _STAGE_CACHE[key] = staged
+    return ST.streaming_distinct_users(spark, _STAGE_CACHE[key])
+
+
 def _q_stream_dedup(spark, sf_dir):
     """Streaming exactly-once dedup: the events table staged TWICE into
     the stream directory (a replayed source); the drained result must
@@ -2405,7 +2424,8 @@ _SF_SCALE = {
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
     "length_histogram",
-    "stream_event_counts", "stream_user_totals", "stream_dedup", "kg_edges",
+    "stream_event_counts", "stream_user_totals", "stream_dedup",
+    "stream_distinct_users", "kg_edges",
     "kg_canonical_map",
     "kg_class_hierarchy", "page_text_extract", "host_link_graph",
     "host_rank", "crawl_frontier", "anchor_texts", "host_reciprocity",
@@ -2621,6 +2641,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_metadata": _q_ontology_metadata,
         "ontology_imports": _q_ontology_imports,
         "stream_event_counts": _q_stream_event_counts,
+        "stream_distinct_users": _q_stream_distinct_users,
         "stream_user_totals": _q_stream_user_totals,
         "stream_dedup": _q_stream_dedup,
         "nt_roundtrip": _q_nt_roundtrip,
@@ -3649,6 +3670,10 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
        count(*) AS n, sum(value) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
 """
+
+    from orionbelt_ontology_builder_spark.streaming import ingest as _ing
+
+    sql["stream_distinct_users"] = _ing.streaming_distinct_users_oracle()
 
     sql["stream_user_totals"] = """
 SELECT user_id, count(*) AS n_events, sum(value) AS total_value,

@@ -222,6 +222,7 @@ def main() -> None:
         "graph_local_clustering",
         "fk_discovery",
         "compression_ratio",
+        "stream_distinct_users",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

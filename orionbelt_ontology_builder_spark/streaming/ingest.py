@@ -255,3 +255,98 @@ def dedup_events_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ------------------------------------------------------------------ #
+# streaming sketch: per-type distinct-user HLL registers
+# ------------------------------------------------------------------ #
+
+
+def _hll_parts(user_col):
+    """(bucket, rho) integer HLL register parts from the portable md5
+    idiom — same construction as ``datapipe.sketches`` (m=256, 24-bit
+    rho window), so the DuckDB twin matches bit-for-bit."""
+    h = F.md5(user_col.cast("string"))
+    w = F.conv(F.substring(h, 3, 6), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(25)).otherwise(
+        25 - F.length(F.conv(F.substring(h, 3, 6), 16, 2))
+    )
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    return bucket, rho
+
+
+def streaming_distinct_users(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """(event_type, est_users) — per-event-type distinct-user estimate
+    where the STREAMING STATE is the HLL register table: groupBy
+    (event_type, bucket) max(rho) is a bounded-state streaming
+    aggregation (256 rows per type, forever), which is the entire
+    point of sketches in a stream — exact distinct state grows with
+    users, register state does not.  Drained with availableNow into a
+    memory sink; the estimator (identical integer harmonic sum +
+    linear-counting branch as ``sketches.hll_distinct``) runs batch-
+    side over the drained registers.
+
+    The paired oracle recomputes registers + estimator from the events
+    view in DuckDB (deterministic integers), and the batch exact count
+    is asserted against the estimate in pytest within the HLL error
+    envelope."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    bucket, rho = _hll_parts(F.col("user_id"))
+    regs = (
+        stream.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    name = "hll_regs_sink"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    summed = spark.table(name).groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), 25 - F.col("r")).cast("long"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
+        ).alias("int_sum"),
+        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
+    )
+    e_raw = F.lit(alpha * m * m * (1 << 25)) / F.col("int_sum")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    return summed.select(
+        "event_type", est.alias("est_users")
+    ).orderBy("event_type")
+
+
+def streaming_distinct_users_oracle() -> str:
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha_c = repr(alpha * m * m * (1 << 25))
+    h = "md5(user_id::VARCHAR)"
+    w = f"('0x' || substr({h}, 3, 6))::BIGINT"
+    return f"""
+WITH regs AS (
+  SELECT event_type, ('0x' || substr({h}, 1, 2))::BIGINT AS bucket,
+    max(CASE WHEN {w} = 0 THEN 25 ELSE 25 - len(bin({w})) END) AS r
+  FROM events GROUP BY event_type, bucket),
+summed AS (
+  SELECT event_type,
+    (sum((2::BIGINT ^ (25 - r))::BIGINT)::BIGINT
+      + ({m} - count(*)) * {1 << 25})::BIGINT AS int_sum,
+    ({m} - count(*))::BIGINT AS v_zero
+  FROM regs GROUP BY event_type)
+SELECT event_type,
+  CASE WHEN ({alpha_c} / int_sum) <= {2.5 * m} AND v_zero > 0
+       THEN {float(m)} * ln({float(m)} / v_zero)
+       ELSE {alpha_c} / int_sum END AS est_users
+FROM summed ORDER BY event_type
+"""

@@ -86,3 +86,30 @@ def test_stream_dedup_recovers_single_copy(spark, tmp_path):
     out = ST.dedup_events_stream(spark, d)
     assert out.count() == 20
     assert sorted(r["event_id"] for r in out.collect()) == list(range(20))
+
+
+def test_streaming_distinct_users_hll_envelope(spark, tmp_path):
+    """The drained streaming-HLL estimate lands inside the m=256 error
+    envelope of the exact per-type distinct-user count."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    sf = "/root/testdata/sf0.001"
+    staged = str(tmp_path / "ev")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev.write.mode("overwrite").parquet(staged)
+    got = {
+        r["event_type"]: r["est_users"]
+        for r in ST.streaming_distinct_users(spark, staged).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, est in got.items():
+        assert abs(est / exact[t] - 1.0) < 0.20, (t, est, exact[t])
