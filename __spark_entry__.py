@@ -1020,6 +1020,23 @@ def _q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_merge(_docs(spark, sf_dir))
 
 
+#: selective dim filter for the bloom-join leg (high-price orders).
+_BJOIN_PRICE = 150_000.0
+
+
+def _q_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (runtime-filter demo): lineitem
+    against high-price orders; counts total / bloom-passing / exact /
+    false-pass rows — the shuffle-volume reduction made measurable."""
+    from orionbelt_ontology_builder_spark.datapipe import sketches
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > _BJOIN_PRICE
+    )
+    return sketches.bloom_join_reduction(li, od, "l_orderkey", "o_orderkey")
+
+
 def _q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seen-URL Bloom-filter health: k=4 probes into 4096 bits over
     document keys; exact occupancy + implied FP rate + analytical
@@ -2413,7 +2430,7 @@ _SF_SCALE = {
     "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
     "compression_ratio",
     "sketch_hll", "sketch_countmin", "sketch_bloom", "sketch_quantiles",
-    "sketch_hll_merge",
+    "sketch_hll_merge", "bloom_join_reduction",
     "mention_contexts", "length_percentiles",
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
@@ -2599,6 +2616,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_bloom": _q_sketch_bloom,
         "sketch_quantiles": _q_sketch_quantiles,
         "sketch_hll_merge": _q_sketch_hll_merge,
+        "bloom_join_reduction": _q_bloom_join_reduction,
         "mention_contexts": _q_mention_contexts,
         "length_percentiles": _q_length_percentiles,
         "predicate_cardinality": _q_predicate_cardinality,
@@ -3502,6 +3520,9 @@ gb AS (
     sql["sketch_bloom"] = _sk.bloom_stats_oracle()
     sql["sketch_quantiles"] = _sk.quantile_sketch_oracle()
     sql["sketch_hll_merge"] = _sk.hll_merge_oracle()
+    sql["bloom_join_reduction"] = _sk.bloom_join_reduction_oracle(
+        _BJOIN_PRICE
+    )
     sql["mention_contexts"] = textstats.mention_contexts_oracle(
         _MENTION_TERMS, window=3
     )

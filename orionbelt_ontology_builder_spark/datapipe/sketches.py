@@ -469,3 +469,113 @@ SELECT x.n_sources, p.sum_source_exact, x.exact_union, e.merged_est,
   e.merged_est / x.exact_union - 1.0 AS rel_err
 FROM exacts x CROSS JOIN per_exact p CROSS JOIN est e
 """
+
+
+#: Bloom join prefilter: k = 3 probes into m = 65536 bits (4 hex).
+BJOIN_K = 3
+BJOIN_M = 65536
+
+
+def bloom_join_reduction(
+    big: DataFrame,
+    dim: DataFrame,
+    big_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """One row (n_total, n_bloom_pass, n_exact, n_false_pass) — the
+    Bloom-prefiltered semi-join: build a Bloom filter over the dim
+    side's keys, pre-filter the big side BEFORE any shuffle, and
+    compare against the exact semi-join.  The classic shuffle-reduction
+    move for selective dim filters (runtime filter / sideways
+    information passing — what Spark's own AQE bloom pushdown does
+    under the hood, here made explicit and measurable): only
+    ``n_bloom_pass`` rows (exact matches + the measured false-pass
+    tail) ever reach the join exchange, and correctness is unchanged
+    because the exact join still runs after the prefilter.
+
+    Bloom bits are the portable md5 positions (k=3 x 65536), carried
+    as a broadcast distinct-position table — the DataFrame rendering of
+    a broadcast bitmap; all counters integer-deterministic."""
+    positions = F.array(
+        *[
+            _hex_int(
+                F.md5(F.concat(F.lit(f"{r}:"), F.col("k").cast("string"))),
+                1,
+                4,
+            )
+            for r in range(BJOIN_K)
+        ]
+    )
+    bits = (
+        dim.select(F.col(dim_key).alias("k"))
+        .distinct()
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+    # per DISTINCT big key (the probe is key-functional), weighted by
+    # the key's row count — one agg, no per-row explode of the big side
+    keys = (
+        big.select(F.col(big_key).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist()
+    )
+    passing = (
+        keys.select("k", "n_rows", F.posexplode(positions).alias("i", "pos"))
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("k", "n_rows")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BJOIN_K)
+    )
+    n_bloom = passing.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_bloom_pass")
+    )
+    n_total = keys.agg(F.sum("n_rows").alias("n_total"))
+    n_exact = keys.join(
+        F.broadcast(dim.select(F.col(dim_key).alias("k")).distinct()),
+        "k",
+        "left_semi",
+    ).agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_exact"))
+    return (
+        n_total.crossJoin(n_bloom)
+        .crossJoin(n_exact)
+        .select(
+            "n_total",
+            "n_bloom_pass",
+            "n_exact",
+            (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pass"),
+        )
+    )
+
+
+def bloom_join_reduction_oracle(price_threshold: float) -> str:
+    """DuckDB twin over lineitem x (orders filtered by o_totalprice):
+    identical md5 positions, identical counters."""
+    pos = lambda r, key: (  # noqa: E731
+        f"('0x' || substr(md5('{r}:' || {key}::VARCHAR), 1, 4))::BIGINT"
+    )
+    dim_pos = "\nUNION\n".join(
+        f"SELECT DISTINCT {pos(r, 'o_orderkey')} AS pos FROM dim"
+        for r in range(BJOIN_K)
+    )
+    hit = " AND ".join(
+        f"{pos(r, 'k')} IN (SELECT pos FROM bits)" for r in range(BJOIN_K)
+    )
+    return f"""
+WITH dim AS MATERIALIZED (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {price_threshold}),
+bits AS MATERIALIZED ({dim_pos}),
+keys AS MATERIALIZED (
+  SELECT l_orderkey AS k, count(*)::BIGINT AS n_rows
+  FROM lineitem GROUP BY l_orderkey),
+n_total AS (SELECT sum(n_rows)::BIGINT AS n_total FROM keys),
+n_bloom AS (
+  SELECT coalesce(sum(n_rows), 0)::BIGINT AS n_bloom_pass
+  FROM keys WHERE {hit}),
+n_exact AS (
+  SELECT coalesce(sum(n_rows), 0)::BIGINT AS n_exact
+  FROM keys WHERE k IN (SELECT o_orderkey FROM dim))
+SELECT t.n_total, b.n_bloom_pass, e.n_exact,
+  (b.n_bloom_pass - e.n_exact)::BIGINT AS n_false_pass
+FROM n_total t CROSS JOIN n_bloom b CROSS JOIN n_exact e
+"""
