@@ -642,3 +642,27 @@ def test_assortativity_no_cartesian_single_corr_agg(spark):
     )
     plan = _plan(G.assortativity(edges))
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Both sides bucketed on the join key -> SortMergeJoin with ZERO
+    Exchange operators (the co-located layout claim, pinned)."""
+    from orionbelt_ontology_builder_spark.plans import bucketing as B
+
+    li = spark.range(0, 1000).selectExpr(
+        "id as k", "id % 7 as payload"
+    )
+    od = spark.range(0, 500).selectExpr("id as k", "id % 3 as flag")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        B.write_bucketed(li, "t_big_bkt", "k", n_buckets=8)
+        B.write_bucketed(od, "t_dim_bkt", "k", n_buckets=8)
+        j = B.colocated_join(spark, "t_big_bkt", "t_dim_bkt", "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_big_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_dim_bkt")
