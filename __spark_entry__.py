@@ -742,6 +742,34 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, o_shippriority -> o_orderpriority
+    in this synth schema): 3-table selective join + revenue agg +
+    top-10.  Catalyst broadcasts the doubly-filtered customer side and
+    pushes both date filters into the scans; top-k is TakeOrdered."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -2421,7 +2449,8 @@ def _q_graph_neighbor_jaccard(spark, sf_dir):
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
-    "induced_search", "tpch_q1", "top_customers", "events_running",
+    "induced_search", "tpch_q1", "tpch_q3", "top_customers",
+    "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
@@ -2596,6 +2625,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_individuals_per_class": _q_induced_individuals_per_class,
         "induced_search": _q_induced_search,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
         "top_customers": _q_top_customers,
         "events_running": _q_events_running,
         "asof_join_events": _q_asof_join_events,
@@ -3266,6 +3296,19 @@ SELECT uri, name, 'class' AS entity_type,
        WHEN lower(label) LIKE '%nation_1%' THEN 'label' END AS match_field
 FROM cls
 WHERE lower(name) LIKE '%nation_1%' OR lower(label) LIKE '%nation_1%'
+"""
+
+    sql["tpch_q3"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1995-03-15'
+  AND l_shipdate > '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
     sql["tpch_q1"] = """
