@@ -1108,6 +1108,7 @@ def mixture_weights(
         )
         .groupBy("source")
         .agg(F.sum("t").alias("n_tokens"))
+        .persist()  # consumed by the normalizer agg AND the projection
     )
     tot = n.agg(
         F.sum(F.pow(F.col("n_tokens").cast("double"), alpha)).alias("z")

@@ -46,6 +46,43 @@ def _hex_int_sql(expr: str, start: int, n: int) -> str:
     return f"('0x' || substr({expr}, {start}, {n}))::BIGINT"
 
 
+def hll_register_parts(col: Column) -> tuple[Column, Column]:
+    """(bucket, rho) integer HLL register parts for m=256 from the
+    portable md5 idiom — THE single construction every HLL-family op
+    (batch, merge, streaming; ``graphstats.hyperball_reach`` carries
+    the m=16 variant) derives from, so the Spark and DuckDB twins can
+    only drift together."""
+    h = F.md5(col.cast("string"))
+    w = _hex_int(h, 3, 6)
+    rho = F.when(w == 0, F.lit(25)).otherwise(
+        25 - F.length(F.conv(F.substring(h, 3, 6), 16, 2))
+    )
+    return _hex_int(h, 1, 2), rho
+
+
+def hll_estimate(regs: DataFrame, group_cols: list, m: int = HLL_M,
+                 alpha: float | None = None) -> DataFrame:
+    """Estimator over a (group..., bucket, r) register frame: integer
+    harmonic sum (absent buckets contribute 2^25) + Flajolet
+    linear-counting small-range branch; returns group cols +
+    (int_sum, v_zero, est)."""
+    if alpha is None:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    summed = regs.groupBy(*group_cols).agg(
+        (
+            F.sum(F.pow(F.lit(2.0), 25 - F.col("r")).cast("long"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
+        ).alias("int_sum"),
+        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
+    )
+    e_raw = F.lit(alpha * m * m * (1 << 25)) / F.col("int_sum")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    return summed.select(*group_cols, "int_sum", "v_zero", est.alias("est"))
+
+
 def hll_distinct(docs: DataFrame) -> DataFrame:
     """(lang, n_exact, hll_est, rel_err) — per-language vocabulary size,
     exact vs a 256-register HyperLogLog built from the same token
@@ -67,43 +104,24 @@ def hll_distinct(docs: DataFrame) -> DataFrame:
         docs.withColumn("norm", norm_col())
         .filter(F.col("norm") != "")
         .select("lang", F.explode(tokens_col()).alias("term"))
-        .withColumn("h", F.md5("term"))
     )
-    w = _hex_int(F.col("h"), 3, 6)
+    bucket, rho = hll_register_parts(F.col("term"))
     regs = (
-        toks.select(
-            "lang",
-            _hex_int(F.col("h"), 1, 2).alias("bucket"),
-            F.when(w == 0, F.lit(25))
-            .otherwise(25 - F.length(F.conv(F.substring("h", 3, 6), 16, 2)))
-            .alias("rho"),
-        )
+        toks.select("lang", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("lang", "bucket")
         .agg(F.max("rho").alias("r"))
     )
-    m = HLL_M
-    summed = regs.groupBy("lang").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), 25 - F.col("r")).cast("long"))
-            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
-        ).alias("int_sum"),
-        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
-    )
-    e_raw = F.lit(HLL_ALPHA * m * m * (1 << 25)) / F.col("int_sum")
-    est = F.when(
-        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(e_raw)
+    estd = hll_estimate(regs, ["lang"])
     exact = toks.groupBy("lang").agg(
         F.countDistinct("term").alias("n_exact")
     )
     return (
-        exact.join(summed, "lang")
+        exact.join(estd, "lang")
         .select(
             "lang",
             "n_exact",
-            est.alias("hll_est"),
-            (est / F.col("n_exact") - 1.0).alias("rel_err"),
+            F.col("est").alias("hll_est"),
+            (F.col("est") / F.col("n_exact") - 1.0).alias("rel_err"),
         )
         .orderBy("lang")
     )
@@ -384,34 +402,16 @@ def hll_merge(docs: DataFrame) -> DataFrame:
         docs.withColumn("norm", norm_col())
         .filter(F.col("norm") != "")
         .select("source", F.explode(tokens_col()).alias("term"))
-        .withColumn("h", F.md5("term"))
     )
-    w = _hex_int(F.col("h"), 3, 6)
+    bucket, rho = hll_register_parts(F.col("term"))
     per_source = (
-        toks.select(
-            "source",
-            _hex_int(F.col("h"), 1, 2).alias("bucket"),
-            F.when(w == 0, F.lit(25))
-            .otherwise(25 - F.length(F.conv(F.substring("h", 3, 6), 16, 2)))
-            .alias("rho"),
-        )
+        toks.select("source", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("source", "bucket")
         .agg(F.max("rho").alias("r"))
     )
     merged = per_source.groupBy("bucket").agg(F.max("r").alias("r"))
-    m = HLL_M
-    summed = merged.agg(
-        (
-            F.sum(F.pow(F.lit(2.0), 25 - F.col("r")).cast("long"))
-            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
-        ).alias("int_sum"),
-        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
-    )
-    e_raw = F.lit(HLL_ALPHA * m * m * (1 << 25)) / F.col("int_sum")
-    est = F.when(
-        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(e_raw)
+    estd = hll_estimate(merged.withColumn("g", F.lit(1)), ["g"])
+    est = F.col("est")
     exacts = toks.agg(
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("term").alias("exact_union"),
@@ -423,7 +423,7 @@ def hll_merge(docs: DataFrame) -> DataFrame:
     )
     return (
         exacts.crossJoin(per_exact)
-        .crossJoin(summed)
+        .crossJoin(estd.drop("g"))
         .select(
             "n_sources",
             "sum_source_exact",

@@ -48,6 +48,20 @@ def _nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+def _und(edges: DataFrame) -> DataFrame:
+    """Undirected simple graph as a canonical (a < b) distinct edge
+    list — the shared projection every undirected analytic starts from
+    (self-loops dropped, duplicates and reversals collapsed)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """(node_type, n_nodes, max_out, avg_out, max_in, avg_in) — degree
     distribution summary per node type (the prefix before ``:`` in the
@@ -1210,20 +1224,15 @@ def assortativity(edges: DataFrame) -> DataFrame:
     One degree agg + two broadcast-sized joins + corr() (a single
     distributed moment aggregation — no pair materialization beyond
     the edge list itself)."""
-    und = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
+    # und feeds 4 consumers and deg joins twice: materialize once
+    # (the CLAUDE.md multi-consumer-aggregation rule)
+    und = _und(edges).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -1415,14 +1424,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     and counted per node — one extra narrow fan-out (x3) plus one
     key-partitioned agg; per-node counts are orientation-invariant, so
     the DuckDB twin keeps id-order and stays bit-identical."""
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _und(edges).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))

@@ -262,19 +262,6 @@ def dedup_events_stream(
 # ------------------------------------------------------------------ #
 
 
-def _hll_parts(user_col):
-    """(bucket, rho) integer HLL register parts from the portable md5
-    idiom — same construction as ``datapipe.sketches`` (m=256, 24-bit
-    rho window), so the DuckDB twin matches bit-for-bit."""
-    h = F.md5(user_col.cast("string"))
-    w = F.conv(F.substring(h, 3, 6), 16, 10).cast("long")
-    rho = F.when(w == 0, F.lit(25)).otherwise(
-        25 - F.length(F.conv(F.substring(h, 3, 6), 16, 2))
-    )
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
-    return bucket, rho
-
-
 def streaming_distinct_users(
     spark: SparkSession, events_dir: str
 ) -> DataFrame:
@@ -292,8 +279,10 @@ def streaming_distinct_users(
     view in DuckDB (deterministic integers), and the batch exact count
     is asserted against the estimate in pytest within the HLL error
     envelope."""
+    from ..datapipe.sketches import hll_estimate, hll_register_parts
+
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    bucket, rho = _hll_parts(F.col("user_id"))
+    bucket, rho = hll_register_parts(F.col("user_id"))
     regs = (
         stream.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("event_type", "bucket")
@@ -308,23 +297,11 @@ def streaming_distinct_users(
         .start()
     )
     q.awaitTermination()
-    m = 256
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    summed = spark.table(name).groupBy("event_type").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), 25 - F.col("r")).cast("long"))
-            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
-        ).alias("int_sum"),
-        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
+    return (
+        hll_estimate(spark.table(name), ["event_type"])
+        .select("event_type", F.col("est").alias("est_users"))
+        .orderBy("event_type")
     )
-    e_raw = F.lit(alpha * m * m * (1 << 25)) / F.col("int_sum")
-    est = F.when(
-        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(e_raw)
-    return summed.select(
-        "event_type", est.alias("est_users")
-    ).orderBy("event_type")
 
 
 def streaming_distinct_users_oracle() -> str:

@@ -1016,10 +1016,11 @@ def test_weighted_sample_laws(spark, docs):
     # truncation takes the key-order prefix
     top2 = [r["doc_id"] for r in C.weighted_sample(docs, k=2).collect()]
     assert top2 == [r["doc_id"] for r in a[:2]]
-    # a different salt re-rolls the draw order
-    c = [r["doc_id"] for r in C.weighted_sample(docs, k=5, salt="v2").collect()]
-    assert set(c) == {r["doc_id"] for r in a}  # same 5 docs survive k>=n
-    assert c != [r["doc_id"] for r in a] or True  # order may coincide
+    # a different salt re-rolls the keys (values must change even if
+    # the 5-doc ordering happens to coincide)
+    c = C.weighted_sample(docs, k=5, salt="v2").collect()
+    assert {r["doc_id"] for r in c} == {r["doc_id"] for r in a}
+    assert [r["key"] for r in c] != [r["key"] for r in a]
 
 
 def test_grouped_split_no_group_straddles(spark, docs):
