@@ -1329,26 +1329,18 @@ def hyperball_reach(edges: DataFrame, t: int = 3) -> DataFrame:
     exact = ball.groupBy("node").agg(
         F.countDistinct("seen").alias("exact_reach")
     )
-    m = HB_M
-    summed = regs.groupBy("node").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), 25 - F.col("rho")).cast("long"))
-            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 25)
-        ).alias("int_sum"),
-        (F.lit(m) - F.count(F.lit(1))).alias("v_zero"),
+    from ..datapipe.sketches import hll_estimate
+
+    estd = hll_estimate(
+        regs.withColumnRenamed("rho", "r"), ["node"], m=HB_M, alpha=HB_ALPHA
     )
-    e_raw = F.lit(HB_ALPHA * m * m * (1 << 25)) / F.col("int_sum")
-    est = F.when(
-        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(e_raw)
     return (
-        exact.join(summed, "node")
+        exact.join(estd, "node")
         .select(
             "node",
             "exact_reach",
-            est.alias("est_reach"),
-            (est / F.col("exact_reach") - 1.0).alias("rel_err"),
+            F.col("est").alias("est_reach"),
+            (F.col("est") / F.col("exact_reach") - 1.0).alias("rel_err"),
         )
         .orderBy("node")
     )
