@@ -372,6 +372,51 @@ def _q_shacl_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SHACL value-constraint shapes over populated_om + planted
+#: assertions: one violation of each kind (class / datatype / pattern
+#: / in) plus conforming twins, so both outcomes are exercised.
+_SHACL_VSHAPES: list[tuple] = [
+    (FX.BASE + "Person", FX.BASE + "hasName", "datatype", M.XSD_NS + "string"),
+    (FX.BASE + "Person", FX.BASE + "worksFor", "class",
+     FX.BASE + "Organization"),
+    (FX.BASE + "Organization", M.RDFS.label, "pattern", "^[A-Za-z ]+$"),
+    (FX.BASE + "Person", FX.BASE + "status", "in", "active|inactive"),
+]
+_SHACL_EXTRA: list[tuple] = [
+    M.t_uri(FX.BASE + "bob", M.RDF.type, FX.BASE + "Employee"),
+    # class violation: worksFor an Employee, not an Organization
+    M.t_uri(FX.BASE + "bob", FX.BASE + "worksFor", FX.BASE + "alice"),
+    # datatype violation (URI object where a literal is required)
+    M.t_uri(FX.BASE + "bob", FX.BASE + "hasName", FX.BASE + "acme"),
+    # datatype violation (xsd:integer literal where xsd:string required)
+    M.t_lit(FX.BASE + "alice", FX.BASE + "hasName", "42",
+            dt=M.XSD.integer),
+    # conforming twin (plain literal IS xsd:string per RDF 1.1)
+    M.t_lit(FX.BASE + "alice", FX.BASE + "hasName", "Alice A"),
+    M.t_uri(FX.BASE + "carol", M.RDF.type, FX.BASE + "Organization"),
+    # pattern violation
+    M.t_lit(FX.BASE + "carol", M.RDFS.label, "Evil*Corp"),
+    # in violation + conforming twin
+    M.t_lit(FX.BASE + "alice", FX.BASE + "status", "zombie"),
+    M.t_lit(FX.BASE + "bob", FX.BASE + "status", "active"),
+]
+
+
+def _q_shacl_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL value-constraint conformance (datatype / entailed class /
+    pattern / enumeration) over the populated fixture + planted
+    violations — completes shacl_conformance's cardinality surface."""
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    vshapes = spark.createDataFrame(
+        _SHACL_VSHAPES, "cls string, prop string, kind string, arg string"
+    )
+    triples = FX.fixture_triples(spark, "populated_om").unionByName(
+        spark.createDataFrame(_SHACL_EXTRA, M.TRIPLES_SCHEMA)
+    )
+    return validation.shacl_value_constraints(triples, vshapes)
+
+
 #: assertion rows planted for the viz property-edge layers: one visible
 #: individual->individual assertion and one dangling edge to an
 #: undeclared node (must be filtered by the both-ends rule).
@@ -2655,6 +2700,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_discovery": _q_fk_discovery,
         "deep_instance_counts": _q_deep_instance_counts,
         "shacl_conformance": _q_shacl_conformance,
+        "shacl_values": _q_shacl_values,
         "skolemize_axioms": _q_skolemize_axioms,
         "align_ontologies": _q_align_ontologies,
         "bgp_match": _q_bgp_match,
@@ -3454,6 +3500,25 @@ ORDER BY resolution, bucket
     sql["shacl_conformance"] = _validation.shacl_min_max_sql(
         "WITH " + FX.fixture_cte("populated_om"),
         f"(VALUES {_shape_rows})",
+    )
+    _vshape_rows = ",\n    ".join(
+        "(" + ", ".join("'" + v + "'" for v in row) + ")"
+        for row in _SHACL_VSHAPES
+    )
+    _shacl_extra_vals = ",\n    ".join(
+        "(" + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'"
+            for v in row
+        ) + ")"
+        for row in _SHACL_EXTRA
+    )
+    sql["shacl_values"] = _validation.shacl_value_constraints_sql(
+        f"""WITH base(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS
+  (SELECT * FROM {FX.fixture_sql_values("populated_om")}),
+extra(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {_shacl_extra_vals}),
+triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)""",
+        f"(VALUES {_vshape_rows})",
     )
     from orionbelt_ontology_builder_spark.operators import skolem as _skolem
 

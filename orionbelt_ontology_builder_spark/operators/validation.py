@@ -425,3 +425,177 @@ WHERE (coalesce(c.n_values, 0) < s.min_count)
    OR (s.max_count IS NOT NULL AND coalesce(c.n_values, 0) > s.max_count)
 ORDER BY f.focus, f.cls, s.prop
 """
+
+
+def shacl_value_constraints(
+    triples: DataFrame, vshapes: DataFrame
+) -> DataFrame:
+    """(focus, cls, prop, kind, value) — SHACL-style VALUE constraint
+    conformance, completing :func:`shacl_min_max`'s cardinality-only
+    surface with the four constraint kinds real shape graphs lean on:
+
+      * ``datatype`` — literal with that datatype (RDF 1.1: a plain
+        literal IS xsd:string, so NULL obj_dt counts as xsd:string);
+      * ``class``    — object is an instance of the class or any
+        rdfs-subclass (entailed sh:class);
+      * ``pattern``  — literal matching the regex (kept to the
+        Java/RE2-common subset so the DuckDB twin agrees);
+      * ``in``       — value in the '|'-separated enumeration.
+
+    ``vshapes`` has columns (cls, prop, kind, arg); targeting follows
+    shacl_min_max (instance of cls or subclass).  Emits one row per
+    violating assertion.
+
+    Scale shape: shapes + subclass closure broadcast; assertions ride
+    one property-sliced scan (broadcast semi-join on shape props before
+    any shuffle); the class check is one extra left join against the
+    typed-instances slice keyed by object."""
+    anc = expand_superclasses(triples, RDFS.subClassOf)
+    sub_of = anc.select(
+        F.col("cls").alias("sub"), F.col("ancestor").alias("sup")
+    )
+    shape_cls = vshapes.select("cls").distinct()
+    targets_cls = (
+        shape_cls.join(
+            F.broadcast(sub_of), shape_cls["cls"] == sub_of["sup"], "left"
+        )
+        .select(
+            F.col("cls"),
+            F.coalesce(F.col("sub"), F.col("cls")).alias("typed_as"),
+        )
+        .distinct()
+    )
+    typed = triples.filter(F.col("pred") == RDF.type).select(
+        F.col("subj").alias("focus"), F.col("obj").alias("typed_as")
+    )
+    focus = (
+        typed.join(F.broadcast(targets_cls), "typed_as")
+        .select("focus", "cls")
+        .distinct()
+    )
+    props = vshapes.select("prop").distinct()
+    asserts = triples.join(
+        F.broadcast(props), triples["pred"] == props["prop"], "left_semi"
+    ).select(
+        F.col("subj").alias("focus"),
+        F.col("pred").alias("prop"),
+        F.col("obj").alias("value"),
+        "obj_kind",
+        "obj_dt",
+    )
+    # object's entailed classes (direct type + superclasses), for sh:class
+    obj_types = (
+        typed.select(F.col("focus").alias("value"), "typed_as")
+        .join(
+            F.broadcast(sub_of),
+            F.col("typed_as") == F.col("sub"),
+            "left",
+        )
+        .select(
+            "value",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.col("typed_as"),
+                        F.coalesce(F.col("sup"), F.col("typed_as")),
+                    )
+                )
+            ).alias("is_a"),
+        )
+        .distinct()
+    )
+    checked = (
+        focus.join(F.broadcast(vshapes), "cls")
+        .join(asserts, ["focus", "prop"])
+        .join(
+            obj_types.withColumnRenamed("is_a", "arg").withColumn(
+                "cls_ok", F.lit(1)
+            ),
+            ["value", "arg"],
+            "left",
+        )
+    )
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    ok = (
+        F.when(
+            F.col("kind") == "datatype",
+            (F.col("obj_kind") == "literal")
+            & (F.coalesce("obj_dt", F.lit(xsd_string)) == F.col("arg")),
+        )
+        .when(F.col("kind") == "class", F.col("cls_ok").isNotNull())
+        .when(
+            F.col("kind") == "pattern",
+            (F.col("obj_kind") == "literal")
+            & F.expr("value RLIKE arg"),
+        )
+        .when(
+            F.col("kind") == "in",
+            F.array_contains(F.split("arg", "\\|"), F.col("value")),
+        )
+    )
+    return (
+        checked.filter(~F.coalesce(ok, F.lit(False)))
+        .select("focus", "cls", "prop", "kind", "value")
+        .orderBy("focus", "prop", "kind", "value")
+    )
+
+
+def shacl_value_constraints_sql(
+    triples_cte: str, vshapes_values: str
+) -> str:
+    """DuckDB twin; ``vshapes_values`` is a VALUES relation for
+    ``vshapes(cls, prop, kind, arg)``.  regexp_matches is unanchored
+    like Java's find — shape patterns carry explicit ^$ anchors so
+    both dialects evaluate the same predicate."""
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    return f"""{triples_cte},
+vshapes(cls, prop, kind, arg) AS (SELECT * FROM {vshapes_values}),
+anc AS MATERIALIZED (
+  WITH RECURSIVE r(cls, ancestor) AS (
+    SELECT subj, obj FROM triples
+    WHERE pred = 'http://www.w3.org/2000/01/rdf-schema#subClassOf'
+    UNION
+    SELECT r.cls, t.obj FROM r JOIN triples t
+      ON r.ancestor = t.subj
+     AND t.pred = 'http://www.w3.org/2000/01/rdf-schema#subClassOf')
+  SELECT * FROM r),
+targets_cls AS MATERIALIZED (
+  SELECT s.cls, coalesce(a.cls, s.cls) AS typed_as
+  FROM (SELECT DISTINCT cls FROM vshapes) s
+  LEFT JOIN anc a ON a.ancestor = s.cls),
+typed AS MATERIALIZED (
+  SELECT subj AS focus, obj AS typed_as FROM triples
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+focus AS MATERIALIZED (
+  SELECT DISTINCT t.focus, tc.cls
+  FROM typed t JOIN targets_cls tc USING (typed_as)),
+asserts AS MATERIALIZED (
+  SELECT subj AS focus, pred AS prop, obj AS value, obj_kind, obj_dt
+  FROM triples WHERE pred IN (SELECT DISTINCT prop FROM vshapes)),
+obj_types AS MATERIALIZED (
+  SELECT DISTINCT value, is_a FROM (
+    SELECT t.focus AS value, t.typed_as AS is_a FROM typed t
+    UNION
+    SELECT t.focus, a.ancestor FROM typed t
+    JOIN anc a ON t.typed_as = a.cls)),
+checked AS (
+  SELECT f.focus, f.cls, v.prop, v.kind, v.arg,
+         a.value, a.obj_kind, a.obj_dt,
+         ot.is_a IS NOT NULL AS cls_ok
+  FROM focus f
+  JOIN vshapes v USING (cls)
+  JOIN asserts a ON a.focus = f.focus AND a.prop = v.prop
+  LEFT JOIN obj_types ot ON ot.value = a.value AND ot.is_a = v.arg)
+SELECT focus, cls, prop, kind, value
+FROM checked
+WHERE NOT coalesce(
+  CASE kind
+    WHEN 'datatype' THEN obj_kind = 'literal'
+      AND coalesce(obj_dt, '{xsd_string}') = arg
+    WHEN 'class' THEN cls_ok
+    WHEN 'pattern' THEN obj_kind = 'literal'
+      AND regexp_matches(value, arg)
+    WHEN 'in' THEN list_contains(string_split(arg, '|'), value)
+  END, FALSE)
+ORDER BY focus, prop, kind, value
+"""
