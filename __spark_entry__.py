@@ -1043,6 +1043,13 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partition: per-doc unigram-LM score cut
+    at corpus terciles, rolled up per source — the crawl-quality
+    report that decides which sources feed the keep pile."""
+    return textstats.ccnet_buckets(_docs(spark, sf_dir))
+
+
 def _q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility per doc (Arrow mapInPandas — CPU-bound
     byte work, the sanctioned Python path); rows-only driver check,
@@ -2502,7 +2509,7 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "fk_discovery", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
-    "compression_ratio",
+    "compression_ratio", "ccnet_buckets",
     "sketch_hll", "sketch_countmin", "sketch_bloom", "sketch_quantiles",
     "sketch_hll_merge", "bloom_join_reduction",
     "mention_contexts", "length_percentiles",
@@ -2686,6 +2693,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "compression_ratio": _q_compression_ratio,
+        "ccnet_buckets": _q_ccnet_buckets,
         "sketch_hll": _q_sketch_hll,
         "sketch_countmin": _q_sketch_countmin,
         "sketch_bloom": _q_sketch_bloom,
@@ -3621,6 +3629,7 @@ gb AS (
     sql["bpe_merge_pairs"] = textstats.bpe_merge_pairs_oracle(k=30)
     sql["unigram_logprob"] = textstats.unigram_logprob_oracle()
     sql["bigram_logprob"] = textstats.bigram_logprob_oracle()
+    sql["ccnet_buckets"] = textstats.ccnet_buckets_oracle()
     from orionbelt_ontology_builder_spark.datapipe import sketches as _sk
 
     sql["sketch_hll"] = _sk.hll_distinct_oracle()

@@ -226,6 +226,7 @@ def main() -> None:
         "bloom_join_reduction",
         "tpch_q3",
         "shacl_values",
+        "ccnet_buckets",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

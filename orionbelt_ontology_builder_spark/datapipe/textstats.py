@@ -1468,3 +1468,64 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """(source, bucket, n_docs, mean_logprob) — the CCNet partition:
+    every document scored by its mean unigram logprob (the engine's
+    KenLM stand-in, :func:`unigram_logprob`), then cut at the corpus
+    tercile thresholds into head / middle / tail quality buckets, and
+    rolled up per source.  This is the report a CCNet-style pipeline
+    ships with every crawl: which sources produce head-quality text
+    and which mostly feed the discard tail (CCNet, public literature;
+    head≈highest logprob / lowest perplexity).
+
+    Scale shape: the per-doc score agg as in unigram_logprob; the two
+    tercile thresholds are ONE corpus percentile aggregation broadcast
+    back (two doubles), and the bucketing is a projection — no second
+    corpus shuffle beyond the final (source, bucket) rollup."""
+    scored = unigram_logprob(docs)  # (doc_id, n_tokens, mean_logprob)
+    src = docs.select("doc_id", "source")
+    cuts = scored.agg(
+        F.expr(
+            "percentile(mean_logprob, array(0.3333333333333333,"
+            " 0.6666666666666666))"
+        ).alias("qs")
+    ).select(
+        F.element_at("qs", 1).alias("q1"), F.element_at("qs", 2).alias("q2")
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("q2"), "head")
+        .when(F.col("mean_logprob") >= F.col("q1"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(src, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("mean_logprob").alias("mean_logprob"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+def ccnet_buckets_oracle(alpha: float = 0.5) -> str:
+    return f"""
+WITH scored AS MATERIALIZED ({unigram_logprob_oracle(alpha)}),
+cuts AS (
+  SELECT quantile_cont(mean_logprob, 0.3333333333333333) AS q1,
+         quantile_cont(mean_logprob, 0.6666666666666666) AS q2
+  FROM scored),
+b AS (
+  SELECT d.source,
+    CASE WHEN s.mean_logprob >= c.q2 THEN 'head'
+         WHEN s.mean_logprob >= c.q1 THEN 'middle'
+         ELSE 'tail' END AS bucket,
+    s.mean_logprob
+  FROM scored s JOIN documents d USING (doc_id) CROSS JOIN cuts c)
+SELECT source, bucket, count(*)::BIGINT AS n_docs,
+       avg(mean_logprob) AS mean_logprob
+FROM b GROUP BY source, bucket ORDER BY source, bucket
+"""
