@@ -1043,6 +1043,46 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+def _q_vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs via EXACT first/last-char
+    blocking (union has full recall for one edit) — the typo/OCR
+    variant miner that runs before dedup.  The synthetic corpus is
+    typo-free, so deterministic OCR-style noise is planted first: every
+    term with md5 first hex < '4' and length > 3 re-enters as a
+    truncated one-token doc — the op must recover exactly those pairs
+    (plus any real-word collisions), both sides deriving the same
+    noise."""
+    docs = _docs(spark, sf_dir)
+    noise = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(
+                            F.lower("text"), "[^a-z0-9]+", " "
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("w")
+        )
+        .filter((F.col("w") != "") & (F.length("w") > 3))
+        .distinct()
+        .filter(F.substring(F.md5("w"), 1, 1).isin("0", "1", "2", "3"))
+        .select(
+            (
+                F.lit(10_000_000)
+                + F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            ).alias("doc_id"),
+            F.expr("substring(w, 1, length(w) - 1)").alias("text"),
+            F.lit("xx").alias("lang"),
+            F.lit("noise").alias("source"),
+            (F.length("w") - 1).alias("n_chars"),
+        )
+    )
+    return textstats.vocab_typo_pairs(docs.unionByName(noise))
+
+
 def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail partition: per-doc unigram-LM score cut
     at corpus terciles, rolled up per source — the crawl-quality
@@ -2509,7 +2549,7 @@ _SF_SCALE = {
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "fk_discovery", "deep_instance_counts", "bgp_match",
     "path_query", "bpe_merge_pairs", "unigram_logprob", "bigram_logprob",
-    "compression_ratio", "ccnet_buckets",
+    "compression_ratio", "ccnet_buckets", "vocab_typo_pairs",
     "sketch_hll", "sketch_countmin", "sketch_bloom", "sketch_quantiles",
     "sketch_hll_merge", "bloom_join_reduction",
     "mention_contexts", "length_percentiles",
@@ -2694,6 +2734,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "compression_ratio": _q_compression_ratio,
         "ccnet_buckets": _q_ccnet_buckets,
+        "vocab_typo_pairs": _q_vocab_typo_pairs,
         "sketch_hll": _q_sketch_hll,
         "sketch_countmin": _q_sketch_countmin,
         "sketch_bloom": _q_sketch_bloom,
@@ -3630,6 +3671,21 @@ gb AS (
     sql["unigram_logprob"] = textstats.unigram_logprob_oracle()
     sql["bigram_logprob"] = textstats.bigram_logprob_oracle()
     sql["ccnet_buckets"] = textstats.ccnet_buckets_oracle()
+    _typo_noise = """
+SELECT 10000000 + ('0x' || substr(md5(w), 1, 8))::BIGINT AS doc_id,
+  substr(w, 1, len(w) - 1) AS text, 'xx' AS lang,
+  'noise' AS source, (len(w) - 1)::BIGINT AS n_chars
+FROM (
+  SELECT DISTINCT unnest(string_split(trim(regexp_replace(lower(text),
+    '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM main.documents) t
+WHERE w <> '' AND len(w) > 3 AND substr(md5(w), 1, 1) IN ('0','1','2','3')
+"""
+    sql["vocab_typo_pairs"] = textstats.vocab_typo_pairs_oracle().replace(
+        "FROM documents WHERE",
+        f"FROM (SELECT * FROM main.documents UNION ALL {_typo_noise})"
+        " documents WHERE",
+    )
     from orionbelt_ontology_builder_spark.datapipe import sketches as _sk
 
     sql["sketch_hll"] = _sk.hll_distinct_oracle()

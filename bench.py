@@ -227,6 +227,7 @@ def main() -> None:
         "tpch_q3",
         "shacl_values",
         "ccnet_buckets",
+        "vocab_typo_pairs",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

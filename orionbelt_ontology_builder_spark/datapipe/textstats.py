@@ -1529,3 +1529,94 @@ SELECT source, bucket, count(*)::BIGINT AS n_docs,
        avg(mean_logprob) AS mean_logprob
 FROM b GROUP BY source, bucket ORDER BY source, bucket
 """
+
+
+def vocab_typo_pairs(docs: DataFrame, min_count: int = 1) -> DataFrame:
+    """(w1, w2, dist, c1, c2) — vocabulary term pairs at Levenshtein
+    distance exactly 1: the spell-variant / OCR-noise candidate miner
+    that feeds typo normalization before dedup (a near-dup that
+    differs only by a typo'd token should still collide).
+
+    Blocking is EXACT for distance 1, not approximate: a single edit
+    changes at most one position, so any ed-1 pair still agrees on the
+    first character OR the last character — two cheap equi-join blocks
+    whose union has full recall (words of length <= 2, where one edit
+    can touch both ends, go to a third all-pairs block that is
+    alphabet-bounded).  Within a block only a length-difference <= 1
+    band is verified with the built-in ``levenshtein`` (JVM-side;
+    DuckDB's levenshtein agrees on plain ASCII tokens).
+
+    Scale shape: vocab-sized, not corpus-sized — the blocks join the
+    (term, count) aggregate against itself keyed by block char; block
+    fan-out is bounded by per-letter vocabulary, the classic
+    initial-letter partitioning."""
+    vocab = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .persist()
+    )
+    long_v = vocab.filter(F.length("w") > 2)
+    blocks = long_v.select(
+        "w", "c", F.explode(
+            F.array_distinct(
+                F.array(
+                    F.concat(F.lit("f:"), F.substring("w", 1, 1)),
+                    F.concat(F.lit("l:"), F.expr("substring(w, -1, 1)")),
+                )
+            )
+        ).alias("blk"),
+    ).unionByName(
+        vocab.filter(F.length("w") <= 2).select(
+            "w", "c", F.lit("short").alias("blk")
+        )
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.w") < F.col("b.w"))
+            & (
+                F.abs(F.length(F.col("a.w")) - F.length(F.col("b.w"))) <= 1
+            ),
+        )
+        .select(
+            F.col("a.w").alias("w1"),
+            F.col("b.w").alias("w2"),
+            F.col("a.c").alias("c1"),
+            F.col("b.c").alias("c2"),
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("w1", "w2"))
+        .filter(F.col("dist") == 1)
+    )
+    return pairs.select("w1", "w2", "dist", "c1", "c2").orderBy("w1", "w2")
+
+
+def vocab_typo_pairs_oracle(min_count: int = 1) -> str:
+    return f"""
+WITH vocab AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS c FROM (
+    SELECT unnest({tokens_sql(norm_sql())}) AS w
+    FROM documents WHERE {norm_sql()} <> '')
+  GROUP BY w HAVING count(*) >= {min_count}),
+blocks AS MATERIALIZED (
+  SELECT w, c, blk FROM (
+    SELECT w, c, unnest(list_distinct([
+      'f:' || substr(w, 1, 1), 'l:' || substr(w, -1, 1)])) AS blk
+    FROM vocab WHERE len(w) > 2)
+  UNION ALL
+  SELECT w, c, 'short' AS blk FROM vocab WHERE len(w) <= 2),
+pairs AS (
+  SELECT DISTINCT a.w AS w1, b.w AS w2, a.c AS c1, b.c AS c2
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.w < b.w
+   AND abs(len(a.w) - len(b.w)) <= 1)
+SELECT w1, w2, 1::BIGINT AS dist, c1, c2
+FROM pairs WHERE levenshtein(w1, w2) = 1
+ORDER BY w1, w2
+"""
