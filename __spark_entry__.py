@@ -2196,6 +2196,30 @@ def _q_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
+def _q_distmult_rank(spark, sf_dir):
+    """KG-embedding link-prediction evaluation (raw-rank protocol):
+    rank of each eval triple's true tail among all entities under a
+    DistMult bilinear score — rank computed by COUNTING strictly-better
+    candidates in one broadcast pass over the entity table, never by a
+    global sort (datapipe/kgembed.py)."""
+    from orionbelt_ontology_builder_spark.datapipe import kgembed
+
+    return kgembed.distmult_rank(_embs(spark, sf_dir), dim=EMB_DIM)
+
+
+def _q_nb_lang_confusion(spark, sf_dir):
+    """Trained multinomial Naive-Bayes language classifier (fastText
+    stand-in): even doc_ids train, odd score; confusion matrix +
+    abstain margin (textstats.nb_lang_confusion)."""
+    return textstats.nb_lang_confusion(_docs(spark, sf_dir))
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling: top-k non-target docs by mean
+    unigram log-ratio to the target-domain LM (curation.dsir_select)."""
+    return curation.dsir_select(_docs(spark, sf_dir))
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     return similarity.brute_topk(_embs(spark, sf_dir), dim=EMB_DIM)
 
@@ -2576,6 +2600,7 @@ _SF_SCALE = {
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "decontaminate_embedding",
     "dedup_embedding_cosine_ivf", "hard_negatives",
+    "distmult_rank", "nb_lang_confusion", "dsir_select",
     "ann_cosine_topk", "ann_ivf_topk",
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
@@ -2859,6 +2884,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_embedding": _q_decontaminate_embedding,
         "dedup_embedding_cosine_ivf": _q_dedup_embedding_cosine_ivf,
         "hard_negatives": _q_hard_negatives,
+        "distmult_rank": _q_distmult_rank,
+        "nb_lang_confusion": _q_nb_lang_confusion,
+        "dsir_select": _q_dsir_select,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "sq8_stats": _q_sq8_stats,
@@ -4572,6 +4600,11 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["dedup_embedding_cosine_ivf"] = similarity.ivf_cosine_pairs_oracle()
     sql["hard_negatives"] = similarity.hard_negatives_oracle()
+    from orionbelt_ontology_builder_spark.datapipe import kgembed as _kgembed
+
+    sql["distmult_rank"] = _kgembed.distmult_rank_oracle(dim=64)
+    sql["nb_lang_confusion"] = textstats.nb_lang_confusion_oracle()
+    sql["dsir_select"] = curation.dsir_select_oracle()
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
     sql["sq8_stats"] = similarity.sq8_stats_oracle()

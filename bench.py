@@ -228,6 +228,10 @@ def main() -> None:
         "shacl_values",
         "ccnet_buckets",
         "vocab_typo_pairs",
+        # session-9: NB classifier, DSIR selection, KG-embedding eval
+        "nb_lang_confusion",
+        "dsir_select",
+        "distmult_rank",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -1145,3 +1145,114 @@ SELECT source, n_tokens,
   (n_tokens ^ {alpha}) / tot.z * {token_budget} / n_tokens AS epochs
 FROM n CROSS JOIN tot ORDER BY source
 """
+
+
+# ------------------------------------------------------------------ #
+# DSIR-style importance resampling (target-domain selection)
+# ------------------------------------------------------------------ #
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lang: str = "en",
+    alpha: float = 0.5,
+    k: int = 40,
+) -> DataFrame:
+    """(doc_id, lang, source, n_tokens, avg_log_ratio) — the ``k``
+    non-target documents whose token distribution is closest to the
+    target domain, by Data Selection via Importance Resampling (DSIR,
+    public literature): per-token importance weight ``ln p_target(w) -
+    ln p_raw(w)`` under two Lidstone-smoothed unigram LMs (target =
+    ``lang == target_lang`` docs; raw = the whole corpus), averaged
+    per document, top-k selected.
+
+    Scale shape: both LMs come from ONE token-explode pass (the raw
+    vocabulary agg subsumes the target one via a conditional count);
+    the per-token log-ratio table is vocabulary-sized — broadcast-or-
+    shuffle joined back to the token stream (AQE decides); the doc
+    rollup is a hash agg keyed by doc_id and the top-k is
+    ``TakeOrdered`` (per-partition heaps + driver merge of k rows),
+    never a global sort.  The same one-pass shape holds when "target"
+    is a hashed n-gram feature space instead of whole tokens."""
+    toks = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.split(F.col("norm"), " ")).alias("term"),
+        )
+    )
+    is_tgt = F.col("lang") == target_lang
+    vocab = (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.sum(F.when(is_tgt, 1).otherwise(0)).alias("c_tgt"),
+        )
+        .persist()
+    )
+    consts = vocab.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v_raw"),
+        F.sum(F.when(F.col("c_tgt") > 0, 1).otherwise(0)).alias("v_tgt"),
+    )
+    ratio = vocab.crossJoin(F.broadcast(consts)).select(
+        "term",
+        (
+            F.log(
+                (F.col("c_tgt") + F.lit(alpha))
+                / (F.col("n_tgt") + F.lit(alpha) * (F.col("v_tgt") + 1))
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(alpha))
+                / (F.col("n_raw") + F.lit(alpha) * (F.col("v_raw") + 1))
+            )
+        ).alias("log_ratio"),
+    )
+    return (
+        toks.filter(~is_tgt)
+        .join(ratio, "term")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("log_ratio").alias("avg_log_ratio"),
+        )
+        .orderBy(F.col("avg_log_ratio").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def dsir_select_oracle(
+    target_lang: str = "en", alpha: float = 0.5, k: int = 40
+) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         unnest({tokens_sql(norm_sql())}) AS term
+  FROM documents WHERE {norm_sql()} <> ''),
+vocab AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS c_raw,
+    sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)::BIGINT
+      AS c_tgt
+  FROM toks GROUP BY term),
+consts AS (
+  SELECT sum(c_raw)::BIGINT AS n_raw, sum(c_tgt)::BIGINT AS n_tgt,
+    count(*)::BIGINT AS v_raw,
+    sum(CASE WHEN c_tgt > 0 THEN 1 ELSE 0 END)::BIGINT AS v_tgt
+  FROM vocab),
+ratio AS (
+  SELECT term,
+    ln((c_tgt + {alpha}) / (n_tgt + {alpha} * (v_tgt + 1)))
+      - ln((c_raw + {alpha}) / (n_raw + {alpha} * (v_raw + 1)))
+      AS log_ratio
+  FROM vocab CROSS JOIN consts)
+SELECT t.doc_id, t.lang, t.source, count(*)::BIGINT AS n_tokens,
+  avg(r.log_ratio) AS avg_log_ratio
+FROM toks t JOIN ratio r USING (term)
+WHERE t.lang <> '{target_lang}'
+GROUP BY t.doc_id, t.lang, t.source
+ORDER BY avg_log_ratio DESC, t.doc_id LIMIT {k}
+"""

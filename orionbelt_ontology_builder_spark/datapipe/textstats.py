@@ -1620,3 +1620,168 @@ SELECT w1, w2, 1::BIGINT AS dist, c1, c2
 FROM pairs WHERE levenshtein(w1, w2) = 1
 ORDER BY w1, w2
 """
+
+
+# ------------------------------------------------------------------ #
+# Trained Naive-Bayes language classifier (fastText-classifier
+# stand-in: the supervised counterpart of the stopword-heuristic
+# lang_id)
+# ------------------------------------------------------------------ #
+
+
+def nb_lang_confusion(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(true_lang, pred_lang, n_docs, avg_margin) — confusion matrix of
+    a multinomial Naive-Bayes language classifier trained on the even
+    doc_ids and scored on the odd ones (a deterministic 50/50 split).
+
+    This is the *trained-classifier* quality/routing gate of the public
+    data-pipeline literature (the fastText language/quality classifier
+    of CCNet / fastText.zip) reduced to its Spark-shaped core:
+
+    - train: one token-explode pass -> per-(class, term) counts and
+      per-class totals (hash aggs with map-side partials); vocabulary
+      size and class priors ride 1-row / L-row broadcasts.
+    - score: the test-token stream is expanded L ways (L = #classes, a
+      small constant), left-joined against the class-conditional
+      likelihood table (broadcast when it fits, shuffle-hash at 100 TB
+      -- AQE decides), Lidstone-smoothed, and summed per (doc, class).
+    - argmax + runner-up margin: an L-row-per-doc window (bounded
+      partitions), never a global sort.
+
+    The margin (best minus second-best log-posterior) is the
+    abstain/route signal: low-margin documents are the ones a real
+    pipeline sends to the expensive model."""
+    split = F.col("doc_id") % 2
+    toks = (
+        docs.withColumn("norm", norm_col())
+        .filter(F.col("norm") != "")
+        .select("doc_id", "lang", split.alias("split"),
+                F.explode(tokens_col()).alias("term"))
+    )
+    tr = toks.filter(F.col("split") == 0)
+    cls_tok = tr.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    cls_tot = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    vocab = tr.agg(F.countDistinct("term").alias("v_size"))
+    # class priors from train doc counts
+    tr_docs = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_c"))
+    )
+    tr_total = tr_docs.agg(F.sum("n_docs_c").alias("n_docs_tot"))
+    langs = cls_tot.select(F.col("lang").alias("cand_lang"))
+
+    te = toks.filter(F.col("split") == 1).select(
+        "doc_id", F.col("lang").alias("true_lang"), "term"
+    )
+    scored = (
+        te.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(
+                cls_tok.select(
+                    F.col("lang").alias("cand_lang"), "term", "c"
+                )
+            ),
+            ["cand_lang", "term"],
+            "left",
+        )
+        .join(
+            F.broadcast(cls_tot.select(F.col("lang").alias("cand_lang"), "n_c")),
+            "cand_lang",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                / (F.col("n_c") + F.lit(alpha) * (F.col("v_size") + 1))
+            ).alias("lp"),
+        )
+    )
+    prior = (
+        tr_docs.crossJoin(F.broadcast(tr_total))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            F.log(F.col("n_docs_c") / F.col("n_docs_tot")).alias("log_prior"),
+        )
+    )
+    per_cand = (
+        scored.groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum("lp").alias("ll"))
+        .join(F.broadcast(prior), "cand_lang")
+        .withColumn("score", F.col("ll") + F.col("log_prior"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    ranked = per_cand.select(
+        "doc_id",
+        "true_lang",
+        "cand_lang",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        (F.col("score") - F.lead("score", 1).over(w)).alias("margin"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("cand_lang").alias("pred_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("margin").alias("avg_margin"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def nb_lang_confusion_oracle(alpha: float = 0.5) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, doc_id % 2 AS split,
+         unnest({tokens_sql(norm_sql())}) AS term
+  FROM documents WHERE {norm_sql()} <> ''),
+tr AS (SELECT * FROM toks WHERE split = 0),
+cls_tok AS MATERIALIZED (
+  SELECT lang, term, count(*)::BIGINT AS c FROM tr GROUP BY lang, term),
+cls_tot AS MATERIALIZED (
+  SELECT lang, count(*)::BIGINT AS n_c FROM tr GROUP BY lang),
+vocab AS (SELECT count(DISTINCT term)::BIGINT AS v_size FROM tr),
+tr_docs AS MATERIALIZED (
+  SELECT lang, count(*)::BIGINT AS n_docs_c FROM documents
+  WHERE doc_id % 2 = 0 GROUP BY lang),
+tr_total AS (SELECT sum(n_docs_c)::BIGINT AS n_docs_tot FROM tr_docs),
+te AS (
+  SELECT doc_id, lang AS true_lang, term FROM toks WHERE split = 1),
+scored AS (
+  SELECT te.doc_id, te.true_lang, l.lang AS cand_lang,
+    ln((coalesce(ct.c, 0) + {alpha})
+       / (tot.n_c + {alpha} * (v.v_size + 1))) AS lp
+  FROM te
+  CROSS JOIN cls_tot l
+  LEFT JOIN cls_tok ct ON ct.lang = l.lang AND ct.term = te.term
+  JOIN cls_tot tot ON tot.lang = l.lang
+  CROSS JOIN vocab v),
+prior AS (
+  SELECT d.lang AS cand_lang, ln(d.n_docs_c * 1.0 / t.n_docs_tot)
+    AS log_prior
+  FROM tr_docs d CROSS JOIN tr_total t),
+per_cand AS (
+  SELECT s.doc_id, s.true_lang, s.cand_lang,
+    sum(s.lp) + any_value(p.log_prior) AS score
+  FROM scored s JOIN prior p ON p.cand_lang = s.cand_lang
+  GROUP BY s.doc_id, s.true_lang, s.cand_lang),
+ranked AS (
+  SELECT doc_id, true_lang, cand_lang, score,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, cand_lang) AS rn,
+    score - lead(score, 1) OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, cand_lang) AS margin
+  FROM per_cand)
+SELECT true_lang, cand_lang AS pred_lang, count(*)::BIGINT AS n_docs,
+  avg(margin) AS avg_margin
+FROM ranked WHERE rn = 1
+GROUP BY true_lang, cand_lang ORDER BY true_lang, pred_lang
+"""

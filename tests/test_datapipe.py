@@ -1054,3 +1054,94 @@ def test_compression_ratio_exact_python_twin(spark, docs):
     rows = {r["doc_id"]: r["ratio"]
             for r in T.compression_ratio(rep).collect()}
     assert rows[0] < 0.05 < rows[1]
+
+
+# ------------------------------------------------------------------ #
+# NB classifier / DSIR selection / DistMult ranking (session-9)
+# ------------------------------------------------------------------ #
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    # perfectly separable vocab per language; even ids train, odd test
+    en = "apple banana cherry apple banana plum"
+    de = "apfel birne kirsche apfel birne pflaume"
+    rows = []
+    for i in range(8):
+        lang = "en" if i % 4 < 2 else "de"
+        text = en if lang == "en" else de
+        rows.append(Row(doc_id=i, text=text, lang=lang, source="s",
+                        n_chars=len(text)))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_nb_classifier_separable_corpus_is_diagonal(lang_docs):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as T
+
+    out = T.nb_lang_confusion(lang_docs).collect()
+    cells = {(r["true_lang"], r["pred_lang"]): r for r in out}
+    assert set(cells) == {("en", "en"), ("de", "de")}
+    assert cells[("en", "en")]["n_docs"] == 2
+    assert cells[("de", "de")]["n_docs"] == 2
+    # disjoint vocab => decisive margins
+    assert all(r["avg_margin"] > 1.0 for r in out)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from orionbelt_ontology_builder_spark.datapipe import curation as C
+
+    tgt = "solar panel energy grid power solar energy panel"
+    like = "solar energy panel output rises"
+    unlike = "medieval castle moat drawbridge knight armor"
+    rows = [
+        Row(doc_id=0, text=tgt, lang="en", source="s", n_chars=len(tgt)),
+        Row(doc_id=1, text=like, lang="fr", source="s", n_chars=len(like)),
+        Row(doc_id=2, text=unlike, lang="fr", source="s",
+            n_chars=len(unlike)),
+    ]
+    docs = spark.createDataFrame(rows)
+    out = C.dsir_select(docs, target_lang="en", k=2).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["avg_log_ratio"] > out[1]["avg_log_ratio"]
+    # target-domain docs are never selected
+    assert all(r["lang"] != "en" for r in out)
+
+
+def test_distmult_rank_matches_numpy_twin(embs):
+    import hashlib
+
+    from orionbelt_ontology_builder_spark.datapipe import kgembed as K
+
+    out = K.distmult_rank(embs, n_queries=4, dim=8).collect()
+    rows = {r["vec_id"]: (list(r["embedding"]), r["label"])
+            for r in embs.collect()}
+    ids = sorted(rows)
+    max_id = max(ids)
+
+    def sign(rel, i):
+        h = hashlib.md5(f"{rel}|{i}".encode()).hexdigest()
+        return 1 - 2 * (int(h[:2], 16) % 2)
+
+    def score(h_emb, rel, c_emb):
+        return sum(
+            float(h_emb[i]) * sign(rel, i) * float(c_emb[i])
+            for i in range(8)
+        )
+
+    assert len(out) == 4
+    for r in sorted(out, key=lambda x: x["h_id"]):
+        h_emb, rel = rows[r["h_id"]]
+        target = (r["h_id"] * K.TAIL_MUL + K.TAIL_OFF) % (max_id + 1)
+        ge = [v for v in ids if v >= target]
+        t_id = ge[0] if ge else ids[0]
+        assert r["t_id"] == t_id
+        s_true = score(h_emb, rel, rows[t_id][0])
+        expect = 1 + sum(
+            1
+            for c in ids
+            if score(h_emb, rel, rows[c][0]) > s_true
+            or (score(h_emb, rel, rows[c][0]) == s_true and c < t_id)
+        )
+        assert r["t_rank"] == expect
+        assert r["n_candidates"] == len(ids)
+        assert 1 <= r["t_rank"] <= len(ids)
