@@ -646,6 +646,77 @@ def _q_bgp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EXISTS BGP: labeled named individuals WITH a market segment — the
+#: positive dual of bgp_minus (SPARQL FILTER EXISTS -> left_semi).
+_EXISTS_GROUPS = [[("?x", "http://example.org/tpch#mktsegment", "?seg")]]
+
+
+def _q_bgp_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS over the induced graph: labeled named
+    individuals kept only when a mktsegment edge exists; the witness
+    group collapses to its distinct shared-variable projection and the
+    probe is a left_semi join (no fan-out however many witnesses)."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.match_bgp(
+        relational.induce_triples(spark, sf_dir),
+        _MINUS_REQUIRED,
+        exists=_EXISTS_GROUPS,
+    )
+
+
+#: BIND BGP: computed projection columns over the binding set
+#: (common Spark/ANSI subset so both engines evaluate identically).
+_BIND_EXPRS = {
+    "name_upper": "upper(name)",
+    "name_len": "length(name)",
+}
+
+
+def _q_bgp_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND: derived columns (upper-cased label, label length)
+    computed over the bindings as pure codegen projections — they join
+    the output and the deterministic total order."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.match_bgp(
+        relational.induce_triples(spark, sf_dir),
+        _MINUS_REQUIRED,
+        bind=_BIND_EXPRS,
+    )
+
+
+#: GROUP_CONCAT aggregate: per-class sorted segment roster.  The agg
+#: expression differs per engine (Spark collect_set+array_join vs
+#: DuckDB string_agg DISTINCT ... ORDER BY) but the value is the same
+#: comma-joined sorted distinct list; collect_set forces
+#: ObjectHashAggregate, acceptable here because the grouped sets are
+#: tiny (segments per class) and the input is the distinct binding set.
+_GC_GROUP_BY = ["cls"]
+_GC_AGGS_SPARK = {
+    "n_bind": "count(*)",
+    "segs": "array_join(array_sort(collect_set(seg)), ',')",
+}
+_GC_AGGS_DUCK = {
+    "n_bind": "count(*)",
+    "segs": "string_agg(DISTINCT seg, ',' ORDER BY seg)",
+}
+
+
+def _q_bgp_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT(DISTINCT ... ORDER BY): per-class sorted
+    comma-joined segment roster + binding count, one hash aggregation
+    over the 2-pattern binding set."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.select_agg(
+        relational.induce_triples(spark, sf_dir),
+        _AGG_PATTERNS,
+        _GC_GROUP_BY,
+        _GC_AGGS_SPARK,
+    )
+
+
 #: ASK / DESCRIBE specs over the induced graph.
 _ASK_PATTERNS = [("?x", "http://example.org/tpch#mktsegment", "BUILDING")]
 _DESCRIBE_RES = "http://example.org/tpch#customer_1"
@@ -1858,6 +1929,61 @@ def _q_stream_dedup(spark, sf_dir):
     return ST.dedup_events_stream(spark, _STAGE_CACHE[key]).orderBy("event_id")
 
 
+def _staged_events(spark, sf_dir):
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key not in _STAGE_CACHE:
+        staged = tempfile.mkdtemp(prefix="obelt_events_")
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        _STAGE_CACHE[key] = staged
+    return _STAGE_CACHE[key]
+
+
+def _q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: streaming events LEFT-joined to the
+    broadcast customer dimension (user -> market segment, unmatched ->
+    UNKNOWN), aggregated per (segment, event_type); drained
+    availableNow.  Oracle: the identical batch join + GROUP BY."""
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    dim = _tbl(spark, sf_dir, "customer")
+    return ST.stream_static_enrich(spark, _staged_events(spark, sf_dir), dim)
+
+
+def _q_stream_join_pairs(spark, sf_dir):
+    """Watermarked stream-stream interval join: click -> purchase
+    attribution pairs per user within 1 hour, both sides watermarked,
+    bounded join state; drained availableNow equals the batch
+    self-join (watermark beyond the fixture span: nothing late)."""
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    return ST.stream_stream_pairs(spark, _staged_events(spark, sf_dir))
+
+
+def _q_zorder_extents(spark, sf_dir):
+    """Z-order (Morton) layout audit over events with dims (user_id,
+    event time): scale both dims to 8 bits, bit-interleave, bucket by
+    the Z-prefix exactly as a repartitionByRange writer would cut
+    files, report per-bucket extents — the file-skipping evidence a
+    multi-dimensional layout exists to produce."""
+    from orionbelt_ontology_builder_spark.datapipe import layout
+
+    return layout.zorder_extents(_tbl(spark, sf_dir, "events"))
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization code assignment (m=4 subspaces, k=16
+    centroids each — 4-bit codes) + per-vector reconstruction MSE over
+    the embeddings corpus; broadcast codebook, one struct-min
+    aggregation, deterministic (dist, centroid) tie-break."""
+    from orionbelt_ontology_builder_spark.datapipe import similarity
+
+    return similarity.pq_codes(_embs(spark, sf_dir))
+
+
 def _q_nt_roundtrip(spark, sf_dir):
     from orionbelt_ontology_builder_spark.sources import ntriples as NT
 
@@ -2783,6 +2909,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_wins": _q_latest_wins,
         "bgp_optional_filter": _q_bgp_optional_filter,
         "bgp_minus": _q_bgp_minus,
+        "bgp_exists": _q_bgp_exists,
+        "bgp_bind": _q_bgp_bind,
+        "bgp_group_concat": _q_bgp_group_concat,
         "bgp_aggregate": _q_bgp_aggregate,
         "bgp_values_limit": _q_bgp_values_limit,
         "bgp_ask": _q_bgp_ask,
@@ -2812,6 +2941,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct_users": _q_stream_distinct_users,
         "stream_user_totals": _q_stream_user_totals,
         "stream_dedup": _q_stream_dedup,
+        "stream_enrich": _q_stream_enrich,
+        "stream_join_pairs": _q_stream_join_pairs,
         "nt_roundtrip": _q_nt_roundtrip,
         "nq_roundtrip": _q_nq_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
@@ -2890,6 +3021,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "sq8_stats": _q_sq8_stats,
+        "pq_codes": _q_pq_codes,
+        "zorder_extents": _q_zorder_extents,
         "embedding_covariance": _q_embedding_covariance,
         "label_centroids": _q_label_centroids,
         "media_features": _q_media_features,
@@ -3635,6 +3768,15 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["bgp_minus"] = _query.match_bgp_sql(
         _tr, _MINUS_REQUIRED, minus=_MINUS_GROUPS
     )
+    sql["bgp_exists"] = _query.match_bgp_sql(
+        _tr, _MINUS_REQUIRED, exists=_EXISTS_GROUPS
+    )
+    sql["bgp_bind"] = _query.match_bgp_sql(
+        _tr, _MINUS_REQUIRED, bind=_BIND_EXPRS
+    )
+    sql["bgp_group_concat"] = _query.select_agg_sql(
+        _tr, _AGG_PATTERNS, _GC_GROUP_BY, _GC_AGGS_DUCK
+    )
     sql["bgp_values_limit"] = _query.match_bgp_sql(
         _tr, _VAL_PATTERNS, values=_VAL_VALUES, limit=_VAL_LIMIT
     )
@@ -3896,6 +4038,8 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
     from orionbelt_ontology_builder_spark.streaming import ingest as _ing
 
     sql["stream_distinct_users"] = _ing.streaming_distinct_users_oracle()
+    sql["stream_enrich"] = _ing.stream_static_enrich_oracle()
+    sql["stream_join_pairs"] = _ing.stream_stream_pairs_oracle()
 
     sql["stream_user_totals"] = """
 SELECT user_id, count(*) AS n_events, sum(value) AS total_value,
@@ -4608,6 +4752,11 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
     sql["sq8_stats"] = similarity.sq8_stats_oracle()
+    sql["pq_codes"] = similarity.pq_codes_oracle()
+
+    from orionbelt_ontology_builder_spark.datapipe import layout as _layout
+
+    sql["zorder_extents"] = _layout.zorder_extents_oracle()
     sql["embedding_covariance"] = similarity.embedding_covariance_oracle(
         dim=64
     )

@@ -1,0 +1,153 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering keys.
+
+At 100 TB the dominant query cost is scan I/O, and the lever is
+file-level data skipping: parquet/Iceberg/Delta keep per-file min/max
+stats per column, and a scan prunes every file whose stat range misses
+the predicate.  Sorting by ONE column gives perfect skipping on that
+column and none on any other; interleaving the bits of two (or more)
+bucketed key columns into a single Z-value and range-partitioning by it
+gives each file a small rectangle in the multi-dimensional key space —
+both dimensions skip well (the same trick Delta's OPTIMIZE ZORDER and
+Iceberg's z-ordering rewrite apply; public literature: Morton curves).
+
+Engine shape: the Z-value is a pure projection (two global min/max
+scalars broadcast into the scan, bit arithmetic per row — all
+whole-stage-codegen), so at scale the layout job is
+``df.repartitionByRange(n_files, zvalue).sortWithinPartitions(zvalue)
+.write...`` — one range shuffle, no skew (the curve spreads uniformly
+when the scaled dims do).  :func:`zorder_extents` is the audit query:
+it buckets rows by Z-prefix exactly as the range writer would cut
+files and reports each bucket's per-dimension extents — tight
+rectangles = working layout, full-range extents = no skipping.
+
+Everything is integer/IEEE-double arithmetic computed identically by
+Spark and DuckDB, so the audit is oracle-paired bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zvalue_sql", "zorder_extents", "zorder_extents_oracle"]
+
+BITS = 8          # per-dimension resolution (2^8 cells per axis)
+BUCKET_BITS = 4   # file buckets = 2^4 (the range-writer cut points)
+
+
+def zvalue_sql(d1: str, d2: str, bits: int, shl, shr) -> str:
+    """Bit-interleave expression: ``bits`` low bits of the (already
+    bucketed, non-negative) integer expressions ``d1``/``d2`` into a
+    ``2*bits``-bit Morton code.  ``shl(x, n)`` / ``shr(x, n)`` emit the
+    engine's shift syntax (Spark ``shiftleft``/``shiftright`` functions,
+    DuckDB ``<<``/``>>`` operators); ``&`` and ``+`` are shared."""
+    terms = []
+    for i in range(bits):
+        terms.append(shl(f"({shr(d1, i)} & 1)", 2 * i + 1))
+        terms.append(shl(f"({shr(d2, i)} & 1)", 2 * i))
+    return " + ".join(terms)
+
+
+def _spark_shl(x: str, n: int) -> str:
+    return f"shiftleft({x}, {n})"
+
+
+def _spark_shr(x: str, n: int) -> str:
+    return f"shiftright({x}, {n})"
+
+
+def _duck_shl(x: str, n: int) -> str:
+    return f"(({x}) << {n})"
+
+
+def _duck_shr(x: str, n: int) -> str:
+    return f"(({x}) >> {n})"
+
+
+def _scale_sql(x: str, mn: str, mx: str, bits: int) -> str:
+    """Scale ``x`` into 0..2^bits-1 given min/max columns — explicit
+    DOUBLE casts so both engines run the identical IEEE expression;
+    degenerate (constant) dimensions coalesce to cell 0."""
+    top = (1 << bits) - 1
+    return (
+        f"coalesce(CAST(floor((CAST({x} AS DOUBLE) - CAST({mn} AS DOUBLE))"
+        f" * {top} / nullif(CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE),"
+        f" CAST(0 AS DOUBLE))) AS BIGINT), 0)"
+    )
+
+
+def zorder_extents(
+    events: DataFrame, bits: int = BITS, bucket_bits: int = BUCKET_BITS
+) -> DataFrame:
+    """(bucket, n_rows, d1_min, d1_max, d2_min, d2_max) — the layout
+    audit over the events table with dims (user_id, event time).
+
+    Each row's dims are scaled to 0..2^bits-1, bit-interleaved into a
+    Z-value, and grouped by the Z-value's top ``bucket_bits`` bits —
+    exactly the cut a ``repartitionByRange(2^bucket_bits, z)`` writer
+    produces on uniformly spread keys.  The reported per-bucket extents
+    are what parquet min/max stats would hold per file: the audit
+    *is* the skipping story.
+
+    Plan: one tiny global agg (4 scalars) broadcast into a scan
+    projection, then one hash aggregation on the bucket id — two
+    shuffles total, both trivially small; survives any scale-up."""
+    # NTZ-safe wall-clock micros (temporal._us: parquet ts reads as
+    # TIMESTAMP_NTZ in Spark 4; component decomposition matches
+    # DuckDB's epoch_us in any session timezone).
+    from ..operators.temporal import _us
+
+    base = events.select("user_id", _us(F.col("ts")).alias("t_us"))
+    ext = base.agg(
+        F.min("user_id").alias("u_mn"),
+        F.max("user_id").alias("u_mx"),
+        F.min("t_us").alias("t_mn"),
+        F.max("t_us").alias("t_mx"),
+    )
+    d1 = _scale_sql("user_id", "u_mn", "u_mx", bits)
+    d2 = _scale_sql("t_us", "t_mn", "t_mx", bits)
+    z = zvalue_sql("d1", "d2", bits, _spark_shl, _spark_shr)
+    return (
+        base.crossJoin(F.broadcast(ext))
+        .select(F.expr(d1).alias("d1"), F.expr(d2).alias("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.expr(
+                _spark_shr(f"({z})", 2 * bits - bucket_bits)
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("d1").alias("d1_min"),
+            F.max("d1").alias("d1_max"),
+            F.min("d2").alias("d2_min"),
+            F.max("d2").alias("d2_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def zorder_extents_oracle(
+    bits: int = BITS, bucket_bits: int = BUCKET_BITS
+) -> str:
+    """DuckDB twin of :func:`zorder_extents` (identical arithmetic)."""
+    d1 = _scale_sql("user_id", "u_mn", "u_mx", bits)
+    d2 = _scale_sql("epoch_us(ts)", "t_mn", "t_mx", bits)
+    z = zvalue_sql("d1", "d2", bits, _duck_shl, _duck_shr)
+    return f"""
+WITH ext AS (
+  SELECT min(user_id) AS u_mn, max(user_id) AS u_mx,
+         min(epoch_us(ts)) AS t_mn, max(epoch_us(ts)) AS t_mx
+  FROM events),
+d AS (
+  SELECT {d1} AS d1, {d2} AS d2
+  FROM events CROSS JOIN ext),
+zb AS (
+  SELECT d1, d2, (({z}) >> {2 * bits - bucket_bits}) AS bucket FROM d)
+SELECT bucket, count(*) AS n_rows,
+       min(d1) AS d1_min, max(d1) AS d1_max,
+       min(d2) AS d2_min, max(d2) AS d2_max
+FROM zb GROUP BY bucket ORDER BY bucket
+"""

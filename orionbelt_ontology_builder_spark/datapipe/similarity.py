@@ -885,3 +885,129 @@ SELECT vec_id, max_cos,
   (max_cos >= {threshold})::INT AS contaminated
 FROM scored ORDER BY vec_id
 """
+
+
+# ------------------------------------------------------------------ #
+# product quantization (PQ) — code assignment + reconstruction audit
+# ------------------------------------------------------------------ #
+
+PQ_M = 4    # subspaces (dim / PQ_M dims each)
+PQ_K = 16   # centroids per subspace (4-bit codes)
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K, dim: int = 64
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}, mse) — product-quantization code
+    assignment: the embedding splits into ``m`` contiguous subvectors,
+    each assigned to its nearest of ``k`` per-subspace centroids (IVF's
+    fine-quantization sibling; with m=4, k=16 a 64-dim float vector
+    compresses 256 B -> 2 B, the memory step that makes billion-vector
+    ANN serving feasible).  ``mse`` is the per-vector reconstruction
+    error implied by the assignment (sum of subspace residuals / dim)
+    — the quality gate for choosing (m, k).
+
+    Codebook: the oracle-paired deterministic evenly-strided sample
+    (same contract as :func:`strided_centroids`; production swaps in
+    per-subspace k-means, assignment plan unchanged).  Scale shape:
+    the codebook (m*k rows of dim/m floats) broadcasts; each vector
+    explodes into m subvector rows with *static* slice offsets, joins
+    the codebook on the subspace id (fan-out k), and reduces by ONE
+    aggregation with map-side partials — argmin as min over
+    (dist_sq, centroid) structs, deterministic tie-break, no window
+    shuffle.  Distances use the shared dot-product fold (module note:
+    folds win in join-stage projections) via
+    ``|a-b|^2 = a.a + b.b - 2 a.b`` with every term the same fold in
+    both engines, so values are bit-identical."""
+    sub_dim = dim // m
+    n = embeddings.count()
+    stride = max(1, n // k)
+    slices = F.array(
+        *[
+            F.expr(f"slice(embedding, {i * sub_dim + 1}, {sub_dim})")
+            for i in range(m)
+        ]
+    )
+    cents = (
+        embeddings.filter(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") / stride < k)
+        )
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("cid"),
+            F.posexplode(slices).alias("sub", "c_emb"),
+        )
+        .withColumn("c_nn", F.expr(dot_expr("c_emb", "c_emb")))
+    )
+    vec_subs = embeddings.select(
+        "vec_id", F.posexplode(slices).alias("sub", "s_emb")
+    ).withColumn("v_nn", F.expr(dot_expr("s_emb", "s_emb")))
+    cand = vec_subs.join(F.broadcast(cents), "sub").select(
+        "vec_id",
+        "sub",
+        "cid",
+        (
+            F.col("c_nn")
+            + F.col("v_nn")
+            - 2 * F.expr(dot_expr("c_emb", "s_emb"))
+        ).alias("dist_sq"),
+    )
+    best = cand.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist_sq", "cid")).alias("b")
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("sub") == i, F.col("b.cid"))
+                ).alias(f"code_{i}")
+                for i in range(m)
+            ],
+            (F.sum("b.dist_sq") / dim).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def pq_codes_oracle(m: int = PQ_M, k: int = PQ_K, dim: int = 64) -> str:
+    """DuckDB twin of :func:`pq_codes` — identical strided codebook,
+    identical dot-product algebra, identical (dist_sq, cid) struct-min
+    tie-break."""
+    sub_dim = dim // m
+    code_cols = ",\n  ".join(
+        f"min(CASE WHEN sub = {i} THEN (b).c END) AS code_{i}"
+        for i in range(m)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n_cte AS (SELECT count(*) AS n FROM e),
+s_cte AS (SELECT greatest(1, CAST(n // {k} AS INT)) AS stride FROM n_cte),
+subs AS (SELECT CAST(range AS INT) AS sub FROM range({m})),
+c AS (
+  SELECT CAST(vec_id // stride AS INT) AS cid, sub,
+         list_slice(emb, sub * {sub_dim} + 1, sub * {sub_dim} + {sub_dim})
+           AS c_emb
+  FROM e, s_cte, subs
+  WHERE vec_id % stride = 0 AND vec_id // stride < {k}),
+cn AS (SELECT cid, sub, c_emb,
+              list_dot_product(c_emb, c_emb) AS c_nn FROM c),
+vs AS (
+  SELECT vec_id, sub,
+         list_slice(emb, sub * {sub_dim} + 1, sub * {sub_dim} + {sub_dim})
+           AS s_emb
+  FROM e, subs),
+vn AS (SELECT vec_id, sub, s_emb,
+              list_dot_product(s_emb, s_emb) AS v_nn FROM vs),
+cand AS (
+  SELECT vec_id, vn.sub, cid,
+         c_nn + v_nn - 2 * list_dot_product(c_emb, s_emb) AS dist_sq
+  FROM vn JOIN cn ON vn.sub = cn.sub),
+best AS (
+  SELECT vec_id, sub, min({{'d': dist_sq, 'c': cid}}) AS b
+  FROM cand GROUP BY vec_id, sub)
+SELECT vec_id,
+  {code_cols},
+  sum((b).d) / {dim} AS mse
+FROM best GROUP BY vec_id ORDER BY vec_id
+"""

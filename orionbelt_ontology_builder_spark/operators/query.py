@@ -67,11 +67,19 @@ def _bgp_df(triples: DataFrame, patterns) -> DataFrame:
 
 
 def _bindings_df(
-    triples: DataFrame, patterns, optional=None, minus=None, filters=None
+    triples: DataFrame, patterns, optional=None, minus=None, filters=None,
+    exists=None,
 ) -> DataFrame:
     """Required BGP -> OPTIONAL left joins -> MINUS anti joins ->
-    FILTERs, in SPARQL algebra order.  Shared helper for the SELECT
-    and aggregate entry points."""
+    EXISTS semi joins -> FILTERs, in SPARQL algebra order.  Shared
+    helper for the SELECT and aggregate entry points.
+
+    ``exists``: pattern groups that must have at least one compatible
+    solution (SPARQL FILTER EXISTS) — the positive dual of ``minus``,
+    compiled to a ``left_semi`` join against the group's distinct
+    shared-variable projection (broadcast-able when selective, and the
+    probe side never widens — a semi join emits each binding at most
+    once, so no fan-out however many witnesses exist)."""
     if not patterns:
         raise ValueError("empty BGP")
     result = _bgp_df(triples, patterns)
@@ -88,6 +96,14 @@ def _bindings_df(
             raise ValueError("MINUS group shares no variable")
         result = result.join(
             part.select(*shared).distinct(), shared, "left_anti"
+        )
+    for group in exists or []:
+        part = _bgp_df(triples, group)
+        shared = sorted(set(result.columns) & set(part.columns))
+        if not shared:
+            raise ValueError("EXISTS group shares no variable")
+        result = result.join(
+            part.select(*shared).distinct(), shared, "left_semi"
         )
     for f in filters or []:
         result = result.filter(F.expr(f))
@@ -111,6 +127,8 @@ def match_bgp(
     minus=None,
     values=None,
     limit=None,
+    exists=None,
+    bind=None,
 ) -> DataFrame:
     """Evaluate a conjunction of (s, p, o) patterns; ``?name`` slots
     are variables, everything else matches exactly.  Returns the
@@ -136,16 +154,27 @@ def match_bgp(
     variable-name order (SPARQL LIMIT; deterministic because the sort
     covers every column).
 
+    ``exists``: pattern groups kept only when at least one compatible
+    solution exists (SPARQL FILTER EXISTS — compiled to ``left_semi``,
+    the positive dual of ``minus``).  ``bind``: an ``{alias: SQL
+    expression}`` map of computed columns over the variable bindings
+    (SPARQL BIND), written in the common Spark/ANSI subset; bind
+    columns join the output projection and the total order.
+
     Patterns sharing no variable with the accumulated bindings produce
     a cross join (the SPARQL product semantics) — intentional, but at
     scale order your patterns so each one connects."""
-    result = _bindings_df(triples, patterns, optional, minus, filters)
+    result = _bindings_df(
+        triples, patterns, optional, minus, filters, exists
+    )
     if values is not None:
         v = _values_df(triples, values)
         shared = sorted(set(result.columns) & set(v.columns))
         if not shared:
             raise ValueError("VALUES shares no variable")
         result = result.join(F.broadcast(v), shared)
+    for alias, expr in (bind or {}).items():
+        result = result.withColumn(alias, F.expr(expr))
     cols = sorted(result.columns)
     out = result.select(*cols).distinct().orderBy(*cols)
     return out.limit(limit) if limit is not None else out
@@ -160,6 +189,7 @@ def select_agg(
     optional=None,
     filters=None,
     minus=None,
+    exists=None,
 ) -> DataFrame:
     """SPARQL ``SELECT ... GROUP BY ... HAVING`` over the binding set:
     evaluate the group pattern (required + OPTIONAL + MINUS + FILTER),
@@ -175,7 +205,7 @@ def select_agg(
     result, never the binding stream."""
     if not group_by:
         raise ValueError("empty GROUP BY")
-    b = _bindings_df(triples, patterns, optional, minus, filters)
+    b = _bindings_df(triples, patterns, optional, minus, filters, exists)
     out = b.groupBy(*group_by).agg(
         *[F.expr(e).alias(a) for a, e in aggs.items()]
     )
@@ -222,7 +252,9 @@ def _bgp_join_sql(patterns, prefix: str):
     return "\n".join(joins), seen
 
 
-def _bindings_sql(patterns, optional=None, minus=None, filters=None):
+def _bindings_sql(
+    patterns, optional=None, minus=None, filters=None, exists=None
+):
     """(FROM-chain, WHERE-clause, bound-vars) for the binding set —
     shared by the SELECT and aggregate DuckDB twins."""
     frm, seen = _bgp_join_sql(patterns, "p")
@@ -237,10 +269,10 @@ def _bindings_sql(patterns, optional=None, minus=None, filters=None):
         seen |= gvars
     conds = [f"({f})" for f in (filters or [])]
     where = ("WHERE " + " AND ".join(conds) + "\n") if conds else ""
-    # MINUS conditions must correlate with the *outer* binding row, so
-    # they are emitted against an explicit ``__bind`` CTE alias (inside
-    # the NOT EXISTS subquery an unqualified var would resolve to the
-    # subquery's own FROM and short-circuit the correlation).
+    # MINUS / EXISTS conditions must correlate with the *outer* binding
+    # row, so they are emitted against an explicit ``__bind`` CTE alias
+    # (inside the [NOT] EXISTS subquery an unqualified var would resolve
+    # to the subquery's own FROM and short-circuit the correlation).
     mconds = []
     for mi, group in enumerate(minus or []):
         mfrm, mvars = _bgp_join_sql(group, f"m{mi}_")
@@ -252,6 +284,17 @@ def _bindings_sql(patterns, optional=None, minus=None, filters=None):
         mconds.append(
             f"NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT {msel}"
             f" FROM {mfrm}) mm{mi} WHERE {on})"
+        )
+    for ei, group in enumerate(exists or []):
+        efrm, evars = _bgp_join_sql(group, f"e{ei}_")
+        shared = sorted(seen & evars)
+        if not shared:
+            raise ValueError("EXISTS group shares no variable")
+        esel = ", ".join(shared)
+        on = " AND ".join(f"ee{ei}.{v} = __bind.{v}" for v in shared)
+        mconds.append(
+            f"EXISTS (SELECT 1 FROM (SELECT DISTINCT {esel}"
+            f" FROM {efrm}) ee{ei} WHERE {on})"
         )
     return frm, where, mconds, seen
 
@@ -276,14 +319,17 @@ def match_bgp_sql(
     minus=None,
     values=None,
     limit=None,
+    exists=None,
+    bind=None,
 ) -> str:
     """DuckDB twin: the mechanical SPARQL-to-SQL translation — one
     subquery per pattern, JOIN USING on shared vars, OPTIONAL groups
-    as LEFT JOIN sub-selects, MINUS groups as correlated NOT EXISTS
-    on the shared variables, VALUES as an inline-table join, FILTERs
-    in the outer WHERE, LIMIT after the total ORDER BY."""
+    as LEFT JOIN sub-selects, MINUS / EXISTS groups as correlated
+    NOT EXISTS / EXISTS on the shared variables, VALUES as an
+    inline-table join, FILTERs in the outer WHERE, BIND expressions
+    as computed projection columns, LIMIT after the total ORDER BY."""
     frm, where, mconds, seen = _bindings_sql(
-        patterns, optional, minus, filters
+        patterns, optional, minus, filters, exists
     )
     if values is not None:
         vsql, vvars = _values_sql(values)
@@ -293,22 +339,28 @@ def match_bgp_sql(
         frm += f"\nJOIN {vsql} USING ({', '.join(shared)})"
         seen |= vvars
     allvars = sorted(seen)
+    outcols = sorted(set(allvars) | set((bind or {}).keys()))
+
+    def _sel(cols):
+        b = bind or {}
+        return ", ".join(f"{b[c]} AS {c}" if c in b else c for c in cols)
+
     lim = f"\nLIMIT {limit}" if limit is not None else ""
     if not mconds:
         return f"""{triples_cte}
-SELECT DISTINCT {", ".join(allvars)}
+SELECT DISTINCT {_sel(outcols)}
 FROM {frm}
-{where}ORDER BY {", ".join(allvars)}{lim}
+{where}ORDER BY {", ".join(outcols)}{lim}
 """
     return f"""{triples_cte},
 __bind AS (
 SELECT DISTINCT {", ".join(allvars)}
 FROM {frm}
 {where})
-SELECT {", ".join(allvars)}
+SELECT DISTINCT {_sel(outcols)}
 FROM __bind
 WHERE {" AND ".join(mconds)}
-ORDER BY {", ".join(allvars)}{lim}
+ORDER BY {", ".join(outcols)}{lim}
 """
 
 
@@ -321,11 +373,12 @@ def select_agg_sql(
     optional=None,
     filters=None,
     minus=None,
+    exists=None,
 ) -> str:
     """DuckDB twin of :func:`select_agg` — aggregate over the distinct
     binding set (identical semantics: the binding CTE is DISTINCT)."""
     frm, where, mconds, seen = _bindings_sql(
-        patterns, optional, minus, filters
+        patterns, optional, minus, filters, exists
     )
     allvars = sorted(seen)
     sels = ", ".join(

@@ -327,3 +327,141 @@ SELECT event_type,
        ELSE {alpha_c} / int_sum END AS est_users
 FROM summed ORDER BY event_type
 """
+
+
+# ------------------------------------------------------------------ #
+# stream-static enrichment join
+# ------------------------------------------------------------------ #
+
+
+def stream_static_enrich(
+    spark: SparkSession, events_dir: str, dim: DataFrame
+) -> DataFrame:
+    """(segment, event_type, n, total_value) — the stream-static join
+    shape: a streaming event source LEFT-joined to a small static
+    dimension (user -> market segment), then aggregated.  The static
+    side is broadcast, so every micro-batch enriches map-side — no
+    stream-side shuffle before the aggregation, and the dimension can
+    be refreshed between restarts without touching the stream state.
+    This is the canonical 100 TB enrichment plan: a trillion-event
+    stream never shuffles against a million-row dimension.
+
+    Events whose user has no dimension row keep flowing with segment
+    ``UNKNOWN`` (left join + coalesce) — an inner join would silently
+    drop them, the classic enrichment-loss bug.  Drained with
+    ``availableNow`` into a memory sink; the batch twin (identical
+    join + GROUP BY over the parquet) is the differential oracle."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    d = F.broadcast(
+        dim.select(
+            F.col("c_custkey").alias("dim_key"),
+            F.col("c_mktsegment").alias("dim_segment"),
+        )
+    )
+    joined = stream.join(d, stream.user_id == d.dim_key, "left")
+    agg = (
+        joined.groupBy(
+            F.coalesce("dim_segment", F.lit("UNKNOWN")).alias("segment"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    name = "enrich_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("segment", "event_type")
+
+
+def stream_static_enrich_oracle() -> str:
+    return """
+SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+       count(*) AS n, sum(value) AS total_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY segment, event_type
+"""
+
+
+# ------------------------------------------------------------------ #
+# stream-stream interval join
+# ------------------------------------------------------------------ #
+
+
+def stream_stream_pairs(
+    spark: SparkSession,
+    events_dir: str,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "90 days",
+) -> DataFrame:
+    """(user_id, first_id, then_id) — watermarked stream-stream inner
+    join: every ``then_type`` event joined to each same-user
+    ``first_type`` event it follows within ``within`` (attribution /
+    conversion pairing).  Both sides carry event-time watermarks and
+    the join predicate is a bounded time range, which is what lets
+    Spark expire join state: a side's buffered rows are dropped once
+    the other side's watermark passes their latest possible match —
+    state stays O(events within the watermark horizon), not O(stream).
+
+    The test/oracle configuration sets the watermark far beyond the
+    fixture's time span so the drained result is exactly the batch
+    self-join (no row can ever be late); a production deployment
+    tightens it to hours and accepts the documented late-drop
+    semantics.  ``availableNow`` + append sink; the batch twin is the
+    same self-join as one SQL statement."""
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    first = (
+        src.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("event_id").alias("first_id"),
+            F.col("user_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .withWatermark("first_ts", watermark)
+    )
+    then = (
+        src.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("event_id").alias("then_id"),
+            F.col("user_id").alias("then_user"),
+            F.col("ts").alias("then_ts"),
+        )
+        .withWatermark("then_ts", watermark)
+    )
+    pairs = first.join(
+        then,
+        (F.col("user_id") == F.col("then_user"))
+        & (F.col("then_ts") >= F.col("first_ts"))
+        & (F.col("then_ts") <= F.expr(f"first_ts + INTERVAL {within}")),
+    ).select("user_id", "first_id", "then_id")
+    name = "pairs_sink"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "first_id", "then_id")
+
+
+def stream_stream_pairs_oracle(
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+) -> str:
+    return f"""
+SELECT a.user_id, a.event_id AS first_id, b.event_id AS then_id
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_type = '{first_type}' AND b.event_type = '{then_type}'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {within}
+ORDER BY 1, 2, 3
+"""
