@@ -1963,6 +1963,18 @@ def _q_stream_join_pairs(spark, sf_dir):
     return ST.stream_stream_pairs(spark, _staged_events(spark, sf_dir))
 
 
+def _q_stream_sessionize(spark, sf_dir):
+    """session_window sessionization drained from a file-source stream:
+    per-user sessions merge inside the aggregation operator (one
+    shuffle on user_id, no corpus-wide sort pass) — the 100 TB
+    clickstream plan.  Oracle: DuckDB gaps-and-islands (lag -> break
+    flag -> running sum -> group); batch/stream equality is asserted
+    in tests/test_streaming.py."""
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    return ST.sessionize_stream(spark, _staged_events(spark, sf_dir))
+
+
 def _q_zorder_extents(spark, sf_dir):
     """Z-order (Morton) layout audit over events with dims (user_id,
     event time): scale both dims to 8 bits, bit-interleave, bucket by
@@ -2943,6 +2955,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "stream_enrich": _q_stream_enrich,
         "stream_join_pairs": _q_stream_join_pairs,
+        "stream_sessionize": _q_stream_sessionize,
         "nt_roundtrip": _q_nt_roundtrip,
         "nq_roundtrip": _q_nq_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
@@ -4040,6 +4053,7 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
     sql["stream_distinct_users"] = _ing.streaming_distinct_users_oracle()
     sql["stream_enrich"] = _ing.stream_static_enrich_oracle()
     sql["stream_join_pairs"] = _ing.stream_stream_pairs_oracle()
+    sql["stream_sessionize"] = _ing.sessionize_oracle()
 
     sql["stream_user_totals"] = """
 SELECT user_id, count(*) AS n_events, sum(value) AS total_value,

@@ -452,6 +452,96 @@ def stream_stream_pairs(
     return spark.table(name).orderBy("user_id", "first_id", "then_id")
 
 
+def sessionize_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """(user_id, session_start, session_end, n_events, total_value) —
+    per-user sessionization with ``F.session_window``: consecutive
+    events of one user belong to the same session while each starts
+    at or before the previous session's end (= last event + gap); an
+    event exactly ``gap`` after the previous one still MERGES (Spark
+    treats touching windows as overlapping — verified by the boundary
+    test in tests/test_streaming.py), so the break rule is strictly
+    ``ts > prev_ts + gap``.  ``session_end`` is ``max(ts) + gap``,
+    Spark's own window end.  One shuffle on ``user_id`` and the merge happens inside the
+    aggregation operator — no self-join, no window-function sort pass
+    over the whole corpus, which is what makes this the 100 TB
+    clickstream plan.  The DuckDB twin is the classic gaps-and-islands
+    construction (lag -> break flag -> running sum -> group)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession, events_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """The streaming form of :func:`sessionize_batch`: the same
+    ``session_window`` aggregation over a file-source stream, drained
+    with ``availableNow`` into a memory sink in *complete* mode.
+    Complete mode keeps all session state resident, which is exactly
+    right for a finite drain (the differential test asserts it equals
+    the batch twin row-for-row); a continuous deployment switches to
+    append mode + ``withWatermark`` so closed sessions emit once and
+    their state is dropped when the watermark passes ``session_end``."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "session_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+def sessionize_oracle(gap_minutes: int = 30) -> str:
+    """Gaps-and-islands twin: a session breaks only where the gap to
+    the previous same-user event is STRICTLY greater than gap
+    (session_window merges touching windows — an event at exactly
+    prev+gap stays in the session); session_end = last + gap."""
+    return f"""
+WITH brk AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS is_break
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+), isl AS (
+  SELECT *, sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, value
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM brk
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       count(*) AS n_events, sum(value) AS total_value
+FROM isl GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def stream_stream_pairs_oracle(
     first_type: str = "click",
     then_type: str = "purchase",

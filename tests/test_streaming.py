@@ -113,3 +113,52 @@ def test_streaming_distinct_users_hll_envelope(spark, tmp_path):
     assert set(got) == set(exact)
     for t, est in got.items():
         assert abs(est / exact[t] - 1.0) < 0.20, (t, est, exact[t])
+
+
+def test_sessionize_stream_matches_batch_and_boundary(spark, tmp_path):
+    """session_window drain == batch twin row-for-row, and the
+    half-open boundary rule holds: an event exactly `gap` after the
+    previous one opens a NEW session."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    events_dir = str(tmp_path / "events")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # two lands -> multi-micro-batch drain with session state merging
+    ev.filter("event_id % 2 = 0").write.parquet(events_dir)
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(events_dir)
+
+    got = [
+        tuple(r)
+        for r in ST.sessionize_stream(spark, events_dir).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ST.sessionize_batch(spark.read.parquet(events_dir))
+        .orderBy("user_id", "session_start")
+        .collect()
+    ]
+    assert got == want and len(got) > 100
+
+    # boundary: exactly-gap MERGES (touching windows), gap+1s breaks
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=0, ts=base, user_id=1, event_type="t", value=1.0,
+            props="{}"),
+        Row(event_id=1, ts=base + dt.timedelta(minutes=30), user_id=1,
+            event_type="t", value=1.0, props="{}"),  # touching -> merges
+        Row(event_id=2, ts=base + dt.timedelta(minutes=60, seconds=1),
+            user_id=1, event_type="t", value=1.0, props="{}"),  # breaks
+    ]
+    tiny = spark.createDataFrame(rows, ST.EVENTS_SCHEMA)
+    sess = ST.sessionize_batch(tiny).orderBy("session_start").collect()
+    assert [r["n_events"] for r in sess] == [2, 1]
+    assert sess[0]["session_end"] == base + dt.timedelta(minutes=60)
+    # and the DuckDB twin agrees on the same boundary fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events", tiny.toPandas())
+    o = con.execute(ST.sessionize_oracle()).fetchall()
+    assert [r[3] for r in o] == [2, 1]
