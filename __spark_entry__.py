@@ -1310,6 +1310,21 @@ def _q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("resolution", "bucket")
 
 
+def _q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, hour): four grouping sets in one Expand +
+    single hash aggregation (one shuffle); grouping_id bitmask matches
+    DuckDB GROUPING()."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.cube_summary(ev)
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-value-list pivot (no distinct-discovery job): per-user
+    wide event-type counts, one conditional aggregation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.pivot_event_counts(ev)
+
+
 # --------------------------------------------------------------------- #
 # Advanced-axiom / validation / reasoning queries (SURVEY.md §2.2, §2.9)
 # --------------------------------------------------------------------- #
@@ -2887,6 +2902,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "range_join_events": _q_range_join_events,
         "hypertable_rollup": _q_hypertable_rollup,
+        "events_cube": _q_events_cube,
+        "events_pivot": _q_events_pivot,
         "session_stats_events": _q_session_stats,
         "event_transitions": _q_event_transitions,
         "funnel_completion": _q_funnel_completion,
@@ -3689,6 +3706,8 @@ UNION ALL SELECT 'month', * FROM mo
 ORDER BY resolution, bucket
 """
 
+    sql["events_cube"] = temporal.cube_summary_sql()
+    sql["events_pivot"] = temporal.pivot_event_counts_sql()
     sql["event_transitions"] = temporal.event_transitions_sql(
         gap_sec=21600
     )

@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "cube_summary",
+    "pivot_event_counts",
     "latest_snapshot",
     "range_join_binned",
     "rollup_cascade",
@@ -703,4 +705,97 @@ SELECT cohort_week, week_offset, n_active,
         OVER (PARTITION BY cohort_week) AS retention
 FROM capped
 ORDER BY cohort_week, week_offset
+"""
+
+
+# ------------------------------------------------------------------ #
+# Multi-dimensional aggregates (CUBE / fixed-list pivot)
+# ------------------------------------------------------------------ #
+
+#: The events fixture's closed event-type vocabulary.  A FIXED pivot
+#: value list matters at scale: ``pivot(col)`` without values runs an
+#: eager distinct-scan job over the whole corpus just to learn the
+#: column set; with the list the pivot is a pure one-pass conditional
+#: aggregation (map-side partials, one shuffle).
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def cube_summary(events: DataFrame) -> DataFrame:
+    """CUBE (event_type, hour-of-day) -> (n, total_value, gid): all
+    four grouping sets computed in ONE pass — Spark's Expand operator
+    replicates each input row per grouping set map-side, then a single
+    hash aggregation (with partial combine) covers base cells,
+    both one-dimensional margins and the grand total; no union of four
+    separate GROUP BYs, no second shuffle.  ``grouping_id`` is the
+    standard bitmask (first cube column = MSB), bit-identical to
+    DuckDB's ``GROUPING(event_type, hr)``, and distinguishes a real
+    NULL dimension value from a rolled-up one.
+
+    Values aggregate as integer cents (events.value is exactly
+    2-decimal): the grand-total cell sums the whole table, where
+    double association order under partial aggregation straddles the
+    %.6g boundary — integer sums are bit-stable (same trick as the
+    hypertable rollup)."""
+    e = events.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        e.cube("event_type", "hr")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("total_cents"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.col("event_type").asc_nulls_last(),
+            F.col("hr").asc_nulls_last(),
+        )
+    )
+
+
+def cube_summary_sql(table: str = "events") -> str:
+    """DuckDB twin: GROUP BY CUBE with the same GROUPING bitmask."""
+    return f"""
+WITH ev AS (
+  SELECT event_type, hour(ts) AS hr, round(value * 100)::BIGINT AS cents
+  FROM {table})
+SELECT event_type, hr, count(*) AS n, sum(cents)::BIGINT AS total_cents,
+       GROUPING(event_type, hr) AS gid
+FROM ev
+GROUP BY CUBE(event_type, hr)
+ORDER BY gid, event_type NULLS LAST, hr NULLS LAST
+"""
+
+
+def pivot_event_counts(events: DataFrame) -> DataFrame:
+    """Per-user wide event-type profile via ``pivot`` over the FIXED
+    :data:`EVENT_TYPES` list (see its note — the list elides the
+    distinct-discovery job, leaving a single conditional aggregation
+    with one shuffle on ``user_id``).  Absent combinations are 0, not
+    NULL, so the wide row is directly usable as a feature vector."""
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+    return wide.orderBy("user_id")
+
+
+def pivot_event_counts_sql(table: str = "events") -> str:
+    """DuckDB twin: explicit conditional aggregation (the same plan
+    Spark lowers the fixed-list pivot to)."""
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM {table}
+GROUP BY user_id
+ORDER BY user_id
 """
