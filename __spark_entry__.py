@@ -686,6 +686,26 @@ def _q_bgp_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: UNION BGP: two arms binding DIFFERENT variable sets — labels and
+#: market segments — so the NULL-padding of unbound vars is exercised.
+_UNION_GROUPS = [
+    [("?x", M.RDFS.label, "?name")],
+    [("?x", "http://example.org/tpch#mktsegment", "?seg")],
+]
+
+
+def _q_bgp_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION over the induced graph: label bindings ∪ segment
+    bindings; each arm keeps its own join tree, the union is a
+    zero-shuffle concatenation, unbound arm variables surface as
+    NULL."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.match_union(
+        relational.induce_triples(spark, sf_dir), _UNION_GROUPS
+    )
+
+
 #: GROUP_CONCAT aggregate: per-class sorted segment roster.  The agg
 #: expression differs per engine (Spark collect_set+array_join vs
 #: DuckDB string_agg DISTINCT ... ORDER BY) but the value is the same
@@ -2939,6 +2959,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional_filter": _q_bgp_optional_filter,
         "bgp_minus": _q_bgp_minus,
         "bgp_exists": _q_bgp_exists,
+        "bgp_union": _q_bgp_union,
         "bgp_bind": _q_bgp_bind,
         "bgp_group_concat": _q_bgp_group_concat,
         "bgp_aggregate": _q_bgp_aggregate,
@@ -3806,6 +3827,7 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["bgp_bind"] = _query.match_bgp_sql(
         _tr, _MINUS_REQUIRED, bind=_BIND_EXPRS
     )
+    sql["bgp_union"] = _query.match_union_sql(_tr, _UNION_GROUPS)
     sql["bgp_group_concat"] = _query.select_agg_sql(
         _tr, _AGG_PATTERNS, _GC_GROUP_BY, _GC_AGGS_DUCK
     )

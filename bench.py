@@ -232,6 +232,12 @@ def main() -> None:
         "nb_lang_confusion",
         "dsir_select",
         "distmult_rank",
+        # session-10: grouping sets, fixed-list pivot, SPARQL UNION,
+        # session_window sessionization (streaming drain)
+        "events_cube",
+        "events_pivot",
+        "bgp_union",
+        "stream_sessionize",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

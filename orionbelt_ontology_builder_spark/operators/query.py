@@ -180,6 +180,29 @@ def match_bgp(
     return out.limit(limit) if limit is not None else out
 
 
+def match_union(triples: DataFrame, groups, limit=None) -> DataFrame:
+    """SPARQL UNION: each group is an independent BGP; solution sets
+    concatenate with variables unbound in an arm left NULL
+    (``unionByName(allowMissingColumns=True)``).  Set semantics like
+    :func:`match_bgp` (DISTINCT), deterministic total order.
+
+    Scale shape: every arm keeps its own join tree — no arm pays for
+    another's patterns — and the union itself is a zero-shuffle
+    concatenation of the arm outputs; the only shuffle after the arms
+    is the final distinct over the (projected, narrow) binding set."""
+    if not groups:
+        raise ValueError("empty UNION")
+    out = None
+    for g in groups:
+        arm = _bindings_df(triples, g, None, None, None, None)
+        out = arm if out is None else out.unionByName(
+            arm, allowMissingColumns=True
+        )
+    cols = sorted(out.columns)
+    res = out.select(*cols).distinct().orderBy(*cols)
+    return res.limit(limit) if limit is not None else res
+
+
 def select_agg(
     triples: DataFrame,
     patterns,
@@ -361,6 +384,32 @@ SELECT DISTINCT {_sel(outcols)}
 FROM __bind
 WHERE {" AND ".join(mconds)}
 ORDER BY {", ".join(outcols)}{lim}
+"""
+
+
+def match_union_sql(triples_cte: str, groups, limit=None) -> str:
+    """DuckDB twin of :func:`match_union`: one sub-select per arm with
+    NULL-padded unbound variables, combined with SQL UNION (distinct)."""
+    arms = []
+    for gi, g in enumerate(groups):
+        frm, where, mconds, seen = _bindings_sql(g)
+        assert not mconds
+        arms.append((frm, where, seen))
+    allvars = sorted(set().union(*(s for _, _, s in arms)))
+    sels = []
+    for frm, where, seen in arms:
+        proj = ", ".join(
+            v if v in seen else f"CAST(NULL AS VARCHAR) AS {v}"
+            for v in allvars
+        )
+        sels.append(f"SELECT DISTINCT {proj}\nFROM {frm}\n{where}")
+    body = "\nUNION\n".join(sels)
+    lim = f"\nLIMIT {limit}" if limit is not None else ""
+    return f"""{triples_cte}
+SELECT * FROM (
+{body}
+) __u
+ORDER BY {", ".join(allvars)}{lim}
 """
 
 
