@@ -771,18 +771,26 @@ ORDER BY gid, event_type NULLS LAST, hr NULLS LAST
 
 
 def pivot_event_counts(events: DataFrame) -> DataFrame:
-    """Per-user wide event-type profile via ``pivot`` over the FIXED
-    :data:`EVENT_TYPES` list (see its note — the list elides the
-    distinct-discovery job, leaving a single conditional aggregation
-    with one shuffle on ``user_id``).  Absent combinations are 0, not
-    NULL, so the wide row is directly usable as a feature vector."""
-    wide = (
+    """Per-user wide event-type profile over the FIXED
+    :data:`EVENT_TYPES` vocabulary, compiled as a direct conditional
+    aggregation — ``count(when(type = t))`` per column — NOT
+    ``DataFrame.pivot``: even with an explicit value list, ``pivot``
+    lowers to a two-level plan (pre-aggregate on (key, pivot col),
+    shuffle, then PivotFirst on the key — two hash exchanges; plan
+    test pins this one at a single exchange).  The fixed list also
+    elides pivot's eager distinct-discovery job.  Absent combinations
+    are 0, not NULL, so the wide row is directly usable as a feature
+    vector."""
+    return (
         events.groupBy("user_id")
-        .pivot("event_type", EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, EVENT_TYPES)
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+                for t in EVENT_TYPES
+            ]
+        )
+        .orderBy("user_id")
     )
-    return wide.orderBy("user_id")
 
 
 def pivot_event_counts_sql(table: str = "events") -> str:

@@ -666,3 +666,43 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_big_bkt")
         spark.sql("DROP TABLE IF EXISTS t_dim_bkt")
+
+
+def test_cube_pivot_union_plan_shapes(spark):
+    """Session-10 ops hold their one-pass claims: CUBE compiles to a
+    single Expand + one aggregation exchange (not a union of four
+    GROUP BYs); the fixed-list pivot is one exchange with NO extra job
+    for value discovery; UNION arms concatenate without an exchange of
+    their own (only each arm's scan + the final distinct)."""
+    from datetime import datetime
+
+    from orionbelt_ontology_builder_spark.operators import temporal as T
+
+    T0 = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, T0, "click", 1.0), (2, T0, "view", 2.0)],
+        "user_id bigint, ts timestamp, event_type string, value double",
+    )
+    cube_plan = _plan(T.cube_summary(ev))
+    assert cube_plan.count("Expand") == 1
+    # one shuffle for the agg (+ the orderBy range exchange)
+    assert cube_plan.count("Exchange hashpartitioning") == 1
+
+    pivot_plan = _plan(T.pivot_event_counts(ev))
+    assert pivot_plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" not in pivot_plan
+
+    from orionbelt_ontology_builder_spark.operators import query as Q
+
+    tr = spark.createDataFrame(
+        [("s", "p", "o", "uri", None, None)],
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_lang string, obj_dt string",
+    )
+    u = Q.match_union(tr, [[("?x", "p", "?a")], [("?x", "q", "?b")]])
+    uplan = _plan(u)
+    assert "Union" in uplan
+    # the union contributes NO exchange of its own: one per arm
+    # pattern (the binding-set DISTINCT projection, same as match_bgp)
+    # plus the single final distinct — nothing else
+    assert uplan.count("Exchange hashpartitioning") == 3
