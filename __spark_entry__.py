@@ -1345,6 +1345,25 @@ def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.pivot_event_counts(ev)
 
 
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: per user, consecutive equal event_type runs
+    collapse to [valid_from, valid_to) versions — the crawl-versioning
+    shape (url re-fetches -> content versions).  Gaps-and-islands on
+    one key shuffle; no self-join."""
+    ev = _tbl(spark, sf_dir, "events")
+    return temporal.scd2_intervals(
+        ev, on="user_id", ts="ts", attr="event_type", tiebreak="event_id"
+    ).orderBy("user_id", "version")
+
+
+def _q_dedup_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-space near-dup without embeddings: word-trigram
+    count-vector cosine via a df-pruned inverted-index join (sum(df^2)
+    work, never all-pairs); cosine = int dot / sqrt(int norm product)
+    — two correctly-rounded ops, bit-stable cross-engine."""
+    return dedup.sparse_cosine_pairs(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------- #
 # Advanced-axiom / validation / reasoning queries (SURVEY.md §2.2, §2.9)
 # --------------------------------------------------------------------- #
@@ -2741,7 +2760,8 @@ _SF_SCALE = {
     "induced_search", "tpch_q1", "tpch_q3", "top_customers",
     "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
-    "hypertable_rollup", "session_stats_events", "event_transitions",
+    "hypertable_rollup", "scd2_intervals", "dedup_sparse_cosine",
+    "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
     "json_props_profile", "fk_discovery", "deep_instance_counts", "bgp_match",
@@ -2924,6 +2944,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": _q_hypertable_rollup,
         "events_cube": _q_events_cube,
         "events_pivot": _q_events_pivot,
+        "scd2_intervals": _q_scd2_intervals,
+        "dedup_sparse_cosine": _q_dedup_sparse_cosine,
         "session_stats_events": _q_session_stats,
         "event_transitions": _q_event_transitions,
         "funnel_completion": _q_funnel_completion,
@@ -3729,6 +3751,8 @@ ORDER BY resolution, bucket
 
     sql["events_cube"] = temporal.cube_summary_sql()
     sql["events_pivot"] = temporal.pivot_event_counts_sql()
+    sql["scd2_intervals"] = temporal.scd2_intervals_sql()
+    sql["dedup_sparse_cosine"] = dedup.sparse_cosine_oracle()
     sql["event_transitions"] = temporal.event_transitions_sql(
         gap_sec=21600
     )

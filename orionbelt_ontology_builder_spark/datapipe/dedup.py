@@ -1170,3 +1170,132 @@ FROM h JOIN c USING (text_hash)
 GROUP BY h.source
 ORDER BY h.source
 """
+
+
+# ------------------------------------------------------------------ #
+# Sparse count-vector cosine via a df-pruned inverted index
+# ------------------------------------------------------------------ #
+
+SPARSE_MIN_DF = 2    # a term seen in one doc can't create a pair
+SPARSE_MAX_DF = 50   # boilerplate guard: ubiquitous terms are pruned
+
+
+def _word_trigram_expr(toks: str = "t") -> str:
+    """Positional word 3-grams as the sparse term space (the token
+    granularity that keeps df low on web text; unigrams of a crawl are
+    almost all above any useful df cap).  Caller guarantees
+    ``size(toks) >= 3`` (shorter docs have no trigram — same as the
+    oracle's empty ``generate_series``)."""
+    return (
+        f"transform(sequence(0, size({toks}) - 3), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, 3)))"
+    )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    min_df: int = SPARSE_MIN_DF,
+    max_df: int = SPARSE_MAX_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, dot, cosine): document pairs whose word-trigram
+    **count-vector** cosine reaches ``threshold`` — the token-space
+    near-dup/similar-doc miner that needs no embeddings (the TF-IDF
+    retrieval twin of ``cosine_pairs``).
+
+    Scale shape — the inverted-index join, never an all-pairs stage:
+
+    * postings ``(term, doc_id, tf)`` from ONE explode + hash agg;
+    * **df pruning** bounds the join: terms with ``df < min_df`` can't
+      form a pair, terms with ``df > max_df`` (boilerplate n-grams
+      shared by millions of pages) would each contribute O(df^2)
+      candidate rows on one reducer — the same skew guard as
+      ``MAX_BUCKET`` in the LSH path, applied one stage earlier;
+    * pair dot products are a term-keyed equi-join + one (a,b) hash
+      agg: total work is sum(df^2) over *kept* terms — linear in the
+      corpus once the cap is fixed, and uniformly keyed;
+    * cosine = integer dot / sqrt(integer norm product): two
+      correctly-rounded IEEE ops, bit-identical in any engine and any
+      partitioning (no float accumulation order anywhere).
+
+    The vector space IS the kept-term space (df in [min_df, max_df]):
+    norms are computed over kept terms so pruning is a documented
+    semantics choice, not a silent approximation.
+    """
+    tf = (
+        docs.withColumn("norm", norm_col())
+        .withColumn("t", tokens_col())
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(F.expr(_word_trigram_expr("t"))).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = (
+        tf.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("g")
+    )
+    kept = tf.join(df_tbl, "g")
+    # kept feeds BOTH the norm agg and both join sides: persist so the
+    # explode + df-prune subtree runs once (CLAUDE.md multi-consumer rule)
+    kept = kept.persist()
+    nrm = kept.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nn"))
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cosine",
+            F.col("dot") / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "dot", "cosine")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sparse_cosine_oracle(
+    threshold: float = 0.2,
+    min_df: int = SPARSE_MIN_DF,
+    max_df: int = SPARSE_MAX_DF,
+) -> str:
+    """DuckDB twin: identical postings/prune/join/agg cascade; cosine
+    from the same two correctly-rounded ops."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split({norm_sql('text')}, ' ') AS t
+  FROM documents),
+tg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+tf AS (
+  SELECT doc_id, g, count(*)::BIGINT AS tf FROM tg GROUP BY 1, 2),
+kept AS MATERIALIZED (
+  SELECT tf.* FROM tf
+  JOIN (SELECT g FROM tf GROUP BY g
+        HAVING count(*) BETWEEN {min_df} AND {max_df}) d USING (g)),
+nrm AS MATERIALIZED (
+  SELECT doc_id, sum(tf * tf)::BIGINT AS nn FROM kept GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.tf * b.tf)::BIGINT AS dot
+  FROM kept a JOIN kept b USING (g)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, dot,
+       dot / sqrt((na.nn * nb.nn)::DOUBLE) AS cosine
+FROM dots
+JOIN nrm na ON na.doc_id = doc_a
+JOIN nrm nb ON nb.doc_id = doc_b
+WHERE dot / sqrt((na.nn * nb.nn)::DOUBLE) >= {threshold}
+ORDER BY doc_a, doc_b
+"""

@@ -55,6 +55,8 @@ __all__ = [
     "latest_snapshot",
     "range_join_binned",
     "rollup_cascade",
+    "scd2_intervals",
+    "scd2_intervals_sql",
     "cohort_retention",
     "cohort_retention_sql",
     "session_stats",
@@ -806,4 +808,100 @@ SELECT user_id,
 FROM {table}
 GROUP BY user_id
 ORDER BY user_id
+"""
+
+
+def scd2_intervals(
+    snapshots: DataFrame,
+    on: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a snapshot/event
+    stream: per key, collapse consecutive runs of the same ``attr``
+    value into validity intervals ``[valid_from, valid_to)`` with a
+    1-based ``version`` and an ``is_current`` flag on the open run.
+
+    The crawl-versioning op (engine addition; the reference app keeps
+    only the latest graph): re-fetches of a url across WARC snapshots
+    become content *versions* — unchanged re-crawls collapse into one
+    interval, and the result is the dimension table an as-of join
+    (``asof_join``) probes.
+
+    Scale shape: gaps-and-islands on ONE key partitioning —
+    ``lag(attr)`` marks change points, a running sum numbers runs
+    (both on the same window => one shuffle + one per-key sort), a
+    key-local aggregation collapses runs (rides the same exchange,
+    AQE-coalesced), and ``lead`` over the ~versions-sized result
+    closes intervals.  No self-join, no range join; per-key history
+    scans sequentially inside its partition, parallelism = key count
+    (url cardinality at web scale).  Ties on ``ts`` are ordered by
+    ``tiebreak`` (pass the event id) so runs are deterministic."""
+    keys = _keys(on)
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak is not None else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = (
+        F.when(F.lag(attr).over(w).isNull(), 1)
+        .when(F.lag(attr).over(w) != F.col(attr), 1)
+        .otherwise(0)
+    )
+    runs = snapshots.withColumn(
+        "version",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # attr is constant within a run (a run IS a maximal equal-attr
+    # streak), so min() is exact — no ordered first/min_by needed.
+    iv = runs.groupBy(*keys, "version").agg(
+        F.min(attr).alias(attr),
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy("version")
+    return iv.select(
+        *keys,
+        "version",
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_snapshots",
+    )
+
+
+def scd2_intervals_sql(
+    table: str = "events",
+    on: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin: identical lag/run-sum/collapse/lead cascade."""
+    return f"""
+WITH flagged AS (
+  SELECT {on}, {ts}, {tiebreak}, {attr},
+         CASE WHEN lag({attr}) OVER w IS NULL
+                OR lag({attr}) OVER w <> {attr} THEN 1 ELSE 0 END AS chg
+  FROM {table}
+  WINDOW w AS (PARTITION BY {on} ORDER BY {ts}, {tiebreak})
+),
+runs AS (
+  SELECT *, sum(chg) OVER (PARTITION BY {on} ORDER BY {ts}, {tiebreak}
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM flagged
+),
+iv AS (
+  SELECT {on}, version,
+         min({attr}) AS {attr},
+         min({ts}) AS valid_from,
+         count(*)::BIGINT AS n_snapshots
+  FROM runs GROUP BY {on}, version
+)
+SELECT {on}, version, {attr}, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_snapshots
+FROM iv
+WINDOW w2 AS (PARTITION BY {on} ORDER BY version)
+ORDER BY {on}, version
 """

@@ -1145,3 +1145,98 @@ def test_distmult_rank_matches_numpy_twin(embs):
         assert r["t_rank"] == expect
         assert r["n_candidates"] == len(ids)
         assert 1 <= r["t_rank"] <= len(ids)
+
+
+# --------------------------------------------------------------------- #
+# sparse_cosine_pairs (df-pruned inverted-index count-vector cosine)
+# --------------------------------------------------------------------- #
+
+
+def _sc_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_sparse_cosine_identical_docs_hit_one(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+    ]
+    out = D.sparse_cosine_pairs(
+        _sc_docs(spark, texts), threshold=0.2, max_df=50
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
+    assert abs(out[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_sparse_cosine_df_cap_prunes_boilerplate(spark):
+    """A trigram present in EVERY doc is pruned by max_df, so docs
+    sharing only boilerplate never pair."""
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    boiler = "all rights reserved"
+    texts = [f"{boiler} unique{i} text{i} words{i}" for i in range(4)]
+    out = D.sparse_cosine_pairs(
+        _sc_docs(spark, texts), threshold=0.01, max_df=3
+    ).collect()
+    assert out == []
+    # raise the cap: the shared trigrams now count and all pairs appear
+    out2 = D.sparse_cosine_pairs(
+        _sc_docs(spark, texts), threshold=0.01, max_df=4
+    ).collect()
+    assert len(out2) == 6
+
+
+def test_sparse_cosine_short_docs_have_no_trigrams(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    out = D.sparse_cosine_pairs(
+        _sc_docs(spark, ["one two", "one two", ""]), threshold=0.0
+    ).collect()
+    assert out == []
+
+
+def test_sparse_cosine_matches_brute_force(spark):
+    """Cosine values equal a NumPy count-vector computation over the
+    kept-term space."""
+    import math
+    from collections import Counter
+
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox sleeps under the lazy dog",
+        "a completely different sentence with other words inside",
+        "the quick brown fox jumps over a sleeping cat",
+    ]
+    out = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in D.sparse_cosine_pairs(
+            _sc_docs(spark, texts), threshold=0.0, min_df=2, max_df=50
+        ).collect()
+    }
+
+    def grams(t):
+        w = t.split()
+        return Counter(
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2)
+        )
+
+    vecs = [grams(t) for t in texts]
+    df = Counter(g for v in vecs for g in v)
+    kept = {g for g, c in df.items() if 2 <= c <= 50}
+    vecs = [{g: c for g, c in v.items() if g in kept} for v in vecs]
+    for a in range(4):
+        for b in range(a + 1, 4):
+            dot = sum(vecs[a][g] * vecs[b][g] for g in vecs[a] if g in vecs[b])
+            if not dot:
+                assert (a, b) not in out
+                continue
+            na = sum(c * c for c in vecs[a].values())
+            nb = sum(c * c for c in vecs[b].values())
+            assert abs(out[(a, b)] - dot / math.sqrt(na * nb)) < 1e-12

@@ -383,3 +383,63 @@ def test_cohort_retention_max_weeks_cap(spark):
     out = T.cohort_retention(ev, on="user_id", ts="ts", max_weeks=2)
     offsets = [r["week_offset"] for r in out.collect()]
     assert offsets == [0, 1]
+
+
+# --------------------------------------------------------------------- #
+# scd2_intervals
+# --------------------------------------------------------------------- #
+
+
+def _scd2_rows(spark, rows):
+    import datetime as dt
+
+    data = [
+        (k, dt.datetime(2024, 1, 1, 0, m), v, i)
+        for i, (k, m, v) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "user_id string, ts timestamp, event_type string, event_id long"
+    )
+    return T.scd2_intervals(
+        ev, on="user_id", ts="ts", attr="event_type", tiebreak="event_id"
+    ).orderBy("user_id", "version").collect()
+
+
+def test_scd2_collapses_runs_and_versions(spark):
+    """AAB B A -> three versions; unchanged re-snapshots collapse."""
+    out = _scd2_rows(
+        spark,
+        [("u", 0, "a"), ("u", 1, "a"), ("u", 2, "b"),
+         ("u", 3, "b"), ("u", 4, "a")],
+    )
+    assert [(r["version"], r["event_type"], r["n_snapshots"]) for r in out] == [
+        (1, "a", 2), (2, "b", 2), (3, "a", 1)
+    ]
+    # intervals chain: valid_to == next valid_from; only last is open
+    assert [r["is_current"] for r in out] == [False, False, True]
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["valid_to"] == out[2]["valid_from"]
+    assert out[2]["valid_to"] is None
+
+
+def test_scd2_single_run_is_current(spark):
+    out = _scd2_rows(spark, [("u", 0, "x"), ("u", 5, "x")])
+    assert len(out) == 1
+    r = out[0]
+    assert r["version"] == 1 and r["is_current"] and r["n_snapshots"] == 2
+    assert r["valid_to"] is None
+
+
+def test_scd2_keys_are_independent(spark):
+    out = _scd2_rows(spark, [("u", 0, "a"), ("v", 0, "a"), ("v", 1, "b")])
+    per_key = {}
+    for r in out:
+        per_key.setdefault(r["user_id"], []).append(r["event_type"])
+    assert per_key == {"u": ["a"], "v": ["a", "b"]}
+
+
+def test_scd2_tiebreak_orders_equal_timestamps(spark):
+    """Two values on the SAME ts: event_id decides run order, so the
+    history is (a then b), deterministically."""
+    out = _scd2_rows(spark, [("u", 0, "a"), ("u", 0, "b")])
+    assert [(r["version"], r["event_type"]) for r in out] == [(1, "a"), (2, "b")]
