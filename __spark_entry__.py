@@ -1541,6 +1541,18 @@ def _q_validate_owl(spark, sf_dir):
     return _validated(spark)
 
 
+def _q_owl_consistency(spark, sf_dir):
+    """OWL 2 RL false-rules as rows (cax-dw closure-aware, prp-asyp,
+    prp-irp, prp-pdw, eq-diff1, cls-nothing2) over a fixture planting
+    exactly one violation per rule; every detector is an equi-join
+    against a vocabulary-sized axiom side (broadcast at corpus scale)."""
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    return validation.owl_consistency(
+        FX.fixture_triples(spark, "consistency_om")
+    )
+
+
 #: extra SKOS rows planted for validate_skos: missing prefLabel +
 #: not-in-scheme (X, Y), a broader cycle (X<->Y), duplicate prefLabel
 #: (Dog2 reuses "Dog" in MyScheme).
@@ -3049,6 +3061,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_namespace": _q_infer_namespace,
         "resolve_base_uri": _q_resolve_base_uri,
         "validate_owl": _q_validate_owl,
+        "owl_consistency": _q_owl_consistency,
         "validate_skos": _q_validate_skos,
         "reasoning_rdfs": _q_reasoning_rdfs,
         "reasoning_owlrl": _q_reasoning_owlrl,
@@ -4514,6 +4527,95 @@ SELECT * FROM (
     sql["validation_severity"] = (
         "SELECT severity, count(*) AS n FROM (" + validate_owl_sql + ") GROUP BY severity ORDER BY severity"
     )
+
+    # OWL 2 RL inconsistency detectors over the planted-violation
+    # fixture: identical closure-aware effective types + symmetric
+    # canonicalization both sides.
+    _OWLNS = "http://www.w3.org/2002/07/owl#"
+    sql["owl_consistency"] = f"""
+WITH {FX.fixture_cte('consistency_om')},
+sub AS (SELECT subj AS s, obj AS o FROM triples WHERE pred = '{SUB}'),
+closure AS (
+  WITH RECURSIVE c(s, o) AS (
+    SELECT s, o FROM sub
+    UNION
+    SELECT c.s, sub.o FROM c JOIN sub ON c.o = sub.s)
+  SELECT * FROM c),
+nodes AS (SELECT s AS n FROM sub UNION SELECT o FROM sub),
+anc AS (SELECT * FROM closure UNION SELECT n, n FROM nodes),
+types AS (SELECT subj, obj AS cls FROM triples WHERE pred = '{RDF_TYPE}'),
+eff AS MATERIALIZED (
+  SELECT subj, cls FROM types
+  UNION
+  SELECT t.subj, a.o FROM types t JOIN anc a ON t.cls = a.s),
+dw AS (
+  SELECT DISTINCT least(subj, obj) AS c1, greatest(subj, obj) AS c2
+  FROM triples WHERE pred = '{_OWLNS}disjointWith' AND subj <> obj),
+cax AS (
+  SELECT DISTINCT t1.subj, dw.c1, dw.c2
+  FROM eff t1 JOIN dw ON t1.cls = dw.c1
+  JOIN eff t2 ON t2.subj = t1.subj AND t2.cls = dw.c2),
+asym AS (SELECT subj AS p FROM triples
+         WHERE pred = '{RDF_TYPE}' AND obj = '{_OWLNS}AsymmetricProperty'),
+asyp AS (
+  SELECT DISTINCT e1.subj, e1.obj
+  FROM triples e1 JOIN asym ON e1.pred = asym.p
+  JOIN triples e2 ON e2.subj = e1.obj AND e2.pred = e1.pred
+                 AND e2.obj = e1.subj
+  WHERE e1.subj < e1.obj),
+irr AS (SELECT subj AS p FROM triples
+        WHERE pred = '{RDF_TYPE}' AND obj = '{_OWLNS}IrreflexiveProperty'),
+irp AS (
+  SELECT DISTINCT t.subj, t.pred FROM triples t
+  JOIN irr ON t.pred = irr.p WHERE t.subj = t.obj),
+pdw AS (
+  SELECT DISTINCT least(subj, obj) AS p1, greatest(subj, obj) AS p2
+  FROM triples WHERE pred = '{_OWLNS}propertyDisjointWith' AND subj <> obj),
+pdv AS (
+  SELECT DISTINCT a.subj, a.obj
+  FROM triples a JOIN pdw ON a.pred = pdw.p1
+  JOIN triples b ON b.subj = a.subj AND b.obj = a.obj AND b.pred = pdw.p2),
+same AS (
+  SELECT DISTINCT least(subj, obj) AS x, greatest(subj, obj) AS y
+  FROM triples WHERE pred = '{_OWLNS}sameAs' AND subj <> obj),
+diff AS (
+  SELECT DISTINCT least(subj, obj) AS x, greatest(subj, obj) AS y
+  FROM triples WHERE pred = '{_OWLNS}differentFrom' AND subj <> obj),
+eqd AS (SELECT same.x, same.y FROM same JOIN diff USING (x, y)),
+nothing AS (SELECT subj FROM triples
+            WHERE pred = '{RDF_TYPE}' AND obj = '{_OWLNS}Nothing')
+SELECT * FROM (
+  SELECT 'error' AS severity, 'disjoint_classes' AS issue_type,
+         subj AS subject,
+         {_ln('subj')} || ': instance of disjoint classes ' ||
+         {_ln('c1')} || ' / ' || {_ln('c2')} AS message
+  FROM cax
+  UNION ALL
+  SELECT 'error', 'asymmetric_violation', subj,
+         {_ln('subj')} || ' / ' || {_ln('obj')} ||
+         ': asymmetric property holds both ways'
+  FROM asyp
+  UNION ALL
+  SELECT 'error', 'irreflexive_violation', subj,
+         {_ln('subj')} || ' / ' || {_ln('pred')} ||
+         ': irreflexive property is reflexive here'
+  FROM irp
+  UNION ALL
+  SELECT 'error', 'disjoint_properties', subj,
+         {_ln('subj')} || ' / ' || {_ln('obj')} ||
+         ': disjoint properties share a statement'
+  FROM pdv
+  UNION ALL
+  SELECT 'error', 'same_and_different', x,
+         {_ln('x')} || ' / ' || {_ln('y')} ||
+         ': sameAs contradicts differentFrom'
+  FROM eqd
+  UNION ALL
+  SELECT 'error', 'nothing_member', subj,
+         {_ln('subj')} || ': individual typed owl:Nothing'
+  FROM nothing
+) ORDER BY issue_type, subject, message
+"""
 
     skos_extra_vals = ",\n    ".join(
         "(" + ", ".join(

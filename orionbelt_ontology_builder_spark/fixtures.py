@@ -118,6 +118,28 @@ VALIDATION_OM: list[tuple] = POPULATED_OM + [
     t_lit(_e("DupB"), RDFS.label, "Duplicate"),
 ]
 
+#: OWL-RL inconsistency fixture: one planted violation per false-rule
+#: (cax-dw via subclass inheritance, prp-asyp, prp-irp, prp-pdw,
+#: eq-diff1 with reversed statement directions, cls-nothing2) over the
+#: populated base graph.
+CONSISTENCY_OM: list[tuple] = POPULATED_OM + [
+    t_uri(_e("Person"), OWL.disjointWith, _e("Organization")),
+    t_uri(_e("bob"), RDF.type, _e("Employee")),          # => Person (closure)
+    t_uri(_e("bob"), RDF.type, _e("Organization")),      # cax-dw hit
+    t_uri(_e("mentors"), RDF.type, OWL.ObjectProperty),
+    t_uri(_e("mentors"), RDF.type, OWL.AsymmetricProperty),
+    t_uri(_e("alice"), _e("mentors"), _e("bob")),
+    t_uri(_e("bob"), _e("mentors"), _e("alice")),        # prp-asyp hit
+    t_uri(_e("knows"), RDF.type, OWL.IrreflexiveProperty),
+    t_uri(_e("carol"), _e("knows"), _e("carol")),        # prp-irp hit
+    t_uri(_e("hasBoss"), OWL.propertyDisjointWith, _e("mentors")),
+    t_uri(_e("dave"), _e("hasBoss"), _e("erin")),
+    t_uri(_e("dave"), _e("mentors"), _e("erin")),        # prp-pdw hit
+    t_uri(_e("frank"), OWL.sameAs, _e("grace")),
+    t_uri(_e("grace"), OWL.differentFrom, _e("frank")),  # eq-diff1 (reversed)
+    t_uri(_e("hank"), RDF.type, OWL.Nothing),            # cls-nothing2
+]
+
 #: Axiom-rich fixture: restrictions, RDF-list axioms (unionOf,
 #: propertyChainAxiom, hasKey, distinctMembers, disjointUnionOf),
 #: relation axioms, annotations with lang/datatype — exercising the
@@ -230,6 +252,7 @@ FIXTURES: dict[str, list[tuple]] = {
     "diff_a": DIFF_A,
     "diff_b": DIFF_B,
     "validation_om": VALIDATION_OM,
+    "consistency_om": CONSISTENCY_OM,
     "axioms_om": AXIOMS_OM,
 }
 

@@ -100,6 +100,7 @@ class OWL:
     minQualifiedCardinality = OWL_NS + "minQualifiedCardinality"
     maxQualifiedCardinality = OWL_NS + "maxQualifiedCardinality"
     qualifiedCardinality = OWL_NS + "qualifiedCardinality"
+    Nothing = OWL_NS + "Nothing"
     FunctionalProperty = OWL_NS + "FunctionalProperty"
     InverseFunctionalProperty = OWL_NS + "InverseFunctionalProperty"
     TransitiveProperty = OWL_NS + "TransitiveProperty"

@@ -599,3 +599,181 @@ WHERE NOT coalesce(
   END, FALSE)
 ORDER BY focus, prop, kind, value
 """
+
+
+# --------------------------------------------------------------------- #
+# OWL 2 RL consistency checks (false-rules: a hit = inconsistent graph)
+# --------------------------------------------------------------------- #
+
+
+def _pair_issue(df: DataFrame, issue_type: str, message: str) -> DataFrame:
+    """Like ``_issue`` but names BOTH parties (columns subj/other)."""
+    return df.select(
+        F.lit("error").alias("severity"),
+        F.lit(issue_type).alias("issue_type"),
+        F.col("subj").alias("subject"),
+        F.concat(
+            local_name_col(F.col("subj")),
+            F.lit(" / "),
+            local_name_col(F.col("other")),
+            F.lit(": " + message),
+        ).alias("message"),
+    )
+
+
+def _effective_types(triples: DataFrame) -> DataFrame:
+    """(subj, cls): rdf:type facts expanded through the subClassOf
+    closure — an instance of Employee IS a Person for disjointness.
+    Direct types union (types x closure); the closure side is
+    class-vocabulary-sized, so Catalyst broadcasts it."""
+    types = triples.filter(F.col("pred") == RDF.type).select(
+        "subj", F.col("obj").alias("cls")
+    )
+    anc = expand_superclasses(triples, RDFS.subClassOf)
+    inherited = types.join(anc, types.cls == anc.cls, "inner").select(
+        types.subj, anc.ancestor.alias("cls")
+    )
+    return types.unionByName(inherited).distinct()
+
+
+def _sym_canon(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Symmetric axiom rows canonicalized to (least, greatest) pairs."""
+    return df.select(
+        F.least(F.col(a), F.col(b)).alias(a),
+        F.greatest(F.col(a), F.col(b)).alias(b),
+    ).filter(F.col(a) != F.col(b)).distinct()
+
+
+def owl_consistency(triples: DataFrame) -> DataFrame:
+    """OWL 2 RL *inconsistency* detectors — the profile's false-rules,
+    each one equi-join-shaped (reference runs owlrl which raises on
+    these; surfacing them as rows is the batch-friendly form):
+
+    * ``cax-dw``   x type C1, x type C2, C1 owl:disjointWith C2 —
+      **closure-aware**: membership inherits through subClassOf.
+    * ``prp-asyp`` (x,p,y) and (y,p,x) for asymmetric p (x != y).
+    * ``prp-irp``  (x,p,x) for irreflexive p.
+    * ``prp-pdw``  (x,p1,y) and (x,p2,y), p1 owl:propertyDisjointWith p2.
+    * ``eq-diff1`` x owl:sameAs y AND x owl:differentFrom y (either
+      stated direction of either predicate).
+    * ``cls-nothing2`` x rdf:type owl:Nothing.
+
+    Scale shape: every detector is a join keyed on instance or (s,o)
+    pairs against a class/property-vocabulary-sized axiom side —
+    broadcast joins at any corpus size; no closure beyond the shared
+    ``expand_superclasses`` (O(log depth) doubling).  Compose after
+    ``reasoning.apply_reasoning`` to check the *entailed* graph.
+    """
+    eff = _effective_types(triples).persist()
+
+    dw = _sym_canon(
+        triples.filter(F.col("pred") == OWL.disjointWith), "subj", "obj"
+    ).select(F.col("subj").alias("c1"), F.col("obj").alias("c2"))
+    cax = (
+        eff.alias("t1")
+        .join(dw, F.col("t1.cls") == F.col("c1"))
+        .join(
+            eff.alias("t2"),
+            (F.col("t2.subj") == F.col("t1.subj"))
+            & (F.col("t2.cls") == F.col("c2")),
+        )
+        .select(F.col("t1.subj").alias("subj"), "c1", "c2")
+        .distinct()
+        .select(
+            F.lit("error").alias("severity"),
+            F.lit("disjoint_classes").alias("issue_type"),
+            F.col("subj").alias("subject"),
+            F.concat(
+                local_name_col(F.col("subj")),
+                F.lit(": instance of disjoint classes "),
+                local_name_col(F.col("c1")),
+                F.lit(" / "),
+                local_name_col(F.col("c2")),
+            ).alias("message"),
+        )
+    )
+
+    asym = triples.filter(
+        (F.col("pred") == RDF.type) & (F.col("obj") == OWL.AsymmetricProperty)
+    ).select(F.col("subj").alias("p"))
+    edges = triples.select("subj", "pred", "obj").alias("e1")
+    rev = triples.select(
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+    ).alias("e2")
+    asyp = (
+        edges.join(asym, F.col("e1.pred") == F.col("p"))
+        .join(
+            rev,
+            (F.col("e2.subj") == F.col("e1.subj"))
+            & (F.col("e2.pred") == F.col("e1.pred"))
+            & (F.col("e2.obj") == F.col("e1.obj")),
+        )
+        .filter(F.col("e1.subj") < F.col("e1.obj"))
+        .select(F.col("e1.subj").alias("subj"), F.col("e1.obj").alias("other"))
+        .distinct()
+    )
+
+    irr = triples.filter(
+        (F.col("pred") == RDF.type) & (F.col("obj") == OWL.IrreflexiveProperty)
+    ).select(F.col("subj").alias("p"))
+    irp = (
+        triples.filter(F.col("subj") == F.col("obj"))
+        .join(irr, F.col("pred") == F.col("p"))
+        .select("subj", F.col("pred").alias("other"))
+        .distinct()
+    )
+
+    pdw = _sym_canon(
+        triples.filter(F.col("pred") == OWL.propertyDisjointWith), "subj", "obj"
+    ).select(F.col("subj").alias("p1"), F.col("obj").alias("p2"))
+    pdv = (
+        triples.alias("a")
+        .join(pdw, F.col("a.pred") == F.col("p1"))
+        .join(
+            triples.alias("b"),
+            (F.col("b.subj") == F.col("a.subj"))
+            & (F.col("b.obj") == F.col("a.obj"))
+            & (F.col("b.pred") == F.col("p2")),
+        )
+        .select(F.col("a.subj").alias("subj"), F.col("a.obj").alias("other"))
+        .distinct()
+    )
+
+    same = _sym_canon(
+        triples.filter(F.col("pred") == OWL.sameAs), "subj", "obj"
+    )
+    diff = _sym_canon(
+        triples.filter(F.col("pred") == OWL.differentFrom), "subj", "obj"
+    )
+    eqd = same.join(diff, ["subj", "obj"]).select(
+        "subj", F.col("obj").alias("other")
+    )
+
+    nothing = triples.filter(
+        (F.col("pred") == RDF.type) & (F.col("obj") == OWL.Nothing)
+    ).select("subj")
+
+    out = (
+        cax
+        .unionByName(
+            _pair_issue(asyp, "asymmetric_violation",
+                        "asymmetric property holds both ways")
+        )
+        .unionByName(
+            _pair_issue(irp, "irreflexive_violation",
+                        "irreflexive property is reflexive here")
+        )
+        .unionByName(
+            _pair_issue(pdv, "disjoint_properties",
+                        "disjoint properties share a statement")
+        )
+        .unionByName(
+            _pair_issue(eqd, "same_and_different",
+                        "sameAs contradicts differentFrom")
+        )
+        .unionByName(
+            _issue(nothing, "error", "nothing_member",
+                   "individual typed owl:Nothing")
+        )
+    )
+    return out.orderBy("issue_type", "subject", "message")

@@ -128,3 +128,61 @@ def test_shacl_min_max_unbounded_max(spark):
         fixture_triples(spark, "populated_om"), shapes
     ).collect()
     assert out == []
+
+
+# --------------------------------------------------------------------- #
+# owl_consistency (OWL 2 RL false-rules)
+# --------------------------------------------------------------------- #
+
+
+def test_owl_consistency_one_hit_per_rule(spark):
+    from orionbelt_ontology_builder_spark.operators.validation import (
+        owl_consistency,
+    )
+
+    out = owl_consistency(fixture_triples(spark, "consistency_om")).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["issue_type"], []).append(r)
+    assert {k: len(v) for k, v in by_type.items()} == {
+        "disjoint_classes": 1,
+        "asymmetric_violation": 1,
+        "irreflexive_violation": 1,
+        "disjoint_properties": 1,
+        "same_and_different": 1,
+        "nothing_member": 1,
+    }
+    assert all(r["severity"] == "error" for r in out)
+    # closure-awareness: bob is flagged through Employee -> Person, not
+    # a direct Person typing
+    dj = by_type["disjoint_classes"][0]
+    assert dj["subject"].endswith("#bob")
+    assert "Organization" in dj["message"] and "Person" in dj["message"]
+
+
+def test_owl_consistency_clean_graph_is_empty(spark):
+    from orionbelt_ontology_builder_spark.operators.validation import (
+        owl_consistency,
+    )
+
+    assert owl_consistency(fixture_triples(spark, "populated_om")).count() == 0
+
+
+def test_owl_consistency_symmetric_statement_directions(spark):
+    """eq-diff1 fires regardless of which direction either predicate
+    was stated in; asymmetric violation reported once per pair."""
+    from orionbelt_ontology_builder_spark.model import OWL, t_uri
+    from orionbelt_ontology_builder_spark.operators.validation import (
+        owl_consistency,
+    )
+
+    B = "http://test.org/ont#"
+    rows = [
+        t_uri(B + "a", OWL.sameAs, B + "b"),
+        t_uri(B + "a", OWL.differentFrom, B + "b"),  # same direction now
+    ]
+    df = spark.createDataFrame(rows, fixture_triples(spark, "populated_om").schema)
+    out = owl_consistency(df).collect()
+    assert [(r["issue_type"], r["subject"]) for r in out] == [
+        ("same_and_different", B + "a")
+    ]
