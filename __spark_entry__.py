@@ -1345,6 +1345,26 @@ def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.pivot_event_counts(ev)
 
 
+def _q_merge_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance: hourly rollups of the even/odd
+    event_id halves (the 'materialized' aggregate and the 'delta')
+    merged WITHOUT rescanning raw rows — count/sum/min/max re-associate;
+    avg derived from merged sums at read time.  Integer-cents sums as
+    in hypertable_rollup (float association vs %.6g)."""
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
+    part_a = temporal.rollup_cascade(
+        ev.filter(F.col("event_id") % 2 == 0), resolutions=("hour",)
+    )
+    part_b = temporal.rollup_cascade(
+        ev.filter(F.col("event_id") % 2 == 1), resolutions=("hour",)
+    )
+    return temporal.merge_rollups(part_a, part_b).orderBy(
+        "resolution", "bucket"
+    )
+
+
 def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history: per user, consecutive equal event_type runs
     collapse to [valid_from, valid_to) versions — the crawl-versioning
@@ -2050,6 +2070,17 @@ def _q_zorder_extents(spark, sf_dir):
     from orionbelt_ontology_builder_spark.datapipe import layout
 
     return layout.zorder_extents(_tbl(spark, sf_dir, "events"))
+
+
+def _q_prune_estimate(spark, sf_dir):
+    """File-skipping estimator: for one 2-dim predicate box, how many
+    buckets/rows a min/max-stats scan reads under zorder vs single-
+    column-sort layouts — the I/O evidence read before rewriting
+    100 TB.  One scan projection, rows exploded to their three
+    (layout, bucket) assignments, one hash agg."""
+    from orionbelt_ontology_builder_spark.datapipe import layout
+
+    return layout.prune_estimate(_tbl(spark, sf_dir, "events"))
 
 
 def _q_pq_codes(spark, sf_dir):
@@ -2773,6 +2804,7 @@ _SF_SCALE = {
     "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "scd2_intervals", "dedup_sparse_cosine",
+    "merge_rollups",
     "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
@@ -2957,6 +2989,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "events_pivot": _q_events_pivot,
         "scd2_intervals": _q_scd2_intervals,
+        "merge_rollups": _q_merge_rollups,
         "dedup_sparse_cosine": _q_dedup_sparse_cosine,
         "session_stats_events": _q_session_stats,
         "event_transitions": _q_event_transitions,
@@ -3109,6 +3142,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_stats": _q_sq8_stats,
         "pq_codes": _q_pq_codes,
         "zorder_extents": _q_zorder_extents,
+        "prune_estimate": _q_prune_estimate,
         "embedding_covariance": _q_embedding_covariance,
         "label_centroids": _q_label_centroids,
         "media_features": _q_media_features,
@@ -3765,6 +3799,7 @@ ORDER BY resolution, bucket
     sql["events_cube"] = temporal.cube_summary_sql()
     sql["events_pivot"] = temporal.pivot_event_counts_sql()
     sql["scd2_intervals"] = temporal.scd2_intervals_sql()
+    sql["merge_rollups"] = temporal.merge_rollups_sql()
     sql["dedup_sparse_cosine"] = dedup.sparse_cosine_oracle()
     sql["event_transitions"] = temporal.event_transitions_sql(
         gap_sec=21600
@@ -4938,6 +4973,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     from orionbelt_ontology_builder_spark.datapipe import layout as _layout
 
     sql["zorder_extents"] = _layout.zorder_extents_oracle()
+    sql["prune_estimate"] = _layout.prune_estimate_oracle()
     sql["embedding_covariance"] = similarity.embedding_covariance_oracle(
         dim=64
     )

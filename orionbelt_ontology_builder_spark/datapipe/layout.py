@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue_sql", "zorder_extents", "zorder_extents_oracle"]
+__all__ = [
+    "zvalue_sql",
+    "zorder_extents",
+    "zorder_extents_oracle",
+    "prune_estimate",
+    "prune_estimate_oracle",
+]
 
 BITS = 8          # per-dimension resolution (2^8 cells per axis)
 BUCKET_BITS = 4   # file buckets = 2^4 (the range-writer cut points)
@@ -150,4 +156,149 @@ SELECT bucket, count(*) AS n_rows,
        min(d1) AS d1_min, max(d1) AS d1_max,
        min(d2) AS d2_min, max(d2) AS d2_max
 FROM zb GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ------------------------------------------------------------------ #
+# Predicate-pruning estimator: which layout skips what
+# ------------------------------------------------------------------ #
+
+#: default audit predicate box in cell space (0..2^BITS-1 per axis):
+#: a quarter of each axis — the selective 2-dim range query layouts
+#: are judged on.
+Q1 = (32, 95)
+Q2 = (64, 127)
+
+
+def prune_estimate(
+    events: DataFrame,
+    bits: int = BITS,
+    bucket_bits: int = BUCKET_BITS,
+    q1: tuple[int, int] = Q1,
+    q2: tuple[int, int] = Q2,
+) -> DataFrame:
+    """(layout, n_buckets, buckets_scanned, rows_scanned, rows_total,
+    scan_fraction): how much a min/max-stats scan must read under three
+    physical layouts for the same 2-dimensional predicate box —
+    ``zorder`` (Morton buckets), ``sort_d1`` / ``sort_d2`` (single-column
+    sorts, equal-width cuts).  A bucket is *skipped* iff its per-file
+    extent rectangle misses the box — exactly the parquet/Iceberg/Delta
+    row-group pruning rule, so this IS the I/O estimate that justifies
+    (or rejects) a re-layout before anyone rewrites 100 TB.
+
+    Plan: the zorder_extents scan projection computed ONCE, each row
+    exploded to its three (layout, bucket) assignments, one hash agg on
+    the (layout, bucket) key, and a layout-level re-agg of the ~48-row
+    result.  Scan fraction = integer row counts in one double division
+    — engine-portable."""
+    from ..operators.temporal import _us
+
+    base = events.select("user_id", _us(F.col("ts")).alias("t_us"))
+    ext = base.agg(
+        F.min("user_id").alias("u_mn"),
+        F.max("user_id").alias("u_mx"),
+        F.min("t_us").alias("t_mn"),
+        F.max("t_us").alias("t_mx"),
+    )
+    d1 = _scale_sql("user_id", "u_mn", "u_mx", bits)
+    d2 = _scale_sql("t_us", "t_mn", "t_mx", bits)
+    z = zvalue_sql("d1", "d2", bits, _spark_shl, _spark_shr)
+    zb = _spark_shr(f"({z})", 2 * bits - bucket_bits)
+    sb1 = _spark_shr("d1", bits - bucket_bits)
+    sb2 = _spark_shr("d2", bits - bucket_bits)
+    assigned = (
+        base.crossJoin(F.broadcast(ext))
+        .select(F.expr(d1).alias("d1"), F.expr(d2).alias("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.expr(zb).alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("sort_d1").alias("layout"),
+                        F.expr(sb1).alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit("sort_d2").alias("layout"),
+                        F.expr(sb2).alias("bucket"),
+                    ),
+                )
+            ).alias("a"),
+        )
+        .select("d1", "d2", F.col("a.layout").alias("layout"),
+                F.col("a.bucket").alias("bucket"))
+    )
+    per_bucket = assigned.groupBy("layout", "bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("d1").alias("d1_min"),
+        F.max("d1").alias("d1_max"),
+        F.min("d2").alias("d2_min"),
+        F.max("d2").alias("d2_max"),
+    )
+    scanned = (
+        (F.col("d1_max") >= q1[0]) & (F.col("d1_min") <= q1[1])
+        & (F.col("d2_max") >= q2[0]) & (F.col("d2_min") <= q2[1])
+    ).cast("int")
+    return (
+        per_bucket.withColumn("scanned", scanned)
+        .groupBy("layout")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("scanned").alias("buckets_scanned"),
+            F.sum(F.col("scanned") * F.col("n_rows")).alias("rows_scanned"),
+            F.sum("n_rows").alias("rows_total"),
+            (
+                F.sum(F.col("scanned") * F.col("n_rows"))
+                / F.sum("n_rows").cast("double")
+            ).alias("scan_fraction"),
+        )
+        .orderBy("layout")
+    )
+
+
+def prune_estimate_oracle(
+    bits: int = BITS,
+    bucket_bits: int = BUCKET_BITS,
+    q1: tuple[int, int] = Q1,
+    q2: tuple[int, int] = Q2,
+) -> str:
+    """DuckDB twin of :func:`prune_estimate` (identical arithmetic)."""
+    d1 = _scale_sql("user_id", "u_mn", "u_mx", bits)
+    d2 = _scale_sql("epoch_us(ts)", "t_mn", "t_mx", bits)
+    z = zvalue_sql("d1", "d2", bits, _duck_shl, _duck_shr)
+    return f"""
+WITH ext AS (
+  SELECT min(user_id) AS u_mn, max(user_id) AS u_mx,
+         min(epoch_us(ts)) AS t_mn, max(epoch_us(ts)) AS t_mx
+  FROM events),
+d AS (
+  SELECT {d1} AS d1, {d2} AS d2
+  FROM events CROSS JOIN ext),
+assigned AS (
+  SELECT d1, d2, 'zorder' AS layout,
+         (({z}) >> {2 * bits - bucket_bits}) AS bucket FROM d
+  UNION ALL
+  SELECT d1, d2, 'sort_d1', (d1 >> {bits - bucket_bits}) FROM d
+  UNION ALL
+  SELECT d1, d2, 'sort_d2', (d2 >> {bits - bucket_bits}) FROM d),
+per_bucket AS (
+  SELECT layout, bucket, count(*)::BIGINT AS n_rows,
+         min(d1) AS d1_min, max(d1) AS d1_max,
+         min(d2) AS d2_min, max(d2) AS d2_max
+  FROM assigned GROUP BY 1, 2),
+flagged AS (
+  SELECT *, CASE WHEN d1_max >= {q1[0]} AND d1_min <= {q1[1]}
+                  AND d2_max >= {q2[0]} AND d2_min <= {q2[1]}
+            THEN 1 ELSE 0 END AS scanned
+  FROM per_bucket)
+SELECT layout, count(*)::BIGINT AS n_buckets,
+       sum(scanned)::BIGINT AS buckets_scanned,
+       sum(scanned * n_rows)::BIGINT AS rows_scanned,
+       sum(n_rows)::BIGINT AS rows_total,
+       sum(scanned * n_rows) / CAST(sum(n_rows) AS DOUBLE) AS scan_fraction
+FROM flagged GROUP BY layout ORDER BY layout
 """

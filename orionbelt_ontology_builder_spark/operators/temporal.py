@@ -905,3 +905,70 @@ FROM iv
 WINDOW w2 AS (PARTITION BY {on} ORDER BY version)
 ORDER BY {on}, version
 """
+
+
+def merge_rollups(*rollups: DataFrame) -> DataFrame:
+    """Incremental-view maintenance for :func:`rollup_cascade` output:
+    merge any number of partial rollups (yesterday's materialized
+    aggregate + today's delta rollup, per-shard rollups, per-region
+    rollups) into the combined rollup WITHOUT rescanning raw data.
+
+    All four summary aggregates are re-associable (count/sum re-sum,
+    min/max re-min/max), which is exactly what makes the merge exact:
+    ``merge_rollups(rollup(A), rollup(B)) == rollup(A UNION B)`` for
+    disjoint A/B (law-tested).  ``avg_value`` is derived at read time
+    from the merged sums — one double division; averages themselves
+    are NOT mergeable and are never stored.
+
+    Scale shape: inputs are already bucket-grained (days of hourly
+    buckets, not raw events), so this is one union + one hash agg over
+    ~thousands of rows per partition — the O(delta) nightly refresh, vs
+    the O(corpus) rescan it replaces."""
+    u = rollups[0]
+    for r in rollups[1:]:
+        u = u.unionByName(r)
+    return (
+        u.groupBy("resolution", "bucket")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn(
+            "avg_value",
+            F.col("sum_value") / F.col("n_events").cast("double"),
+        )
+    )
+
+
+def merge_rollups_sql(table: str = "events", resolution: str = "hour") -> str:
+    """DuckDB twin of the ``merge_rollups`` registry query: rollup the
+    even/odd ``event_id`` halves independently (the 'materialized' and
+    'delta' partials), then merge — proving the merged result without
+    ever aggregating the union directly."""
+    half = """
+  SELECT date_trunc('{res}', ts) AS bucket, count(*)::BIGINT AS n_events,
+         sum(round(value * 100)::BIGINT)::BIGINT AS sum_value,
+         min(round(value * 100)::BIGINT) AS min_value,
+         max(round(value * 100)::BIGINT) AS max_value
+  FROM {table} WHERE event_id % 2 = {par}
+  GROUP BY 1"""
+    a = half.format(res=resolution, table=table, par=0)
+    b = half.format(res=resolution, table=table, par=1)
+    return f"""
+WITH part_a AS ({a}),
+part_b AS ({b}),
+u AS (
+  SELECT 'hour' AS resolution, * FROM part_a
+  UNION ALL
+  SELECT 'hour', * FROM part_b)
+SELECT resolution, bucket,
+       sum(n_events)::BIGINT AS n_events,
+       sum(sum_value)::BIGINT AS sum_value,
+       min(min_value) AS min_value,
+       max(max_value) AS max_value,
+       sum(sum_value) / CAST(sum(n_events) AS DOUBLE) AS avg_value
+FROM u GROUP BY 1, 2
+ORDER BY resolution, bucket
+"""

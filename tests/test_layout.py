@@ -85,3 +85,44 @@ def test_pq_codebook_vectors_reconstruct_exactly(spark):
             # a codebook source vector is its own centroid in every
             # subspace -> exact reconstruction
             assert abs(r["mse"]) < 1e-9
+
+
+def test_prune_estimate_zorder_beats_worst_single_sort(spark):
+    """On a uniform 2-dim key space with a box predicate on BOTH dims,
+    the Morton layout's scan fraction is <= the worse single-column
+    sort (which cannot skip on its unsorted dimension at all)."""
+    import datetime as dt
+
+    from orionbelt_ontology_builder_spark.datapipe import layout as L
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=17 * i + u))
+        for u in range(64)
+        for i in range(16)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["layout"]: r for r in L.prune_estimate(ev).collect()}
+    assert set(out) == {"zorder", "sort_d1", "sort_d2"}
+    for r in out.values():
+        assert r["rows_total"] == len(rows)
+        assert 0 <= r["buckets_scanned"] <= r["n_buckets"]
+        assert abs(r["scan_fraction"] - r["rows_scanned"] / r["rows_total"]) < 1e-12
+    worst_single = max(out["sort_d1"]["scan_fraction"],
+                       out["sort_d2"]["scan_fraction"])
+    assert out["zorder"]["scan_fraction"] <= worst_single
+
+
+def test_prune_estimate_full_box_scans_everything(spark):
+    import datetime as dt
+
+    from orionbelt_ontology_builder_spark.datapipe import layout as L
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=u))
+        for u in range(32)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = L.prune_estimate(ev, q1=(0, 255), q2=(0, 255)).collect()
+    for r in out:
+        assert r["buckets_scanned"] == r["n_buckets"]
+        assert abs(r["scan_fraction"] - 1.0) < 1e-12

@@ -443,3 +443,45 @@ def test_scd2_tiebreak_orders_equal_timestamps(spark):
     history is (a then b), deterministically."""
     out = _scd2_rows(spark, [("u", 0, "a"), ("u", 0, "b")])
     assert [(r["version"], r["event_type"]) for r in out] == [(1, "a"), (2, "b")]
+
+
+def test_merge_rollups_equals_full_rollup(spark):
+    """IVM law: merge(rollup(A), rollup(B)) == rollup(A u B) for
+    disjoint A/B — counts, sums, min/max and derived avg all agree."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i % 5, i % 60), (i * 7) % 100)
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value long")
+    a = T.rollup_cascade(ev.filter(F.col("event_id") % 2 == 0),
+                         resolutions=("hour",))
+    b = T.rollup_cascade(ev.filter(F.col("event_id") % 2 == 1),
+                         resolutions=("hour",))
+    merged = {r["bucket"]: r for r in T.merge_rollups(a, b).collect()}
+    full = {r["bucket"]: r for r in T.rollup_cascade(
+        ev, resolutions=("hour",)).collect()}
+    assert set(merged) == set(full)
+    for k, f in full.items():
+        m = merged[k]
+        assert (m["n_events"], m["sum_value"], m["min_value"],
+                m["max_value"]) == (
+            f["n_events"], f["sum_value"], f["min_value"], f["max_value"])
+        assert abs(m["avg_value"] - f["sum_value"] / f["n_events"]) < 1e-12
+
+
+def test_merge_rollups_three_way_and_empty_part(spark):
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), i) for i in range(9)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value long")
+    parts = [
+        T.rollup_cascade(ev.filter(F.col("event_id") % 3 == k),
+                         resolutions=("hour",))
+        for k in range(3)
+    ]
+    empty = T.rollup_cascade(ev.filter(F.lit(False)), resolutions=("hour",))
+    out = T.merge_rollups(*parts, empty).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 9 and out[0]["sum_value"] == 36
