@@ -604,6 +604,46 @@ def _q_bgp_values_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ORDER BY ?name DESC with OFFSET/LIMIT pagination (page 2 of the
+#: labeled-individual listing).
+_PAGE_ORDER = ["-name"]
+_PAGE_OFFSET = 10
+_PAGE_LIMIT = 15
+
+
+def _q_bgp_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ORDER BY ... OFFSET ... LIMIT pagination: the total
+    order is the named keys plus the remaining vars ascending, so the
+    page cut is deterministic; Catalyst folds sort+offset+limit into a
+    global top-(offset+limit) — no full sort materialization."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.match_bgp(
+        relational.induce_triples(spark, sf_dir),
+        _VAL_PATTERNS,
+        order_by=_PAGE_ORDER,
+        offset=_PAGE_OFFSET,
+        limit=_PAGE_LIMIT,
+    )
+
+
+#: negated property set then type: follow any NON-(type|label) edge —
+#: i.e. a real relation — and read the target's class.
+def _path_neg_spec():
+    return [f"!{M.RDF.type}|{M.RDFS.label}", M.RDF.type]
+
+
+def _q_path_query_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negated property set ``!(rdf:type|rdfs:label)`` composed
+    with a type hop: one NOT-IN-filtered scan (still pushed down),
+    then the usual predicate-sliced equi-join."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.eval_path(
+        relational.induce_triples(spark, sf_dir), _path_neg_spec()
+    )
+
+
 #: reflexive-transitive path: class + every ancestor including itself.
 _PATH_STAR_SPEC = [M.RDF.type, M.RDFS.subClassOf + "*"]
 
@@ -1343,6 +1383,15 @@ def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide event-type counts, one conditional aggregation."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return temporal.pivot_event_counts(ev)
+
+
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic feeding the salting decision: top-12 event
+    users by row count with share / skew factor / exact ceil-div salt
+    fan-out; one per-key count agg + broadcast 1-row totals."""
+    return profiling.skew_report(
+        _tbl(spark, sf_dir, "events"), key="user_id", k=12, target_rows=500
+    )
 
 
 def _q_merge_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2383,6 +2432,16 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3, max_doc_id=120)
 
 
+def _q_blocking_metrics(spark, sf_dir):
+    """Record-linkage blocking eval (Christen's metrics): MinHash-LSH
+    candidates vs exhaustive shingle-Jaccard truth on a sample slice —
+    pair completeness (blocking recall), pairs quality (precision),
+    reduction ratio (work saved vs all-pairs)."""
+    return dedup.blocking_metrics(
+        _docs(spark, sf_dir), jaccard_threshold=0.5, max_doc_id=150
+    )
+
+
 def _q_source_dup_rate(spark, sf_dir):
     """Per-source exact-duplication rate (ingest-budget diagnostic):
     corpus-wide hash count, hash-keyed join back, source rollup."""
@@ -2804,7 +2863,7 @@ _SF_SCALE = {
     "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "scd2_intervals", "dedup_sparse_cosine",
-    "merge_rollups",
+    "merge_rollups", "skew_report",
     "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
@@ -2817,6 +2876,7 @@ _SF_SCALE = {
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
     "bgp_values_limit", "path_query_star", "bgp_ask", "describe_resource",
+    "bgp_paginate", "path_query_neg",
     "construct_delta", "kg_negative_samples",
     "triple_churn",
     "tfidf_topk",
@@ -2833,6 +2893,7 @@ _SF_SCALE = {
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
+    "blocking_metrics",
     "passage_dup", "source_dup_rate", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
     "decontaminate_embedding",
@@ -2990,6 +3051,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "scd2_intervals": _q_scd2_intervals,
         "merge_rollups": _q_merge_rollups,
+        "skew_report": _q_skew_report,
         "dedup_sparse_cosine": _q_dedup_sparse_cosine,
         "session_stats_events": _q_session_stats,
         "event_transitions": _q_event_transitions,
@@ -3031,6 +3093,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_group_concat": _q_bgp_group_concat,
         "bgp_aggregate": _q_bgp_aggregate,
         "bgp_values_limit": _q_bgp_values_limit,
+        "bgp_paginate": _q_bgp_paginate,
+        "path_query_neg": _q_path_query_neg,
         "bgp_ask": _q_bgp_ask,
         "describe_resource": _q_describe_resource,
         "path_query_star": _q_path_query_star,
@@ -3126,6 +3190,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "blocking_metrics": _q_blocking_metrics,
         "passage_dup": _q_passage_dup,
         "source_dup_rate": _q_source_dup_rate,
         "dedup_simhash": _q_dedup_simhash,
@@ -3800,6 +3865,9 @@ ORDER BY resolution, bucket
     sql["events_pivot"] = temporal.pivot_event_counts_sql()
     sql["scd2_intervals"] = temporal.scd2_intervals_sql()
     sql["merge_rollups"] = temporal.merge_rollups_sql()
+    sql["skew_report"] = profiling.skew_report_sql(
+        "events", "user_id", k=12, target_rows=500
+    )
     sql["dedup_sparse_cosine"] = dedup.sparse_cosine_oracle()
     sql["event_transitions"] = temporal.event_transitions_sql(
         gap_sec=21600
@@ -3907,6 +3975,11 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
         _tr, _VAL_PATTERNS, values=_VAL_VALUES, limit=_VAL_LIMIT
     )
     sql["path_query_star"] = _query.eval_path_sql(_tr, _PATH_STAR_SPEC)
+    sql["bgp_paginate"] = _query.match_bgp_sql(
+        _tr, _VAL_PATTERNS, order_by=_PAGE_ORDER,
+        offset=_PAGE_OFFSET, limit=_PAGE_LIMIT,
+    )
+    sql["path_query_neg"] = _query.eval_path_sql(_tr, _path_neg_spec())
     sql["bgp_ask"] = _query.ask_sql(_tr, _ASK_PATTERNS)
     sql["describe_resource"] = _query.describe_sql(_tr, _DESCRIBE_RES)
     sql["bgp_aggregate"] = _query.select_agg_sql(
@@ -4950,6 +5023,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dedup_minhash_pairs"] = dedup.minhash_band_pairs_oracle()
     sql["dedup_clusters"] = dedup.dedup_clusters_oracle()
     sql["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(threshold=0.3, max_doc_id=120)
+    sql["blocking_metrics"] = dedup.blocking_metrics_oracle(
+        jaccard_threshold=0.5, max_doc_id=150
+    )
     sql["passage_dup"] = dedup.duplicated_passages_oracle()
     sql["source_dup_rate"] = dedup.source_dup_rate_oracle()
     sql["dedup_simhash"] = dedup.simhash_oracle()

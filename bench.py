@@ -238,6 +238,17 @@ def main() -> None:
         "events_pivot",
         "bgp_union",
         "stream_sessionize",
+        # session-11: SCD2 history, sparse cosine, IVM merge, layout
+        # pruning, OWL-RL consistency
+        "scd2_intervals",
+        "dedup_sparse_cosine",
+        "merge_rollups",
+        "prune_estimate",
+        "owl_consistency",
+        "blocking_metrics",
+        "skew_report",
+        "bgp_paginate",
+        "path_query_neg",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -146,8 +146,8 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def _sig_cte_sql(k: int = MINHASH_K) -> str:
-    """DuckDB CTE mirroring minhash_signatures (tables: documents)."""
+def _sig_cte_sql(k: int = MINHASH_K, src: str = "documents") -> str:
+    """DuckDB CTE mirroring minhash_signatures (tables: ``src``)."""
     sig_cols = ",\n    ".join(
         "list_aggregate(list_transform(sh, s -> "
         f"substr(md5('{i // SLICES}:' || s), {1 + 8 * (i % SLICES)}, 8)), 'min') AS sig_{i}"
@@ -158,7 +158,7 @@ def _sig_cte_sql(k: int = MINHASH_K) -> str:
         for b in range(BANDS)
     )
     return f"""
-n AS (SELECT doc_id, {norm_sql()} AS norm FROM documents),
+n AS (SELECT doc_id, {norm_sql()} AS norm FROM {src}),
 shg AS (SELECT doc_id, {shingles_sql('norm')} AS sh FROM n),
 sig AS (
   SELECT doc_id, sh,
@@ -169,6 +169,43 @@ banded AS (
     {band_cols}
   FROM sig)
 """
+
+
+def _band_candidates(sig: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b) distinct LSH candidate pairs (same hash in any
+    band) from a ``minhash_signatures`` frame, hot buckets capped.
+    The skew guard is an aggregate + broadcast anti-join, not a window
+    count — the window itself would pile a hot bucket's rows onto one
+    reducer before the filter could drop them."""
+    bands_long = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    over_cap = (
+        bands_long.groupBy("band_idx", "band_hash")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("band_idx", "band_hash")
+    )
+    sized = bands_long.join(
+        F.broadcast(over_cap), ["band_idx", "band_hash"], "left_anti"
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
 
 
 def minhash_band_pairs(
@@ -186,38 +223,7 @@ def minhash_band_pairs(
     # signatures feed three plan branches (bands, and both sides of the
     # verify join) — persist so the shingle+md5 projection runs once
     sig = minhash_signatures(docs).persist()
-    bands_long = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(BANDS)])).alias(
-            "band_idx", "band_hash"
-        ),
-    )
-    # skew guard: degenerate buckets capped.  Aggregate + broadcast
-    # anti-join, not a window count — the window itself would pile a hot
-    # bucket's rows onto one reducer before the filter could drop them.
-    over_cap = (
-        bands_long.groupBy("band_idx", "band_hash")
-        .count()
-        .filter(F.col("count") > max_bucket)
-        .select("band_idx", "band_hash")
-    )
-    sized = bands_long.join(
-        F.broadcast(over_cap), ["band_idx", "band_hash"], "left_anti"
-    )
-    a = sized.alias("a")
-    b = sized.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cands = _band_candidates(sig, max_bucket)
     sh = sig.select("doc_id", "sh")
     return (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -1298,4 +1304,141 @@ JOIN nrm na ON na.doc_id = doc_a
 JOIN nrm nb ON nb.doc_id = doc_b
 WHERE dot / sqrt((na.nn * nb.nn)::DOUBLE) >= {threshold}
 ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------------ #
+# Blocking-quality metrics: is the LSH worth trusting?
+# ------------------------------------------------------------------ #
+
+
+def blocking_metrics(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_doc_id: int | None = 150,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """One row: how good the MinHash-LSH blocking is versus exhaustive
+    ground truth — the record-linkage eval read before trusting a
+    blocking scheme at corpus scale (standard metrics: Christen's
+    pair completeness / pairs quality / reduction ratio).
+
+    * ``truth_pairs``      exact all-pairs shingle Jaccard >= threshold
+    * ``candidate_pairs``  LSH same-band pairs (hot buckets capped)
+    * ``pair_completeness``  |cand & truth| / truth   (blocking recall)
+    * ``pairs_quality``      |cand & truth| / cand    (blocking precision)
+    * ``reduction_ratio``    1 - cand / C(n,2)        (work saved)
+
+    The exact side is quadratic by definition, hence the ``max_doc_id``
+    sample slice (the estimates transfer: both sides are computed on
+    the same slice).  Counts are exact integers; the three ratios are
+    single double divisions — bit-stable cross-engine."""
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    sig = minhash_signatures(docs).persist()
+    cand = _band_candidates(sig, max_bucket)
+    sh = sig.select("doc_id", "sh")
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("inter", F.size(F.array_intersect("a.sh", "b.sh")))
+        .filter(
+            F.col("inter")
+            / (F.size("a.sh") + F.size("b.sh") - F.col("inter")).cast("double")
+            >= jaccard_threshold
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    flagged = cand.withColumn("c", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    counts = flagged.agg(
+        F.count("c").alias("candidate_pairs"),
+        F.count("t").alias("truth_pairs"),
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1)).alias(
+            "true_candidates"
+        ),
+    )
+    n_docs = sig.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "total_pairs", (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+        )
+        .select(
+            "n_docs",
+            "total_pairs",
+            "truth_pairs",
+            "candidate_pairs",
+            "true_candidates",
+            F.expr(
+                "true_candidates / CAST(nullif(truth_pairs, 0) AS DOUBLE)"
+            ).alias("pair_completeness"),
+            F.expr(
+                "true_candidates / CAST(nullif(candidate_pairs, 0) AS DOUBLE)"
+            ).alias("pairs_quality"),
+            F.expr(
+                "1.0 - candidate_pairs / CAST(nullif(total_pairs, 0) AS DOUBLE)"
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def blocking_metrics_oracle(
+    jaccard_threshold: float = 0.5,
+    max_doc_id: int | None = 150,
+    max_bucket: int = MAX_BUCKET,
+) -> str:
+    """DuckDB twin of :func:`blocking_metrics` over the same slice."""
+    where = f"WHERE doc_id < {max_doc_id}" if max_doc_id is not None else ""
+    bucket_filters = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b_} AS band_idx, band_{b_} AS band_hash FROM banded"
+        for b_ in range(BANDS)
+    )
+    return f"""
+WITH src AS (SELECT * FROM documents {where}),
+{_sig_cte_sql(src='src')},
+long AS (
+  {bucket_filters}),
+ok_buckets AS (
+  SELECT band_idx, band_hash FROM long GROUP BY 1, 2
+  HAVING count(*) <= {max_bucket}),
+capped_ids AS (
+  SELECT l.doc_id, l.band_idx, l.band_hash FROM long l
+  JOIN ok_buckets USING (band_idx, band_hash)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped_ids a JOIN capped_ids b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+truth AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id
+  WHERE len(list_intersect(sa.sh, sb.sh)) /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE
+        >= {jaccard_threshold}),
+flagged AS (
+  SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
+         coalesce(c.doc_b, t.doc_b) AS doc_b,
+         c.doc_a IS NOT NULL AS in_c, t.doc_a IS NOT NULL AS in_t
+  FROM cand c FULL OUTER JOIN truth t
+    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+counts AS (
+  SELECT count(*) FILTER (WHERE in_c)::BIGINT AS candidate_pairs,
+         count(*) FILTER (WHERE in_t)::BIGINT AS truth_pairs,
+         count(*) FILTER (WHERE in_c AND in_t)::BIGINT AS true_candidates
+  FROM flagged),
+nn AS (SELECT count(*)::BIGINT AS n_docs FROM sig)
+SELECT n_docs,
+       (n_docs * (n_docs - 1) / 2)::BIGINT AS total_pairs,
+       truth_pairs, candidate_pairs, true_candidates,
+       true_candidates / CAST(nullif(truth_pairs, 0) AS DOUBLE)
+         AS pair_completeness,
+       true_candidates / CAST(nullif(candidate_pairs, 0) AS DOUBLE)
+         AS pairs_quality,
+       1.0 - candidate_pairs / CAST(nullif(total_pairs, 0) AS DOUBLE)
+         AS reduction_ratio
+FROM counts CROSS JOIN nn
 """

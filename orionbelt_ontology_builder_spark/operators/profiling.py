@@ -37,6 +37,8 @@ __all__ = [
     "predicate_cardinality_sql",
     "predicate_cooccurrence",
     "predicate_cooccurrence_sql",
+    "skew_report",
+    "skew_report_sql",
 ]
 
 # Type classification is a pure function of the *normalized value text*
@@ -399,4 +401,85 @@ SELECT c.col_a, c.col_b, s.n AS n_a, c.n_common,
 FROM common c JOIN sizes s ON s.col_id = c.col_a
 WHERE c.n_common / s.n >= {min_inclusion}
 ORDER BY c.col_a, c.col_b
+"""
+
+
+# ------------------------------------------------------------------ #
+# Shuffle-skew report: which keys need salting, and how much
+# ------------------------------------------------------------------ #
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    k: int = 10,
+    target_rows: int = 1_000,
+) -> DataFrame:
+    """Top-``k`` hottest join/shuffle keys with the numbers a salting
+    decision needs: per-key row count, share of the table, skew factor
+    vs the mean key, and the salt fan-out that caps any one
+    (key, salt) partition at ``target_rows`` rows.
+
+    This is the diagnostic behind the pipeline's hot-entity salting
+    (``pipeline/materialize.py``): at web scale a handful of entities
+    (popular urls, celebrity pages) carry orders of magnitude more
+    rows than the median key, and a key-partitioned join stalls on
+    those reducers.  Reading this report — not guessing — picks the
+    keys to salt and the fan-out to use.
+
+    Plan: ONE per-key count aggregation (map-side partials), a 1-row
+    global re-agg of its output broadcast back, TakeOrdered top-k.
+    The per-key count output is key-cardinality-sized; nothing
+    data-sized survives the first partial agg.  Integer counts;
+    share/skew are single double divisions, salt fan-out is exact
+    integer ceil-div — all engine-portable."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("key_rows")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_rows").alias("total_rows"),
+        F.max("key_rows").alias("max_key_rows"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "key_rows",
+            "n_keys",
+            "total_rows",
+            F.expr("key_rows / CAST(total_rows AS DOUBLE)").alias("share"),
+            F.expr(
+                "key_rows * CAST(n_keys AS DOUBLE) / total_rows"
+            ).alias("skew_factor"),
+            # exact integer ceil-div: partitions of <= target_rows rows
+            F.expr(
+                f"CAST((key_rows + {target_rows} - 1) DIV {target_rows} AS BIGINT)"
+            ).alias("recommended_salt"),
+        )
+        .orderBy(F.col("key_rows").desc(), F.col("key"))
+        .limit(k)
+    )
+
+
+def skew_report_sql(
+    table: str, key: str, k: int = 10, target_rows: int = 1_000
+) -> str:
+    """DuckDB twin of :func:`skew_report` (identical arithmetic)."""
+    return f"""
+WITH counts AS (
+  SELECT {key} AS key, count(*)::BIGINT AS key_rows
+  FROM {table} GROUP BY 1),
+totals AS (
+  SELECT count(*)::BIGINT AS n_keys, sum(key_rows)::BIGINT AS total_rows,
+         max(key_rows) AS max_key_rows
+  FROM counts)
+SELECT key, key_rows, n_keys, total_rows,
+       key_rows / CAST(total_rows AS DOUBLE) AS share,
+       key_rows * CAST(n_keys AS DOUBLE) / total_rows AS skew_factor,
+       ((key_rows + {target_rows} - 1) // {target_rows})::BIGINT
+         AS recommended_salt
+FROM counts CROSS JOIN totals
+ORDER BY key_rows DESC, key
+LIMIT {k}
 """

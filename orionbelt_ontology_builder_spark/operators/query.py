@@ -119,6 +119,25 @@ def _values_df(triples: DataFrame, values) -> DataFrame:
     ).distinct()
 
 
+def _order_exprs(cols, order_by):
+    """Sort columns for an ``order_by`` spec (["-var", "var", ...];
+    leading '-' = DESC).  Unnamed columns are appended ascending so the
+    order stays TOTAL — pagination (OFFSET/LIMIT) would otherwise be
+    nondeterministic under ties."""
+    if not order_by:
+        return [F.col(c) for c in cols], set()
+    keyed, named = [], set()
+    for o in order_by:
+        if o.startswith("-"):
+            keyed.append(F.col(o[1:]).desc())
+            named.add(o[1:])
+        else:
+            keyed.append(F.col(o).asc())
+            named.add(o)
+    keyed += [F.col(c) for c in cols if c not in named]
+    return keyed, named
+
+
 def match_bgp(
     triples: DataFrame,
     patterns,
@@ -129,6 +148,8 @@ def match_bgp(
     limit=None,
     exists=None,
     bind=None,
+    order_by=None,
+    offset=None,
 ) -> DataFrame:
     """Evaluate a conjunction of (s, p, o) patterns; ``?name`` slots
     are variables, everything else matches exactly.  Returns the
@@ -161,6 +182,13 @@ def match_bgp(
     (SPARQL BIND), written in the common Spark/ANSI subset; bind
     columns join the output projection and the total order.
 
+    ``order_by``: SPARQL ORDER BY — a list of variable names, leading
+    ``-`` for DESC; remaining variables are appended ascending so the
+    order is total and OFFSET pagination deterministic.  ``offset``:
+    SPARQL OFFSET — skip the first n solutions (apply with ``limit``
+    for pages; Catalyst folds sort+offset+limit into one global
+    top-(offset+limit), no full sort materialization).
+
     Patterns sharing no variable with the accumulated bindings produce
     a cross join (the SPARQL product semantics) — intentional, but at
     scale order your patterns so each one connects."""
@@ -176,7 +204,13 @@ def match_bgp(
     for alias, expr in (bind or {}).items():
         result = result.withColumn(alias, F.expr(expr))
     cols = sorted(result.columns)
-    out = result.select(*cols).distinct().orderBy(*cols)
+    keyed, _ = _order_exprs(cols, order_by)
+    out = result.select(*cols).distinct().orderBy(*keyed)
+    # SPARQL ORDER BY / OFFSET / LIMIT pagination: OFFSET skips first.
+    # Catalyst plans orderBy+offset+limit as ONE TakeOrdered-style
+    # global top-(offset+limit) — no full sort materialization.
+    if offset:
+        out = out.offset(offset)
     return out.limit(limit) if limit is not None else out
 
 
@@ -344,6 +378,8 @@ def match_bgp_sql(
     limit=None,
     exists=None,
     bind=None,
+    order_by=None,
+    offset=None,
 ) -> str:
     """DuckDB twin: the mechanical SPARQL-to-SQL translation — one
     subquery per pattern, JOIN USING on shared vars, OPTIONAL groups
@@ -369,11 +405,21 @@ def match_bgp_sql(
         return ", ".join(f"{b[c]} AS {c}" if c in b else c for c in cols)
 
     lim = f"\nLIMIT {limit}" if limit is not None else ""
+    if offset:
+        lim += f"\nOFFSET {offset}"
+    if order_by:
+        keyed = [
+            (f"{o[1:]} DESC" if o.startswith("-") else o) for o in order_by
+        ]
+        named = {o.lstrip("-") for o in order_by}
+        order = ", ".join(keyed + [c for c in outcols if c not in named])
+    else:
+        order = ", ".join(outcols)
     if not mconds:
         return f"""{triples_cte}
 SELECT DISTINCT {_sel(outcols)}
 FROM {frm}
-{where}ORDER BY {", ".join(outcols)}{lim}
+{where}ORDER BY {order}{lim}
 """
     return f"""{triples_cte},
 __bind AS (
@@ -383,7 +429,7 @@ FROM {frm}
 SELECT DISTINCT {_sel(outcols)}
 FROM __bind
 WHERE {" AND ".join(mconds)}
-ORDER BY {", ".join(outcols)}{lim}
+ORDER BY {order}{lim}
 """
 
 
@@ -468,6 +514,8 @@ def _step_edges(triples: DataFrame, step) -> DataFrame:
       * ``"pred*"``     — reflexive-transitive closure (0 or more)
       * ``"pred?"``     — zero or one hop
       * ``["a", "b"]``  — alternation (union of the member steps)
+      * ``"!a|b"``      — negated property set (any FORWARD edge whose
+        predicate is not one of the listed IRIs; SPARQL ``!(a|b)``)
 
     Zero-length semantics (``*`` / ``?``): the identity pair (n, n)
     for every term occurring in the graph (subject or object of any
@@ -482,6 +530,15 @@ def _step_edges(triples: DataFrame, step) -> DataFrame:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.distinct()
+    if step.startswith("!"):
+        # negated property set: one scan with a NOT IN filter (still
+        # pushed down); never a join against the predicate vocabulary
+        banned = step[1:].split("|")
+        return (
+            triples.filter(~F.col("pred").isin(banned))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
     closure = step.endswith("+")
     star = step.endswith("*")
     opt = step.endswith("?")
@@ -548,6 +605,13 @@ def eval_path_sql(triples_cte: str, path) -> str:
                     f" FROM triples WHERE pred = '{p}'"
                 )
             steps_sql.append(f"{name} AS ({' UNION '.join(members)})")
+            continue
+        if step.startswith("!"):
+            banned = ", ".join(f"'{p}'" for p in step[1:].split("|"))
+            steps_sql.append(
+                f"{name} AS (SELECT DISTINCT subj AS src, obj AS dst"
+                f" FROM triples WHERE pred NOT IN ({banned}))"
+            )
             continue
         closure = step.endswith("+")
         star = step.endswith("*")

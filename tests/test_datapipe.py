@@ -1240,3 +1240,34 @@ def test_sparse_cosine_matches_brute_force(spark):
             na = sum(c * c for c in vecs[a].values())
             nb = sum(c * c for c in vecs[b].values())
             assert abs(out[(a, b)] - dot / math.sqrt(na * nb)) < 1e-12
+
+
+def test_blocking_metrics_planted_duplicates(spark):
+    """Two identical docs + distinct fillers: LSH must find the planted
+    pair (completeness 1.0) while pruning most of C(n,2)."""
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    texts = ["the exact same duplicated document body here" if i < 2
+             else f"completely unrelated filler number {i} with words {i * 17}"
+             for i in range(12)]
+    out = D.blocking_metrics(
+        _sc_docs(spark, texts), jaccard_threshold=0.9, max_doc_id=None
+    ).collect()[0]
+    assert out["n_docs"] == 12 and out["total_pairs"] == 66
+    assert out["truth_pairs"] == 1
+    assert out["true_candidates"] == 1
+    assert out["pair_completeness"] == 1.0
+    assert 0 < out["candidate_pairs"] <= 66
+    assert out["reduction_ratio"] >= 0.5
+
+
+def test_blocking_metrics_no_truth_is_null_completeness(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    texts = [f"totally different document {i} about topic {i * 31}"
+             for i in range(6)]
+    out = D.blocking_metrics(
+        _sc_docs(spark, texts), jaccard_threshold=0.99, max_doc_id=None
+    ).collect()[0]
+    assert out["truth_pairs"] == 0
+    assert out["pair_completeness"] is None

@@ -427,3 +427,71 @@ def test_ask_true_false_and_describe(spark):
     d = {(r["subj"], r["pred"], r["obj"])
          for r in query.describe(t, "a").collect()}
     assert d == {("a", "type", "T"), ("a", "seg", "S1"), ("b", "likes", "a")}
+
+
+def test_skew_report_hot_key_math(spark):
+    """One hot key (70 rows) among 10 cold ones (3 each): share, skew
+    factor and exact ceil-div salt fan-out all check out by hand."""
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    rows = [("hot",)] * 70 + [(f"cold{i}",) for i in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, "k string")
+    out = P.skew_report(df, key="k", k=3, target_rows=25).collect()
+    assert [r["key"] for r in out] == ["hot", "cold0", "cold1"]
+    hot = out[0]
+    assert hot["key_rows"] == 70 and hot["total_rows"] == 100
+    assert hot["n_keys"] == 11
+    assert abs(hot["share"] - 0.70) < 1e-12
+    assert abs(hot["skew_factor"] - 70 * 11 / 100) < 1e-12
+    assert hot["recommended_salt"] == 3          # ceil(70/25)
+    assert out[1]["recommended_salt"] == 1       # ceil(3/25)
+
+
+def test_skew_report_uniform_keys_skew_one(spark):
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    rows = [(f"k{i}",) for i in range(8) for _ in range(4)]
+    df = spark.createDataFrame(rows, "k string")
+    out = P.skew_report(df, key="k", k=8).collect()
+    assert len(out) == 8
+    for r in out:
+        assert abs(r["skew_factor"] - 1.0) < 1e-12
+
+
+def test_bgp_order_by_offset_limit_pagination(spark):
+    """Pages tile the ordered solution set: DESC key honored, OFFSET
+    skips, pages are disjoint and cover."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [(f"s{i:02d}", "p", f"o{i % 3}") for i in range(9)])
+    full = query.match_bgp(t, [("?x", "p", "?y")], order_by=["-y"]).collect()
+    assert [r["y"] for r in full] == sorted(
+        [r["y"] for r in full], reverse=True
+    )
+    # within equal y the remaining var ascends (total order)
+    ys = {}
+    for r in full:
+        ys.setdefault(r["y"], []).append(r["x"])
+    for xs in ys.values():
+        assert xs == sorted(xs)
+    p1 = query.match_bgp(t, [("?x", "p", "?y")], order_by=["-y"],
+                         limit=4).collect()
+    p2 = query.match_bgp(t, [("?x", "p", "?y")], order_by=["-y"],
+                         offset=4, limit=4).collect()
+    p3 = query.match_bgp(t, [("?x", "p", "?y")], order_by=["-y"],
+                         offset=8).collect()
+    assert p1 + p2 + p3 == full
+
+
+def test_path_negated_property_set(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [
+        ("a", "type", "C"),
+        ("a", "label", "A"),
+        ("a", "rel", "b"),
+        ("a", "other", "c"),
+    ])
+    out = {(r["src"], r["dst"])
+           for r in query.eval_path(t, ["!type|label"]).collect()}
+    assert out == {("a", "b"), ("a", "c")}
