@@ -1394,6 +1394,27 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-join planning stats for orders JOIN lineitem on the
+    order key — output size, hottest key's contribution, probe-side
+    expansion — from two per-key count aggs + a count-table join;
+    never the O(join_rows) the estimate protects against."""
+    return profiling.join_size_estimate(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        key_a="o_orderkey",
+        key_b="l_orderkey",
+    )
+
+
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files math per source partition: payload bytes, exact
+    ceil-div file fan-out to hit the target file size, rows per file."""
+    from orionbelt_ontology_builder_spark.datapipe import layout
+
+    return layout.compaction_plan(_docs(spark, sf_dir), target_bytes=64 * 1024)
+
+
 def _q_merge_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-view maintenance: hourly rollups of the even/odd
     event_id halves (the 'materialized' aggregate and the 'delta')
@@ -2863,7 +2884,7 @@ _SF_SCALE = {
     "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "scd2_intervals", "dedup_sparse_cosine",
-    "merge_rollups", "skew_report",
+    "merge_rollups", "skew_report", "join_size_estimate", "compaction_plan",
     "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
@@ -3052,6 +3073,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2_intervals,
         "merge_rollups": _q_merge_rollups,
         "skew_report": _q_skew_report,
+        "join_size_estimate": _q_join_size_estimate,
+        "compaction_plan": _q_compaction_plan,
         "dedup_sparse_cosine": _q_dedup_sparse_cosine,
         "session_stats_events": _q_session_stats,
         "event_transitions": _q_event_transitions,
@@ -3868,6 +3891,12 @@ ORDER BY resolution, bucket
     sql["skew_report"] = profiling.skew_report_sql(
         "events", "user_id", k=12, target_rows=500
     )
+    sql["join_size_estimate"] = profiling.join_size_estimate_sql(
+        "orders", "lineitem", key_a="o_orderkey", key_b="l_orderkey"
+    )
+    from orionbelt_ontology_builder_spark.datapipe import layout as _lyt
+
+    sql["compaction_plan"] = _lyt.compaction_plan_sql(target_bytes=64 * 1024)
     sql["dedup_sparse_cosine"] = dedup.sparse_cosine_oracle()
     sql["event_transitions"] = temporal.event_transitions_sql(
         gap_sec=21600

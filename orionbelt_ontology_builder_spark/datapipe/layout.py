@@ -35,6 +35,8 @@ __all__ = [
     "zorder_extents_oracle",
     "prune_estimate",
     "prune_estimate_oracle",
+    "compaction_plan",
+    "compaction_plan_sql",
 ]
 
 BITS = 8          # per-dimension resolution (2^8 cells per axis)
@@ -301,4 +303,67 @@ SELECT layout, count(*)::BIGINT AS n_buckets,
        sum(n_rows)::BIGINT AS rows_total,
        sum(scanned * n_rows) / CAST(sum(n_rows) AS DOUBLE) AS scan_fraction
 FROM flagged GROUP BY layout ORDER BY layout
+"""
+
+
+def compaction_plan(
+    docs: DataFrame,
+    key: str = "source",
+    target_bytes: int = 64 * 1024,
+) -> DataFrame:
+    """Per-partition-key writer sizing: (key, n_docs, est_bytes,
+    recommended_files, rows_per_file, avg_doc_bytes) — the
+    small-files-problem math for a partitioned write (Iceberg/Delta
+    compaction targets, ``repartitionByRange`` file counts).
+
+    A 100 TB write that lets every task flush its own fragment per
+    partition produces millions of KB-files (metadata death); one that
+    writes a single file per partition serializes the biggest key.
+    ``recommended_files = ceil(est_bytes / target_bytes)`` — exact
+    integer ceil-div — is the fan-out that hits the target file size
+    on both ends.
+
+    Plan: one per-key aggregation over a byte-length projection —
+    map-side partials, key-cardinality output.  ``est_bytes`` is the
+    text payload (octet_length); on real parquet multiply by your
+    measured compression ratio (``textstats.compression_ratio``) —
+    composition documented, estimate stays engine-exact."""
+    per = docs.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("est_bytes"),
+    )
+    return per.select(
+        "key",
+        "n_docs",
+        "est_bytes",
+        F.expr(
+            f"CAST(greatest(1, (est_bytes + {target_bytes} - 1)"
+            f" DIV {target_bytes}) AS BIGINT)"
+        ).alias("recommended_files"),
+        F.expr(
+            f"CAST((n_docs + greatest(1, (est_bytes + {target_bytes} - 1)"
+            f" DIV {target_bytes}) - 1)"
+            f" DIV greatest(1, (est_bytes + {target_bytes} - 1)"
+            f" DIV {target_bytes}) AS BIGINT)"
+        ).alias("rows_per_file"),
+        F.expr("est_bytes / CAST(n_docs AS DOUBLE)").alias("avg_doc_bytes"),
+    ).orderBy("key")
+
+
+def compaction_plan_sql(
+    table: str = "documents", key: str = "source",
+    target_bytes: int = 64 * 1024,
+) -> str:
+    """DuckDB twin of :func:`compaction_plan`."""
+    files = f"greatest(1, (est_bytes + {target_bytes} - 1) // {target_bytes})"
+    return f"""
+WITH per AS (
+  SELECT {key} AS key, count(*)::BIGINT AS n_docs,
+         sum(strlen(text))::BIGINT AS est_bytes  -- byte length (Spark octet_length)
+  FROM {table} GROUP BY 1)
+SELECT key, n_docs, est_bytes,
+       ({files})::BIGINT AS recommended_files,
+       ((n_docs + {files} - 1) // {files})::BIGINT AS rows_per_file,
+       est_bytes / CAST(n_docs AS DOUBLE) AS avg_doc_bytes
+FROM per ORDER BY key
 """

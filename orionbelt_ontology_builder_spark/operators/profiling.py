@@ -39,6 +39,8 @@ __all__ = [
     "predicate_cooccurrence_sql",
     "skew_report",
     "skew_report_sql",
+    "join_size_estimate",
+    "join_size_estimate_sql",
 ]
 
 # Type classification is a pure function of the *normalized value text*
@@ -482,4 +484,79 @@ SELECT key, key_rows, n_keys, total_rows,
 FROM counts CROSS JOIN totals
 ORDER BY key_rows DESC, key
 LIMIT {k}
+"""
+
+
+def join_size_estimate(
+    a: DataFrame, b: DataFrame, key_a: str, key_b: str | None = None
+) -> DataFrame:
+    """One row of EXACT pre-join statistics for ``a JOIN b`` on a key —
+    the numbers a join-strategy decision (broadcast? salt? bucketed?)
+    needs *before* paying for the join:
+
+    * ``join_rows``          = sum over keys of count_a * count_b (the
+      exact inner-join output size — per-key count products, never the
+      join itself)
+    * ``max_key_join_rows``  the single hottest key's output (the
+      reducer that stalls a key-partitioned join; compare against
+      ``join_rows / shuffle_partitions`` to decide salting)
+    * ``expansion``          join_rows / rows_a (probe-side blowup —
+      >> 1 means the join multiplies, not filters)
+    * key-overlap counts (``matching_keys`` vs each side's distinct
+      keys: referential-integrity smell test)
+
+    Plan: one per-key count aggregation per side (map-side partials,
+    key-cardinality-sized outputs), an equi-join of the two count
+    tables, one 1-row agg.  Total cost ~ two scans; never the
+    O(join_rows) the estimate is protecting you from."""
+    kb = key_b or key_a
+    ca = a.groupBy(F.col(key_a).alias("key")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    cb = b.groupBy(F.col(kb).alias("key")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    ta = ca.agg(
+        F.sum("na").alias("rows_a"), F.count(F.lit(1)).alias("keys_a")
+    )
+    tb = cb.agg(
+        F.sum("nb").alias("rows_b"), F.count(F.lit(1)).alias("keys_b")
+    )
+    m = ca.join(cb, "key").agg(
+        F.count(F.lit(1)).alias("matching_keys"),
+        F.sum(F.col("na") * F.col("nb")).alias("join_rows"),
+        F.max(F.col("na") * F.col("nb")).alias("max_key_join_rows"),
+    )
+    return (
+        m.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "rows_a", "rows_b", "keys_a", "keys_b", "matching_keys",
+            "join_rows", "max_key_join_rows",
+            F.expr("join_rows / CAST(rows_a AS DOUBLE)").alias("expansion"),
+        )
+    )
+
+
+def join_size_estimate_sql(
+    table_a: str, table_b: str, key_a: str, key_b: str | None = None
+) -> str:
+    """DuckDB twin of :func:`join_size_estimate`."""
+    kb = key_b or key_a
+    return f"""
+WITH ca AS (
+  SELECT {key_a} AS key, count(*)::BIGINT AS na FROM {table_a} GROUP BY 1),
+cb AS (
+  SELECT {kb} AS key, count(*)::BIGINT AS nb FROM {table_b} GROUP BY 1),
+ta AS (SELECT sum(na)::BIGINT AS rows_a, count(*)::BIGINT AS keys_a FROM ca),
+tb AS (SELECT sum(nb)::BIGINT AS rows_b, count(*)::BIGINT AS keys_b FROM cb),
+m AS (
+  SELECT count(*)::BIGINT AS matching_keys,
+         sum(na * nb)::BIGINT AS join_rows,
+         max(na * nb)::BIGINT AS max_key_join_rows
+  FROM ca JOIN cb USING (key))
+SELECT rows_a, rows_b, keys_a, keys_b, matching_keys,
+       join_rows, max_key_join_rows,
+       join_rows / CAST(rows_a AS DOUBLE) AS expansion
+FROM m CROSS JOIN ta CROSS JOIN tb
 """

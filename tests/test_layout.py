@@ -126,3 +126,19 @@ def test_prune_estimate_full_box_scans_everything(spark):
     for r in out:
         assert r["buckets_scanned"] == r["n_buckets"]
         assert abs(r["scan_fraction"] - 1.0) < 1e-12
+
+
+def test_compaction_plan_ceil_division(spark):
+    from orionbelt_ontology_builder_spark.datapipe import layout as L
+
+    rows = [(0, "a" * 100, "s1"), (1, "b" * 100, "s1"), (2, "c" * 10, "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["key"]: r for r in L.compaction_plan(
+        df, target_bytes=150).collect()}
+    s1 = out["s1"]
+    assert s1["est_bytes"] == 200 and s1["recommended_files"] == 2
+    assert s1["rows_per_file"] == 1
+    s2 = out["s2"]
+    # below-target partition still gets (at least) one file
+    assert s2["recommended_files"] == 1 and s2["rows_per_file"] == 1
+    assert abs(s1["avg_doc_bytes"] - 100.0) < 1e-12

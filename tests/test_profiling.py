@@ -495,3 +495,30 @@ def test_path_negated_property_set(spark):
     out = {(r["src"], r["dst"])
            for r in query.eval_path(t, ["!type|label"]).collect()}
     assert out == {("a", "b"), ("a", "c")}
+
+
+def test_join_size_estimate_exact_math(spark):
+    """3 orders x skewed lineitems: join_rows, hottest key and
+    expansion all check out by hand; unmatched keys counted."""
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    a = spark.createDataFrame([(1,), (2,), (3,), (4,)], "k long")
+    b = spark.createDataFrame(
+        [(1,)] * 5 + [(2,)] * 2 + [(9,)] * 3, "k long"
+    )
+    out = P.join_size_estimate(a, b, key_a="k").collect()[0]
+    assert out["rows_a"] == 4 and out["rows_b"] == 10
+    assert out["keys_a"] == 4 and out["keys_b"] == 3
+    assert out["matching_keys"] == 2
+    assert out["join_rows"] == 7           # 1*5 + 1*2
+    assert out["max_key_join_rows"] == 5
+    assert abs(out["expansion"] - 7 / 4) < 1e-12
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    a = spark.createDataFrame([(i % 5, i) for i in range(37)], "k long, x long")
+    b = spark.createDataFrame([(i % 7, i) for i in range(23)], "k long, y long")
+    est = P.join_size_estimate(a, b, key_a="k").collect()[0]
+    assert est["join_rows"] == a.join(b, "k").count()
