@@ -706,3 +706,63 @@ def test_cube_pivot_union_plan_shapes(spark):
     # pattern (the binding-set DISTINCT projection, same as match_bgp)
     # plus the single final distinct — nothing else
     assert uplan.count("Exchange hashpartitioning") == 3
+
+
+# ------------------------------------------------------------------ #
+# session-11 ops: plan shapes
+# ------------------------------------------------------------------ #
+
+
+def test_sparse_cosine_no_cartesian(docs):
+    """The inverted-index cosine must stay an equi-join on the term
+    key — no cartesian/nested-loop stage anywhere."""
+    txt = _plan(dedup.sparse_cosine_pairs(docs, threshold=0.0))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_scd2_single_key_exchange(spark):
+    """Gaps-and-islands SCD2: both windows and the run collapse ride
+    ONE hashpartitioning exchange on the key (plus nothing else)."""
+    import datetime as dt
+
+    from orionbelt_ontology_builder_spark.operators import temporal as T
+
+    rows = [("u", dt.datetime(2024, 1, 1, 0, i), "a", i) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, event_id long"
+    )
+    txt = _plan(T.scd2_intervals(df, tiebreak="event_id"))
+    shuffles = [
+        ln for ln in txt.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(shuffles) == 1, txt
+
+
+def test_skew_and_join_estimate_broadcast_totals(spark):
+    """The 1-row totals re-aggregations join back by BROADCAST, never
+    a sort-merge join keyed on nothing."""
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    df = spark.createDataFrame([(i % 3,) for i in range(20)], "k long")
+    txt = _plan(P.skew_report(df, key="k"))
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
+    assert "CartesianProduct" not in txt
+    b = spark.createDataFrame([(i % 5,) for i in range(20)], "k long")
+    txt2 = _plan(P.join_size_estimate(df, b, key_a="k"))
+    assert "CartesianProduct" not in txt2
+
+
+def test_prune_estimate_single_data_agg(spark):
+    """prune_estimate shuffles the data once on (layout, bucket); the
+    layout-level re-agg runs on the ~48-row result."""
+    import datetime as dt
+
+    from orionbelt_ontology_builder_spark.datapipe import layout as L
+
+    rows = [(u, dt.datetime(2024, 1, 1, 0, u % 60)) for u in range(64)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    txt = _plan(L.prune_estimate(ev))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt or "BuildRight" in txt
