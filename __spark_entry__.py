@@ -2543,6 +2543,13 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
+def _q_ann_recall(spark, sf_dir):
+    """recall@k of the IVF path vs exact brute-force top-k — the
+    nprobe/centroid tuning curve's y-axis, judged at sample scale like
+    blocking_metrics."""
+    return similarity.ann_recall(_embs(spark, sf_dir), dim=EMB_DIM)
+
+
 def _q_label_centroids(spark, sf_dir):
     """Per-label embedding prototypes summarized as (n, centroid norm,
     within-class dispersion via E||x||^2 - ||mu||^2 — no second pass
@@ -2920,7 +2927,7 @@ _SF_SCALE = {
     "decontaminate_embedding",
     "dedup_embedding_cosine_ivf", "hard_negatives",
     "distmult_rank", "nb_lang_confusion", "dsir_select",
-    "ann_cosine_topk", "ann_ivf_topk",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_recall",
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
@@ -3227,6 +3234,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_recall": _q_ann_recall,
         "sq8_stats": _q_sq8_stats,
         "pq_codes": _q_pq_codes,
         "zorder_extents": _q_zorder_extents,
@@ -5072,6 +5080,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dsir_select"] = curation.dsir_select_oracle()
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
+    sql["ann_recall"] = similarity.ann_recall_oracle()
     sql["sq8_stats"] = similarity.sq8_stats_oracle()
     sql["pq_codes"] = similarity.pq_codes_oracle()
 

@@ -249,6 +249,9 @@ def main() -> None:
         "skew_report",
         "bgp_paginate",
         "path_query_neg",
+        "join_size_estimate",
+        "compaction_plan",
+        "ann_recall",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -1011,3 +1011,55 @@ SELECT vec_id,
   sum((b).d) / {dim} AS mse
 FROM best GROUP BY vec_id ORDER BY vec_id
 """
+
+
+# ------------------------------------------------------------------ #
+# ANN quality gate: recall@k of the IVF path vs exact top-k
+# ------------------------------------------------------------------ #
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = NPROBE,
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, hits, recall): per-query recall@k of :func:`ivf_topk`
+    against the exact :func:`brute_topk` ground truth — the eval every
+    ANN deployment reads before trading exactness for the inverted-list
+    scan cut (the nprobe/centroid-count tuning curve's y-axis).
+
+    Same pattern as ``dedup.blocking_metrics``: the approximate path
+    is judged against exhaustive truth at sample scale (n_queries
+    bounds the brute side), and the verdict transfers because both run
+    the identical scoring arithmetic.  hits are exact integers; recall
+    is one double division."""
+    b = brute_topk(embeddings, n_queries, k, dim=dim).select(
+        "query_id", "neighbor_id"
+    )
+    i = ivf_topk(embeddings, n_queries, k, nprobe=nprobe, dim=dim).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        b.join(i, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("hits"))
+        .withColumn("recall", F.expr(f"hits / CAST({k} AS DOUBLE)"))
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_oracle(
+    n_queries: int = 5, k: int = 5, nprobe: int = NPROBE
+) -> str:
+    """DuckDB twin: the two top-k oracles joined on (query, neighbor)."""
+    return f"""
+SELECT b.query_id, count(i.neighbor_id)::BIGINT AS hits,
+       count(i.neighbor_id) / CAST({k} AS DOUBLE) AS recall
+FROM ({brute_topk_oracle(n_queries, k)}) b
+LEFT JOIN ({ivf_topk_oracle(n_queries, k, nprobe)}) i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""

@@ -1271,3 +1271,24 @@ def test_blocking_metrics_no_truth_is_null_completeness(spark):
     ).collect()[0]
     assert out["truth_pairs"] == 0
     assert out["pair_completeness"] is None
+
+
+def test_ann_recall_full_probe_is_exact(spark):
+    """Probing every list makes IVF == brute force: recall@k 1.0 for
+    every query; fewer probes can only lower it."""
+    from orionbelt_ontology_builder_spark.datapipe import similarity as S
+
+    rows = []
+    for cid in range(3):
+        base = [1.0 if i == cid else 0.0 for i in range(8)]
+        for j in range(5):
+            rows.append(
+                (cid + 3 * j, [v + 0.01 * j * ((i % 3) - 1)
+                               for i, v in enumerate(base)])
+            )
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = S.ann_recall(embs, n_queries=3, k=3, nprobe=64, dim=8).collect()
+    assert [r["recall"] for r in full] == [1.0, 1.0, 1.0]
+    probed = S.ann_recall(embs, n_queries=3, k=3, nprobe=1, dim=8).collect()
+    for r in probed:
+        assert 0.0 <= r["recall"] <= 1.0
