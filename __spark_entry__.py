@@ -1394,6 +1394,43 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state rollup over the SCD2 history (seconds per user per
+    event_type across closed intervals); the version shuffle is reused
+    by the aggregation."""
+    return temporal.state_durations(
+        _tbl(spark, sf_dir, "events"),
+        on="user_id", ts="ts", attr="event_type", tiebreak="event_id",
+    ).orderBy("user_id", "event_type")
+
+
+#: declarative schema contract over the events table (dbt-test shape):
+#: one conditional-agg pass + one per-value count agg for `unique`.
+_EXPECT_RULES = [
+    {"rule": "not_null", "column": "user_id"},
+    {"rule": "unique", "column": "event_id"},
+    {"rule": "accepted_values", "column": "event_type",
+     "values": temporal.EVENT_TYPES},
+    {"rule": "non_negative", "column": "value"},
+]
+
+
+def _q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: declarative expectations over events plus a
+    referential-integrity check orders.o_custkey -> customer.c_custkey
+    (anti-join count) — the promote-or-reject report of an ingest."""
+    exp = profiling.quality_expectations(
+        _tbl(spark, sf_dir, "events"), _EXPECT_RULES
+    )
+    fk = profiling.expect_fk(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        key_c="o_custkey",
+        key_p="c_custkey",
+    )
+    return exp.unionByName(fk).orderBy("rule", "column")
+
+
 def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pre-join planning stats for orders JOIN lineitem on the
     order key — output size, hottest key's contribution, probe-side
@@ -2892,6 +2929,7 @@ _SF_SCALE = {
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "scd2_intervals", "dedup_sparse_cosine",
     "merge_rollups", "skew_report", "join_size_estimate", "compaction_plan",
+    "state_durations", "quality_expectations",
     "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
@@ -3080,6 +3118,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2_intervals,
         "merge_rollups": _q_merge_rollups,
         "skew_report": _q_skew_report,
+        "state_durations": _q_state_durations,
+        "quality_expectations": _q_quality_expectations,
         "join_size_estimate": _q_join_size_estimate,
         "compaction_plan": _q_compaction_plan,
         "dedup_sparse_cosine": _q_dedup_sparse_cosine,
@@ -3896,6 +3936,15 @@ ORDER BY resolution, bucket
     sql["events_pivot"] = temporal.pivot_event_counts_sql()
     sql["scd2_intervals"] = temporal.scd2_intervals_sql()
     sql["merge_rollups"] = temporal.merge_rollups_sql()
+    sql["state_durations"] = temporal.state_durations_sql()
+    _exp_sql = profiling.quality_expectations_sql("events", _EXPECT_RULES)
+    _fk_sql = profiling.expect_fk_sql(
+        "orders", "customer", key_c="o_custkey", key_p="c_custkey"
+    )
+    sql["quality_expectations"] = (
+        'SELECT * FROM ((' + _exp_sql + ') UNION ALL (' + _fk_sql + '))'
+        ' ORDER BY rule, "column"'
+    )
     sql["skew_report"] = profiling.skew_report_sql(
         "events", "user_id", k=12, target_rows=500
     )

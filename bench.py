@@ -252,6 +252,8 @@ def main() -> None:
         "join_size_estimate",
         "compaction_plan",
         "ann_recall",
+        "state_durations",
+        "quality_expectations",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

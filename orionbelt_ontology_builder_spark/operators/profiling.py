@@ -41,6 +41,10 @@ __all__ = [
     "skew_report_sql",
     "join_size_estimate",
     "join_size_estimate_sql",
+    "quality_expectations",
+    "quality_expectations_sql",
+    "expect_fk",
+    "expect_fk_sql",
 ]
 
 # Type classification is a pure function of the *normalized value text*
@@ -559,4 +563,152 @@ SELECT rows_a, rows_b, keys_a, keys_b, matching_keys,
        join_rows, max_key_join_rows,
        join_rows / CAST(rows_a AS DOUBLE) AS expansion
 FROM m CROSS JOIN ta CROSS JOIN tb
+"""
+
+
+# ------------------------------------------------------------------ #
+# Declarative data-quality expectations (dbt-test / Deequ shape)
+# ------------------------------------------------------------------ #
+
+
+def quality_expectations(df: DataFrame, rules) -> DataFrame:
+    """(rule, column, violations, passed): evaluate a declarative rule
+    list against a table — the schema-contract gate a 100 TB ingest
+    runs before promoting a snapshot (dbt tests / AWS Deequ shape,
+    expressed as plain aggregations).
+
+    Rule grammar (dicts):
+      * ``{"rule": "not_null", "column": c}``
+      * ``{"rule": "unique", "column": c}`` — violations = rows beyond
+        the first per duplicated value (NULLs exempt, SQL-style)
+      * ``{"rule": "accepted_values", "column": c, "values": [...]}``
+      * ``{"rule": "non_negative", "column": c}``
+
+    Scale shape: every not_null / accepted_values / non_negative rule
+    folds into ONE conditional-aggregation pass over a single scan
+    (map-side partials); each ``unique`` rule adds one per-value count
+    agg whose output is value-cardinality-sized.  No windows, no
+    joins, no collects."""
+    cond_rules, uniq_rules = [], []
+    for r in rules:
+        (uniq_rules if r["rule"] == "unique" else cond_rules).append(r)
+
+    aggs, meta = [], []
+    for i, r in enumerate(cond_rules):
+        c, kind = r["column"], r["rule"]
+        if kind == "not_null":
+            pred = F.col(c).isNull()
+        elif kind == "accepted_values":
+            pred = ~F.col(c).isin(r["values"]) | F.col(c).isNull()
+        elif kind == "non_negative":
+            pred = F.col(c) < 0
+        else:
+            raise ValueError(f"unknown rule {kind!r}")
+        aggs.append(F.count(F.when(pred, 1)).alias(f"v{i}"))
+        meta.append((kind, c))
+    out = None
+    if aggs:
+        row = df.agg(*aggs)
+        parts = [
+            row.select(
+                F.lit(kind).alias("rule"),
+                F.lit(c).alias("column"),
+                F.col(f"v{i}").alias("violations"),
+            )
+            for i, (kind, c) in enumerate(meta)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    for r in uniq_rules:
+        c = r["column"]
+        dups = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)
+                ).alias("violations")
+            )
+            .select(
+                F.lit("unique").alias("rule"),
+                F.lit(c).alias("column"),
+                F.col("violations"),
+            )
+        )
+        out = dups if out is None else out.unionByName(dups)
+    if out is None:
+        raise ValueError("no rules")
+    return out.withColumn("passed", F.col("violations") == 0).orderBy(
+        "rule", "column"
+    )
+
+
+def quality_expectations_sql(table: str, rules) -> str:
+    """DuckDB twin of :func:`quality_expectations`."""
+    arms = []
+    for r in rules:
+        c, kind = r["column"], r["rule"]
+        if kind == "not_null":
+            arms.append(
+                f"SELECT 'not_null' AS rule, '{c}' AS column,"
+                f" count(*) FILTER (WHERE {c} IS NULL)::BIGINT AS violations"
+                f" FROM {table}"
+            )
+        elif kind == "accepted_values":
+            vals = ", ".join(f"'{v}'" for v in r["values"])
+            arms.append(
+                f"SELECT 'accepted_values', '{c}',"
+                f" count(*) FILTER (WHERE {c} NOT IN ({vals})"
+                f" OR {c} IS NULL)::BIGINT FROM {table}"
+            )
+        elif kind == "non_negative":
+            arms.append(
+                f"SELECT 'non_negative', '{c}',"
+                f" count(*) FILTER (WHERE {c} < 0)::BIGINT FROM {table}"
+            )
+        elif kind == "unique":
+            arms.append(
+                f"SELECT 'unique', '{c}', coalesce(sum(n - 1) FILTER"
+                f" (WHERE n > 1), 0)::BIGINT FROM (SELECT count(*) AS n"
+                f" FROM {table} WHERE {c} IS NOT NULL GROUP BY {c})"
+            )
+        else:
+            raise ValueError(f"unknown rule {kind!r}")
+    u = "\nUNION ALL\n".join(arms)
+    return f"""
+SELECT rule, "column", violations, violations = 0 AS passed
+FROM ({u})
+ORDER BY rule, "column"
+"""
+
+
+def expect_fk(child: DataFrame, parent: DataFrame, key_c: str, key_p: str) -> DataFrame:
+    """One row: referential-integrity check — child rows whose key has
+    no parent (anti-join count; broadcast when the parent key set is
+    dimension-sized)."""
+    orphans = child.select(F.col(key_c).alias("k")).filter(
+        F.col("k").isNotNull()
+    ).join(
+        parent.select(F.col(key_p).alias("k")).distinct(), "k", "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("violations")).select(
+        F.lit("foreign_key").alias("rule"),
+        F.lit(f"{key_c}->{key_p}").alias("column"),
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def expect_fk_sql(
+    child: str, parent: str, key_c: str, key_p: str
+) -> str:
+    """DuckDB twin of :func:`expect_fk`."""
+    return f"""
+SELECT 'foreign_key' AS rule, '{key_c}->{key_p}' AS column,
+       count(*)::BIGINT AS violations, count(*) = 0 AS passed
+FROM {child} c
+WHERE c.{key_c} IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{key_p} = c.{key_c})
 """

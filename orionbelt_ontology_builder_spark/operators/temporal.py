@@ -972,3 +972,68 @@ SELECT resolution, bucket,
 FROM u GROUP BY 1, 2
 ORDER BY resolution, bucket
 """
+
+
+def state_durations(
+    snapshots: DataFrame,
+    on: str | Sequence[str] = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per (key, state): total seconds spent in each ``attr`` value
+    across CLOSED SCD2 intervals, plus version/snapshot counts and an
+    open-interval flag — the time-in-state rollup read off a crawl's
+    content-version history (how long did this url serve that
+    content?) or a user's lifecycle states.
+
+    Composes :func:`scd2_intervals` (one key shuffle) with one more
+    key-local aggregation that rides the same partitioning.  Durations
+    sum as exact integer microseconds; ONE double division per output
+    row converts to seconds — engine-portable."""
+    iv = scd2_intervals(snapshots, on=on, ts=ts, attr=attr, tiebreak=tiebreak)
+    keys = _keys(on)
+    dur_us = F.when(
+        F.col("valid_to").isNotNull(),
+        _us(F.col("valid_to")) - _us(F.col("valid_from")),
+    ).otherwise(F.lit(0))
+    return (
+        iv.groupBy(*keys, attr)
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum("n_snapshots").alias("n_snapshots"),
+            F.sum(dur_us).alias("_us_total"),
+            F.max(F.col("is_current").cast("int")).alias("has_open"),
+        )
+        .select(
+            *keys,
+            attr,
+            "n_versions",
+            "n_snapshots",
+            (F.col("_us_total") / F.lit(1e6)).alias("closed_seconds"),
+            F.col("has_open").cast("boolean").alias("has_open"),
+        )
+    )
+
+
+def state_durations_sql(
+    table: str = "events",
+    on: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin: the scd2 cascade as a subquery + the same agg."""
+    inner = scd2_intervals_sql(table, on, ts, attr, tiebreak)
+    return f"""
+SELECT {on}, {attr},
+       count(*)::BIGINT AS n_versions,
+       sum(n_snapshots)::BIGINT AS n_snapshots,
+       sum(CASE WHEN valid_to IS NOT NULL
+                THEN epoch_us(valid_to) - epoch_us(valid_from)
+                ELSE 0 END) / 1e6 AS closed_seconds,
+       max(CASE WHEN is_current THEN 1 ELSE 0 END) = 1 AS has_open
+FROM ({inner})
+GROUP BY {on}, {attr}
+ORDER BY {on}, {attr}
+"""

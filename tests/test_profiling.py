@@ -522,3 +522,34 @@ def test_join_size_estimate_matches_actual_join(spark):
     b = spark.createDataFrame([(i % 7, i) for i in range(23)], "k long, y long")
     est = P.join_size_estimate(a, b, key_a="k").collect()[0]
     assert est["join_rows"] == a.join(b, "k").count()
+
+
+def test_quality_expectations_counts(spark):
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", -1), (2, "zz", 0), (None, "b", 3)],
+        "id long, cat string, v long",
+    )
+    rules = [
+        {"rule": "not_null", "column": "id"},
+        {"rule": "unique", "column": "id"},
+        {"rule": "accepted_values", "column": "cat", "values": ["a", "b"]},
+        {"rule": "non_negative", "column": "v"},
+    ]
+    out = {(r["rule"], r["column"]): r
+           for r in P.quality_expectations(df, rules).collect()}
+    assert out[("not_null", "id")]["violations"] == 1
+    assert out[("unique", "id")]["violations"] == 1      # one extra '2'
+    assert out[("accepted_values", "cat")]["violations"] == 1
+    assert out[("non_negative", "v")]["violations"] == 1
+    assert not any(r["passed"] for r in out.values())
+
+
+def test_expect_fk_orphans(spark):
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    out = P.expect_fk(child, parent, key_c="k", key_p="p").collect()[0]
+    assert out["violations"] == 1 and not out["passed"]

@@ -485,3 +485,25 @@ def test_merge_rollups_three_way_and_empty_part(spark):
     out = T.merge_rollups(*parts, empty).collect()
     assert len(out) == 1
     assert out[0]["n_events"] == 9 and out[0]["sum_value"] == 36
+
+
+def test_state_durations_hand_math(spark):
+    """a(0-2min) -> b(2-5min) -> a(open): closed seconds per state."""
+    out = {
+        (r["user_id"], r["event_type"]): r
+        for r in spark.createDataFrame(
+            [("u", __import__("datetime").datetime(2024, 1, 1, 0, m), v, i)
+             for i, (m, v) in enumerate([(0, "a"), (2, "b"), (5, "a")])],
+            "user_id string, ts timestamp, event_type string, event_id long",
+        ).transform(lambda df: __import__(
+            "orionbelt_ontology_builder_spark.operators.temporal",
+            fromlist=["temporal"]).state_durations(
+                df, tiebreak="event_id"))
+        .collect()
+    }
+    a = out[("u", "a")]
+    assert a["n_versions"] == 2 and abs(a["closed_seconds"] - 120.0) < 1e-9
+    assert a["has_open"]
+    b = out[("u", "b")]
+    assert b["n_versions"] == 1 and abs(b["closed_seconds"] - 180.0) < 1e-9
+    assert not b["has_open"]
