@@ -644,6 +644,21 @@ def _q_path_query_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bounded repetition: individuals to their 1..2-hop superclass
+#: ancestry (SPARQL ``subClassOf{1,2}``), unrolled compositions.
+_PATH_BOUND_SPEC = [M.RDF.type, M.RDFS.subClassOf + "{1,2}"]
+
+
+def _q_path_query_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL bounded path repetition ``p{n,m}``: unrolled hop
+    compositions with per-hop distinct (|pairs| not |paths|)."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.eval_path(
+        relational.induce_triples(spark, sf_dir), _PATH_BOUND_SPEC
+    )
+
+
 #: reflexive-transitive path: class + every ancestor including itself.
 _PATH_STAR_SPEC = [M.RDF.type, M.RDFS.subClassOf + "*"]
 
@@ -2542,6 +2557,12 @@ def _q_dedup_embedding_cosine_ivf(spark, sf_dir):
     return similarity.ivf_cosine_pairs(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
+def _q_mutual_nn_pairs(spark, sf_dir):
+    """Reciprocal-best-match merge pairs within the IVF candidate
+    graph (conservative ER rule: merge only mutual top-1 neighbors)."""
+    return similarity.mutual_nn_pairs(_embs(spark, sf_dir), dim=EMB_DIM)
+
+
 def _q_hard_negatives(spark, sf_dir):
     """ANN-mined contrastive hard negatives: IVF shared-list pairs in
     the confusable cosine band, top-3 hardest per anchor."""
@@ -2942,7 +2963,7 @@ _SF_SCALE = {
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
     "bgp_values_limit", "path_query_star", "bgp_ask", "describe_resource",
-    "bgp_paginate", "path_query_neg",
+    "bgp_paginate", "path_query_neg", "path_query_bounded",
     "construct_delta", "kg_negative_samples",
     "triple_churn",
     "tfidf_topk",
@@ -2965,7 +2986,7 @@ _SF_SCALE = {
     "decontaminate_embedding",
     "dedup_embedding_cosine_ivf", "hard_negatives",
     "distmult_rank", "nb_lang_confusion", "dsir_select",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_recall",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_recall", "mutual_nn_pairs",
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
@@ -3165,6 +3186,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_values_limit": _q_bgp_values_limit,
         "bgp_paginate": _q_bgp_paginate,
         "path_query_neg": _q_path_query_neg,
+        "path_query_bounded": _q_path_query_bounded,
         "bgp_ask": _q_bgp_ask,
         "describe_resource": _q_describe_resource,
         "path_query_star": _q_path_query_star,
@@ -3275,6 +3297,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_recall": _q_ann_recall,
+        "mutual_nn_pairs": _q_mutual_nn_pairs,
         "sq8_stats": _q_sq8_stats,
         "pq_codes": _q_pq_codes,
         "zorder_extents": _q_zorder_extents,
@@ -4066,6 +4089,7 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
         offset=_PAGE_OFFSET, limit=_PAGE_LIMIT,
     )
     sql["path_query_neg"] = _query.eval_path_sql(_tr, _path_neg_spec())
+    sql["path_query_bounded"] = _query.eval_path_sql(_tr, _PATH_BOUND_SPEC)
     sql["bgp_ask"] = _query.ask_sql(_tr, _ASK_PATTERNS)
     sql["describe_resource"] = _query.describe_sql(_tr, _DESCRIBE_RES)
     sql["bgp_aggregate"] = _query.select_agg_sql(
@@ -5130,6 +5154,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["ann_cosine_topk"] = similarity.brute_topk_oracle()
     sql["ann_ivf_topk"] = similarity.ivf_topk_oracle()
     sql["ann_recall"] = similarity.ann_recall_oracle()
+    sql["mutual_nn_pairs"] = similarity.mutual_nn_pairs_oracle()
     sql["sq8_stats"] = similarity.sq8_stats_oracle()
     sql["pq_codes"] = similarity.pq_codes_oracle()
 

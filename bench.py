@@ -254,6 +254,8 @@ def main() -> None:
         "ann_recall",
         "state_durations",
         "quality_expectations",
+        "mutual_nn_pairs",
+        "path_query_bounded",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

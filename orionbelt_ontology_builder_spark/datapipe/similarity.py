@@ -1063,3 +1063,83 @@ LEFT JOIN ({ivf_topk_oracle(n_queries, k, nprobe)}) i
 GROUP BY b.query_id
 ORDER BY b.query_id
 """
+
+
+# ------------------------------------------------------------------ #
+# Mutual nearest neighbors: the conservative alias-merge rule
+# ------------------------------------------------------------------ #
+
+
+def mutual_nn_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    a_probe: int = A_PROBE,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos): pairs that are each other's SINGLE nearest
+    neighbor within the IVF candidate graph — the classic conservative
+    entity-resolution merge rule (reciprocal best match: merge only
+    when the attraction is mutual, so a hub near many vectors doesn't
+    absorb them all; one-directional nearest-neighbor edges form
+    chains, mutual ones form clean pairs).
+
+    Scale shape: :func:`ivf_cosine_pairs` candidates (O(n^1.5) shared-
+    list work) symmetrized, one per-vector top-1 window (rank by cos
+    DESC then neighbor id), and a self-join on the two (src -> top1)
+    maps.  Everything after the candidate stage is one-row-per-vector
+    sized."""
+    pairs = ivf_cosine_pairs(
+        embeddings, threshold=threshold, a_probe=a_probe, dim=dim
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cos"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("nbr"))
+    top1 = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("src", "nbr", "cos")
+    )
+    a, b = top1.alias("a"), top1.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.src"))
+            & (F.col("b.nbr") == F.col("a.src"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .select(
+            F.col("a.src").alias("id_a"),
+            F.col("a.nbr").alias("id_b"),
+            F.col("a.cos").alias("cos"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def mutual_nn_pairs_oracle(
+    threshold: float = 0.42, a_probe: int = A_PROBE
+) -> str:
+    """DuckDB twin: the IVF pair oracle as a subquery + the same
+    symmetrize / rank-1 / reciprocity join."""
+    return f"""
+WITH pairs AS ({ivf_cosine_pairs_oracle(threshold, a_probe)}),
+sym AS (
+  SELECT id_a AS src, id_b AS nbr, cos FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, cos FROM pairs),
+top1 AS (
+  SELECT src, nbr, cos FROM (
+    SELECT *, row_number() OVER
+      (PARTITION BY src ORDER BY cos DESC, nbr ASC) AS rk
+    FROM sym)
+  WHERE rk = 1)
+SELECT a.src AS id_a, a.nbr AS id_b, a.cos AS cos
+FROM top1 a JOIN top1 b
+  ON a.nbr = b.src AND b.nbr = a.src AND a.src < b.src
+ORDER BY id_a, id_b
+"""

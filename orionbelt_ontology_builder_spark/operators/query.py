@@ -21,6 +21,8 @@ variable (allowed, flagged in the docstring contract).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -516,6 +518,8 @@ def _step_edges(triples: DataFrame, step) -> DataFrame:
       * ``["a", "b"]``  — alternation (union of the member steps)
       * ``"!a|b"``      — negated property set (any FORWARD edge whose
         predicate is not one of the listed IRIs; SPARQL ``!(a|b)``)
+      * ``"pred{n,m}"`` / ``"pred{n}"`` — bounded repetition (n..m
+        hops, unrolled compositions; n=0 adds the identity relation)
 
     Zero-length semantics (``*`` / ``?``): the identity pair (n, n)
     for every term occurring in the graph (subject or object of any
@@ -539,6 +543,40 @@ def _step_edges(triples: DataFrame, step) -> DataFrame:
             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
             .distinct()
         )
+    rep = re.match(r"^(.+)\{(\d+)(?:,(\d+))?\}$", step)
+    if rep:
+        # bounded repetition: unrolled hop compositions (distinct after
+        # each hop keeps the relation |pairs|-sized, never |paths|)
+        lo = int(rep.group(2))
+        hi = int(rep.group(3)) if rep.group(3) is not None else lo
+        if hi < lo or hi < 1:
+            raise ValueError(f"bad repetition bounds in {step!r}")
+        base = _step_edges(triples, rep.group(1))
+        # disjoint column names per join side: the composed relation and
+        # the base share lineage, so qualified-by-name refs are ambiguous
+        hop = base.select(
+            F.col("src").alias("mid"), F.col("dst").alias("ndst")
+        )
+        cur, out = base, (base if lo <= 1 else None)
+        for h in range(2, hi + 1):
+            cur = (
+                cur.join(hop, F.col("dst") == F.col("mid"))
+                .select("src", F.col("ndst").alias("dst"))
+                .distinct()
+            )
+            if h >= lo:
+                out = cur if out is None else out.unionByName(cur)
+        if lo == 0:
+            nodes = (
+                triples.select(F.col("subj").alias("n"))
+                .unionByName(triples.select(F.col("obj").alias("n")))
+                .distinct()
+            )
+            ident = nodes.select(
+                F.col("n").alias("src"), F.col("n").alias("dst")
+            )
+            out = ident if out is None else out.unionByName(ident)
+        return out.distinct()
     closure = step.endswith("+")
     star = step.endswith("*")
     opt = step.endswith("?")
@@ -612,6 +650,36 @@ def eval_path_sql(triples_cte: str, path) -> str:
                 f"{name} AS (SELECT DISTINCT subj AS src, obj AS dst"
                 f" FROM triples WHERE pred NOT IN ({banned}))"
             )
+            continue
+        rep = re.match(r"^(.+)\{(\d+)(?:,(\d+))?\}$", step)
+        if rep:
+            lo = int(rep.group(2))
+            hi = int(rep.group(3)) if rep.group(3) is not None else lo
+            p = rep.group(1)
+            inv = p.startswith("^")
+            p = p[1:] if inv else p
+            a, b = ("obj", "subj") if inv else ("subj", "obj")
+            steps_sql.append(
+                f"{name}_base AS (SELECT DISTINCT {a} AS src, {b} AS dst"
+                f" FROM triples WHERE pred = '{p}')"
+            )
+            arms = []
+            for h in range(max(lo, 1), hi + 1):
+                joins = " ".join(
+                    f"JOIN {name}_base e{j} ON e{j - 1}.dst = e{j}.src"
+                    for j in range(2, h + 1)
+                )
+                arms.append(
+                    f"SELECT DISTINCT e1.src, e{h}.dst"
+                    f" FROM {name}_base e1 {joins}"
+                )
+            if lo == 0:
+                arms.append(
+                    "SELECT DISTINCT n AS src, n AS dst FROM ("
+                    "SELECT subj AS n FROM triples"
+                    " UNION SELECT obj FROM triples)"
+                )
+            steps_sql.append(f"{name} AS ({' UNION '.join(arms)})")
             continue
         closure = step.endswith("+")
         star = step.endswith("*")

@@ -1292,3 +1292,21 @@ def test_ann_recall_full_probe_is_exact(spark):
     probed = S.ann_recall(embs, n_queries=3, k=3, nprobe=1, dim=8).collect()
     for r in probed:
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_mutual_nn_pairs_reciprocity(spark):
+    """Two tight twin pairs + one outlier near a twin: only mutual
+    top-1s survive (the outlier's best friend doesn't reciprocate)."""
+    from orionbelt_ontology_builder_spark.datapipe import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),     # 0<->1 mutual
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),     # 2<->3 mutual
+        (4, [0.9, 0.1, 0.0, 0.0]),        # closest to 1, but 1 prefers 0
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [(r["id_a"], r["id_b"])
+           for r in S.mutual_nn_pairs(embs, threshold=0.0, dim=4).collect()]
+    assert out == [(0, 1), (2, 3)]

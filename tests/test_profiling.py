@@ -553,3 +553,20 @@ def test_expect_fk_orphans(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
     out = P.expect_fk(child, parent, key_c="k", key_p="p").collect()[0]
     assert out["violations"] == 1 and not out["passed"]
+
+
+def test_path_bounded_repetition(spark):
+    """chain a->b->c->d: p{2} = 2-hop pairs; p{1,2} = union; p{0,1}
+    includes the identity."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = _triples(spark, [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d")])
+    two = {(r["src"], r["dst"]) for r in query.eval_path(t, ["p{2}"]).collect()}
+    assert two == {("a", "c"), ("b", "d")}
+    onetwo = {(r["src"], r["dst"])
+              for r in query.eval_path(t, ["p{1,2}"]).collect()}
+    assert onetwo == {("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d")}
+    zeroone = {(r["src"], r["dst"])
+               for r in query.eval_path(t, ["p{0,1}"]).collect()}
+    assert {("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")} <= zeroone
+    assert ("a", "b") in zeroone and ("a", "c") not in zeroone
