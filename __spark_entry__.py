@@ -263,6 +263,24 @@ def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixpoint.connected_components(edges)
 
 
+def _q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) CC maintenance: yesterday's labelling (a spanning
+    forest) + today's new alias edges re-labelled WITHOUT touching the
+    full edge set; law-equal to the full recompute (the oracle runs
+    the full recompute).  Delta includes component-merging edges AND
+    brand-new nodes."""
+    old = spark.createDataFrame(
+        [("e1", "e2"), ("e2", "e3"), ("f1", "f2"), ("g1", "g1"),
+         ("h1", "h2"), ("h3", "h2")],
+        ["src", "dst"],
+    )
+    delta = spark.createDataFrame(
+        [("e3", "e4"), ("h3", "h4"), ("h5", "h4")], ["src", "dst"]
+    )
+    cc0 = fixpoint.connected_components(old)
+    return fixpoint.incremental_components(cc0, delta).orderBy("node")
+
+
 def _q_broader_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cyc = FX.fixture_triples(spark, "skos_om").unionByName(
         spark.createDataFrame(
@@ -3119,6 +3137,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_union": _q_merge_union,
         "superclass_closure": _q_closure,
         "connected_components": _q_components,
+        "incremental_components": _q_incremental_components,
         "broader_cycles": _q_broader_cycles,
         "delete_cascade": _q_delete_cascade,
         "rename_resource": _q_rename,
@@ -3754,6 +3773,13 @@ reach(n, m) AS (
 )
 SELECT n AS node, min(m) AS component FROM reach GROUP BY n
 """
+
+    # law: incremental == full recompute over old UNION delta (same
+    # edge multiset as connected_components' fixture), so the oracle IS
+    # the full-recompute query with a total order.
+    sql["incremental_components"] = (
+        sql["connected_components"] + " ORDER BY node"
+    )
 
     sql["broader_cycles"] = f"""
 WITH RECURSIVE {skos},

@@ -256,6 +256,7 @@ def main() -> None:
         "quality_expectations",
         "mutual_nn_pairs",
         "path_query_bounded",
+        "incremental_components",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -206,3 +206,36 @@ def detect_broader_cycles(
         .distinct()
         .orderBy("concept")
     )
+
+
+def incremental_components(
+    cc_map: DataFrame, delta_edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Maintain a connected-components labelling under NEW edges
+    without recomputing over the full edge set — the O(delta) nightly
+    refresh of the sameAs canonicalization map (a crawl's incremental
+    alias discoveries must not trigger an O(corpus) CC rerun).
+
+    The trick: an existing labelling IS a spanning forest — the
+    (node -> component) map edges reconnect every old component — so
+    running CC over ``map_edges UNION delta_edges`` reproduces the FULL
+    recompute's labels exactly (component label = min member id, which
+    is stable under this substitution because every old member remains
+    reachable from its old label node).  Input size is
+    O(nodes + delta), never O(total edges).
+
+    Law (tested): ``incremental_components(cc(E), D) == cc(E UNION D)``
+    row-for-row."""
+    map_edges = cc_map.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    singletons = cc_map.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    )
+    u = map_edges.unionByName(
+        delta_edges.select(
+            F.col(delta_edges.columns[0]).alias("src"),
+            F.col(delta_edges.columns[1]).alias("dst"),
+        )
+    ).unionByName(singletons)
+    return connected_components(u, max_rounds=max_rounds)

@@ -129,3 +129,34 @@ def test_connected_components_random_vs_union_find(spark):
         touched2 = sorted({u for e in clean for u in e})
         want2 = _uf_components(clean, touched2)
         assert got2 == want2, (trial, clean)
+
+
+def test_incremental_components_law_random(spark):
+    """incremental_components(cc(E), D) == cc(E u D) on a random-ish
+    split, including delta-only nodes and component merges."""
+    from orionbelt_ontology_builder_spark.operators import fixpoint as FP
+
+    all_edges = [
+        (f"n{a}", f"n{b}")
+        for a, b in [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (2, 3),
+                     (8, 9), (10, 10), (11, 12)]
+    ]
+    old = spark.createDataFrame(all_edges[:5], ["src", "dst"])
+    delta = spark.createDataFrame(all_edges[5:], ["src", "dst"])
+    full = spark.createDataFrame(all_edges, ["src", "dst"])
+    inc = {(r["node"], r["component"]) for r in FP.incremental_components(
+        FP.connected_components(old), delta).collect()}
+    exact = {(r["node"], r["component"])
+             for r in FP.connected_components(full).collect()}
+    assert inc == exact
+
+
+def test_incremental_components_no_delta_is_identity(spark):
+    from orionbelt_ontology_builder_spark.operators import fixpoint as FP
+
+    old = spark.createDataFrame([("a", "b"), ("c", "d")], ["src", "dst"])
+    cc0 = FP.connected_components(old)
+    empty = spark.createDataFrame([], "src string, dst string")
+    inc = {(r["node"], r["component"])
+           for r in FP.incremental_components(cc0, empty).collect()}
+    assert inc == {(r["node"], r["component"]) for r in cc0.collect()}
