@@ -101,3 +101,39 @@ def test_latest_snapshot_matches_python_reference(spark, pairs, n_keys):
         if k not in want or (ts, v) > want[k]:
             want[k] = (ts, v)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_events(max_keys=3, max_n=25), st.integers(min_value=2, max_value=4))
+def test_scd2_matches_python_walker(spark, pairs, n_states):
+    """scd2_intervals vs a pure-Python per-key run-length walker:
+    version numbering, run collapse, interval chaining, open flag."""
+    rows = [
+        (f"k{k}", T0 + timedelta(minutes=m), f"s{(k + m) % n_states}", i)
+        for i, (k, m) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, attr string, eid long"
+    )
+    got = [
+        (r["key"], r["version"], r["attr"], r["valid_from"], r["valid_to"],
+         r["is_current"], r["n_snapshots"])
+        for r in T.scd2_intervals(
+            df, on="key", ts="ts", attr="attr", tiebreak="eid"
+        ).orderBy("key", "version").collect()
+    ]
+    # pure-Python reference
+    want = []
+    for key in sorted({r[0] for r in rows}):
+        hist = sorted([r for r in rows if r[0] == key],
+                      key=lambda r: (r[1], r[3]))
+        runs = []
+        for _, ts, attr, _eid in hist:
+            if runs and runs[-1][0] == attr:
+                runs[-1][2] += 1
+            else:
+                runs.append([attr, ts, 1])
+        for v, (attr, start, n) in enumerate(runs, 1):
+            nxt = runs[v][1] if v < len(runs) else None
+            want.append((key, v, attr, start, nxt, nxt is None, n))
+    assert got == want
