@@ -2959,6 +2959,117 @@ def _q_graph_neighbor_jaccard(spark, sf_dir):
     )
 
 
+def _q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the LPA communities over the
+    induced entity graph — the did-clustering-find-real-structure gate
+    run before trusting community output for entity grouping; oracle
+    re-runs the identical LPA rounds + degree/intra aggregations."""
+    return graphstats.modularity(
+        relational.induce_entity_edges(spark, sf_dir), iters=3
+    )
+
+
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a DataFrame op: customer balances are
+    the snapshot, a changelog derived from orders (latest (ts, seq)
+    entry per customer wins; op D deletes, I/U upsert) refreshes it in
+    one key-shuffle + one full-outer join — O(changelog), not
+    O(table), when the snapshot is bucketed."""
+    cust = _tbl(spark, sf_dir, "customer")
+    orders = _tbl(spark, sf_dir, "orders")
+    snap = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("val")
+    )
+    chg = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 10 < 3, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("val"),
+    )
+    return temporal.cdc_apply(snap, chg)
+
+
+_FS_FIELDS = ["name_agree", "seg_agree", "bal_agree"]
+
+_FS_PAIRS_SQL = """pairs AS MATERIALIZED (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    CASE WHEN a.c_custkey = b.c_custkey THEN 1 ELSE 0 END AS is_match,
+    CASE WHEN a.c_name = (CASE WHEN b.c_custkey % 3 = 0
+                          THEN b.c_name || 'X' ELSE b.c_name END)
+         THEN 1 ELSE 0 END AS name_agree,
+    CASE WHEN a.c_mktsegment = (CASE WHEN b.c_custkey % 5 = 0
+                                THEN 'OTHER' ELSE b.c_mktsegment END)
+         THEN 1 ELSE 0 END AS seg_agree,
+    CASE WHEN abs(a.c_acctbal - (b.c_acctbal + (b.c_custkey % 7) * 10.0))
+              < 25.0
+         THEN 1 ELSE 0 END AS bal_agree
+  FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+  WHERE a.c_custkey % 4 = 1)"""
+
+
+def _fs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled candidate record pairs for Fellegi-Sunter: customers vs
+    a deterministically perturbed copy (name suffixed for key%3=0,
+    segment swapped for key%5=0, balance shifted by (key%7)*10),
+    blocked on nation — the same blocking->scoring shape as real ER,
+    with truth labels (same custkey) for free."""
+    c = _tbl(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    ).filter(F.col("id_a") % 4 == 1)
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("X"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("OTHER"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+        (F.col("c_acctbal") + (F.col("c_custkey") % 7) * F.lit(10.0)).alias(
+            "bal_b"
+        ),
+    )
+    return a.join(b, "nk").select(
+        "id_a",
+        "id_b",
+        (F.col("id_a") == F.col("id_b")).cast("int").alias("is_match"),
+        (F.col("name_a") == F.col("name_b")).cast("int").alias("name_agree"),
+        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("seg_agree"),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) < 25.0)
+        .cast("int")
+        .alias("bal_agree"),
+    )
+
+
+def _q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field Fellegi-Sunter m/u probabilities + log-weights from
+    the labeled customer pair fixture — ONE conditional-agg pass over
+    the pair table; oracle = identical agg + per-field arms."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    return align.fs_weights(_fs_pairs(spark, sf_dir), _FS_FIELDS)
+
+
+def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every candidate pair scored with the FS log-likelihood (weights
+    as ONE broadcast row — scoring is a pure projection after
+    blocking, zero extra shuffles)."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    return align.fs_pair_scores(_fs_pairs(spark, sf_dir), _FS_FIELDS)
+
+
 #: queries that touch sf-scale parquet / synthesized corpora — these
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
@@ -3015,7 +3126,8 @@ _SF_SCALE = {
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
     "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore", "graph_hits",
     "graph_component_sizes", "graph_scc", "graph_assortativity",
-    "graph_hyperball", "graph_local_clustering",
+    "graph_hyperball", "graph_local_clustering", "graph_modularity",
+    "cdc_apply", "fellegi_sunter", "fs_pair_scores",
 }
 
 
@@ -3344,6 +3456,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
         "graph_communities": _q_graph_communities,
+        "graph_modularity": _q_graph_modularity,
+        "cdc_apply": _q_cdc_apply,
+        "fellegi_sunter": _q_fellegi_sunter,
+        "fs_pair_scores": _q_fs_pair_scores,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -5229,6 +5345,25 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["graph_communities"] = graphstats.label_propagation_sql(
         relational.ENTITY_EDGES_SQL, iters=3
+    )
+    sql["graph_modularity"] = graphstats.modularity_sql(
+        relational.ENTITY_EDGES_SQL, iters=3
+    )
+    sql["cdc_apply"] = temporal.cdc_apply_sql(
+        "snap0 AS (SELECT c_custkey AS key, c_acctbal AS val FROM customer)",
+        """chg AS (
+  SELECT o_custkey AS key,
+    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+         WHEN o_orderkey % 10 < 3 THEN 'I'
+         ELSE 'U' END AS op,
+    o_orderdate AS ts, o_orderkey AS seq, o_totalprice AS val
+  FROM orders)""",
+    )
+    from orionbelt_ontology_builder_spark.operators import align as _align
+
+    sql["fellegi_sunter"] = _align.fs_weights_sql(_FS_PAIRS_SQL, _FS_FIELDS)
+    sql["fs_pair_scores"] = _align.fs_pair_scores_sql(
+        _FS_PAIRS_SQL, _FS_FIELDS
     )
     sql["graph_random_walks"] = graphstats.random_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1

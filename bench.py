@@ -257,6 +257,11 @@ def main() -> None:
         "mutual_nn_pairs",
         "path_query_bounded",
         "incremental_components",
+        # session-12: community quality, CDC merge, FS record linkage
+        "graph_modularity",
+        "cdc_apply",
+        "fellegi_sunter",
+        "fs_pair_scores",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 from ..model import OWL, RDF, RDFS, local_name_col
 
-__all__ = ["align_entities", "align_entities_sql"]
+__all__ = [
+    "align_entities",
+    "align_entities_sql",
+    "fs_weights",
+    "fs_weights_sql",
+    "fs_pair_scores",
+    "fs_pair_scores_sql",
+]
 
 _KINDS = (OWL.Class, OWL.ObjectProperty, OWL.DatatypeProperty)
 _TOKEN_SPLIT = "[^a-z0-9]+"
@@ -233,4 +240,204 @@ SELECT uri_a, uri_b, kind,
 FROM allm
 GROUP BY uri_a, uri_b, kind
 ORDER BY uri_a, uri_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter 1969,
+# public literature; the scoring model behind Splink/dedupe-style ER).
+# Complements the MinHash-LSH blocking in pipeline/linking.py: blocking
+# proposes candidate pairs, FS turns per-field agreement patterns into
+# a calibrated log-likelihood match score.
+# ---------------------------------------------------------------------------
+
+
+def fs_weights(pairs: DataFrame, fields: list[str]) -> DataFrame:
+    """(field, m_prob, u_prob, w_agree, w_disagree) — per-field
+    Fellegi-Sunter parameters estimated from a labeled candidate-pair
+    set: ``m = P(agree | match)``, ``u = P(agree | non-match)``, both
+    add-1 smoothed so the log-weights are always finite;
+    ``w_agree = ln(m/u)``, ``w_disagree = ln((1-m)/(1-u))``.
+
+    ``pairs`` carries ``is_match`` (0/1) plus one 0/1 agreement column
+    per entry of ``fields``.
+
+    Scale shape: ONE conditional-aggregation pass over the pair table
+    (2 sums per field + 2 totals, all map-side combinable) collapses
+    to a single row; the per-field explode is a ``stack`` over that
+    row — constant-size, no second scan."""
+    aggs = [
+        F.sum("is_match").alias("n_match"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    ]
+    for f in fields:
+        aggs.append(
+            F.sum(F.when(F.col("is_match") == 1, F.col(f)).otherwise(0)).alias(
+                f"am_{f}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(F.col("is_match") == 0, F.col(f)).otherwise(0)).alias(
+                f"au_{f}"
+            )
+        )
+    row = pairs.agg(*aggs)
+    mu_cols = []
+    for f in fields:
+        mu_cols.append(
+            ((F.col(f"am_{f}") + F.lit(1.0)) / (F.col("n_match") + F.lit(2.0)))
+            .alias(f"m_{f}")
+        )
+        mu_cols.append(
+            (
+                (F.col(f"au_{f}") + F.lit(1.0))
+                / ((F.col("n_pairs") - F.col("n_match")) + F.lit(2.0))
+            ).alias(f"u_{f}")
+        )
+    wide = row.select(*mu_cols)
+    stack = "stack({n}, {args}) as (field, m_prob, u_prob)".format(
+        n=len(fields),
+        args=", ".join(f"'{f}', m_{f}, u_{f}" for f in fields),
+    )
+    return (
+        wide.select(F.expr(stack))
+        .select(
+            "field",
+            "m_prob",
+            "u_prob",
+            F.log(F.col("m_prob") / F.col("u_prob")).alias("w_agree"),
+            F.log(
+                (F.lit(1.0) - F.col("m_prob")) / (F.lit(1.0) - F.col("u_prob"))
+            ).alias("w_disagree"),
+        )
+        .orderBy("field")
+    )
+
+
+def fs_weights_sql(pairs_cte: str, fields: list[str]) -> str:
+    """DuckDB twin: one agg CTE + per-field UNION ALL arms (same
+    doubles as Spark's stack over the identical agg row)."""
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN is_match = 1 THEN {f} ELSE 0 END) AS am_{f},\n"
+        f"    sum(CASE WHEN is_match = 0 THEN {f} ELSE 0 END) AS au_{f}"
+        for f in fields
+    )
+    arms = "\n  UNION ALL ".join(
+        f"SELECT '{f}' AS field,\n"
+        f"    (am_{f} + 1.0) / (n_match + 2.0) AS m_prob,\n"
+        f"    (au_{f} + 1.0) / ((n_pairs - n_match) + 2.0) AS u_prob\n"
+        f"  FROM agg"
+        for f in fields
+    )
+    return f"""
+WITH {pairs_cte.strip()},
+agg AS (
+  SELECT sum(is_match) AS n_match, count(*) AS n_pairs,
+    {sums}
+  FROM pairs),
+mu AS (
+  {arms})
+SELECT field, m_prob, u_prob,
+  ln(m_prob / u_prob) AS w_agree,
+  ln((1.0 - m_prob) / (1.0 - u_prob)) AS w_disagree
+FROM mu ORDER BY field
+"""
+
+
+def fs_pair_scores(pairs: DataFrame, fields: list[str]) -> DataFrame:
+    """(id_a, id_b, is_match, n_agree, score) — every candidate pair
+    scored with the Fellegi-Sunter log-likelihood: agreement on field
+    f contributes ``w_agree_f``, disagreement ``w_disagree_f`` (both
+    from :func:`fs_weights`' smoothed m/u estimates over the same pair
+    set).  Threshold on ``score`` to split link / possible / non-link.
+
+    Scale shape: the weights are ONE broadcast row (the same single
+    agg pass as fs_weights, never materializing the per-field table),
+    so scoring is a pure projection over the pair table — zero extra
+    shuffles after blocking."""
+    aggs = [
+        F.sum("is_match").alias("n_match"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    ]
+    for f in fields:
+        aggs.append(
+            F.sum(F.when(F.col("is_match") == 1, F.col(f)).otherwise(0)).alias(
+                f"am_{f}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(F.col("is_match") == 0, F.col(f)).otherwise(0)).alias(
+                f"au_{f}"
+            )
+        )
+    w_cols = []
+    for f in fields:
+        m = (F.col(f"am_{f}") + F.lit(1.0)) / (F.col("n_match") + F.lit(2.0))
+        u = (F.col(f"au_{f}") + F.lit(1.0)) / (
+            (F.col("n_pairs") - F.col("n_match")) + F.lit(2.0)
+        )
+        w_cols.append(F.log(m / u).alias(f"wa_{f}"))
+        w_cols.append(
+            F.log((F.lit(1.0) - m) / (F.lit(1.0) - u)).alias(f"wd_{f}")
+        )
+    weights = pairs.agg(*aggs).select(*w_cols)
+
+    score = None
+    n_agree = None
+    for f in fields:
+        term = F.when(F.col(f) == 1, F.col(f"wa_{f}")).otherwise(
+            F.col(f"wd_{f}")
+        )
+        score = term if score is None else score + term
+        n_agree = F.col(f) if n_agree is None else n_agree + F.col(f)
+    return (
+        pairs.crossJoin(F.broadcast(weights))
+        .select(
+            "id_a",
+            "id_b",
+            "is_match",
+            n_agree.alias("n_agree"),
+            score.alias("score"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def fs_pair_scores_sql(pairs_cte: str, fields: list[str]) -> str:
+    """DuckDB twin: identical one-row weight CTE cross-joined in; the
+    score's addition order follows ``fields`` order on both sides so
+    the doubles are bit-stable."""
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN is_match = 1 THEN {f} ELSE 0 END) AS am_{f},\n"
+        f"    sum(CASE WHEN is_match = 0 THEN {f} ELSE 0 END) AS au_{f}"
+        for f in fields
+    )
+    w_exprs = ",\n    ".join(
+        f"ln(((am_{f} + 1.0) / (n_match + 2.0))"
+        f" / ((au_{f} + 1.0) / ((n_pairs - n_match) + 2.0))) AS wa_{f},\n"
+        f"    ln((1.0 - ((am_{f} + 1.0) / (n_match + 2.0)))"
+        f" / (1.0 - ((au_{f} + 1.0) / ((n_pairs - n_match) + 2.0))))"
+        f" AS wd_{f}"
+        for f in fields
+    )
+    n_agree = " + ".join(f"p.{f}" for f in fields)
+    score = " + ".join(
+        f"CASE WHEN p.{f} = 1 THEN w.wa_{f} ELSE w.wd_{f} END"
+        for f in fields
+    )
+    return f"""
+WITH {pairs_cte.strip()},
+agg AS (
+  SELECT sum(is_match) AS n_match, count(*) AS n_pairs,
+    {sums}
+  FROM pairs),
+w AS (
+  SELECT
+    {w_exprs}
+  FROM agg)
+SELECT p.id_a, p.id_b, p.is_match,
+  ({n_agree})::BIGINT AS n_agree,
+  {score} AS score
+FROM pairs p CROSS JOIN w
+ORDER BY p.id_a, p.id_b
 """

@@ -437,6 +437,17 @@ def label_propagation_sql(edges_cte: str, iters: int = 4) -> str:
     lexicographic max as the Spark struct max.  ``edges_cte`` must
     define ``edges(src, dst)``; every round CTE is MATERIALIZED
     (DuckDB re-inlines CTEs per reference site — see CLAUDE.md)."""
+    rounds, prev = _lpa_round_ctes(iters)
+    return f"""
+WITH {edges_cte.strip()},
+{_LPA_BASE_CTES}
+{rounds}
+SELECT node, label FROM {prev} ORDER BY node
+"""
+
+
+def _lpa_round_ctes(iters: int) -> tuple[str, str]:
+    """The unrolled LPA round CTEs; returns (joined_ctes, last_name)."""
     rounds = []
     prev = "l0"
     for i in range(1, iters + 1):
@@ -450,18 +461,130 @@ l{i} AS MATERIALIZED (
     (max(struct_pack(cnt := cnt, label := label))).label AS label
   FROM c{i} GROUP BY node)""")
         prev = f"l{i}"
-    return f"""
-WITH {edges_cte.strip()},
-und AS MATERIALIZED (
+    return ",".join(rounds), prev
+
+
+# shared by label_propagation_sql / modularity_sql: undirected simple
+# graph, doubled neighbour list, identity label seed
+_LPA_BASE_CTES = """und AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM edges WHERE src <> dst),
 nbr AS MATERIALIZED (
   SELECT a AS node, b AS nbr FROM und
   UNION ALL SELECT b AS node, a AS nbr FROM und),
 l0 AS MATERIALIZED (
-  SELECT DISTINCT node, node AS label FROM nbr),
-{",".join(rounds)}
-SELECT node, label FROM {prev} ORDER BY node
+  SELECT DISTINCT node, node AS label FROM nbr),"""
+
+
+def modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(label, n_nodes, degree_sum, intra_edges, q_contrib) — Newman
+    modularity decomposition of the label-propagation communities over
+    the undirected simple graph: per community c,
+    ``q_contrib = e_c/m - (d_c/(2m))^2`` (e_c intra-community edges,
+    d_c degree sum, m total edges); ``sum(q_contrib)`` is Q, the
+    standard did-clustering-find-real-structure gate (Newman 2004,
+    public literature) run BEFORE trusting LPA output for entity
+    grouping — near-zero Q means the communities are noise.
+
+    Plan: LPA labels (iters joins, see :func:`label_propagation`), then
+    the decomposition itself is vocabulary-cheap — degrees ride the
+    doubled neighbour list's node key, community rollup is one
+    label-keyed aggregation, intra-edge counting joins the edge list to
+    the node->label map on each endpoint (two broadcast-able joins at
+    cluster scale: the label map is nodes-sized, edges are the big
+    side), and m arrives as a broadcast 1-row total — no driver
+    ``collect``, no window."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()  # 3 consumers: totals, degrees, intra join
+    )
+    labels = label_propagation(edges, iters)  # checkpointed output
+    m = und.groupBy().agg(F.count(F.lit(1)).cast("double").alias("m_d"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    comm = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    half_deg = F.col("degree_sum") / (F.lit(2.0) * F.col("m_d"))
+    return (
+        comm.join(intra, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            "degree_sum",
+            "intra_edges",
+            (F.col("intra_edges") / F.col("m_d") - half_deg * half_deg).alias(
+                "q_contrib"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def modularity_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin: the identical LPA rounds (shared CTE chain) followed
+    by the same degree/community/intra aggregations; the q_contrib
+    expression tree matches the Spark side term-for-term so the doubles
+    are bit-stable."""
+    rounds, prev = _lpa_round_ctes(iters)
+    return f"""
+WITH {edges_cte.strip()},
+{_LPA_BASE_CTES}
+{rounds},
+lab AS MATERIALIZED (SELECT node, label FROM {prev}),
+tot AS (SELECT count(*)::DOUBLE AS m_d FROM und),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node),
+comm AS (
+  SELECT l.label, count(*)::BIGINT AS n_nodes,
+         sum(d.deg)::BIGINT AS degree_sum
+  FROM deg d JOIN lab l ON d.node = l.node
+  GROUP BY l.label),
+intra AS (
+  SELECT la.label, count(*)::BIGINT AS intra_edges
+  FROM und u
+  JOIN lab la ON u.a = la.node
+  JOIN lab lb ON u.b = lb.node
+  WHERE la.label = lb.label
+  GROUP BY la.label)
+SELECT c.label, c.n_nodes, c.degree_sum,
+  coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+  coalesce(i.intra_edges, 0) / t.m_d
+    - (c.degree_sum / (2.0 * t.m_d)) * (c.degree_sum / (2.0 * t.m_d))
+    AS q_contrib
+FROM comm c LEFT JOIN intra i ON c.label = i.label CROSS JOIN tot t
+ORDER BY c.label
 """
 
 

@@ -1037,3 +1037,71 @@ FROM ({inner})
 GROUP BY {on}, {attr}
 ORDER BY {on}, {attr}
 """
+
+
+def cdc_apply(snapshot: DataFrame, changelog: DataFrame) -> DataFrame:
+    """(key, val, src, n_changes) — apply a CDC changelog to a
+    materialized snapshot, the Iceberg/Delta ``MERGE INTO`` semantics
+    as a pure DataFrame op: per key the changelog's latest entry by
+    (ts, seq) wins — op 'D' deletes the key, 'I'/'U' upsert ``val`` —
+    and untouched snapshot keys pass through.  ``src`` records what
+    happened ('unchanged' | 'inserted' | 'updated'); ``n_changes``
+    counts how contested the key was this batch.
+
+    Inputs: ``snapshot(key, val)``, ``changelog(key, op, ts, seq,
+    val)`` with (ts, seq) a total order per key (seq breaks same-ts
+    ties — the log offset of a real CDC feed).
+
+    Scale shape: the nightly-refresh workhorse — ONE aggregation keyed
+    on the changelog key (struct-max rides the same shuffle as the
+    count, map-side partials) + ONE full-outer equi-join against the
+    snapshot.  No window, no driver materialization; with the snapshot
+    bucketed by key (plans/bucketing.py) only the delta shuffles, so
+    the refresh is O(changelog), not O(table) — the same law
+    merge_rollups applies to aggregates."""
+    latest = changelog.groupBy("key").agg(
+        F.max(F.struct("ts", "seq", "op", "val")).alias("w"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    snap = snapshot.select("key", F.col("val").alias("snap_val")).withColumn(
+        "in_snap", F.lit(1)
+    )
+    return (
+        snap.join(latest, "key", "full_outer")
+        .filter(F.col("w").isNull() | (F.col("w.op") != F.lit("D")))
+        .select(
+            "key",
+            F.coalesce(F.col("w.val"), F.col("snap_val")).alias("val"),
+            F.when(F.col("w").isNull(), F.lit("unchanged"))
+            .when(F.col("in_snap").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("src"),
+            F.coalesce(F.col("n_changes"), F.lit(0)).alias("n_changes"),
+        )
+        .orderBy("key")
+    )
+
+
+def cdc_apply_sql(snapshot_cte: str, changelog_cte: str) -> str:
+    """DuckDB twin: ``snapshot_cte`` defines ``snap0(key, val)``,
+    ``changelog_cte`` defines ``chg(key, op, ts, seq, val)``; same
+    struct-max winner + full-outer coalesce cascade."""
+    return f"""
+WITH {snapshot_cte.strip()},
+{changelog_cte.strip()},
+latest AS (
+  SELECT key,
+    max(struct_pack(ts := ts, seq := seq, op := op, val := val)) AS w,
+    count(*)::BIGINT AS n_changes
+  FROM chg GROUP BY key),
+snap AS (SELECT key, val AS snap_val, 1 AS in_snap FROM snap0)
+SELECT coalesce(s.key, l.key) AS key,
+  coalesce((l.w).val, s.snap_val) AS val,
+  CASE WHEN l.w IS NULL THEN 'unchanged'
+       WHEN s.in_snap IS NULL THEN 'inserted'
+       ELSE 'updated' END AS src,
+  coalesce(l.n_changes, 0)::BIGINT AS n_changes
+FROM snap s FULL OUTER JOIN latest l ON s.key = l.key
+WHERE l.w IS NULL OR (l.w).op <> 'D'
+ORDER BY key
+"""

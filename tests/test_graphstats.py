@@ -500,3 +500,41 @@ def test_scc_random_graphs_match_reference(spark):
         assert got == _scc_reference(edges)
 
     run()
+
+
+def test_modularity_two_triangles(spark):
+    import duckdb
+    import math
+
+    # two triangles joined by one bridge: textbook Q = 2*(3/7 - (7/14)^2)
+    rows = [("a", "b"), ("b", "c"), ("a", "c"),
+            ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = G.modularity(edges, iters=3).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["n_nodes"] == 3
+        assert r["intra_edges"] == 3
+        assert r["degree_sum"] == 7
+    q = sum(r["q_contrib"] for r in got)
+    assert math.isclose(q, 2 * (3 / 7 - (7 / 14) ** 2), rel_tol=1e-12)
+
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.modularity_sql(f"edges(src, dst) AS (VALUES {vals})", iters=3)
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert sorted(
+        (r["label"], r["n_nodes"], r["degree_sum"], r["intra_edges"],
+         r["q_contrib"])
+        for r in got
+    ) == want
+
+
+def test_modularity_single_community_near_zero(spark):
+    # one clique = one community: Q = e/m - (2m/2m)^2 = 1 - 1 = 0
+    rows = [("a", "b"), ("b", "c"), ("a", "c")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = G.modularity(edges, iters=3).collect()
+    assert len(got) == 1
+    assert abs(got[0]["q_contrib"]) < 1e-12

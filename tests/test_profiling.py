@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Row
 
+from orionbelt_ontology_builder_spark.operators import align
 from orionbelt_ontology_builder_spark.operators import profiling as P
 
 
@@ -570,3 +571,55 @@ def test_path_bounded_repetition(spark):
                for r in query.eval_path(t, ["p{0,1}"]).collect()}
     assert {("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")} <= zeroone
     assert ("a", "b") in zeroone and ("a", "c") not in zeroone
+
+
+def test_fs_weights_hand_math(spark):
+    import math
+
+    # 2 matches, 2 non-matches; field f agrees on both matches and one
+    # non-match: m = (2+1)/(2+2) = 0.75, u = (1+1)/(2+2) = 0.5
+    pairs = spark.createDataFrame(
+        [(1, 1, 1, 1), (2, 2, 1, 1), (1, 2, 0, 1), (2, 1, 0, 0)],
+        "id_a long, id_b long, is_match int, f int",
+    )
+    rows = align.fs_weights(pairs, ["f"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["field"] == "f"
+    assert math.isclose(r["m_prob"], 0.75)
+    assert math.isclose(r["u_prob"], 0.5)
+    assert math.isclose(r["w_agree"], math.log(0.75 / 0.5), rel_tol=1e-12)
+    assert math.isclose(
+        r["w_disagree"], math.log(0.25 / 0.5), rel_tol=1e-12
+    )
+
+
+def test_fs_scores_separate_matches(spark):
+    import duckdb
+
+    # matches agree on both fields, non-matches mostly disagree: the
+    # FS score must rank every match above every non-match
+    data = [
+        (1, 1, 1, 1, 1), (2, 2, 1, 1, 1), (3, 3, 1, 1, 0),
+        (1, 2, 0, 0, 0), (1, 3, 0, 0, 1), (2, 3, 0, 0, 0),
+    ]
+    pairs = spark.createDataFrame(
+        data, "id_a long, id_b long, is_match int, f1 int, f2 int"
+    )
+    got = align.fs_pair_scores(pairs, ["f1", "f2"]).collect()
+    match_scores = [r["score"] for r in got if r["is_match"] == 1]
+    non_scores = [r["score"] for r in got if r["is_match"] == 0]
+    assert min(match_scores) > max(non_scores)
+
+    vals = ",".join(str(t) for t in data)
+    sql = align.fs_pair_scores_sql(
+        f"pairs(id_a, id_b, is_match, f1, f2) AS (VALUES {vals})",
+        ["f1", "f2"],
+    )
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert sorted(
+        (r["id_a"], r["id_b"], r["is_match"], r["n_agree"], r["score"])
+        for r in got
+    ) == want

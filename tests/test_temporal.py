@@ -507,3 +507,61 @@ def test_state_durations_hand_math(spark):
     b = out[("u", "b")]
     assert b["n_versions"] == 1 and abs(b["closed_seconds"] - 180.0) < 1e-9
     assert not b["has_open"]
+
+
+def test_cdc_apply_semantics(spark):
+    import datetime as dt
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "key long, val double"
+    )
+    t = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 1, 2)
+    chg = spark.createDataFrame(
+        [
+            (2, "U", t2, 1, 21.0),   # latest for key 2 (by ts)
+            (2, "U", t, 2, 19.0),
+            (3, "D", t, 1, 0.0),     # delete key 3
+            (4, "I", t, 1, 40.0),    # insert new key 4
+            (5, "I", t, 1, 50.0),    # insert then delete: seq order
+            (5, "D", t, 2, 0.0),
+        ],
+        "key long, op string, ts timestamp, seq long, val double",
+    )
+    got = {r["key"]: (r["val"], r["src"], r["n_changes"])
+           for r in T.cdc_apply(snap, chg).collect()}
+    assert got == {
+        1: (10.0, "unchanged", 0),
+        2: (21.0, "updated", 2),
+        4: (40.0, "inserted", 1),
+    }
+
+
+def test_cdc_apply_matches_oracle(spark):
+    import datetime as dt
+    import duckdb
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "key long, val double"
+    )
+    t = dt.datetime(2024, 1, 1)
+    chg = spark.createDataFrame(
+        [(1, "U", t, 1, 11.0), (9, "I", t, 1, 90.0)],
+        "key long, op string, ts timestamp, seq long, val double",
+    )
+    got = sorted(
+        (r["key"], r["val"], r["src"], r["n_changes"])
+        for r in T.cdc_apply(snap, chg).collect()
+    )
+    sql = T.cdc_apply_sql(
+        "snap0 AS (SELECT * FROM (VALUES (1, 10.0::DOUBLE),"
+        " (2, 20.0::DOUBLE)) t(key, val))",
+        "chg AS (SELECT * FROM (VALUES"
+        " (1, 'U', TIMESTAMP '2024-01-01', 1, 11.0::DOUBLE),"
+        " (9, 'I', TIMESTAMP '2024-01-01', 1, 90.0::DOUBLE))"
+        " t(key, op, ts, seq, val))",
+    )
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert got == want
