@@ -3061,6 +3061,39 @@ def _q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align.fs_weights(_fs_pairs(spark, sf_dir), _FS_FIELDS)
 
 
+def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-sampled harmonic centrality over the induced entity graph
+    (closeness-style salience, the PageRank second opinion); exact
+    integer-lcm sums make the 1/d accumulation bit-stable across
+    engines and partitionings."""
+    seeds = spark.createDataFrame(
+        [("r:ASIA",), ("r:EUROPE",), ("r:AMERICA",)], "node string"
+    )
+    return graphstats.harmonic_centrality(
+        relational.induce_entity_edges(spark, sf_dir),
+        seeds,
+        max_hops=3,
+        direction="undirected",
+    )
+
+
+def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard join via PPJoin prefix filtering — the
+    lossless alternative to df-pruned sparse cosine: candidates only
+    from rare-token (prefix) postings, so the hot-token shuffle never
+    happens and recall is provably 1.0."""
+    return dedup.prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+def _q_neighbor_mean_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 1-hop mean-pool over the IVF candidate graph:
+    (self, pooled-neighborhood) per dimension — the GNN layer input /
+    semantic-smoothing representation."""
+    return similarity.neighbor_mean_embedding(
+        _embs(spark, sf_dir), dim=EMB_DIM
+    )
+
+
 def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every candidate pair scored with the FS log-likelihood (weights
     as ONE broadcast row — scoring is a pure projection after
@@ -3128,6 +3161,7 @@ _SF_SCALE = {
     "graph_component_sizes", "graph_scc", "graph_assortativity",
     "graph_hyperball", "graph_local_clustering", "graph_modularity",
     "cdc_apply", "fellegi_sunter", "fs_pair_scores",
+    "harmonic_centrality", "prefix_jaccard", "neighbor_mean_embedding",
 }
 
 
@@ -3460,6 +3494,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": _q_cdc_apply,
         "fellegi_sunter": _q_fellegi_sunter,
         "fs_pair_scores": _q_fs_pair_scores,
+        "harmonic_centrality": _q_harmonic_centrality,
+        "prefix_jaccard": _q_prefix_jaccard,
+        "neighbor_mean_embedding": _q_neighbor_mean_embedding,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -5364,6 +5401,17 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["fellegi_sunter"] = _align.fs_weights_sql(_FS_PAIRS_SQL, _FS_FIELDS)
     sql["fs_pair_scores"] = _align.fs_pair_scores_sql(
         _FS_PAIRS_SQL, _FS_FIELDS
+    )
+    sql["harmonic_centrality"] = graphstats.harmonic_centrality_sql(
+        relational.ENTITY_EDGES_SQL,
+        "SELECT 'r:ASIA' AS node UNION SELECT 'r:EUROPE'"
+        " UNION SELECT 'r:AMERICA'",
+        max_hops=3,
+        direction="undirected",
+    )
+    sql["prefix_jaccard"] = dedup.prefix_jaccard_oracle(threshold=0.6)
+    sql["neighbor_mean_embedding"] = (
+        similarity.neighbor_mean_embedding_oracle()
     )
     sql["graph_random_walks"] = graphstats.random_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1

@@ -262,6 +262,9 @@ def main() -> None:
         "cdc_apply",
         "fellegi_sunter",
         "fs_pair_scores",
+        "harmonic_centrality",
+        "prefix_jaccard",
+        "neighbor_mean_embedding",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

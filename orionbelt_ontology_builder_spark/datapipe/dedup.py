@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .textstats import norm_col, norm_sql, tokens_col, tokens_sql
 
@@ -1441,4 +1442,129 @@ SELECT n_docs,
        1.0 - candidate_pairs / CAST(nullif(total_pairs, 0) AS DOUBLE)
          AS reduction_ratio
 FROM counts CROSS JOIN nn
+"""
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard) — EXACT token-set Jaccard join at
+    ``threshold`` via PPJoin-style prefix filtering (Xiao et al. 2008,
+    public literature): order each document's distinct word tokens by
+    ascending global document frequency (rarest first) and index only
+    the first ``|d| - ceil(t*|d|) + 1`` of them — any pair with
+    Jaccard >= t MUST share a prefix token (pigeonhole), so the
+    candidate join touches only rare-token postings and the filter is
+    LOSSLESS (unlike [min_df, max_df] pruning in sparse_cosine_pairs,
+    which trades recall for the same bound).  A length filter
+    (t*|b| <= |a| <= |b|/t) prunes candidates before verification.
+
+    Scale shape: df counts = one token agg; per-doc rarity ranks = one
+    doc-keyed window; the candidate shuffle is keyed on PREFIX tokens
+    only — the hot stopword postings that detonate a naive token join
+    never enter the exchange (a stopword is never rare enough to make
+    a prefix).  Verification joins each candidate's full token list —
+    O(candidates * doc_len), the PPJoin bound."""
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(norm_col(), " "), lambda t: t != ""
+                    )
+                )
+            ).alias("token"),
+        )
+        .persist()  # consumers: df counts, ranks, both verify sides
+    )
+    dfc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix = (
+        tok.join(dfc, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc_id", "token", "sz")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .distinct()
+    )
+    shared = (
+        cands.join(tok.select(F.col("doc_id").alias("da"), "token"), "da")
+        .join(
+            tok.select(F.col("doc_id").alias("db"), "token"),
+            ["db", "token"],
+        )
+        .groupBy("da", "db", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.select(
+            F.col("da").alias("doc_id_a"),
+            F.col("db").alias("doc_id_b"),
+            (
+                F.col("n_shared")
+                / (F.col("sza") + F.col("szb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+def prefix_jaccard_oracle(threshold: float = 0.6) -> str:
+    """DuckDB twin: identical df-rank prefix, length filter, and
+    verification cascade."""
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t AS token
+  FROM (SELECT doc_id, unnest(string_split({norm_sql()}, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''),
+dfc AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+prefix AS MATERIALIZED (
+  SELECT doc_id, token, sz FROM (
+    SELECT t.doc_id, t.token, s.sz,
+      row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token)
+        AS rk
+    FROM tok t JOIN dfc d ON t.token = d.token
+    JOIN sizes s ON t.doc_id = s.doc_id)
+  WHERE rk <= sz - ceil({threshold} * sz) + 1),
+cands AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         a.sz AS sza, b.sz AS szb
+  FROM prefix a JOIN prefix b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+   AND a.sz >= {threshold} * b.sz AND b.sz >= {threshold} * a.sz),
+shared AS (
+  SELECT c.da, c.db, c.sza, c.szb, count(*) AS n_shared
+  FROM cands c
+  JOIN tok ta ON ta.doc_id = c.da
+  JOIN tok tb ON tb.doc_id = c.db AND tb.token = ta.token
+  GROUP BY c.da, c.db, c.sza, c.szb)
+SELECT da AS doc_id_a, db AS doc_id_b,
+  n_shared / (sza + szb - n_shared) AS jaccard
+FROM shared
+WHERE n_shared / (sza + szb - n_shared) >= {threshold}
+ORDER BY doc_id_a, doc_id_b
 """

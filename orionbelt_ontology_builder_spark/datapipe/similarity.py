@@ -1143,3 +1143,92 @@ FROM top1 a JOIN top1 b
   ON a.nbr = b.src AND b.nbr = a.src AND a.src < b.src
 ORDER BY id_a, id_b
 """
+
+
+def neighbor_mean_embedding(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    a_probe: int = A_PROBE,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, dim_idx, self_v, nbr_mean, n_nbrs) — one GraphSAGE-style
+    mean-pool message-passing layer (Hamilton et al. 2017, public
+    literature) over the IVF candidate graph: each vector's neighbors
+    (cosine >= threshold within shared inverted lists) are mean-pooled
+    per dimension next to the vector's own value — the
+    (self, aggregated-neighborhood) pair every GNN layer consumes, and
+    the smoothed representation semantic-dedup pipelines cluster on.
+    Vectors with no neighbors are absent (nothing to pool).
+
+    Scale shape: candidates from :func:`ivf_cosine_pairs` (O(n^1.5)
+    shared-list work, never all-pairs), symmetrized; the pooled mean =
+    posexplode + ONE (vec, dim)-keyed avg (map-side partials, keys
+    uniform by construction); the self column joins back on the same
+    key.  Per-group accumulation order differs between engines —
+    ULP-level noise inside the driver's %.6g window (label_centroids
+    precedent)."""
+    pairs = ivf_cosine_pairs(
+        embeddings, threshold=threshold, a_probe=a_probe, dim=dim
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("nbr"))
+    )
+    nbrv = sym.join(
+        embeddings.select(F.col("vec_id").alias("nbr"), "embedding"), "nbr"
+    )
+    agg = (
+        nbrv.select("src", F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy("src", "dim_idx")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("nbr_mean"),
+            F.count(F.lit(1)).alias("n_nbrs"),
+        )
+    )
+    selfe = embeddings.select(
+        F.col("vec_id").alias("src"),
+        F.posexplode("embedding").alias("dim_idx", "sv"),
+    )
+    return (
+        selfe.join(agg, ["src", "dim_idx"])
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.col("sv").cast("double").alias("self_v"),
+            "nbr_mean",
+            "n_nbrs",
+        )
+        .orderBy("vec_id", "dim_idx")
+    )
+
+
+def neighbor_mean_embedding_oracle(
+    threshold: float = 0.42, a_probe: int = A_PROBE
+) -> str:
+    """DuckDB twin: IVF pair oracle as subquery + identical
+    symmetrize / per-dim avg / self join (0-based dim_idx both
+    sides)."""
+    return f"""
+WITH nmp_pairs AS ({ivf_cosine_pairs_oracle(threshold, a_probe)}),
+nmp_sym AS (
+  SELECT id_a AS src, id_b AS nbr FROM nmp_pairs
+  UNION ALL SELECT id_b, id_a FROM nmp_pairs),
+nmp_e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+nmp_nx AS (
+  SELECT s.src, unnest(e.emb) AS v,
+         unnest(range(len(e.emb))) AS dim_idx
+  FROM nmp_sym s JOIN nmp_e e ON s.nbr = e.vec_id),
+nmp_agg AS (
+  SELECT src, dim_idx, avg(v) AS nbr_mean, count(*)::BIGINT AS n_nbrs
+  FROM nmp_nx GROUP BY src, dim_idx),
+nmp_se AS (
+  SELECT vec_id AS src, unnest(emb) AS self_v,
+         unnest(range(len(emb))) AS dim_idx
+  FROM nmp_e)
+SELECT s.src AS vec_id, s.dim_idx::BIGINT AS dim_idx, s.self_v,
+       a.nbr_mean, a.n_nbrs
+FROM nmp_se s JOIN nmp_agg a ON s.src = a.src AND s.dim_idx = a.dim_idx
+ORDER BY vec_id, dim_idx
+"""

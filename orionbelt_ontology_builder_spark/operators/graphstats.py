@@ -356,17 +356,21 @@ def bfs_hops_sql(
     re-execute the (possibly join-heavy) edge derivation once per
     iteration (see CLAUDE.md).  ``seeds_sql`` must select a ``node``
     column and should read from ``em``."""
+    # DuckDB allows ONE reference to the recursive CTE in the step, so
+    # 'undirected' doubles em instead of UNIONing two walk joins
     step = {
         "forward": "SELECT w.hops + 1, e.dst FROM walk w JOIN em e ON w.node = e.src",
         "reverse": "SELECT w.hops + 1, e.src FROM walk w JOIN em e ON w.node = e.dst",
-        "undirected": (
-            "SELECT w.hops + 1, e.dst FROM walk w JOIN em e ON w.node = e.src "
-            "UNION SELECT w.hops + 1, e.src FROM walk w JOIN em e ON w.node = e.dst"
-        ),
+        "undirected": "SELECT w.hops + 1, e.dst FROM walk w JOIN em e ON w.node = e.src",
     }[direction]
+    em = (
+        "SELECT src, dst FROM edges UNION SELECT dst, src FROM edges"
+        if direction == "undirected"
+        else "SELECT src, dst FROM edges"
+    )
     return f"""
 WITH RECURSIVE {edges_cte.strip()},
-em AS MATERIALIZED (SELECT src, dst FROM edges),
+em AS MATERIALIZED ({em}),
 seeds AS ({seeds_sql.strip()}),
 walk(hops, node) AS (
   SELECT 0, node FROM seeds
@@ -1607,4 +1611,123 @@ SELECT d.node, d.deg, coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
        ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN tc ON d.node = tc.node
 ORDER BY d.node
+"""
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    direction: str = "undirected",
+) -> DataFrame:
+    """(node, n_sources, harmonic) — harmonic centrality estimated from
+    a seed sample (Eppstein-Wang / HyperBall's exact little sibling,
+    public literature): ``harmonic = sum over reaching seeds of
+    1/d(seed, node)`` within ``max_hops``; scale by (N-1)/|seeds| for
+    the population estimate.  The KG salience measure that, unlike
+    PageRank, rewards being CLOSE to everything rather than being
+    linked by hubs — the standard second opinion on entity importance.
+
+    Bit-stability: 1/d terms are summed as L/d with L = lcm(1..
+    max_hops) — every addend is an integer-valued double, so the sum
+    is EXACT under any partitioning/order; one final division by L.
+
+    Scale shape: multi-source BFS with state keyed (seed, node) —
+    frontier join edges + anti-join visited per round (O(hops)
+    shuffles, work O(seeds x edges-touched), never O(paths)); the
+    final rollup is one node-keyed agg.  Seeds are a small sample at
+    corpus scale, so state stays |seeds| x |reached|."""
+    import math
+
+    if direction == "reverse":
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "undirected":
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    elif direction != "forward":
+        raise ValueError(f"unknown direction {direction!r}")
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col("node").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "node")
+    lcm = math.lcm(*range(1, max_hops + 1))
+    return (
+        dist.filter(F.col("hops") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            (F.sum(F.lit(float(lcm)) / F.col("hops")) / F.lit(float(lcm))).alias(
+                "harmonic"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
+def harmonic_centrality_sql(
+    edges_cte: str,
+    seeds_sql: str,
+    max_hops: int = 4,
+    direction: str = "undirected",
+) -> str:
+    """DuckDB twin: capped recursive walk keyed (seed, node) +
+    min-hops per pair + the identical exact-integer harmonic sum.
+    ``edges_cte`` defines ``edges(src, dst)``; ``seeds_sql`` selects a
+    ``node`` column (see bfs_hops_sql on the em MATERIALIZED wrap)."""
+    import math
+
+    # single walk reference per recursive step (DuckDB restriction —
+    # see bfs_hops_sql): undirected doubles em, step stays forward
+    step = {
+        "forward": (
+            "SELECT w.seed, w.hops + 1, e.dst FROM walk w "
+            "JOIN em e ON w.node = e.src"
+        ),
+        "reverse": (
+            "SELECT w.seed, w.hops + 1, e.src FROM walk w "
+            "JOIN em e ON w.node = e.dst"
+        ),
+        "undirected": (
+            "SELECT w.seed, w.hops + 1, e.dst FROM walk w "
+            "JOIN em e ON w.node = e.src"
+        ),
+    }[direction]
+    em = (
+        "SELECT src, dst FROM edges UNION SELECT dst, src FROM edges"
+        if direction == "undirected"
+        else "SELECT src, dst FROM edges"
+    )
+    lcm = math.lcm(*range(1, max_hops + 1))
+    return f"""
+WITH RECURSIVE {edges_cte.strip()},
+em AS MATERIALIZED ({em}),
+seeds AS ({seeds_sql.strip()}),
+walk(seed, hops, node) AS (
+  SELECT node, 0, node FROM seeds
+  UNION
+  {step.replace("FROM walk w", f"FROM (SELECT * FROM walk WHERE hops < {max_hops}) w")}),
+dist AS (
+  SELECT seed, node, min(hops) AS hops FROM walk GROUP BY seed, node)
+SELECT node, count(*)::BIGINT AS n_sources,
+  sum({float(lcm)} / hops) / {float(lcm)} AS harmonic
+FROM dist WHERE hops > 0
+GROUP BY node ORDER BY node
 """

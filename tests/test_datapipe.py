@@ -1310,3 +1310,79 @@ def test_mutual_nn_pairs_reciprocity(spark):
     out = [(r["id_a"], r["id_b"])
            for r in S.mutual_nn_pairs(embs, threshold=0.0, dim=4).collect()]
     assert out == [(0, 1), (2, 3)]
+
+
+def test_neighbor_mean_embedding_pools_neighbors(spark):
+    """Twin pair 0<->1 plus a far singleton: pooled mean for 0 is
+    exactly 1's vector (its only neighbor), singleton absent."""
+    from orionbelt_ontology_builder_spark.datapipe import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # tight twin of 0
+        (2, [0.0, 0.0, 1.0, 0.0]),      # orthogonal to both
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.neighbor_mean_embedding(embs, threshold=0.5, dim=4).collect()
+    by = {(r["vec_id"], r["dim_idx"]): r for r in got}
+    assert {v for v, _ in by} == {0, 1}
+    # node 0's pooled neighborhood is exactly vector 1 (its only nbr)
+    assert [by[(0, d)]["nbr_mean"] for d in range(4)] == [0.999, 0.01, 0.0, 0.0]
+    assert [by[(0, d)]["self_v"] for d in range(4)] == [1.0, 0.0, 0.0, 0.0]
+    assert all(by[k]["n_nbrs"] == 1 for k in by)
+
+
+def test_prefix_jaccard_lossless_vs_brute(spark):
+    """PPJoin prefix filter is LOSSLESS: output == brute-force all-pairs
+    token Jaccard >= t (computed in python on the same corpus)."""
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumped over a lazy dog"),
+        (2, "entirely different content about spark shuffles"),
+        (3, "content about spark shuffles entirely different"),  # perm of 2
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, "unrelated short text"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in D.prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+    import re
+
+    toks = {i: set(re.sub(r"[^a-z0-9]+", " ", t.lower()).split()) for i, t in texts}
+    want = {}
+    for a in toks:
+        for b in toks:
+            if a < b:
+                j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert got == want
+    assert (2, 3) in got and got[(2, 3)] == 1.0  # permutation dup found
+
+
+def test_prefix_jaccard_matches_oracle_on_testdata(spark):
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 9))
+        for r in D.prefix_jaccard_pairs(docs, threshold=0.6).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(D.prefix_jaccard_oracle(0.6)).fetchall()
+    )
+    con.close()
+    assert got == want

@@ -538,3 +538,64 @@ def test_modularity_single_community_near_zero(spark):
     got = G.modularity(edges, iters=3).collect()
     assert len(got) == 1
     assert abs(got[0]["q_contrib"]) < 1e-12
+
+
+def test_harmonic_centrality_path_hand_math(spark):
+    import math
+
+    # path a-b-c-d, seeds {a, d}: hc(b) = 1/1 + 1/2 = 1.5,
+    # hc(a) = hc(d) = 1/3 (the far seed), seeds exclude themselves
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {r["node"]: (r["n_sources"], r["harmonic"])
+           for r in G.harmonic_centrality(edges, seeds, max_hops=3).collect()}
+    assert got["b"] == (2, 1.5) and got["c"] == (2, 1.5)
+    assert got["a"][0] == 1 and math.isclose(got["a"][1], 1 / 3)
+    assert got["d"][0] == 1 and math.isclose(got["d"][1], 1 / 3)
+
+
+def test_harmonic_centrality_matches_oracle(spark):
+    import duckdb
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = sorted(
+        (r["node"], r["n_sources"], r["harmonic"])
+        for r in G.harmonic_centrality(edges, seeds, max_hops=4).collect()
+    )
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.harmonic_centrality_sql(
+        f"edges(src, dst) AS (VALUES {vals})",
+        "SELECT 'a' AS node UNION SELECT 'e'",
+        max_hops=4,
+    )
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert got == want
+
+
+def test_bfs_hops_sql_undirected_regression(spark):
+    # regression: the undirected recursive step used to reference the
+    # recursive CTE twice (DuckDB binder error); em is doubled instead
+    import duckdb
+
+    rows = [("a", "b"), ("b", "c")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    seeds = spark.createDataFrame([("c",)], "node string")
+    got = sorted(
+        (r["node"], r["hops"])
+        for r in G.bfs_hops(edges, seeds, max_hops=3,
+                            direction="undirected").collect()
+    )
+    sql = G.bfs_hops_sql(
+        "edges(src, dst) AS (VALUES ('a','b'),('b','c'))",
+        "SELECT 'c' AS node", max_hops=3, direction="undirected",
+    )
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert got == want == [("a", 2), ("b", 1), ("c", 0)]
