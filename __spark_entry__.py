@@ -3094,6 +3094,63 @@ def _q_neighbor_mean_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (edges in >= k-2 triangles among live edges) —
+    the edge analogue of k-core: a noisy sameAs edge survives k-core
+    but dies in the truss because no third entity corroborates it."""
+    return graphstats.ktruss(
+        relational.induce_lineitem_edges(spark, sf_dir), k=3, rounds=3
+    )
+
+
+def _q_kg_triple_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 over provenance-stamped KG assertions: per (subj, pred),
+    consecutive equal-object runs collapse to validity intervals — the
+    crawl-versioned triple store (who believed what, when), riding one
+    (subj, pred) shuffle."""
+    o = _tbl(spark, sf_dir, "orders")
+    cust = F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+    quads = o.select(
+        cust.alias("subj"),
+        F.lit("orderStatus").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias(
+            "source"
+        ),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return temporal.scd2_intervals(
+        quads, on=["subj", "pred"], ts="ts", attr="obj", tiebreak="source"
+    ).orderBy("subj", "pred", "version")
+
+
+def _q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE decomposition for a [0,1] quality
+    score vs a binary label (documents: clamped length score vs the
+    long-doc label) — the promote-or-retrain gate for quality-filter
+    classifiers."""
+    d = _docs(spark, sf_dir).select(
+        F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0)).alias("score"),
+        (F.col("n_chars") > 1000).cast("int").alias("label"),
+    )
+    return profiling.score_calibration(d, n_bins=10)
+
+
+def _q_extractor_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two extractors (events: event_type vs a
+    deterministically noised copy) — chance-corrected agreement, the
+    consistency gate raw accuracy flatters on skewed classes."""
+    ev = _tbl(spark, sf_dir, "events")
+    preds = ev.select(
+        F.col("event_id").alias("item"),
+        F.col("event_type").alias("pred_a"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("view"))
+        .otherwise(F.col("event_type"))
+        .alias("pred_b"),
+    )
+    return profiling.cohens_kappa(preds)
+
+
 def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every candidate pair scored with the FS log-likelihood (weights
     as ONE broadcast row — scoring is a pure projection after
@@ -3162,6 +3219,8 @@ _SF_SCALE = {
     "graph_hyperball", "graph_local_clustering", "graph_modularity",
     "cdc_apply", "fellegi_sunter", "fs_pair_scores",
     "harmonic_centrality", "prefix_jaccard", "neighbor_mean_embedding",
+    "graph_ktruss", "kg_triple_history", "score_calibration",
+    "extractor_kappa",
 }
 
 
@@ -3497,6 +3556,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic_centrality,
         "prefix_jaccard": _q_prefix_jaccard,
         "neighbor_mean_embedding": _q_neighbor_mean_embedding,
+        "graph_ktruss": _q_graph_ktruss,
+        "kg_triple_history": _q_kg_triple_history,
+        "score_calibration": _q_score_calibration,
+        "extractor_kappa": _q_extractor_kappa,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -5412,6 +5475,33 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["prefix_jaccard"] = dedup.prefix_jaccard_oracle(threshold=0.6)
     sql["neighbor_mean_embedding"] = (
         similarity.neighbor_mean_embedding_oracle()
+    )
+    sql["graph_ktruss"] = graphstats.ktruss_sql(
+        relational.lineitem_edges_sql(), k=3, rounds=3
+    )
+    sql["kg_triple_history"] = temporal.scd2_intervals_sql(
+        table="""(
+  SELECT 'cust:' || o_custkey AS subj, 'orderStatus' AS pred,
+         o_orderstatus AS obj, 'order:' || o_orderkey AS source,
+         o_orderdate AS ts
+  FROM orders) q""",
+        on="subj, pred",
+        ts="ts",
+        attr="obj",
+        tiebreak="source",
+    )
+    sql["score_calibration"] = profiling.score_calibration_sql(
+        """scored AS (
+  SELECT least(n_chars / 2000.0, 1.0) AS score,
+         CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END AS label
+  FROM documents)""",
+        n_bins=10,
+    )
+    sql["extractor_kappa"] = profiling.cohens_kappa_sql(
+        """preds AS (
+  SELECT event_id AS item, event_type AS pred_a,
+    CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END AS pred_b
+  FROM events)"""
     )
     sql["graph_random_walks"] = graphstats.random_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1

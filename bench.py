@@ -265,6 +265,10 @@ def main() -> None:
         "harmonic_centrality",
         "prefix_jaccard",
         "neighbor_mean_embedding",
+        "graph_ktruss",
+        "kg_triple_history",
+        "score_calibration",
+        "extractor_kappa",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

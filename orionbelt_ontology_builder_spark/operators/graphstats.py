@@ -1731,3 +1731,103 @@ SELECT node, count(*)::BIGINT AS n_sources,
 FROM dist WHERE hops > 0
 GROUP BY node ORDER BY node
 """
+
+
+def ktruss(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """(a, b, support) — edges surviving ``rounds`` of k-truss peeling
+    (Cohen 2008, public literature): iteratively drop every edge in
+    fewer than k-2 triangles among still-live edges.  The EDGE analogue
+    of k-core and a stricter community backbone — a noisy sameAs edge
+    survives k-core easily (its endpoints are busy) but dies in the
+    truss because no third entity corroborates it; the classic
+    KG-cleanup filter before canonicalization trusts an edge.
+
+    ``rounds`` is a FIXED cap (kcore convention) so the unrolled-CTE
+    oracle computes identically; ``support`` is the last round's count
+    on the surviving subgraph.  Per round: one ordered closure join
+    enumerates each triangle once (a<b<c), one explode-to-3-edges agg
+    scores support, one semi-join filter peels — all key-partitioned,
+    no windows; the wedge join is the triangle_count shape (id-order
+    here; see its docstring for the degree-order hub mitigation at
+    web scale)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sup = None
+    for _ in range(rounds):
+        e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.a"))
+                & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+        )
+        edges3 = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        )
+        sup = edges3.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        und = (
+            und.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.join(sup, ["a", "b"], "left")
+        .select(
+            "a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support")
+        )
+        .orderBy("a", "b")
+    )
+
+
+def ktruss_sql(edges_cte: str, k: int = 3, rounds: int = 3) -> str:
+    """DuckDB twin: the identical peel rounds unrolled as chained
+    MATERIALIZED CTEs.  ``edges_cte`` defines ``edges(src, dst)``."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)"""
+    ]
+    prev = "e0"
+    sup = None
+    for i in range(1, rounds + 1):
+        sup = f"s{i}"
+        parts.append(f"""
+t{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.b
+  JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b),
+s{i} AS MATERIALIZED (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT x AS a, y AS b FROM t{i}
+    UNION ALL SELECT y, z FROM t{i}
+    UNION ALL SELECT x, z FROM t{i})
+  GROUP BY a, b),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  LEFT JOIN s{i} s ON e.a = s.a AND e.b = s.b
+  WHERE coalesce(s.support, 0) >= {k - 2})""")
+        prev = f"e{i}"
+    return f"""
+WITH {edges_cte.strip()},
+{",".join(parts)}
+SELECT e.a, e.b, coalesce(s.support, 0)::BIGINT AS support
+FROM {prev} e LEFT JOIN {sup} s ON e.a = s.a AND e.b = s.b
+ORDER BY e.a, e.b
+"""

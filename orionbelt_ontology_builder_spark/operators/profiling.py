@@ -712,3 +712,142 @@ FROM {child} c
 WHERE c.{key_c} IS NOT NULL
   AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{key_p} = c.{key_c})
 """
+
+
+def score_calibration(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score: str = "score",
+    label: str = "label",
+) -> DataFrame:
+    """(bin, n, mean_score, frac_pos, ece_contrib) — reliability
+    diagram + Expected Calibration Error decomposition (Naeini et al.
+    2015, public literature) for a [0,1] ``score`` against a 0/1
+    ``label``: equal-width bins, per bin the mean predicted score vs
+    the observed positive rate; ``sum(ece_contrib)`` is ECE.  The
+    promote-or-retrain gate for quality-filter classifiers — a model
+    can rank perfectly and still lie about probabilities, and
+    threshold-based corpus curation inherits the lie.
+
+    Scale shape: ONE conditional-agg pass keyed on the bin id
+    (floor(score*n_bins) clamped; map-side partials, <= n_bins groups)
+    + a broadcast 1-row total for the weight term."""
+    b = F.least(
+        F.floor(F.col(score) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    per_bin = (
+        scored.select(
+            b.alias("bin"), F.col(score).alias("s"), F.col(label).alias("y")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("s").alias("mean_score"),
+            (F.sum("y") / F.count(F.lit(1))).alias("frac_pos"),
+        )
+    )
+    tot = per_bin.groupBy().agg(F.sum("n").cast("double").alias("n_tot"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "mean_score",
+            "frac_pos",
+            (
+                (F.col("n") / F.col("n_tot"))
+                * F.abs(F.col("mean_score") - F.col("frac_pos"))
+            ).alias("ece_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+def score_calibration_sql(
+    scored_cte: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin; ``scored_cte`` defines ``scored(score, label)``."""
+    return f"""
+WITH {scored_cte.strip()},
+per_bin AS (
+  SELECT least(floor(score * {n_bins})::BIGINT, {n_bins - 1}) AS bin,
+         count(*)::BIGINT AS n,
+         avg(score) AS mean_score,
+         sum(label) / count(*) AS frac_pos
+  FROM scored GROUP BY 1),
+tot AS (SELECT sum(n)::DOUBLE AS n_tot FROM per_bin)
+SELECT bin, n, mean_score, frac_pos,
+  (n / n_tot) * abs(mean_score - frac_pos) AS ece_contrib
+FROM per_bin CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+def cohens_kappa(preds: DataFrame) -> DataFrame:
+    """One row (n_items, po, pe, kappa) — Cohen's kappa
+    chance-corrected agreement between two labelers over the same
+    items (``preds(item, pred_a, pred_b)``): po = observed agreement,
+    pe = sum over classes of marginal products, kappa = (po-pe)/(1-pe)
+    (Cohen 1960, public literature).  The standard two-extractors /
+    annotator-vs-model consistency gate: raw agreement flatters
+    whenever one class dominates; kappa does not.
+
+    Bit-stability: all three ratios derive from INTEGER counts —
+    agreement count, per-class marginal count products summed as
+    exact integer-valued doubles — with the divisions applied in one
+    fixed expression tree, so both engines produce identical doubles.
+
+    Scale shape: one agree-count agg + one per-class marginal agg per
+    side (classes are vocabulary-sized) + a class-keyed equi-join of
+    the two marginal tables; no window, no driver math."""
+    base = (
+        preds.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(F.col("pred_a") == F.col("pred_b"), 1).otherwise(0)
+            ).alias("n_agree"),
+        )
+    )
+    ma = preds.groupBy(F.col("pred_a").alias("cls")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mb = preds.groupBy(F.col("pred_b").alias("cls")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    cross = (
+        ma.join(mb, "cls")
+        .groupBy()
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("sum_prod"))
+    )
+    po = F.col("n_agree") / F.col("n_items")
+    pe = F.col("sum_prod") / (F.col("n_items") * F.col("n_items"))
+    return base.crossJoin(F.broadcast(cross)).select(
+        "n_items",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(preds_cte: str) -> str:
+    """DuckDB twin; ``preds_cte`` defines
+    ``preds(item, pred_a, pred_b)``."""
+    return f"""
+WITH {preds_cte.strip()},
+base AS (
+  SELECT count(*)::BIGINT AS n_items,
+    sum(CASE WHEN pred_a = pred_b THEN 1 ELSE 0 END) AS n_agree
+  FROM preds),
+ma AS (SELECT pred_a AS cls, count(*) AS na FROM preds GROUP BY 1),
+mb AS (SELECT pred_b AS cls, count(*) AS nb FROM preds GROUP BY 1),
+crossp AS (
+  SELECT sum(na * nb) AS sum_prod FROM ma JOIN mb ON ma.cls = mb.cls)
+SELECT n_items,
+  n_agree / n_items AS po,
+  sum_prod / (n_items * n_items) AS pe,
+  ((n_agree / n_items) - (sum_prod / (n_items * n_items)))
+    / (1.0 - (sum_prod / (n_items * n_items))) AS kappa
+FROM base CROSS JOIN crossp
+"""

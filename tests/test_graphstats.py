@@ -599,3 +599,36 @@ def test_bfs_hops_sql_undirected_regression(spark):
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     con.close()
     assert got == want == [("a", 2), ("b", 1), ("c", 0)]
+
+
+def test_ktruss_k4_keeps_k4_drops_pendant(spark):
+    # K4 + pendant: every K4 edge sits in 2 triangles (>= k-2 = 2),
+    # the pendant edge sits in none
+    rows = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+            ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = sorted((r["a"], r["b"], r["support"])
+                 for r in G.ktruss(edges, k=4, rounds=3).collect())
+    assert got == [("a", "b", 2), ("a", "c", 2), ("a", "d", 2),
+                   ("b", "c", 2), ("b", "d", 2), ("c", "d", 2)]
+
+
+def test_ktruss_peel_cascades_and_matches_oracle(spark):
+    import duckdb
+
+    # triangle with a tail triangle sharing one vertex: k=4 kills
+    # everything (no edge reaches 2 triangles after the first peel)
+    rows = [("a", "b"), ("b", "c"), ("a", "c"),
+            ("c", "d"), ("d", "e"), ("c", "e")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got4 = G.ktruss(edges, k=4, rounds=3).collect()
+    assert got4 == []
+    got3 = sorted((r["a"], r["b"], r["support"])
+                  for r in G.ktruss(edges, k=3, rounds=3).collect())
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.ktruss_sql(f"edges(src, dst) AS (VALUES {vals})", k=3, rounds=3)
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert got3 == want
+    assert len(got3) == 6  # both triangles survive k=3

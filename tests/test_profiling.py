@@ -623,3 +623,40 @@ def test_fs_scores_separate_matches(spark):
         (r["id_a"], r["id_b"], r["is_match"], r["n_agree"], r["score"])
         for r in got
     ) == want
+
+
+def test_cohens_kappa_hand_math(spark):
+    # 4 items, 3 agree; marginals a: x2/y2, b: x1/y3
+    # po = .75, pe = (2*1 + 2*3)/16 = .5, kappa = .5
+    preds = spark.createDataFrame(
+        [(1, "x", "x"), (2, "x", "y"), (3, "y", "y"), (4, "y", "y")],
+        "item long, pred_a string, pred_b string",
+    )
+    r = P.cohens_kappa(preds).collect()[0]
+    assert (r["n_items"], r["po"], r["pe"], r["kappa"]) == (4, 0.75, 0.5, 0.5)
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    perfect = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y", "x" if i % 2 else "y")
+         for i in range(10)],
+        "item long, pred_a string, pred_b string",
+    )
+    assert P.cohens_kappa(perfect).collect()[0]["kappa"] == 1.0
+
+
+def test_score_calibration_bins_and_ece(spark):
+    import math
+
+    scored = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.9, 1), (0.85, 1), (0.95, 0), (1.0, 1)],
+        "score double, label int",
+    )
+    got = {r["bin"]: r for r in
+           P.score_calibration(scored, n_bins=4).collect()}
+    assert set(got) == {0, 3}          # score 1.0 clamps into bin 3
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert got[3]["n"] == 4 and got[3]["frac_pos"] == 0.75
+    assert math.isclose(got[3]["mean_score"], 0.925)
+    ece = sum(r["ece_contrib"] for r in got.values())
+    assert math.isclose(ece, (2 / 6) * 0.15 + (4 / 6) * 0.175)
