@@ -2155,17 +2155,23 @@ def _q_stream_dedup(spark, sf_dir):
     return ST.dedup_events_stream(spark, _STAGE_CACHE[key]).orderBy("event_id")
 
 
-def _staged_events(spark, sf_dir):
+def _staged_tbl(spark, sf_dir, name):
+    """Re-write a parquet table into a directory Structured Streaming
+    can read as a file source (one-time per session, cached)."""
     import tempfile
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, name)
     if key not in _STAGE_CACHE:
-        staged = tempfile.mkdtemp(prefix="obelt_events_")
-        spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+        staged = tempfile.mkdtemp(prefix=f"obelt_{name}_")
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(staged)
         _STAGE_CACHE[key] = staged
     return _STAGE_CACHE[key]
+
+
+def _staged_events(spark, sf_dir):
+    return _staged_tbl(spark, sf_dir, "events")
 
 
 def _q_stream_enrich(spark, sf_dir):
@@ -3151,6 +3157,68 @@ def _q_extractor_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.cohens_kappa(preds)
 
 
+_GOLDEN_FIELDS = ["name", "seg", "bal"]
+
+_GOLDEN_RECORDS_SQL = """records AS (
+  SELECT c_custkey AS rec_id,
+    c_custkey % 500 AS cluster_id,
+    c_custkey AS ts,
+    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS name,
+    c_mktsegment AS seg,
+    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer)"""
+
+
+def _q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship after ER: per cluster, each field's latest
+    NON-NULL value wins (recency + id tiebreak) — one cluster-keyed
+    agg of conditional struct-maxes; an old populated value beats a
+    newer missing one."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    c = _tbl(spark, sf_dir, "customer")
+    recs = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        (F.col("c_custkey") % 500).alias("cluster_id"),
+        F.col("c_custkey").alias("ts"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("c_name")
+        ).alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return align.golden_records(recs, _GOLDEN_FIELDS)
+
+
+def _q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO: the cdc_apply changelog arrives as a
+    stream, per-key winners maintained as (associative) streaming
+    struct-max state, drained and merged into the snapshot — law:
+    identical output to the batch cdc_apply (same oracle)."""
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    cust = _tbl(spark, sf_dir, "customer")
+    snap = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("val")
+    )
+    stream = spark.readStream.schema(ST.ORDERS_SCHEMA).parquet(
+        _staged_tbl(spark, sf_dir, "orders")
+    )
+    chg = stream.select(
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 10 < 3, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("val"),
+    )
+    return ST.stream_cdc_apply(spark, chg, snap)
+
+
 def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every candidate pair scored with the FS log-likelihood (weights
     as ONE broadcast row — scoring is a pure projection after
@@ -3220,7 +3288,7 @@ _SF_SCALE = {
     "cdc_apply", "fellegi_sunter", "fs_pair_scores",
     "harmonic_centrality", "prefix_jaccard", "neighbor_mean_embedding",
     "graph_ktruss", "kg_triple_history", "score_calibration",
-    "extractor_kappa",
+    "extractor_kappa", "golden_records", "stream_cdc_apply",
 }
 
 
@@ -3560,6 +3628,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_history": _q_kg_triple_history,
         "score_calibration": _q_score_calibration,
         "extractor_kappa": _q_extractor_kappa,
+        "golden_records": _q_golden_records,
+        "stream_cdc_apply": _q_stream_cdc_apply,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -5503,6 +5573,11 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     CASE WHEN event_id % 7 = 0 THEN 'view' ELSE event_type END AS pred_b
   FROM events)"""
     )
+    sql["golden_records"] = _align.golden_records_sql(
+        _GOLDEN_RECORDS_SQL, _GOLDEN_FIELDS
+    )
+    # streaming twin of cdc_apply: the SAME batch oracle (the law)
+    sql["stream_cdc_apply"] = sql["cdc_apply"]
     sql["graph_random_walks"] = graphstats.random_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1
     )

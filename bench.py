@@ -269,6 +269,8 @@ def main() -> None:
         "kg_triple_history",
         "score_calibration",
         "extractor_kappa",
+        "golden_records",
+        "stream_cdc_apply",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -34,6 +34,8 @@ __all__ = [
     "fs_weights_sql",
     "fs_pair_scores",
     "fs_pair_scores_sql",
+    "golden_records",
+    "golden_records_sql",
 ]
 
 _KINDS = (OWL.Class, OWL.ObjectProperty, OWL.DatatypeProperty)
@@ -440,4 +442,69 @@ SELECT p.id_a, p.id_b, p.is_match,
   {score} AS score
 FROM pairs p CROSS JOIN w
 ORDER BY p.id_a, p.id_b
+"""
+
+
+def golden_records(
+    records: DataFrame,
+    fields: list[str],
+    cluster: str = "cluster_id",
+    ts: str = "ts",
+    rec_id: str = "rec_id",
+) -> DataFrame:
+    """(cluster_id, n_records, <fields...>) — survivorship / golden-
+    record construction, the step AFTER entity resolution: each
+    cluster's member records merge into one canonical record by
+    per-field "latest non-null wins" (recency by ``ts``, ties broken
+    by ``rec_id`` — a total order, so the winner is deterministic).
+    NULL fields never win: an old record's populated value beats a
+    newer record's missing one — the standard MDM survivorship rule.
+
+    Scale shape: ONE aggregation keyed on the cluster id — every
+    field's winner is a conditional struct-max riding the same shuffle
+    with map-side partials (max ignores the NULL the when() leaves on
+    null-field rows); no window, no per-field self-joins."""
+    aggs = [F.count(F.lit(1)).alias("n_records")]
+    for f in fields:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(f).isNotNull(),
+                    F.struct(
+                        F.col(ts).alias("t"),
+                        F.col(rec_id).alias("r"),
+                        F.col(f).alias("v"),
+                    ),
+                )
+            ).alias(f"w_{f}")
+        )
+    g = records.groupBy(F.col(cluster)).agg(*aggs)
+    return g.select(
+        cluster,
+        "n_records",
+        *[F.col(f"w_{f}.v").alias(f) for f in fields],
+    ).orderBy(cluster)
+
+
+def golden_records_sql(
+    records_cte: str,
+    fields: list[str],
+    cluster: str = "cluster_id",
+    ts: str = "ts",
+    rec_id: str = "rec_id",
+) -> str:
+    """DuckDB twin; ``records_cte`` defines ``records(...)``.  max over
+    CASE-guarded structs ignores NULLs exactly like Spark."""
+    winners = ",\n  ".join(
+        f"(max(CASE WHEN {f} IS NOT NULL THEN "
+        f"struct_pack(t := {ts}, r := {rec_id}, v := {f}) END)).v AS {f}"
+        for f in fields
+    )
+    return f"""
+WITH {records_cte.strip()}
+SELECT {cluster}, count(*)::BIGINT AS n_records,
+  {winners}
+FROM records
+GROUP BY {cluster}
+ORDER BY {cluster}
 """

@@ -1063,6 +1063,14 @@ def cdc_apply(snapshot: DataFrame, changelog: DataFrame) -> DataFrame:
         F.max(F.struct("ts", "seq", "op", "val")).alias("w"),
         F.count(F.lit(1)).alias("n_changes"),
     )
+    return cdc_merge(snapshot, latest)
+
+
+def cdc_merge(snapshot: DataFrame, latest: DataFrame) -> DataFrame:
+    """The snapshot-merge half of :func:`cdc_apply`: ``latest`` is the
+    per-key winner table (key, w struct(ts, seq, op, val), n_changes) —
+    already aggregated, e.g. by a streaming struct-max state (the
+    winner agg is associative, so partial winners merge exactly)."""
     snap = snapshot.select("key", F.col("val").alias("snap_val")).withColumn(
         "in_snap", F.lit(1)
     )

@@ -555,3 +555,49 @@ FROM events a JOIN events b
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {within}
 ORDER BY 1, 2, 3
 """
+
+
+# ------------------------------------------------------------------ #
+# streaming CDC state maintenance (MERGE INTO over a stream)
+# ------------------------------------------------------------------ #
+
+ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def stream_cdc_apply(
+    spark: SparkSession, changelog_stream: DataFrame, snapshot: DataFrame
+) -> DataFrame:
+    """(key, val, src, n_changes) — the streaming twin of
+    ``temporal.cdc_apply``: a CDC changelog arrives as a STREAM, the
+    per-key winner (struct-max on (ts, seq)) is maintained as
+    streaming aggregation state, and the drained state merges into the
+    snapshot.  Law: identical output to batch ``cdc_apply`` over the
+    same changelog — the winner agg is ASSOCIATIVE, so micro-batch
+    boundaries can never change the result (the property that makes
+    streaming MERGE INTO safe at all).
+
+    ``changelog_stream`` must carry (key, op, ts, seq, val).
+
+    Scale shape: state is one row per touched key (not per event);
+    complete-mode drain here because the memory sink is the harness —
+    a real deployment emits the same winners via foreachBatch MERGE
+    into Iceberg, state bounded by watermark eviction."""
+    latest = changelog_stream.groupBy("key").agg(
+        F.max(F.struct("ts", "seq", "op", "val")).alias("w"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    name = "cdc_state_sink"
+    q = (
+        latest.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from ..operators import temporal
+
+    return temporal.cdc_merge(snapshot, spark.table(name))

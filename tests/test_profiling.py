@@ -660,3 +660,40 @@ def test_score_calibration_bins_and_ece(spark):
     assert math.isclose(got[3]["mean_score"], 0.925)
     ece = sum(r["ece_contrib"] for r in got.values())
     assert math.isclose(ece, (2 / 6) * 0.15 + (4 / 6) * 0.175)
+
+
+def test_golden_records_survivorship(spark):
+    # latest non-null wins per field: old populated beats newer NULL
+    recs = spark.createDataFrame(
+        [
+            (1, 10, 1, "alice", 100.0),
+            (2, 10, 2, None, 200.0),
+            (3, 10, 3, "ALICE", None),
+            (4, 20, 1, "bob", None),
+        ],
+        "rec_id long, cluster_id long, ts long, name string, bal double",
+    )
+    got = {r["cluster_id"]: r for r in
+           align.golden_records(recs, ["name", "bal"]).collect()}
+    assert got[10]["name"] == "ALICE"      # ts=3 beats ts=1
+    assert got[10]["bal"] == 200.0         # ts=2 beats ts=1; ts=3 is NULL
+    assert got[10]["n_records"] == 3
+    assert got[20]["name"] == "bob" and got[20]["bal"] is None
+
+    import duckdb
+
+    sql = align.golden_records_sql(
+        """records AS (SELECT * FROM (VALUES
+  (1, 10, 1, 'alice', 100.0::DOUBLE),
+  (2, 10, 2, NULL, 200.0::DOUBLE),
+  (3, 10, 3, 'ALICE', NULL),
+  (4, 20, 1, 'bob', NULL)) t(rec_id, cluster_id, ts, name, bal))""",
+        ["name", "bal"],
+    )
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert sorted(
+        (r["cluster_id"], r["n_records"], r["name"], r["bal"])
+        for r in align.golden_records(recs, ["name", "bal"]).collect()
+    ) == want

@@ -162,3 +162,31 @@ def test_sessionize_stream_matches_batch_and_boundary(spark, tmp_path):
     con.register("events", tiny.toPandas())
     o = con.execute(ST.sessionize_oracle()).fetchall()
     assert [r[3] for r in o] == [2, 1]
+
+
+def test_stream_cdc_apply_matches_batch(spark, tmp_path):
+    """Streaming MERGE INTO == batch cdc_apply on the same changelog
+    (winner agg is associative, so micro-batching can't change it)."""
+    import datetime as dt
+
+    from orionbelt_ontology_builder_spark.operators import temporal as T
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    chg_rows = [
+        (1, "U", t1, 1, 11.0), (1, "U", t2, 2, 12.0),
+        (2, "D", t1, 1, 0.0), (9, "I", t1, 1, 90.0),
+    ]
+    schema = "key long, op string, ts timestamp, seq long, val double"
+    chg = spark.createDataFrame(chg_rows, schema)
+    chg_dir = str(tmp_path / "chg")
+    chg.write.parquet(chg_dir)
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "key long, val double"
+    )
+    stream = spark.readStream.schema(schema).parquet(chg_dir)
+    got = sorted(tuple(r) for r in
+                 ST.stream_cdc_apply(spark, stream, snap).collect())
+    want = sorted(tuple(r) for r in T.cdc_apply(snap, chg).collect())
+    assert got == want
+    assert [g[0] for g in got] == [1, 3, 9]  # 2 deleted
