@@ -3219,6 +3219,31 @@ def _q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.stream_cdc_apply(spark, chg, snap)
 
 
+def _q_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First PCA direction of the embedding corpus by fixed-iteration
+    power method as pure DataFrame algebra: ONE data pass (the
+    covariance), then vocabulary-sized matvec joins; oracle = the
+    identical unrolled cascade."""
+    return similarity.top_eigenvector(_embs(spark, sf_dir), dim=EMB_DIM,
+                                      iters=3)
+
+
+def _q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA per user (8-lag ladder on ONE window sort,
+    head-renormalized) — the time-decayed activity feature a recursive
+    EWMA can't express in parallel SQL."""
+    return temporal.ewma_events(_tbl(spark, sf_dir, "events"))
+
+
+def _q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Leman structural roles over the induced entity graph
+    (2 refinement rounds): template-generated subgraphs collapse onto
+    shared colors — the factory-pattern detector."""
+    return graphstats.wl_colors(
+        relational.induce_entity_edges(spark, sf_dir), iters=2
+    )
+
+
 def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every candidate pair scored with the FS log-likelihood (weights
     as ONE broadcast row — scoring is a pure projection after
@@ -3289,6 +3314,7 @@ _SF_SCALE = {
     "harmonic_centrality", "prefix_jaccard", "neighbor_mean_embedding",
     "graph_ktruss", "kg_triple_history", "score_calibration",
     "extractor_kappa", "golden_records", "stream_cdc_apply",
+    "top_eigenvector", "ewma_events", "wl_colors",
 }
 
 
@@ -3630,6 +3656,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extractor_kappa": _q_extractor_kappa,
         "golden_records": _q_golden_records,
         "stream_cdc_apply": _q_stream_cdc_apply,
+        "top_eigenvector": _q_top_eigenvector,
+        "ewma_events": _q_ewma_events,
+        "wl_colors": _q_wl_colors,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -5578,6 +5607,13 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     # streaming twin of cdc_apply: the SAME batch oracle (the law)
     sql["stream_cdc_apply"] = sql["cdc_apply"]
+    sql["top_eigenvector"] = similarity.top_eigenvector_oracle(
+        dim=EMB_DIM, iters=3
+    )
+    sql["ewma_events"] = temporal.ewma_events_sql()
+    sql["wl_colors"] = graphstats.wl_colors_sql(
+        relational.ENTITY_EDGES_SQL, iters=2
+    )
     sql["graph_random_walks"] = graphstats.random_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1
     )

@@ -271,6 +271,9 @@ def main() -> None:
         "extractor_kappa",
         "golden_records",
         "stream_cdc_apply",
+        "top_eigenvector",
+        "ewma_events",
+        "wl_colors",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

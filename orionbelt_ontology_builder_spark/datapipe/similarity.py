@@ -1232,3 +1232,106 @@ SELECT s.src AS vec_id, s.dim_idx::BIGINT AS dim_idx, s.self_v,
 FROM nmp_se s JOIN nmp_agg a ON s.src = a.src AND s.dim_idx = a.dim_idx
 ORDER BY vec_id, dim_idx
 """
+
+
+def top_eigenvector(
+    embeddings: DataFrame, dim: int = 64, iters: int = 3
+) -> DataFrame:
+    """(dim_idx, component, eigenvalue) — the covariance matrix's
+    dominant eigenvector (the first PCA direction) by ``iters`` power
+    iterations, entirely as DataFrame algebra: matvec = one join of
+    the dim²-sized covariance against the dim-sized vector + one
+    i-keyed sum.  The whitening/OPQ-rotation seed statistic; at corpus
+    scale only :func:`embedding_covariance`'s single data pass touches
+    the vectors — the iteration itself is vocabulary-sized.
+
+    Determinism: v0 is the constant 1/8 vector (exact double), the
+    iteration count is FIXED, and no intermediate normalization is
+    applied (cov spectra are small; lambda^iters cannot overflow), so
+    both engines run the identical expression cascade; the one
+    normalization + Rayleigh quotient happen at output.  Sign is NOT
+    conventionalized — it is pinned by v0, like any fixed-seed power
+    method.  Convergence to the true eigenpair needs a spectral gap
+    (textbook power-method caveat): cos error ~ (lambda2/lambda1)^iters,
+    so on near-isotropic corpora the output is a gap-limited estimate —
+    the planted-direction pytest demonstrates convergence, the oracle
+    pins cross-engine equality regardless of spectrum."""
+    cov = embedding_covariance(embeddings, dim)
+    full = cov.unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).persist()  # consumed once per iteration
+    v = _power_seed(embeddings, dim)
+    prev = None
+    for _ in range(iters):
+        prev = v
+        v = (
+            full.join(v.select(F.col("k").alias("j"), "vk"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("vk")).alias("vk"))
+            .select(F.col("i").alias("k"), "vk")
+        )
+    ray = (
+        prev.alias("p")
+        .join(v.alias("c"), "k")
+        .groupBy()
+        .agg(
+            (
+                F.sum(F.col("p.vk") * F.col("c.vk"))
+                / F.sum(F.col("p.vk") * F.col("p.vk"))
+            ).alias("eigenvalue")
+        )
+    )
+    nrm = v.groupBy().agg(
+        F.sqrt(F.sum(F.col("vk") * F.col("vk"))).alias("nrm")
+    )
+    return (
+        v.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            F.col("k").alias("dim_idx"),
+            (F.col("vk") / F.col("nrm")).alias("component"),
+            "eigenvalue",
+        )
+        .orderBy("dim_idx")
+    )
+
+
+def _power_seed(embeddings: DataFrame, dim: int) -> DataFrame:
+    """(k, vk=0.125) — the constant power-iteration seed, built from
+    the session's range source (no driver-side list)."""
+    return (
+        embeddings.sparkSession.range(dim)
+        .select(F.col("id").cast("int").alias("k"))
+        .withColumn("vk", F.lit(0.125))
+    )
+
+
+def top_eigenvector_oracle(dim: int = 64, iters: int = 3) -> str:
+    """DuckDB twin: covariance oracle as subquery, matvec rounds
+    unrolled, one output normalization + Rayleigh quotient."""
+    rounds = []
+    prev = "v0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+v{r} AS MATERIALIZED (
+  SELECT f.i AS k, sum(f.cov * v.vk) AS vk
+  FROM fullm f JOIN {prev} v ON f.j = v.k
+  GROUP BY f.i)""")
+        prev = f"v{r}"
+    return f"""
+WITH covu AS MATERIALIZED ({embedding_covariance_oracle(dim)}),
+fullm AS MATERIALIZED (
+  SELECT i, j, cov FROM covu
+  UNION ALL SELECT j, i, cov FROM covu WHERE i <> j),
+v0 AS (SELECT k::INT AS k, 0.125 AS vk FROM range({dim}) t(k)),
+{",".join(rounds)},
+ray AS (
+  SELECT sum(p.vk * c.vk) / sum(p.vk * p.vk) AS eigenvalue
+  FROM v{iters - 1} p JOIN v{iters} c ON p.k = c.k),
+nrm AS (SELECT sqrt(sum(vk * vk)) AS nrm FROM v{iters})
+SELECT v.k AS dim_idx, v.vk / n.nrm AS component, r.eigenvalue
+FROM v{iters} v CROSS JOIN nrm n CROSS JOIN ray r
+ORDER BY dim_idx
+"""

@@ -1831,3 +1831,85 @@ SELECT e.a, e.b, coalesce(s.support, 0)::BIGINT AS support
 FROM {prev} e LEFT JOIN {sup} s ON e.a = s.a AND e.b = s.b
 ORDER BY e.a, e.b
 """
+
+
+def wl_colors(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """(node, color) — Weisfeiler-Leman color refinement over the
+    directed graph (1-WL / color refinement, public literature; the
+    same refinement :mod:`..operators.skolem` applies to bnodes, here
+    as a general structural-role signature): every node starts with
+    one color, then each round rehashes (own color | sorted multiset
+    of direction-tagged neighbor colors).  Nodes sharing a color after
+    k rounds have isomorphic k-hop unrolled neighborhoods — the
+    template-page / generated-subgraph detector (a color with
+    thousands of members in an entity graph is a factory pattern, not
+    organic structure), and the node feature WL-kernel methods consume.
+
+    Scale shape: per round ONE node-keyed aggregation over the doubled
+    direction-tagged adjacency (sorted-list agg, then md5 as a
+    PROJECTION after the agg — CLAUDE.md rule) + a left join back for
+    isolated-from / sink nodes; O(iters) shuffles on the same key."""
+    e = edges.select("src", "dst").distinct()
+    adj = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"),
+                 F.lit("o").alias("d"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"),
+                     F.lit("i").alias("d"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    colors = adj.select("node").distinct().withColumn("color", F.lit("0"))
+    for _ in range(iters):
+        msgs = adj.join(
+            colors.select(F.col("node").alias("nbr"),
+                          F.col("color").alias("nc")),
+            "nbr",
+        ).select(
+            "node", F.concat_ws(":", F.col("d"), F.col("nc")).alias("tok")
+        )
+        folded = msgs.groupBy("node").agg(
+            F.array_join(F.array_sort(F.collect_list("tok")), ",").alias(
+                "toks"
+            )
+        )
+        colors = (
+            colors.join(folded, "node", "left")
+            .select(
+                "node",
+                F.md5(
+                    F.concat_ws("|", F.col("color"), F.coalesce("toks", F.lit("")))
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return colors.orderBy("node")
+
+
+def wl_colors_sql(edges_cte: str, iters: int = 2) -> str:
+    """DuckDB twin: identical rounds unrolled (string_agg ORDER BY =
+    Spark's sorted array_join; md5 applied to the same concat)."""
+    rounds = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+m{i} AS MATERIALIZED (
+  SELECT a.node,
+         string_agg(a.d || ':' || p.color, ',' ORDER BY a.d || ':' || p.color)
+           AS toks
+  FROM adj a JOIN {prev} p ON a.nbr = p.node
+  GROUP BY a.node),
+c{i} AS MATERIALIZED (
+  SELECT c.node, md5(c.color || '|' || coalesce(m.toks, '')) AS color
+  FROM {prev} c LEFT JOIN m{i} m ON c.node = m.node)""")
+        prev = f"c{i}"
+    return f"""
+WITH {edges_cte.strip()},
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+adj AS MATERIALIZED (
+  SELECT src AS node, dst AS nbr, 'o' AS d FROM e
+  UNION ALL SELECT dst, src, 'i' FROM e),
+c0 AS MATERIALIZED (SELECT DISTINCT node, '0' AS color FROM adj),
+{",".join(rounds)}
+SELECT node, color FROM {prev} ORDER BY node
+"""

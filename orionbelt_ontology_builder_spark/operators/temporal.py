@@ -1113,3 +1113,73 @@ FROM snap s FULL OUTER JOIN latest l ON s.key = l.key
 WHERE l.w IS NULL OR (l.w).op <> 'D'
 ORDER BY key
 """
+
+
+def ewma_events(
+    events: DataFrame,
+    alpha: float = 0.5,
+    n_lags: int = 8,
+    key: str = "user_id",
+    ts: str = "ts",
+    val: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """(tiebreak, key, ts, value, ewma) — bounded-window exponentially
+    weighted moving average per key: the current value and its
+    ``n_lags - 1`` predecessors combine with weights alpha*(1-alpha)^j,
+    renormalized over the terms actually present (so the series head
+    is an average of what exists, not biased toward 0).  The standard
+    time-decayed per-entity feature (activity level, crawl rate,
+    engagement) that a recursive EWMA cannot express in parallel SQL —
+    truncating at n_lags makes it a FIXED expression tree, identical
+    in both engines (the (1-alpha)^n_lags tail is provably <= 0.4% of
+    the mass at the defaults).
+
+    Scale shape: ONE key-partitioned window sort feeds all n_lags
+    lag() calls (Spark collapses same-window functions into a single
+    Window operator) — one shuffle, no self-joins, no recursion."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    num = None
+    den = None
+    for j in range(n_lags):
+        wt = alpha * (1.0 - alpha) ** j
+        x = F.col(val) if j == 0 else F.lag(val, j).over(w)
+        term = F.coalesce(x * F.lit(wt), F.lit(0.0))
+        gate = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = gate if den is None else den + gate
+    return events.select(
+        tiebreak,
+        key,
+        ts,
+        F.col(val).alias("value"),
+        (num / den).alias("ewma"),
+    ).orderBy(key, ts, tiebreak)
+
+
+def ewma_events_sql(
+    table: str = "events",
+    alpha: float = 0.5,
+    n_lags: int = 8,
+    key: str = "user_id",
+    ts: str = "ts",
+    val: str = "value",
+    tiebreak: str = "event_id",
+) -> str:
+    """DuckDB twin: identical lag ladder and left-to-right addition
+    order (weights as full-precision repr literals — both parsers bind
+    the same doubles)."""
+    nums, dens = [], []
+    for j in range(n_lags):
+        wt = repr(alpha * (1.0 - alpha) ** j)
+        x = val if j == 0 else f"lag({val}, {j}) OVER w"
+        nums.append(f"coalesce(({x}) * {wt}, 0.0)")
+        dens.append(f"CASE WHEN ({x}) IS NOT NULL THEN {wt} ELSE 0.0 END")
+    return f"""
+SELECT {tiebreak}, {key}, {ts}, {val} AS value,
+  ({" + ".join(nums)})
+  / ({" + ".join(dens)}) AS ewma
+FROM {table}
+WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})
+ORDER BY {key}, {ts}, {tiebreak}
+"""

@@ -1386,3 +1386,26 @@ def test_prefix_jaccard_matches_oracle_on_testdata(spark):
     )
     con.close()
     assert got == want
+
+
+def test_top_eigenvector_recovers_planted_direction(spark):
+    """Planted-spike corpus: vectors = s*u + small deterministic noise;
+    3 power iterations recover u (spectral gap >> 1)."""
+    import math
+
+    from orionbelt_ontology_builder_spark.datapipe import similarity as S
+
+    d = 8
+    u = [1.0 if i == 2 else 0.0 for i in range(d)]
+    rows = []
+    for n in range(40):
+        s = 3.0 if n % 2 else -3.0  # symmetric spike, mean ~0
+        noise = [0.01 * ((n * 7 + i) % 5 - 2) for i in range(d)]
+        rows.append((n, [s * u[i] + noise[i] for i in range(d)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.top_eigenvector(embs, dim=d, iters=3).collect()
+    v = [r["component"] for r in sorted(got, key=lambda r: r["dim_idx"])]
+    dot = sum(a * b for a, b in zip(v, u))
+    assert abs(dot) > 0.999
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+    assert got[0]["eigenvalue"] > 8.0  # spike variance ~9

@@ -632,3 +632,22 @@ def test_ktruss_peel_cascades_and_matches_oracle(spark):
     con.close()
     assert got3 == want
     assert len(got3) == 6  # both triangles survive k=3
+
+
+def test_wl_colors_structural_roles(spark):
+    import duckdb
+
+    # star hub vs leaves, separate chain: leaves share a color, hub
+    # differs; chain endpoints differ (one has only out, one only in)
+    rows = [("h", "l1"), ("h", "l2"), ("h", "l3"), ("x", "y")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["node"]: r["color"]
+           for r in G.wl_colors(edges, iters=2).collect()}
+    assert got["l1"] == got["l2"] == got["l3"] != got["h"]
+    assert got["x"] != got["y"]
+    vals = ",".join(f"('{s}','{d}')" for s, d in rows)
+    sql = G.wl_colors_sql(f"edges(src, dst) AS (VALUES {vals})", iters=2)
+    con = duckdb.connect()
+    want = dict(con.sql(sql).fetchall())
+    con.close()
+    assert got == want

@@ -565,3 +565,20 @@ def test_cdc_apply_matches_oracle(spark):
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     con.close()
     assert got == want
+
+
+def test_ewma_hand_math_and_head_renormalization(spark):
+    import datetime as dt
+    import math
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i), 7, "c", float(v))
+            for i, v in enumerate([10.0, 20.0, 30.0], start=1)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got = [r["ewma"] for r in T.ewma_events(ev).collect()]
+    # head renormalizes over present terms: first row == its own value
+    assert got[0] == 10.0
+    assert math.isclose(got[1], (20 * 0.5 + 10 * 0.25) / 0.75)
+    assert math.isclose(got[2], (30 * 0.5 + 20 * 0.25 + 10 * 0.125) / 0.875)
