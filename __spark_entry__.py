@@ -3088,7 +3088,9 @@ def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless alternative to df-pruned sparse cosine: candidates only
     from rare-token (prefix) postings, so the hot-token shuffle never
     happens and recall is provably 1.0."""
-    return dedup.prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+    return dedup.prefix_jaccard_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0), threshold=0.6
+    )
 
 
 def _q_neighbor_mean_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5571,7 +5573,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
         max_hops=3,
         direction="undirected",
     )
-    sql["prefix_jaccard"] = dedup.prefix_jaccard_oracle(threshold=0.6)
+    sql["prefix_jaccard"] = dedup.prefix_jaccard_oracle(
+        threshold=0.6, doc_where="doc_id % 5 = 0"
+    )
     sql["neighbor_mean_embedding"] = (
         similarity.neighbor_mean_embedding_oracle()
     )

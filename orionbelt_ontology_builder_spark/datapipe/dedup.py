@@ -1531,14 +1531,20 @@ def prefix_jaccard_pairs(
     )
 
 
-def prefix_jaccard_oracle(threshold: float = 0.6) -> str:
+def prefix_jaccard_oracle(threshold: float = 0.6, doc_where: str = "") -> str:
     """DuckDB twin: identical df-rank prefix, length filter, and
-    verification cascade."""
+    verification cascade.  ``doc_where`` optionally scopes the corpus
+    (the registered query samples doc_id % 5 = 0: on this
+    template-heavy synthetic corpus the TRUE >= 0.6 pair set is ~7M of
+    12.5M possible — any exact join is verification-bound there, so
+    the oracle-paired query runs the systematic sample while the
+    operator itself stays full-corpus capable)."""
+    where = f"WHERE {doc_where}" if doc_where else ""
     return f"""
 WITH tok AS MATERIALIZED (
   SELECT DISTINCT doc_id, t AS token
   FROM (SELECT doc_id, unnest(string_split({norm_sql()}, ' ')) AS t
-        FROM documents)
+        FROM documents {where})
   WHERE t <> ''),
 dfc AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
