@@ -3246,6 +3246,34 @@ def _q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mirror_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: source pairs sharing identical
+    normalized texts, scored by containment — the host-level lift of
+    exact dedup (drop a mirror's crawl budget, not its docs)."""
+    return dedup.mirror_sources(_docs(spark, sf_dir))
+
+
+def _q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_size_estimate's exact stats + the broadcast / salt /
+    shuffle decision they imply (customer JOIN orders): strategy from
+    measurement, not guesses; salt_n is the exact ceil-div fan-out."""
+    return profiling.join_strategy_advisor(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        key_a="c_custkey",
+        key_b="o_custkey",
+        broadcast_rows=1000,
+        shuffle_partitions=32,
+    )
+
+
+def _q_source_robust_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trimmed-mean doc length (symmetric 10% trim on a
+    deterministic rank) — the robust crawl-budget signal a boilerplate
+    mirror can't shift."""
+    return textstats.source_robust_quality(_docs(spark, sf_dir))
+
+
 def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every candidate pair scored with the FS log-likelihood (weights
     as ONE broadcast row — scoring is a pure projection after
@@ -3317,6 +3345,7 @@ _SF_SCALE = {
     "graph_ktruss", "kg_triple_history", "score_calibration",
     "extractor_kappa", "golden_records", "stream_cdc_apply",
     "top_eigenvector", "ewma_events", "wl_colors",
+    "mirror_sources", "join_advisor", "source_robust_quality",
 }
 
 
@@ -3661,6 +3690,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_eigenvector": _q_top_eigenvector,
         "ewma_events": _q_ewma_events,
         "wl_colors": _q_wl_colors,
+        "mirror_sources": _q_mirror_sources,
+        "join_advisor": _q_join_advisor,
+        "source_robust_quality": _q_source_robust_quality,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -5618,6 +5650,16 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["wl_colors"] = graphstats.wl_colors_sql(
         relational.ENTITY_EDGES_SQL, iters=2
     )
+    sql["mirror_sources"] = dedup.mirror_sources_oracle()
+    sql["join_advisor"] = profiling.join_strategy_advisor_sql(
+        "customer",
+        "orders",
+        key_a="c_custkey",
+        key_b="o_custkey",
+        broadcast_rows=1000,
+        shuffle_partitions=32,
+    )
+    sql["source_robust_quality"] = textstats.source_robust_quality_oracle()
     sql["graph_random_walks"] = graphstats.random_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1
     )

@@ -274,6 +274,9 @@ def main() -> None:
         "top_eigenvector",
         "ewma_events",
         "wl_colors",
+        "mirror_sources",
+        "join_advisor",
+        "source_robust_quality",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -1574,3 +1574,86 @@ FROM shared
 WHERE n_shared / (sza + szb - n_shared) >= {threshold}
 ORDER BY doc_id_a, doc_id_b
 """
+
+
+def mirror_sources(
+    docs: DataFrame, max_sources: int = 64, key_chars: int = 128
+) -> DataFrame:
+    """(source_a, source_b, n_shared, containment) — mirror/syndication
+    detection: pairs of sources sharing LEAD FINGERPRINTS (md5 of the
+    first ``key_chars`` normalized chars — the same-lead-paragraph
+    heuristic syndicated copies keep even when boilerplate tails
+    differ), scored by containment (shared / smaller side's distinct
+    leads).  The crawl-curation lift of dedup from doc level to HOST
+    level: a pair with containment ~1 is a mirror/feed — drop one
+    side's crawl budget, not individual docs.
+
+    Scale shape: one (source, text-hash) distinct projection, one
+    hash-keyed self-join restricted to hashes in <= ``max_sources``
+    sources (the boilerplate-text skew guard, applied BEFORE the
+    shuffle: a footer string present on every host would otherwise
+    detonate the pair join), one pair-keyed count + broadcast
+    per-source totals."""
+    h = docs.select(
+        "source",
+        F.md5(F.substring(norm_col(), 1, key_chars)).alias("th"),
+    ).distinct().persist()  # consumers: guard, pair join sides, totals
+    spread = h.groupBy("th").agg(F.count(F.lit(1)).alias("n_src"))
+    ok = h.join(
+        F.broadcast(spread.filter(F.col("n_src") > max_sources)),
+        "th",
+        "left_anti",
+    )
+    a = ok.select(F.col("source").alias("source_a"), "th")
+    b = ok.select(F.col("source").alias("source_b"), "th")
+    pairs = (
+        a.join(b, "th")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_texts"))
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_texts").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_texts").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (F.col("n_shared") / F.least("na", "nb")).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def mirror_sources_oracle(
+    max_sources: int = 64, key_chars: int = 128
+) -> str:
+    """DuckDB twin of :func:`mirror_sources`."""
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT DISTINCT source, md5(substr({norm_sql()}, 1, {key_chars})) AS th
+  FROM documents),
+spread AS (SELECT th, count(*) AS n_src FROM h GROUP BY th),
+ok AS MATERIALIZED (
+  SELECT h.* FROM h JOIN spread USING (th)
+  WHERE spread.n_src <= {max_sources}),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared
+  FROM ok a JOIN ok b ON a.th = b.th AND a.source < b.source
+  GROUP BY 1, 2),
+sizes AS (SELECT source, count(*) AS n_texts FROM h GROUP BY source)
+SELECT p.source_a, p.source_b, p.n_shared,
+  p.n_shared / least(sa.n_texts, sb.n_texts) AS containment
+FROM pairs p
+JOIN sizes sa ON p.source_a = sa.source
+JOIN sizes sb ON p.source_b = sb.source
+ORDER BY source_a, source_b
+"""

@@ -16,7 +16,7 @@ output in Spark and DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword lists — shared by the Spark expressions and the DuckDB oracle
@@ -1784,4 +1784,78 @@ SELECT true_lang, cand_lang AS pred_lang, count(*)::BIGINT AS n_docs,
   avg(margin) AS avg_margin
 FROM ranked WHERE rn = 1
 GROUP BY true_lang, cand_lang ORDER BY true_lang, pred_lang
+"""
+
+
+def source_robust_quality(
+    docs: DataFrame, trim_frac: float = 0.1
+) -> DataFrame:
+    """(source, n_docs, mean_chars, trimmed_mean_chars) — per-source
+    doc-length profile with a symmetric trimmed mean: drop the lowest
+    and highest ``floor(n * trim_frac)`` docs (ranked by (n_chars,
+    doc_id) — a total order, so the trim set is deterministic) and
+    average the rest.  The robust per-host quality signal: one mirror
+    dumping megabyte boilerplate pages, or a feed of empty stubs,
+    shifts the plain mean but not the trimmed one — crawl-budget
+    decisions should read the latter.
+
+    Scale shape: ONE source-keyed window (rank + group count share the
+    exchange) + one source-keyed conditional agg riding the same key;
+    integer char sums are exact under any partitioning, one double
+    division each at output.  No collected lists — the trim predicate
+    is a per-row flag, so group state stays O(1)."""
+    part = Window.partitionBy("source")
+    w = part.orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "doc_id", "n_chars").select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    k = F.floor(F.col("n") * trim_frac)
+    kept = (F.col("rk") > k) & (F.col("rk") <= F.col("n") - k)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_all"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "sum_kept"
+            ),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (F.col("sum_all") / F.col("n_docs").cast("double")).alias(
+                "mean_chars"
+            ),
+            (F.col("sum_kept") / F.col("n_kept").cast("double")).alias(
+                "trimmed_mean_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def source_robust_quality_oracle(trim_frac: float = 0.1) -> str:
+    """DuckDB twin: identical rank/count window + conditional agg."""
+    return f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      AS rk,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(n_chars) / count(*)::DOUBLE AS mean_chars,
+  sum(CASE WHEN rk > floor(n * {trim_frac})
+            AND rk <= n - floor(n * {trim_frac})
+           THEN n_chars ELSE 0 END)
+    / sum(CASE WHEN rk > floor(n * {trim_frac})
+                AND rk <= n - floor(n * {trim_frac})
+               THEN 1 ELSE 0 END)::DOUBLE AS trimmed_mean_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
 """

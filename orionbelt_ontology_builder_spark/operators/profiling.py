@@ -851,3 +851,68 @@ SELECT n_items,
     / (1.0 - (sum_prod / (n_items * n_items))) AS kappa
 FROM base CROSS JOIN crossp
 """
+
+
+def join_strategy_advisor(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    broadcast_rows: int = 100_000,
+    shuffle_partitions: int = 200,
+    skew_factor: float = 4.0,
+) -> DataFrame:
+    """One row: :func:`join_size_estimate`'s exact pre-join statistics
+    PLUS the physical-strategy decision they imply — the
+    broadcast/salt/shuffle choice made from measurement, not guesses:
+
+    * ``broadcast_b`` / ``broadcast_a`` when a side fits the broadcast
+      budget (map-side join, no shuffle at all);
+    * ``salt_hot_keys`` when the hottest key's output exceeds
+      ``skew_factor`` x the average partition's share (that reducer IS
+      the job's wall clock; ``salt_n`` is the exact ceil-div fan-out
+      that caps it back to average);
+    * ``shuffle_hash`` otherwise (and at 100 TB: bucket BOTH sides on
+      the key so the exchange happens once at write time).
+
+    All decisions derive from integer stats — deterministic and
+    oracle-stable."""
+    est = join_size_estimate(a, b, key_a, key_b)
+    avg_part = F.col("join_rows") / F.lit(float(shuffle_partitions))
+    skewed = F.col("max_key_join_rows") > F.lit(skew_factor) * avg_part
+    decision = (
+        F.when(F.col("rows_b") <= broadcast_rows, F.lit("broadcast_b"))
+        .when(F.col("rows_a") <= broadcast_rows, F.lit("broadcast_a"))
+        .when(skewed, F.lit("salt_hot_keys"))
+        .otherwise(F.lit("shuffle_hash"))
+    )
+    salt_n = F.when(
+        skewed, F.ceil(F.col("max_key_join_rows") / avg_part).cast("long")
+    ).otherwise(F.lit(1))
+    return est.select("*", decision.alias("decision"), salt_n.alias("salt_n"))
+
+
+def join_strategy_advisor_sql(
+    table_a: str,
+    table_b: str,
+    key_a: str,
+    key_b: str | None = None,
+    broadcast_rows: int = 100_000,
+    shuffle_partitions: int = 200,
+    skew_factor: float = 4.0,
+) -> str:
+    """DuckDB twin: the estimate subquery + identical CASE cascade."""
+    avg = f"(join_rows / {float(shuffle_partitions)})"
+    skewed = f"max_key_join_rows > {skew_factor} * {avg}"
+    return f"""
+WITH est AS ({join_size_estimate_sql(table_a, table_b, key_a, key_b)})
+SELECT est.*,
+  CASE WHEN rows_b <= {broadcast_rows} THEN 'broadcast_b'
+       WHEN rows_a <= {broadcast_rows} THEN 'broadcast_a'
+       WHEN {skewed} THEN 'salt_hot_keys'
+       ELSE 'shuffle_hash' END AS decision,
+  CASE WHEN {skewed}
+       THEN ceil(max_key_join_rows / {avg})::BIGINT
+       ELSE 1 END AS salt_n
+FROM est
+"""

@@ -1409,3 +1409,39 @@ def test_top_eigenvector_recovers_planted_direction(spark):
     assert abs(dot) > 0.999
     assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
     assert got[0]["eigenvalue"] > 8.0  # spike variance ~9
+
+
+def test_mirror_sources_containment(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same syndicated lead paragraph here", "hostA"),
+            (2, "the same syndicated lead paragraph here", "hostB"),
+            (3, "another shared wire story lead text", "hostA"),
+            (4, "another shared wire story lead text", "hostB"),
+            (5, "hostA exclusive content nobody copies", "hostA"),
+            (6, "hostC only talks to itself", "hostC"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = D.mirror_sources(docs, key_chars=128).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["source_a"], r["source_b"], r["n_shared"]) == (
+        "hostA", "hostB", 2)
+    # hostB has 2 distinct leads, both shared: containment 1.0
+    assert r["containment"] == 1.0
+
+
+def test_mirror_sources_hot_lead_guard(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup as D
+
+    # a lead present on 3 sources is dropped when max_sources=2 —
+    # the boilerplate guard runs BEFORE the pair join
+    docs = spark.createDataFrame(
+        [(i, "universal footer boilerplate text", f"h{i}")
+         for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    assert D.mirror_sources(docs, max_sources=2).collect() == []

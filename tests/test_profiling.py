@@ -697,3 +697,40 @@ def test_golden_records_survivorship(spark):
         (r["cluster_id"], r["n_records"], r["name"], r["bal"])
         for r in align.golden_records(recs, ["name", "bal"]).collect()
     ) == want
+
+
+def test_join_advisor_decisions(spark):
+    # tiny dim side -> broadcast_b; skewed key -> salt_hot_keys
+    a = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k long, pay long"
+    )
+    b_small = spark.createDataFrame([(0, "x"), (1, "y")], "k long, v string")
+    r = P.join_strategy_advisor(
+        a, b_small, key_a="k", broadcast_rows=10, shuffle_partitions=4
+    ).collect()[0]
+    assert r["decision"] == "broadcast_b" and r["salt_n"] == 1
+
+    # one hot key dominating: 1000x vs others, tiny broadcast budget
+    hot = spark.createDataFrame(
+        [(0, i) for i in range(1000)] + [(j, 0) for j in range(1, 20)],
+        "k long, pay long",
+    )
+    r2 = P.join_strategy_advisor(
+        hot, hot, key_a="k", broadcast_rows=1, shuffle_partitions=8,
+    ).collect()[0]
+    assert r2["decision"] == "salt_hot_keys" and r2["salt_n"] > 1
+
+
+def test_source_robust_quality_trims_outliers(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    # 10 docs: 8 at 100 chars, one stub (1), one megapage (10000);
+    # 10% symmetric trim drops exactly those two
+    docs = spark.createDataFrame(
+        [(i, "s", 100) for i in range(8)]
+        + [(8, "s", 1), (9, "s", 10000)],
+        "doc_id long, source string, n_chars long",
+    )
+    r = TS.source_robust_quality(docs, trim_frac=0.1).collect()[0]
+    assert r["trimmed_mean_chars"] == 100.0
+    assert r["mean_chars"] == (800 + 1 + 10000) / 10.0
