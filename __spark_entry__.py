@@ -3274,6 +3274,59 @@ def _q_source_robust_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.source_robust_quality(_docs(spark, sf_dir))
 
 
+_BM25_TERMS = ["spark", "vector", "stream"]
+
+_REDIRECT_LINKS_SQL = """links AS (
+  SELECT 'u' || c_custkey AS node,
+    CASE WHEN c_custkey % 5 <> 0
+           THEN 'u' || (c_custkey - c_custkey % 5)
+         WHEN c_custkey % 25 <> 0
+           THEN 'u' || (c_custkey - c_custkey % 25)
+         WHEN c_custkey % 125 <> 0
+           THEN 'u' || (c_custkey - c_custkey % 125)
+         END AS nxt
+  FROM customer
+  WHERE CASE WHEN c_custkey % 5 <> 0 THEN TRUE
+             WHEN c_custkey % 25 <> 0 THEN TRUE
+             WHEN c_custkey % 125 <> 0 THEN TRUE
+             ELSE FALSE END)"""
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores for a bag-of-words query — the
+    RAG/search baseline; inverted-index access pattern (only the query
+    terms' postings are scored), corpus stats as ONE broadcast row."""
+    return textstats.bm25_search(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the IVF candidate graph: density core/border roles
+    + min-id clusters — the no-k density grouping (SemDeDup-style)
+    that leaves outliers alone."""
+    return similarity.dbscan_clusters(
+        _embs(spark, sf_dir), eps_cos=0.38, min_pts=2, dim=EMB_DIM
+    )
+
+
+def _q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/canonical-chain resolution by pointer doubling
+    (O(log chain) self-joins) over a functional link set derived from
+    customers (3-level hub chains); oracle = recursive walk, max-hops
+    row per node."""
+    c = _tbl(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    nxt = (
+        F.when(k % 5 != 0, F.concat(F.lit("u"), (k - k % 5).cast("string")))
+        .when(k % 25 != 0, F.concat(F.lit("u"), (k - k % 25).cast("string")))
+        .when(k % 125 != 0, F.concat(F.lit("u"), (k - k % 125).cast("string")))
+    )
+    links = c.select(
+        F.concat(F.lit("u"), k.cast("string")).alias("node"),
+        nxt.alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return fixpoint.resolve_pointers(links, max_rounds=3)
+
+
 def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every candidate pair scored with the FS log-likelihood (weights
     as ONE broadcast row — scoring is a pure projection after
@@ -3346,6 +3399,7 @@ _SF_SCALE = {
     "extractor_kappa", "golden_records", "stream_cdc_apply",
     "top_eigenvector", "ewma_events", "wl_colors",
     "mirror_sources", "join_advisor", "source_robust_quality",
+    "bm25_search", "dbscan_clusters", "resolve_redirects",
 }
 
 
@@ -3693,6 +3747,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_sources": _q_mirror_sources,
         "join_advisor": _q_join_advisor,
         "source_robust_quality": _q_source_robust_quality,
+        "bm25_search": _q_bm25_search,
+        "dbscan_clusters": _q_dbscan_clusters,
+        "resolve_redirects": _q_resolve_redirects,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -5660,6 +5717,13 @@ WHERE subj NOT IN ('{emp}', '{acme}')
         shuffle_partitions=32,
     )
     sql["source_robust_quality"] = textstats.source_robust_quality_oracle()
+    sql["bm25_search"] = textstats.bm25_search_oracle(_BM25_TERMS)
+    sql["dbscan_clusters"] = similarity.dbscan_clusters_oracle(
+        eps_cos=0.38, min_pts=2
+    )
+    sql["resolve_redirects"] = fixpoint.resolve_pointers_sql(
+        _REDIRECT_LINKS_SQL, max_rounds=3
+    )
     sql["graph_random_walks"] = graphstats.random_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3, walks_per_node=1
     )

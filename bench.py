@@ -277,6 +277,9 @@ def main() -> None:
         "mirror_sources",
         "join_advisor",
         "source_robust_quality",
+        "bm25_search",
+        "dbscan_clusters",
+        "resolve_redirects",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

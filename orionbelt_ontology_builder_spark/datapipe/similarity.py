@@ -1335,3 +1335,104 @@ SELECT v.k AS dim_idx, v.vk / n.nrm AS component, r.eigenvalue
 FROM v{iters} v CROSS JOIN nrm n CROSS JOIN ray r
 ORDER BY dim_idx
 """
+
+
+def dbscan_clusters(
+    embeddings: DataFrame,
+    eps_cos: float = 0.6,
+    min_pts: int = 3,
+    a_probe: int = A_PROBE,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, cluster, role) — DBSCAN (Ester et al. 1996, public
+    literature) over the IVF candidate graph: neighborhood = cosine >=
+    ``eps_cos``; a vector with >= ``min_pts`` neighbors is CORE;
+    clusters = connected components of the core-core graph (min member
+    id); border points (non-core with a core neighbor) attach to their
+    minimum adjacent core cluster; noise is absent from the output.
+    The SemDeDup-style density grouping that, unlike k-means, needs no
+    k and leaves outliers alone.
+
+    Scale shape: neighbor pairs from :func:`ivf_cosine_pairs` (never
+    all-pairs), degree = one key agg, core filter = two semi-joins,
+    components via the O(log n) star algorithm, border attach = one
+    join + min-agg.  Every stage key-partitioned."""
+    from ..operators.fixpoint import connected_components
+
+    pairs = ivf_cosine_pairs(
+        embeddings, threshold=eps_cos, a_probe=a_probe, dim=dim
+    ).persist()  # consumers: degree, core edges, border attach
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("nbr"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("n_eps"))
+    core = (
+        deg.filter(F.col("n_eps") >= min_pts)
+        .select(F.col("src").alias("node"))
+        .persist()
+    )
+    ce = (
+        pairs.join(core.select(F.col("node").alias("id_a")), "id_a", "left_semi")
+        .join(core.select(F.col("node").alias("id_b")), "id_b", "left_semi")
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(ce)
+    core_lab = core.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("cluster")
+    )
+    border = (
+        sym.join(core.select(F.col("node").alias("src")), "src", "left_anti")
+        .join(
+            core_lab.select(F.col("node").alias("nbr"), "cluster"), "nbr"
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        core_lab.withColumn("role", F.lit("core"))
+        .unionByName(border.withColumn("role", F.lit("border")))
+        .select(F.col("node").alias("vec_id"), "cluster", "role")
+        .orderBy("vec_id")
+    )
+
+
+def dbscan_clusters_oracle(
+    eps_cos: float = 0.6, min_pts: int = 3, a_probe: int = A_PROBE
+) -> str:
+    """DuckDB twin: IVF pair oracle + identical degree/core/CC/border
+    cascade (recursive reachability over core edges, min member id)."""
+    return f"""
+WITH RECURSIVE dbp AS MATERIALIZED ({ivf_cosine_pairs_oracle(eps_cos, a_probe)}),
+dbsym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS nbr FROM dbp
+  UNION ALL SELECT id_b, id_a FROM dbp),
+dbdeg AS (SELECT src, count(*) AS n_eps FROM dbsym GROUP BY src),
+dbcore AS MATERIALIZED (
+  SELECT src AS node FROM dbdeg WHERE n_eps >= {min_pts}),
+dbce AS MATERIALIZED (
+  SELECT p.id_a AS u, p.id_b AS v FROM dbp p
+  WHERE p.id_a IN (SELECT node FROM dbcore)
+    AND p.id_b IN (SELECT node FROM dbcore)),
+dbcesym AS MATERIALIZED (
+  SELECT u, v FROM dbce UNION SELECT v, u FROM dbce),
+reach(n, m) AS (
+  SELECT node, node FROM dbcore
+  UNION
+  SELECT r.n, s.v FROM reach r JOIN dbcesym s ON r.m = s.u),
+comp AS (SELECT n AS node, min(m) AS cluster FROM reach GROUP BY n),
+core_lab AS MATERIALIZED (
+  SELECT c.node, coalesce(p.cluster, c.node) AS cluster
+  FROM dbcore c LEFT JOIN comp p ON c.node = p.node),
+border AS (
+  SELECT s.src AS node, min(l.cluster) AS cluster
+  FROM dbsym s
+  JOIN core_lab l ON s.nbr = l.node
+  WHERE s.src NOT IN (SELECT node FROM dbcore)
+  GROUP BY s.src)
+SELECT node AS vec_id, cluster, 'core' AS role FROM core_lab
+UNION ALL
+SELECT node, cluster, 'border' FROM border
+ORDER BY vec_id
+"""

@@ -1859,3 +1859,91 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_hit_terms, score) — Okapi BM25 (Robertson et al.,
+    public literature) for a bag-of-words query over the corpus:
+    ``score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``.  The retrieval
+    baseline every RAG / search-index evaluation starts from.  No rank
+    column on purpose: near-tied scores may differ in the last ulp
+    across engines, and a rank would freeze that noise into an integer
+    (order by score at read time instead).
+
+    Plan: the (doc, term) count table feeds doc lengths and the
+    query-term postings; corpus stats (N, avgdl) are ONE broadcast
+    row; only postings of the |query| terms are scored — the inverted-
+    index access pattern, never a corpus scan per term."""
+    tc = (
+        _exploded_terms(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # consumers: doc lengths + query postings
+    )
+    dlen = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = tc.filter(F.col("term").isin(list(query_terms)))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("contrib").alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bm25_search_oracle(
+    query_terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB twin: identical postings/stats/contribution cascade."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({tokens_sql(norm_sql())}) AS term FROM documents),
+tc AS MATERIALIZED (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM ex
+  WHERE term <> '' GROUP BY doc_id, term),
+dlen AS MATERIALIZED (
+  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tc GROUP BY doc_id),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(dl) / count(*) AS avgdl
+  FROM dlen),
+hits AS (SELECT * FROM tc WHERE term IN ({terms})),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM hits GROUP BY term)
+SELECT h.doc_id, count(*)::BIGINT AS n_hit_terms,
+  sum(
+    ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+    * (h.tf * {k1 + 1.0}) / (h.tf + {k1} * ({1.0 - b} + {b} * d.dl / s.avgdl))
+  ) AS score
+FROM hits h
+JOIN dfreq f ON h.term = f.term
+JOIN dlen d ON h.doc_id = d.doc_id
+CROSS JOIN stats s
+GROUP BY h.doc_id
+ORDER BY h.doc_id
+"""

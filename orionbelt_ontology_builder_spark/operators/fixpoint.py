@@ -239,3 +239,63 @@ def incremental_components(
         )
     ).unionByName(singletons)
     return connected_components(u, max_rounds=max_rounds)
+
+
+def resolve_pointers(links: DataFrame, max_rounds: int = 6) -> DataFrame:
+    """(node, terminal, hops) — resolve every node's chain through a
+    FUNCTIONAL edge set (``links(node, nxt)``, at most one out-pointer
+    per node) to its terminal by pointer doubling: round k composes
+    the map with itself, so chains of length up to 2^max_rounds
+    resolve in ``max_rounds`` self-joins — the redirect-chain /
+    rel=canonical / symlink resolver (and the path-compression half of
+    union-find) for crawl frontier canonicalization.
+
+    Each round: ONE equi-self-join on the pointer key (terminal rows
+    fall out of the build side and keep their current target via the
+    left join's coalesce).  O(log chain-length) shuffles — the
+    one-hop-per-round walk a naive iterator pays is O(chain-length).
+    Cycles never terminate a chain; the fixed round cap keeps the
+    output deterministic (a cycle member reports whatever node its
+    2^max_rounds-step landing is), documented engine contract."""
+    m = links.select("node", "nxt").withColumn("hops", F.lit(1).cast("long"))
+    for _ in range(max_rounds):
+        b = m.select(
+            F.col("node").alias("b_node"),
+            F.col("nxt").alias("b_nxt"),
+            F.col("hops").alias("b_hops"),
+        )
+        m = (
+            m.join(b, m["nxt"] == b["b_node"], "left")
+            .select(
+                "node",
+                F.coalesce("b_nxt", "nxt").alias("nxt"),
+                (
+                    F.col("hops") + F.coalesce("b_hops", F.lit(0))
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return m.select(
+        "node", F.col("nxt").alias("terminal"), "hops"
+    ).orderBy("node")
+
+
+def resolve_pointers_sql(links_cte: str, max_rounds: int = 6) -> str:
+    """DuckDB twin: recursive one-hop walk (acyclic input), the
+    max-hops row per node == the doubling result.  ``links_cte``
+    defines ``links(node, nxt)``."""
+    return f"""
+WITH RECURSIVE {links_cte.strip()},
+walk(node, cur, hops) AS (
+  SELECT node, nxt, 1 FROM links
+  UNION ALL
+  SELECT w.node, l.nxt, w.hops + 1
+  FROM walk w JOIN links l ON w.cur = l.node
+  WHERE w.hops < {2 ** max_rounds}),
+best AS (
+  SELECT node,
+    (max(struct_pack(hops := hops, cur := cur))).cur AS terminal,
+    max(hops)::BIGINT AS hops
+  FROM walk GROUP BY node)
+SELECT node, terminal, hops FROM best ORDER BY node
+"""

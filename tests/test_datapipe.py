@@ -1445,3 +1445,52 @@ def test_mirror_sources_hot_lead_guard(spark):
         "doc_id long, text string, source string",
     )
     assert D.mirror_sources(docs, max_sources=2).collect() == []
+
+
+def test_bm25_rewards_rare_terms_and_matches_hand_math(spark):
+    import math
+
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare word here"),
+            (2, "common common common word"),
+            (3, "common word"),
+            (4, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           TS.bm25_search(docs, ["rare", "common"]).collect()}
+    assert set(got) == {1, 2, 3}           # doc 4 hits nothing
+    # 'rare' (df=1) must out-score 'common' (df=2) at equal tf
+    assert got[1]["score"] > got[3]["score"]
+    # hand math for doc 3, term 'common': tf=1, dl=2, N=4, avgdl=11/4
+    k1, b = 1.2, 0.75
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    contrib = idf * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 2 / (11 / 4)))
+    idf_r = 0.0  # doc3 has no 'rare'
+    assert math.isclose(got[3]["score"], contrib + idf_r, rel_tol=1e-12)
+
+
+def test_dbscan_roles_and_noise(spark):
+    from orionbelt_ontology_builder_spark.datapipe import similarity as S
+
+    # tight 3-clique (cores) + one satellite (border) + one outlier
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.05, 0.0, 0.0]),
+        (2, [0.98, 0.08, 0.0, 0.0]),
+        (3, [0.9, 0.3, 0.0, 0.0]),      # near the clique edge
+        (4, [0.0, 0.0, 1.0, 0.0]),      # noise
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["cluster"], r["role"])
+           for r in S.dbscan_clusters(embs, eps_cos=0.95, min_pts=2,
+                                      dim=4).collect()}
+    assert 4 not in got                       # outlier is noise
+    assert got[0] == (0, "core")
+    assert got[1][1] == "core" and got[1][0] == 0
+    # everyone present sits in cluster 0
+    assert {c for c, _ in got.values()} == {0}

@@ -160,3 +160,25 @@ def test_incremental_components_no_delta_is_identity(spark):
     inc = {(r["node"], r["component"])
            for r in FP.incremental_components(cc0, empty).collect()}
     assert inc == {(r["node"], r["component"]) for r in cc0.collect()}
+
+
+def test_resolve_pointers_doubling_matches_oracle(spark):
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.operators import fixpoint as FP
+
+    # chain of length 5 resolves in 3 doubling rounds (2^3 = 8 >= 5)
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+            ("x", "f")]
+    links = spark.createDataFrame(rows, "node string, nxt string")
+    got = sorted(tuple(r) for r in
+                 FP.resolve_pointers(links, max_rounds=3).collect())
+    assert ("a", "f", 5) in got and ("x", "f", 1) in got
+    vals = ",".join(f"('{n}','{x}')" for n, x in rows)
+    sql = FP.resolve_pointers_sql(
+        f"links(node, nxt) AS (VALUES {vals})", max_rounds=3
+    )
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert got == want
