@@ -766,3 +766,58 @@ def test_prune_estimate_single_data_agg(spark):
     txt = _plan(L.prune_estimate(ev))
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt or "BuildRight" in txt
+
+
+# ------------------------------------------------------------------ #
+# session-12 ops: plan shapes
+# ------------------------------------------------------------------ #
+
+
+def test_prefix_jaccard_plan_no_cartesian(docs):
+    plan = _plan(dedup.prefix_jaccard_pairs(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mirror_sources_plan_no_cartesian(docs):
+    plan = _plan(dedup.mirror_sources(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dbscan_plan_no_cartesian(embs):
+    plan = _plan(
+        similarity.dbscan_clusters(embs, eps_cos=0.5, min_pts=2, dim=8)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_window_exchange(spark):
+    import datetime as dt
+
+    from orionbelt_ontology_builder_spark.operators import temporal as T
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 7, "c", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    plan = _plan(T.ewma_events(ev))
+    # all 8 lags share ONE Window operator (one sort, one exchange)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+    assert plan.count("Exchange") <= 2  # key exchange + final orderBy
+
+
+def test_cdc_apply_single_shuffle_pair(spark):
+    import datetime as dt
+
+    from orionbelt_ontology_builder_spark.operators import temporal as T
+
+    snap = spark.createDataFrame([(1, 1.0)], "key long, val double")
+    chg = spark.createDataFrame(
+        [(1, "U", dt.datetime(2024, 1, 1), 1, 2.0)],
+        "key long, op string, ts timestamp, seq long, val double",
+    )
+    plan = _plan(T.cdc_apply(snap, chg))
+    # winner agg + counts ride ONE aggregation (no window operator)
+    assert "Window" not in plan or "WindowGroupLimit" in plan
