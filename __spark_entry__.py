@@ -2510,6 +2510,12 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
 
+def _q_c4_span_dedup(spark, sf_dir):
+    """C4 §2.2 keep-first span dedup at sentence granularity over the
+    real corpus (the CCNet drop-all twin runs on the line fixture)."""
+    return dedup.c4_span_dedup(_docs(spark, sf_dir))
+
+
 def _q_dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(_docs(spark, sf_dir))
 
@@ -3373,7 +3379,8 @@ _SF_SCALE = {
     "host_crawl_recency", "host_trustrank",
     "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
-    "lang_id", "doc_fingerprint", "dedup_exact", "dedup_containment",
+    "lang_id", "doc_fingerprint", "dedup_exact", "c4_span_dedup",
+    "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
     "blocking_metrics",
     "passage_dup", "source_dup_rate", "dedup_simhash",
@@ -3681,6 +3688,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "c4_span_dedup": _q_c4_span_dedup,
         "dedup_containment": _q_dedup_containment,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -5561,6 +5569,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["lang_id"] = textstats.lang_id_oracle()
     sql["doc_fingerprint"] = textstats.fingerprints_oracle()
     sql["dedup_exact"] = dedup.exact_dedup_oracle()
+    sql["c4_span_dedup"] = dedup.c4_span_dedup_oracle()
     sql["dedup_containment"] = dedup.containment_pairs_oracle()
     sql["dedup_minhash_pairs"] = dedup.minhash_band_pairs_oracle()
     sql["dedup_clusters"] = dedup.dedup_clusters_oracle()

@@ -114,6 +114,7 @@ def main() -> None:
         "events_running",
         # training-data ops (present from r1 mid-session onward)
         "dedup_exact",
+        "c4_span_dedup",
         "incremental_dedup",
         "dedup_minhash_pairs",
         "dedup_simhash",

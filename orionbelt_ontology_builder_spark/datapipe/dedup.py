@@ -1657,3 +1657,112 @@ JOIN sizes sa ON p.source_a = sa.source
 JOIN sizes sb ON p.source_b = sb.source
 ORDER BY source_a, source_b
 """
+
+
+# ------------------------------------------------------------------ #
+# C4-style keep-first span dedup
+# ------------------------------------------------------------------ #
+
+C4_MIN_COUNT = 2      # a span occurring this often corpus-wide is deduped
+
+
+def c4_span_dedup(docs: DataFrame, min_count: int = C4_MIN_COUNT) -> DataFrame:
+    """(doc_id, n_spans, n_kept, clean_md5) — C4-style inter-document
+    span dedup at sentence granularity: any normalized span (``'. '``
+    split) occurring >= ``min_count`` times corpus-wide keeps ONLY its
+    globally-first occurrence (min ``(doc_id, pos)``); every other copy
+    is removed.  This differs from :func:`remove_boilerplate_lines`
+    exactly the way C4 differs from CCNet: C4 (Raffel et al. 2020,
+    §2.2 — "discard all but one of any three-sentence span occurring
+    more than once") preserves one copy so no content is lost
+    corpus-wide, where the CCNet boilerplate pass drops every copy.
+    ``clean_md5`` hashes the position-ordered surviving text — the
+    byte-stable per-doc invariant the driver can diff.
+
+    Plan (100 TB story): spans = one ``posexplode`` projection; the
+    winner per span key = ONE md5-keyed aggregate whose two measures
+    (``min(struct(doc_id, pos))`` and ``count``) are both map-side
+    combinable, so the span-key shuffle moves pre-reduced partials;
+    kept-marking joins spans back on the SAME key (AQE plans it as a
+    co-partitioned sort-merge join — the winner table is |distinct
+    spans|, far too big to broadcast at corpus scale, unlike the
+    power-law-tiny heavy list in the boilerplate pass); per-doc
+    reassembly is one doc_id-keyed aggregate with single-document
+    bounded state, and the md5 is a PROJECTION after the aggregate
+    (never inside it — ObjectHashAggregate guard)."""
+    spans = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\\. ")).alias("pos", "span"),
+        )
+        .filter(F.trim(F.col("span")) != "")
+        .withColumn("key", F.md5(F.lower(F.trim(F.col("span")))))
+    )
+    winners = spans.groupBy("key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    marked = spans.join(winners, "key").withColumn(
+        "keep",
+        (F.col("cnt") < min_count)
+        | (
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("pos") == F.col("w.pos"))
+        ),
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.struct("pos", "span")))
+        ).alias("arr"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(F.col("arr"), lambda s: s["span"]), ". "
+                    ),
+                    F.lit(""),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def c4_span_dedup_oracle(min_count: int = C4_MIN_COUNT) -> str:
+    return f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+spans AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS span,
+    md5(lower(trim(parts[i]))) AS key
+  FROM split, unnest(generate_series(1, len(parts))) AS u(i)
+  WHERE trim(parts[i]) <> ''),
+marked AS (
+  SELECT s.*,
+    count(*) OVER (PARTITION BY key) AS cnt,
+    row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM spans s),
+agg AS (
+  SELECT doc_id,
+    count(*) AS n_spans,
+    count(CASE WHEN cnt < {min_count} OR rn = 1 THEN 1 END) AS n_kept,
+    md5(coalesce(string_agg(
+      CASE WHEN cnt < {min_count} OR rn = 1 THEN span END,
+      '. ' ORDER BY pos), '')) AS clean_md5
+  FROM marked GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(a.n_spans, 0) AS n_spans,
+  coalesce(a.n_kept, 0) AS n_kept,
+  coalesce(a.clean_md5, md5('')) AS clean_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""

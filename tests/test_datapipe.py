@@ -1494,3 +1494,41 @@ def test_dbscan_roles_and_noise(spark):
     assert got[1][1] == "core" and got[1][0] == 0
     # everyone present sits in cluster 0
     assert {c for c, _ in got.values()} == {0}
+
+
+# ------------------------------------------------------------------ #
+# C4 keep-first span dedup
+# ------------------------------------------------------------------ #
+
+
+def test_c4_span_dedup_keeps_first_occurrence(spark):
+    """The duplicated span survives ONLY in its globally-first home
+    (min (doc_id, pos)); unique spans survive everywhere."""
+    rows = [
+        (0, "Shared sentence here. Unique alpha."),
+        (1, "Unique beta. Shared sentence here. Unique gamma."),
+        # both spans first occur in doc 0 (note: the FINAL span keeps its
+        # trailing '.', so it only matches doc 0's final span, not the
+        # mid-document "Unique alpha" — split semantics, same both sides)
+        (2, "Shared sentence here. Unique alpha."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.c4_span_dedup(df).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_kept"] == 2   # first copy kept
+    assert out[1]["n_spans"] == 3 and out[1]["n_kept"] == 2   # middle copy cut
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 0   # dup-only doc emptied
+    # clean text is hashed deterministically; emptied doc == md5("")
+    import hashlib
+    assert out[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_c4_span_dedup_vs_boilerplate_semantics(spark):
+    """Drop-all (CCNet) vs keep-one (C4): corpus-wide the C4 pass
+    retains exactly one copy of a heavy span, the sum over n_kept
+    differs by exactly the number of deduped distinct spans."""
+    rows = [(i, "Repeated span text. Doc %d body." % i) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.c4_span_dedup(df).collect()
+    total_kept = sum(r["n_kept"] for r in out)
+    # 4 unique bodies + exactly 1 surviving copy of the repeated span
+    assert total_kept == 5

@@ -821,3 +821,14 @@ def test_cdc_apply_single_shuffle_pair(spark):
     plan = _plan(T.cdc_apply(snap, chg))
     # winner agg + counts ride ONE aggregation (no window operator)
     assert "Window" not in plan or "WindowGroupLimit" in plan
+
+
+def test_c4_span_dedup_plan_equi_joins_only(docs):
+    """Keep-first span dedup must compile to hash/sort-merge equi-joins
+    (span-key winner join + doc_id reassembly join) — no cartesian, no
+    nested-loop, and the md5 of the reassembled text is a projection
+    after the aggregate, never inside it (no ObjectHashAggregate over
+    an md5 expression)."""
+    plan = _plan(dedup.c4_span_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
