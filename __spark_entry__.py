@@ -24,6 +24,7 @@ from orionbelt_ontology_builder_spark.datapipe import (
     multimodal,
     similarity,
     textstats,
+    tokenizer,
     urls,
 )
 from orionbelt_ontology_builder_spark.operators import (
@@ -3342,6 +3343,84 @@ def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align.fs_pair_scores(_fs_pairs(spark, sf_dir), _FS_FIELDS)
 
 
+def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE learning loop (3 rounds): word-frequency pass once,
+    then per-round pair aggregation + top-merge application — the
+    tokenizer-training job itself, upgrading ``bpe_merge_pairs``
+    (iteration-1 counts only) to the real iterative trainer."""
+    return tokenizer.bpe_merges(_docs(spark, sf_dir), rounds=3)
+
+
+def _q_char_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram conditional LM quality score per doc — the
+    char-level CCNet-style filter that catches encoding junk and
+    gibberish word-level LMs miss (every junk word is just one unseen
+    unigram; its characters are many improbable trigrams)."""
+    return textstats.char_trigram_logprob(_docs(spark, sf_dir))
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar-family link prediction on the tri-partite lineitem
+    slice: unlinked node pairs ranked by shared-neighbour evidence —
+    the graph-completion twin of graph_neighbor_jaccard (same
+    hub-capped wedge machinery; finds nodes that should be CONNECTED
+    rather than nodes that should be the SAME)."""
+    return graphstats.link_prediction(
+        relational.induce_lineitem_edges(spark, sf_dir)
+    )
+
+
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned 3-merge BPE vocabulary applied back to the corpus:
+    per-doc subword counts + fertility (n_subwords/n_words) — encoding
+    is a Heaps-bounded vocab projection broadcast-joined to the token
+    stream, never a per-row re-symbolization."""
+    return tokenizer.bpe_encode_stats(_docs(spark, sf_dir), rounds=3)
+
+
+def _q_dedup_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH near-dup pairs (Charikar 2002) —
+    the data-independent complement of the IVF path (no centroids to
+    fit, works on a cold first crawl); hyperplanes are Python-side
+    constants so both engines hash with literally the same planes.
+    Fixture regime: the planted near-dups sit at cos 0.42-0.51 (theta
+    ~60deg, per-bit agreement ~0.66), so 4 bits x 4 tables gives ~57%
+    per-pair recall — real SRP deployments at cos >= 0.9 would run the
+    12-bit default."""
+    return similarity.srp_lsh_pairs(
+        _embs(spark, sf_dir), dim=EMB_DIM, n_bits=4, n_tables=4
+    )
+
+
+def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jegou 2011): the
+    billion-vector serving scan — corpus contributes only its code
+    table, the per-query LUT broadcasts, and the scan is one equi-join
+    + one keyed agg with a fixed-tree per-sub sum (no float sum() whose
+    partition order could flip last-ulp ranks)."""
+    return similarity.pq_adc_topk(_embs(spark, sf_dir), dim=EMB_DIM)
+
+
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: hash-bucket assignment keyed
+    on the near-dup CLUSTER representative so a doc and its near-copy
+    can never straddle train/test (the contamination mode plain
+    id-hash splitting leaks); singletons get bit-identical assignments
+    to corpus_split at the same salt."""
+    return curation.leakage_safe_split(_docs(spark, sf_dir))
+
+
+_FD_COLS = ["c_custkey", "c_mktsegment", "c_nationkey"]
+
+
+def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact functional-dependency discovery over customer columns
+    (key column determines everything; nationkey/mktsegment mutually
+    independent) — the within-table companion of fk_discovery's
+    cross-table inclusion dependencies."""
+    return profiling.fd_discovery(_tbl(spark, sf_dir, "customer"), _FD_COLS)
+
+
 #: queries that touch sf-scale parquet / synthesized corpora — these
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
@@ -3407,6 +3486,9 @@ _SF_SCALE = {
     "top_eigenvector", "ewma_events", "wl_colors",
     "mirror_sources", "join_advisor", "source_robust_quality",
     "bm25_search", "dbscan_clusters", "resolve_redirects",
+    "bpe_train_merges", "char_trigram_lm", "link_prediction",
+    "fd_discovery", "bpe_fertility", "dedup_srp_pairs",
+    "leakage_safe_split", "pq_adc_topk",
 }
 
 
@@ -3758,6 +3840,14 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "dbscan_clusters": _q_dbscan_clusters,
         "resolve_redirects": _q_resolve_redirects,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "char_trigram_lm": _q_char_trigram_lm,
+        "link_prediction": _q_link_prediction,
+        "fd_discovery": _q_fd_discovery,
+        "bpe_fertility": _q_bpe_fertility,
+        "dedup_srp_pairs": _q_dedup_srp_pairs,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "pq_adc_topk": _q_pq_adc_topk,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6067,5 +6157,18 @@ UNION ALL
 SELECT src, pred_name, obj_id, obj_label, obj_kind, 1 AS is_new
 FROM new_nodes WHERE obj_id IN (SELECT obj_id FROM kept_ids)
 """
+
+    sql["bpe_train_merges"] = tokenizer.bpe_merges_oracle(rounds=3)
+    sql["char_trigram_lm"] = textstats.char_trigram_logprob_oracle()
+    sql["link_prediction"] = graphstats.link_prediction_sql(
+        relational.lineitem_edges_sql()
+    )
+    sql["fd_discovery"] = profiling.fd_discovery_sql("customer", _FD_COLS)
+    sql["bpe_fertility"] = tokenizer.bpe_encode_stats_oracle(rounds=3)
+    sql["dedup_srp_pairs"] = similarity.srp_lsh_pairs_oracle(
+        dim=EMB_DIM, n_bits=4, n_tables=4
+    )
+    sql["leakage_safe_split"] = curation.leakage_safe_split_oracle()
+    sql["pq_adc_topk"] = similarity.pq_adc_topk_oracle(dim=EMB_DIM)
 
     return sql

@@ -281,6 +281,14 @@ def main() -> None:
         "bm25_search",
         "dbscan_clusters",
         "resolve_redirects",
+        "bpe_train_merges",
+        "char_trigram_lm",
+        "link_prediction",
+        "fd_discovery",
+        "bpe_fertility",
+        "dedup_srp_pairs",
+        "leakage_safe_split",
+        "pq_adc_topk",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

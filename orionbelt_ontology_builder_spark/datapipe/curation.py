@@ -1256,3 +1256,95 @@ WHERE t.lang <> '{target_lang}'
 GROUP BY t.doc_id, t.lang, t.source
 ORDER BY avg_log_ratio DESC, t.doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------------------ #
+# leakage-safe (dedup-aware) corpus splitting
+# ------------------------------------------------------------------ #
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    jaccard_threshold: float = 0.5,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """(doc_id, source, split_key, bucket, split) — the dedup-aware
+    upgrade of :func:`split_corpus`: hash-bucket assignment keyed on
+    the NEAR-DUP CLUSTER representative instead of the doc id, so every
+    member of a near-duplicate cluster lands in the same split.  Plain
+    id-hash splitting leaks: a doc and its near-copy straddle
+    train/test and the eval measures memorization (the
+    train-test-contamination failure mode dedup exists to prevent —
+    Lee et al. 2022, public literature).
+
+    Plan: the canonical map (``dedup_clusters`` — LSH candidates,
+    exact verify, O(log n) connected components) is O(dup-involved
+    docs); a LEFT join attaches it to the corpus (absent -> the doc is
+    its own key), then the split is the same salted-md5 narrow
+    projection as split_corpus.  Singleton docs get bit-identical
+    assignments to split_corpus at the same salt."""
+    from .dedup import dedup_clusters
+
+    cl = dedup_clusters(docs, jaccard_threshold).select(
+        "doc_id", "keeper_doc_id"
+    )
+    keyed = docs.join(cl, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("keeper_doc_id"), F.col("doc_id")).alias(
+            "split_key"
+        ),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.col("split_key").cast("string"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return keyed.select(
+        "doc_id",
+        "source",
+        "split_key",
+        bucket.alias("bucket"),
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def leakage_safe_split_oracle(
+    val_pct: int = 5,
+    test_pct: int = 5,
+    jaccard_threshold: float = 0.5,
+    salt: str = SPLIT_SALT,
+) -> str:
+    from .dedup import clusters_ctes_sql
+
+    return f"""
+WITH RECURSIVE {clusters_ctes_sql(jaccard_threshold)},
+keyed AS (
+  SELECT d.doc_id, d.source,
+         coalesce(cc.keeper_doc_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+b AS (
+  SELECT *,
+    ('0x' || substr(md5('{salt}' || split_key), 1, 4))::BIGINT % 100
+      AS bucket
+  FROM keyed)
+SELECT doc_id, source, split_key, bucket,
+  CASE WHEN bucket < {test_pct} THEN 'test'
+       WHEN bucket < {test_pct} + {val_pct} THEN 'val'
+       ELSE 'train' END AS split
+FROM b ORDER BY doc_id
+"""

@@ -322,11 +322,14 @@ def dedup_clusters(
     )
 
 
-def dedup_clusters_oracle(
+def clusters_ctes_sql(
     jaccard_threshold: float = 0.5, max_bucket: int = MAX_BUCKET
 ) -> str:
-    return f"""
-WITH RECURSIVE {_pairs_cte_sql(max_bucket)},
+    """CTE chain ending in ``cc(doc_id, keeper_doc_id)`` — the shared
+    canonical-map fragment (needs a ``WITH RECURSIVE`` prefix).
+    Consumers: :func:`dedup_clusters_oracle` and curation's
+    leakage-safe split oracle."""
+    return f"""{_pairs_cte_sql(max_bucket)},
 pairs AS (
   SELECT doc_a, doc_b FROM verified WHERE jaccard >= {jaccard_threshold}),
 sym AS (
@@ -337,7 +340,14 @@ reach(n, m) AS (
   SELECT n, n FROM pnodes
   UNION
   SELECT r.n, s.v FROM reach r JOIN sym s ON r.m = s.u),
-cc AS (SELECT n AS doc_id, min(m) AS keeper_doc_id FROM reach GROUP BY n),
+cc AS (SELECT n AS doc_id, min(m) AS keeper_doc_id FROM reach GROUP BY n)"""
+
+
+def dedup_clusters_oracle(
+    jaccard_threshold: float = 0.5, max_bucket: int = MAX_BUCKET
+) -> str:
+    return f"""
+WITH RECURSIVE {clusters_ctes_sql(jaccard_threshold, max_bucket)},
 sizes AS (
   SELECT keeper_doc_id, count(*) AS cluster_size FROM cc GROUP BY 1)
 SELECT cc.doc_id, cc.keeper_doc_id, sizes.cluster_size

@@ -895,39 +895,25 @@ PQ_M = 4    # subspaces (dim / PQ_M dims each)
 PQ_K = 16   # centroids per subspace (4-bit codes)
 
 
-def pq_codes(
-    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K, dim: int = 64
-) -> DataFrame:
-    """(vec_id, code_0..code_{m-1}, mse) — product-quantization code
-    assignment: the embedding splits into ``m`` contiguous subvectors,
-    each assigned to its nearest of ``k`` per-subspace centroids (IVF's
-    fine-quantization sibling; with m=4, k=16 a 64-dim float vector
-    compresses 256 B -> 2 B, the memory step that makes billion-vector
-    ANN serving feasible).  ``mse`` is the per-vector reconstruction
-    error implied by the assignment (sum of subspace residuals / dim)
-    — the quality gate for choosing (m, k).
-
-    Codebook: the oracle-paired deterministic evenly-strided sample
-    (same contract as :func:`strided_centroids`; production swaps in
-    per-subspace k-means, assignment plan unchanged).  Scale shape:
-    the codebook (m*k rows of dim/m floats) broadcasts; each vector
-    explodes into m subvector rows with *static* slice offsets, joins
-    the codebook on the subspace id (fan-out k), and reduces by ONE
-    aggregation with map-side partials — argmin as min over
-    (dist_sq, centroid) structs, deterministic tie-break, no window
-    shuffle.  Distances use the shared dot-product fold (module note:
-    folds win in join-stage projections) via
-    ``|a-b|^2 = a.a + b.b - 2 a.b`` with every term the same fold in
-    both engines, so values are bit-identical."""
+def _pq_slices(m: int, dim: int):
     sub_dim = dim // m
-    n = embeddings.count()
-    stride = max(1, n // k)
-    slices = F.array(
+    return F.array(
         *[
             F.expr(f"slice(embedding, {i * sub_dim + 1}, {sub_dim})")
             for i in range(m)
         ]
     )
+
+
+def _pq_assign(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K, dim: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ machinery: (codebook ``(cid, sub, c_emb, c_nn)``,
+    assignment ``(vec_id, sub, b=struct(dist_sq, cid))``).  See
+    :func:`pq_codes` for the plan-shape discussion."""
+    n = embeddings.count()
+    stride = max(1, n // k)
+    slices = _pq_slices(m, dim)
     cents = (
         embeddings.filter(
             (F.col("vec_id") % stride == 0)
@@ -955,6 +941,34 @@ def pq_codes(
     best = cand.groupBy("vec_id", "sub").agg(
         F.min(F.struct("dist_sq", "cid")).alias("b")
     )
+    return cents, best
+
+
+def pq_codes(
+    embeddings: DataFrame, m: int = PQ_M, k: int = PQ_K, dim: int = 64
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}, mse) — product-quantization code
+    assignment: the embedding splits into ``m`` contiguous subvectors,
+    each assigned to its nearest of ``k`` per-subspace centroids (IVF's
+    fine-quantization sibling; with m=4, k=16 a 64-dim float vector
+    compresses 256 B -> 2 B, the memory step that makes billion-vector
+    ANN serving feasible).  ``mse`` is the per-vector reconstruction
+    error implied by the assignment (sum of subspace residuals / dim)
+    — the quality gate for choosing (m, k).
+
+    Codebook: the oracle-paired deterministic evenly-strided sample
+    (same contract as :func:`strided_centroids`; production swaps in
+    per-subspace k-means, assignment plan unchanged).  Scale shape:
+    the codebook (m*k rows of dim/m floats) broadcasts; each vector
+    explodes into m subvector rows with *static* slice offsets, joins
+    the codebook on the subspace id (fan-out k), and reduces by ONE
+    aggregation with map-side partials — argmin as min over
+    (dist_sq, centroid) structs, deterministic tie-break, no window
+    shuffle.  Distances use the shared dot-product fold (module note:
+    folds win in join-stage projections) via
+    ``|a-b|^2 = a.a + b.b - 2 a.b`` with every term the same fold in
+    both engines, so values are bit-identical."""
+    _cents, best = _pq_assign(embeddings, m, k, dim)
     return (
         best.groupBy("vec_id")
         .agg(
@@ -970,17 +984,12 @@ def pq_codes(
     )
 
 
-def pq_codes_oracle(m: int = PQ_M, k: int = PQ_K, dim: int = 64) -> str:
-    """DuckDB twin of :func:`pq_codes` — identical strided codebook,
-    identical dot-product algebra, identical (dist_sq, cid) struct-min
-    tie-break."""
+def _pq_ctes(m: int = PQ_M, k: int = PQ_K, dim: int = 64) -> str:
+    """Shared DuckDB CTE chain ending in ``best(vec_id, sub, b)`` and
+    ``cn(cid, sub, c_emb, c_nn)`` — the oracle twin of
+    :func:`_pq_assign`."""
     sub_dim = dim // m
-    code_cols = ",\n  ".join(
-        f"min(CASE WHEN sub = {i} THEN (b).c END) AS code_{i}"
-        for i in range(m)
-    )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 n_cte AS (SELECT count(*) AS n FROM e),
 s_cte AS (SELECT greatest(1, CAST(n // {k} AS INT)) AS stride FROM n_cte),
 subs AS (SELECT CAST(range AS INT) AS sub FROM range({m})),
@@ -1005,7 +1014,19 @@ cand AS (
   FROM vn JOIN cn ON vn.sub = cn.sub),
 best AS (
   SELECT vec_id, sub, min({{'d': dist_sq, 'c': cid}}) AS b
-  FROM cand GROUP BY vec_id, sub)
+  FROM cand GROUP BY vec_id, sub)"""
+
+
+def pq_codes_oracle(m: int = PQ_M, k: int = PQ_K, dim: int = 64) -> str:
+    """DuckDB twin of :func:`pq_codes` — identical strided codebook,
+    identical dot-product algebra, identical (dist_sq, cid) struct-min
+    tie-break."""
+    code_cols = ",\n  ".join(
+        f"min(CASE WHEN sub = {i} THEN (b).c END) AS code_{i}"
+        for i in range(m)
+    )
+    return f"""
+WITH {_pq_ctes(m, k, dim)}
 SELECT vec_id,
   {code_cols},
   sum((b).d) / {dim} AS mse
@@ -1435,4 +1456,287 @@ SELECT node AS vec_id, cluster, 'core' AS role FROM core_lab
 UNION ALL
 SELECT node, cluster, 'border' FROM border
 ORDER BY vec_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Signed-random-projection (SRP) LSH for cosine
+# ------------------------------------------------------------------ #
+
+#: SRP defaults: 2 tables x 12 bits.  P[bit agrees] = 1 - theta/pi, so
+#: a cos 0.42 pair (theta ~ 65deg) agrees on a full 12-bit key with
+#: p ~ 0.64^12 per table — defaults tuned for the near-dup regime
+#: (cos >= 0.9, p ~ 0.9^12 ~ 0.28/table, ~0.48 with 2 tables) where
+#: SRP is actually used; the exact cosine verify keeps precision 1.0.
+SRP_BITS = 12
+SRP_TABLES = 2
+
+
+def _srp_sign(table: int, bit: int, d: int) -> int:
+    """Deterministic Rademacher(+-1) hyperplane component from md5 —
+    pure Python constants, so Spark and DuckDB see literally the same
+    hyperplanes (no engine hashing involved)."""
+    import hashlib
+
+    h = hashlib.md5(f"srp:{table}:{bit}:{d}".encode()).hexdigest()
+    return 1 if h[0] in "01234567" else -1
+
+
+def _srp_bucket_expr(
+    table: int, emb: str, dim: int, elem: str, n_bits: int = SRP_BITS
+) -> str:
+    """SQL for one table's bucket key: concat of sign bits of
+    hyperplane dot products.  Left-to-right +- accumulation with each
+    element cast to double — bit-identical across engines (the
+    ``dot_expr`` determinism argument)."""
+    bits = []
+    for b in range(n_bits):
+        terms = []
+        for d in range(1, dim + 1):
+            s = "+" if _srp_sign(table, b, d) > 0 else "-"
+            terms.append(f"{s} CAST({elem.format(a=emb, i=d)} AS DOUBLE)")
+        dot = " ".join(terms)
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def srp_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    dim: int = 64,
+    max_bucket: int = 50,
+    n_bits: int = SRP_BITS,
+    n_tables: int = SRP_TABLES,
+) -> DataFrame:
+    """(id_a, id_b, cos): near-dup pairs found via signed-random-
+    projection LSH (Charikar 2002, public literature) — vectors sharing
+    a full sign-bit key in ANY of ``SRP_TABLES`` hash tables are
+    candidates; exact cosine verifies.  The data-independent
+    complement of ``ivf_cosine_pairs``: no centroids to fit or refresh,
+    so it works on a cold stream (first crawl of a new corpus) where
+    IVF has nothing to train on, at the cost of recall tuning via
+    bits/tables instead of nprobe.
+
+    Plan: signatures are pure codegen projections (hyperplane signs are
+    Python-side constants — every engine sees identical literals);
+    candidates come from per-(table, bucket) self-joins with the
+    aggregate + broadcast-anti-join hot-bucket guard (never a window);
+    the exact cosine runs once per distinct candidate pair."""
+    e = _with_norm(embeddings, dim)
+    sig = embeddings.select(
+        "vec_id",
+        *[
+            F.expr(
+                _srp_bucket_expr(
+                    t, "embedding", dim, "element_at({a}, {i})", n_bits
+                )
+            ).alias(f"t{t}")
+            for t in range(n_tables)
+        ],
+    )
+    long = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"t{t}") for t in range(n_tables)])
+        ).alias("tbl", "bucket"),
+    )
+    over = (
+        long.groupBy("tbl", "bucket")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("tbl", "bucket")
+    )
+    kept = long.join(F.broadcast(over), ["tbl", "bucket"], "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn(
+            "cos",
+            F.expr(dot_expr("emb_a", "emb_b", dim))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def srp_lsh_pairs_oracle(
+    threshold: float = 0.42,
+    dim: int = 64,
+    max_bucket: int = 50,
+    n_bits: int = SRP_BITS,
+    n_tables: int = SRP_TABLES,
+) -> str:
+    """DuckDB twin: identical hyperplane literals, bucket grammar, hot-
+    bucket guard and exact-cosine verify."""
+    tables = ",\n    ".join(
+        _srp_bucket_expr(t, "emb", dim, "{a}[{i}]", n_bits) + f" AS t{t}"
+        for t in range(n_tables)
+    )
+    per_tbl = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, t{t} AS bucket FROM sig"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings),
+sig AS MATERIALIZED (
+  SELECT vec_id,
+    {tables}
+  FROM e),
+long AS MATERIALIZED (
+  {per_tbl}),
+over_cap AS (
+  SELECT tbl, bucket FROM long GROUP BY tbl, bucket
+  HAVING count(*) > {max_bucket}),
+kept AS MATERIALIZED (
+  SELECT l.* FROM long l LEFT JOIN over_cap o USING (tbl, bucket)
+  WHERE o.tbl IS NULL),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+  list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) AS cos
+FROM cand c
+JOIN e ea ON c.id_a = ea.vec_id
+JOIN e eb ON c.id_b = eb.vec_id
+WHERE list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) >= {threshold}
+ORDER BY c.id_a, c.id_b
+"""
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist) — approximate top-k by
+    asymmetric distance computation (Jégou et al. 2011, public
+    literature): per query, squared-L2 distances to every corpus vector
+    are APPROXIMATED from its PQ codes via a per-query lookup table —
+    ``adist(q, v) = Σ_sub |q_sub - codebook[sub][code(v, sub)]|²``,
+    exactly the distance from ``q`` to the PQ *reconstruction* of ``v``
+    (the defining ADC identity, pinned by the tests).
+
+    This is THE serving-scan shape for billion-vector ANN: the corpus
+    contributes only its (vec_id, sub, code) table (2 bits-ish per
+    dim), the query-side LUT is n_queries * m * kc small and
+    BROADCASTS, and the scan is one equi-join + one keyed aggregation —
+    no full-precision corpus vector is touched at query time.  The
+    per-pair sum uses a FIXED per-sub conditional-min expression tree
+    (never a float ``sum()`` whose partition order could flip last-ulp
+    ranks across engines).  Ties break on neighbor_id ascending."""
+    cents, best = _pq_assign(embeddings, m, kc, dim)
+    codes = best.select("vec_id", "sub", F.col("b.cid").alias("cid"))
+    slices = _pq_slices(m, dim)
+    q_subs = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(slices).alias("sub", "q_emb"),
+        )
+        .withColumn("q_nn", F.expr(dot_expr("q_emb", "q_emb")))
+    )
+    lut = q_subs.join(F.broadcast(cents), "sub").select(
+        "query_id",
+        "sub",
+        "cid",
+        (
+            F.col("c_nn")
+            + F.col("q_nn")
+            - 2 * F.expr(dot_expr("c_emb", "q_emb"))
+        ).alias("d"),
+    )
+    adist = None
+    for i in range(m):
+        t = F.min(F.when(F.col("sub") == i, F.col("d")))
+        adist = t if adist is None else adist + t
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(adist.alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            "adist",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_adc_topk_oracle(
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = PQ_M,
+    kc: int = PQ_K,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin: identical codebook/assignment CTEs, identical LUT
+    algebra, identical fixed-tree per-sub sum and tie-break."""
+    adist = " + ".join(
+        f"min(CASE WHEN sub = {i} THEN d END)" for i in range(m)
+    )
+    return f"""
+WITH {_pq_ctes(m, kc, dim)},
+qs AS (
+  SELECT vec_id AS query_id, sub, s_emb AS q_emb, v_nn AS q_nn
+  FROM vn WHERE vec_id < {n_queries}),
+lut AS (
+  SELECT query_id, qs.sub, cid,
+         c_nn + q_nn - 2 * list_dot_product(c_emb, q_emb) AS d
+  FROM qs JOIN cn ON qs.sub = cn.sub),
+codes AS (SELECT vec_id, sub, (b).c AS cid FROM best),
+joined AS (
+  SELECT query_id, vec_id, l.sub, d
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.cid = l.cid
+  WHERE vec_id <> query_id),
+approx AS (
+  SELECT query_id, vec_id, {adist} AS adist
+  FROM joined GROUP BY query_id, vec_id),
+ranked AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM approx)
+SELECT query_id, vec_id AS neighbor_id, rank, adist
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """

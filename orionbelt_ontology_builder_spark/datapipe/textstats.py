@@ -1947,3 +1947,110 @@ CROSS JOIN stats s
 GROUP BY h.doc_id
 ORDER BY h.doc_id
 """
+
+
+# ------------------------------------------------------------------ #
+# Character-trigram language-model scoring (CCNet-style quality)
+# ------------------------------------------------------------------ #
+
+#: doc-local char trigram list over the normalized text (space is a
+#: real symbol: it carries word-boundary signal exactly as in char-LM
+#: literature); NULL for docs shorter than 3 chars.
+_TRI_EXPR = (
+    "CASE WHEN length(norm) >= 3 THEN "
+    "transform(sequence(1, length(norm) - 2), "
+    "i -> substring(norm, i, 3)) END"
+)
+
+
+def char_trigram_logprob(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """(doc_id, n_trigrams, mean_logprob) — mean natural-log probability
+    of each document's character trigrams under the corpus's own
+    Lidstone-smoothed conditional model::
+
+        p(c | ab) = (c3(abc) + alpha) / (c2(ab) + alpha * (V + 1))
+
+    with ``V`` = corpus character-vocabulary size and the ``+1``
+    reserving unseen mass.  This is the *context-conditional* upgrade of
+    ``unigram_logprob`` — the actual shape of the CCNet/RefinedWeb
+    LM-perplexity quality filter (Wenzek et al. 2020, public
+    literature): gibberish scores far below the corpus mean, degenerate
+    repetition far above.
+
+    Scale shape: ONE corpus trigram explode feeds (a) the trigram count
+    table and (b) per-doc distinct-trigram weights; both model tables
+    are char-vocab-bounded (<= V^3 rows regardless of corpus size), so
+    the scoring joins broadcast.  The bigram-context table derives from
+    the trigram table by prefix aggregation — no second corpus pass.
+    Model constants (V) ride a 1-row broadcast.
+    """
+    tri = (
+        docs.withColumn("norm", norm_col())
+        .select("doc_id", F.explode(F.expr(_TRI_EXPR)).alias("tri"))
+    )
+    # per-doc trigram multiplicities: scoring joins run on distinct
+    # (doc, tri) pairs, not every occurrence
+    dtri = tri.groupBy("doc_id", "tri").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c3 = dtri.groupBy("tri").agg(F.sum("n").alias("c3")).persist()
+    c2 = (
+        c3.groupBy(F.substring("tri", 1, 2).alias("big"))
+        .agg(F.sum("c3").alias("c2"))
+    )
+    vsize = (
+        c3.select(F.explode(F.split("tri", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .agg(F.countDistinct("ch").alias("v"))
+    )
+    logp = F.log(
+        (F.col("c3") + F.lit(alpha))
+        / (F.col("c2") + F.lit(alpha) * (F.col("v") + F.lit(1.0)))
+    )
+    return (
+        dtri.join(F.broadcast(c3), "tri")
+        .join(
+            F.broadcast(c2),
+            F.substring("tri", 1, 2) == F.col("big"),
+        )
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_trigrams"),
+            (F.sum(F.col("n") * logp) / F.sum("n")).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def char_trigram_logprob_oracle(alpha: float = 0.5) -> str:
+    """DuckDB twin: same explode (correlated lateral generate_series),
+    same count tables, same smoothing arithmetic."""
+    return f"""
+WITH nrm AS (SELECT doc_id, {norm_sql()} AS norm FROM documents),
+tri AS MATERIALIZED (
+  SELECT doc_id, substring(norm, i, 3) AS tri
+  FROM nrm, unnest(generate_series(1, len(norm) - 2)) AS u(i)
+  WHERE len(norm) >= 3),
+dtri AS MATERIALIZED (
+  SELECT doc_id, tri, count(*)::BIGINT AS n FROM tri
+  GROUP BY doc_id, tri),
+c3 AS MATERIALIZED (
+  SELECT tri, sum(n)::BIGINT AS c3 FROM dtri GROUP BY tri),
+c2 AS MATERIALIZED (
+  SELECT substring(tri, 1, 2) AS big, sum(c3)::BIGINT AS c2
+  FROM c3 GROUP BY 1),
+vs AS (
+  SELECT count(DISTINCT ch)::BIGINT AS v
+  FROM (SELECT unnest(string_split_regex(tri, '')) AS ch FROM c3)
+  WHERE ch <> '')
+SELECT d.doc_id, sum(d.n)::BIGINT AS n_trigrams,
+  sum(d.n * ln((c3.c3 + {alpha}) / (c2.c2 + {alpha} * (vs.v + 1.0))))
+    / sum(d.n) AS mean_logprob
+FROM dtri d
+JOIN c3 ON d.tri = c3.tri
+JOIN c2 ON substring(d.tri, 1, 2) = c2.big
+CROSS JOIN vs
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""

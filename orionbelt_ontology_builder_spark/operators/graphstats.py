@@ -1913,3 +1913,166 @@ c0 AS MATERIALIZED (SELECT DISTINCT node, '0' AS color FROM adj),
 {",".join(rounds)}
 SELECT node, color FROM {prev} ORDER BY node
 """
+
+
+# --------------------------------------------------------------------- #
+# link prediction (Adamic-Adar family)
+# --------------------------------------------------------------------- #
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_shared: int = 2,
+    hub_cap: int = 50,
+) -> DataFrame:
+    """(node_a, node_b, common_neighbors, adamic_adar, resource_alloc,
+    pref_attach) — the classical link-prediction heuristics (Liben-
+    Nowell & Kleinberg 2003; Adamic & Adar 2003; Zhou et al. 2009,
+    public literature) for *unlinked* node pairs sharing >=
+    ``min_shared`` common neighbours in the undirected simple graph:
+
+    * ``common_neighbors`` = |N(a) ∩ N(b)|
+    * ``adamic_adar``      = Σ_w 1/ln(deg(w))   (only deg(w) >= 2 terms)
+    * ``resource_alloc``   = Σ_w 1/deg(w)
+    * ``pref_attach``      = deg(a) * deg(b)
+
+    In the KG this ranks missing-edge candidates — which canonical
+    entities the extraction pipeline *should* have related but didn't —
+    the graph-completion twin of ``neighbor_jaccard``'s alias detector
+    (that one finds nodes that should be the SAME; this finds nodes
+    that should be CONNECTED).
+
+    Plan: identical wedge machinery to ``neighbor_jaccard`` — hub
+    neighbours (degree > ``hub_cap``) are dropped BEFORE the wedge
+    self-join so per-key fan-out is bounded, all degrees are over the
+    filtered neighbour table (internally consistent), the wedge carries
+    the shared neighbour ``w`` so its degree joins by broadcast, and
+    already-present edges leave via one anti-join.  At 100 TB the wedge
+    join is the only super-linear stage, capped at ``hub_cap**2`` per
+    key."""
+    und = _und(edges)
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    hubs = (
+        nbr.groupBy("nbr")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") > hub_cap)
+        .select("nbr")
+    )
+    filt = nbr.join(F.broadcast(hubs), "nbr", "left_anti").localCheckpoint(
+        eager=True
+    )
+    deg = filt.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    x, y = filt.alias("x"), filt.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.nbr") == F.col("y.nbr"))
+        & (F.col("x.node") < F.col("y.node")),
+    ).select(
+        F.col("x.node").alias("node_a"),
+        F.col("y.node").alias("node_b"),
+        F.col("x.nbr").alias("w"),
+    )
+    degw = deg.select(F.col("node").alias("w"), F.col("deg").alias("deg_w"))
+    scored = (
+        wedges.join(F.broadcast(degw), "w", "left")
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(
+                F.when(
+                    F.col("deg_w") >= 2,
+                    F.lit(1.0) / F.log(F.col("deg_w").cast("double")),
+                ).otherwise(0.0)
+            ).alias("adamic_adar"),
+            F.sum(
+                F.when(
+                    F.col("deg_w") >= 1,
+                    F.lit(1.0) / F.col("deg_w").cast("double"),
+                ).otherwise(0.0)
+            ).alias("resource_alloc"),
+        )
+        .filter(F.col("common_neighbors") >= min_shared)
+    )
+    # predict NEW links only: drop pairs already adjacent
+    novel = scored.join(
+        und,
+        (F.col("node_a") == F.col("a")) & (F.col("node_b") == F.col("b")),
+        "left_anti",
+    )
+    return (
+        novel.join(
+            F.broadcast(
+                deg.select(
+                    F.col("node").alias("node_a"), F.col("deg").alias("deg_a")
+                )
+            ),
+            "node_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("node").alias("node_b"), F.col("deg").alias("deg_b")
+                )
+            ),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            "adamic_adar",
+            "resource_alloc",
+            (F.col("deg_a") * F.col("deg_b"))
+            .cast("long")
+            .alias("pref_attach"),
+        )
+        .orderBy("node_a", "node_b")
+    )
+
+
+def link_prediction_sql(
+    edges_cte: str, min_shared: int = 2, hub_cap: int = 50
+) -> str:
+    """DuckDB twin; ``edges_cte`` must define ``edges(src, dst)``."""
+    return f"""
+WITH {edges_cte.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+nbr AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und),
+hubs AS (
+  SELECT nbr FROM nbr GROUP BY nbr HAVING count(*) > {hub_cap}),
+filt AS MATERIALIZED (
+  SELECT n.node, n.nbr FROM nbr n LEFT JOIN hubs h USING (nbr)
+  WHERE h.nbr IS NULL),
+deg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS deg FROM filt GROUP BY node),
+wedges AS (
+  SELECT x.node AS node_a, y.node AS node_b, x.nbr AS w
+  FROM filt x JOIN filt y ON x.nbr = y.nbr AND x.node < y.node),
+scored AS (
+  SELECT node_a, node_b, count(*)::BIGINT AS common_neighbors,
+    sum(CASE WHEN d.deg >= 2 THEN 1.0 / ln(d.deg::DOUBLE) ELSE 0.0 END)
+      AS adamic_adar,
+    sum(CASE WHEN d.deg >= 1 THEN 1.0 / d.deg::DOUBLE ELSE 0.0 END)
+      AS resource_alloc
+  FROM wedges LEFT JOIN deg d ON wedges.w = d.node
+  GROUP BY node_a, node_b
+  HAVING count(*) >= {min_shared})
+SELECT s.node_a, s.node_b, s.common_neighbors, s.adamic_adar,
+  s.resource_alloc, (da.deg * db.deg)::BIGINT AS pref_attach
+FROM scored s
+LEFT JOIN und u ON s.node_a = u.a AND s.node_b = u.b
+JOIN deg da ON s.node_a = da.node
+JOIN deg db ON s.node_b = db.node
+WHERE u.a IS NULL
+ORDER BY s.node_a, s.node_b
+"""

@@ -916,3 +916,84 @@ SELECT est.*,
        ELSE 1 END AS salt_n
 FROM est
 """
+
+
+# --------------------------------------------------------------------- #
+# functional-dependency discovery
+# --------------------------------------------------------------------- #
+
+
+def fd_discovery(df: DataFrame, columns: list[str]) -> DataFrame:
+    """(determinant, dependent, n_groups, n_violating_groups, holds) —
+    exact single-column functional-dependency check for every ordered
+    column pair: ``A -> B`` holds iff no value of ``A`` co-occurs with
+    two distinct values of ``B`` (Huhtala et al. 1999 TANE / Metanome
+    family, public literature).  The schema-inference companion to
+    ``fk_discovery`` (inclusion dependencies): INDs find join keys
+    *across* tables, FDs find keys and derived columns *within* one.
+
+    Plan: one ``groupBy(A)`` aggregation per determinant computing
+    ``count(DISTINCT B)`` for all other columns at once, then a 1-row
+    rollup counting violating groups — c shuffles for c columns, each
+    with map-side partial aggregation, output size c*(c-1) rows.  NULL
+    counts as a regular value (two NULLs don't violate; NULL vs value
+    does), implemented as coalesce to a sentinel so Spark and DuckDB
+    agree on distinct-count-over-NULL semantics."""
+    sent = " <null>"
+    out = None
+    for a in columns:
+        others = [b for b in columns if b != a]
+        grouped = df.groupBy(a).agg(
+            *[
+                F.countDistinct(
+                    F.coalesce(F.col(b).cast("string"), F.lit(sent))
+                ).alias(b)
+                for b in others
+            ]
+        )
+        rollup = grouped.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            *[
+                F.sum((F.col(b) > 1).cast("long")).alias(b)
+                for b in others
+            ],
+        )
+        stack = ", ".join(f"'{b}', {b}" for b in others)
+        part = rollup.select(
+            F.lit(a).alias("determinant"),
+            F.expr(
+                f"stack({len(others)}, {stack}) AS (dependent, nv)"
+            ),
+            "n_groups",
+        ).select(
+            "determinant",
+            F.col("dependent"),
+            "n_groups",
+            F.col("nv").alias("n_violating_groups"),
+            (F.col("nv") == 0).alias("holds"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("determinant", "dependent")
+
+
+def fd_discovery_sql(table: str, columns: list[str]) -> str:
+    """DuckDB twin: same per-determinant grouped distinct counts,
+    unioned.  The NULL sentinel matches the Spark side exactly."""
+    sent = " <null>"
+    parts = []
+    for a in columns:
+        others = [b for b in columns if b != a]
+        distincts = ", ".join(
+            f"count(DISTINCT coalesce({b}::VARCHAR, '{sent}')) AS {b}"
+            for b in others
+        )
+        for b in others:
+            parts.append(
+                f"""SELECT '{a}' AS determinant, '{b}' AS dependent,
+  count(*)::BIGINT AS n_groups,
+  sum(CASE WHEN {b} > 1 THEN 1 ELSE 0 END)::BIGINT
+    AS n_violating_groups,
+  sum(CASE WHEN {b} > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {a}, {distincts} FROM {table} GROUP BY {a})"""
+            )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY determinant, dependent"

@@ -1532,3 +1532,204 @@ def test_c4_span_dedup_vs_boilerplate_semantics(spark):
     total_kept = sum(r["n_kept"] for r in out)
     # 4 unique bodies + exactly 1 surviving copy of the repeated span
     assert total_kept == 5
+
+
+# ------------------------------------------------------------------ #
+# BPE merge training + char-trigram LM
+# ------------------------------------------------------------------ #
+
+
+def _mini_docs(spark, texts):
+    from pyspark.sql import Row as R
+
+    return spark.createDataFrame(
+        [
+            R(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    )
+
+
+def test_bpe_merges_learning_order(spark):
+    """Corpus 'abc abc abc abd': round 1 must merge (a,b) freq 4, round
+    2 (ab,c) freq 3, round 3 (ab,d) freq 1 — the exact greedy BPE
+    sequence, with merge application feeding the next round's counts."""
+    from orionbelt_ontology_builder_spark.datapipe import tokenizer
+
+    docs = _mini_docs(spark, ["abc abc abc abd"])
+    rows = [
+        tuple(r)
+        for r in tokenizer.bpe_merges(docs, rounds=3)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert rows == [
+        (1, "a", "b", "ab", 4),
+        (2, "ab", "c", "abc", 3),
+        (3, "ab", "d", "abd", 1),
+    ]
+
+
+def test_bpe_merges_early_stop_and_word_weighting(spark):
+    from orionbelt_ontology_builder_spark.datapipe import tokenizer
+
+    # single-char words only: no adjacent pairs, loop stops at 0 rows
+    empty = tokenizer.bpe_merges(_mini_docs(spark, ["a b a b c"]), rounds=3)
+    assert empty.count() == 0
+    # pair counts are word-frequency weighted, not distinct-word
+    docs = _mini_docs(spark, ["xy xy xy", "zq"])
+    top = tokenizer.bpe_merges(docs, rounds=1).collect()[0]
+    assert (top["lhs"], top["rhs"], top["freq"]) == ("x", "y", 3)
+
+
+def test_char_trigram_logprob_hand_computed(spark):
+    """Corpus {'aaaa', 'abcd'}: model counts c3 = {aaa:2, abc:1, bcd:1},
+    c2 = {aa:2, ab:1, bc:1}, V = 4.  doc0 mean = ln(2.5/4.5); doc1 mean
+    = ln(1.5/3.5).  Repetitive text must score strictly higher."""
+    import math
+
+    docs = _mini_docs(spark, ["aaaa", "abcd"])
+    got = {
+        r["doc_id"]: r
+        for r in textstats.char_trigram_logprob(docs).collect()
+    }
+    assert got[0]["n_trigrams"] == 2 and got[1]["n_trigrams"] == 2
+    assert got[0]["mean_logprob"] == pytest.approx(math.log(2.5 / 4.5))
+    assert got[1]["mean_logprob"] == pytest.approx(math.log(1.5 / 3.5))
+    assert got[0]["mean_logprob"] > got[1]["mean_logprob"]
+
+
+def test_char_trigram_logprob_short_docs_vanish(spark):
+    docs = _mini_docs(spark, ["ab", "x", "", "abc"])
+    out = textstats.char_trigram_logprob(docs).collect()
+    assert [r["doc_id"] for r in out] == [3]
+
+
+def test_bpe_encode_stats_fertility(spark):
+    """rounds=2 on 'abc abc abc abd': vocab encodes abc as one symbol,
+    abd as ('ab', 'd') — doc fertility (3*1 + 2) / 4 = 1.25."""
+    from orionbelt_ontology_builder_spark.datapipe import tokenizer
+
+    docs = _mini_docs(spark, ["abc abc abc abd"])
+    row = tokenizer.bpe_encode_stats(docs, rounds=2).collect()[0]
+    assert row["n_words"] == 4
+    assert row["n_subwords"] == 5
+    assert row["fertility"] == pytest.approx(1.25)
+
+
+def test_srp_pairs_subset_of_exact_and_identical_vectors_found(spark):
+    """SRP candidates that verify are exactly a subset of the all-pairs
+    cosine join (precision 1.0 by construction), and two identical
+    vectors agree on every sign bit, so they are ALWAYS found."""
+    from pyspark.sql import Row as R
+
+    import orionbelt_ontology_builder_spark.datapipe.similarity as S
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 2.0, -1.0, 0.75, 0.1, -0.6]
+    far = [-1.0, 2.0, 0.5, -0.3, 1.5, -2.0, 0.9, 0.4]
+    rows = [
+        R(vec_id=0, embedding=base, label="a"),
+        R(vec_id=1, embedding=list(base), label="a"),  # identical twin
+        R(vec_id=2, embedding=far, label="b"),
+    ]
+    embs = spark.createDataFrame(rows)
+    got = S.srp_lsh_pairs(embs, threshold=0.42, dim=dim, n_bits=4,
+                          n_tables=2).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1) in pairs
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.ivf_cosine_pairs(embs, threshold=0.42, dim=dim).collect()
+    } | {(0, 1)}
+    assert pairs <= exact
+    for r in got:
+        if (r["id_a"], r["id_b"]) == (0, 1):
+            assert r["cos"] == pytest.approx(1.0)
+
+
+def test_leakage_safe_split_cluster_coherence(spark, docs):
+    """Near-dup cluster members must share one split; singletons must
+    match split_corpus bit-for-bit at the same salt."""
+    from orionbelt_ontology_builder_spark.datapipe import curation
+
+    out = curation.leakage_safe_split(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    clusters = dedup.dedup_clusters(docs).collect()
+    assert clusters, "fixture must contain near-dup clusters"
+    for c in clusters:
+        assert (
+            by_id[c["doc_id"]]["split"]
+            == by_id[c["keeper_doc_id"]]["split"]
+        )
+        assert by_id[c["doc_id"]]["split_key"] == c["keeper_doc_id"]
+    plain = {
+        r["doc_id"]: r for r in curation.split_corpus(docs).collect()
+    }
+    clustered = {c["doc_id"] for c in clusters}
+    for did, r in by_id.items():
+        if did not in clustered:
+            assert r["split"] == plain[did]["split"]
+            assert r["bucket"] == plain[did]["bucket"]
+
+
+def test_pq_adc_distance_is_reconstruction_distance(spark):
+    """The defining ADC identity: adist(q, v) equals the exact squared
+    L2 distance from q to the PQ *reconstruction* of v (each subvector
+    replaced by its assigned centroid) — checked against a pure-Python
+    recomputation on a 4-vector corpus (dim=8, m=2, kc=2)."""
+    from pyspark.sql import Row as R
+
+    import orionbelt_ontology_builder_spark.datapipe.similarity as S
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0],
+        1: [0.9, 0.1, 0.0, 0.0, 0.0, 1.8, 0.0, 0.0],
+        2: [0.0, 0.0, 3.0, 0.0, 0.0, 2.1, 0.0, 0.0],
+        3: [0.1, 0.0, 2.9, 0.0, 1.9, 0.1, 0.0, 0.0],
+    }
+    embs = spark.createDataFrame(
+        [R(vec_id=i, embedding=v, label="x") for i, v in vecs.items()]
+    )
+    m, kc, dim, sub_dim = 2, 2, 8, 4
+    # codebook: stride = 4 // 2 = 2 -> centroids from vec 0 and vec 2
+    book = {
+        sub: {
+            cid: vecs[cid * 2][sub * sub_dim:(sub + 1) * sub_dim]
+            for cid in range(kc)
+        }
+        for sub in range(m)
+    }
+
+    def dsq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def code(v, sub):
+        s = v[sub * sub_dim:(sub + 1) * sub_dim]
+        return min(range(kc), key=lambda c: (dsq(s, book[sub][c]), c))
+
+    def adist(q, v):
+        return sum(
+            dsq(
+                q[sub * sub_dim:(sub + 1) * sub_dim],
+                book[sub][code(v, sub)],
+            )
+            for sub in range(m)
+        )
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): r
+        for r in S.pq_adc_topk(
+            embs, n_queries=2, k=3, m=m, kc=kc, dim=dim
+        ).collect()
+    }
+    for (q, v), r in got.items():
+        assert r["adist"] == pytest.approx(adist(vecs[q], vecs[v]))
+    # ranks follow adist ascending per query
+    for q in (0, 1):
+        ranked = sorted(
+            (r for key, r in got.items() if key[0] == q),
+            key=lambda r: r["rank"],
+        )
+        dists = [r["adist"] for r in ranked]
+        assert dists == sorted(dists)

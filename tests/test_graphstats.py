@@ -651,3 +651,72 @@ def test_wl_colors_structural_roles(spark):
     want = dict(con.sql(sql).fetchall())
     con.close()
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# link prediction (Adamic-Adar family)
+# ------------------------------------------------------------------ #
+
+
+def test_link_prediction_square_cycle(spark):
+    """4-cycle a-b-c-d-a: the only >=2-common-neighbour unlinked pairs
+    are the diagonals (a,c) and (b,d); every common neighbour has
+    degree 2, so aa = 2/ln(2), ra = 1.0, pa = 4."""
+    import math
+
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    rows = {
+        (r["node_a"], r["node_b"]): r
+        for r in G.link_prediction(edges).collect()
+    }
+    assert set(rows) == {("a", "c"), ("b", "d")}
+    for r in rows.values():
+        assert r["common_neighbors"] == 2
+        assert r["adamic_adar"] == pytest.approx(2.0 / math.log(2.0))
+        assert r["resource_alloc"] == pytest.approx(1.0)
+        assert r["pref_attach"] == 4
+
+
+def test_link_prediction_hub_cap_silences_star(spark):
+    """A pure star's wedges all pass through the hub; with hub_cap
+    below the hub degree the wedge join has nothing to fan out on."""
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "src string, dst string"
+    )
+    assert G.link_prediction(star, min_shared=1, hub_cap=3).count() == 0
+    # with the cap above the hub degree the leaf pairs appear
+    assert G.link_prediction(star, min_shared=1, hub_cap=10).count() > 0
+
+
+def test_link_prediction_matches_sql_twin(spark):
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+        ("e", "b"), ("e", "d"), ("f", "a"), ("f", "c"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = [
+        (r["node_a"], r["node_b"], r["common_neighbors"],
+         round(r["adamic_adar"], 9), round(r["resource_alloc"], 9),
+         r["pref_attach"])
+        for r in G.link_prediction(df).collect()
+    ]
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    cte = f"edges(src, dst) AS (VALUES {vals})"
+    want = [
+        (a, b, cn, round(aa, 9), round(ra, 9), pa)
+        for a, b, cn, aa, ra, pa in duckdb.sql(
+            G.link_prediction_sql(cte)
+        ).fetchall()
+    ]
+    assert got == want

@@ -734,3 +734,58 @@ def test_source_robust_quality_trims_outliers(spark):
     r = TS.source_robust_quality(docs, trim_frac=0.1).collect()[0]
     assert r["trimmed_mean_chars"] == 100.0
     assert r["mean_chars"] == (800 + 1 + 10000) / 10.0
+
+
+# ------------------------------------------------------------------ #
+# functional-dependency discovery
+# ------------------------------------------------------------------ #
+
+
+def test_fd_discovery_holds_violations_and_nulls(spark):
+    """id is a key (id -> everything holds); b -> a is violated by the
+    'x' group AND the NULL group (NULL is a regular value: two b-NULL
+    rows with different a); b -> c is violated only by 'x'."""
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    df = spark.createDataFrame(
+        [
+            (1, "x", 10),
+            (2, "x", 20),
+            (3, "y", 10),
+            (4, None, 30),
+            (5, None, 30),
+        ],
+        "id int, b string, c int",
+    )
+    got = {
+        (r["determinant"], r["dependent"]): r
+        for r in P.fd_discovery(df, ["id", "b", "c"]).collect()
+    }
+    assert got[("id", "b")]["holds"] and got[("id", "c")]["holds"]
+    r_ba = got[("b", "id")]
+    assert not r_ba["holds"]
+    assert r_ba["n_groups"] == 3  # x, y, NULL
+    assert r_ba["n_violating_groups"] == 2  # x {1,2}, NULL {4,5}
+    r_bc = got[("b", "c")]
+    assert not r_bc["holds"] and r_bc["n_violating_groups"] == 1
+    # c -> b: 10 -> {x, y} violates; 20 -> {x} ok; 30 -> {NULL} ok
+    assert got[("c", "b")]["n_violating_groups"] == 1
+
+
+def test_fd_discovery_matches_sql_twin(spark):
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.operators import profiling as P
+
+    rows = [(1, "x", 10), (2, "x", 20), (3, "y", 10), (4, None, 30)]
+    df = spark.createDataFrame(rows, "id int, b string, c int")
+    got = sorted(tuple(r) for r in P.fd_discovery(df, ["id", "b", "c"]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, b VARCHAR, c INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(
+            P.fd_discovery_sql("t", ["id", "b", "c"])
+        ).fetchall()
+    )
+    assert got == want

@@ -832,3 +832,41 @@ def test_c4_span_dedup_plan_equi_joins_only(docs):
     plan = _plan(dedup.c4_span_dedup(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_prediction_plan_equi_wedges_only(spark):
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    plan = _plan(G.link_prediction(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_char_trigram_lm_broadcasts_model_tables(docs):
+    """The scoring joins must broadcast the vocab-bounded model tables
+    (c3 / c2 / V) — never shuffle the doc-trigram stream against them."""
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    plan = _plan(TS.char_trigram_logprob(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_srp_pairs_plan_bucketed_no_cartesian(embs):
+    import orionbelt_ontology_builder_spark.datapipe.similarity as S
+
+    plan = _plan(S.srp_lsh_pairs(embs, dim=8, n_bits=4, n_tables=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_plan_broadcasts_lut(embs):
+    import orionbelt_ontology_builder_spark.datapipe.similarity as S
+
+    plan = _plan(S.pq_adc_topk(embs, n_queries=2, k=2, m=2, kc=2, dim=8))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
