@@ -3392,6 +3392,22 @@ def _q_dedup_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH design table: S-curve capture probability plus
+    FP/FN mass per (bands, rows) split of the 24-hash budget — the
+    tuning read behind dedup_minhash_pairs' 6x4 choice, as an operator
+    (the dedup twin of join_advisor: measure, then choose the plan)."""
+    return dedup.lsh_parameter_plan(spark, threshold=0.5)
+
+
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift between two corpus snapshots (parity
+    halves stand in for crawl ids): l2 drift + centroid cosine — the
+    embedding-space twin of vocab_drift, the monitor that catches
+    representation rot before ANN/dedup thresholds go stale."""
+    return similarity.embedding_drift(_embs(spark, sf_dir))
+
+
 def _q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes (Jegou 2011): the
     billion-vector serving scan — corpus contributes only its code
@@ -3488,7 +3504,7 @@ _SF_SCALE = {
     "bm25_search", "dbscan_clusters", "resolve_redirects",
     "bpe_train_merges", "char_trigram_lm", "link_prediction",
     "fd_discovery", "bpe_fertility", "dedup_srp_pairs",
-    "leakage_safe_split", "pq_adc_topk",
+    "leakage_safe_split", "pq_adc_topk", "embedding_drift",
 }
 
 
@@ -3848,6 +3864,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_srp_pairs": _q_dedup_srp_pairs,
         "leakage_safe_split": _q_leakage_safe_split,
         "pq_adc_topk": _q_pq_adc_topk,
+        "lsh_plan": _q_lsh_plan,
+        "embedding_drift": _q_embedding_drift,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6170,5 +6188,7 @@ FROM new_nodes WHERE obj_id IN (SELECT obj_id FROM kept_ids)
     )
     sql["leakage_safe_split"] = curation.leakage_safe_split_oracle()
     sql["pq_adc_topk"] = similarity.pq_adc_topk_oracle(dim=EMB_DIM)
+    sql["lsh_plan"] = dedup.lsh_parameter_plan_oracle(threshold=0.5)
+    sql["embedding_drift"] = similarity.embedding_drift_oracle()
 
     return sql

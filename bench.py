@@ -289,6 +289,8 @@ def main() -> None:
         "dedup_srp_pairs",
         "leakage_safe_split",
         "pq_adc_topk",
+        "lsh_plan",
+        "embedding_drift",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

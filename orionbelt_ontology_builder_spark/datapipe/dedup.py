@@ -1776,3 +1776,89 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ------------------------------------------------------------------ #
+# LSH parameter planning (the S-curve bands/rows advisor)
+# ------------------------------------------------------------------ #
+
+#: candidate (bands, rows) splits of the signature budget evaluated by
+#: lsh_parameter_plan (b * r <= 24, the minhash family's budget here).
+LSH_PLAN_GRID = [(24, 1), (12, 2), (8, 3), (6, 4), (4, 6), (3, 8), (2, 12)]
+
+
+def lsh_parameter_plan(
+    spark,
+    threshold: float = 0.5,
+    grid: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """(bands, rows, p_at_threshold, fp_area, fn_area) — the MinHash-LSH
+    design table: for each (b, r) split of the signature budget, the
+    S-curve capture probability at the target Jaccard threshold
+    ``p(s) = 1 - (1 - s^r)^b`` (Leskovec/Rajaraman/Ullman, Mining of
+    Massive Datasets, public literature), plus the false-positive mass
+    (candidates below threshold: Riemann sum of p(s) over s < t) and
+    false-negative mass (missed pairs above: sum of 1 - p(s) over
+    s >= t) on a 20-point similarity grid.  This is the tuning read
+    every LSH deployment does before picking bands x rows — the
+    dedup-family twin of ``profiling.join_strategy_advisor`` (measure,
+    then choose the plan).
+
+    No argmin/recommended column on purpose: p values come from
+    ``power()`` (not correctly rounded across libm implementations), so
+    a winner flag could flip on an ulp; the caller orders by the metric
+    it cares about.  The grid is driver-literal (7 x 20 rows) — the op
+    is a design-table computation, not a data scan."""
+    grid = grid if grid is not None else LSH_PLAN_GRID
+    br = spark.createDataFrame(grid, "bands int, rows int")
+    s = F.col("id").cast("double") / 20.0 + 0.025  # 0.025 .. 0.975
+    pts = spark.range(0, 20).select(s.alias("s"))
+    p = 1.0 - F.pow(
+        1.0 - F.pow(F.col("s"), F.col("rows")), F.col("bands")
+    )
+    p_t = 1.0 - F.pow(
+        1.0 - F.pow(F.lit(float(threshold)), F.col("rows")),
+        F.col("bands"),
+    )
+    return (
+        br.crossJoin(pts)
+        .groupBy("bands", "rows")
+        .agg(
+            F.min(p_t).alias("p_at_threshold"),
+            (F.sum(F.when(F.col("s") < threshold, p).otherwise(0.0)) / 20.0)
+            .alias("fp_area"),
+            (
+                F.sum(
+                    F.when(F.col("s") >= threshold, 1.0 - p).otherwise(0.0)
+                )
+                / 20.0
+            ).alias("fn_area"),
+        )
+        .orderBy("bands", "rows")
+    )
+
+
+def lsh_parameter_plan_oracle(
+    threshold: float = 0.5,
+    grid: list[tuple[int, int]] | None = None,
+) -> str:
+    """DuckDB twin: identical grid, identical power() cascade."""
+    grid = grid if grid is not None else LSH_PLAN_GRID
+    vals = ", ".join(f"({b}, {r})" for b, r in grid)
+    return f"""
+WITH br(bands, rows) AS (VALUES {vals}),
+pts AS (
+  SELECT i / 20.0 + 0.025 AS s
+  FROM (SELECT unnest(generate_series(0, 19))::DOUBLE AS i)),
+g AS (
+  SELECT bands, rows, s,
+    1.0 - power(1.0 - power(s, rows), bands) AS p,
+    1.0 - power(1.0 - power({threshold}, rows), bands) AS p_t
+  FROM br CROSS JOIN pts)
+SELECT bands, rows, min(p_t) AS p_at_threshold,
+  sum(CASE WHEN s < {threshold} THEN p ELSE 0.0 END) / 20.0 AS fp_area,
+  sum(CASE WHEN s >= {threshold} THEN 1.0 - p ELSE 0.0 END) / 20.0
+    AS fn_area
+FROM g GROUP BY bands, rows
+ORDER BY bands, rows
+"""

@@ -1740,3 +1740,84 @@ ranked AS (
 SELECT query_id, vec_id AS neighbor_id, rank, adist
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------------------------ #
+# embedding drift monitor (cross-crawl centroid shift)
+# ------------------------------------------------------------------ #
+
+
+def embedding_drift(embeddings: DataFrame) -> DataFrame:
+    """(label, n_a, n_b, l2_drift, cos_centroids) — per-label centroid
+    shift between two corpus snapshots: the embedding-space twin of
+    ``textstats.vocab_drift`` (did this crawl's representation of a
+    class move?), the standard production monitor for embedding-model
+    or upstream-content drift before ANN indexes / dedup thresholds
+    silently rot.  ``l2_drift`` = ||c_a - c_b||; ``cos_centroids`` =
+    directional agreement of the two centroids.
+
+    Snapshots here are the deterministic vec_id-parity halves (the
+    fixture has no crawl column; production passes a real crawl id —
+    the plan is identical).  Plan: ONE posexplode + ONE (label, dim)
+    conditional-average agg + ONE per-label rollup — map-side partials
+    everywhere, output is labels x 1 rows.  Per-group float
+    accumulation order is engine-noise far inside the %.6g comparison
+    (the ``label_centroids`` precedent)."""
+    ex = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("crawl"),
+        F.posexplode(F.col("embedding")).alias("dim_idx", "v"),
+    )
+    per_dim = ex.groupBy("label", "dim_idx").agg(
+        F.avg(
+            F.when(F.col("crawl") == 0, F.col("v").cast("double"))
+        ).alias("c0"),
+        F.avg(
+            F.when(F.col("crawl") == 1, F.col("v").cast("double"))
+        ).alias("c1"),
+        F.sum((F.col("crawl") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("crawl") == 1).cast("long")).alias("n1"),
+    )
+    d = F.col("c0") - F.col("c1")
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n0").alias("n_a"),
+            F.max("n1").alias("n_b"),
+            F.sqrt(F.sum(d * d)).alias("l2_drift"),
+            (
+                F.sum(F.col("c0") * F.col("c1"))
+                / (
+                    F.sqrt(F.sum(F.col("c0") * F.col("c0")))
+                    * F.sqrt(F.sum(F.col("c1") * F.col("c1")))
+                )
+            ).alias("cos_centroids"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_drift_oracle() -> str:
+    """DuckDB twin: identical parity split, conditional averages and
+    rollup algebra."""
+    return """
+WITH e AS (
+  SELECT label, vec_id % 2 AS crawl, embedding::DOUBLE[] AS emb
+  FROM embeddings),
+ex AS (
+  SELECT label, crawl, unnest(emb) AS v,
+         unnest(range(1, len(emb) + 1)) AS dim_idx
+  FROM e),
+per_dim AS MATERIALIZED (
+  SELECT label, dim_idx,
+    avg(CASE WHEN crawl = 0 THEN v END) AS c0,
+    avg(CASE WHEN crawl = 1 THEN v END) AS c1,
+    sum(CASE WHEN crawl = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+    sum(CASE WHEN crawl = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+  FROM ex GROUP BY label, dim_idx)
+SELECT label, max(n0) AS n_a, max(n1) AS n_b,
+  sqrt(sum((c0 - c1) * (c0 - c1))) AS l2_drift,
+  sum(c0 * c1) / (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1)))
+    AS cos_centroids
+FROM per_dim GROUP BY label ORDER BY label
+"""

@@ -1733,3 +1733,47 @@ def test_pq_adc_distance_is_reconstruction_distance(spark):
         )
         dists = [r["adist"] for r in ranked]
         assert dists == sorted(dists)
+
+
+def test_lsh_parameter_plan_s_curve_laws(spark):
+    """Hand-math at (6,4): p = 1-(1-0.5^4)^6; more bands at fixed rows
+    raises capture probability AND false-positive mass; the 1-row-
+    bands extreme is near-certain capture, the 12-row extreme is
+    near-zero FP."""
+    got = {
+        (r["bands"], r["rows"]): r
+        for r in dedup.lsh_parameter_plan(spark, threshold=0.5).collect()
+    }
+    assert got[(6, 4)]["p_at_threshold"] == pytest.approx(
+        1.0 - (1.0 - 0.5**4) ** 6
+    )
+    assert got[(24, 1)]["p_at_threshold"] > 0.99
+    assert got[(2, 12)]["fp_area"] < got[(24, 1)]["fp_area"]
+    assert got[(2, 12)]["fn_area"] > got[(24, 1)]["fn_area"]
+    # more bands at fixed rows -> strictly more capture everywhere
+    assert got[(12, 2)]["p_at_threshold"] > got[(4, 6)]["p_at_threshold"]
+
+
+def test_embedding_drift_identical_halves_zero(spark):
+    """Label whose parity halves are identical: zero drift, cosine 1;
+    label whose halves differ: positive drift."""
+    from pyspark.sql import Row as R
+
+    import orionbelt_ontology_builder_spark.datapipe.similarity as S
+
+    rows = []
+    stable = [1.0, 2.0, 0.0, 1.0]
+    for i in range(4):  # vec_ids 0..3: both parities see `stable`
+        rows.append(R(vec_id=i, embedding=stable, label="stable"))
+    for i in range(4, 8):  # even ids one direction, odd another
+        emb = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        rows.append(R(vec_id=i, embedding=emb, label="moved"))
+    got = {
+        r["label"]: r
+        for r in S.embedding_drift(spark.createDataFrame(rows)).collect()
+    }
+    assert got["stable"]["l2_drift"] == pytest.approx(0.0)
+    assert got["stable"]["cos_centroids"] == pytest.approx(1.0)
+    assert got["stable"]["n_a"] == 2 and got["stable"]["n_b"] == 2
+    assert got["moved"]["l2_drift"] == pytest.approx(2.0**0.5)
+    assert got["moved"]["cos_centroids"] == pytest.approx(0.0)
