@@ -3392,6 +3392,16 @@ def _q_dedup_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (p,q)-biased node2vec walks over the induced entity
+    graph — the return/explore dial first-order random_walks can't
+    express; exact-binary weights + dyadic md5 uniforms make the
+    inverse-CDF pick bit-replayable across engines."""
+    return graphstats.node2vec_walks(
+        relational.induce_entity_edges(spark, sf_dir), walk_len=3
+    )
+
+
 def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH design table: S-curve capture probability plus
     FP/FN mass per (bands, rows) split of the 24-hash budget — the
@@ -3505,6 +3515,7 @@ _SF_SCALE = {
     "bpe_train_merges", "char_trigram_lm", "link_prediction",
     "fd_discovery", "bpe_fertility", "dedup_srp_pairs",
     "leakage_safe_split", "pq_adc_topk", "embedding_drift",
+    "node2vec_walks",
 }
 
 
@@ -3866,6 +3877,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "lsh_plan": _q_lsh_plan,
         "embedding_drift": _q_embedding_drift,
+        "node2vec_walks": _q_node2vec_walks,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6190,5 +6202,8 @@ FROM new_nodes WHERE obj_id IN (SELECT obj_id FROM kept_ids)
     sql["pq_adc_topk"] = similarity.pq_adc_topk_oracle(dim=EMB_DIM)
     sql["lsh_plan"] = dedup.lsh_parameter_plan_oracle(threshold=0.5)
     sql["embedding_drift"] = similarity.embedding_drift_oracle()
+    sql["node2vec_walks"] = graphstats.node2vec_walks_sql(
+        relational.ENTITY_EDGES_SQL, walk_len=3
+    )
 
     return sql

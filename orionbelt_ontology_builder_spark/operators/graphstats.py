@@ -2076,3 +2076,218 @@ JOIN deg db ON s.node_b = db.node
 WHERE u.a IS NULL
 ORDER BY s.node_a, s.node_b
 """
+
+
+# --------------------------------------------------------------------- #
+# node2vec second-order biased walks
+# --------------------------------------------------------------------- #
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    p: float = 2.0,
+    q: float = 0.5,
+    salt: str = "n2v",
+) -> DataFrame:
+    """(walk_id, step, node) — second-order biased random walks (Grover
+    & Leskovec 2016 node2vec, public literature), one walk per node
+    with out-edges: the next hop from ``cur`` given the previous node
+    ``prev`` weights each neighbour ``x`` by 1/p if ``x == prev``
+    (return), 1 if ``x`` is adjacent to ``prev`` (BFS-ish stay-local),
+    1/q otherwise (DFS-ish explore) — the (p, q) dial that makes
+    node2vec interpolate between structural and homophily embeddings,
+    which the engine's first-order ``random_walks`` cannot express.
+
+    Determinism: the weighted choice is inverse-CDF sampling with a
+    salted-md5 uniform (``u = hexint(md5(...))/65536`` — exact
+    dyadic), and the defaults p=2, q=1/2 make every weight an exact
+    binary double, so cumulative sums, totals and the pick comparison
+    are all EXACT IEEE arithmetic — walks replay bit-for-bit across
+    engines, runs and partitionings.
+
+    Plan: per step ONE frontier equi-join onto the checkpointed
+    neighbour table, ONE broadcast-shaped left join onto the undirected
+    edge set (the d=1 probe), and ONE per-walk window (bounded by
+    out-degree) for the cumulative-weight pick — ``walk_len`` rounds,
+    frontier-sized shuffles, never path enumeration."""
+    from pyspark.sql import Window
+
+    dedges = edges.filter(F.col("src") != F.col("dst")).distinct()
+    ranked = (
+        dedges.withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")),
+        )
+        .withColumn(
+            "out_deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    und = dedges.select(
+        F.least("src", "dst").alias("ua"), F.greatest("src", "dst").alias("ub")
+    ).distinct()
+    starts = dedges.select(F.col("src").alias("walk_id")).distinct()
+    out = starts.select(
+        "walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("node")
+    )
+    # step 1 is first-order (no prev yet): md5 % out_deg rank pick
+    pick1 = (
+        starts.join(ranked, starts["walk_id"] == ranked["src"])
+        .filter(
+            F.col("rank")
+            == F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:1:"), F.col("walk_id"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("out_deg")
+            + 1
+        )
+        .select(
+            "walk_id",
+            F.col("src").alias("prev"),
+            F.col("dst").alias("cur"),
+        )
+    )
+    frontier = pick1.localCheckpoint(eager=True)
+    out = out.unionByName(
+        frontier.select(
+            "walk_id", F.lit(1).alias("step"), F.col("cur").alias("node")
+        )
+    )
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    for s in range(2, walk_len + 1):
+        cand = (
+            frontier.join(ranked, frontier["cur"] == ranked["src"])
+            .select("walk_id", "prev", "cur", F.col("dst").alias("x"))
+            .join(
+                und,
+                (F.least("prev", "x") == F.col("ua"))
+                & (F.greatest("prev", "x") == F.col("ub")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "prev",
+                "cur",
+                "x",
+                F.when(F.col("x") == F.col("prev"), F.lit(inv_p))
+                .when(F.col("ua").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(inv_q))
+                .alias("alpha"),
+            )
+        )
+        wcum = Window.partitionBy("walk_id").orderBy("x")
+        wall = Window.partitionBy("walk_id")
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:{s}:"),
+                            F.col("walk_id"),
+                            F.lit(":"),
+                            F.col("cur"),
+                            F.lit(":"),
+                            F.col("prev"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / 65536.0
+        )
+        picked = (
+            cand.withColumn("cum", F.sum("alpha").over(wcum))
+            .withColumn("total", F.sum("alpha").over(wall))
+            .withColumn("target", u * F.col("total"))
+            .filter(
+                (F.col("cum") - F.col("alpha") <= F.col("target"))
+                & (F.col("target") < F.col("cum"))
+            )
+            .select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("x").alias("cur"),
+            )
+        )
+        frontier = picked.localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(s).alias("step"), F.col("cur").alias("node")
+            )
+        )
+    return out.orderBy("walk_id", "step")
+
+
+def node2vec_walks_sql(
+    edges_cte: str,
+    walk_len: int = 3,
+    p: float = 2.0,
+    q: float = 0.5,
+    salt: str = "n2v",
+) -> str:
+    """DuckDB twin: identical md5 uniforms, exact-binary weights,
+    identical window cumulative-pick — steps unrolled as CTEs."""
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    steps = []
+    finals = [
+        "SELECT walk_id, 0 AS step, walk_id AS node FROM starts",
+        "SELECT walk_id, 1 AS step, cur AS node FROM f1",
+    ]
+    for s in range(2, walk_len + 1):
+        steps.append(
+            f"""c{s} AS (
+  SELECT f.walk_id, f.prev, f.cur, r.dst AS x,
+    CASE WHEN r.dst = f.prev THEN {inv_p}
+         WHEN u.ua IS NOT NULL THEN 1.0
+         ELSE {inv_q} END AS alpha
+  FROM f{s - 1} f JOIN ranked r ON f.cur = r.src
+  LEFT JOIN und u
+    ON least(f.prev, r.dst) = u.ua AND greatest(f.prev, r.dst) = u.ub),
+w{s} AS (
+  SELECT *,
+    sum(alpha) OVER (PARTITION BY walk_id ORDER BY x) AS cum,
+    sum(alpha) OVER (PARTITION BY walk_id) AS total,
+    (('0x' || substr(md5('{salt}:{s}:' || walk_id || ':' || cur || ':'
+        || prev), 1, 4))::BIGINT / 65536.0) * sum(alpha)
+      OVER (PARTITION BY walk_id) AS target
+  FROM c{s}),
+f{s} AS (
+  SELECT walk_id, cur AS prev, x AS cur FROM w{s}
+  WHERE cum - alpha <= target AND target < cum)"""
+        )
+        finals.append(f"SELECT walk_id, {s} AS step, cur AS node FROM f{s}")
+    body = "\n  UNION ALL\n  ".join(finals)
+    chain = ",\n".join(steps)
+    if chain:
+        chain = ",\n" + chain
+    return f"""
+WITH {edges_cte.strip()},
+dedges AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ranked AS MATERIALIZED (
+  SELECT src, dst,
+    row_number() OVER (PARTITION BY src ORDER BY dst) AS rank,
+    count(*) OVER (PARTITION BY src) AS out_deg
+  FROM dedges),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS ua, greatest(src, dst) AS ub
+  FROM dedges),
+starts AS (SELECT DISTINCT src AS walk_id FROM dedges),
+f1 AS (
+  SELECT s.walk_id, r.src AS prev, r.dst AS cur
+  FROM starts s JOIN ranked r ON s.walk_id = r.src
+  WHERE r.rank = ('0x' || substr(md5('{salt}:1:' || s.walk_id), 1, 4))::BIGINT
+                 % r.out_deg + 1){chain}
+SELECT * FROM (
+  {body}
+) ORDER BY walk_id, step
+"""

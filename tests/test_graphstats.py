@@ -720,3 +720,115 @@ def test_link_prediction_matches_sql_twin(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# node2vec second-order biased walks
+# ------------------------------------------------------------------ #
+
+_N2V_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "b"),
+    ("b", "d"), ("d", "a"),
+]
+
+
+def _n2v_replay(edges, walk_len=3, p=2.0, q=0.5, salt="n2v"):
+    """Independent pure-Python implementation of the node2vec spec
+    (salted-md5 uniforms, inverse-CDF over (1/p, 1, 1/q) weights)."""
+    import hashlib
+
+    def h4(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+    dedges = sorted({(s, d) for s, d in edges if s != d})
+    adj = {}
+    for s, d in dedges:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s] = sorted(adj[s])
+    und = {tuple(sorted(e)) for e in dedges}
+    rows = []
+    for start in sorted(adj):
+        rows.append((start, 0, start))
+        nbrs = adj[start]
+        cur = nbrs[h4(f"{salt}:1:{start}") % len(nbrs)]
+        prev = start
+        rows.append((start, 1, cur))
+        for s in range(2, walk_len + 1):
+            if cur not in adj:
+                break
+            cand = adj[cur]
+            alphas = [
+                1.0 / p if x == prev
+                else 1.0 if tuple(sorted((prev, x))) in und
+                else 1.0 / q
+                for x in cand
+            ]
+            total = sum(alphas)
+            u = h4(f"{salt}:{s}:{start}:{cur}:{prev}") / 65536.0
+            target = u * total
+            cum = 0.0
+            for x, a in zip(cand, alphas):
+                cum += a
+                if target < cum:
+                    nxt = x
+                    break
+            rows.append((start, s, nxt))
+            prev, cur = cur, nxt
+    return sorted(rows)
+
+
+def test_node2vec_matches_independent_replay(spark):
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    df = spark.createDataFrame(_N2V_EDGES, "src string, dst string")
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in G.node2vec_walks(df).collect()
+    )
+    assert got == _n2v_replay(_N2V_EDGES)
+
+
+def test_node2vec_matches_sql_twin(spark):
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    df = spark.createDataFrame(_N2V_EDGES, "src string, dst string")
+    got = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in G.node2vec_walks(df).collect()
+    )
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in _N2V_EDGES)
+    cte = f"edges(src, dst) AS (VALUES {vals})"
+    want = sorted(
+        tuple(r) for r in duckdb.sql(G.node2vec_walks_sql(cte)).fetchall()
+    )
+    assert got == want
+
+
+def test_node2vec_return_bias_dial(spark):
+    """p -> 0 makes the return weight (1/p = 65536) dominate: every
+    step-2 pick whose current node has a directed edge back to the
+    start must return — and the engine agrees with the independent
+    replay at the biased settings too."""
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    p, q = 1.0 / 65536.0, 1.0
+    df = spark.createDataFrame(_N2V_EDGES, "src string, dst string")
+    rows = G.node2vec_walks(df, walk_len=2, p=p, q=q).collect()
+    got = sorted((r["walk_id"], r["step"], r["node"]) for r in rows)
+    assert got == _n2v_replay(_N2V_EDGES, walk_len=2, p=p, q=q)
+    adj = {}
+    for s, d in _N2V_EDGES:
+        adj.setdefault(s, set()).add(d)
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    returnable = [
+        w for w, st in by_walk.items()
+        if 2 in st and w in adj.get(st[1], set())
+    ]
+    assert returnable, "fixture must offer at least one return edge"
+    for w in returnable:
+        assert by_walk[w][2] == w
