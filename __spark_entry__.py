@@ -29,6 +29,7 @@ from orionbelt_ontology_builder_spark.datapipe import (
 )
 from orionbelt_ontology_builder_spark.operators import (
     fixpoint,
+    fusion,
     graphstats,
     lists,
     mutations,
@@ -2476,6 +2477,26 @@ def _q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def _q_truth_discovery(spark, sf_dir):
+    """Sums-style multi-source truth discovery (3 trust/belief rounds)
+    over claims derived from the corpus: every document asserts that
+    each of its distinct words belongs to the document's language —
+    shared words across languages are genuinely conflicting claims the
+    fixpoint resolves, weighting consistent documents up.  The
+    constructive complement to detect_conflicts (which only reports
+    disagreements)."""
+    claims = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("source"),
+            F.explode(F.split("text", " ")).alias("item"),
+            F.col("lang").alias("value"),
+        )
+        .filter(F.col("item") != "")
+    )
+    return fusion.truth_discovery(claims, iters=3)
+
+
 def _q_bpe_token_counts(spark, sf_dir):
     return textstats.bpe_token_counts(_docs(spark, sf_dir))
 
@@ -3515,7 +3536,7 @@ _SF_SCALE = {
     "bpe_train_merges", "char_trigram_lm", "link_prediction",
     "fd_discovery", "bpe_fertility", "dedup_srp_pairs",
     "leakage_safe_split", "pq_adc_topk", "embedding_drift",
-    "node2vec_walks",
+    "node2vec_walks", "truth_discovery",
 }
 
 
@@ -3878,6 +3899,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_plan": _q_lsh_plan,
         "embedding_drift": _q_embedding_drift,
         "node2vec_walks": _q_node2vec_walks,
+        "truth_discovery": _q_truth_discovery,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6204,6 +6226,13 @@ FROM new_nodes WHERE obj_id IN (SELECT obj_id FROM kept_ids)
     sql["embedding_drift"] = similarity.embedding_drift_oracle()
     sql["node2vec_walks"] = graphstats.node2vec_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3
+    )
+    sql["truth_discovery"] = fusion.truth_discovery_sql(
+        """claims AS (
+  SELECT d.doc_id::VARCHAR AS source, w.word AS item, d.lang AS value
+  FROM documents d, unnest(string_split(d.text, ' ')) AS w(word)
+  WHERE w.word <> '')""",
+        iters=3,
     )
 
     return sql
