@@ -2826,6 +2826,22 @@ def _q_graph_bfs_hops(spark, sf_dir):
     ).orderBy("node")
 
 
+def _q_graph_weighted_sssp(spark, sf_dir):
+    """Weighted shortest distance of every entity from the region
+    roots — bounded Bellman-Ford with deterministic md5-derived integer
+    edge weights (exact path sums, bit-replayable); the cost-aware
+    complement to graph_bfs_hops' hop counts."""
+    edges = relational.induce_entity_edges(spark, sf_dir)
+    seeds = (
+        edges.filter(F.col("dst").startswith("r:"))
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    return graphstats.weighted_sssp(
+        edges, seeds, rounds=4, direction="reverse"
+    )
+
+
 def _q_graph_degree_stats(spark, sf_dir):
     """Degree-distribution summary of the induced entity graph — the
     statistic that calibrates the hot-entity salting threshold in
@@ -3536,7 +3552,7 @@ _SF_SCALE = {
     "bpe_train_merges", "char_trigram_lm", "link_prediction",
     "fd_discovery", "bpe_fertility", "dedup_srp_pairs",
     "leakage_safe_split", "pq_adc_topk", "embedding_drift",
-    "node2vec_walks", "truth_discovery",
+    "node2vec_walks", "truth_discovery", "graph_weighted_sssp",
 }
 
 
@@ -3900,6 +3916,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "node2vec_walks": _q_node2vec_walks,
         "truth_discovery": _q_truth_discovery,
+        "graph_weighted_sssp": _q_graph_weighted_sssp,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6226,6 +6243,12 @@ FROM new_nodes WHERE obj_id IN (SELECT obj_id FROM kept_ids)
     sql["embedding_drift"] = similarity.embedding_drift_oracle()
     sql["node2vec_walks"] = graphstats.node2vec_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3
+    )
+    sql["graph_weighted_sssp"] = graphstats.weighted_sssp_sql(
+        relational.ENTITY_EDGES_SQL,
+        "SELECT DISTINCT src AS node FROM em WHERE src LIKE 'r:%'",
+        rounds=4,
+        direction="reverse",
     )
     sql["truth_discovery"] = fusion.truth_discovery_sql(
         """claims AS (

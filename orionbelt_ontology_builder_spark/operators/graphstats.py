@@ -2291,3 +2291,130 @@ SELECT * FROM (
   {body}
 ) ORDER BY walk_id, step
 """
+
+
+# --------------------------------------------------------------------- #
+# weighted shortest paths (bounded Bellman-Ford)
+# --------------------------------------------------------------------- #
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 6,
+    direction: str = "forward",
+    weight_mod: int = 7,
+    salt: str = "w",
+) -> DataFrame:
+    """(node, dist) — minimal WEIGHTED distance from any seed after
+    ``rounds`` Bellman-Ford relaxation rounds (unreached nodes absent):
+    the cost-aware complement to :func:`bfs_hops` (hop counts treat a
+    high-confidence link and a tenuous one alike; weighted distance is
+    what entity-importance decay, citation cost and trust attenuation
+    actually need).
+
+    Weights are DERIVED, not stored: ``w(u, v) = 1 + hexint(md5(
+    salt:u:v)[:2]) % weight_mod`` — deterministic integers in
+    [1, weight_mod], so every path sum is EXACT integer arithmetic and
+    the oracle replays bit-for-bit (the salted-md5 convention of
+    ``random_walks``); a production caller passes a real weight column
+    by pre-joining it onto ``edges`` — the relaxation loop is
+    weight-source-agnostic.
+
+    ``rounds`` bounds path length (Bellman-Ford semantics: after k
+    rounds every shortest path of <= k edges is final), the capped-
+    fixpoint convention shared with ``kcore``/``bfs_hops``.  Per round:
+    ONE dist⋈edges equi-join + ONE min-aggregation (map-side
+    combinable) + an eager checkpoint — state is O(nodes), work is
+    O(edges) per round, never path enumeration; at cluster scale the
+    edge table is pre-partitioned by ``src`` so the relaxation join
+    reuses one exchange."""
+    if direction == "reverse":
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "undirected":
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    elif direction != "forward":
+        raise ValueError(f"unknown direction {direction!r}")
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col("src"), F.col("dst"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % weight_mod
+        + 1
+    )
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .select("src", "dst", w.alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.orderBy("node")
+
+
+def weighted_sssp_sql(
+    edges_cte: str,
+    seeds_sql: str,
+    rounds: int = 6,
+    direction: str = "forward",
+    weight_mod: int = 7,
+    salt: str = "w",
+) -> str:
+    """DuckDB twin: identical md5-derived integer weights, relaxation
+    rounds unrolled as chained CTEs.  ``edges_cte`` must define
+    ``edges(src, dst)``; ``seeds_sql`` must select a ``node`` column
+    (reading from ``em`` is fine)."""
+    flip = {
+        "forward": "SELECT src, dst FROM edges",
+        "reverse": "SELECT dst AS src, src AS dst FROM edges",
+        "undirected": "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges",
+    }[direction]
+    parts = [
+        edges_cte.strip(),
+        f"""em AS MATERIALIZED (
+  SELECT src, dst,
+    ('0x' || substr(md5('{salt}' || ':' || src || ':' || dst), 1, 2))::BIGINT
+      % {weight_mod} + 1 AS w
+  FROM (SELECT DISTINCT src, dst FROM ({flip})))""",
+        f"""d0 AS MATERIALIZED (
+  SELECT DISTINCT node, 0::BIGINT AS dist FROM ({seeds_sql.strip()}))""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{i - 1} d JOIN em e ON d.node = e.src)
+  GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, dist FROM d{rounds} ORDER BY node"
+    )

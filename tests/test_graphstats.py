@@ -832,3 +832,77 @@ def test_node2vec_return_bias_dial(spark):
     assert returnable, "fixture must offer at least one return edge"
     for w in returnable:
         assert by_walk[w][2] == w
+
+
+# ------------------------------------------------------------------ #
+# weighted shortest paths (bounded Bellman-Ford)
+# ------------------------------------------------------------------ #
+
+_SSSP_EDGES = [
+    ("r", "a"), ("r", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+    ("a", "d"), ("d", "e"), ("b", "e"), ("x", "y"),
+]
+
+
+def _sssp_replay(edges, seeds, rounds=6, weight_mod=7, salt="w"):
+    import hashlib
+
+    def w(u, v):
+        h = hashlib.md5(f"{salt}:{u}:{v}".encode()).hexdigest()[:2]
+        return int(h, 16) % weight_mod + 1
+
+    e = sorted({(s, d) for s, d in edges})
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v in e:
+            if u in dist:
+                cand = dist[u] + w(u, v)
+                if v not in nxt or cand < nxt[v]:
+                    nxt[v] = cand
+        dist = nxt
+    return sorted(dist.items())
+
+
+def test_weighted_sssp_matches_replay_and_twin(spark):
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    df = spark.createDataFrame(_SSSP_EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("r",)], "node string")
+    got = sorted(
+        (r["node"], r["dist"])
+        for r in G.weighted_sssp(df, seeds, rounds=5).collect()
+    )
+    assert got == _sssp_replay(_SSSP_EDGES, ["r"], rounds=5)
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in _SSSP_EDGES)
+    cte = f"edges(src, dst) AS (VALUES {vals})"
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            G.weighted_sssp_sql(cte, "SELECT 'r' AS node", rounds=5)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_weighted_sssp_laws(spark):
+    """dist >= hops (weights >= 1), seeds at 0, unreachable absent,
+    and the fixture converges inside the round cap."""
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    df = spark.createDataFrame(_SSSP_EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("r",)], "node string")
+    d5 = {r["node"]: r["dist"] for r in G.weighted_sssp(df, seeds, rounds=5).collect()}
+    d6 = {r["node"]: r["dist"] for r in G.weighted_sssp(df, seeds, rounds=6).collect()}
+    assert d5 == d6  # converged inside the cap
+    hops = {
+        r["node"]: r["hops"]
+        for r in G.bfs_hops(df, seeds, max_hops=6).collect()
+    }
+    assert d5["r"] == 0
+    assert "x" not in d5 and "y" not in d5
+    assert set(d5) == set(hops)
+    for n, dist in d5.items():
+        assert dist >= hops[n]
