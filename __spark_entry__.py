@@ -2826,6 +2826,20 @@ def _q_graph_bfs_hops(spark, sf_dir):
     ).orderBy("node")
 
 
+def _q_cls_membership(spark, sf_dir):
+    """One round of OWL RL class-expression membership (cls-int1/
+    cls-int2/cls-uni, W3C OWL 2 RL table 7) over the axioms+intersection
+    fixture: intersection members fully matched -> the expression class;
+    expression-typed individuals -> every member; any union member ->
+    the union class.  Net-new inferences only."""
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    t = FX.fixture_triples(spark, "clsexpr_om")
+    return reasoning.class_expression_membership(
+        t, lists.lists_as_arrays(t)
+    )
+
+
 def _q_graph_weighted_sssp(spark, sf_dir):
     """Weighted shortest distance of every entity from the region
     roots — bounded Bellman-Ford with deterministic md5-derived integer
@@ -3917,6 +3931,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,
         "truth_discovery": _q_truth_discovery,
         "graph_weighted_sssp": _q_graph_weighted_sssp,
+        "cls_membership": _q_cls_membership,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6244,6 +6259,35 @@ FROM new_nodes WHERE obj_id IN (SELECT obj_id FROM kept_ids)
     sql["node2vec_walks"] = graphstats.node2vec_walks_sql(
         relational.ENTITY_EDGES_SQL, walk_len=3
     )
+    cx = FX.fixture_cte("clsexpr_om")
+    sql["cls_membership"] = f"""
+WITH RECURSIVE {cx},
+{list_ctes},
+ints AS MATERIALIZED (
+  SELECT t.subj AS c, l.item FROM triples t JOIN litems l ON t.obj = l.head
+  WHERE t.pred='{M.OWL.intersectionOf}'),
+unis AS (
+  SELECT t.subj AS c, l.item FROM triples t JOIN litems l ON t.obj = l.head
+  WHERE t.pred='{M.OWL.unionOf}'),
+types AS MATERIALIZED (
+  SELECT DISTINCT subj AS x, obj AS t FROM triples WHERE pred='{RDF_TYPE}'),
+icnt AS (SELECT c, count(*) AS n FROM ints GROUP BY c),
+int1 AS (
+  SELECT g.x, g.c FROM (
+    SELECT ty.x, i.c, count(DISTINCT i.item) AS k
+    FROM ints i JOIN types ty ON ty.t = i.item GROUP BY ty.x, i.c) g
+  JOIN icnt ON g.c = icnt.c AND g.k = icnt.n),
+inf AS (
+  SELECT x, c AS cls, 'cls-int1' AS rule FROM int1
+  UNION
+  SELECT ty.x, i.item, 'cls-int2' FROM types ty JOIN ints i ON ty.t = i.c
+  UNION
+  SELECT ty.x, u.c, 'cls-uni' FROM unis u JOIN types ty ON ty.t = u.item)
+SELECT i.x AS subj, i.cls, i.rule
+FROM inf i LEFT JOIN types t2 ON i.x = t2.x AND i.cls = t2.t
+WHERE t2.x IS NULL
+ORDER BY subj, cls, rule
+"""
     sql["graph_weighted_sssp"] = graphstats.weighted_sssp_sql(
         relational.ENTITY_EDGES_SQL,
         "SELECT DISTINCT src AS node FROM em WHERE src LIKE 'r:%'",

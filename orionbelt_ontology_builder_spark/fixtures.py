@@ -245,6 +245,26 @@ TEMPLATE_ORG: list[tuple] = [
     t_uri(_o("headcount"), RDFS.range, XSD.integer),
 ]
 
+#: AXIOMS_OM plus an intersection class expression and an individual
+#: typed with it — exercises the OWL RL class-expression membership
+#: rules (cls-int1/int2/uni): bob is typed Employee AND Organization
+#: (-> Adult via cls-int1), dave is typed Adult (-> both members via
+#: cls-int2), Organization-typed individuals gain Agent via cls-uni
+#: (Agent = unionOf(Person, Organization) already in AXIOMS_OM).
+CLSEXPR_OM: list[tuple] = AXIOMS_OM + [
+    t_uri(_e("Adult"), RDF.type, OWL.Class),
+    t_bnode(_e("Adult"), OWL.intersectionOf, "_:i1"),
+    t_uri("_:i1", RDF.first, _e("Employee")),
+    t_bnode("_:i1", RDF.rest, "_:i2"),
+    t_uri("_:i2", RDF.first, _e("Organization")),
+    t_uri("_:i2", RDF.rest, RDF.nil),
+    t_uri(_e("dave"), RDF.type, OWL.NamedIndividual),
+    t_uri(_e("dave"), RDF.type, _e("Adult")),
+    t_uri(_e("bob"), RDF.type, OWL.NamedIndividual),
+    t_uri(_e("bob"), RDF.type, _e("Employee")),
+    t_uri(_e("bob"), RDF.type, _e("Organization")),
+]
+
 FIXTURES: dict[str, list[tuple]] = {
     "template_org": TEMPLATE_ORG,
     "populated_om": POPULATED_OM,
@@ -254,6 +274,7 @@ FIXTURES: dict[str, list[tuple]] = {
     "validation_om": VALIDATION_OM,
     "consistency_om": CONSISTENCY_OM,
     "axioms_om": AXIOMS_OM,
+    "clsexpr_om": CLSEXPR_OM,
 }
 
 

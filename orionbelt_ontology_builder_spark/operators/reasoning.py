@@ -709,3 +709,85 @@ def apply_reasoning(
             break
         n = n2
     return current, n - n0
+
+
+def class_expression_membership(
+    triples: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
+    """(subj, cls, rule) — one round of the OWL RL class-expression
+    membership rules over asserted ``rdf:type`` facts (W3C OWL 2 RL
+    table 7, public spec; the reference's owl-rl closure covers these
+    via rdflib saturation — ontology_manager.py:2853-2864):
+
+      cls-int1  x type c1..cn for ALL members of (c intersectionOf
+                (c1..cn))                      -> x type c
+      cls-int2  x type c, c intersectionOf (..ci..)  -> x type ci
+      cls-uni   x type ci for SOME member of (c unionOf (..ci..))
+                                               -> x type c
+
+    Already-asserted types are excluded (net-new inferences only); one
+    synchronous round — compose with :func:`apply_reasoning` /
+    re-apply to saturate (each round is a pure function of its input,
+    the fixpoint convention).
+
+    Plan: RDF lists decoded once (shared ``arrays`` pass), member
+    tables are axiom-sized (broadcast side); cls-int1 is the only
+    grouped stage — join typings to members on the type key, count
+    distinct matched members per (x, c), keep counts equal to the
+    member-list length.  All joins are broadcast-able (schema side is
+    tiny vs the instance side), the aggregation is map-side
+    combinable and keyed by (x, c) — no window, no driver
+    materialization; instance-table scale-up leaves the plan shape
+    unchanged."""
+    from .lists import unroll_lists
+
+    items = (
+        arrays.select(
+            "head", F.posexplode("items").alias("pos", "item")
+        ).select("head", "item")
+        if arrays is not None
+        else unroll_lists(triples).select("head", "item")
+    )
+    types = (
+        triples.filter(F.col("pred") == RDF.type)
+        .select(F.col("subj").alias("x"), F.col("obj").alias("t"))
+        .distinct()
+    )
+
+    def members(pred: str) -> DataFrame:
+        return (
+            triples.filter(F.col("pred") == pred)
+            .select(F.col("subj").alias("c"), F.col("obj").alias("head"))
+            .join(items, "head")
+            .select("c", "item")
+        )
+
+    ints = members(OWL.intersectionOf).localCheckpoint(eager=True)
+    unis = members(OWL.unionOf)
+    icnt = ints.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    int1 = (
+        ints.join(types, ints["item"] == types["t"])
+        .groupBy("x", "c")
+        .agg(F.count_distinct("item").alias("k"))
+        .join(icnt, "c")
+        .filter(F.col("k") == F.col("n"))
+        .select("x", F.col("c").alias("cls"), F.lit("cls-int1").alias("rule"))
+    )
+    int2 = (
+        types.join(ints, types["t"] == ints["c"])
+        .select("x", F.col("item").alias("cls"), F.lit("cls-int2").alias("rule"))
+    )
+    uni = (
+        unis.join(types, unis["item"] == types["t"])
+        .select("x", F.col("c").alias("cls"), F.lit("cls-uni").alias("rule"))
+    )
+    inferred = int1.unionByName(int2).unionByName(uni).distinct()
+    return (
+        inferred.join(
+            types,
+            (inferred["x"] == types["x"]) & (inferred["cls"] == types["t"]),
+            "left_anti",
+        )
+        .select(F.col("x").alias("subj"), "cls", "rule")
+        .orderBy("subj", "cls", "rule")
+    )

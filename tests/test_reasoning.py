@@ -328,3 +328,49 @@ def test_property_chains_noop_without_axioms(spark):
         M.TRIPLES_SCHEMA,
     )
     assert reasoning.apply_property_chains(t).count() == 0
+
+
+def test_class_expression_membership_rules(spark):
+    """cls-int1 (full intersection match), cls-int2 (expression ->
+    members), cls-uni (member -> union) over the clsexpr fixture;
+    asserted types never re-emitted."""
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.operators import lists, reasoning
+
+    t = FX.fixture_triples(spark, "clsexpr_om")
+    got = {
+        (r["subj"], r["cls"], r["rule"])
+        for r in reasoning.class_expression_membership(
+            t, lists.lists_as_arrays(t)
+        ).collect()
+    }
+    E = "http://test.org/ont#"
+    assert got == {
+        (E + "bob", E + "Adult", "cls-int1"),
+        (E + "dave", E + "Employee", "cls-int2"),
+        (E + "dave", E + "Organization", "cls-int2"),
+        (E + "acme", E + "Agent", "cls-uni"),
+        (E + "bob", E + "Agent", "cls-uni"),
+    }
+    # idempotence on the saturated graph: feeding the inferences back
+    # as asserted types yields no cls-int1/uni re-derivations of them
+    from pyspark.sql import functions as F
+    add = spark.createDataFrame(
+        [(s, "rdf-type", c) for s, c, _ in got],
+        "subj string, pred string, obj string",
+    ).select(
+        "subj",
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("pred"),
+        "obj",
+        F.lit("uri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_dt"),
+    )
+    sat = t.unionByName(add)
+    again = {
+        (r["subj"], r["cls"])
+        for r in reasoning.class_expression_membership(
+            sat, lists.lists_as_arrays(sat)
+        ).collect()
+    }
+    assert not again & {(s, c) for s, c, _ in got}
