@@ -2856,6 +2856,18 @@ def _q_graph_weighted_sssp(spark, sf_dir):
     )
 
 
+def _q_graph_betweenness(spark, sf_dir):
+    """Seed-sampled Brandes betweenness over the induced entity graph
+    (md5 % 256 seed pick, depth-4 truncation): the broker-entity
+    signal — nodes ON the shortest paths between others — that
+    degree/PageRank/harmonic centrality miss."""
+    return graphstats.betweenness_approx(
+        relational.induce_entity_edges(spark, sf_dir),
+        seed_mod=256,
+        max_depth=4,
+    )
+
+
 def _q_graph_degree_stats(spark, sf_dir):
     """Degree-distribution summary of the induced entity graph — the
     statistic that calibrates the hot-entity salting threshold in
@@ -3567,6 +3579,7 @@ _SF_SCALE = {
     "fd_discovery", "bpe_fertility", "dedup_srp_pairs",
     "leakage_safe_split", "pq_adc_topk", "embedding_drift",
     "node2vec_walks", "truth_discovery", "graph_weighted_sssp",
+    "graph_betweenness",
 }
 
 
@@ -3932,6 +3945,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truth_discovery": _q_truth_discovery,
         "graph_weighted_sssp": _q_graph_weighted_sssp,
         "cls_membership": _q_cls_membership,
+        "graph_betweenness": _q_graph_betweenness,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6288,6 +6302,9 @@ FROM inf i LEFT JOIN types t2 ON i.x = t2.x AND i.cls = t2.t
 WHERE t2.x IS NULL
 ORDER BY subj, cls, rule
 """
+    sql["graph_betweenness"] = graphstats.betweenness_approx_sql(
+        relational.ENTITY_EDGES_SQL, seed_mod=256, max_depth=4
+    )
     sql["graph_weighted_sssp"] = graphstats.weighted_sssp_sql(
         relational.ENTITY_EDGES_SQL,
         "SELECT DISTINCT src AS node FROM em WHERE src LIKE 'r:%'",

@@ -2418,3 +2418,192 @@ def weighted_sssp_sql(
         + ",\n".join(parts)
         + f"\nSELECT node, dist FROM d{rounds} ORDER BY node"
     )
+
+
+# --------------------------------------------------------------------- #
+# betweenness centrality (Brandes, sampled seeds)
+# --------------------------------------------------------------------- #
+
+
+def betweenness_approx(
+    edges: DataFrame, seed_mod: int = 4, max_depth: int = 4
+) -> DataFrame:
+    """(node, betweenness) — Brandes dependency accumulation (Brandes
+    2001; seed-sampled per Brandes & Pich 2007, public literature) over
+    the undirected simple graph, from the deterministic seed sample
+    ``hexint(md5(node)[:4]) % seed_mod == 0``: the broker-entity
+    signal — which nodes sit ON the shortest paths between others
+    (cut vertices between topic clusters, chokepoint entities an
+    extraction error would disconnect) — that degree/PageRank/harmonic
+    centrality all miss.
+
+    Exact Brandes per seed, truncated at ``max_depth`` (paths longer
+    than the cap contribute nothing — the truncated-betweenness
+    variant; fixture tests pin caps >= graph diameter so the fixture
+    value is exact):
+
+      forward, depth d = 1..D:  sigma(s, v) = number of shortest
+        s->v paths = sum of sigma over depth-(d-1) neighbours, first
+        time v is reached (BFS layers; one frontier⋈edges join + one
+        (seed, node) grouped sum + one anti-join per depth);
+      backward, depth d = D..1:  delta(s, v) += sigma(s,v)/sigma(s,w)
+        * (1 + delta(s, w)) over depth-(d+1) shortest-path successors
+        w (one layer⋈edges join + one grouped sum per depth);
+      betweenness(v) = sum over seeds s != v of delta(s, v) / 2
+        (undirected pair double-count halved).
+
+    All state is (seed, node)-keyed — seeds ride the key, so every
+    seed's BFS/accumulation shares the same 2*D rounds of
+    key-partitioned joins and map-side-combinable sums; no window, no
+    driver materialization, never path enumeration (sigma counts paths
+    without listing them).  At corpus scale the sample rate (1/
+    seed_mod) is the standard accuracy/cost dial and the edge table is
+    pre-partitioned by node so every round reuses one exchange.
+    sigma stays exact integer; delta is the only float."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    seed_pick = (
+        F.conv(F.substring(F.md5(F.col("node")), 1, 4), 16, 10).cast("long")
+        % seed_mod
+        == 0
+    )
+    seeds = nbr.select("node").distinct().filter(seed_pick)
+    # forward: layers[d] = (seed, node, sigma), reached = union so far
+    layer = seeds.select(
+        F.col("node").alias("seed"),
+        "node",
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    layers = [layer]
+    reached = layer.select("seed", "node")
+    for _ in range(1, max_depth + 1):
+        layer = (
+            layer.join(nbr, "node")
+            .groupBy("seed", F.col("nbr").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(reached, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        layers.append(layer)
+        reached = reached.unionByName(layer.select("seed", "node")).localCheckpoint(
+            eager=True
+        )
+    # backward: delta over layers D-1 .. 0; delta[D] = 0
+    delta = layers[max_depth].select(
+        "seed", "node", F.lit(0.0).alias("delta")
+    )
+    acc = delta
+    for d in range(max_depth - 1, -1, -1):
+        below = delta.join(
+            layers[d + 1].select("seed", "node", F.col("sigma").alias("sig_w")),
+            ["seed", "node"],
+        ).select(
+            "seed",
+            F.col("node").alias("w"),
+            ((F.lit(1.0) + F.col("delta")) / F.col("sig_w")).alias("ratio"),
+        )
+        contrib = (
+            layers[d]
+            .join(nbr, "node")
+            .join(
+                below,
+                (F.col("nbr") == F.col("w"))
+                & (layers[d]["seed"] == below["seed"]),
+            )
+            .groupBy(layers[d]["seed"].alias("seed"), "node")
+            .agg(F.sum(F.col("sigma") * F.col("ratio")).alias("c"))
+        )
+        delta = (
+            layers[d]
+            .select("seed", "node")
+            .join(contrib, ["seed", "node"], "left")
+            .select(
+                "seed", "node", F.coalesce("c", F.lit(0.0)).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.unionByName(delta)
+    return (
+        acc.filter(F.col("seed") != F.col("node"))
+        .groupBy("node")
+        .agg((F.sum("delta") / F.lit(2.0)).alias("betweenness"))
+        .filter(F.col("betweenness") > 0.0)
+        .orderBy("node")
+    )
+
+
+def betweenness_approx_sql(
+    edges_cte: str, seed_mod: int = 4, max_depth: int = 4
+) -> str:
+    """DuckDB twin: identical md5 seed sample, forward layers and
+    backward accumulation unrolled as chained CTEs (every layer CTE
+    MATERIALIZED — read by the next layer, the reached union and the
+    backward pass; see CLAUDE.md on DuckDB CTE re-inlining)."""
+    D = max_depth
+    parts = [
+        edges_cte.strip(),
+        """und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+        """nbr AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und)""",
+        f"""l0 AS MATERIALIZED (
+  SELECT node AS seed, node, 1::BIGINT AS sigma
+  FROM (SELECT DISTINCT node FROM nbr)
+  WHERE ('0x' || substr(md5(node), 1, 4))::BIGINT % {seed_mod} = 0)""",
+        "r0 AS MATERIALIZED (SELECT seed, node FROM l0)",
+    ]
+    for d in range(1, D + 1):
+        parts.append(
+            f"""l{d} AS MATERIALIZED (
+  SELECT f.seed, n.nbr AS node, sum(f.sigma) AS sigma
+  FROM l{d - 1} f JOIN nbr n ON f.node = n.node
+  LEFT JOIN r{d - 1} r ON f.seed = r.seed AND n.nbr = r.node
+  WHERE r.node IS NULL
+  GROUP BY f.seed, n.nbr)"""
+        )
+        parts.append(
+            f"""r{d} AS MATERIALIZED (
+  SELECT seed, node FROM r{d - 1} UNION ALL SELECT seed, node FROM l{d})"""
+        )
+    parts.append(
+        f"d{D} AS MATERIALIZED (SELECT seed, node, 0.0 AS delta FROM l{D})"
+    )
+    for d in range(D - 1, -1, -1):
+        parts.append(
+            f"""d{d} AS MATERIALIZED (
+  SELECT l.seed, l.node, coalesce(c.c, 0.0) AS delta
+  FROM l{d} l LEFT JOIN (
+    SELECT l.seed, l.node, sum(l.sigma * ((1.0 + b.delta) / w.sigma)) AS c
+    FROM l{d} l
+    JOIN nbr n ON l.node = n.node
+    JOIN d{d + 1} b ON b.seed = l.seed AND b.node = n.nbr
+    JOIN l{d + 1} w ON w.seed = l.seed AND w.node = n.nbr
+    GROUP BY l.seed, l.node) c
+  ON l.seed = c.seed AND l.node = c.node)"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT seed, node, delta FROM d{d}" for d in range(D + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, sum(delta) / 2.0 AS betweenness
+FROM ({union})
+WHERE seed <> node
+GROUP BY node
+HAVING sum(delta) / 2.0 > 0.0
+ORDER BY node"""
+    )

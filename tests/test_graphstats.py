@@ -906,3 +906,94 @@ def test_weighted_sssp_laws(spark):
     assert set(d5) == set(hops)
     for n, dist in d5.items():
         assert dist >= hops[n]
+
+
+# ------------------------------------------------------------------ #
+# betweenness centrality (Brandes, sampled seeds)
+# ------------------------------------------------------------------ #
+
+_BTW_EDGES = [
+    # two triangles joined by the bridge c-d: c and d are the brokers
+    ("a", "b"), ("b", "c"), ("c", "a"),
+    ("d", "e"), ("e", "f"), ("f", "d"),
+    ("c", "d"),
+]
+
+
+def _brandes_replay(edges, seeds=None, max_depth=10):
+    """Textbook Brandes over the undirected simple graph (pure
+    Python), truncated at max_depth; returns {node: betweenness/2}."""
+    from collections import deque
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    if seeds is None:
+        seeds = nodes
+    bc = {v: 0.0 for v in nodes}
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            if dist[v] >= max_depth:
+                continue
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in adj[w]:
+                if v in dist and dist[v] == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: b / 2.0 for v, b in bc.items() if b > 0.0}
+
+
+def test_betweenness_all_seeds_exact(spark):
+    """seed_mod=1 samples every node -> exact Brandes betweenness;
+    the bridge endpoints c and d dominate."""
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    df = spark.createDataFrame(_BTW_EDGES, "src string, dst string")
+    got = {
+        r["node"]: r["betweenness"]
+        for r in G.betweenness_approx(df, seed_mod=1, max_depth=4).collect()
+    }
+    want = _brandes_replay(_BTW_EDGES, max_depth=4)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-12)
+    assert got["c"] == got["d"] == max(got.values())
+
+
+def test_betweenness_matches_sql_twin(spark):
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    df = spark.createDataFrame(_BTW_EDGES, "src string, dst string")
+    got = sorted(
+        (r["node"], round(r["betweenness"], 9))
+        for r in G.betweenness_approx(df, seed_mod=2, max_depth=4).collect()
+    )
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in _BTW_EDGES)
+    cte = f"edges(src, dst) AS (VALUES {vals})"
+    want = sorted(
+        (n, round(b, 9))
+        for n, b in duckdb.sql(
+            G.betweenness_approx_sql(cte, seed_mod=2, max_depth=4)
+        ).fetchall()
+    )
+    assert got == want and got  # non-empty sample
