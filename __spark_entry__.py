@@ -2840,6 +2840,25 @@ def _q_cls_membership(spark, sf_dir):
     )
 
 
+def _q_hearst_patterns(spark, sf_dir):
+    """Hearst-pattern hypernym mining (COLING'92 rules: such-as /
+    including / especially / and-other) over the embedded sentence
+    fixture — subClassOf candidates with per-pattern sentence support;
+    the webtext-to-ontology bootstrap step."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.hearst_patterns(taxonomy.hearst_sentences_df(spark))
+
+
+def _q_hierarchy_reduction(spark, sf_dir):
+    """Transitive reduction of a subClassOf DAG: asserted edges split
+    kept/redundant by one closure⋈direct join over the doubling
+    closure — the hierarchy-hygiene pass before tree renders."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.hierarchy_reduction(taxonomy.hier_edges_df(spark))
+
+
 def _q_graph_weighted_sssp(spark, sf_dir):
     """Weighted shortest distance of every entity from the region
     roots — bounded Bellman-Ford with deterministic md5-derived integer
@@ -3946,6 +3965,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted_sssp": _q_graph_weighted_sssp,
         "cls_membership": _q_cls_membership,
         "graph_betweenness": _q_graph_betweenness,
+        "hearst_patterns": _q_hearst_patterns,
+        "hierarchy_reduction": _q_hierarchy_reduction,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6302,6 +6323,14 @@ FROM inf i LEFT JOIN types t2 ON i.x = t2.x AND i.cls = t2.t
 WHERE t2.x IS NULL
 ORDER BY subj, cls, rule
 """
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    sql["hearst_patterns"] = taxonomy.hearst_patterns_sql(
+        taxonomy.hearst_sentences_values()
+    )
+    sql["hierarchy_reduction"] = taxonomy.hierarchy_reduction_sql(
+        taxonomy.hier_edges_values()
+    )
     sql["graph_betweenness"] = graphstats.betweenness_approx_sql(
         relational.ENTITY_EDGES_SQL, seed_mod=256, max_depth=4
     )

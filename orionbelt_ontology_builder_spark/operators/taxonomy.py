@@ -1,0 +1,226 @@
+"""Taxonomy induction and hierarchy hygiene.
+
+Two constructive complements to the reference's hand-edited class
+hierarchy (``ontology_manager.py``'s add_class parent wiring /
+get_class_hierarchy reader):
+
+* :func:`hearst_patterns` — lexico-syntactic hypernym mining (Hearst,
+  COLING 1992, public literature): "X such as Y", "X including Y",
+  "X especially Y", "Y and other X" over raw sentences yield
+  (hypernym, hyponym) subClassOf *candidates* with support counts —
+  the webtext-to-ontology bootstrap step that turns a crawl into
+  hierarchy suggestions a curator reviews.
+
+* :func:`hierarchy_reduction` — transitive reduction of the
+  subClassOf DAG: an asserted edge (a, c) is REDUNDANT when some
+  intermediate b also sits between them (a ⊑ … ⊑ b ⊑ … ⊑ c), i.e. the
+  edge adds no information and clutters every tree render and
+  delete-impact scan.  Classic DAG hygiene (Aho, Garey & Ullman 1972).
+
+Scale notes: Hearst mining is a pure per-row projection chain
+(regexp_extract + split + explode — whole-stage codegen, no shuffle
+until the final support count, which is map-side combinable on the
+(hyper, hypo, pattern) key).  Reduction reuses the doubling transitive
+closure (O(log D) shuffles) and decides redundancy with ONE
+closure⋈direct-edge equi-join — never path enumeration; class
+hierarchies are vocabulary-sized next to the instance data, so every
+join side broadcasts at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (pattern name, regex, hyper group, list group, list is hyponyms)
+# The regexes are deliberately dialect-neutral (char classes +
+# non-capturing groups only) so Spark's Java regex and DuckDB's RE2
+# match identically.
+_LIST = "[a-z]+(?:, [a-z]+)*(?: and [a-z]+)?"
+HEARST_RULES: list[tuple[str, str, int, int]] = [
+    ("such_as", f"([a-z]+) such as ({_LIST})", 1, 2),
+    ("including", f"([a-z]+) including ({_LIST})", 1, 2),
+    ("especially", f"([a-z]+) especially ({_LIST})", 1, 2),
+    ("and_other", f"({_LIST}) and other ([a-z]+)", 2, 1),
+]
+
+#: Deterministic sentence fixture for the registry query (the sf
+#: documents tables are synthetic word salad — Hearst cues never occur
+#: there, so the operator ships its own corpus slice, the embedded-
+#: VALUES convention used by the fixture graphs).
+HEARST_SENTENCES: list[str] = [
+    "animals such as dogs, cats and horses run fast",
+    "animals such as dogs and wolves hunt in packs",
+    "metals including copper, zinc and iron corrode slowly",
+    "metals including copper resist rust poorly",
+    "dogs and other animals bark at strangers",
+    "cars and other vehicles such as trucks need fuel",
+    "fruits especially apples and pears ripen in autumn",
+    "languages such as french are spoken widely",
+    "composers especially bach wrote fugues",
+    "copper and other metals conduct electricity",
+]
+
+
+def hearst_sentences_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(HEARST_SENTENCES)],
+        "sent_id int, text string",
+    )
+
+
+def hearst_sentences_values() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(HEARST_SENTENCES)
+    )
+    return f"s(sent_id, text) AS (VALUES\n    {rows})"
+
+
+def hearst_patterns(sents: DataFrame) -> DataFrame:
+    """(hypernym, hyponym, pattern, support) — hypernym candidates
+    mined from ``sents(sent_id, text)`` by the four classic Hearst
+    rules; ``support`` counts distinct supporting sentences per
+    (pair, pattern).  Lowercase-alpha token model (the fixture corpus
+    contract; production text goes through the normalizer first)."""
+    parts = []
+    for name, rx, hyper_g, list_g in HEARST_RULES:
+        hyper = F.regexp_extract("text", rx, hyper_g)
+        lst = F.regexp_extract("text", rx, list_g)
+        parts.append(
+            sents.select(
+                "sent_id", hyper.alias("hypernym"), lst.alias("lst")
+            )
+            .filter(F.col("hypernym") != "")
+            .select(
+                "sent_id",
+                "hypernym",
+                F.explode(F.split("lst", ",| and ")).alias("hyponym"),
+                F.lit(name).alias("pattern"),
+            )
+            .select(
+                "sent_id",
+                "hypernym",
+                F.trim(F.col("hyponym")).alias("hyponym"),
+                "pattern",
+            )
+            .filter(F.col("hyponym") != "")
+        )
+    mined = parts[0]
+    for p in parts[1:]:
+        mined = mined.unionByName(p)
+    return (
+        mined.distinct()
+        .groupBy("hypernym", "hyponym", "pattern")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy("hypernym", "hyponym", "pattern")
+    )
+
+
+def hearst_patterns_sql(sents_cte: str) -> str:
+    """DuckDB twin; ``sents_cte`` must define ``s(sent_id, text)``."""
+    branches = []
+    for name, rx, hyper_g, list_g in HEARST_RULES:
+        branches.append(f"""
+  SELECT sent_id,
+    regexp_extract(text, '{rx}', {hyper_g}) AS hypernym,
+    trim(u.x) AS hyponym, '{name}' AS pattern
+  FROM s, unnest(string_split_regex(
+    regexp_extract(text, '{rx}', {list_g}), ',| and ')) AS u(x)
+  WHERE regexp_extract(text, '{rx}', {hyper_g}) <> '' AND trim(u.x) <> ''""")
+    union = "\n  UNION ALL".join(branches)
+    return f"""
+WITH {sents_cte.strip()},
+mined AS (SELECT DISTINCT * FROM ({union}))
+SELECT hypernym, hyponym, pattern, count(*)::BIGINT AS support
+FROM mined GROUP BY hypernym, hyponym, pattern
+ORDER BY hypernym, hyponym, pattern
+"""
+
+
+def hierarchy_reduction(edges: DataFrame) -> DataFrame:
+    """(subclass, superclass, status) for every asserted direct edge of
+    ``edges(subclass, superclass)``: ``redundant`` when an intermediate
+    node b exists with subclass ⊑* b and b ⊑ superclass asserted
+    (b distinct from both ends), else ``kept`` — the transitive
+    reduction split of a subClassOf DAG.  Cycle-safe by the b-endpoint
+    guards (a cyclic pair marks both directions redundant only via a
+    genuine third node, never via itself)."""
+    from .fixpoint import transitive_closure
+
+    direct = (
+        edges.select(
+            F.col("subclass").alias("a"), F.col("superclass").alias("c")
+        )
+        .filter(F.col("a") != F.col("c"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    clo = transitive_closure(
+        direct.select(F.col("a").alias("src"), F.col("c").alias("dst"))
+    )
+    mid = (
+        clo.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(
+            direct.select(F.col("a").alias("b"), F.col("c")),
+            "b",
+        )
+        .filter((F.col("b") != F.col("a")) & (F.col("b") != F.col("c")))
+        .select("a", "c")
+        .distinct()
+    )
+    return (
+        direct.join(mid.withColumn("red", F.lit(1)), ["a", "c"], "left")
+        .select(
+            F.col("a").alias("subclass"),
+            F.col("c").alias("superclass"),
+            F.when(F.col("red").isNotNull(), F.lit("redundant"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+        .orderBy("subclass", "superclass")
+    )
+
+
+def hierarchy_reduction_sql(edges_cte: str) -> str:
+    """DuckDB twin: recursive reachability (MATERIALIZED) + the same
+    closure⋈direct redundancy join.  ``edges_cte`` must define
+    ``edges(subclass, superclass)``."""
+    return f"""
+WITH RECURSIVE {edges_cte.strip()},
+direct AS MATERIALIZED (
+  SELECT DISTINCT subclass AS a, superclass AS c FROM edges
+  WHERE subclass <> superclass),
+clo(src, dst) AS (
+  SELECT a, c FROM direct
+  UNION
+  SELECT clo.src, d.c FROM clo JOIN direct d ON clo.dst = d.a),
+cm AS MATERIALIZED (SELECT src, dst FROM clo),
+mid AS (
+  SELECT DISTINCT cm.src AS a, d.c
+  FROM cm JOIN direct d ON cm.dst = d.a
+  WHERE cm.dst <> cm.src AND cm.dst <> d.c)
+SELECT direct.a AS subclass, direct.c AS superclass,
+  CASE WHEN mid.a IS NOT NULL THEN 'redundant' ELSE 'kept' END AS status
+FROM direct LEFT JOIN mid ON direct.a = mid.a AND direct.c = mid.c
+ORDER BY subclass, superclass
+"""
+
+
+#: Hierarchy fixture with planted transitive shortcuts (the redundancy
+#: the reducer must find) — embedded-VALUES convention.
+HIER_EDGES: list[tuple[str, str]] = [
+    ("Car", "Vehicle"), ("Vehicle", "Artifact"), ("Car", "Artifact"),
+    ("Artifact", "Thing"), ("Vehicle", "Thing"), ("Car", "Thing"),
+    ("Boat", "Vehicle"), ("Dog", "Animal"), ("Animal", "Thing"),
+]
+
+
+def hier_edges_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        HIER_EDGES, "subclass string, superclass string"
+    )
+
+
+def hier_edges_values() -> str:
+    rows = ", ".join(f"('{a}', '{b}')" for a, b in HIER_EDGES)
+    return f"edges(subclass, superclass) AS (VALUES {rows})"

@@ -1,0 +1,84 @@
+"""Taxonomy induction (Hearst patterns) + transitive reduction."""
+
+from __future__ import annotations
+
+import duckdb
+
+from orionbelt_ontology_builder_spark.operators import taxonomy as T
+
+
+def test_hearst_expected_pairs_and_support(spark):
+    got = {
+        (r["hypernym"], r["hyponym"], r["pattern"]): r["support"]
+        for r in T.hearst_patterns(T.hearst_sentences_df(spark)).collect()
+    }
+    # repeated cue -> support 2; list members all extracted
+    assert got[("animals", "dogs", "such_as")] == 2
+    assert got[("animals", "cats", "such_as")] == 1
+    assert got[("animals", "horses", "such_as")] == 1
+    assert got[("metals", "copper", "including")] == 2
+    assert got[("metals", "zinc", "including")] == 1
+    # reversed-role rule: "dogs and other animals"
+    assert got[("animals", "dogs", "and_other")] == 1
+    assert got[("metals", "copper", "and_other")] == 1
+    assert got[("vehicles", "cars", "and_other")] == 1
+    # the same sentence also feeds such_as (vehicles such as trucks)
+    assert got[("vehicles", "trucks", "such_as")] == 1
+    assert got[("fruits", "apples", "especially")] == 1
+    assert got[("fruits", "pears", "especially")] == 1
+    # no hypernym ever appears as its own hyponym
+    assert all(h != o for (h, o, _p) in got)
+
+
+def test_hearst_matches_sql_twin(spark):
+    got = [
+        (r["hypernym"], r["hyponym"], r["pattern"], r["support"])
+        for r in T.hearst_patterns(T.hearst_sentences_df(spark)).collect()
+    ]
+    want = duckdb.sql(
+        T.hearst_patterns_sql(T.hearst_sentences_values())
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_hierarchy_reduction_plants(spark):
+    got = {
+        (r["subclass"], r["superclass"]): r["status"]
+        for r in T.hierarchy_reduction(T.hier_edges_df(spark)).collect()
+    }
+    assert got == {
+        ("Car", "Vehicle"): "kept",
+        ("Vehicle", "Artifact"): "kept",
+        ("Car", "Artifact"): "redundant",
+        ("Artifact", "Thing"): "kept",
+        ("Vehicle", "Thing"): "redundant",
+        ("Car", "Thing"): "redundant",
+        ("Boat", "Vehicle"): "kept",
+        ("Dog", "Animal"): "kept",
+        ("Animal", "Thing"): "kept",
+    }
+
+
+def test_hierarchy_reduction_matches_sql_twin_and_closure_law(spark):
+    from orionbelt_ontology_builder_spark.operators.fixpoint import (
+        transitive_closure,
+    )
+
+    got = [
+        (r["subclass"], r["superclass"], r["status"])
+        for r in T.hierarchy_reduction(T.hier_edges_df(spark)).collect()
+    ]
+    want = duckdb.sql(
+        T.hierarchy_reduction_sql(T.hier_edges_values())
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    # law: dropping redundant edges preserves the transitive closure
+    kept = spark.createDataFrame(
+        [(a, c) for a, c, s in got if s == "kept"], "src string, dst string"
+    )
+    full = spark.createDataFrame(
+        [(a, c) for a, c, _ in got], "src string, dst string"
+    )
+    clo_kept = {tuple(r) for r in transitive_closure(kept).collect()}
+    clo_full = {tuple(r) for r in transitive_closure(full).collect()}
+    assert clo_kept == clo_full
