@@ -2840,6 +2840,25 @@ def _q_cls_membership(spark, sf_dir):
     )
 
 
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Multi-pass sorted-neighborhood blocking (Hernández-Stolfo) over
+    customers: pass 1 sorts by reversed name (trailing-digit families),
+    pass 2 by zero-padded account balance (near-value adjacency) —
+    the sort-order complement of the MinHash/SimHash hash blockers."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("rec_id"), "c_name", "c_acctbal"
+    )
+    return dedup.sorted_neighborhood_pairs(
+        c,
+        {
+            "revname": F.reverse(F.col("c_name")),
+            "balance": F.format_string("%012.2f", F.col("c_acctbal")),
+        },
+        bucket_len=4,
+        window=3,
+    )
+
+
 def _q_hearst_patterns(spark, sf_dir):
     """Hearst-pattern hypernym mining (COLING'92 rules: such-as /
     including / especially / and-other) over the embedded sentence
@@ -3598,7 +3617,7 @@ _SF_SCALE = {
     "fd_discovery", "bpe_fertility", "dedup_srp_pairs",
     "leakage_safe_split", "pq_adc_topk", "embedding_drift",
     "node2vec_walks", "truth_discovery", "graph_weighted_sssp",
-    "graph_betweenness",
+    "graph_betweenness", "sorted_neighborhood",
 }
 
 
@@ -3967,6 +3986,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": _q_graph_betweenness,
         "hearst_patterns": _q_hearst_patterns,
         "hierarchy_reduction": _q_hierarchy_reduction,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6325,6 +6345,16 @@ ORDER BY subj, cls, rule
 """
     from orionbelt_ontology_builder_spark.operators import taxonomy
 
+    sql["sorted_neighborhood"] = dedup.sorted_neighborhood_sql(
+        """records AS (
+  SELECT c_custkey AS rec_id, c_name, c_acctbal FROM customer)""",
+        {
+            "revname": "reverse(c_name)",
+            "balance": "printf('%012.2f', c_acctbal)",
+        },
+        bucket_len=4,
+        window=3,
+    )
     sql["hearst_patterns"] = taxonomy.hearst_patterns_sql(
         taxonomy.hearst_sentences_values()
     )

@@ -1862,3 +1862,95 @@ SELECT bands, rows, min(p_t) AS p_at_threshold,
 FROM g GROUP BY bands, rows
 ORDER BY bands, rows
 """
+
+
+# --------------------------------------------------------------------- #
+# multi-pass sorted-neighborhood blocking
+# --------------------------------------------------------------------- #
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    passes: dict[str, "F.Column"],
+    id_col: str = "rec_id",
+    bucket_len: int = 4,
+    window: int = 3,
+) -> DataFrame:
+    """(pass, id_a, id_b) — candidate pairs from multi-pass
+    sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995,
+    public literature): per pass, records sort by a derived key and
+    every pair within ``window`` sort ranks becomes a candidate — the
+    sort-order complement of hash blocking (MinHash/SimHash buckets
+    need near-identical content; SN catches near-identical KEYS:
+    typos, serial ids, prefix families).
+
+    ``passes`` maps a pass name to its key expression; multiple passes
+    with different keys are THE standard recall fix for sort-boundary
+    misses, and the same union-of-passes shape here also repairs
+    bucket-boundary misses of the distributed variant below.
+
+    Distribution: a GLOBAL sort rank would serialize on one partition,
+    so ranks are computed per ``bucket = substr(key, 1, bucket_len)``
+    — buckets are the range partition, the window function's
+    partitionBy key, and the self-join key, so the only shuffle is
+    bucket-hash and per-bucket state is bounded by the key prefix's
+    selectivity (pairs straddling a bucket boundary are missed by that
+    pass — the documented multi-pass tradeoff).  The rank self-join's
+    fan-out is <= window - 1 per row by the rank-distance predicate.
+    Pairs are deduplicated across passes by construction of the output
+    key (pass kept — which pass fired is the review signal)."""
+    out = None
+    for name, key in passes.items():
+        keyed = records.select(
+            F.col(id_col).alias("rid"), key.cast("string").alias("k")
+        ).withColumn("bucket", F.substring("k", 1, bucket_len))
+        w = Window.partitionBy("bucket").orderBy("k", "rid")
+        ranked = keyed.withColumn("r", F.row_number().over(w))
+        a, b = ranked.alias("a"), ranked.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("b.r") - F.col("a.r") > 0)
+                & (F.col("b.r") - F.col("a.r") < window),
+            )
+            .select(
+                F.lit(name).alias("pass"),
+                F.col("a.rid").alias("id_a"),
+                F.col("b.rid").alias("id_b"),
+            )
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct().orderBy("pass", "id_a", "id_b")
+
+
+def sorted_neighborhood_sql(
+    records_cte: str,
+    passes: dict[str, str],
+    id_col: str = "rec_id",
+    bucket_len: int = 4,
+    window: int = 3,
+) -> str:
+    """DuckDB twin; ``records_cte`` must define ``records(...)`` with
+    ``id_col`` and whatever columns the pass key SQL expressions read."""
+    branches = []
+    for name, key_sql in passes.items():
+        branches.append(f"""
+  SELECT '{name}' AS pass, a.rid AS id_a, b.rid AS id_b
+  FROM rk_{name} a JOIN rk_{name} b
+    ON a.bucket = b.bucket AND b.r - a.r > 0 AND b.r - a.r < {window}""")
+    ctes = []
+    for name, key_sql in passes.items():
+        ctes.append(f"""rk_{name} AS MATERIALIZED (
+  SELECT rid, k, bucket, row_number() OVER (PARTITION BY bucket ORDER BY k, rid) AS r
+  FROM (SELECT {id_col} AS rid, ({key_sql})::VARCHAR AS k,
+               substr(({key_sql})::VARCHAR, 1, {bucket_len}) AS bucket
+        FROM records))""")
+    union = "\n  UNION ALL".join(branches)
+    ctes_joined = ",\n".join(ctes)
+    return f"""
+WITH {records_cte.strip()},
+{ctes_joined}
+SELECT DISTINCT pass, id_a, id_b FROM ({union})
+ORDER BY pass, id_a, id_b
+"""

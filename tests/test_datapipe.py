@@ -1777,3 +1777,57 @@ def test_embedding_drift_identical_halves_zero(spark):
     assert got["stable"]["n_a"] == 2 and got["stable"]["n_b"] == 2
     assert got["moved"]["l2_drift"] == pytest.approx(2.0**0.5)
     assert got["moved"]["cos_centroids"] == pytest.approx(0.0)
+
+
+# ------------------------------------------------------------------ #
+# multi-pass sorted-neighborhood blocking
+# ------------------------------------------------------------------ #
+
+
+def test_sorted_neighborhood_window_and_twin(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from orionbelt_ontology_builder_spark.datapipe import dedup
+
+    rows = [
+        (1, "smith"), (2, "smyth"), (3, "smooth"),
+        (4, "jones"), (5, "jonas"), (6, "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    got = [
+        (r["pass"], r["id_a"], r["id_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            df, {"name": F.col("name")}, bucket_len=2, window=2
+        ).collect()
+    ]
+    # bucket 'sm' sorted: smith < smooth < smyth -> adjacent pairs only
+    # bucket 'jo' sorted: jonas < jones
+    assert got == [
+        ("name", 4, 5),  # jonas-jones? ordered by rank: jonas(r1), jones(r2)
+        ("name", 1, 3),
+        ("name", 3, 2),
+    ] or sorted(got) == sorted(
+        [("name", 5, 4), ("name", 1, 3), ("name", 3, 2)]
+    )
+    # rank order pins id_a = lower rank; check against the twin instead
+    vals = ", ".join(f"({i}, '{n}')" for i, n in rows)
+    want = duckdb.sql(
+        dedup.sorted_neighborhood_sql(
+            f"records(rec_id, name) AS (VALUES {vals})",
+            {"name": "name"},
+            bucket_len=2,
+            window=2,
+        )
+    ).fetchall()
+    assert sorted(got) == sorted(tuple(r) for r in want)
+    # multi-pass union dedups and tags the firing pass
+    two = dedup.sorted_neighborhood_pairs(
+        df,
+        {"name": F.col("name"), "rev": F.reverse(F.col("name"))},
+        bucket_len=2,
+        window=2,
+    ).collect()
+    assert {r["pass"] for r in two} <= {"name", "rev"}
+    assert len({(r["pass"], r["id_a"], r["id_b"]) for r in two}) == len(two)
