@@ -2869,6 +2869,15 @@ def _q_hearst_patterns(spark, sf_dir):
     return taxonomy.hearst_patterns(taxonomy.hearst_sentences_df(spark))
 
 
+def _q_acronym_pairs(spark, sf_dir):
+    """Schwartz-Hearst-style parenthetical acronym-definition mining
+    (exact initialism check) — the alias signal that tells the linker
+    'WHO' and 'world health organization' are one entity."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.acronym_pairs(taxonomy.acronym_sentences_df(spark))
+
+
 def _q_hierarchy_reduction(spark, sf_dir):
     """Transitive reduction of a subClassOf DAG: asserted edges split
     kept/redundant by one closure⋈direct join over the doubling
@@ -3987,6 +3996,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_patterns": _q_hearst_patterns,
         "hierarchy_reduction": _q_hierarchy_reduction,
         "sorted_neighborhood": _q_sorted_neighborhood,
+        "acronym_pairs": _q_acronym_pairs,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -6357,6 +6367,9 @@ ORDER BY subj, cls, rule
     )
     sql["hearst_patterns"] = taxonomy.hearst_patterns_sql(
         taxonomy.hearst_sentences_values()
+    )
+    sql["acronym_pairs"] = taxonomy.acronym_pairs_sql(
+        taxonomy.acronym_sentences_values()
     )
     sql["hierarchy_reduction"] = taxonomy.hierarchy_reduction_sql(
         taxonomy.hier_edges_values()

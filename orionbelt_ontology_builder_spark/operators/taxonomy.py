@@ -224,3 +224,104 @@ def hier_edges_df(spark) -> DataFrame:
 def hier_edges_values() -> str:
     rows = ", ".join(f"('{a}', '{b}')" for a, b in HIER_EDGES)
     return f"edges(subclass, superclass) AS (VALUES {rows})"
+
+
+# --------------------------------------------------------------------- #
+# acronym-definition mining (entity-alias signal)
+# --------------------------------------------------------------------- #
+
+_ACRO_RX = r"([a-z]+(?: [a-z]+){0,4}) \(([A-Za-z]{2,6})\)"
+
+#: Deterministic fixture (single definition cue per sentence — the
+#: first-match contract of regexp_extract on both engines).
+ACRONYM_SENTENCES: list[str] = [
+    "the world health organization (WHO) sets global rules",
+    "a large language model (LLM) predicts the next token",
+    "the european union (EU) expanded eastward",
+    "the world health organization (WHO) met again in geneva",
+    "a banana split (XY) is not an acronym definition",
+    "the random forest (RF) model wins on tabular data",
+    "knowledge graphs (KG) power entity linking",
+]
+
+
+def acronym_sentences_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ACRONYM_SENTENCES)],
+        "sent_id int, text string",
+    )
+
+
+def acronym_sentences_values() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(ACRONYM_SENTENCES)
+    )
+    return f"s(sent_id, text) AS (VALUES\n    {rows})"
+
+
+def acronym_pairs(sents: DataFrame) -> DataFrame:
+    """(acronym, expansion, support) — parenthetical acronym
+    definitions mined from ``sents(sent_id, text)``: the phrase
+    directly before "(ABC)" is trimmed to the last ``len(ABC)`` words
+    and kept only when those words' initials spell the acronym — the
+    Schwartz & Hearst (PSB 2003, public literature) abbreviation-
+    definition heuristic, simplified to exact initialisms.  The
+    entity-ALIAS signal for linking: "WHO" and "world health
+    organization" are the same node.
+
+    Pure projection chain (regexp_extract -> split/slice/transform ->
+    filter) until the final map-side-combinable support count; the
+    higher-order fns are CodegenFallback (CLAUDE.md) but stay
+    JVM-side and run on match rows only."""
+    words = F.split(F.col("phrase"), " ")
+    k = F.length(F.col("acro"))
+    cand = F.slice(words, F.size(words) - k + 1, k)
+    initials = F.upper(
+        F.concat_ws("", F.transform(cand, lambda w: F.substring(w, 1, 1)))
+    )
+    return (
+        sents.select(
+            "sent_id",
+            F.regexp_extract("text", _ACRO_RX, 1).alias("phrase"),
+            F.regexp_extract("text", _ACRO_RX, 2).alias("acro"),
+        )
+        .filter(F.col("phrase") != "")
+        .select(
+            "sent_id",
+            F.upper("acro").alias("acronym"),
+            F.concat_ws(" ", cand).alias("expansion"),
+            F.size(cand).alias("nw"),
+            initials.alias("ini"),
+        )
+        .filter((F.col("nw") == F.length("acronym")) & (F.col("ini") == F.col("acronym")))
+        .groupBy("acronym", "expansion")
+        .agg(F.count_distinct("sent_id").alias("support"))
+        .orderBy("acronym", "expansion")
+    )
+
+
+def acronym_pairs_sql(sents_cte: str) -> str:
+    """DuckDB twin; ``sents_cte`` must define ``s(sent_id, text)``."""
+    rx = _ACRO_RX  # standard SQL strings keep backslashes literal
+    return f"""
+WITH {sents_cte.strip()},
+m AS (
+  SELECT sent_id,
+    regexp_extract(text, '{rx}', 1) AS phrase,
+    upper(regexp_extract(text, '{rx}', 2)) AS acronym
+  FROM s),
+e AS (
+  SELECT sent_id, acronym,
+    array_to_string(list_slice(string_split(phrase, ' '),
+      len(string_split(phrase, ' ')) - length(acronym) + 1,
+      len(string_split(phrase, ' '))), ' ') AS expansion
+  FROM m WHERE phrase <> '')
+SELECT acronym, expansion, count(DISTINCT sent_id)::BIGINT AS support
+FROM e
+WHERE len(string_split(expansion, ' ')) = length(acronym)
+  AND upper(array_to_string(
+        list_transform(string_split(expansion, ' '), w -> w[1]), ''))
+      = acronym
+GROUP BY acronym, expansion
+ORDER BY acronym, expansion
+"""

@@ -82,3 +82,22 @@ def test_hierarchy_reduction_matches_sql_twin_and_closure_law(spark):
     clo_kept = {tuple(r) for r in transitive_closure(kept).collect()}
     clo_full = {tuple(r) for r in transitive_closure(full).collect()}
     assert clo_kept == clo_full
+
+
+def test_acronym_pairs_expected_and_twin(spark):
+    got = [
+        (r["acronym"], r["expansion"], r["support"])
+        for r in T.acronym_pairs(T.acronym_sentences_df(spark)).collect()
+    ]
+    as_map = {(a, e): s for a, e, s in got}
+    assert as_map[("WHO", "world health organization")] == 2
+    assert as_map[("LLM", "large language model")] == 1
+    assert as_map[("EU", "european union")] == 1
+    assert as_map[("RF", "random forest")] == 1
+    assert as_map[("KG", "knowledge graphs")] == 1
+    # initials mismatch rejected: "banana split (XY)"
+    assert not any(a == "XY" for a, _, _ in got)
+    want = duckdb.sql(
+        T.acronym_pairs_sql(T.acronym_sentences_values())
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
