@@ -981,6 +981,69 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): the 6-table star join with
+    the customer-and-supplier-share-a-nation correlation.  The dims
+    (region -> nation -> supplier) broadcast down the chain; the two
+    fact tables join key-partitioned on orderkey; the date range is
+    pushed into the orders scan."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    asia_n = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    asia_s = supp.join(
+        F.broadcast(asia_n), supp["s_nationkey"] == asia_n["n_nationkey"]
+    ).select("s_suppkey", F.col("s_nationkey").alias("sup_nk"), "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(asia_s), li["l_suppkey"] == asia_s["s_suppkey"])
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("sup_nk")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the pure scan showcase —
+    all three predicates and the 2-column projection push into the
+    parquet scan, one map-side-partial global agg, zero joins."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -2524,6 +2587,16 @@ def _q_url_normalize(spark, sf_dir):
     return urls.normalize_urls(urls.url_fixture_df(spark))
 
 
+def _q_url_rules(spark, sf_dir):
+    """RFC 9309 robots longest-prefix-match crawl rules over the raw
+    URL fixture: longest matching per-host prefix decides, allow wins
+    length ties, unmatched defaults to allow — the frontier filter
+    applied before fetch scheduling."""
+    return urls.url_rules_filter(
+        urls.url_fixture_df(spark), urls.url_rules_df(spark)
+    )
+
+
 def _q_source_mix(spark, sf_dir):
     return urls.source_mix(_docs(spark, sf_dir))
 
@@ -2912,6 +2985,16 @@ def _q_graph_betweenness(spark, sf_dir):
         relational.induce_entity_edges(spark, sf_dir),
         seed_mod=256,
         max_depth=4,
+    )
+
+
+def _q_graph_summary(spark, sf_dir):
+    """Aggregation-based graph summarization (SNAP-style): the induced
+    entity graph quotiented by 2-round WL structural roles — supernode
+    member counts + superedge multiplicities, the schema-diagram view
+    of a million-node KG."""
+    return graphstats.graph_summary(
+        relational.induce_entity_edges(spark, sf_dir), iters=2
     )
 
 
@@ -3561,7 +3644,8 @@ def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
-    "induced_search", "tpch_q1", "tpch_q3", "top_customers",
+    "induced_search", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "top_customers",
     "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
     "hypertable_rollup", "scd2_intervals", "dedup_sparse_cosine",
@@ -3626,7 +3710,7 @@ _SF_SCALE = {
     "fd_discovery", "bpe_fertility", "dedup_srp_pairs",
     "leakage_safe_split", "pq_adc_topk", "embedding_drift",
     "node2vec_walks", "truth_discovery", "graph_weighted_sssp",
-    "graph_betweenness", "sorted_neighborhood",
+    "graph_betweenness", "sorted_neighborhood", "graph_summary",
 }
 
 
@@ -3758,6 +3842,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_search": _q_induced_search,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
         "top_customers": _q_top_customers,
         "events_running": _q_events_running,
         "asof_join_events": _q_asof_join_events,
@@ -3997,6 +4083,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_reduction": _q_hierarchy_reduction,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "acronym_pairs": _q_acronym_pairs,
+        "url_rules": _q_url_rules,
+        "graph_summary": _q_graph_summary,
         "graph_random_walks": _q_graph_random_walks,
         "graph_neighbor_jaccard": _q_graph_neighbor_jaccard,
         "graph_kcore": _q_graph_kcore,
@@ -4523,6 +4611,29 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > '1995-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+    sql["tpch_q5"] = """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+    sql["tpch_q6"] = """
+SELECT sum(l_extendedprice * l_discount) AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """
 
     sql["tpch_q1"] = """
@@ -6370,6 +6481,10 @@ ORDER BY subj, cls, rule
     )
     sql["acronym_pairs"] = taxonomy.acronym_pairs_sql(
         taxonomy.acronym_sentences_values()
+    )
+    sql["url_rules"] = urls.url_rules_filter_sql()
+    sql["graph_summary"] = graphstats.graph_summary_sql(
+        relational.ENTITY_EDGES_SQL, iters=2
     )
     sql["hierarchy_reduction"] = taxonomy.hierarchy_reduction_sql(
         taxonomy.hier_edges_values()

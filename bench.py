@@ -291,6 +291,18 @@ def main() -> None:
         "pq_adc_topk",
         "lsh_plan",
         "embedding_drift",
+        # session-14 ops
+        "node2vec_walks",
+        "truth_discovery",
+        "graph_weighted_sssp",
+        "cls_membership",
+        "hearst_patterns",
+        "hierarchy_reduction",
+        "acronym_pairs",
+        "sorted_neighborhood",
+        "tpch_q5",
+        "tpch_q6",
+        "graph_summary",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

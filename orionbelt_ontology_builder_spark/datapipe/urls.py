@@ -175,3 +175,130 @@ SELECT source, count(*) AS n_docs, sum(n_toks) AS total_tokens,
        avg(n_chars::DOUBLE) AS avg_chars
 FROM t GROUP BY source ORDER BY source
 """
+
+
+# --------------------------------------------------------------------- #
+# robots-style URL rule filtering (longest-prefix-match)
+# --------------------------------------------------------------------- #
+
+#: (host, allow, path_prefix) — robots.txt-shaped crawl rules for the
+#: URL fixture: per host, the LONGEST matching prefix decides; on an
+#: exact length tie allow wins; hosts/paths with no matching rule
+#: default to allow (the documented robots longest-match semantics —
+#: public Google/RFC 9309 spec).
+URL_RULES: list[tuple[str, bool, str]] = [
+    ("example.com", False, "/Path"),
+    ("example.com", True, "/Path/Page"),
+    ("news.site", False, "/"),
+    ("news.site", True, "/a"),
+    ("shop.example.co.uk", False, "/items"),
+]
+
+
+def url_rules_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        URL_RULES, "host string, allow boolean, prefix string"
+    )
+
+
+def url_rules_values() -> str:
+    rows = ", ".join(
+        f"('{h}', {str(a).lower()}, '{p}')" for h, a, p in URL_RULES
+    )
+    return f"rules(host, allow, prefix) AS (VALUES {rows})"
+
+
+def url_rules_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """(url_id, host, path, decision, rule_prefix) — RFC 9309 robots
+    semantics applied to every URL: among the URL's host's rules whose
+    ``prefix`` prefixes the raw path, the longest wins; a length tie
+    goes to allow; no match (or unknown host) defaults to allow with
+    an empty ``rule_prefix``.
+
+    The winner is one ``max(struct(len(prefix), allow, prefix))`` per
+    URL — exact integer/boolean lexicographic max, bit-stable.  Rule
+    tables are robots.txt-sized: the join broadcasts, the per-URL agg
+    is map-side combinable, and the URL side never shuffles wide —
+    the plan a 100 TB frontier filter needs."""
+    hostport = F.lower(
+        F.regexp_extract("url", "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1),
+        "[?#].*$",
+        "",
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    parsed = urls.select("url_id", host.alias("host"), path.alias("path"))
+    matched = (
+        parsed.join(F.broadcast(rules), "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("url_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("allow").alias("a"),
+                    F.col("prefix").alias("p"),
+                )
+            ).alias("w")
+        )
+        .select(
+            "url_id",
+            F.when(F.col("w.a"), F.lit("allow"))
+            .otherwise(F.lit("deny"))
+            .alias("decision"),
+            F.col("w.p").alias("rule_prefix"),
+        )
+    )
+    return (
+        parsed.join(matched, "url_id", "left")
+        .select(
+            "url_id",
+            "host",
+            "path",
+            F.coalesce("decision", F.lit("allow")).alias("decision"),
+            F.coalesce("rule_prefix", F.lit("")).alias("rule_prefix"),
+        )
+        .orderBy("url_id")
+    )
+
+
+def url_rules_filter_sql(
+    urls_cte: str = None, rules_cte: str = None
+) -> str:
+    """DuckDB twin; defaults to the module fixtures."""
+    u = urls_cte if urls_cte is not None else url_fixture_cte()
+    r = rules_cte if rules_cte is not None else url_rules_values()
+    return f"""
+WITH {u.strip()},
+{r.strip()},
+parsed AS (
+  SELECT url_id,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      ':[0-9]+$', ''), '^www\\.', '') AS host,
+    CASE WHEN regexp_replace(
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+        '[?#].*$', '') = '' THEN '/'
+      ELSE regexp_replace(
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+        '[?#].*$', '') END AS path
+  FROM urls),
+matched AS (
+  SELECT p.url_id,
+    (max(struct_pack(l := length(r.prefix), a := r.allow, p := r.prefix))).a AS a,
+    (max(struct_pack(l := length(r.prefix), a := r.allow, p := r.prefix))).p AS rp
+  FROM parsed p JOIN rules r ON p.host = r.host
+  WHERE starts_with(p.path, r.prefix)
+  GROUP BY p.url_id)
+SELECT p.url_id, p.host, p.path,
+  CASE WHEN m.url_id IS NULL THEN 'allow'
+       WHEN m.a THEN 'allow' ELSE 'deny' END AS decision,
+  coalesce(m.rp, '') AS rule_prefix
+FROM parsed p LEFT JOIN matched m ON p.url_id = m.url_id
+ORDER BY p.url_id
+"""

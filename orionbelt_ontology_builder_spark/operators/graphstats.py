@@ -2607,3 +2607,83 @@ GROUP BY node
 HAVING sum(delta) / 2.0 > 0.0
 ORDER BY node"""
     )
+
+
+# --------------------------------------------------------------------- #
+# aggregation-based graph summarization (quotient over WL roles)
+# --------------------------------------------------------------------- #
+
+
+def graph_summary(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """(src_role, dst_role, n_edges, n_src_nodes, n_dst_nodes) — the
+    quotient graph of the directed edge table under Weisfeiler-Leman
+    structural roles (aggregation-based graph summarization, Tian,
+    Hankins & Patel SIGMOD 2008 / SNAP — public literature): every WL
+    color class collapses to one supernode, every edge to a
+    (src_role, dst_role) superedge with multiplicity.  The million-
+    node entity graph becomes a dozen-row schema diagram: which
+    structural roles exist, how many members each has, and how roles
+    wire to each other — the first artifact to read when auditing an
+    extracted KG for template/factory subgraphs.
+
+    Composition: :func:`wl_colors` (O(iters) keyed aggs) -> two
+    broadcast-able node->role joins onto the edge list -> one
+    (src_role, dst_role) grouped count; role member counts ride a
+    role-keyed count joined back.  Every stage key-partitioned and
+    map-side combinable; output cardinality is roles², independent of
+    graph size."""
+    colors = wl_colors(edges, iters).localCheckpoint(eager=True)
+    sizes = colors.groupBy("color").agg(F.count(F.lit(1)).alias("n"))
+    e = edges.select("src", "dst").distinct()
+    summary = (
+        e.join(
+            colors.select(F.col("node").alias("src"), F.col("color").alias("src_role")),
+            "src",
+        )
+        .join(
+            colors.select(F.col("node").alias("dst"), F.col("color").alias("dst_role")),
+            "dst",
+        )
+        .groupBy("src_role", "dst_role")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        summary.join(
+            sizes.select(F.col("color").alias("src_role"), F.col("n").alias("n_src_nodes")),
+            "src_role",
+        )
+        .join(
+            sizes.select(F.col("color").alias("dst_role"), F.col("n").alias("n_dst_nodes")),
+            "dst_role",
+        )
+        .select("src_role", "dst_role", "n_edges", "n_src_nodes", "n_dst_nodes")
+        .orderBy("src_role", "dst_role")
+    )
+
+
+def graph_summary_sql(edges_cte: str, iters: int = 2) -> str:
+    """DuckDB twin: the wl_colors round chain (shared generator) + the
+    same quotient aggregations."""
+    inner = wl_colors_sql(edges_cte, iters)
+    return f"""
+WITH colors AS MATERIALIZED ({inner.strip().rstrip(";")}),
+e AS (SELECT DISTINCT src, dst FROM ({_EDGES_REWRAP.format(cte=edges_cte.strip())})),
+sizes AS (SELECT color, count(*)::BIGINT AS n FROM colors GROUP BY color),
+summary AS (
+  SELECT cs.color AS src_role, cd.color AS dst_role, count(*)::BIGINT AS n_edges
+  FROM e
+  JOIN colors cs ON e.src = cs.node
+  JOIN colors cd ON e.dst = cd.node
+  GROUP BY cs.color, cd.color)
+SELECT s.src_role, s.dst_role, s.n_edges,
+  zs.n AS n_src_nodes, zd.n AS n_dst_nodes
+FROM summary s
+JOIN sizes zs ON s.src_role = zs.color
+JOIN sizes zd ON s.dst_role = zd.color
+ORDER BY s.src_role, s.dst_role
+"""
+
+
+# a full query can't sit in a FROM-clause CTE list directly; re-wrap the
+# caller's edges CTE into a scalar SELECT for graph_summary_sql
+_EDGES_REWRAP = "WITH {cte} SELECT src, dst FROM edges"

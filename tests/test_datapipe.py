@@ -1831,3 +1831,31 @@ def test_sorted_neighborhood_window_and_twin(spark):
     ).collect()
     assert {r["pass"] for r in two} <= {"name", "rev"}
     assert len({(r["pass"], r["id_a"], r["id_b"]) for r in two}) == len(two)
+
+
+def test_url_rules_filter_longest_match(spark):
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.datapipe import urls as U
+
+    got = {
+        r["url_id"]: (r["decision"], r["rule_prefix"])
+        for r in U.url_rules_filter(
+            U.url_fixture_df(spark), U.url_rules_df(spark)
+        ).collect()
+    }
+    # longest match wins: allow /Path/Page beats deny /Path
+    assert got[0] == ("allow", "/Path/Page")
+    assert got[6] == ("allow", "/Path/Page")
+    # deny when only the shorter deny matches
+    assert got[2] == ("deny", "/items")
+    # allow /a beats deny / on news.site
+    assert got[5] == ("allow", "/a")
+    # unmatched path / unknown host default to allow with empty prefix
+    assert got[3] == ("allow", "")
+    assert got[7] == ("allow", "")
+    want = {
+        r[0]: (r[3], r[4])
+        for r in duckdb.sql(U.url_rules_filter_sql()).fetchall()
+    }
+    assert got == want

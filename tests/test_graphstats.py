@@ -997,3 +997,38 @@ def test_betweenness_matches_sql_twin(spark):
         ).fetchall()
     )
     assert got == want and got  # non-empty sample
+
+
+# ------------------------------------------------------------------ #
+# graph summarization (quotient over WL roles)
+# ------------------------------------------------------------------ #
+
+
+def test_graph_summary_star_roles_and_twin(spark):
+    """Two identical stars: both hubs share a role, all leaves share a
+    role; the quotient has ONE (leafish->hub or hub->leaf) superedge
+    row carrying all 6 edges; node counts are role-class sizes.  Twin
+    must agree exactly."""
+    import duckdb
+
+    from orionbelt_ontology_builder_spark.operators import graphstats as G
+
+    edges = [
+        ("h1", "a"), ("h1", "b"), ("h1", "c"),
+        ("h2", "x"), ("h2", "y"), ("h2", "z"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = G.graph_summary(df, iters=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_edges"] == 6
+    assert r["n_src_nodes"] == 2 and r["n_dst_nodes"] == 6
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+    cte = f"edges(src, dst) AS (VALUES {vals})"
+    want = duckdb.sql(G.graph_summary_sql(cte, iters=2)).fetchall()
+    got = [
+        (x["src_role"], x["dst_role"], x["n_edges"], x["n_src_nodes"],
+         x["n_dst_nodes"])
+        for x in rows
+    ]
+    assert got == [tuple(w) for w in want]
