@@ -486,6 +486,31 @@ def _q_align_ontologies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_paris_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARIS-style instance alignment (Suchanek et al., VLDB 2012):
+    sameAs candidates between two instance graphs scored by noisy-or
+    over inverse-functionality-weighted shared facts — the value-
+    evidence complement to label-based `align_ontologies`."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    return align.paris_matches(
+        align.paris_fixture_df(spark, "a"),
+        align.paris_fixture_df(spark, "b"),
+    )
+
+
+def _q_property_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-based property alignment: owl:equivalentProperty
+    candidates by extension (subj, obj) Jaccard overlap across two
+    predicate vocabularies over canonicalized subjects."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    return align.property_alignment(
+        align.propalign_fixture_df(spark, "a"),
+        align.propalign_fixture_df(spark, "b"),
+    )
+
+
 #: BGP over the induced graph: individuals with their class, its
 #: superclass, and their market segment — a 3-pattern conjunctive query.
 _BGP_PATTERNS = [
@@ -3888,6 +3913,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_values": _q_shacl_values,
         "skolemize_axioms": _q_skolemize_axioms,
         "align_ontologies": _q_align_ontologies,
+        "paris_matches": _q_paris_matches,
+        "property_alignment": _q_property_alignment,
         "bgp_match": _q_bgp_match,
         "path_query": _q_path_query,
         "construct_rule": _q_construct_rule,
@@ -4849,6 +4876,14 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["align_ontologies"] = _align.align_entities_sql(
         "WITH " + FX.fixture_cte("populated_om", alias="ta"),
         FX.fixture_cte("template_org", alias="tb"),
+    )
+    sql["paris_matches"] = _align.paris_matches_sql(
+        _align.paris_fixture_cte("a", "ta"),
+        _align.paris_fixture_cte("b", "tb"),
+    )
+    sql["property_alignment"] = _align.property_alignment_sql(
+        _align.propalign_fixture_cte("a", "ta"),
+        _align.propalign_fixture_cte("b", "tb"),
     )
     from orionbelt_ontology_builder_spark.operators import query as _query
 

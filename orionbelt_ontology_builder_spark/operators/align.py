@@ -36,6 +36,14 @@ __all__ = [
     "fs_pair_scores_sql",
     "golden_records",
     "golden_records_sql",
+    "paris_matches",
+    "paris_matches_sql",
+    "paris_fixture_df",
+    "paris_fixture_cte",
+    "property_alignment",
+    "property_alignment_sql",
+    "propalign_fixture_df",
+    "propalign_fixture_cte",
 ]
 
 _KINDS = (OWL.Class, OWL.ObjectProperty, OWL.DatatypeProperty)
@@ -507,4 +515,386 @@ SELECT {cluster}, count(*)::BIGINT AS n_records,
 FROM records
 GROUP BY {cluster}
 ORDER BY {cluster}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PARIS-style probabilistic instance alignment (Suchanek, Abiteboul &
+# Senellart, VLDB 2012, public literature).  The VALUE-evidence
+# complement to label-based align_entities: two instances from
+# different graphs are the same entity when they share FACTS, and a
+# shared fact is strong evidence exactly when few entities carry it
+# (inverse functionality).  The reference workbench has no cross-graph
+# instance matcher at all — its merge modes (ontology_manager.py merge/
+# MERGE_OVERWRITE) assume URIs already agree; this operator produces
+# the sameAs candidates that make such a merge sound.
+# ---------------------------------------------------------------------------
+
+_PARIS_A_NS = "http://a.example.org/"
+_PARIS_B_NS = "http://b.example.org/"
+_PARIS_EX = "http://schema.test.org/"
+
+
+def _pa(n: str) -> str:
+    return _PARIS_A_NS + n
+
+
+def _pb(n: str) -> str:
+    return _PARIS_B_NS + n
+
+
+def _px(n: str) -> str:
+    return _PARIS_EX + n
+
+
+#: Two small instance graphs about (partially) the same people.
+#: alice↔alice_smith share a UNIQUE email (functional ⇒ near-proof);
+#: bob↔robert a unique phone; carol↔carola only low-functionality
+#: facts (city, job) ⇒ a moderate score; the shared rdf:type Person
+#: fact is carried by everyone ⇒ weight 1/25, evidence ~nil.
+PARIS_A: list[tuple] = []
+PARIS_B: list[tuple] = []
+
+
+def _paris_build() -> None:
+    from ..model import RDF, t_lit, t_uri
+
+    person = _px("Person")
+    for ns, rows, facts in (
+        (
+            _pa,
+            PARIS_A,
+            [
+                ("alice", "email", "alice@example.org"),
+                ("alice", "city", "berlin"),
+                ("alice", "job", "engineer"),
+                ("bob", "phone", "555-0199"),
+                ("bob", "city", "berlin"),
+                ("bob", "job", "engineer"),
+                ("carol", "city", "berlin"),
+                ("carol", "job", "teacher"),
+                ("dave", "email", "dave@example.org"),
+                ("dave", "city", "munich"),
+                ("erin", "city", "munich"),
+                ("erin", "job", "teacher"),
+            ],
+        ),
+        (
+            _pb,
+            PARIS_B,
+            [
+                ("alice_smith", "email", "alice@example.org"),
+                ("alice_smith", "city", "berlin"),
+                ("robert", "phone", "555-0199"),
+                ("robert", "city", "berlin"),
+                ("robert", "job", "engineer"),
+                ("carola", "city", "berlin"),
+                ("carola", "job", "teacher"),
+                ("david", "city", "munich"),
+                ("eve", "job", "engineer"),
+                ("eve", "city", "paris"),
+            ],
+        ),
+    ):
+        subjects = []
+        for s, p, o in facts:
+            rows.append(t_lit(ns(s), _px(p), o))
+            if s not in subjects:
+                subjects.append(s)
+        rows.extend(t_uri(ns(s), RDF.type, person) for s in subjects)
+
+
+_paris_build()
+
+
+def paris_fixture_df(spark, which: str) -> DataFrame:
+    from ..model import triples_df
+
+    return triples_df(spark, PARIS_A if which == "a" else PARIS_B)
+
+
+def paris_fixture_cte(which: str, alias: str) -> str:
+    rows = PARIS_A if which == "a" else PARIS_B
+
+    def q(v):
+        return "CAST(NULL AS VARCHAR)" if v is None else "'" + v.replace("'", "''") + "'"
+
+    vals = ",\n    ".join("(" + ", ".join(q(v) for v in r) + ")" for r in rows)
+    return (
+        f"{alias}(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS "
+        f"(SELECT DISTINCT * FROM (VALUES\n    {vals}))"
+    )
+
+
+#: Clamp so the noisy-or log never sees ln(0) when a fact is unique on
+#: both sides (w = 1): score prints as 1 under the driver's %.6g.
+_W_CLAMP = 1.0 - 1e-12
+
+
+def paris_matches(
+    a: DataFrame,
+    b: DataFrame,
+    min_score: float = 0.05,
+    max_fact_pairs: int = 1000,
+) -> DataFrame:
+    """(uri_a, uri_b, shared_facts, score) — PARIS-style instance
+    alignment by shared-fact evidence.
+
+    Each fact key (pred, obj, obj_kind) carried by ``n_a`` subjects in
+    A and ``n_b`` in B licenses n_a x n_b candidate pairs; its evidence
+    weight is the inverse, w = 1 / (n_a * n_b) — the discrete form of
+    PARIS's inverse-functionality weighting (a unique shared email is
+    near-proof, a shared city is noise).  Pair score is the noisy-or
+    1 - prod(1 - w) over shared facts.
+
+    Scale shape: ONE equi-join per side on the fact key — the same
+    bucket-join geometry as MinHash-LSH blocking (pipeline/linking.py),
+    with the identical hot-bucket guard: fact keys licensing more than
+    ``max_fact_pairs`` candidates (stopword-like values such as a
+    common rdf:type) are dropped BEFORE the shuffle, never exploded.
+    Weight/count tables are per-distinct-fact aggregates with map-side
+    partials; no similarity pass is ever all-pairs."""
+    key = ["pred", "obj", "obj_kind"]
+    fa = a.select("subj", *key).distinct()
+    fb = b.select("subj", *key).distinct()
+    na = fa.groupBy(*key).agg(F.count("*").alias("n_a"))
+    nb = fb.groupBy(*key).agg(F.count("*").alias("n_b"))
+    w = (
+        na.join(nb, key)
+        .filter((F.col("n_a") * F.col("n_b")) <= max_fact_pairs)
+        .select(
+            *key,
+            (F.lit(1.0) / (F.col("n_a") * F.col("n_b"))).alias("w"),
+        )
+    )
+    pairs = (
+        fa.withColumnRenamed("subj", "uri_a")
+        .join(w, key)
+        .join(fb.withColumnRenamed("subj", "uri_b"), key)
+    )
+    scored = pairs.groupBy("uri_a", "uri_b").agg(
+        F.count("*").alias("shared_facts"),
+        (
+            F.lit(1.0)
+            - F.exp(F.sum(F.log(F.lit(1.0) - F.least(F.col("w"), F.lit(_W_CLAMP)))))
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= min_score).orderBy("uri_a", "uri_b")
+
+
+def paris_matches_sql(
+    cte_a: str,
+    cte_b: str,
+    min_score: float = 0.05,
+    max_fact_pairs: int = 1000,
+) -> str:
+    """DuckDB twin; ``cte_a``/``cte_b`` name relations ``ta``/``tb``."""
+    return f"""
+WITH {cte_a},
+{cte_b},
+fa AS (SELECT DISTINCT subj, pred, obj, obj_kind FROM ta),
+fb AS (SELECT DISTINCT subj, pred, obj, obj_kind FROM tb),
+w AS MATERIALIZED (
+  SELECT na.pred, na.obj, na.obj_kind,
+         1.0 / (na.n_a * nb.n_b) AS w
+  FROM (SELECT pred, obj, obj_kind, count(*) AS n_a
+        FROM fa GROUP BY 1, 2, 3) na
+  JOIN (SELECT pred, obj, obj_kind, count(*) AS n_b
+        FROM fb GROUP BY 1, 2, 3) nb
+    ON na.pred = nb.pred AND na.obj = nb.obj
+   AND na.obj_kind = nb.obj_kind
+  WHERE na.n_a * nb.n_b <= {max_fact_pairs})
+SELECT fa.subj AS uri_a, fb.subj AS uri_b,
+  count(*)::BIGINT AS shared_facts,
+  1.0 - exp(sum(ln(1.0 - least(w.w, {_W_CLAMP!r})))) AS score
+FROM fa
+JOIN w ON fa.pred = w.pred AND fa.obj = w.obj
+      AND fa.obj_kind = w.obj_kind
+JOIN fb ON fb.pred = w.pred AND fb.obj = w.obj
+       AND fb.obj_kind = w.obj_kind
+GROUP BY 1, 2
+HAVING 1.0 - exp(sum(ln(1.0 - least(w.w, {_W_CLAMP!r})))) >= {min_score}
+ORDER BY uri_a, uri_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Instance-based property alignment (extension-overlap schema matching;
+# the subrelation test of PARIS and of classic instance-based matchers
+# like DUMAS/COMA, public literature).  After entity canonicalization
+# the two graphs talk about the SAME subject URIs through DIFFERENT
+# predicate vocabularies; overlapping (subj, obj) extensions expose
+# equivalentProperty candidates that align_entities (label evidence)
+# cannot see when names share nothing (ex:email vs foaf:mbox).
+# ---------------------------------------------------------------------------
+
+_PROP_E_NS = "http://e.example.org/"
+_PROP_FOAF = "http://xmlns.com/foaf/0.1/"
+
+
+PROPALIGN_A: list[tuple] = []
+PROPALIGN_B: list[tuple] = []
+
+
+def _propalign_build() -> None:
+    from ..model import t_lit
+
+    def ea(s, p, o):
+        PROPALIGN_A.append(t_lit(_PROP_E_NS + s, _px(p), o))
+
+    def eb(s, p, o):
+        PROPALIGN_B.append(t_lit(_PROP_E_NS + s, _PROP_FOAF + p, o))
+
+    mails = {
+        "alice": "alice@example.org",
+        "bob": "bob@example.org",
+        "carol": "carol@example.org",
+    }
+    towns = {"alice": "berlin", "bob": "berlin", "carol": "munich", "dave": "munich"}
+    names = {"alice": "Alice", "bob": "Bob", "carol": "Carol", "dave": "Dave"}
+    for s, m in mails.items():
+        ea(s, "email", m)
+        eb(s, "mbox", m)  # foaf:mbox == ex:email exactly
+    for s, t in towns.items():
+        ea(s, "town", t)
+        eb(s, "city", t if s != "dave" else "paris")  # one disagreement
+    for s, n in names.items():
+        ea(s, "name", n)
+    for s in ("alice", "bob"):
+        eb(s, "name", names[s])
+    eb("eve", "name", "Eve")  # B-only subject
+    for s in ("alice", "bob", "carol"):
+        eb(s, "nick", s[:2])  # no A counterpart
+
+
+_propalign_build()
+
+
+def propalign_fixture_df(spark, which: str) -> DataFrame:
+    from ..model import triples_df
+
+    return triples_df(spark, PROPALIGN_A if which == "a" else PROPALIGN_B)
+
+
+def propalign_fixture_cte(which: str, alias: str) -> str:
+    rows = PROPALIGN_A if which == "a" else PROPALIGN_B
+
+    def q(v):
+        return "CAST(NULL AS VARCHAR)" if v is None else "'" + v.replace("'", "''") + "'"
+
+    vals = ",\n    ".join("(" + ", ".join(q(v) for v in r) + ")" for r in rows)
+    return (
+        f"{alias}(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS "
+        f"(SELECT DISTINCT * FROM (VALUES\n    {vals}))"
+    )
+
+
+def property_alignment(
+    a: DataFrame,
+    b: DataFrame,
+    min_overlap: int = 2,
+    min_jaccard: float = 0.3,
+    max_value_df: int = 64,
+) -> DataFrame:
+    """(pred_a, pred_b, n_shared, n_a, n_b, jaccard) —
+    owl:equivalentProperty candidates by extension overlap.
+
+    jaccard = |ext(pred_a) ∩ ext(pred_b)| / |ext(pred_a) ∪ ext(pred_b)|
+    over distinct (subj, obj, obj_kind) extension pairs; rdf:type rows
+    are excluded (class membership is alignment input, not a property
+    to align).
+
+    Scale shape: the only shuffle-join key is (subj, obj, obj_kind);
+    keys carried by more than ``max_value_df`` predicates on either
+    side (degenerate values like empty strings) are dropped before the
+    join — the standard hot-bucket cap.  Extension sizes are map-side-
+    combinable aggregates; predicate vocabulary is tiny, so the final
+    jaccard join broadcasts."""
+    from ..model import RDF
+
+    def ext(g: DataFrame) -> DataFrame:
+        e = (
+            g.filter(F.col("pred") != RDF.type)
+            .select("pred", "subj", "obj", "obj_kind")
+            .distinct()
+        )
+        hot = (
+            e.groupBy("subj", "obj", "obj_kind")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_value_df)
+            .select("subj", "obj", "obj_kind")
+        )
+        return e.join(F.broadcast(hot), ["subj", "obj", "obj_kind"], "left_anti")
+
+    ea = ext(a)
+    eb = ext(b)
+    ta = ea.groupBy(F.col("pred").alias("pred_a")).agg(F.count("*").alias("n_a"))
+    tb = eb.groupBy(F.col("pred").alias("pred_b")).agg(F.count("*").alias("n_b"))
+    inter = (
+        ea.withColumnRenamed("pred", "pred_a")
+        .join(
+            eb.withColumnRenamed("pred", "pred_b"),
+            ["subj", "obj", "obj_kind"],
+        )
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        inter.join(F.broadcast(ta), "pred_a")
+        .join(F.broadcast(tb), "pred_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        )
+    )
+    return out.filter(
+        (F.col("n_shared") >= min_overlap) & (F.col("jaccard") >= min_jaccard)
+    ).select("pred_a", "pred_b", "n_shared", "n_a", "n_b", "jaccard").orderBy(
+        "pred_a", "pred_b"
+    )
+
+
+def property_alignment_sql(
+    cte_a: str,
+    cte_b: str,
+    min_overlap: int = 2,
+    min_jaccard: float = 0.3,
+    max_value_df: int = 64,
+) -> str:
+    """DuckDB twin; ``cte_a``/``cte_b`` name relations ``ta``/``tb``."""
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def ext(src: str, name: str) -> str:
+        return f"""
+{name}0 AS (
+  SELECT DISTINCT pred, subj, obj, obj_kind FROM {src}
+  WHERE pred <> '{rdf_type}'),
+{name} AS MATERIALIZED (
+  SELECT * FROM {name}0
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {name}0 h
+    WHERE h.subj = {name}0.subj AND h.obj = {name}0.obj
+      AND h.obj_kind = {name}0.obj_kind
+    GROUP BY h.subj, h.obj, h.obj_kind
+    HAVING count(*) > {max_value_df}))"""
+
+    return f"""
+WITH {cte_a},
+{cte_b},{ext("ta", "ea")},{ext("tb", "eb")},
+inter AS (
+  SELECT ea.pred AS pred_a, eb.pred AS pred_b,
+         count(*)::BIGINT AS n_shared
+  FROM ea JOIN eb
+    ON ea.subj = eb.subj AND ea.obj = eb.obj
+   AND ea.obj_kind = eb.obj_kind
+  GROUP BY 1, 2),
+na AS (SELECT pred AS pred_a, count(*)::BIGINT AS n_a FROM ea GROUP BY 1),
+nb AS (SELECT pred AS pred_b, count(*)::BIGINT AS n_b FROM eb GROUP BY 1)
+SELECT i.pred_a, i.pred_b, i.n_shared, na.n_a, nb.n_b,
+  i.n_shared / (na.n_a + nb.n_b - i.n_shared)::DOUBLE AS jaccard
+FROM inter i JOIN na USING (pred_a) JOIN nb USING (pred_b)
+WHERE i.n_shared >= {min_overlap}
+  AND i.n_shared / (na.n_a + nb.n_b - i.n_shared)::DOUBLE >= {min_jaccard}
+ORDER BY pred_a, pred_b
 """

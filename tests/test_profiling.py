@@ -789,3 +789,43 @@ def test_fd_discovery_matches_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# PARIS-style instance alignment + property alignment (operators/align.py)
+# ------------------------------------------------------------------ #
+
+
+def test_paris_unique_shared_fact_is_near_proof(spark):
+    a = align.paris_fixture_df(spark, "a")
+    b = align.paris_fixture_df(spark, "b")
+    out = {(r["uri_a"], r["uri_b"]): r for r in align.paris_matches(a, b).collect()}
+    A, B = "http://a.example.org/", "http://b.example.org/"
+    # unique shared email -> noisy-or saturates to 1 (within %.6g)
+    assert out[(A + "alice", B + "alice_smith")]["score"] > 0.999999
+    assert out[(A + "bob", B + "robert")]["score"] > 0.999999
+    # only low-functionality evidence (city+job) -> moderate score
+    carol = out[(A + "carol", B + "carola")]
+    assert 0.4 < carol["score"] < 0.8 and carol["shared_facts"] == 3
+    # shared rdf:type alone (w = 1/25 per pair) stays under min_score
+    assert (A + "dave", B + "eve") not in out
+
+
+def test_paris_hot_fact_cap_drops_stopword_facts(spark):
+    a = align.paris_fixture_df(spark, "a")
+    b = align.paris_fixture_df(spark, "b")
+    # cap of 0 licensed pairs -> every fact key dropped -> no matches
+    assert align.paris_matches(a, b, max_fact_pairs=0).count() == 0
+
+
+def test_property_alignment_extension_jaccard(spark):
+    a = align.propalign_fixture_df(spark, "a")
+    b = align.propalign_fixture_df(spark, "b")
+    out = {(r["pred_a"], r["pred_b"]): r
+           for r in align.property_alignment(a, b).collect()}
+    EX, FOAF = "http://schema.test.org/", "http://xmlns.com/foaf/0.1/"
+    assert out[(EX + "email", FOAF + "mbox")]["jaccard"] == 1.0
+    town = out[(EX + "town", FOAF + "city")]
+    assert abs(town["jaccard"] - 0.6) < 1e-12 and town["n_shared"] == 3
+    # foaf:nick shares nothing with any A predicate
+    assert not any(pb == FOAF + "nick" for _, pb in out)
