@@ -1517,6 +1517,25 @@ def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval algebra (CACM 1983) over per-user activity spans:
+    classify every within-user pair of event-type spans into the 13
+    qualitative relations and count frequencies — the temporal-edge
+    typing a temporal KG needs before spans become edges."""
+    return temporal.allen_relations(_tbl(spark, sf_dir, "events"))
+
+
+def _q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coalescing (gaps-and-islands over DURATIONS, the
+    interval counterpart of point-event sessionize): per-user activity
+    spans by event type merge into maximal covered windows."""
+    ev = _tbl(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("istart"), F.max("ts").alias("iend")
+    )
+    return temporal.coalesce_intervals(spans.drop("event_type"))
+
+
 def _q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-in-state rollup over the SCD2 history (seconds per user per
     event_type across closed intervals); the version shuffle is reused
@@ -3880,6 +3899,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": _q_scd2_intervals,
         "merge_rollups": _q_merge_rollups,
         "skew_report": _q_skew_report,
+        "allen_relations": _q_allen_relations,
+        "interval_coalesce": _q_interval_coalesce,
         "state_durations": _q_state_durations,
         "quality_expectations": _q_quality_expectations,
         "join_size_estimate": _q_join_size_estimate,
@@ -4777,6 +4798,11 @@ ORDER BY resolution, bucket
     sql["scd2_intervals"] = temporal.scd2_intervals_sql()
     sql["merge_rollups"] = temporal.merge_rollups_sql()
     sql["state_durations"] = temporal.state_durations_sql()
+    sql["allen_relations"] = temporal.allen_relations_sql()
+    sql["interval_coalesce"] = temporal.coalesce_intervals_sql(
+        "intervals AS (SELECT user_id, min(ts) AS istart, max(ts) AS iend"
+        " FROM events GROUP BY user_id, event_type)"
+    )
     _exp_sql = profiling.quality_expectations_sql("events", _EXPECT_RULES)
     _fk_sql = profiling.expect_fk_sql(
         "orders", "customer", key_c="o_custkey", key_p="c_custkey"

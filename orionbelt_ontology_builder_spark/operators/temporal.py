@@ -1183,3 +1183,181 @@ FROM {table}
 WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})
 ORDER BY {key}, {ts}, {tiebreak}
 """
+
+
+# ---------------------------------------------------------------------------
+# Allen interval algebra (Allen, CACM 1983, public literature): the 13
+# qualitative relations between proper intervals.  Temporal-KG
+# construction needs them constantly — event spans extracted from
+# crawls must be ordered/nested ("term-of-office during war",
+# "acquisition meets rebrand") before they can become temporal edges.
+# ---------------------------------------------------------------------------
+
+ALLEN_RELATIONS = (
+    "equals", "starts", "started_by", "finishes", "finished_by",
+    "meets", "met_by", "contains", "during", "overlaps",
+    "overlapped_by", "before", "after",
+)
+
+#: Shared CASE body over (sa, ea, sb, eb); equality cases first so the
+#: boundary-coincidence relations win over the strict-order ones.
+#: Exhaustive for proper intervals (sa<ea, sb<eb) — Spark SQL and
+#: DuckDB evaluate the identical text.
+_ALLEN_CASE = """CASE
+  WHEN sa = sb AND ea = eb THEN 'equals'
+  WHEN sa = sb AND ea < eb THEN 'starts'
+  WHEN sa = sb THEN 'started_by'
+  WHEN ea = eb AND sa > sb THEN 'finishes'
+  WHEN ea = eb THEN 'finished_by'
+  WHEN ea = sb THEN 'meets'
+  WHEN eb = sa THEN 'met_by'
+  WHEN sa < sb AND ea > eb THEN 'contains'
+  WHEN sa > sb AND ea < eb THEN 'during'
+  WHEN sa < sb AND sb < ea THEN 'overlaps'
+  WHEN sb < sa AND sa < eb THEN 'overlapped_by'
+  WHEN ea < sb THEN 'before'
+  ELSE 'after'
+END"""
+
+
+def allen_relations(
+    events: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """(type_a, type_b, relation, n_pairs) — Allen-classify every pair
+    of per-``key`` activity spans and count relation frequencies.
+
+    A span is [min ts, max ts] of one ``attr`` value within one
+    ``key``; degenerate point spans (single event) are dropped — Allen
+    algebra is defined on proper intervals.  Pairs are formed WITHIN a
+    key only (type_a < type_b lexicographically, each unordered pair
+    classified once, from a's perspective).
+
+    Scale shape: one (key, attr) aggregation builds the span table,
+    then ONE self-equi-join on ``key`` — never a global interval join.
+    Per-key span count is bounded by the attr vocabulary (event types,
+    relation kinds), so the join fan-out is O(|attrs|²) per key — flat
+    map-side work; the final count is a tiny keyed agg with map-side
+    partials.  This is the partition-local pattern a 100 TB event
+    table needs: pair formation never crosses the natural key."""
+    spans = (
+        events.groupBy(key, attr)
+        .agg(F.min(ts).alias("istart"), F.max(ts).alias("iend"))
+        .filter(F.col("iend") > F.col("istart"))
+    )
+    a = spans.select(
+        F.col(key).alias("k"),
+        F.col(attr).alias("type_a"),
+        F.col("istart").alias("sa"),
+        F.col("iend").alias("ea"),
+    )
+    b = spans.select(
+        F.col(key).alias("k"),
+        F.col(attr).alias("type_b"),
+        F.col("istart").alias("sb"),
+        F.col("iend").alias("eb"),
+    )
+    pairs = a.join(b, "k").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.withColumn("relation", F.expr(_ALLEN_CASE))
+        .groupBy("type_a", "type_b", "relation")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("type_a", "type_b", "relation")
+    )
+
+
+def allen_relations_sql(
+    table: str = "events",
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+) -> str:
+    """DuckDB twin — identical CASE text, identical span construction."""
+    return f"""
+WITH spans AS (
+  SELECT {key} AS k, {attr} AS a,
+         min({ts}) AS istart, max({ts}) AS iend
+  FROM {table}
+  GROUP BY 1, 2
+  HAVING max({ts}) > min({ts}))
+SELECT x.a AS type_a, y.a AS type_b,
+  {_ALLEN_CASE.replace("sa", "x.istart").replace("ea", "x.iend")
+              .replace("sb", "y.istart").replace("eb", "y.iend")} AS relation,
+  count(*)::BIGINT AS n_pairs
+FROM spans x JOIN spans y ON x.k = y.k AND x.a < y.a
+GROUP BY 1, 2, 3
+ORDER BY type_a, type_b, relation
+"""
+
+
+def coalesce_intervals(
+    intervals: DataFrame,
+    key: str = "user_id",
+    start: str = "istart",
+    end: str = "iend",
+) -> DataFrame:
+    """(key, island, istart, iend, n_merged) — union of overlapping or
+    touching intervals per key (interval coalescing).
+
+    The INTERVAL counterpart of point-event ``sessionize``: inputs
+    carry durations and may nest or overlap arbitrarily (page validity
+    windows, entity type spans), so gap-vs-threshold logic doesn't
+    apply — an interval starts a new island iff it starts strictly
+    after the running max end of everything before it.
+
+    Scale shape: ONE shuffle on ``key``, then two window scans inside
+    the partition (running max(end), then running sum of the new-island
+    flag) — the gaps-and-islands idiom, same cost as scd2_intervals.
+    Parallelism comes from key cardinality."""
+    w = Window.partitionBy(key).orderBy(start, end)
+    prev_max = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = intervals.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col(start) > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(key, "island")
+        .agg(
+            F.min(start).alias("istart"),
+            F.max(end).alias("iend"),
+            F.count("*").alias("n_merged"),
+        )
+        .orderBy(key, "island")
+    )
+
+
+def coalesce_intervals_sql(
+    intervals_cte: str,
+    key: str = "user_id",
+    start: str = "istart",
+    end: str = "iend",
+) -> str:
+    """DuckDB twin; ``intervals_cte`` defines ``intervals(...)``."""
+    return f"""
+WITH {intervals_cte.strip()},
+flagged AS (
+  SELECT *,
+    CASE WHEN max({end}) OVER (PARTITION BY {key} ORDER BY {start}, {end}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR {start} > max({end}) OVER (PARTITION BY {key}
+         ORDER BY {start}, {end}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS __new
+  FROM intervals),
+islands AS (
+  SELECT *, sum(__new) OVER (PARTITION BY {key} ORDER BY {start}, {end}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged)
+SELECT {key}, island::BIGINT AS island,
+  min({start}) AS istart, max({end}) AS iend,
+  count(*)::BIGINT AS n_merged
+FROM islands
+GROUP BY 1, 2
+ORDER BY {key}, island
+"""

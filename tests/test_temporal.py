@@ -582,3 +582,67 @@ def test_ewma_hand_math_and_head_renormalization(spark):
     assert got[0] == 10.0
     assert math.isclose(got[1], (20 * 0.5 + 10 * 0.25) / 0.75)
     assert math.isclose(got[2], (30 * 0.5 + 20 * 0.25 + 10 * 0.125) / 0.875)
+
+
+# ------------------------------------------------------------------ #
+# Allen interval algebra + interval coalescing
+# ------------------------------------------------------------------ #
+
+
+def test_allen_all_thirteen_relations(spark):
+    # One synthetic user per relation; span pairs (a=type 'a*', b='b*')
+    # hand-placed to realize each of the 13 relations exactly once.
+    # allen_relations pairs type_a < type_b, classifying from a's side.
+    cases = {
+        "equals": ((0, 10), (0, 10)),
+        "starts": ((0, 5), (0, 10)),
+        "started_by": ((0, 10), (0, 5)),
+        "finishes": ((5, 10), (0, 10)),
+        "finished_by": ((0, 10), (5, 10)),
+        "meets": ((0, 5), (5, 10)),
+        "met_by": ((5, 10), (0, 5)),
+        "contains": ((0, 10), (2, 8)),
+        "during": ((2, 8), (0, 10)),
+        "overlaps": ((0, 6), (4, 10)),
+        "overlapped_by": ((4, 10), (0, 6)),
+        "before": ((0, 3), (5, 10)),
+        "after": ((5, 10), (0, 3)),
+    }
+    rows = []
+    for i, (rel, ((sa, ea), (sb, eb))) in enumerate(cases.items()):
+        uid = i  # one user per case -> exactly one pair per user
+        rows += [(uid, "a", _ts(sa)), (uid, "a", _ts(ea)),
+                 (uid, "b", _ts(sb)), (uid, "b", _ts(eb))]
+    ev = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    got = {r["relation"]: r["n_pairs"]
+           for r in T.allen_relations(ev).collect()}
+    assert got == {rel: 1 for rel in cases}
+
+
+def test_allen_drops_point_spans(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", _ts(0)), (1, "b", _ts(0)), (1, "b", _ts(5))],
+        "user_id int, event_type string, ts timestamp",
+    )
+    # type 'a' has a single event -> degenerate span -> no pair at all
+    assert T.allen_relations(ev).count() == 0
+
+
+def test_coalesce_intervals_overlap_touch_gap(spark):
+    iv = spark.createDataFrame(
+        [
+            (1, _ts(0), _ts(10)),   # island 1
+            (1, _ts(5), _ts(8)),    # nested -> merges
+            (1, _ts(10), _ts(15)),  # touches end=start -> merges
+            (1, _ts(16), _ts(20)),  # strict gap -> island 2
+            (2, _ts(0), _ts(1)),    # other key untouched
+        ],
+        "user_id int, istart timestamp, iend timestamp",
+    )
+    got = {(r["user_id"], r["island"]): (r["istart"], r["iend"], r["n_merged"])
+           for r in T.coalesce_intervals(iv).collect()}
+    assert got[(1, 1)] == (_ts(0), _ts(15), 3)
+    assert got[(1, 2)] == (_ts(16), _ts(20), 1)
+    assert got[(2, 1)] == (_ts(0), _ts(1), 1)
+    # coverage law: islands never overlap and are maximal
+    assert got[(1, 1)][1] < got[(1, 2)][0]
