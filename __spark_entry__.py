@@ -1431,6 +1431,14 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_topk(_docs(spark, sf_dir), k=3)
 
 
+def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) corpus keywords: PageRank over
+    the word co-occurrence graph — the structural term-salience
+    complement of per-doc TF-IDF; candidate class/entity labels for
+    the KG bootstrap."""
+    return textstats.textrank_keywords(_docs(spark, sf_dir))
+
+
 def _q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top PMI-ratio term pairs (collocation mining — the
     distributional relation-discovery cue); shuffle-free in-array pair
@@ -3695,6 +3703,7 @@ _SF_SCALE = {
     "hypertable_rollup", "scd2_intervals", "dedup_sparse_cosine",
     "merge_rollups", "skew_report", "join_size_estimate", "compaction_plan",
     "state_durations", "quality_expectations",
+    "allen_relations", "interval_coalesce",
     "session_stats_events", "event_transitions",
     "funnel_completion", "event_rate_anomaly", "cohort_retention",
     "predicate_cardinality", "predicate_cooccurrence",
@@ -3710,7 +3719,7 @@ _SF_SCALE = {
     "bgp_paginate", "path_query_neg", "path_query_bounded",
     "construct_delta", "kg_negative_samples",
     "triple_churn",
-    "tfidf_topk",
+    "tfidf_topk", "textrank_keywords",
     "term_cooccurrence", "ngram_lm_counts",
     "zipf_topk", "vocab_summary", "vocab_drift", "lang_confusion",
     "length_histogram",
@@ -3960,6 +3969,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_module": _q_extract_module,
         "viz_property_edges": _q_viz_property_edges,
         "tfidf_topk": _q_tfidf_topk,
+        "textrank_keywords": _q_textrank_keywords,
         "term_cooccurrence": _q_term_cooccurrence,
         "ngram_lm_counts": _q_ngram_lm_counts,
         "zipf_topk": _q_zipf_topk,
@@ -5067,6 +5077,7 @@ ORDER BY user_id, session_idx
 """
 
     sql["tfidf_topk"] = textstats.tfidf_topk_oracle(k=3)
+    sql["textrank_keywords"] = textstats.textrank_keywords_oracle()
     sql["term_cooccurrence"] = textstats.term_pmi_pairs_oracle(k=25)
     sql["ngram_lm_counts"] = textstats.ngram_lm_counts_oracle(n=2, k=30)
     sql["zipf_topk"] = textstats.zipf_topk_oracle(k=20)

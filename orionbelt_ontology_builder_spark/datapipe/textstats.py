@@ -2054,3 +2054,110 @@ CROSS JOIN vs
 GROUP BY d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ------------------------------------------------------------------ #
+# TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004, public
+# literature): PageRank over the word co-occurrence graph.  The
+# corpus-level term-salience complement of tfidf_topk — TF-IDF scores
+# terms per document; TextRank finds the corpus's structurally central
+# vocabulary, the candidate ENTITY/CONCEPT labels a KG bootstrap
+# promotes to classes before Hearst-pattern wiring.
+# ------------------------------------------------------------------ #
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    window: int = 3,
+    iters: int = 4,
+    k: int = 40,
+    min_len: int = 4,
+) -> DataFrame:
+    """(term, score) — top-``k`` corpus keywords by PageRank over the
+    word co-occurrence graph.
+
+    Candidate words are tokens of length >= ``min_len`` (the content-
+    word proxy standing in for the original's POS filter — no tagger
+    ships in this container); two candidates co-occur when they sit
+    within ``window`` positions on the FILTERED token sequence.  The
+    graph is undirected and unweighted (distinct pairs, both
+    directions), ranked by ``operators.graphstats.pagerank``.
+
+    Scale shape: co-occurrence needs NO self-join — ``lead(term, d)``
+    over one per-doc window sort emits all within-window pairs in a
+    single scan; the edge set is then vocabulary-bounded (distinct
+    pairs), so the PageRank rounds run on a graph that is tiny next to
+    the corpus regardless of corpus size.  Ranking arithmetic is
+    +,*,/ only (correctly-rounded IEEE), so the top-k boundary is
+    cross-engine deterministic with the (score desc, term) tiebreak."""
+    from pyspark.sql import Window
+
+    from ..operators.graphstats import pagerank
+
+    toks = (
+        docs.withColumn("norm", norm_col())
+        .select("doc_id", F.posexplode(tokens_col()).alias("pos", "term"))
+        .filter(F.length("term") >= min_len)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.select(
+        "term",
+        *[F.lead("term", d).over(w).alias(f"n{d}") for d in range(1, window)],
+    )
+    directed = None
+    for d in range(1, window):
+        leg = seq.select(
+            F.col("term").alias("src"), F.col(f"n{d}").alias("dst")
+        ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        directed = leg if directed is None else directed.unionByName(leg)
+    edges = (
+        directed.select("src", "dst")
+        .union(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=iters)
+    return (
+        ranks.select(F.col("node").alias("term"), F.col("rank").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
+def textrank_keywords_oracle(
+    window: int = 3,
+    iters: int = 4,
+    k: int = 40,
+    min_len: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: parallel-unnest positions, the same lead ladder on
+    the filtered sequence, distinct symmetric edges, then the shared
+    unrolled-CTE PageRank (graphstats.pagerank_sql)."""
+    from ..operators.graphstats import pagerank_sql
+
+    lead_cols = ", ".join(
+        f"lead(term, {d}) OVER (PARTITION BY doc_id ORDER BY pos) AS n{d}"
+        for d in range(1, window)
+    )
+    legs = " UNION ALL ".join(
+        f"SELECT term AS src, n{d} AS dst FROM seq "
+        f"WHERE n{d} IS NOT NULL AND term <> n{d}"
+        for d in range(1, window)
+    )
+    edges_cte = f"""ex AS (
+  SELECT doc_id,
+    unnest({tokens_sql(norm_sql())}) AS term,
+    unnest(range(len({tokens_sql(norm_sql())}))) AS pos
+  FROM {table}),
+cand AS (SELECT doc_id, term, pos FROM ex WHERE length(term) >= {min_len}),
+seq AS (SELECT term, {lead_cols} FROM cand),
+dir AS ({legs}),
+edges AS (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir))"""
+    pr = pagerank_sql(edges_cte, iters=iters)
+    return f"""
+SELECT node AS term, rank AS score FROM ({pr.strip()})
+ORDER BY score DESC, term
+LIMIT {k}
+"""

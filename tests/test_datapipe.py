@@ -1859,3 +1859,46 @@ def test_url_rules_filter_longest_match(spark):
         for r in duckdb.sql(U.url_rules_filter_sql()).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# TextRank corpus keywords (textstats.textrank_keywords)
+# ------------------------------------------------------------------ #
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark handles massive shuffle"),
+            (2, "spark powers stream compute"),
+            (3, "spark stores column tables"),
+            (4, "quiet garden grows tulips"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = TS.textrank_keywords(docs, k=100).collect()
+    assert rows[0]["term"] == "spark"  # hub of the co-occurrence graph
+    scores = {r["term"]: r["score"] for r in rows}
+    # every peripheral word is strictly below the hub
+    assert all(scores["spark"] > s for t, s in scores.items() if t != "spark")
+    # short tokens are not candidates at min_len=4 (none here are <4,
+    # so also check an explicit one)
+    docs2 = spark.createDataFrame([(1, "ab cd massive shuffle")],
+                                  "doc_id int, text string")
+    terms2 = {r["term"] for r in TS.textrank_keywords(docs2, k=10).collect()}
+    assert "ab" not in terms2 and "massive" in terms2
+
+
+def test_textrank_k_limit_and_tiebreak(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats as TS
+
+    # symmetric 2-cliques -> tied scores; tiebreak is term ascending
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")],
+        "doc_id int, text string",
+    )
+    rows = TS.textrank_keywords(docs, k=3).collect()
+    assert len(rows) == 3
+    assert [r["term"] for r in rows] == ["alpha", "beta", "delta"]
