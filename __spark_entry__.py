@@ -329,6 +329,14 @@ def _q_induced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views.get_statistics(relational.induce_triples(spark, sf_dir))
 
 
+def _q_fact_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity summarization (RELIN/FACES-style informativeness): top-3
+    facts per subject of the induced graph by linear predicate-IDF x
+    value-rarity — the entity-card ranking that replaces the
+    reference's show-every-triple resource view at web scale."""
+    return views.fact_ranking(relational.induce_triples(spark, sf_dir), k=3)
+
+
 def _q_induced_individuals_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = relational.induce_triples(spark, sf_dir)
     return (
@@ -1689,6 +1697,14 @@ def _q_property_chains(spark, sf_dir):
     return df.select("property", F.concat_ws(",", "chain").alias("chain_csv"))
 
 
+def _q_rdf_containers(spark, sf_dir):
+    """rdf:Seq/Bag/Alt container decode with NUMERIC rdf:_n ordering
+    (_10 after _2) — the legacy-vocab ordered-group encoding next to
+    the rdf:first/rest collections lists.py already unrolls; untyped
+    rdf:_n carriers are excluded."""
+    return lists.get_containers(FX.fixture_triples(spark, "containers_om"))
+
+
 def _q_class_expressions(spark, sf_dir):
     t, arrays = _axioms(spark)
     df = lists.get_class_expressions(t, arrays)
@@ -2676,6 +2692,22 @@ def _q_dedup_containment(spark, sf_dir):
 
 def _q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
+def _q_bcubed_linkage(spark, sf_dir):
+    """B-cubed cluster evaluation (Bagga & Baldwin 1998) of the
+    MinHash near-dup cluster map against exact-duplicate truth groups:
+    the per-item P/R/F1 grading an ER/dedup clustering is judged by
+    (pairwise metrics over-weight big clusters quadratically)."""
+    docs = _docs(spark, sf_dir)
+    ids = docs.select("doc_id")
+    pred = dedup.dedup_clusters(docs).select(
+        "doc_id", F.col("keeper_doc_id").cast("string").alias("cluster")
+    )
+    truth = docs.select(
+        "doc_id", F.md5(textstats.norm_col()).alias("cluster")
+    )
+    return dedup.bcubed_eval(ids, pred, truth)
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
@@ -3696,7 +3728,8 @@ def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
-    "induced_search", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "induced_search", "fact_ranking",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "top_customers",
     "events_running",
     "asof_join_events", "latest_event_per_user", "range_join_events",
@@ -3733,7 +3766,8 @@ _SF_SCALE = {
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "c4_span_dedup",
     "dedup_containment",
-    "dedup_minhash_pairs", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_minhash_pairs", "dedup_clusters", "bcubed_linkage",
+    "dedup_ngram_jaccard",
     "blocking_metrics",
     "passage_dup", "source_dup_rate", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_embedding_cosine",
@@ -3891,6 +3925,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename_resource": _q_rename,
         "induced_hierarchy": _q_induced_hierarchy,
         "induced_stats": _q_induced_stats,
+        "fact_ranking": _q_fact_ranking,
         "induced_individuals_per_class": _q_induced_individuals_per_class,
         "induced_search": _q_induced_search,
         "tpch_q1": _q_tpch_q1,
@@ -4010,6 +4045,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
+        "rdf_containers": _q_rdf_containers,
         "class_expressions": _q_class_expressions,
         "all_different": _q_all_different,
         "has_keys": _q_has_keys,
@@ -4056,6 +4092,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "bcubed_linkage": _q_bcubed_linkage,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "blocking_metrics": _q_blocking_metrics,
         "passage_dup": _q_passage_dup,
@@ -4613,6 +4650,13 @@ SELECT DISTINCT
   obj_kind
 FROM triples
 """
+
+    sql["fact_ranking"] = (
+        "WITH "
+        + relational.induce_triples_sql()
+        + ",\n"
+        + views.fact_ranking_sql(k=3)
+    )
 
     sql["induced_hierarchy"] = """
 SELECT DISTINCT 'Nation_' || n_name AS child, 'Region_' || r_name AS parent
@@ -5295,6 +5339,12 @@ SELECT agg.subj AS bnode, on_property, {rt_type} AS restriction_type,
 FROM agg LEFT JOIN applied ON agg.subj = applied.subj
 ORDER BY bnode
 """
+
+    sql["rdf_containers"] = (
+        "WITH "
+        + FX.fixture_cte("containers_om")
+        + lists.get_containers_sql()
+    )
 
     sql["property_chains"] = f"""
 WITH RECURSIVE {ax},
@@ -5995,6 +6045,15 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["dedup_containment"] = dedup.containment_pairs_oracle()
     sql["dedup_minhash_pairs"] = dedup.minhash_band_pairs_oracle()
     sql["dedup_clusters"] = dedup.dedup_clusters_oracle()
+    sql["bcubed_linkage"] = (
+        f"WITH RECURSIVE {dedup.clusters_ctes_sql()},\n"
+        "pred AS (SELECT doc_id, CAST(keeper_doc_id AS VARCHAR) AS cluster"
+        " FROM cc),\n"
+        f"truth AS (SELECT doc_id, md5({textstats.norm_sql()}) AS cluster"
+        " FROM documents),\n"
+        "ids AS (SELECT doc_id FROM documents),"
+        + dedup.bcubed_eval_sql()
+    )
     sql["dedup_ngram_jaccard"] = dedup.ngram_jaccard_oracle(threshold=0.3, max_doc_id=120)
     sql["blocking_metrics"] = dedup.blocking_metrics_oracle(
         jaccard_threshold=0.5, max_doc_id=150

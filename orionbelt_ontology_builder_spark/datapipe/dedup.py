@@ -1954,3 +1954,95 @@ WITH {records_cte.strip()},
 SELECT DISTINCT pass, id_a, id_b FROM ({union})
 ORDER BY pass, id_a, id_b
 """
+
+
+# ------------------------------------------------------------------ #
+# B-cubed clustering evaluation (Bagga & Baldwin 1998, public
+# literature — the standard entity-resolution / coreference cluster
+# metric).  Pairwise P/R (blocking_metrics) over-weights big clusters
+# quadratically; B-cubed averages per-ITEM precision/recall, the
+# grading a dedup or linking cluster map should actually be judged by.
+# ------------------------------------------------------------------ #
+
+
+def bcubed_eval(
+    ids: DataFrame, pred: DataFrame, truth: DataFrame
+) -> DataFrame:
+    """One row (n_items, bcubed_precision, bcubed_recall, bcubed_f1).
+
+    ``ids`` is the item universe (``doc_id``); ``pred`` / ``truth``
+    are (doc_id, cluster) maps that may be PARTIAL — items missing
+    from a map are singletons (their own cluster), so cluster maps
+    that only materialize dup-involved docs (``dedup_clusters``)
+    evaluate correctly without densifying to the corpus.
+
+    B-cubed identity used: with I(p,t) = |pred-cluster p ∩ truth-
+    cluster t|,  precision = Σ I²/|p| / N  and  recall = Σ I²/|t| / N
+    — so the whole metric is two keyed integer aggregates plus a
+    1-row rollup; no per-item-pair work, map-side partials
+    throughout."""
+    def densify(m: DataFrame, out: str) -> DataFrame:
+        return ids.join(m, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(
+                F.col("cluster"), F.concat(F.lit("s:"), F.col("doc_id"))
+            ).alias(out),
+        )
+
+    x = densify(pred, "pc").join(densify(truth, "tc"), "doc_id")
+    inter = x.groupBy("pc", "tc").agg(F.count("*").alias("i"))
+    psz = x.groupBy("pc").agg(F.count("*").alias("ps"))
+    tsz = x.groupBy("tc").agg(F.count("*").alias("ts"))
+    n = x.agg(F.count("*").alias("n_items"))
+    pre = (
+        inter.join(psz, "pc")
+        .agg(F.sum(F.col("i") * F.col("i") / F.col("ps")).alias("sp"))
+    )
+    rec = (
+        inter.join(tsz, "tc")
+        .agg(F.sum(F.col("i") * F.col("i") / F.col("ts")).alias("sr"))
+    )
+    return (
+        n.crossJoin(pre)
+        .crossJoin(rec)
+        .select(
+            "n_items",
+            (F.col("sp") / F.col("n_items")).alias("bcubed_precision"),
+            (F.col("sr") / F.col("n_items")).alias("bcubed_recall"),
+            (
+                2.0
+                * (F.col("sp") / F.col("n_items"))
+                * (F.col("sr") / F.col("n_items"))
+                / (F.col("sp") / F.col("n_items") + F.col("sr") / F.col("n_items"))
+            ).alias("bcubed_f1"),
+        )
+    )
+
+
+def bcubed_eval_sql(
+    ids: str = "ids", pred: str = "pred", truth: str = "truth"
+) -> str:
+    """DuckDB twin TAIL — compose after CTEs defining ``ids(doc_id)``,
+    ``pred(doc_id, cluster)``, ``truth(doc_id, cluster)``."""
+    return f"""
+xa AS (
+  SELECT i.doc_id,
+    coalesce(p.cluster, 's:' || CAST(i.doc_id AS VARCHAR)) AS pc,
+    coalesce(t.cluster, 's:' || CAST(i.doc_id AS VARCHAR)) AS tc
+  FROM {ids} i
+  LEFT JOIN {pred} p ON i.doc_id = p.doc_id
+  LEFT JOIN {truth} t ON i.doc_id = t.doc_id),
+inter AS (SELECT pc, tc, count(*)::BIGINT AS i FROM xa GROUP BY 1, 2),
+psz AS (SELECT pc, count(*)::BIGINT AS ps FROM xa GROUP BY 1),
+tsz AS (SELECT tc, count(*)::BIGINT AS ts FROM xa GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n_items FROM xa),
+pre AS (SELECT sum(i.i * i.i / psz.ps::DOUBLE) AS sp
+        FROM inter i JOIN psz USING (pc)),
+rec AS (SELECT sum(i.i * i.i / tsz.ts::DOUBLE) AS sr
+        FROM inter i JOIN tsz USING (tc))
+SELECT nn.n_items,
+  pre.sp / nn.n_items AS bcubed_precision,
+  rec.sr / nn.n_items AS bcubed_recall,
+  2.0 * (pre.sp / nn.n_items) * (rec.sr / nn.n_items)
+    / (pre.sp / nn.n_items + rec.sr / nn.n_items) AS bcubed_f1
+FROM nn CROSS JOIN pre CROSS JOIN rec"""

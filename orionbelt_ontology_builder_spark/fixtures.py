@@ -265,6 +265,26 @@ CLSEXPR_OM: list[tuple] = AXIOMS_OM + [
     t_uri(_e("bob"), RDF.type, _e("Organization")),
 ]
 
+#: RDF container fixture (rdf:Seq / Bag / Alt with rdf:_n membership):
+#: an ordered author Seq whose _10 index must sort NUMERICALLY after
+#: _2, a uri-membered Bag, an Alt, and an untyped rdf:_1 carrier that
+#: get_containers must exclude.
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+CONTAINERS_OM: list[tuple] = [
+    t_uri(_e("AuthorList"), RDF.type, RDF.Seq),
+    t_lit(_e("AuthorList"), RDFS.label, "author list"),
+    t_lit(_e("AuthorList"), _RDF_NS + "_1", "alice"),
+    t_lit(_e("AuthorList"), _RDF_NS + "_2", "bob"),
+    t_lit(_e("AuthorList"), _RDF_NS + "_10", "jane"),
+    t_uri(_e("Contributors"), RDF.type, RDF.Bag),
+    t_uri(_e("Contributors"), _RDF_NS + "_1", _e("alice")),
+    t_uri(_e("Contributors"), _RDF_NS + "_2", _e("bob")),
+    t_uri(_e("Mirrors"), RDF.type, RDF.Alt),
+    t_lit(_e("Mirrors"), _RDF_NS + "_1", "http://m1.example.org/"),
+    t_lit(_e("Mirrors"), _RDF_NS + "_2", "http://m2.example.org/"),
+    t_lit(_e("NotAContainer"), _RDF_NS + "_1", "orphan member"),
+]
+
 FIXTURES: dict[str, list[tuple]] = {
     "template_org": TEMPLATE_ORG,
     "populated_om": POPULATED_OM,
@@ -275,6 +295,7 @@ FIXTURES: dict[str, list[tuple]] = {
     "consistency_om": CONSISTENCY_OM,
     "axioms_om": AXIOMS_OM,
     "clsexpr_om": CLSEXPR_OM,
+    "containers_om": CONTAINERS_OM,
 }
 
 

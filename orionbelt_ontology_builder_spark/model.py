@@ -46,6 +46,9 @@ class RDF:
     rest = RDF_NS + "rest"
     nil = RDF_NS + "nil"
     Property = RDF_NS + "Property"
+    Seq = RDF_NS + "Seq"
+    Bag = RDF_NS + "Bag"
+    Alt = RDF_NS + "Alt"
 
 
 class RDFS:

@@ -159,3 +159,70 @@ def get_disjoint_unions(
     return _axiom_lists(triples, OWL.disjointUnionOf, arrays=arrays).select(
         F.col("owner").alias("cls"), F.col("items").alias("members")
     ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# RDF containers (rdf:Seq / rdf:Bag / rdf:Alt with rdf:_n membership
+# properties) — the OTHER ordered-group encoding next to rdf:first/
+# rdf:rest collections this module already unrolls.  Legacy vocabs
+# (RSS 1.0, DC) ship containers constantly, so a crawl-scale ingester
+# meets them even though OWL axioms use collections.
+# ---------------------------------------------------------------------------
+
+
+def get_containers(triples: DataFrame) -> DataFrame:
+    """(container, ctype, idx, member, member_kind) — every member of
+    every typed rdf:Seq/Bag/Alt container, NUMERICALLY ordered by its
+    membership index (rdf:_10 sorts after rdf:_2 — integer, not
+    lexicographic, extraction).
+
+    Untyped subjects carrying rdf:_n rows are excluded: without the
+    type the container kind (ordered? alternative?) is unknowable.
+
+    Scale shape: two predicate-pushed filters + ONE equi-join on the
+    container subject; the typed-container side is axiom-scale, so the
+    join broadcasts at corpus scale."""
+    from ..model import RDF_NS
+
+    kinds = {RDF.Seq: "Seq", RDF.Bag: "Bag", RDF.Alt: "Alt"}
+    ctypes = (
+        triples.filter(
+            (F.col("pred") == RDF.type) & F.col("obj").isin(list(kinds))
+        )
+        .select(
+            F.col("subj").alias("container"),
+            F.regexp_extract("obj", "([^/#]+)$", 1).alias("ctype"),
+        )
+        .distinct()
+    )
+    members = triples.filter(
+        F.col("pred").startswith(RDF_NS) & F.col("pred").rlike("#_[0-9]+$")
+    ).select(
+        F.col("subj").alias("container"),
+        F.regexp_extract("pred", "_([0-9]+)$", 1).cast("int").alias("idx"),
+        F.col("obj").alias("member"),
+        F.col("obj_kind").alias("member_kind"),
+    )
+    return (
+        ctypes.join(members, "container")
+        .select("container", "ctype", "idx", "member", "member_kind")
+        .orderBy("container", "idx", "member")
+    )
+
+
+def get_containers_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin — compose after a CTE defining ``triples``."""
+    from ..model import RDF_NS
+
+    kind_list = ", ".join(f"'{RDF_NS}{k}'" for k in ("Seq", "Bag", "Alt"))
+    return f"""
+SELECT c.subj AS container,
+  regexp_extract(c.obj, '([^/#]+)$', 1) AS ctype,
+  CAST(regexp_extract(m.pred, '_([0-9]+)$', 1) AS INT) AS idx,
+  m.obj AS member, m.obj_kind AS member_kind
+FROM (SELECT DISTINCT subj, obj FROM {triples_src}
+      WHERE pred = '{RDF.type}' AND obj IN ({kind_list})) c
+JOIN {triples_src} m ON c.subj = m.subj
+WHERE starts_with(m.pred, '{RDF_NS}')
+  AND regexp_matches(m.pred, '#_[0-9]+$')
+ORDER BY container, idx, member"""

@@ -1682,3 +1682,97 @@ JOIN nodes ns ON u.src = ns.id
 JOIN nodes nd ON u.dst = nd.id
 ORDER BY kind, src, dst, label
 """
+
+
+# ---------------------------------------------------------------------------
+# Entity summarization / fact ranking (RELIN, Cheng et al. ISWC 2011;
+# FACES — public entity-summarization literature, simplified to
+# informativeness ranking).  The reference app renders a resource
+# detail view with EVERY triple (app.py resource browser); at web
+# scale an entity card must instead show the k most informative
+# facts — rare predicates and rare values first, boilerplate
+# (rdf:type owl:NamedIndividual on everything) last.
+# ---------------------------------------------------------------------------
+
+
+def fact_ranking(triples: DataFrame, k: int = 3) -> DataFrame:
+    """(subj, rank, pred, obj, pred_idf, score) — top-``k`` facts per
+    subject by two-factor informativeness:
+
+        pred_idf   = N / df(pred)          (linear predicate IDF)
+        val_rarity = df(pred) / df(pred, obj)
+        score      = pred_idf * val_rarity
+
+    where ``N`` = distinct subjects, ``df(pred)`` = subjects carrying
+    the predicate, ``df(pred, obj)`` = subjects carrying the exact
+    fact.  Linear (not log) factors keep the arithmetic to
+    correctly-rounded IEEE * and /, so the ranking is cross-engine
+    deterministic (same rationale as tfidf_topk); ties break on
+    (pred, obj) ascending.
+
+    Scale shape: one distinct-fact projection feeds three keyed
+    aggregates (all map-side combinable); df tables join back on their
+    own grouping keys — (pred) broadcast-sized (vocabulary), (pred,
+    obj, obj_kind) an equi-join; N is a 1-row broadcast crossJoin.
+    The final per-subject top-k is one window over the subject key."""
+    from pyspark.sql import Window
+
+    facts = triples.select("subj", "pred", "obj", "obj_kind").distinct()
+    n = facts.select(F.countDistinct("subj").alias("n_subj"))
+    dfp = facts.groupBy("pred").agg(F.countDistinct("subj").alias("df_pred"))
+    dfo = facts.groupBy("pred", "obj", "obj_kind").agg(
+        F.countDistinct("subj").alias("df_fact")
+    )
+    scored = (
+        facts.join(dfo, ["pred", "obj", "obj_kind"])
+        .join(F.broadcast(dfp), "pred")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pred_idf", F.col("n_subj") / F.col("df_pred").cast("double")
+        )
+        .withColumn(
+            "score",
+            (F.col("n_subj") / F.col("df_pred").cast("double"))
+            * (F.col("df_pred") / F.col("df_fact").cast("double")),
+        )
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.col("score").desc(), F.col("pred"), F.col("obj")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("subj", "rank", "pred", "obj", "pred_idf", "score")
+        .orderBy("subj", "rank")
+    )
+
+
+def fact_ranking_sql(triples_src: str = "triples", k: int = 3) -> str:
+    """DuckDB twin — compose after a CTE defining ``triples(subj,
+    pred, obj, obj_kind, ...)``."""
+    return f"""
+facts AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj, obj_kind FROM {triples_src}),
+nsub AS (SELECT count(DISTINCT subj)::BIGINT AS n_subj FROM facts),
+dfp AS (SELECT pred, count(DISTINCT subj)::BIGINT AS df_pred
+        FROM facts GROUP BY pred),
+dfo AS (SELECT pred, obj, obj_kind,
+               count(DISTINCT subj)::BIGINT AS df_fact
+        FROM facts GROUP BY pred, obj, obj_kind),
+scored AS (
+  SELECT f.subj, f.pred, f.obj,
+    nsub.n_subj / dfp.df_pred::DOUBLE AS pred_idf,
+    (nsub.n_subj / dfp.df_pred::DOUBLE)
+      * (dfp.df_pred / dfo.df_fact::DOUBLE) AS score,
+    row_number() OVER (PARTITION BY f.subj
+      ORDER BY (nsub.n_subj / dfp.df_pred::DOUBLE)
+        * (dfp.df_pred / dfo.df_fact::DOUBLE) DESC,
+        f.pred, f.obj) AS rank
+  FROM facts f
+  JOIN dfo ON f.pred = dfo.pred AND f.obj = dfo.obj
+          AND f.obj_kind = dfo.obj_kind
+  JOIN dfp ON f.pred = dfp.pred
+  CROSS JOIN nsub)
+SELECT subj, rank::BIGINT AS rank, pred, obj, pred_idf, score
+FROM scored WHERE rank <= {k}
+ORDER BY subj, rank"""

@@ -321,3 +321,80 @@ def test_viz_property_edges_layers_and_both_ends(spark):
     assert out[(BASE + "alice", BASE + "acme", "assertion")] == "worksFor"
     # dangling edge to undeclared 'ghost' filtered by both-ends rule
     assert not any(d.endswith("ghost") for _, d, _k in out)
+
+
+# ------------------------------------------------------------------ #
+# fact_ranking (entity summarization) + rdf containers + bcubed
+# ------------------------------------------------------------------ #
+
+
+def test_fact_ranking_rare_fact_first(spark):
+    from orionbelt_ontology_builder_spark.model import triples_df, t_lit
+
+    t = triples_df(spark, [
+        t_lit("s1", "p_common", "x"),
+        t_lit("s1", "p_rare", "u1"),
+        t_lit("s2", "p_common", "x"),
+        t_lit("s3", "p_common", "y"),
+    ])
+    rows = views.fact_ranking(t, k=2).collect()
+    by_subj = {}
+    for r in rows:
+        by_subj.setdefault(r["subj"], []).append(r)
+    # s1: unique (p_rare,u1) scores N/df_fact = 3 > shared (p_common,x) 1.5
+    s1 = by_subj["s1"]
+    assert [r["pred"] for r in s1] == ["p_rare", "p_common"]
+    assert abs(s1[0]["score"] - 3.0) < 1e-12
+    assert abs(s1[1]["score"] - 1.5) < 1e-12
+    # s3's unique value of the common predicate outranks s2's shared one
+    assert abs(by_subj["s3"][0]["score"] - 3.0) < 1e-12
+    assert abs(by_subj["s2"][0]["score"] - 1.5) < 1e-12
+
+
+def test_rdf_containers_numeric_order_and_typing(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.operators import lists
+
+    rows = lists.get_containers(
+        FX.fixture_triples(spark, "containers_om")
+    ).collect()
+    seqs = [(r["idx"], r["member"]) for r in rows
+            if r["container"].endswith("AuthorList")]
+    # numeric, not lexicographic: _10 sorts AFTER _2
+    assert seqs == [(1, "alice"), (2, "bob"), (10, "jane")]
+    # the rdfs:label row is not a member; untyped carrier excluded
+    assert all(r["ctype"] in ("Seq", "Bag", "Alt") for r in rows)
+    assert not any(r["container"].endswith("NotAContainer") for r in rows)
+    bag = [r for r in rows if r["ctype"] == "Bag"]
+    assert len(bag) == 2 and all(r["member_kind"] == "uri" for r in bag)
+
+
+def test_bcubed_classic_example(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id int")
+    truth = spark.createDataFrame(
+        [(1, "t1"), (2, "t1"), (3, "t1"), (4, "t2"), (5, "t2")],
+        "doc_id int, cluster string",
+    )
+    pred = spark.createDataFrame(
+        [(1, "p1"), (2, "p1"), (3, "p2"), (4, "p2")],  # 5 missing -> singleton
+        "doc_id int, cluster string",
+    )
+    r = dedup.bcubed_eval(ids, pred, truth).collect()[0]
+    assert r["n_items"] == 5
+    assert abs(r["bcubed_precision"] - 0.8) < 1e-12
+    assert abs(r["bcubed_recall"] - (2/3 + 2/3 + 1/3 + 0.5 + 0.5) / 5) < 1e-12
+    p, q = r["bcubed_precision"], r["bcubed_recall"]
+    assert abs(r["bcubed_f1"] - 2 * p * q / (p + q)) < 1e-12
+
+
+def test_bcubed_perfect_clustering_is_one(spark):
+    from orionbelt_ontology_builder_spark.datapipe import dedup
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 4)], "doc_id int")
+    m = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id int, cluster string"
+    )
+    r = dedup.bcubed_eval(ids, m, m).collect()[0]
+    assert r["bcubed_precision"] == 1.0 == r["bcubed_recall"] == r["bcubed_f1"]
