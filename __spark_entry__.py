@@ -337,6 +337,14 @@ def _q_fact_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views.fact_ranking(relational.induce_triples(spark, sf_dir), k=3)
 
 
+def _q_ontology_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OntoQA-style schema shape metrics (depth / tangledness /
+    fan-out / inheritance richness) over a tangled-DAG fixture — the
+    hierarchy health readout after bulk imports or Hearst grafts;
+    ancestor depths via the doubling transitive closure."""
+    return views.ontology_metrics(FX.fixture_triples(spark, "hierarchy_om"))
+
+
 def _q_induced_individuals_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = relational.induce_triples(spark, sf_dir)
     return (
@@ -3926,6 +3934,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_hierarchy": _q_induced_hierarchy,
         "induced_stats": _q_induced_stats,
         "fact_ranking": _q_fact_ranking,
+        "ontology_metrics": _q_ontology_metrics,
         "induced_individuals_per_class": _q_induced_individuals_per_class,
         "induced_search": _q_induced_search,
         "tpch_q1": _q_tpch_q1,
@@ -4656,6 +4665,12 @@ FROM triples
         + relational.induce_triples_sql()
         + ",\n"
         + views.fact_ranking_sql(k=3)
+    )
+    sql["ontology_metrics"] = (
+        "WITH RECURSIVE "
+        + FX.fixture_cte("hierarchy_om")
+        + ","
+        + views.ontology_metrics_sql()
     )
 
     sql["induced_hierarchy"] = """

@@ -285,6 +285,30 @@ CONTAINERS_OM: list[tuple] = [
     t_lit(_e("NotAContainer"), _RDF_NS + "_1", "orphan member"),
 ]
 
+#: Tangled-DAG hierarchy fixture for ontology shape metrics: one root
+#: (Thing), Employee with TWO parents (Person, Role — tangledness),
+#: ancestor-set depth 4 for Employee ({Person, Agent, Role, Thing}),
+#: Thing fan-out 3.
+HIERARCHY_OM: list[tuple] = [
+    t_uri(_e(c), RDF.type, OWL.Class)
+    for c in (
+        "Thing", "Agent", "Person", "Employee", "Organization",
+        "Role", "Place", "City",
+    )
+] + [
+    t_uri(_e(c), RDFS.subClassOf, _e(p))
+    for c, p in (
+        ("Agent", "Thing"),
+        ("Role", "Thing"),
+        ("Place", "Thing"),
+        ("Person", "Agent"),
+        ("Organization", "Agent"),
+        ("Employee", "Person"),
+        ("Employee", "Role"),
+        ("City", "Place"),
+    )
+]
+
 FIXTURES: dict[str, list[tuple]] = {
     "template_org": TEMPLATE_ORG,
     "populated_om": POPULATED_OM,
@@ -296,6 +320,7 @@ FIXTURES: dict[str, list[tuple]] = {
     "axioms_om": AXIOMS_OM,
     "clsexpr_om": CLSEXPR_OM,
     "containers_om": CONTAINERS_OM,
+    "hierarchy_om": HIERARCHY_OM,
 }
 
 

@@ -1776,3 +1776,135 @@ scored AS (
 SELECT subj, rank::BIGINT AS rank, pred, obj, pred_idf, score
 FROM scored WHERE rank <= {k}
 ORDER BY subj, rank"""
+
+
+# ---------------------------------------------------------------------------
+# Ontology shape metrics (OntoQA, Tartir et al. 2005 — public schema-
+# metric literature).  The reference's get_statistics counts entity
+# KINDS; these metrics grade the subClassOf backbone's SHAPE — depth,
+# tangledness, fan-out — the health readout a curator needs after
+# bulk imports or Hearst-pattern merges graft new hierarchy in.
+# ---------------------------------------------------------------------------
+
+
+def ontology_metrics(triples: DataFrame) -> DataFrame:
+    """One row: (n_classes, n_edges, n_roots, n_leaves, n_multi_parent,
+    max_fanout, max_depth, avg_depth, inheritance_richness).
+
+    * class universe = typed owl:Class subjects ∪ subClassOf endpoints
+    * depth(c) = |distinct proper ancestors of c| — equals path length
+      on trees, and stays well-defined (and cycle-safe) on tangled DAGs
+    * n_multi_parent = classes asserting >= 2 direct parents
+      (tangledness), max_fanout = max direct children per class
+    * inheritance_richness = n_edges / n_classes (OntoQA IR)
+
+    Scale shape: schema-sized inputs (class vocabulary), so every join
+    broadcasts at corpus scale; the ancestor closure reuses the
+    doubling ``fixpoint.transitive_closure`` (O(log depth) shuffles);
+    all rollups are 1-row aggregates crossJoined together."""
+    from .fixpoint import transitive_closure
+    from ..model import OWL, RDF, RDFS
+
+    edges = (
+        triples.filter(
+            (F.col("pred") == RDFS.subClassOf) & (F.col("obj_kind") == "uri")
+        )
+        .select(F.col("subj").alias("child"), F.col("obj").alias("parent"))
+        .distinct()
+    )
+    typed = (
+        triples.filter((F.col("pred") == RDF.type) & (F.col("obj") == OWL.Class))
+        .select(F.col("subj").alias("cls"))
+    )
+    classes = (
+        typed.union(edges.select(F.col("child").alias("cls")))
+        .union(edges.select(F.col("parent").alias("cls")))
+        .distinct()
+    )
+    closure = transitive_closure(edges, "child", "parent")
+    depths = (
+        classes.join(closure, classes["cls"] == closure["child"], "left")
+        .groupBy("cls")
+        .agg(F.count("parent").alias("depth"))
+    )
+    parents = edges.groupBy("child").agg(F.count("*").alias("n_par"))
+    fanout = edges.groupBy("parent").agg(F.count("*").alias("n_chl"))
+
+    n_cls = classes.agg(F.count("*").alias("n_classes"))
+    n_edg = edges.agg(F.count("*").alias("n_edges"))
+    n_roots = classes.join(
+        edges.select(F.col("child").alias("cls")).distinct(), "cls", "left_anti"
+    ).agg(F.count("*").alias("n_roots"))
+    n_leaves = classes.join(
+        edges.select(F.col("parent").alias("cls")).distinct(), "cls", "left_anti"
+    ).agg(F.count("*").alias("n_leaves"))
+    n_multi = parents.filter(F.col("n_par") >= 2).agg(
+        F.count("*").alias("n_multi_parent")
+    )
+    mf = fanout.agg(F.coalesce(F.max("n_chl"), F.lit(0)).alias("max_fanout"))
+    dd = depths.agg(
+        F.max("depth").alias("max_depth"), F.sum("depth").alias("sum_depth")
+    )
+    return (
+        n_cls.crossJoin(n_edg)
+        .crossJoin(n_roots)
+        .crossJoin(n_leaves)
+        .crossJoin(n_multi)
+        .crossJoin(mf)
+        .crossJoin(dd)
+        .select(
+            "n_classes",
+            "n_edges",
+            "n_roots",
+            "n_leaves",
+            "n_multi_parent",
+            "max_fanout",
+            "max_depth",
+            (F.col("sum_depth") / F.col("n_classes").cast("double")).alias(
+                "avg_depth"
+            ),
+            (F.col("n_edges") / F.col("n_classes").cast("double")).alias(
+                "inheritance_richness"
+            ),
+        )
+    )
+
+
+def ontology_metrics_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin (needs a ``WITH RECURSIVE`` prefix on the WITH list;
+    the UNION-distinct recursive CTE is cycle-safe like the doubling
+    closure)."""
+    from ..model import OWL, RDF, RDFS
+
+    return f"""
+edges AS MATERIALIZED (
+  SELECT DISTINCT subj AS child, obj AS parent FROM {triples_src}
+  WHERE pred = '{RDFS.subClassOf}' AND obj_kind = 'uri'),
+classes AS MATERIALIZED (
+  SELECT DISTINCT cls FROM (
+    SELECT subj AS cls FROM {triples_src}
+    WHERE pred = '{RDF.type}' AND obj = '{OWL.Class}'
+    UNION SELECT child FROM edges UNION SELECT parent FROM edges)),
+anc AS (
+  SELECT child, parent AS a FROM edges
+  UNION
+  SELECT anc.child, e.parent FROM anc JOIN edges e ON anc.a = e.child),
+depths AS (
+  SELECT c.cls, count(a.a)::BIGINT AS depth
+  FROM classes c LEFT JOIN anc a ON c.cls = a.child GROUP BY c.cls),
+par AS (SELECT child, count(*)::BIGINT AS n_par FROM edges GROUP BY child),
+fan AS (SELECT parent, count(*)::BIGINT AS n_chl FROM edges GROUP BY parent)
+SELECT
+  (SELECT count(*)::BIGINT FROM classes) AS n_classes,
+  (SELECT count(*)::BIGINT FROM edges) AS n_edges,
+  (SELECT count(*)::BIGINT FROM classes
+   WHERE cls NOT IN (SELECT child FROM edges)) AS n_roots,
+  (SELECT count(*)::BIGINT FROM classes
+   WHERE cls NOT IN (SELECT parent FROM edges)) AS n_leaves,
+  (SELECT count(*)::BIGINT FROM par WHERE n_par >= 2) AS n_multi_parent,
+  (SELECT coalesce(max(n_chl), 0)::BIGINT FROM fan) AS max_fanout,
+  (SELECT max(depth)::BIGINT FROM depths) AS max_depth,
+  (SELECT sum(depth) FROM depths)
+    / (SELECT count(*) FROM classes)::DOUBLE AS avg_depth,
+  (SELECT count(*) FROM edges)
+    / (SELECT count(*) FROM classes)::DOUBLE AS inheritance_richness"""

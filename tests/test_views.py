@@ -398,3 +398,36 @@ def test_bcubed_perfect_clustering_is_one(spark):
     )
     r = dedup.bcubed_eval(ids, m, m).collect()[0]
     assert r["bcubed_precision"] == 1.0 == r["bcubed_recall"] == r["bcubed_f1"]
+
+
+def test_ontology_metrics_tangled_dag(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+
+    r = views.ontology_metrics(
+        FX.fixture_triples(spark, "hierarchy_om")
+    ).collect()[0]
+    assert r["n_classes"] == 8 and r["n_edges"] == 8
+    assert r["n_roots"] == 1            # Thing
+    assert r["n_leaves"] == 3           # Employee, Organization, City
+    assert r["n_multi_parent"] == 1     # Employee (Person + Role)
+    assert r["max_fanout"] == 3         # Thing -> Agent, Role, Place
+    # Employee's ancestor set {Person, Agent, Role, Thing}
+    assert r["max_depth"] == 4
+    # depths: Thing 0, Agent/Role/Place 1, Person/Org/City 2, Employee 4
+    assert abs(r["avg_depth"] - (0 + 1 + 1 + 1 + 2 + 2 + 2 + 4) / 8) < 1e-12
+    assert abs(r["inheritance_richness"] - 1.0) < 1e-12
+
+
+def test_ontology_metrics_cycle_safe(spark):
+    from orionbelt_ontology_builder_spark.model import (
+        RDFS, t_uri, triples_df,
+    )
+
+    t = triples_df(spark, [
+        t_uri("A", RDFS.subClassOf, "B"),
+        t_uri("B", RDFS.subClassOf, "A"),
+    ])
+    r = views.ontology_metrics(t).collect()[0]
+    # both classes see the full {A, B} ancestor set; no hang
+    assert r["n_classes"] == 2 and r["max_depth"] == 2
+    assert r["n_roots"] == 0 and r["n_leaves"] == 0
