@@ -345,6 +345,14 @@ def _q_ontology_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views.ontology_metrics(FX.fixture_triples(spark, "hierarchy_om"))
 
 
+def _q_void_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C VoID dataset description over the induced graph:
+    void:triples / distinctSubjects / classPartition /
+    propertyPartition — the interchange summary (and 100 TB
+    partition-planning input) a publisher attaches to a dump."""
+    return views.void_summary(relational.induce_triples(spark, sf_dir))
+
+
 def _q_induced_individuals_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = relational.induce_triples(spark, sf_dir)
     return (
@@ -2991,6 +2999,16 @@ def _q_graph_bfs_hops(spark, sf_dir):
     ).orderBy("node")
 
 
+def _q_sdtype_infer(spark, sf_dir):
+    """SDType statistical type inference (Paulheim & Bizer, ISWC
+    2013): vote rdf:type for untyped web-extracted entities from the
+    type distribution of their directional predicates — the typing
+    step between raw triple extraction and ontology population."""
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    return reasoning.sdtype_infer(FX.fixture_triples(spark, "sdtype_om"))
+
+
 def _q_cls_membership(spark, sf_dir):
     """One round of OWL RL class-expression membership (cls-int1/
     cls-int2/cls-uni, W3C OWL 2 RL table 7) over the axioms+intersection
@@ -3736,7 +3754,7 @@ def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
-    "induced_search", "fact_ranking",
+    "induced_search", "fact_ranking", "void_summary",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "top_customers",
     "events_running",
@@ -3935,6 +3953,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induced_stats": _q_induced_stats,
         "fact_ranking": _q_fact_ranking,
         "ontology_metrics": _q_ontology_metrics,
+        "void_summary": _q_void_summary,
         "induced_individuals_per_class": _q_induced_individuals_per_class,
         "induced_search": _q_induced_search,
         "tpch_q1": _q_tpch_q1,
@@ -4182,6 +4201,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truth_discovery": _q_truth_discovery,
         "graph_weighted_sssp": _q_graph_weighted_sssp,
         "cls_membership": _q_cls_membership,
+        "sdtype_infer": _q_sdtype_infer,
         "graph_betweenness": _q_graph_betweenness,
         "hearst_patterns": _q_hearst_patterns,
         "hierarchy_reduction": _q_hierarchy_reduction,
@@ -4671,6 +4691,9 @@ FROM triples
         + FX.fixture_cte("hierarchy_om")
         + ","
         + views.ontology_metrics_sql()
+    )
+    sql["void_summary"] = (
+        "WITH " + relational.induce_triples_sql() + views.void_summary_sql()
     )
 
     sql["induced_hierarchy"] = """
@@ -6582,6 +6605,17 @@ FROM new_nodes WHERE obj_id IN (SELECT obj_id FROM kept_ids)
         relational.ENTITY_EDGES_SQL, walk_len=3
     )
     cx = FX.fixture_cte("clsexpr_om")
+    from orionbelt_ontology_builder_spark.operators import (
+        reasoning as _reasoning,
+    )
+
+    sql["sdtype_infer"] = (
+        "WITH "
+        + FX.fixture_cte("sdtype_om")
+        + ","
+        + _reasoning.sdtype_infer_sql()
+    )
+
     sql["cls_membership"] = f"""
 WITH RECURSIVE {cx},
 {list_ctes},

@@ -309,6 +309,37 @@ HIERARCHY_OM: list[tuple] = [
     )
 ]
 
+#: SDType fixture: typed Persons (name/knows/livesIn) and Cities
+#: (label, in:livesIn), plus untyped entities whose predicate usage
+#: votes their type — u1/u3 -> Person, u2 -> City, u4 carries only the
+#: ambiguous seeAlso feature (0.5/0.5, type-asc tiebreak -> City).
+SDTYPE_OM: list[tuple] = [
+    t_uri(_e("p1"), RDF.type, _e("Person")),
+    t_uri(_e("p2"), RDF.type, _e("Person")),
+    t_uri(_e("p3"), RDF.type, _e("Person")),
+    t_uri(_e("c1"), RDF.type, _e("City")),
+    t_uri(_e("c2"), RDF.type, _e("City")),
+    t_lit(_e("p1"), _e("name"), "P One"),
+    t_lit(_e("p2"), _e("name"), "P Two"),
+    t_lit(_e("p3"), _e("name"), "P Three"),
+    t_lit(_e("c1"), RDFS.label, "City One"),
+    t_lit(_e("c2"), RDFS.label, "City Two"),
+    t_uri(_e("p1"), _e("knows"), _e("p2")),
+    t_uri(_e("p2"), _e("knows"), _e("p3")),
+    t_uri(_e("p1"), _e("livesIn"), _e("c1")),
+    t_uri(_e("p2"), _e("livesIn"), _e("c2")),
+    t_lit(_e("p3"), RDFS.seeAlso, "elsewhere"),
+    t_lit(_e("c2"), RDFS.seeAlso, "elsewhere too"),
+    # untyped entities to infer
+    t_lit(_e("u1"), _e("name"), "U One"),
+    t_uri(_e("u1"), _e("knows"), _e("p1")),
+    t_uri(_e("u1"), _e("livesIn"), _e("c1")),
+    t_uri(_e("p3"), _e("livesIn"), _e("u2")),
+    t_lit(_e("u2"), RDFS.label, "U City"),
+    t_lit(_e("u3"), _e("name"), "U Three"),
+    t_lit(_e("u4"), RDFS.seeAlso, "ambiguous"),
+]
+
 FIXTURES: dict[str, list[tuple]] = {
     "template_org": TEMPLATE_ORG,
     "populated_om": POPULATED_OM,
@@ -321,6 +352,7 @@ FIXTURES: dict[str, list[tuple]] = {
     "clsexpr_om": CLSEXPR_OM,
     "containers_om": CONTAINERS_OM,
     "hierarchy_om": HIERARCHY_OM,
+    "sdtype_om": SDTYPE_OM,
 }
 
 

@@ -791,3 +791,156 @@ def class_expression_membership(
         .select(F.col("x").alias("subj"), "cls", "rule")
         .orderBy("subj", "cls", "rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# SDType statistical type inference (Paulheim & Bizer, ISWC 2013,
+# public literature).  Web-extracted entities are mostly UNTYPED —
+# extraction produces facts long before anyone asserts rdf:type.
+# SDType votes a type from the statistical type distribution of the
+# predicates an entity uses: an entity with out:birthPlace and
+# in:knows edges is a Person because typed entities with those
+# predicates overwhelmingly are.
+# ---------------------------------------------------------------------------
+
+
+def sdtype_infer(
+    triples: DataFrame,
+    min_score: float = 0.4,
+    exclude_types: tuple = (),
+) -> DataFrame:
+    """(entity, inferred_type, score, n_features) — top-1 type vote
+    per currently-untyped entity.
+
+    Features are directional predicates: ``out:<pred>`` when the
+    entity is subject, ``in:<pred>`` when it is a URI object
+    (rdf:type rows excluded from features).  From TYPED entities the
+    conditional ``P(type | feature) = |typed entities with feature and
+    type| / |typed entities with feature|`` is estimated; an untyped
+    entity scores each type by the AVERAGE of its features'
+    conditionals (features the type never co-occurred with vote 0 —
+    the count divides by the entity's full feature count).  Top-1 by
+    (score desc, type asc), kept when score >= ``min_score``.
+
+    Scale shape: the conditional table is (feature, type)-keyed —
+    schema-sized, broadcast; entity-feature extraction is two pushed
+    projections; scoring is ONE equi-join on feature + one (entity,
+    type) agg + one per-entity max_by — all map-side-combinable, no
+    iteration."""
+    types = (
+        triples.filter(F.col("pred") == RDF.type)
+        .select(F.col("subj").alias("entity"), F.col("obj").alias("type"))
+        .distinct()
+    )
+    if exclude_types:
+        types = types.filter(~F.col("type").isin(list(exclude_types)))
+    feats = (
+        triples.filter(F.col("pred") != RDF.type)
+        .select(
+            F.col("subj").alias("entity"),
+            F.concat(F.lit("out:"), F.col("pred")).alias("feature"),
+        )
+        .union(
+            triples.filter(
+                (F.col("pred") != RDF.type) & (F.col("obj_kind") == "uri")
+            ).select(
+                F.col("obj").alias("entity"),
+                F.concat(F.lit("in:"), F.col("pred")).alias("feature"),
+            )
+        )
+        .distinct()
+    )
+    typed_feats = feats.join(types, "entity")
+    ft = typed_feats.groupBy("feature", "type").agg(
+        F.countDistinct("entity").alias("n_ft")
+    )
+    fcnt = typed_feats.groupBy("feature").agg(
+        F.countDistinct("entity").alias("n_f")
+    )
+    cond = ft.join(fcnt, "feature").select(
+        "feature", "type", (F.col("n_ft") / F.col("n_f").cast("double")).alias("p")
+    )
+    untyped = feats.join(
+        triples.filter(F.col("pred") == RDF.type)
+        .select(F.col("subj").alias("entity"))
+        .distinct(),
+        "entity",
+        "left_anti",
+    )
+    nfeat = untyped.groupBy("entity").agg(F.count("*").alias("n_features"))
+    votes = (
+        untyped.join(F.broadcast(cond), "feature")
+        .groupBy("entity", "type")
+        .agg(F.sum("p").alias("sp"))
+        .join(nfeat, "entity")
+        .select(
+            "entity",
+            "type",
+            (F.col("sp") / F.col("n_features").cast("double")).alias("score"),
+            "n_features",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy(
+        F.col("score").desc(), F.col("type").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("score") >= min_score))
+        .select(
+            "entity",
+            F.col("type").alias("inferred_type"),
+            "score",
+            "n_features",
+        )
+        .orderBy("entity")
+    )
+
+
+def sdtype_infer_sql(
+    triples_src: str = "triples",
+    min_score: float = 0.4,
+    exclude_types: tuple = (),
+) -> str:
+    """DuckDB twin — compose after a CTE defining ``triples``."""
+    excl = ""
+    if exclude_types:
+        lst = ", ".join(f"'{t}'" for t in exclude_types)
+        excl = f" AND obj NOT IN ({lst})"
+    return f"""
+etypes AS MATERIALIZED (
+  SELECT DISTINCT subj AS entity, obj AS type FROM {triples_src}
+  WHERE pred = '{RDF.type}'{excl}),
+feats AS MATERIALIZED (
+  SELECT DISTINCT entity, feature FROM (
+    SELECT subj AS entity, 'out:' || pred AS feature FROM {triples_src}
+    WHERE pred <> '{RDF.type}'
+    UNION ALL
+    SELECT obj, 'in:' || pred FROM {triples_src}
+    WHERE pred <> '{RDF.type}' AND obj_kind = 'uri')),
+tf AS (SELECT f.entity, f.feature, t.type
+       FROM feats f JOIN etypes t USING (entity)),
+ft AS (SELECT feature, type, count(DISTINCT entity)::BIGINT AS n_ft
+       FROM tf GROUP BY 1, 2),
+fcnt AS (SELECT feature, count(DISTINCT entity)::BIGINT AS n_f
+         FROM tf GROUP BY 1),
+cond AS (SELECT ft.feature, ft.type, ft.n_ft / fcnt.n_f::DOUBLE AS p
+         FROM ft JOIN fcnt USING (feature)),
+untyped AS (
+  SELECT * FROM feats WHERE entity NOT IN (
+    SELECT subj FROM {triples_src} WHERE pred = '{RDF.type}')),
+nfeat AS (SELECT entity, count(*)::BIGINT AS n_features
+          FROM untyped GROUP BY 1),
+votes AS (
+  SELECT u.entity, c.type, sum(c.p) / any_value(nf.n_features)::DOUBLE AS score,
+         any_value(nf.n_features) AS n_features
+  FROM untyped u JOIN cond c USING (feature)
+  JOIN nfeat nf ON u.entity = nf.entity
+  GROUP BY u.entity, c.type),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY entity
+    ORDER BY score DESC, type ASC) AS rn FROM votes)
+SELECT entity, type AS inferred_type, score, n_features
+FROM ranked WHERE rn = 1 AND score >= {min_score}
+ORDER BY entity"""

@@ -1908,3 +1908,82 @@ SELECT
     / (SELECT count(*) FROM classes)::DOUBLE AS avg_depth,
   (SELECT count(*) FROM edges)
     / (SELECT count(*) FROM classes)::DOUBLE AS inheritance_richness"""
+
+
+# ---------------------------------------------------------------------------
+# VoID dataset description (W3C VoID vocabulary, public spec): the
+# dataset-level statistics block (void:triples, void:classPartition,
+# void:propertyPartition) publishers attach to an RDF dump.  The
+# reference's get_statistics counts UI entity kinds; VoID is the
+# interchange summary another system reads before deciding how to
+# ingest — at 100 TB it is also the partition-planning input.
+# ---------------------------------------------------------------------------
+
+
+def void_summary(triples: DataFrame) -> DataFrame:
+    """(section, key, n) rows:
+
+    * section='dataset': triples / distinct_subjects / distinct_objects
+      / properties / classes (void:triples, void:distinctSubjects, ...)
+    * section='class_partition', key=<class>: void:entities per class
+    * section='property_partition', key=<pred>: void:triples per pred
+
+    Scale shape: one pass of keyed aggregates (all map-side
+    combinable); the dataset-level distincts are single hash
+    aggregates.  Output is vocabulary-sized."""
+    from ..model import RDF
+
+    ds = triples.agg(
+        F.count("*").alias("triples"),
+        F.countDistinct("subj").alias("distinct_subjects"),
+        F.countDistinct("obj").alias("distinct_objects"),
+        F.countDistinct("pred").alias("properties"),
+        F.countDistinct(
+            F.when(F.col("pred") == RDF.type, F.col("obj"))
+        ).alias("classes"),
+    )
+    dataset = ds.selectExpr(
+        "stack(5, 'triples', triples, 'distinct_subjects', distinct_subjects,"
+        " 'distinct_objects', distinct_objects, 'properties', properties,"
+        " 'classes', classes) AS (key, n)"
+    ).select(F.lit("dataset").alias("section"), "key", "n")
+    cls = (
+        triples.filter(F.col("pred") == RDF.type)
+        .groupBy(F.col("obj").alias("key"))
+        .agg(F.countDistinct("subj").alias("n"))
+        .select(F.lit("class_partition").alias("section"), "key", "n")
+    )
+    prop = (
+        triples.groupBy(F.col("pred").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("property_partition").alias("section"), "key", "n")
+    )
+    return dataset.unionByName(cls).unionByName(prop).orderBy(
+        "section", "key"
+    )
+
+
+def void_summary_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin — compose after a CTE defining ``triples``."""
+    from ..model import RDF
+
+    return f"""
+SELECT * FROM (
+  SELECT 'dataset' AS section, k.key,
+    CASE k.key
+      WHEN 'triples' THEN (SELECT count(*) FROM {triples_src})
+      WHEN 'distinct_subjects' THEN (SELECT count(DISTINCT subj) FROM {triples_src})
+      WHEN 'distinct_objects' THEN (SELECT count(DISTINCT obj) FROM {triples_src})
+      WHEN 'properties' THEN (SELECT count(DISTINCT pred) FROM {triples_src})
+      WHEN 'classes' THEN (SELECT count(DISTINCT obj) FROM {triples_src}
+                           WHERE pred = '{RDF.type}')
+    END::BIGINT AS n
+  FROM (VALUES ('triples'), ('distinct_subjects'), ('distinct_objects'),
+               ('properties'), ('classes')) k(key)
+  UNION ALL
+  SELECT 'class_partition', obj, count(DISTINCT subj)::BIGINT
+  FROM {triples_src} WHERE pred = '{RDF.type}' GROUP BY obj
+  UNION ALL
+  SELECT 'property_partition', pred, count(*)::BIGINT
+  FROM {triples_src} GROUP BY pred)
+ORDER BY section, key"""

@@ -374,3 +374,40 @@ def test_class_expression_membership_rules(spark):
         ).collect()
     }
     assert not again & {(s, c) for s, c, _ in got}
+
+
+# ------------------------------------------------------------------ #
+# SDType statistical type inference
+# ------------------------------------------------------------------ #
+
+
+def test_sdtype_votes_expected_types(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    out = {r["entity"]: r for r in reasoning.sdtype_infer(
+        FX.fixture_triples(spark, "sdtype_om")
+    ).collect()}
+    B = FX.BASE
+    # unanimous predicate evidence -> score 1.0
+    assert out[B + "u1"]["inferred_type"] == B + "Person"
+    assert out[B + "u1"]["score"] == 1.0 and out[B + "u1"]["n_features"] == 3
+    assert out[B + "u2"]["inferred_type"] == B + "City"
+    assert out[B + "u3"]["inferred_type"] == B + "Person"
+    # ambiguous seeAlso: 0.5 Person / 0.5 City -> type-asc tiebreak
+    assert out[B + "u4"]["inferred_type"] == B + "City"
+    assert abs(out[B + "u4"]["score"] - 0.5) < 1e-12
+    # typed entities never reappear
+    assert B + "p1" not in out and B + "c1" not in out
+
+
+def test_sdtype_min_score_gate(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    out = {r["entity"] for r in reasoning.sdtype_infer(
+        FX.fixture_triples(spark, "sdtype_om"), min_score=0.6
+    ).collect()}
+    # the 0.5-ambiguous u4 falls below a 0.6 gate; unanimous ones stay
+    assert FX.BASE + "u4" not in out
+    assert FX.BASE + "u1" in out and FX.BASE + "u2" in out
