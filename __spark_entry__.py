@@ -345,6 +345,36 @@ def _q_ontology_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views.ontology_metrics(FX.fixture_triples(spark, "hierarchy_om"))
 
 
+#: hierarchy delta for the incremental-closure query: a two-edge chain
+#: grafted under Role (max 2 delta edges on one path -> 2 fixpoint
+#: rounds), shared verbatim by the Spark query and the DuckDB oracle.
+_CLOSURE_DELTA = [
+    ("Contractor", "Role"),
+    ("Freelancer", "Contractor"),
+]
+
+
+def _q_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-naive transitive-closure maintenance: close the base
+    hierarchy once, then absorb a delta via delta-step composition
+    only (old closure never self-joined, delta side broadcast) — the
+    O(delta) nightly refresh; the oracle RE-CLOSES base+delta from
+    scratch, so parity proves the incremental law."""
+    from orionbelt_ontology_builder_spark.operators import fixpoint
+
+    base = (
+        FX.fixture_triples(spark, "hierarchy_om")
+        .filter(F.col("pred") == M.RDFS.subClassOf)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    closed = fixpoint.transitive_closure(base)
+    delta = spark.createDataFrame(
+        [(FX.BASE + a, FX.BASE + b) for a, b in _CLOSURE_DELTA],
+        "src string, dst string",
+    )
+    return fixpoint.incremental_closure(closed, delta)
+
+
 def _q_void_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3C VoID dataset description over the induced graph:
     void:triples / distinctSubjects / classPartition /
@@ -3954,6 +3984,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_ranking": _q_fact_ranking,
         "ontology_metrics": _q_ontology_metrics,
         "void_summary": _q_void_summary,
+        "incremental_closure": _q_incremental_closure,
         "induced_individuals_per_class": _q_induced_individuals_per_class,
         "induced_search": _q_induced_search,
         "tpch_q1": _q_tpch_q1,
@@ -4695,6 +4726,21 @@ FROM triples
     sql["void_summary"] = (
         "WITH " + relational.induce_triples_sql() + views.void_summary_sql()
     )
+    _delta_vals = ", ".join(
+        f"('{FX.BASE}{a}', '{FX.BASE}{b}')" for a, b in _CLOSURE_DELTA
+    )
+    sql["incremental_closure"] = f"""
+WITH RECURSIVE {FX.fixture_cte("hierarchy_om")},
+edges AS (
+  SELECT subj AS src, obj AS dst FROM triples
+  WHERE pred = '{M.RDFS.subClassOf}'
+  UNION SELECT * FROM (VALUES {_delta_vals})),
+tc AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
+SELECT src, dst FROM tc ORDER BY src, dst
+"""
 
     sql["induced_hierarchy"] = """
 SELECT DISTINCT 'Nation_' || n_name AS child, 'Region_' || r_name AS parent

@@ -182,3 +182,46 @@ def test_resolve_pointers_doubling_matches_oracle(spark):
     want = sorted(tuple(r) for r in con.sql(sql).fetchall())
     con.close()
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# incremental transitive closure (delta maintenance)
+# ------------------------------------------------------------------ #
+
+
+def _pairs(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src string, dst string")
+
+
+def test_incremental_closure_equals_full_recompute(spark):
+    base = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    # delta bridges the two components AND chains two new edges
+    delta = _edges(spark, [("c", "x"), ("y", "z")])
+    closed = fixpoint.transitive_closure(base)
+    inc = fixpoint.incremental_closure(closed, delta)
+    full = fixpoint.transitive_closure(base.unionByName(delta))
+    assert _pairs(inc) == _pairs(full)
+    # the bridge really went through: a reaches z via 2 delta edges
+    assert ("a", "z") in _pairs(inc)
+
+
+def test_incremental_closure_cycle_delta(spark):
+    base = _edges(spark, [("a", "b"), ("b", "c")])
+    delta = _edges(spark, [("c", "a")])  # creates a 3-cycle
+    inc = fixpoint.incremental_closure(
+        fixpoint.transitive_closure(base), delta
+    )
+    full = fixpoint.transitive_closure(base.unionByName(delta))
+    assert _pairs(inc) == _pairs(full)
+    assert ("a", "a") in _pairs(inc)
+
+
+def test_incremental_closure_empty_delta_is_identity(spark):
+    base = _edges(spark, [("a", "b"), ("b", "c")])
+    closed = fixpoint.transitive_closure(base)
+    inc = fixpoint.incremental_closure(closed, _edges(spark, []).limit(0))
+    assert _pairs(inc) == _pairs(closed)
