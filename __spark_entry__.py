@@ -1743,6 +1743,15 @@ def _q_property_chains(spark, sf_dir):
     return df.select("property", F.concat_ws(",", "chain").alias("chain_csv"))
 
 
+def _q_decode_reification(spark, sf_dir):
+    """Statement-level metadata decode — classic rdf:Statement
+    reification AND OWL 2 owl:Axiom annotation nodes — recovering the
+    base triple plus its annotation payload count; incomplete or
+    untyped wrappers are dropped.  One pushed filter + one
+    conditional-min groupBy, no self-join."""
+    return lists.decode_reification(FX.fixture_triples(spark, "reified_om"))
+
+
 def _q_rdf_containers(spark, sf_dir):
     """rdf:Seq/Bag/Alt container decode with NUMERIC rdf:_n ordering
     (_10 after _2) — the legacy-vocab ordered-group encoding next to
@@ -1878,6 +1887,18 @@ def _q_infer_namespace(spark, sf_dir):
 
 def _q_validate_owl(spark, sf_dir):
     return _validated(spark)
+
+
+def _q_validate_literals(spark, sf_dir):
+    """XSD lexical-form validation: typed literals whose lexical form
+    contradicts their declared datatype ("forty"^^xsd:integer) — the
+    ingest gate SHACL's declared-datatype check cannot express; one
+    codegen projection, patterns in the Java-regex ∩ RE2 subset."""
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    return validation.validate_literals(
+        FX.fixture_triples(spark, "badlits_om")
+    )
 
 
 def _q_owl_consistency(spark, sf_dir):
@@ -4105,6 +4126,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "restrictions_view": _q_restrictions,
         "property_chains": _q_property_chains,
         "rdf_containers": _q_rdf_containers,
+        "decode_reification": _q_decode_reification,
         "class_expressions": _q_class_expressions,
         "all_different": _q_all_different,
         "has_keys": _q_has_keys,
@@ -4119,6 +4141,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_namespace": _q_infer_namespace,
         "resolve_base_uri": _q_resolve_base_uri,
         "validate_owl": _q_validate_owl,
+        "validate_literals": _q_validate_literals,
         "owl_consistency": _q_owl_consistency,
         "validate_skos": _q_validate_skos,
         "reasoning_rdfs": _q_reasoning_rdfs,
@@ -5429,6 +5452,12 @@ ORDER BY bnode
         + FX.fixture_cte("containers_om")
         + lists.get_containers_sql()
     )
+    sql["decode_reification"] = (
+        "WITH "
+        + FX.fixture_cte("reified_om")
+        + ","
+        + lists.decode_reification_sql()
+    )
 
     sql["property_chains"] = f"""
 WITH RECURSIVE {ax},
@@ -5738,6 +5767,16 @@ SELECT * FROM (
 """
 
     sql["validate_owl"] = validate_owl_sql
+
+    from orionbelt_ontology_builder_spark.operators import (
+        validation as _validation,
+    )
+
+    sql["validate_literals"] = (
+        "WITH "
+        + FX.fixture_cte("badlits_om")
+        + _validation.validate_literals_sql()
+    )
     sql["validation_severity"] = (
         "SELECT severity, count(*) AS n FROM (" + validate_owl_sql + ") GROUP BY severity ORDER BY severity"
     )

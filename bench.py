@@ -303,6 +303,17 @@ def main() -> None:
         "tpch_q5",
         "tpch_q6",
         "graph_summary",
+        # session-15 ops
+        "paris_matches",
+        "allen_relations",
+        "interval_coalesce",
+        "textrank_keywords",
+        "fact_ranking",
+        "bcubed_linkage",
+        "void_summary",
+        "sdtype_infer",
+        "incremental_closure",
+        "ontology_metrics",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

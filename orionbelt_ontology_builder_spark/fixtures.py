@@ -340,6 +340,51 @@ SDTYPE_OM: list[tuple] = [
     t_lit(_e("u4"), RDFS.seeAlso, "ambiguous"),
 ]
 
+#: Reification fixture: a classic rdf:Statement with two provenance
+#: annotations, an owl:Axiom annotating a subClassOf with one comment,
+#: an incomplete rdf:Statement (no object slot) and an untyped full
+#: slot-set — both of which decode_reification must drop.
+REIFIED_OM: list[tuple] = [
+    t_bnode(_e("alice"), _e("knows"), "_:unused"),  # background noise
+    t_uri("_:st1", RDF.type, RDF.Statement),
+    t_uri("_:st1", RDF.subject, _e("alice")),
+    t_uri("_:st1", RDF.predicate, _e("knows")),
+    t_uri("_:st1", RDF.object, _e("bob")),
+    t_lit("_:st1", _e("source"), "http://crawl.example.org/p1"),
+    t_lit("_:st1", _e("confidence"), "0.9"),
+    t_uri(_e("ax1"), RDF.type, OWL.Axiom),
+    t_uri(_e("ax1"), OWL.annotatedSource, _e("Employee")),
+    t_uri(_e("ax1"), OWL.annotatedProperty, RDFS.subClassOf),
+    t_uri(_e("ax1"), OWL.annotatedTarget, _e("Person")),
+    t_lit(_e("ax1"), RDFS.comment, "asserted by curator"),
+    t_uri("_:st2", RDF.type, RDF.Statement),
+    t_uri("_:st2", RDF.subject, _e("alice")),
+    t_uri("_:st3", RDF.subject, _e("alice")),
+    t_uri("_:st3", RDF.predicate, _e("knows")),
+    t_uri("_:st3", RDF.object, _e("carol")),
+]
+
+#: Lexical-form fixture: one well-formed and one malformed literal per
+#: validated XSD datatype, plus an untyped literal and an unknown
+#: custom datatype that validate_literals must pass through silently.
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+BADLITS_OM: list[tuple] = [
+    t_lit(_e("ok"), _e("age"), "42", dt=_XSD + "integer"),
+    t_lit(_e("ok"), _e("height"), "1.75", dt=_XSD + "decimal"),
+    t_lit(_e("ok"), _e("flag"), "true", dt=_XSD + "boolean"),
+    t_lit(_e("ok"), _e("born"), "1990-05-17", dt=_XSD + "date"),
+    t_lit(_e("ok"), _e("seen"), "2020-01-01T12:00:00Z", dt=_XSD + "dateTime"),
+    t_lit(_e("ok"), _e("score"), "1e-3", dt=_XSD + "double"),
+    t_lit(_e("bad"), _e("age"), "forty", dt=_XSD + "integer"),
+    t_lit(_e("bad"), _e("height"), "1.75m", dt=_XSD + "decimal"),
+    t_lit(_e("bad"), _e("flag"), "yes", dt=_XSD + "boolean"),
+    t_lit(_e("bad"), _e("born"), "1990-13-40", dt=_XSD + "date"),
+    t_lit(_e("bad"), _e("seen"), "yesterday", dt=_XSD + "dateTime"),
+    t_lit(_e("bad"), _e("score"), ".", dt=_XSD + "double"),
+    t_lit(_e("free"), _e("note"), "anything goes"),  # untyped: valid
+    t_lit(_e("free"), _e("custom"), "opaque", dt=_e("customType")),
+]
+
 FIXTURES: dict[str, list[tuple]] = {
     "template_org": TEMPLATE_ORG,
     "populated_om": POPULATED_OM,
@@ -353,6 +398,8 @@ FIXTURES: dict[str, list[tuple]] = {
     "containers_om": CONTAINERS_OM,
     "hierarchy_om": HIERARCHY_OM,
     "sdtype_om": SDTYPE_OM,
+    "reified_om": REIFIED_OM,
+    "badlits_om": BADLITS_OM,
 }
 
 

@@ -49,6 +49,10 @@ class RDF:
     Seq = RDF_NS + "Seq"
     Bag = RDF_NS + "Bag"
     Alt = RDF_NS + "Alt"
+    Statement = RDF_NS + "Statement"
+    subject = RDF_NS + "subject"
+    predicate = RDF_NS + "predicate"
+    object = RDF_NS + "object"
 
 
 class RDFS:
@@ -92,6 +96,10 @@ class OWL:
     complementOf = OWL_NS + "complementOf"
     oneOf = OWL_NS + "oneOf"
     propertyChainAxiom = OWL_NS + "propertyChainAxiom"
+    Axiom = OWL_NS + "Axiom"
+    annotatedSource = OWL_NS + "annotatedSource"
+    annotatedProperty = OWL_NS + "annotatedProperty"
+    annotatedTarget = OWL_NS + "annotatedTarget"
     onProperty = OWL_NS + "onProperty"
     onClass = OWL_NS + "onClass"
     someValuesFrom = OWL_NS + "someValuesFrom"

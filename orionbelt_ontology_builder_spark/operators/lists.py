@@ -226,3 +226,131 @@ JOIN {triples_src} m ON c.subj = m.subj
 WHERE starts_with(m.pred, '{RDF_NS}')
   AND regexp_matches(m.pred, '#_[0-9]+$')
 ORDER BY container, idx, member"""
+
+
+# ---------------------------------------------------------------------------
+# Statement-level metadata decode: classic RDF reification
+# (rdf:Statement / rdf:subject / rdf:predicate / rdf:object) AND its
+# OWL 2 successor (owl:Axiom / owl:annotatedSource / annotatedProperty
+# / annotatedTarget).  Both wrap a base triple in a node so provenance
+# / confidence / source annotations can attach — exactly what a
+# web-extraction KG needs per fact (extractor, url, score).
+# ---------------------------------------------------------------------------
+
+_REIF_SLOTS = {
+    "rdf": (RDF.subject, RDF.predicate, RDF.object, RDF.Statement),
+    "owl": (
+        OWL.annotatedSource,
+        OWL.annotatedProperty,
+        OWL.annotatedTarget,
+        OWL.Axiom,
+    ),
+}
+
+
+def decode_reification(triples: DataFrame) -> DataFrame:
+    """(stmt, style, t_subj, t_pred, t_obj, t_obj_kind, n_annotations)
+    — one row per COMPLETE reified statement (all three slots present
+    and the node typed rdf:Statement or owl:Axiom); ``n_annotations``
+    counts the extra predicates carried on the node (the payload:
+    provenance, confidence, source).  Incomplete reifications are
+    dropped — a slot-less node asserts nothing.
+
+    Scale shape: ONE predicate-pushed filter + ONE groupBy(stmt) with
+    conditional-min slot extraction (map-side combinable) — the decode
+    never joins the statement table against itself."""
+    slot_preds = [p for s in _REIF_SLOTS.values() for p in s[:3]]
+    types = {v[3]: k for k, v in _REIF_SLOTS.items()}
+
+    def slot(*preds):
+        return F.min(
+            F.when(F.col("pred").isin(list(preds)), F.col("obj"))
+        )
+
+    rows = triples.filter(
+        F.col("pred").isin(slot_preds)
+        | ((F.col("pred") == RDF.type) & F.col("obj").isin(list(types)))
+    )
+    # annotation payload = every OTHER predicate on the same node
+    ann = (
+        triples.filter(
+            ~F.col("pred").isin(slot_preds + [RDF.type])
+        )
+        .groupBy(F.col("subj").alias("stmt"))
+        .agg(F.count("*").alias("n_annotations"))
+    )
+    decoded = (
+        rows.groupBy(F.col("subj").alias("stmt"))
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("pred") == RDF.type)
+                    & F.col("obj").isin(list(types)),
+                    F.when(F.col("obj") == RDF.Statement, "rdf").otherwise(
+                        "owl"
+                    ),
+                )
+            ).alias("style"),
+            slot(RDF.subject, OWL.annotatedSource).alias("t_subj"),
+            slot(RDF.predicate, OWL.annotatedProperty).alias("t_pred"),
+            slot(RDF.object, OWL.annotatedTarget).alias("t_obj"),
+            F.min(
+                F.when(
+                    F.col("pred").isin(
+                        [RDF.object, OWL.annotatedTarget]
+                    ),
+                    F.col("obj_kind"),
+                )
+            ).alias("t_obj_kind"),
+        )
+        .filter(
+            F.col("style").isNotNull()
+            & F.col("t_subj").isNotNull()
+            & F.col("t_pred").isNotNull()
+            & F.col("t_obj").isNotNull()
+        )
+    )
+    return (
+        decoded.join(ann, "stmt", "left")
+        .select(
+            "stmt",
+            "style",
+            "t_subj",
+            "t_pred",
+            "t_obj",
+            "t_obj_kind",
+            F.coalesce("n_annotations", F.lit(0)).alias("n_annotations"),
+        )
+        .orderBy("stmt")
+    )
+
+
+def decode_reification_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin — compose after a CTE defining ``triples``."""
+    rs, rp, ro, rt = _REIF_SLOTS["rdf"]
+    os_, op, ot, oa = _REIF_SLOTS["owl"]
+    slots = ", ".join(f"'{p}'" for p in (rs, rp, ro, os_, op, ot))
+    return f"""
+ann AS (
+  SELECT subj AS stmt, count(*)::BIGINT AS n_annotations
+  FROM {triples_src}
+  WHERE pred NOT IN ({slots}, '{RDF.type}')
+  GROUP BY subj),
+decoded AS (
+  SELECT subj AS stmt,
+    min(CASE WHEN pred = '{RDF.type}' AND obj IN ('{rt}', '{oa}')
+        THEN CASE WHEN obj = '{rt}' THEN 'rdf' ELSE 'owl' END END) AS style,
+    min(CASE WHEN pred IN ('{rs}', '{os_}') THEN obj END) AS t_subj,
+    min(CASE WHEN pred IN ('{rp}', '{op}') THEN obj END) AS t_pred,
+    min(CASE WHEN pred IN ('{ro}', '{ot}') THEN obj END) AS t_obj,
+    min(CASE WHEN pred IN ('{ro}', '{ot}') THEN obj_kind END) AS t_obj_kind
+  FROM {triples_src}
+  WHERE pred IN ({slots})
+     OR (pred = '{RDF.type}' AND obj IN ('{rt}', '{oa}'))
+  GROUP BY subj)
+SELECT d.stmt, d.style, d.t_subj, d.t_pred, d.t_obj, d.t_obj_kind,
+  coalesce(a.n_annotations, 0)::BIGINT AS n_annotations
+FROM decoded d LEFT JOIN ann a USING (stmt)
+WHERE d.style IS NOT NULL AND d.t_subj IS NOT NULL
+  AND d.t_pred IS NOT NULL AND d.t_obj IS NOT NULL
+ORDER BY d.stmt"""

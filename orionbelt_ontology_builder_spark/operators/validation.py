@@ -777,3 +777,79 @@ def owl_consistency(triples: DataFrame) -> DataFrame:
         )
     )
     return out.orderBy("issue_type", "subject", "message")
+
+
+# ---------------------------------------------------------------------------
+# XSD lexical-form validation.  SHACL's `datatype` constraint checks
+# the DECLARED datatype; this checks the LEXICAL FORM — "forty"
+# ^^xsd:integer passes the former and is still garbage.  Web
+# extraction produces such literals constantly (scraped tables,
+# truncated values), so the ingest gate needs a per-datatype regex
+# pass.  Patterns are deliberately in the Java-regex ∩ RE2 dialect
+# subset so Spark `rlike` and DuckDB `regexp_matches` agree.
+# ---------------------------------------------------------------------------
+
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+#: datatype local name -> anchored lexical pattern (conservative: XSD
+#: special values INF/NaN for double/float are not accepted here —
+#: at ingest they are far more often extraction junk than intent).
+XSD_LEXICAL: dict[str, str] = {
+    "integer": r"^[+-]?[0-9]+$",
+    "int": r"^[+-]?[0-9]+$",
+    "long": r"^[+-]?[0-9]+$",
+    "nonNegativeInteger": r"^\+?[0-9]+$",
+    "decimal": r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$",
+    "double": r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$",
+    "float": r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$",
+    "boolean": r"^(true|false|0|1)$",
+    "date": r"^-?[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+            r"(Z|[+-][0-9]{2}:[0-9]{2})?$",
+    "dateTime": r"^-?[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+                r"T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?"
+                r"(Z|[+-][0-9]{2}:[0-9]{2})?$",
+}
+
+
+def validate_literals(triples: DataFrame) -> DataFrame:
+    """(subject, predicate, value, datatype, issue_type) — typed
+    literals whose lexical form does not match their declared XSD
+    datatype.  Unknown datatypes and untyped literals pass (RDF 1.1:
+    they are xsd:string — any form is valid).
+
+    Scale shape: a single projection/filter chain over literal rows —
+    the datatype dispatch is one CASE over the (tiny, fixed) pattern
+    map, whole-stage codegen, no shuffle before the final sort."""
+    expr = None
+    for name, pat in XSD_LEXICAL.items():
+        cond = (F.col("obj_dt") == _XSD_NS + name) & ~F.col("obj").rlike(pat)
+        expr = cond if expr is None else (expr | cond)
+    return (
+        triples.filter(
+            (F.col("obj_kind") == "literal")
+            & F.col("obj_dt").isNotNull()
+            & expr
+        )
+        .select(
+            F.col("subj").alias("subject"),
+            F.col("pred").alias("predicate"),
+            F.col("obj").alias("value"),
+            F.col("obj_dt").alias("datatype"),
+            F.lit("malformed_literal").alias("issue_type"),
+        )
+        .orderBy("subject", "predicate", "value")
+    )
+
+
+def validate_literals_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin — identical anchored patterns."""
+    conds = " OR ".join(
+        f"(obj_dt = '{_XSD_NS}{name}' AND NOT regexp_matches(obj, '{pat}'))"
+        for name, pat in XSD_LEXICAL.items()
+    )
+    return f"""
+SELECT subj AS subject, pred AS predicate, obj AS value,
+       obj_dt AS datatype, 'malformed_literal' AS issue_type
+FROM {triples_src}
+WHERE obj_kind = 'literal' AND obj_dt IS NOT NULL AND ({conds})
+ORDER BY subject, predicate, value"""

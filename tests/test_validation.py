@@ -186,3 +186,41 @@ def test_owl_consistency_symmetric_statement_directions(spark):
     assert [(r["issue_type"], r["subject"]) for r in out] == [
         ("same_and_different", B + "a")
     ]
+
+
+# ------------------------------------------------------------------ #
+# XSD lexical-form validation + reification decode
+# ------------------------------------------------------------------ #
+
+
+def test_validate_literals_flags_only_malformed(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    rows = validation.validate_literals(
+        FX.fixture_triples(spark, "badlits_om")
+    ).collect()
+    # exactly the six malformed literals, all on the :bad subject
+    assert len(rows) == 6
+    assert all(r["subject"] == FX.BASE + "bad" for r in rows)
+    assert {r["value"] for r in rows} == {
+        "forty", "1.75m", "yes", "1990-13-40", "yesterday", ".",
+    }
+    assert all(r["issue_type"] == "malformed_literal" for r in rows)
+
+
+def test_decode_reification_both_styles(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.operators import lists
+
+    rows = {r["stmt"]: r for r in lists.decode_reification(
+        FX.fixture_triples(spark, "reified_om")
+    ).collect()}
+    assert set(rows) == {"_:st1", FX.BASE + "ax1"}  # st2/st3 dropped
+    st1 = rows["_:st1"]
+    assert st1["style"] == "rdf"
+    assert (st1["t_subj"], st1["t_obj"]) == (FX.BASE + "alice", FX.BASE + "bob")
+    assert st1["t_obj_kind"] == "uri" and st1["n_annotations"] == 2
+    ax1 = rows[FX.BASE + "ax1"]
+    assert ax1["style"] == "owl" and ax1["n_annotations"] == 1
+    assert ax1["t_pred"].endswith("subClassOf")
