@@ -3093,6 +3093,38 @@ def _q_sorted_neighborhood(spark, sf_dir):
     )
 
 
+def _q_gazetteer_mentions(spark, sf_dir):
+    """Dictionary-based entity spotting: token-n-gram broadcast probe
+    of a surface-form gazetteer with leftmost-longest overlap
+    resolution ("new york times" beats the "new york" and "york"
+    inside it) — the deterministic mention detector next to the
+    pipeline's pattern extractor."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.gazetteer_mentions(taxonomy.gaz_sentences_df(spark))
+
+
+def _q_entity_comention(spark, sf_dir):
+    """Entity co-mention graph over gazetteer mentions (distinct-doc
+    counted pairs) — the relatedness edges that feed PPR/community
+    detection for disambiguation."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.comention_edges(
+        taxonomy.gazetteer_mentions(taxonomy.gaz_sentences_df(spark))
+    )
+
+
+def _q_suggest_functional(spark, sf_dir):
+    """Functional-property suggestion from usage (axiom mining): the
+    induced graph's label/acctbal/mktsegment predicates come out
+    functional; rdf:type's multi-typing (NamedIndividual + nation
+    class) yields a high violation rate and is rejected."""
+    return profiling.suggest_functional(
+        relational.induce_triples(spark, sf_dir)
+    )
+
+
 def _q_hearst_patterns(spark, sf_dir):
     """Hearst-pattern hypernym mining (COLING'92 rules: such-as /
     including / especially / and-other) over the embedded sentence
@@ -3805,7 +3837,7 @@ def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keep a real shuffle width; everything else is fixture-scale (_tiny).
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
-    "induced_search", "fact_ranking", "void_summary",
+    "induced_search", "fact_ranking", "void_summary", "suggest_functional",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "top_customers",
     "events_running",
@@ -4258,6 +4290,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdtype_infer": _q_sdtype_infer,
         "graph_betweenness": _q_graph_betweenness,
         "hearst_patterns": _q_hearst_patterns,
+        "gazetteer_mentions": _q_gazetteer_mentions,
+        "entity_comention": _q_entity_comention,
+        "suggest_functional": _q_suggest_functional,
         "hierarchy_reduction": _q_hierarchy_reduction,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "acronym_pairs": _q_acronym_pairs,
@@ -6743,6 +6778,18 @@ ORDER BY subj, cls, rule
     )
     sql["hearst_patterns"] = taxonomy.hearst_patterns_sql(
         taxonomy.hearst_sentences_values()
+    )
+    sql["gazetteer_mentions"] = taxonomy.gazetteer_mentions_sql(
+        taxonomy.gaz_sentences_values()
+    )
+    sql["entity_comention"] = taxonomy.comention_edges_sql(
+        taxonomy.gazetteer_mentions_sql(taxonomy.gaz_sentences_values())
+    )
+    sql["suggest_functional"] = (
+        "WITH "
+        + relational.induce_triples_sql()
+        + ","
+        + profiling.suggest_functional_sql()
     )
     sql["acronym_pairs"] = taxonomy.acronym_pairs_sql(
         taxonomy.acronym_sentences_values()

@@ -997,3 +997,77 @@ def fd_discovery_sql(table: str, columns: list[str]) -> str:
 FROM (SELECT {a}, {distincts} FROM {table} GROUP BY {a})"""
             )
     return "\nUNION ALL\n".join(parts) + "\nORDER BY determinant, dependent"
+
+
+# ------------------------------------------------------------------ #
+# Functional-property suggestion (schema induction from usage — the
+# axiom-mining counterpart of predicate_cardinality: a predicate whose
+# subjects near-always carry ONE value is an owl:FunctionalProperty
+# candidate, the axiom that then powers reasoning's prp-fp identity
+# rule and PARIS-style inverse-functionality weighting).
+# ------------------------------------------------------------------ #
+
+
+def suggest_functional(
+    triples: DataFrame,
+    max_violation_rate: float = 0.05,
+    min_subjects: int = 3,
+) -> DataFrame:
+    """(pred, n_subjects, n_multi, violation_rate, suggested) — per
+    predicate: subjects carrying it, subjects carrying >1 distinct
+    value, and the violation rate; ``suggested`` when the rate is at
+    most ``max_violation_rate`` over at least ``min_subjects``
+    (support gate against one-example "axioms").  rdf:type stays IN —
+    multi-typing shows up as a high violation rate and is exactly why
+    type must not be inferred functional.
+
+    Scale shape: one (pred, subj) distinct-value agg + one per-pred
+    rollup — both map-side combinable; output is vocabulary-sized.
+    Integer-ratio arithmetic keeps the verdict cross-engine exact."""
+    per = (
+        triples.groupBy("pred", "subj")
+        .agg(
+            F.countDistinct(F.col("obj"), F.col("obj_kind")).alias("n_vals")
+        )
+    )
+    agg = per.groupBy("pred").agg(
+        F.count("*").alias("n_subjects"),
+        F.sum(F.when(F.col("n_vals") > 1, 1).otherwise(0)).alias("n_multi"),
+    )
+    return agg.select(
+        "pred",
+        "n_subjects",
+        "n_multi",
+        (F.col("n_multi") / F.col("n_subjects").cast("double")).alias(
+            "violation_rate"
+        ),
+        (
+            (
+                F.col("n_multi") / F.col("n_subjects").cast("double")
+                <= max_violation_rate
+            )
+            & (F.col("n_subjects") >= min_subjects)
+        ).alias("suggested"),
+    ).orderBy("pred")
+
+
+def suggest_functional_sql(
+    triples_src: str = "triples",
+    max_violation_rate: float = 0.05,
+    min_subjects: int = 3,
+) -> str:
+    """DuckDB twin — compose after a CTE defining ``triples``."""
+    return f"""
+per AS (
+  SELECT pred, subj,
+         count(DISTINCT (obj, obj_kind))::BIGINT AS n_vals
+  FROM {triples_src} GROUP BY pred, subj),
+agg AS (
+  SELECT pred, count(*)::BIGINT AS n_subjects,
+         sum(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi
+  FROM per GROUP BY pred)
+SELECT pred, n_subjects, n_multi,
+  n_multi / n_subjects::DOUBLE AS violation_rate,
+  (n_multi / n_subjects::DOUBLE <= {max_violation_rate}
+   AND n_subjects >= {min_subjects}) AS suggested
+FROM agg ORDER BY pred"""

@@ -325,3 +325,198 @@ WHERE len(string_split(expansion, ' ')) = length(acronym)
 GROUP BY acronym, expansion
 ORDER BY acronym, expansion
 """
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer entity spotting (dictionary-based NER — the Aho-Corasick
+# family, public literature; here as a token-n-gram broadcast join).
+# The deterministic mention detector next to the pipeline's pattern
+# extractor: a curated surface-form dictionary (labels + aliases from
+# the ontology itself) is matched against the corpus with
+# leftmost-longest-wins overlap resolution.
+# ---------------------------------------------------------------------------
+
+#: (surface form, entity uri) — lowercase, normalized like norm_col.
+GAZETTEER: list[tuple[str, str]] = [
+    ("new york", "http://kg.example.org/NewYorkCity"),
+    ("york", "http://kg.example.org/York"),
+    ("new york times", "http://kg.example.org/NYTimes"),
+    ("san francisco", "http://kg.example.org/SanFrancisco"),
+    ("paris", "http://kg.example.org/Paris"),
+    ("berlin", "http://kg.example.org/Berlin"),
+]
+
+GAZ_SENTENCES: list[str] = [
+    "flights from new york to paris leave daily",
+    "the new york times reported from berlin",
+    "york has roman walls",
+    "san francisco fog rolled in while paris baked",
+    "no entities here at all",
+]
+
+
+def gaz_sentences_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(GAZ_SENTENCES)],
+        "doc_id int, text string",
+    )
+
+
+def gaz_sentences_values() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(GAZ_SENTENCES)
+    )
+    return f"s(doc_id, text) AS (VALUES\n    {rows})"
+
+
+def _gaz_values() -> str:
+    rows = ",\n    ".join(f"('{s}', '{e}')" for s, e in GAZETTEER)
+    return f"gaz(surface, entity) AS (VALUES\n    {rows})"
+
+
+def gazetteer_mentions(
+    sents: DataFrame, gazetteer: list[tuple[str, str]] | None = None,
+    max_n: int = 3,
+) -> DataFrame:
+    """(doc_id, pos, n_tokens, surface, entity) — dictionary mentions
+    with leftmost-longest overlap resolution: a candidate dies iff
+    another candidate overlaps its token span and is longer, or is
+    equally long and starts earlier ("new york times" beats both
+    "new york" and "york" inside it).
+
+    Scale shape: token n-grams come from a lead() ladder on ONE
+    per-doc window sort (no self-join); the dictionary probe is a
+    BROADCAST equi-join on the surface string; overlap resolution is a
+    per-doc anti-join over the (sparse) match set — candidates per doc
+    are bounded by mention density, never corpus size."""
+    from pyspark.sql import Window
+
+    from ..datapipe.textstats import norm_col, tokens_col
+
+    gaz = gazetteer if gazetteer is not None else GAZETTEER
+    spark = sents.sparkSession
+    gdf = spark.createDataFrame(gaz, "surface string, entity string")
+    toks = (
+        sents.withColumn("norm", norm_col())
+        .select("doc_id", F.posexplode(tokens_col()).alias("pos", "t0"))
+        .filter(F.col("t0") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [
+        F.lead("t0", d).over(w).alias(f"t{d}") for d in range(1, max_n)
+    ]
+    seq = toks.select("doc_id", "pos", "t0", *lead_cols)
+    grams = None
+    for n in range(1, max_n + 1):
+        parts = [F.col(f"t{d}") for d in range(n)]
+        g = seq.filter(
+            F.lit(True) if n == 1 else F.col(f"t{n-1}").isNotNull()
+        ).select(
+            "doc_id",
+            "pos",
+            F.lit(n).alias("n_tokens"),
+            F.concat_ws(" ", *parts).alias("surface"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    cand = grams.join(F.broadcast(gdf), "surface")
+    # leftmost-longest: kill a match overlapped by a longer (or equal
+    # and earlier) match in the same doc
+    a = cand.alias("a")
+    b = cand.alias("b")
+    killer = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") <= F.col("a.pos") + F.col("a.n_tokens") - 1)
+        & (F.col("a.pos") <= F.col("b.pos") + F.col("b.n_tokens") - 1)
+        & (
+            (F.col("b.n_tokens") > F.col("a.n_tokens"))
+            | (
+                (F.col("b.n_tokens") == F.col("a.n_tokens"))
+                & (F.col("b.pos") < F.col("a.pos"))
+            )
+        ),
+        "left_semi",
+    )
+    return (
+        cand.exceptAll(killer)
+        .select("doc_id", "pos", "n_tokens", "surface", "entity")
+        .orderBy("doc_id", "pos")
+    )
+
+
+def gazetteer_mentions_sql(
+    sents_cte: str, max_n: int = 3
+) -> str:
+    """DuckDB twin; ``sents_cte`` defines ``s(doc_id, text)``."""
+    from ..datapipe.textstats import norm_sql, tokens_sql
+
+    lead_cols = ", ".join(
+        f"lead(t0, {d}) OVER (PARTITION BY doc_id ORDER BY pos) AS t{d}"
+        for d in range(1, max_n)
+    )
+    legs = " UNION ALL ".join(
+        "SELECT doc_id, pos, {n} AS n_tokens, {expr} AS surface FROM seq{f}".format(
+            n=n,
+            expr=" || ' ' || ".join(f"t{d}" for d in range(n))
+            if n > 1
+            else "t0",
+            f=f" WHERE t{n-1} IS NOT NULL" if n > 1 else "",
+        )
+        for n in range(1, max_n + 1)
+    )
+    return f"""
+WITH {sents_cte},
+{_gaz_values()},
+ex AS (
+  SELECT doc_id,
+    unnest({tokens_sql(norm_sql())}) AS t0,
+    unnest(range(len({tokens_sql(norm_sql())}))) AS pos
+  FROM s),
+toks AS (SELECT * FROM ex WHERE t0 <> ''),
+seq AS (SELECT doc_id, pos, t0, {lead_cols} FROM toks),
+grams AS ({legs}),
+cand AS (
+  SELECT g.doc_id, g.pos, g.n_tokens, g.surface, z.entity
+  FROM grams g JOIN gaz z ON g.surface = z.surface)
+SELECT doc_id, pos, n_tokens, surface, entity FROM cand a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand b
+  WHERE b.doc_id = a.doc_id
+    AND b.pos <= a.pos + a.n_tokens - 1
+    AND a.pos <= b.pos + b.n_tokens - 1
+    AND (b.n_tokens > a.n_tokens
+         OR (b.n_tokens = a.n_tokens AND b.pos < a.pos)))
+ORDER BY doc_id, pos"""
+
+
+def comention_edges(mentions: DataFrame) -> DataFrame:
+    """(entity_a, entity_b, n_docs) — entity pairs co-mentioned in a
+    document, counted over distinct docs: the relatedness graph
+    gazetteer output feeds into graphstats (PPR, communities).  One
+    distinct projection + one per-doc self-equi-join (mention density
+    bounded per doc) + one keyed count."""
+    de = mentions.select("doc_id", "entity").distinct()
+    a = de.alias("a")
+    b = de.alias("b")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("a.entity") < F.col("b.entity"))
+        .groupBy(
+            F.col("a.entity").alias("entity_a"),
+            F.col("b.entity").alias("entity_b"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("entity_a", "entity_b")
+    )
+
+
+def comention_edges_sql(mentions_sql: str) -> str:
+    """DuckDB twin over a full mentions SELECT."""
+    return f"""
+WITH m AS ({mentions_sql}),
+de AS (SELECT DISTINCT doc_id, entity FROM m)
+SELECT a.entity AS entity_a, b.entity AS entity_b,
+       count(*)::BIGINT AS n_docs
+FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+GROUP BY 1, 2
+ORDER BY entity_a, entity_b"""

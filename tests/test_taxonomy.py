@@ -101,3 +101,55 @@ def test_acronym_pairs_expected_and_twin(spark):
         T.acronym_pairs_sql(T.acronym_sentences_values())
     ).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+# ------------------------------------------------------------------ #
+# Gazetteer spotting + co-mention + functional suggestion
+# ------------------------------------------------------------------ #
+
+
+def test_gazetteer_leftmost_longest(spark):
+    from orionbelt_ontology_builder_spark.operators import taxonomy as TX
+
+    rows = TX.gazetteer_mentions(TX.gaz_sentences_df(spark)).collect()
+    got = {(r["doc_id"], r["surface"]) for r in rows}
+    # the 3-gram wins over both nested shorter matches in doc 1
+    assert (1, "new york times") in got
+    assert (1, "new york") not in got and (1, "york") not in got
+    # standalone shorter surfaces still match elsewhere
+    assert (0, "new york") in got and (2, "york") in got
+    # entity-free doc contributes nothing
+    assert not any(d == 4 for d, _ in got)
+
+
+def test_gazetteer_custom_dictionary(spark):
+    from orionbelt_ontology_builder_spark.operators import taxonomy as TX
+
+    sents = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id int, text string"
+    )
+    out = TX.gazetteer_mentions(
+        sents, gazetteer=[("beta gamma", "e:BG"), ("beta", "e:B")]
+    ).collect()
+    assert [(r["surface"], r["entity"]) for r in out] == [("beta gamma", "e:BG")]
+
+
+def test_suggest_functional_rates_and_gate(spark):
+    from orionbelt_ontology_builder_spark.model import t_lit, triples_df
+    from orionbelt_ontology_builder_spark.operators import profiling
+
+    rows = []
+    for s in ("s1", "s2", "s3"):
+        rows.append(t_lit(s, "p_fun", f"v_{s}"))     # one value each
+        rows.append(t_lit(s, "p_multi", "a"))
+        rows.append(t_lit(s, "p_multi", "b"))        # two values each
+    rows.append(t_lit("s1", "p_rare", "x"))          # support 1
+    out = {r["pred"]: r for r in profiling.suggest_functional(
+        triples_df(spark, rows)
+    ).collect()}
+    assert out["p_fun"]["suggested"] is True
+    assert out["p_fun"]["violation_rate"] == 0.0
+    assert out["p_multi"]["suggested"] is False
+    assert out["p_multi"]["violation_rate"] == 1.0
+    # min_subjects gate: perfect rate but support 1 -> rejected
+    assert out["p_rare"]["suggested"] is False
