@@ -375,6 +375,21 @@ def _q_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixpoint.incremental_closure(closed, delta)
 
 
+def _q_flatten_skosxl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKOS-XL label flattening: reified skosxl:Label nodes back to
+    flat (concept, kind, literal, lang) rows — tagged/untagged
+    literalForm tiebreak via a shared max-codepoint sentinel; dangling
+    pointers dropped."""
+    return views.flatten_skosxl(FX.fixture_triples(spark, "skosxl_om"))
+
+
+def _q_language_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language label coverage (i18n completeness QA): label
+    counts, labeled entities, and share of all label-carrying
+    entities, with an explicit '(none)' bucket for untagged labels."""
+    return views.language_coverage(FX.fixture_triples(spark, "skosxl_om"))
+
+
 def _q_void_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3C VoID dataset description over the induced graph:
     void:triples / distinctSubjects / classPartition /
@@ -3125,6 +3140,24 @@ def _q_suggest_functional(spark, sf_dir):
     )
 
 
+def _q_suggest_inverse(spark, sf_dir):
+    """Inverse/symmetric property mining: ext(q) ≈ transpose(ext(p))
+    -> owl:inverseOf candidate; a predicate matching its own
+    transpose -> owl:SymmetricProperty — the extension-based axiom
+    induction feeding prp-inv/prp-symp reasoning."""
+    return profiling.suggest_inverse(
+        FX.fixture_triples(spark, "invprops_om")
+    )
+
+
+def _q_suggest_ranges(spark, sf_dir):
+    """Datatype-range induction over the induced graph's literals:
+    dominant lexical shape per predicate -> suggested xsd range (NULL
+    when evidence is mixed) — proposing what validate_literals then
+    enforces."""
+    return profiling.suggest_ranges(relational.induce_triples(spark, sf_dir))
+
+
 def _q_hearst_patterns(spark, sf_dir):
     """Hearst-pattern hypernym mining (COLING'92 rules: such-as /
     including / especially / and-other) over the embedded sentence
@@ -3838,6 +3871,7 @@ def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "fact_ranking", "void_summary", "suggest_functional",
+    "suggest_ranges",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "top_customers",
     "events_running",
@@ -4038,6 +4072,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_metrics": _q_ontology_metrics,
         "void_summary": _q_void_summary,
         "incremental_closure": _q_incremental_closure,
+        "flatten_skosxl": _q_flatten_skosxl,
+        "language_coverage": _q_language_coverage,
         "induced_individuals_per_class": _q_induced_individuals_per_class,
         "induced_search": _q_induced_search,
         "tpch_q1": _q_tpch_q1,
@@ -4293,6 +4329,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_mentions": _q_gazetteer_mentions,
         "entity_comention": _q_entity_comention,
         "suggest_functional": _q_suggest_functional,
+        "suggest_inverse": _q_suggest_inverse,
+        "suggest_ranges": _q_suggest_ranges,
         "hierarchy_reduction": _q_hierarchy_reduction,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "acronym_pairs": _q_acronym_pairs,
@@ -4783,6 +4821,15 @@ FROM triples
     )
     sql["void_summary"] = (
         "WITH " + relational.induce_triples_sql() + views.void_summary_sql()
+    )
+    sql["flatten_skosxl"] = (
+        "WITH " + FX.fixture_cte("skosxl_om") + "," + views.flatten_skosxl_sql()
+    )
+    sql["language_coverage"] = (
+        "WITH "
+        + FX.fixture_cte("skosxl_om")
+        + ","
+        + views.language_coverage_sql()
     )
     _delta_vals = ", ".join(
         f"('{FX.BASE}{a}', '{FX.BASE}{b}')" for a, b in _CLOSURE_DELTA
@@ -6790,6 +6837,18 @@ ORDER BY subj, cls, rule
         + relational.induce_triples_sql()
         + ","
         + profiling.suggest_functional_sql()
+    )
+    sql["suggest_inverse"] = (
+        "WITH "
+        + FX.fixture_cte("invprops_om")
+        + ","
+        + profiling.suggest_inverse_sql()
+    )
+    sql["suggest_ranges"] = (
+        "WITH "
+        + relational.induce_triples_sql()
+        + ","
+        + profiling.suggest_ranges_sql()
     )
     sql["acronym_pairs"] = taxonomy.acronym_pairs_sql(
         taxonomy.acronym_sentences_values()

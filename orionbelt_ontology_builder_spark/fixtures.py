@@ -385,6 +385,45 @@ BADLITS_OM: list[tuple] = [
     t_lit(_e("free"), _e("custom"), "opaque", dt=_e("customType")),
 ]
 
+#: Inverse/symmetric mining fixture: hasParent/hasChild are partial
+#: transposes (jaccard 2/3), marriedTo is symmetric for one couple and
+#: one-directional for another (self-transpose jaccard exactly 0.5 —
+#: the threshold boundary), likes has no reverse evidence at all.
+INVPROPS_OM: list[tuple] = [
+    t_uri(_e("alice"), _e("hasParent"), _e("bob")),
+    t_uri(_e("carol"), _e("hasParent"), _e("bob")),
+    t_uri(_e("dave"), _e("hasParent"), _e("erin")),
+    t_uri(_e("bob"), _e("hasChild"), _e("alice")),
+    t_uri(_e("bob"), _e("hasChild"), _e("carol")),
+    t_uri(_e("fay"), _e("marriedTo"), _e("gus")),
+    t_uri(_e("gus"), _e("marriedTo"), _e("fay")),
+    t_uri(_e("hal"), _e("marriedTo"), _e("ivy")),
+    t_uri(_e("jon"), _e("likes"), _e("kim")),
+]
+
+#: SKOS-XL + language-coverage fixture: reified label nodes with
+#: tagged/untagged literalForms (the sentinel tiebreak path), a
+#: dangling pointer without a form, and plain tagged rdfs/skos labels
+#: for the per-language coverage rollup.
+SKOSXL_NS_F = "http://www.w3.org/2008/05/skos-xl#"
+SKOSXL_OM: list[tuple] = [
+    t_bnode(_e("cA"), SKOSXL_NS_F + "prefLabel", "_:l1"),
+    t_lit("_:l1", SKOSXL_NS_F + "literalForm", "alpha", lang="en"),
+    t_bnode(_e("cA"), SKOSXL_NS_F + "altLabel", "_:l2"),
+    t_lit("_:l2", SKOSXL_NS_F + "literalForm", "alfa", lang="de"),
+    t_bnode(_e("cB"), SKOSXL_NS_F + "prefLabel", "_:l3"),
+    t_lit("_:l3", SKOSXL_NS_F + "literalForm", "beta", lang="fr"),
+    t_lit("_:l3", SKOSXL_NS_F + "literalForm", "beta"),
+    t_bnode(_e("cB"), SKOSXL_NS_F + "hiddenLabel", "_:l4"),
+    t_lit("_:l4", SKOSXL_NS_F + "literalForm", "b3ta"),
+    t_bnode(_e("cC"), SKOSXL_NS_F + "prefLabel", "_:l5"),  # dangling
+    # plain labels for language_coverage
+    t_lit(_e("cA"), RDFS.label, "alpha plain", lang="en"),
+    t_lit(_e("cB"), SKOS.prefLabel, "beta plain", lang="en"),
+    t_lit(_e("cB"), SKOS.altLabel, "beta alt", lang="de"),
+    t_lit(_e("cC"), RDFS.label, "gamma untagged"),
+]
+
 FIXTURES: dict[str, list[tuple]] = {
     "template_org": TEMPLATE_ORG,
     "populated_om": POPULATED_OM,
@@ -400,6 +439,8 @@ FIXTURES: dict[str, list[tuple]] = {
     "sdtype_om": SDTYPE_OM,
     "reified_om": REIFIED_OM,
     "badlits_om": BADLITS_OM,
+    "invprops_om": INVPROPS_OM,
+    "skosxl_om": SKOSXL_OM,
 }
 
 

@@ -143,6 +143,17 @@ class SKOS:
     topConceptOf = SKOS_NS + "topConceptOf"
 
 
+SKOSXL_NS = "http://www.w3.org/2008/05/skos-xl#"
+
+
+class SKOSXL:
+    Label = SKOSXL_NS + "Label"
+    prefLabel = SKOSXL_NS + "prefLabel"
+    altLabel = SKOSXL_NS + "altLabel"
+    hiddenLabel = SKOSXL_NS + "hiddenLabel"
+    literalForm = SKOSXL_NS + "literalForm"
+
+
 class XSD:
     string = XSD_NS + "string"
     integer = XSD_NS + "integer"

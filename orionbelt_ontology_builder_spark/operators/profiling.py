@@ -1071,3 +1071,245 @@ SELECT pred, n_subjects, n_multi,
   (n_multi / n_subjects::DOUBLE <= {max_violation_rate}
    AND n_subjects >= {min_subjects}) AS suggested
 FROM agg ORDER BY pred"""
+
+
+# ------------------------------------------------------------------ #
+# Inverse / symmetric property mining (extension-based axiom
+# induction, the transposed twin of align.property_alignment): if the
+# extension of q is (approximately) the TRANSPOSE of p's, the pair is
+# an owl:inverseOf candidate; if p's extension is its own transpose,
+# p is an owl:SymmetricProperty candidate.  Both feed reasoning's
+# prp-inv / prp-symp rules.
+# ------------------------------------------------------------------ #
+
+
+def suggest_inverse(
+    triples: DataFrame,
+    min_overlap: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """(pred_a, pred_b, kind, n_shared, n_a, n_b, jaccard) — pairs
+    where ext(pred_a) ∩ transpose(ext(pred_b)) is large;
+    kind='symmetric' when pred_a == pred_b (a predicate matched
+    against its own transpose scores 1.0 iff fully symmetric),
+    'inverse' otherwise (pred_a < pred_b, each unordered pair once).
+
+    Only uri-object rows participate (a literal has no inverse
+    direction).  Scale shape: ONE equi-join of the extension against
+    its transposed self on the (subj, obj) pair key; per-pred sizes
+    broadcast; integer-ratio Jaccard."""
+    from ..model import RDF
+
+    ext = (
+        triples.filter(
+            (F.col("obj_kind") == "uri") & (F.col("pred") != RDF.type)
+        )
+        .select("pred", "subj", "obj")
+        .distinct()
+    )
+    sizes = ext.groupBy("pred").agg(F.count("*").alias("n"))
+    t = ext.select(
+        F.col("pred").alias("pred_b"),
+        F.col("obj").alias("subj"),
+        F.col("subj").alias("obj"),
+    )
+    inter = (
+        ext.withColumnRenamed("pred", "pred_a")
+        .join(t, ["subj", "obj"])
+        .filter(F.col("pred_a") <= F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("pred", "pred_a")), "pred_a"
+        )
+        .withColumnRenamed("n", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("pred", "pred_b")), "pred_b"
+        )
+        .withColumnRenamed("n", "n_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "kind",
+            F.when(
+                F.col("pred_a") == F.col("pred_b"), "symmetric"
+            ).otherwise("inverse"),
+        )
+    )
+    return (
+        out.filter(
+            (F.col("n_shared") >= min_overlap)
+            & (F.col("jaccard") >= min_jaccard)
+        )
+        .select(
+            "pred_a", "pred_b", "kind", "n_shared", "n_a", "n_b", "jaccard"
+        )
+        .orderBy("pred_a", "pred_b")
+    )
+
+
+def suggest_inverse_sql(
+    triples_src: str = "triples",
+    min_overlap: int = 2,
+    min_jaccard: float = 0.5,
+) -> str:
+    """DuckDB twin — compose after a CTE defining ``triples``."""
+    from ..model import RDF
+
+    return f"""
+ext AS MATERIALIZED (
+  SELECT DISTINCT pred, subj, obj FROM {triples_src}
+  WHERE obj_kind = 'uri' AND pred <> '{RDF.type}'),
+sizes AS (SELECT pred, count(*)::BIGINT AS n FROM ext GROUP BY pred),
+inter AS (
+  SELECT a.pred AS pred_a, b.pred AS pred_b,
+         count(*)::BIGINT AS n_shared
+  FROM ext a JOIN ext b ON a.subj = b.obj AND a.obj = b.subj
+  WHERE a.pred <= b.pred
+  GROUP BY 1, 2)
+SELECT i.pred_a, i.pred_b,
+  CASE WHEN i.pred_a = i.pred_b THEN 'symmetric' ELSE 'inverse' END AS kind,
+  i.n_shared, sa.n AS n_a, sb.n AS n_b,
+  i.n_shared / (sa.n + sb.n - i.n_shared)::DOUBLE AS jaccard
+FROM inter i
+JOIN sizes sa ON i.pred_a = sa.pred
+JOIN sizes sb ON i.pred_b = sb.pred
+WHERE i.n_shared >= {min_overlap}
+  AND i.n_shared / (sa.n + sb.n - i.n_shared)::DOUBLE >= {min_jaccard}
+ORDER BY pred_a, pred_b"""
+
+
+# ------------------------------------------------------------------ #
+# Datatype-range induction: infer the xsd range of a data property
+# from the lexical shapes of its values (the schema-induction twin of
+# validation.validate_literals, which checks DECLARED datatypes; this
+# proposes them where none are declared — the normal state of
+# web-extracted literals).
+# ------------------------------------------------------------------ #
+
+#: (shape name, anchored pattern, inferred xsd range) in PRIORITY
+#: order — first match wins per value; string is the fallback.
+_SHAPES: list[tuple[str, str, str]] = [
+    ("integer", r"^[+-]?[0-9]+$", "integer"),
+    ("decimal", r"^[+-]?([0-9]+\.[0-9]*|\.[0-9]+)$", "decimal"),
+    (
+        "double",
+        r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)[eE][+-]?[0-9]+$",
+        "double",
+    ),
+    (
+        "date",
+        r"^-?[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$",
+        "date",
+    ),
+    (
+        "dateTime",
+        r"^-?[0-9]{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+        r"T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?"
+        r"(Z|[+-][0-9]{2}:[0-9]{2})?$",
+        "dateTime",
+    ),
+    ("boolean", r"^(true|false)$", "boolean"),
+]
+
+_XSD_NS_P = "http://www.w3.org/2001/XMLSchema#"
+
+
+def suggest_ranges(
+    triples: DataFrame, min_share: float = 0.95
+) -> DataFrame:
+    """(pred, n_values, top_shape, top_share, suggested_range) — per
+    literal-valued predicate: the dominant lexical shape of its
+    values and, when its share is at least ``min_share``, the
+    suggested ``rdfs:range`` (xsd uri; NULL when the evidence is
+    mixed).  Shape dispatch is one first-match CASE chain (priority:
+    integer > decimal > double > date > dateTime > boolean > string).
+
+    Scale shape: one codegen projection + one (pred, shape) count agg
+    + one per-pred max_by rollup; integer-ratio shares."""
+    shape = None
+    for name, pat, _rng in _SHAPES:
+        cond = F.col("obj").rlike(pat)
+        shape = F.when(cond, name) if shape is None else shape.when(cond, name)
+    shape = shape.otherwise("string")
+    lits = triples.filter(F.col("obj_kind") == "literal").select(
+        "pred", shape.alias("shape")
+    )
+    counts = lits.groupBy("pred", "shape").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("pred").agg(F.sum("c").alias("n_values"))
+    # deterministic winner: count desc then shape asc — expressed as a
+    # MIN over the (negated count, shape) struct so both engines use
+    # plain lexicographic struct ordering (ulp-free integer keys)
+    top = counts.groupBy("pred").agg(
+        F.min_by(
+            F.struct(F.col("shape"), F.col("c")),
+            F.struct(
+                (F.lit(0) - F.col("c")).alias("negc"), F.col("shape")
+            ),
+        ).alias("w")
+    )
+    rng_map = {name: _XSD_NS_P + rng for name, _p, rng in _SHAPES}
+    rng_map["string"] = _XSD_NS_P + "string"
+    rng_expr = None
+    for name, uri in rng_map.items():
+        cond = F.col("top_shape") == name
+        rng_expr = (
+            F.when(cond, uri) if rng_expr is None else rng_expr.when(cond, uri)
+        )
+    return (
+        top.select("pred", F.col("w.shape").alias("top_shape"), F.col("w.c").alias("c"))
+        .join(tot, "pred")
+        .select(
+            "pred",
+            "n_values",
+            "top_shape",
+            (F.col("c") / F.col("n_values").cast("double")).alias("top_share"),
+            F.when(
+                F.col("c") / F.col("n_values").cast("double") >= min_share,
+                rng_expr,
+            ).alias("suggested_range"),
+        )
+        .orderBy("pred")
+    )
+
+
+def suggest_ranges_sql(
+    triples_src: str = "triples", min_share: float = 0.95
+) -> str:
+    """DuckDB twin — identical CASE priority and tiebreak."""
+    whens = "\n    ".join(
+        f"WHEN regexp_matches(obj, '{pat}') THEN '{name}'"
+        for name, pat, _r in _SHAPES
+    )
+    rng_whens = "\n    ".join(
+        f"WHEN '{name}' THEN '{_XSD_NS_P}{rng}'"
+        for name, _p, rng in _SHAPES
+    ) + f"\n    WHEN 'string' THEN '{_XSD_NS_P}string'"
+    return f"""
+lits AS (
+  SELECT pred,
+    CASE {whens} ELSE 'string' END AS shape
+  FROM {triples_src} WHERE obj_kind = 'literal'),
+counts AS (SELECT pred, shape, count(*)::BIGINT AS c
+           FROM lits GROUP BY 1, 2),
+tot AS (SELECT pred, sum(c)::BIGINT AS n_values FROM counts GROUP BY 1),
+top AS (
+  SELECT pred,
+    (min(struct_pack(negc := -c, shape := shape, c := c))).shape
+      AS top_shape,
+    (min(struct_pack(negc := -c, shape := shape, c := c))).c AS c
+  FROM counts GROUP BY pred)
+SELECT t.pred, tot.n_values, t.top_shape,
+  t.c / tot.n_values::DOUBLE AS top_share,
+  CASE WHEN t.c / tot.n_values::DOUBLE >= {min_share}
+    THEN CASE t.top_shape {rng_whens} END
+  END AS suggested_range
+FROM top t JOIN tot USING (pred)
+ORDER BY pred"""

@@ -1987,3 +1987,156 @@ SELECT * FROM (
   SELECT 'property_partition', pred, count(*)::BIGINT
   FROM {triples_src} GROUP BY pred)
 ORDER BY section, key"""
+
+
+# ---------------------------------------------------------------------------
+# SKOS-XL label flattening (W3C SKOS-XL, public spec): thesauri that
+# need per-label provenance reify labels as skosxl:Label nodes
+# (concept -[skosxl:prefLabel]-> node -[skosxl:literalForm]-> "text").
+# Plain-SKOS consumers (every view in this engine, the reference's
+# SKOS browser) need the flat concept->literal form back.
+# ---------------------------------------------------------------------------
+
+
+def flatten_skosxl(triples: DataFrame) -> DataFrame:
+    """(concept, label_kind, label_node, literal, lang) — one row per
+    SKOS-XL label carried by a concept, ``label_kind`` in {pref, alt,
+    hidden} (from the pointing predicate); label nodes missing a
+    literalForm are dropped (nothing to flatten).
+
+    Scale shape: two predicate-pushed projections + ONE equi-join on
+    the label-node id; label tables are vocabulary-sized, so both
+    sides broadcast at corpus scale.  The deterministic min literal
+    per (concept, kind, node) mirrors graph.value-style first-pick."""
+    from ..model import SKOSXL
+
+    kinds = {
+        SKOSXL.prefLabel: "pref",
+        SKOSXL.altLabel: "alt",
+        SKOSXL.hiddenLabel: "hidden",
+    }
+    kind_expr = None
+    for uri, short in kinds.items():
+        c = F.col("pred") == uri
+        kind_expr = (
+            F.when(c, short) if kind_expr is None else kind_expr.when(c, short)
+        )
+    pointers = triples.filter(F.col("pred").isin(list(kinds))).select(
+        F.col("subj").alias("concept"),
+        kind_expr.alias("label_kind"),
+        F.col("obj").alias("label_node"),
+    )
+    # null lang sorts LAST via the max-codepoint sentinel — identical
+    # to the DuckDB twin's chr(1114111) coalesce, so the min pick
+    # agrees when a node carries both tagged and untagged forms
+    sentinel = "\U0010ffff"
+    forms = (
+        triples.filter(F.col("pred") == SKOSXL.literalForm)
+        .groupBy(F.col("subj").alias("label_node"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("obj"),
+                    F.coalesce("obj_lang", F.lit(sentinel)).alias("lang"),
+                )
+            ).alias("w")
+        )
+        .select(
+            "label_node",
+            F.col("w.obj").alias("literal"),
+            F.nullif(F.col("w.lang"), F.lit(sentinel)).alias("lang"),
+        )
+    )
+    return (
+        pointers.join(forms, "label_node")
+        .select("concept", "label_kind", "label_node", "literal", "lang")
+        .orderBy("concept", "label_kind", "label_node")
+    )
+
+
+def flatten_skosxl_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin."""
+    from ..model import SKOSXL
+
+    return f"""
+pointers AS (
+  SELECT subj AS concept,
+    CASE pred WHEN '{SKOSXL.prefLabel}' THEN 'pref'
+              WHEN '{SKOSXL.altLabel}' THEN 'alt'
+              ELSE 'hidden' END AS label_kind,
+    obj AS label_node
+  FROM {triples_src}
+  WHERE pred IN ('{SKOSXL.prefLabel}', '{SKOSXL.altLabel}',
+                 '{SKOSXL.hiddenLabel}')),
+forms AS (
+  SELECT subj AS label_node,
+    (min(struct_pack(obj := obj,
+                     lang := coalesce(obj_lang, chr(1114111))))).obj
+      AS literal,
+    nullif((min(struct_pack(obj := obj,
+                 lang := coalesce(obj_lang, chr(1114111))))).lang,
+           chr(1114111)) AS lang
+  FROM {triples_src} WHERE pred = '{SKOSXL.literalForm}'
+  GROUP BY subj)
+SELECT p.concept, p.label_kind, p.label_node, f.literal, f.lang
+FROM pointers p JOIN forms f USING (label_node)
+ORDER BY concept, label_kind, label_node"""
+
+
+# ---------------------------------------------------------------------------
+# Label-language coverage: the i18n completeness QA — which languages
+# label which share of the vocabulary, and how many entities have no
+# label at all in a given language.
+# ---------------------------------------------------------------------------
+
+
+def language_coverage(triples: DataFrame) -> DataFrame:
+    """(lang, n_labels, n_entities, coverage) — per language tag (the
+    literal '(none)' bucket for untagged labels): label row count,
+    distinct labeled entities, and their share of ALL label-carrying
+    entities.  One pushed filter + two keyed aggs + one broadcast
+    1-row total."""
+    from ..model import RDFS, SKOS
+
+    label_preds = [RDFS.label, SKOS.prefLabel, SKOS.altLabel]
+    labels = triples.filter(F.col("pred").isin(label_preds)).select(
+        "subj", F.coalesce("obj_lang", F.lit("(none)")).alias("lang")
+    )
+    tot = labels.select(
+        F.countDistinct("subj").alias("n_total")
+    )
+    per = labels.groupBy("lang").agg(
+        F.count("*").alias("n_labels"),
+        F.countDistinct("subj").alias("n_entities"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_labels",
+            "n_entities",
+            (F.col("n_entities") / F.col("n_total").cast("double")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def language_coverage_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin."""
+    from ..model import RDFS, SKOS
+
+    preds = ", ".join(
+        f"'{p}'" for p in (RDFS.label, SKOS.prefLabel, SKOS.altLabel)
+    )
+    return f"""
+labels AS (
+  SELECT subj, coalesce(obj_lang, '(none)') AS lang
+  FROM {triples_src} WHERE pred IN ({preds})),
+tot AS (SELECT count(DISTINCT subj)::BIGINT AS n_total FROM labels)
+SELECT lang, count(*)::BIGINT AS n_labels,
+  count(DISTINCT subj)::BIGINT AS n_entities,
+  count(DISTINCT subj) / (SELECT n_total FROM tot)::DOUBLE AS coverage
+FROM labels GROUP BY lang
+ORDER BY lang"""

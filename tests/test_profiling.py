@@ -829,3 +829,51 @@ def test_property_alignment_extension_jaccard(spark):
     assert abs(town["jaccard"] - 0.6) < 1e-12 and town["n_shared"] == 3
     # foaf:nick shares nothing with any A predicate
     assert not any(pb == FOAF + "nick" for _, pb in out)
+
+
+# ------------------------------------------------------------------ #
+# axiom mining: inverse/symmetric + datatype ranges
+# ------------------------------------------------------------------ #
+
+
+def test_suggest_inverse_and_symmetric(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.operators import profiling
+
+    rows = profiling.suggest_inverse(
+        FX.fixture_triples(spark, "invprops_om")
+    ).collect()
+    got = {(r["pred_a"], r["pred_b"]): r for r in rows}
+    B = FX.BASE
+    inv = got[(B + "hasChild", B + "hasParent")]
+    assert inv["kind"] == "inverse" and inv["n_shared"] == 2
+    assert abs(inv["jaccard"] - 2 / 3) < 1e-12
+    sym = got[(B + "marriedTo", B + "marriedTo")]
+    assert sym["kind"] == "symmetric"
+    assert abs(sym["jaccard"] - 0.5) < 1e-12  # boundary: kept at >= 0.5
+    # no reverse evidence at all -> absent
+    assert not any(B + "likes" in k for pair in got for k in pair)
+
+
+def test_suggest_ranges_shapes_and_mixed_evidence(spark):
+    from orionbelt_ontology_builder_spark.model import t_lit, triples_df
+    from orionbelt_ontology_builder_spark.operators import profiling
+
+    rows = []
+    for i in range(19):
+        rows.append(t_lit(f"s{i}", "p_int", str(i)))
+    rows.append(t_lit("s_bad", "p_int", "oops"))      # 19/20 = 0.95 share
+    for i in range(4):
+        rows.append(t_lit(f"s{i}", "p_mixed", str(i)))
+    for i in range(4):
+        rows.append(t_lit(f"t{i}", "p_mixed", f"w{i}"))  # 50/50 -> NULL
+    rows.append(t_lit("d", "p_date", "2020-01-02"))
+    rows.append(t_lit("d2", "p_date", "1999-12-31"))
+    out = {r["pred"]: r for r in profiling.suggest_ranges(
+        triples_df(spark, rows)
+    ).collect()}
+    X = "http://www.w3.org/2001/XMLSchema#"
+    assert out["p_int"]["suggested_range"] == X + "integer"
+    assert abs(out["p_int"]["top_share"] - 0.95) < 1e-12
+    assert out["p_mixed"]["suggested_range"] is None
+    assert out["p_date"]["suggested_range"] == X + "date"

@@ -431,3 +431,36 @@ def test_ontology_metrics_cycle_safe(spark):
     # both classes see the full {A, B} ancestor set; no hang
     assert r["n_classes"] == 2 and r["max_depth"] == 2
     assert r["n_roots"] == 0 and r["n_leaves"] == 0
+
+
+def test_flatten_skosxl(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+
+    rows = views.flatten_skosxl(
+        FX.fixture_triples(spark, "skosxl_om")
+    ).collect()
+    got = {(r["concept"], r["label_kind"]): (r["literal"], r["lang"])
+           for r in rows}
+    B = FX.BASE
+    assert got[(B + "cA", "pref")] == ("alpha", "en")
+    assert got[(B + "cA", "alt")] == ("alfa", "de")
+    # tagged form wins the min over the untagged one (sentinel sorts
+    # null-lang last)
+    assert got[(B + "cB", "pref")] == ("beta", "fr")
+    assert got[(B + "cB", "hidden")] == ("b3ta", None)
+    # dangling pointer (no literalForm) dropped
+    assert not any(c == B + "cC" for c, _ in got)
+
+
+def test_language_coverage_buckets(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+
+    rows = {r["lang"]: r for r in views.language_coverage(
+        FX.fixture_triples(spark, "skosxl_om")
+    ).collect()}
+    # plain labels only (skosxl pointers are not label literals):
+    # en: cA + cB, de: cB, (none): cC; 3 labeled entities total
+    assert rows["en"]["n_entities"] == 2
+    assert abs(rows["en"]["coverage"] - 2 / 3) < 1e-12
+    assert rows["de"]["n_entities"] == 1
+    assert rows["(none)"]["n_labels"] == 1
