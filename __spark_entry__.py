@@ -1767,6 +1767,35 @@ def _q_decode_reification(spark, sf_dir):
     return lists.decode_reification(FX.fixture_triples(spark, "reified_om"))
 
 
+_PROV_SRC = "http://crawl.example.org/fixture"
+
+
+def _q_provenance_roundtrip(spark, sf_dir):
+    """Per-fact provenance: reify every fact of a graph as a
+    content-addressed owl:Axiom node carrying prov:wasDerivedFrom,
+    then DECODE it back — the lineage-in-the-graph interchange channel
+    (north-star: source url per extracted triple), proven by the
+    round-trip through decode_reification."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    facts = align.paris_fixture_df(spark, "a").withColumn(
+        "source", F.lit(_PROV_SRC)
+    )
+    return lists.decode_reification(lists.reify_with_provenance(facts))
+
+
+def _q_mined_axioms(spark, sf_dir):
+    """Close the induce->assert loop: materialize suggest_functional +
+    suggest_inverse verdicts over the invprops fixture as axiom
+    TRIPLES (FunctionalProperty types, inverseOf edges,
+    SymmetricProperty types) ready for apply_reasoning."""
+    t = FX.fixture_triples(spark, "invprops_om")
+    return mutations.axioms_from_mining(
+        functional=profiling.suggest_functional(t),
+        inverse=profiling.suggest_inverse(t),
+    )
+
+
 def _q_rdf_containers(spark, sf_dir):
     """rdf:Seq/Bag/Alt container decode with NUMERIC rdf:_n ordering
     (_10 after _2) — the legacy-vocab ordered-group encoding next to
@@ -4195,6 +4224,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_chains": _q_property_chains,
         "rdf_containers": _q_rdf_containers,
         "decode_reification": _q_decode_reification,
+        "provenance_roundtrip": _q_provenance_roundtrip,
+        "mined_axioms": _q_mined_axioms,
         "class_expressions": _q_class_expressions,
         "all_different": _q_all_different,
         "has_keys": _q_has_keys,
@@ -5540,6 +5571,36 @@ ORDER BY bnode
         + ","
         + lists.decode_reification_sql()
     )
+    from orionbelt_ontology_builder_spark.operators import align as _alg
+
+    sql["provenance_roundtrip"] = (
+        "WITH "
+        + _alg.paris_fixture_cte("a", "ta")
+        + ",\nfacts AS (SELECT subj, pred, obj, obj_kind, obj_lang, obj_dt,"
+        + f" '{_PROV_SRC}' AS source FROM ta),"
+        + lists.reify_with_provenance_sql()
+        + ","
+        + lists.decode_reification_sql()
+    )
+    _rdf_type = M.RDF.type
+    sql["mined_axioms"] = f"""
+WITH {FX.fixture_cte("invprops_om")},
+fun AS (WITH {profiling.suggest_functional_sql()}),
+inv AS (WITH {profiling.suggest_inverse_sql()})
+SELECT * FROM (
+  SELECT pred AS subj, '{_rdf_type}' AS pred,
+         '{M.OWL.FunctionalProperty}' AS obj, 'uri' AS obj_kind,
+         CAST(NULL AS VARCHAR) AS obj_lang, CAST(NULL AS VARCHAR) AS obj_dt
+  FROM fun WHERE suggested
+  UNION
+  SELECT pred_a, '{M.OWL.inverseOf}', pred_b, 'uri', NULL, NULL
+  FROM inv WHERE kind = 'inverse'
+  UNION
+  SELECT pred_a, '{_rdf_type}', '{M.OWL.SymmetricProperty}', 'uri',
+         NULL, NULL
+  FROM inv WHERE kind = 'symmetric')
+ORDER BY subj, pred, obj
+"""
 
     sql["property_chains"] = f"""
 WITH RECURSIVE {ax},

@@ -143,6 +143,14 @@ class SKOS:
     topConceptOf = SKOS_NS + "topConceptOf"
 
 
+PROV_NS = "http://www.w3.org/ns/prov#"
+
+
+class PROV:
+    wasDerivedFrom = PROV_NS + "wasDerivedFrom"
+    generatedAtTime = PROV_NS + "generatedAtTime"
+
+
 SKOSXL_NS = "http://www.w3.org/2008/05/skos-xl#"
 
 

@@ -354,3 +354,107 @@ FROM decoded d LEFT JOIN ann a USING (stmt)
 WHERE d.style IS NOT NULL AND d.t_subj IS NOT NULL
   AND d.t_pred IS NOT NULL AND d.t_obj IS NOT NULL
 ORDER BY d.stmt"""
+
+
+def reify_with_provenance(
+    facts: DataFrame,
+    source_col: str = "source",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Inverse of :func:`decode_reification` with a provenance payload:
+    each fact row (subj, pred, obj, obj_kind [, obj_lang, obj_dt])
+    becomes an owl:Axiom node carrying annotatedSource/Property/Target
+    plus ``prov:wasDerivedFrom <source_col>`` (and optionally
+    ``prov:generatedAtTime`` from ``ts_col``) — the per-fact lineage
+    channel (extractor url, warc_ts) the KG pipeline's edge tables
+    keep as columns, expressed IN the graph for interchange.
+
+    Statement ids are content-addressed (``urn:fact:<md5(s,p,o)>``) so
+    re-extraction of the same fact lands on the same node — the
+    merge-stability property positional bnode ids lack.
+
+    Scale shape: a pure per-row projection fan-out (5-6 rows per
+    fact), no shuffle at all; md5 is the engine's portable hash
+    idiom."""
+    from ..model import OWL, PROV, RDF, TRIPLE_COLS
+
+    stmt = F.concat(
+        F.lit("urn:fact:"),
+        F.md5(F.concat_ws("\x1f", "subj", "pred", "obj")),
+    )
+    f = facts.withColumn("__stmt", stmt)
+
+    def row(pred, obj, kind, lang=None, dt=None):
+        return f.select(
+            F.col("__stmt").alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            kind.alias("obj_kind") if hasattr(kind, "alias") else F.lit(kind).alias("obj_kind"),
+            (lang if lang is not None else F.lit(None).cast("string")).alias("obj_lang"),
+            (dt if dt is not None else F.lit(None).cast("string")).alias("obj_dt"),
+        )
+
+    parts = [
+        row(RDF.type, F.lit(OWL.Axiom), "uri"),
+        row(OWL.annotatedSource, F.col("subj"), "uri"),
+        row(OWL.annotatedProperty, F.col("pred"), "uri"),
+        f.select(
+            F.col("__stmt").alias("subj"),
+            F.lit(OWL.annotatedTarget).alias("pred"),
+            F.col("obj"),
+            F.col("obj_kind"),
+            F.col("obj_lang") if "obj_lang" in facts.columns else F.lit(None).cast("string").alias("obj_lang"),
+            F.col("obj_dt") if "obj_dt" in facts.columns else F.lit(None).cast("string").alias("obj_dt"),
+        ),
+        row(PROV.wasDerivedFrom, F.col(source_col), "uri"),
+    ]
+    if ts_col is not None:
+        parts.append(
+            row(
+                PROV.generatedAtTime,
+                F.col(ts_col).cast("string"),
+                "literal",
+                dt=F.lit("http://www.w3.org/2001/XMLSchema#dateTime"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(TRIPLE_COLS).dropDuplicates(TRIPLE_COLS)
+
+
+def reify_with_provenance_sql(
+    facts_src: str = "facts",
+    source_expr: str = "source",
+    ts_expr: str | None = None,
+) -> str:
+    """DuckDB twin CTE tail producing relation ``triples``; compose
+    after a CTE defining ``facts(subj, pred, obj, obj_kind, obj_lang,
+    obj_dt, source[, ts])``."""
+    from ..model import OWL, PROV, RDF
+
+    ts_leg = ""
+    if ts_expr is not None:
+        ts_leg = f"""
+  UNION
+  SELECT stmt, '{PROV.generatedAtTime}', CAST({ts_expr} AS VARCHAR),
+         'literal', NULL, 'http://www.w3.org/2001/XMLSchema#dateTime'
+  FROM fstmt"""
+    return f"""
+fstmt AS (
+  SELECT *, 'urn:fact:' || md5(concat_ws(chr(31), subj, pred, obj)) AS stmt
+  FROM {facts_src}),
+triples AS (
+  SELECT stmt AS subj, '{RDF.type}' AS pred, '{OWL.Axiom}' AS obj,
+         'uri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_lang,
+         CAST(NULL AS VARCHAR) AS obj_dt FROM fstmt
+  UNION
+  SELECT stmt, '{OWL.annotatedSource}', subj, 'uri', NULL, NULL FROM fstmt
+  UNION
+  SELECT stmt, '{OWL.annotatedProperty}', pred, 'uri', NULL, NULL FROM fstmt
+  UNION
+  SELECT stmt, '{OWL.annotatedTarget}', obj, obj_kind, obj_lang, obj_dt
+  FROM fstmt
+  UNION
+  SELECT stmt, '{PROV.wasDerivedFrom}', {source_expr}, 'uri', NULL, NULL
+  FROM fstmt{ts_leg})"""

@@ -1293,3 +1293,56 @@ def bulk_update_annotations(
         F.lit(None).cast("string").alias("obj_dt"),
     )
     return add_triples(out, new_rows)
+
+
+def axioms_from_mining(
+    functional: DataFrame | None = None,
+    inverse: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize profiling's mined axiom suggestions as triples —
+    closing the induce→assert loop: ``suggest_functional`` rows become
+    ``p rdf:type owl:FunctionalProperty``, ``suggest_inverse`` rows
+    become ``p owl:inverseOf q`` ('inverse') or ``p rdf:type
+    owl:SymmetricProperty`` ('symmetric').  Only rows with
+    ``suggested`` true (functional) participate; the output is a plain
+    triples DataFrame ready for ``add_triples`` /
+    ``reasoning.apply_reasoning``.
+
+    Pure vocabulary-sized projections — no shuffle."""
+    from ..model import OWL, RDF
+
+    def t(subj_col, pred, obj_col):
+        return F.struct(
+            subj_col.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj_col.alias("obj"),
+            F.lit("uri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_dt"),
+        )
+
+    parts = []
+    if functional is not None:
+        parts.append(
+            functional.filter(F.col("suggested"))
+            .select(t(F.col("pred"), RDF.type, F.lit(OWL.FunctionalProperty)).alias("r"))
+        )
+    if inverse is not None:
+        parts.append(
+            inverse.filter(F.col("kind") == "inverse").select(
+                t(F.col("pred_a"), OWL.inverseOf, F.col("pred_b")).alias("r")
+            )
+        )
+        parts.append(
+            inverse.filter(F.col("kind") == "symmetric").select(
+                t(F.col("pred_a"), RDF.type, F.lit(OWL.SymmetricProperty)).alias("r")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.select("r.*")
+        .dropDuplicates(["subj", "pred", "obj"])
+        .orderBy("subj", "pred", "obj")
+    )

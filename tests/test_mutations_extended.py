@@ -486,3 +486,63 @@ def test_bulk_update_annotations_mixed(populated_om):
     assert _objs(out, BASE + "Person", RDFS.comment) == ["A human"]
     assert _objs(out, BASE + "Person", RDFS.label) == []
     assert _objs(out, BASE + "Organization", RDFS.label) == ["Organization"]
+
+
+# ------------------------------------------------------------------ #
+# provenance reification round-trip + mined-axiom materialization
+# ------------------------------------------------------------------ #
+
+
+def test_reify_provenance_roundtrip_recovers_facts(spark):
+    from pyspark.sql import functions as F
+
+    from orionbelt_ontology_builder_spark.operators import align, lists
+
+    facts = align.paris_fixture_df(spark, "a").withColumn(
+        "source", F.lit("http://src.example.org/x")
+    )
+    reified = lists.reify_with_provenance(facts)
+    decoded = lists.decode_reification(reified)
+    orig = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in facts.select("subj", "pred", "obj", "obj_kind")
+        .distinct()
+        .collect()
+    }
+    back = {
+        (r["t_subj"], r["t_pred"], r["t_obj"], r["t_obj_kind"])
+        for r in decoded.collect()
+    }
+    assert back == orig
+    # every statement carries exactly the one provenance annotation
+    assert all(r["n_annotations"] == 1 for r in decoded.collect())
+    # content-addressed ids: same fact from two sources -> same node
+    f2 = facts.withColumn("source", F.lit("http://src.example.org/y"))
+    r2 = lists.reify_with_provenance(facts.unionByName(f2))
+    assert (
+        r2.filter(F.col("pred").endswith("annotatedSource")).count()
+        == len(orig)
+    )
+
+
+def test_axioms_from_mining_materializes_verdicts(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.operators import (
+        mutations as mut,
+        profiling,
+    )
+
+    t = FX.fixture_triples(spark, "invprops_om")
+    out = mut.axioms_from_mining(
+        functional=profiling.suggest_functional(t),
+        inverse=profiling.suggest_inverse(t),
+    ).collect()
+    B = FX.BASE
+    triples = {(r["subj"], r["pred"], r["obj"]) for r in out}
+    OWLNS = "http://www.w3.org/2002/07/owl#"
+    RDFT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert (B + "hasChild", OWLNS + "inverseOf", B + "hasParent") in triples
+    assert (B + "marriedTo", RDFT, OWLNS + "SymmetricProperty") in triples
+    assert (B + "hasParent", RDFT, OWLNS + "FunctionalProperty") in triples
+    # hasChild is multi-valued -> never functional
+    assert (B + "hasChild", RDFT, OWLNS + "FunctionalProperty") not in triples
