@@ -3791,6 +3791,18 @@ def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align.fs_pair_scores(_fs_pairs(spark, sf_dir), _FS_FIELDS)
 
 
+def _q_linkage_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR threshold sweep over the Fellegi-Sunter pair scores: one
+    curve point per score-ranked pair (tp/fp/fn, precision, recall,
+    F1) — the operating-point picker for the link/possible/non-link
+    cut."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    return align.pr_curve(
+        align.fs_pair_scores(_fs_pairs(spark, sf_dir), _FS_FIELDS)
+    )
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BPE learning loop (3 rounds): word-frequency pass once,
     then per-round pair aggregation + top-merge application — the
@@ -3958,7 +3970,7 @@ _SF_SCALE = {
     "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore", "graph_hits",
     "graph_component_sizes", "graph_scc", "graph_assortativity",
     "graph_hyperball", "graph_local_clustering", "graph_modularity",
-    "cdc_apply", "fellegi_sunter", "fs_pair_scores",
+    "cdc_apply", "fellegi_sunter", "fs_pair_scores", "linkage_pr_curve",
     "harmonic_centrality", "prefix_jaccard", "neighbor_mean_embedding",
     "graph_ktruss", "kg_triple_history", "score_calibration",
     "extractor_kappa", "golden_records", "stream_cdc_apply",
@@ -4322,6 +4334,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": _q_cdc_apply,
         "fellegi_sunter": _q_fellegi_sunter,
         "fs_pair_scores": _q_fs_pair_scores,
+        "linkage_pr_curve": _q_linkage_pr_curve,
         "harmonic_centrality": _q_harmonic_centrality,
         "prefix_jaccard": _q_prefix_jaccard,
         "neighbor_mean_embedding": _q_neighbor_mean_embedding,
@@ -6410,6 +6423,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["fellegi_sunter"] = _align.fs_weights_sql(_FS_PAIRS_SQL, _FS_FIELDS)
     sql["fs_pair_scores"] = _align.fs_pair_scores_sql(
         _FS_PAIRS_SQL, _FS_FIELDS
+    )
+    sql["linkage_pr_curve"] = _align.pr_curve_sql(
+        _align.fs_pair_scores_sql(_FS_PAIRS_SQL, _FS_FIELDS)
     )
     sql["harmonic_centrality"] = graphstats.harmonic_centrality_sql(
         relational.ENTITY_EDGES_SQL,

@@ -898,3 +898,84 @@ WHERE i.n_shared >= {min_overlap}
   AND i.n_shared / (na.n_a + nb.n_b - i.n_shared)::DOUBLE >= {min_jaccard}
 ORDER BY pred_a, pred_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall threshold sweep over scored candidate pairs — the
+# operating-point picker for Fellegi-Sunter / LSH linkage scores:
+# every prefix of the score-ranked pair list is a candidate threshold,
+# and the sweep reads off (precision, recall, F1) at each.
+# ---------------------------------------------------------------------------
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_match",
+    tie_cols: tuple = ("id_a", "id_b"),
+) -> DataFrame:
+    """(rank, score, is_match, tp, fp, fn, precision, recall, f1) —
+    one curve point per pair, ranked by (score desc, tie_cols): the
+    metrics of the threshold "link everything scored at least this
+    pair".
+
+    Scale note: a PR curve is an inherently GLOBAL order, so this runs
+    one global window sort — correct for the candidate-pair tables it
+    grades (post-blocking, millions of rows at most, and candidate
+    sets are sub-linear in corpus size by construction).  For larger
+    sweeps, pre-bucket scores to fixed quantile thresholds first.
+    Cumulative counts are integer; ratios are single divisions."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col(score_col).desc(), *[F.col(c) for c in tie_cols]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tot = scored.agg(F.sum(label_col).alias("n_pos"))
+    cum = (
+        scored.withColumn("tp", F.sum(label_col).over(w))
+        .withColumn("rank", F.count(F.lit(1)).over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    return cum.select(
+        "rank",
+        F.col(score_col).alias("score"),
+        F.col(label_col).alias("is_match"),
+        "tp",
+        (F.col("rank") - F.col("tp")).alias("fp"),
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        (F.col("tp") / F.col("rank").cast("double")).alias("precision"),
+        (F.col("tp") / F.col("n_pos").cast("double")).alias("recall"),
+        (
+            2.0
+            * F.col("tp")
+            / (F.col("rank") + F.col("n_pos")).cast("double")
+        ).alias("f1"),
+    ).orderBy("rank")
+
+
+def pr_curve_sql(
+    scored_sql: str,
+    score_col: str = "score",
+    label_col: str = "is_match",
+    tie_cols: tuple = ("id_a", "id_b"),
+) -> str:
+    """DuckDB twin over a full scored-pairs SELECT."""
+    ties = ", ".join(tie_cols)
+    return f"""
+WITH scored AS ({scored_sql}),
+tot AS (SELECT sum({label_col})::BIGINT AS n_pos FROM scored),
+cum AS (
+  SELECT *,
+    sum({label_col}) OVER w AS tp,
+    count(*) OVER w AS rank
+  FROM scored
+  WINDOW w AS (ORDER BY {score_col} DESC, {ties}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT rank::BIGINT AS rank, {score_col} AS score, {label_col} AS is_match,
+  tp::BIGINT AS tp, (rank - tp)::BIGINT AS fp,
+  (tot.n_pos - tp)::BIGINT AS fn,
+  tp / rank::DOUBLE AS precision,
+  tp / tot.n_pos::DOUBLE AS recall,
+  2.0 * tp / (rank + tot.n_pos)::DOUBLE AS f1
+FROM cum CROSS JOIN tot
+ORDER BY rank"""

@@ -877,3 +877,24 @@ def test_suggest_ranges_shapes_and_mixed_evidence(spark):
     assert abs(out["p_int"]["top_share"] - 0.95) < 1e-12
     assert out["p_mixed"]["suggested_range"] is None
     assert out["p_date"]["suggested_range"] == X + "date"
+
+
+def test_pr_curve_hand_math(spark):
+    from orionbelt_ontology_builder_spark.operators import align
+
+    scored = spark.createDataFrame(
+        [
+            ("a", "b", 1, 0.9),
+            ("c", "d", 0, 0.8),
+            ("e", "f", 1, 0.7),
+            ("g", "h", 0, 0.1),
+        ],
+        "id_a string, id_b string, is_match int, score double",
+    )
+    rows = align.pr_curve(scored).collect()
+    assert [r["tp"] for r in rows] == [1, 1, 2, 2]
+    assert [r["fp"] for r in rows] == [0, 1, 1, 2]
+    assert [r["fn"] for r in rows] == [1, 1, 0, 0]
+    assert rows[0]["precision"] == 1.0 and rows[0]["recall"] == 0.5
+    assert rows[2]["recall"] == 1.0
+    assert abs(rows[2]["f1"] - 2 * 2 / (3 + 2)) < 1e-12
