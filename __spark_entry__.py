@@ -354,6 +354,14 @@ _CLOSURE_DELTA = [
 ]
 
 
+def _q_void_summary_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID entity statistics on the 100 TB path: per-class
+    void:entities + dataset distinct subjects via the portable
+    256-register HyperLogLog (bit-identical integer registers both
+    engines), exact counts alongside as the truth harness."""
+    return views.void_summary_hll(relational.induce_triples(spark, sf_dir))
+
+
 def _q_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-naive transitive-closure maintenance: close the base
     hierarchy once, then absorb a delta via delta-step composition
@@ -3912,7 +3920,7 @@ def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "fact_ranking", "void_summary", "suggest_functional",
-    "suggest_ranges",
+    "suggest_ranges", "void_summary_hll",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "top_customers",
     "events_running",
@@ -4113,6 +4121,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_metrics": _q_ontology_metrics,
         "void_summary": _q_void_summary,
         "incremental_closure": _q_incremental_closure,
+        "void_summary_hll": _q_void_summary_hll,
         "flatten_skosxl": _q_flatten_skosxl,
         "language_coverage": _q_language_coverage,
         "induced_individuals_per_class": _q_induced_individuals_per_class,
@@ -4865,6 +4874,12 @@ FROM triples
     )
     sql["void_summary"] = (
         "WITH " + relational.induce_triples_sql() + views.void_summary_sql()
+    )
+    sql["void_summary_hll"] = (
+        "WITH "
+        + relational.induce_triples_sql()
+        + ","
+        + views.void_summary_hll_sql()
     )
     sql["flatten_skosxl"] = (
         "WITH " + FX.fixture_cte("skosxl_om") + "," + views.flatten_skosxl_sql()

@@ -2140,3 +2140,83 @@ SELECT lang, count(*)::BIGINT AS n_labels,
   count(DISTINCT subj) / (SELECT n_total FROM tot)::DOUBLE AS coverage
 FROM labels GROUP BY lang
 ORDER BY lang"""
+
+
+def void_summary_hll(triples: DataFrame) -> DataFrame:
+    """(section, key, n_exact, hll_est) — the 100 TB path for
+    :func:`void_summary`'s entity statistics: per-class void:entities
+    and the dataset's distinct-subject count estimated with the
+    engine's portable 256-register HyperLogLog (datapipe/sketches —
+    integer registers, so Spark and DuckDB agree bitwise), with the
+    exact count alongside as the small-scale truth harness.
+
+    At corpus scale the exact column is dropped and the whole summary
+    is ONE pass over the triple table into 256-cell register frames
+    per class — map-side combinable, no count-distinct shuffle of raw
+    subjects."""
+    from ..datapipe.sketches import hll_estimate, hll_register_parts
+    from ..model import RDF
+
+    bucket, rho = hll_register_parts(F.col("subj"))
+    typed = triples.filter(F.col("pred") == RDF.type).select(
+        F.lit("class_partition").alias("section"),
+        F.col("obj").alias("key"),
+        "subj",
+    )
+    ds = triples.select(
+        F.lit("dataset").alias("section"),
+        F.lit("distinct_subjects").alias("key"),
+        "subj",
+    )
+    both = typed.unionByName(ds)
+    regs = both.select(
+        "section", "key", bucket.alias("bucket"), rho.alias("rho")
+    ).groupBy("section", "key", "bucket").agg(F.max("rho").alias("r"))
+    est = hll_estimate(regs, ["section", "key"])
+    exact = both.groupBy("section", "key").agg(
+        F.countDistinct("subj").alias("n_exact")
+    )
+    return (
+        exact.join(est, ["section", "key"])
+        .select("section", "key", "n_exact", F.col("est").alias("hll_est"))
+        .orderBy("section", "key")
+    )
+
+
+def void_summary_hll_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin — same md5 register construction and estimator."""
+    from ..datapipe.sketches import HLL_ALPHA, HLL_M, _hex_int_sql
+    from ..model import RDF
+
+    h = "md5(subj)"
+    w = _hex_int_sql(h, 3, 6)
+    m = HLL_M
+    return f"""
+vsrc AS (
+  SELECT 'class_partition' AS section, obj AS key, subj
+  FROM {triples_src} WHERE pred = '{RDF.type}'
+  UNION ALL
+  SELECT 'dataset', 'distinct_subjects', subj FROM {triples_src}),
+regs AS (
+  SELECT section, key, {_hex_int_sql(h, 1, 2)} AS bucket,
+    max(CASE WHEN {w} = 0 THEN 25 ELSE 25 - len(bin({w})) END) AS r
+  FROM vsrc GROUP BY 1, 2, 3),
+summed AS (
+  SELECT section, key,
+    (sum((2::BIGINT ^ (25 - r))::BIGINT)::BIGINT
+      + ({m} - count(*)) * {1 << 25})::BIGINT AS int_sum,
+    ({m} - count(*))::BIGINT AS v_zero
+  FROM regs GROUP BY 1, 2),
+est AS (
+  SELECT section, key,
+    CASE WHEN ({HLL_ALPHA * m * m * (1 << 25)!r} / int_sum) <= {2.5 * m}
+              AND v_zero > 0
+         THEN {float(m)} * ln({float(m)} / v_zero)
+         ELSE {HLL_ALPHA * m * m * (1 << 25)!r} / int_sum END AS hll_est
+  FROM summed),
+exact AS (
+  SELECT section, key, count(DISTINCT subj)::BIGINT AS n_exact
+  FROM vsrc GROUP BY 1, 2)
+SELECT e.section, e.key, e.n_exact, s.hll_est
+FROM exact e JOIN est s USING (section, key)
+ORDER BY section, key"""
