@@ -3306,6 +3306,16 @@ def _q_graph_triangles(spark, sf_dir):
     return graphstats.triangle_count(relational.induce_lineitem_edges(spark, sf_dir))
 
 
+def _q_egonet_density(spark, sf_dir):
+    """OddBall-style egonet analysis over the lineitem tri-partite
+    slice: near-clique neighborhoods (link farms / colluding alias
+    clusters) vs star-shaped honest hubs, per-node triangle counts
+    from the degree-ordered wedge join."""
+    return graphstats.egonet_density(
+        relational.induce_lineitem_edges(spark, sf_dir)
+    )
+
+
 def _q_graph_local_clustering(spark, sf_dir):
     """Per-node clustering coefficient on the tri-partite lineitem
     slice — the over-merge detector (high degree + lcc ~ 0 = a hub
@@ -3974,6 +3984,7 @@ _SF_SCALE = {
     "domain_quality", "cluster_representatives",
     "chunk_text", "incremental_dedup", "budget_sample",
     "graph_degree_stats", "graph_pagerank", "graph_triangles",
+    "egonet_density",
     "graph_bfs_hops", "graph_communities", "graph_random_walks",
     "graph_neighbor_jaccard", "walk_skipgrams", "graph_kcore", "graph_hits",
     "graph_component_sizes", "graph_scc", "graph_assortativity",
@@ -4338,6 +4349,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_hops": _q_graph_bfs_hops,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
+        "egonet_density": _q_egonet_density,
         "graph_communities": _q_graph_communities,
         "graph_modularity": _q_graph_modularity,
         "cdc_apply": _q_cdc_apply,
@@ -6415,6 +6427,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
         relational.ENTITY_EDGES_SQL, iters=3
     )
     sql["graph_triangles"] = graphstats.triangle_count_sql(
+        relational.lineitem_edges_sql()
+    )
+    sql["egonet_density"] = graphstats.egonet_density_sql(
         relational.lineitem_edges_sql()
     )
     sql["graph_communities"] = graphstats.label_propagation_sql(

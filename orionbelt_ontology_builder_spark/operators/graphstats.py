@@ -2687,3 +2687,119 @@ ORDER BY s.src_role, s.dst_role
 # a full query can't sit in a FROM-clause CTE list directly; re-wrap the
 # caller's edges CTE into a scalar SELECT for graph_summary_sql
 _EDGES_REWRAP = "WITH {cte} SELECT src, dst FROM edges"
+
+
+def egonet_density(
+    edges: DataFrame,
+    density_threshold: float = 0.6,
+    min_degree: int = 3,
+) -> DataFrame:
+    """(node, degree, n_tri, ego_density, is_linkfarm) — OddBall-style
+    egonet analysis (Akoglu, Mcglohon & Faloutsos, PAKDD 2010, public
+    literature): a node whose neighborhood is a near-CLIQUE is the
+    signature of a link farm / colluding alias cluster, while honest
+    hubs look like stars.  ego_density = e_ego / C(n_ego, 2) with
+    e_ego = degree + triangles(v) (each triangle through v is one edge
+    between v's neighbors) — density 1.0 for a clique member,
+    ~2/(deg+1) for a star center.
+
+    Scale shape: per-node triangle counts from the SAME degree-ordered
+    oriented wedge join as ``triangle_count`` (O(m^1.5) total wedge
+    work, hub fan-out collapsed), corners exploded to a keyed count;
+    everything else is the degree aggregate.  The flag gates on
+    ``min_degree`` so trivial 3-cliques don't page anyone."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    keyed = und.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b"
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    fwd = keyed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=True)
+    e1, e2, e3 = fwd.alias("e1"), fwd.alias("e2"), fwd.alias("e3")
+    corners = (
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.col("e1.lo"), F.col("e1.hi"), F.col("e2.hi")
+                )
+            ).alias("node")
+        )
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    dens = (
+        F.lit(2.0)
+        * (F.col("degree") + F.coalesce("n_tri", F.lit(0)))
+        / (F.col("degree") * (F.col("degree") + 1)).cast("double")
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            dens.alias("ego_density"),
+            (
+                (dens >= density_threshold)
+                & (F.col("degree") >= min_degree)
+            ).alias("is_linkfarm"),
+        )
+        .orderBy("node")
+    )
+
+
+def egonet_density_sql(
+    edges_cte: str,
+    density_threshold: float = 0.6,
+    min_degree: int = 3,
+) -> str:
+    """DuckDB twin — id-ordered closure join (per-node triangle counts
+    are orientation-invariant, same as triangle_count's twin)."""
+    return f"""
+WITH {edges_cte.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT node, count(*)::BIGINT AS degree FROM
+    (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+corners AS (
+  SELECT unnest([e1.a, e1.b, e2.b]) AS node
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+tri AS (SELECT node, count(*)::BIGINT AS n_tri FROM corners GROUP BY node)
+SELECT d.node, d.degree, coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+  2.0 * (d.degree + coalesce(t.n_tri, 0))
+    / (d.degree * (d.degree + 1))::DOUBLE AS ego_density,
+  (2.0 * (d.degree + coalesce(t.n_tri, 0))
+    / (d.degree * (d.degree + 1))::DOUBLE >= {density_threshold}
+   AND d.degree >= {min_degree}) AS is_linkfarm
+FROM deg d LEFT JOIN tri t USING (node)
+ORDER BY d.node"""

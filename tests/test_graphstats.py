@@ -1032,3 +1032,26 @@ def test_graph_summary_star_roles_and_twin(spark):
         for x in rows
     ]
     assert got == [tuple(w) for w in want]
+
+
+# ------------------------------------------------------------------ #
+# OddBall egonet density (link-farm signature)
+# ------------------------------------------------------------------ #
+
+
+def test_egonet_clique_vs_star(spark):
+    # 5-clique {c1..c5} plus a 5-star centered at s0
+    clique = [(f"c{i}", f"c{j}") for i in range(1, 6) for j in range(i + 1, 6)]
+    star = [("s0", f"l{i}") for i in range(1, 6)]
+    edges = spark.createDataFrame(clique + star, "src string, dst string")
+    rows = {r["node"]: r for r in G.egonet_density(edges).collect()}
+    # clique member: degree 4, 6 triangles through it, density 1.0
+    c1 = rows["c1"]
+    assert c1["degree"] == 4 and c1["n_tri"] == 6
+    assert c1["ego_density"] == 1.0 and c1["is_linkfarm"]
+    # star center: no triangles, density 2/(deg+1), not flagged
+    s0 = rows["s0"]
+    assert s0["n_tri"] == 0 and not s0["is_linkfarm"]
+    assert abs(s0["ego_density"] - 2 / 6) < 1e-12
+    # leaf: degree 1 -> density 1.0 but under min_degree gate
+    assert rows["l1"]["ego_density"] == 1.0 and not rows["l1"]["is_linkfarm"]
