@@ -3167,6 +3167,23 @@ def _q_entity_comention(spark, sf_dir):
     )
 
 
+def _q_disambiguate_mentions(spark, sf_dir):
+    """Coherence-vote mention disambiguation (Milne-Witten family):
+    ambiguous gazetteer slots ("paris") resolved by KG relatedness of
+    the document's unambiguous mentions, prior + entity-asc
+    tiebreaks — the entity-linking step after spotting."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    m = taxonomy.gazetteer_mentions(
+        taxonomy.ambig_sentences_df(spark),
+        gazetteer=taxonomy.AMBIG_GAZETTEER,
+    )
+    rel = spark.createDataFrame(
+        taxonomy.AMBIG_RELATED, "src string, dst string"
+    )
+    return taxonomy.disambiguate_mentions(m, rel)
+
+
 def _q_suggest_functional(spark, sf_dir):
     """Functional-property suggestion from usage (axiom mining): the
     induced graph's label/acctbal/mktsegment predicates come out
@@ -4393,6 +4410,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_patterns": _q_hearst_patterns,
         "gazetteer_mentions": _q_gazetteer_mentions,
         "entity_comention": _q_entity_comention,
+        "disambiguate_mentions": _q_disambiguate_mentions,
         "suggest_functional": _q_suggest_functional,
         "suggest_inverse": _q_suggest_inverse,
         "suggest_ranges": _q_suggest_ranges,
@@ -6938,6 +6956,13 @@ ORDER BY subj, cls, rule
     )
     sql["entity_comention"] = taxonomy.comention_edges_sql(
         taxonomy.gazetteer_mentions_sql(taxonomy.gaz_sentences_values())
+    )
+    sql["disambiguate_mentions"] = taxonomy.disambiguate_mentions_sql(
+        taxonomy.gazetteer_mentions_sql(
+            taxonomy.ambig_sentences_values(),
+            gaz_values=taxonomy.ambig_gaz_values(),
+        ),
+        taxonomy.ambig_related_values(),
     )
     sql["suggest_functional"] = (
         "WITH "

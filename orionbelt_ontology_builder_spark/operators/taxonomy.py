@@ -445,9 +445,11 @@ def gazetteer_mentions(
 
 
 def gazetteer_mentions_sql(
-    sents_cte: str, max_n: int = 3
+    sents_cte: str, max_n: int = 3, gaz_values: str | None = None
 ) -> str:
-    """DuckDB twin; ``sents_cte`` defines ``s(doc_id, text)``."""
+    """DuckDB twin; ``sents_cte`` defines ``s(doc_id, text)``;
+    ``gaz_values`` overrides the default dictionary with another
+    ``gaz(surface, entity)`` VALUES clause body."""
     from ..datapipe.textstats import norm_sql, tokens_sql
 
     lead_cols = ", ".join(
@@ -466,7 +468,7 @@ def gazetteer_mentions_sql(
     )
     return f"""
 WITH {sents_cte},
-{_gaz_values()},
+{gaz_values if gaz_values is not None else _gaz_values()},
 ex AS (
   SELECT doc_id,
     unnest({tokens_sql(norm_sql())}) AS t0,
@@ -520,3 +522,168 @@ SELECT a.entity AS entity_a, b.entity AS entity_b,
 FROM de a JOIN de b ON a.doc_id = b.doc_id AND a.entity < b.entity
 GROUP BY 1, 2
 ORDER BY entity_a, entity_b"""
+
+
+# ---------------------------------------------------------------------------
+# Mention disambiguation: when one surface form maps to several KG
+# entities ("paris" -> Paris-France | Paris-Texas), vote per candidate
+# with the KG relatedness of the document's UNAMBIGUOUS mentions
+# (coherence voting — the Milne-Witten / TagMe family, public
+# literature), priors as tiebreak.
+# ---------------------------------------------------------------------------
+
+AMBIG_GAZETTEER: list[tuple[str, str]] = [
+    ("eiffel tower", "http://kg.example.org/EiffelTower"),
+    ("france", "http://kg.example.org/France"),
+    ("spain", "http://kg.example.org/Spain"),
+    ("texas", "http://kg.example.org/Texas"),
+    ("dallas", "http://kg.example.org/Dallas"),
+    ("paris", "http://kg.example.org/Paris_France"),
+    ("paris", "http://kg.example.org/Paris_Texas"),
+]
+
+AMBIG_SENTENCES: list[str] = [
+    "eiffel tower stands in paris france",
+    "paris texas sits near dallas",
+    "the eiffel tower attracts visitors to paris",
+    "dallas cowboys fans drove to paris",
+    "france borders spain",
+]
+
+#: KG relatedness edges the voter consults (undirected).
+AMBIG_RELATED: list[tuple[str, str]] = [
+    ("http://kg.example.org/Paris_France", "http://kg.example.org/EiffelTower"),
+    ("http://kg.example.org/Paris_France", "http://kg.example.org/France"),
+    ("http://kg.example.org/Paris_Texas", "http://kg.example.org/Texas"),
+    ("http://kg.example.org/Paris_Texas", "http://kg.example.org/Dallas"),
+]
+
+
+def ambig_sentences_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(AMBIG_SENTENCES)],
+        "doc_id int, text string",
+    )
+
+
+def ambig_sentences_values() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(AMBIG_SENTENCES)
+    )
+    return f"s(doc_id, text) AS (VALUES\n    {rows})"
+
+
+def ambig_gaz_values() -> str:
+    rows = ",\n    ".join(f"('{s}', '{e}')" for s, e in AMBIG_GAZETTEER)
+    return f"gaz(surface, entity) AS (VALUES\n    {rows})"
+
+
+def ambig_related_values() -> str:
+    rows = ",\n    ".join(f"('{a}', '{b}')" for a, b in AMBIG_RELATED)
+    return f"rel(ea, eb) AS (VALUES\n    {rows})"
+
+
+def disambiguate_mentions(
+    mentions: DataFrame, related: DataFrame
+) -> DataFrame:
+    """(doc_id, pos, surface, entity, votes, prior) — the winning
+    candidate per ambiguous mention slot.
+
+    A slot (doc_id, pos) with >1 candidate entity is ambiguous; each
+    candidate scores one VOTE per distinct unambiguous entity in the
+    same document it is related to (``related``: undirected (src,
+    dst) KG edges).  Ties break on the candidate's corpus-wide
+    unambiguous-mention PRIOR, then entity asc.  Integer scores —
+    cross-engine exact.
+
+    Scale shape: slot ambiguity is one (doc,pos) count; votes are one
+    equi-join on doc_id (document mention sets are tiny) + one
+    BROADCAST relatedness probe; the winner is a per-slot window.
+    The relatedness table is KG-edge-scale — pre-filter to the
+    gazetteer's entity set before broadcasting at corpus scale."""
+    from pyspark.sql import Window
+
+    slot = Window.partitionBy("doc_id", "pos")
+    m = mentions.withColumn(
+        "n_cand", F.count(F.lit(1)).over(slot)
+    )
+    amb = m.filter(F.col("n_cand") > 1).drop("n_cand")
+    unamb = m.filter(F.col("n_cand") == 1).drop("n_cand")
+    prior = unamb.groupBy("entity").agg(F.count(F.lit(1)).alias("prior"))
+    doc_ents = unamb.select("doc_id", F.col("entity").alias("ctx")).distinct()
+    rel = related.select(
+        F.col("src").alias("cand"), F.col("dst").alias("rctx")
+    ).unionByName(
+        related.select(F.col("dst").alias("cand"), F.col("src").alias("rctx"))
+    ).distinct()
+    votes = (
+        amb.join(doc_ents, "doc_id")
+        .join(
+            F.broadcast(rel),
+            (F.col("entity") == F.col("cand"))
+            & (F.col("ctx") == F.col("rctx")),
+        )
+        .groupBy("doc_id", "pos", "entity")
+        .agg(F.countDistinct("rctx").alias("votes"))
+    )
+    scored = (
+        amb.join(votes, ["doc_id", "pos", "entity"], "left")
+        .join(F.broadcast(prior), "entity", "left")
+        .select(
+            "doc_id",
+            "pos",
+            "surface",
+            "entity",
+            F.coalesce("votes", F.lit(0)).alias("votes"),
+            F.coalesce("prior", F.lit(0)).alias("prior"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "pos").orderBy(
+        F.col("votes").desc(), F.col("prior").desc(), F.col("entity")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id", "pos")
+    )
+
+
+def disambiguate_mentions_sql(
+    mentions_sql: str, related_values: str
+) -> str:
+    """DuckDB twin over a full mentions SELECT + a rel(ea, eb) VALUES
+    clause body."""
+    return f"""
+WITH m0 AS ({mentions_sql}),
+{related_values},
+m AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, pos) AS n_cand FROM m0),
+amb AS (SELECT doc_id, pos, surface, entity FROM m WHERE n_cand > 1),
+unamb AS (SELECT doc_id, pos, surface, entity FROM m WHERE n_cand = 1),
+prior AS (SELECT entity, count(*)::BIGINT AS prior FROM unamb GROUP BY 1),
+doc_ents AS (SELECT DISTINCT doc_id, entity AS ctx FROM unamb),
+relu AS (
+  SELECT ea AS cand, eb AS ctx FROM rel
+  UNION SELECT eb, ea FROM rel),
+votes AS (
+  SELECT a.doc_id, a.pos, a.entity,
+         count(DISTINCT r.ctx)::BIGINT AS votes
+  FROM amb a
+  JOIN doc_ents d ON a.doc_id = d.doc_id
+  JOIN relu r ON a.entity = r.cand AND d.ctx = r.ctx
+  GROUP BY 1, 2, 3),
+scored AS (
+  SELECT a.doc_id, a.pos, a.surface, a.entity,
+    coalesce(v.votes, 0)::BIGINT AS votes,
+    coalesce(p.prior, 0)::BIGINT AS prior
+  FROM amb a
+  LEFT JOIN votes v ON a.doc_id = v.doc_id AND a.pos = v.pos
+                   AND a.entity = v.entity
+  LEFT JOIN prior p ON a.entity = p.entity)
+SELECT doc_id, pos, surface, entity, votes, prior FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+    ORDER BY votes DESC, prior DESC, entity) AS rn
+  FROM scored)
+WHERE rn = 1
+ORDER BY doc_id, pos"""

@@ -153,3 +153,36 @@ def test_suggest_functional_rates_and_gate(spark):
     assert out["p_multi"]["violation_rate"] == 1.0
     # min_subjects gate: perfect rate but support 1 -> rejected
     assert out["p_rare"]["suggested"] is False
+
+
+def test_disambiguation_coherence_votes(spark):
+    from orionbelt_ontology_builder_spark.operators import taxonomy as TX
+
+    m = TX.gazetteer_mentions(
+        TX.ambig_sentences_df(spark), gazetteer=TX.AMBIG_GAZETTEER
+    )
+    rel = spark.createDataFrame(TX.AMBIG_RELATED, "src string, dst string")
+    out = {r["doc_id"]: r for r in TX.disambiguate_mentions(m, rel).collect()}
+    PF = "http://kg.example.org/Paris_France"
+    PT = "http://kg.example.org/Paris_Texas"
+    # doc 0 context {EiffelTower, France} -> Paris_France with 2 votes
+    assert out[0]["entity"] == PF and out[0]["votes"] == 2
+    # doc 1 context {Texas, Dallas} -> Paris_Texas
+    assert out[1]["entity"] == PT and out[1]["votes"] == 2
+    # single-context docs still resolve
+    assert out[2]["entity"] == PF and out[3]["entity"] == PT
+    # unambiguous docs contribute no rows
+    assert 4 not in out
+
+
+def test_disambiguation_tiebreak_entity_asc(spark):
+    from orionbelt_ontology_builder_spark.operators import taxonomy as TX
+
+    sents = spark.createDataFrame(
+        [(0, "paris is lovely")], "doc_id int, text string"
+    )
+    m = TX.gazetteer_mentions(sents, gazetteer=TX.AMBIG_GAZETTEER)
+    rel = spark.createDataFrame(TX.AMBIG_RELATED, "src string, dst string")
+    r = TX.disambiguate_mentions(m, rel).collect()[0]
+    # zero votes, zero prior -> lexicographically first candidate
+    assert r["votes"] == 0 and r["entity"].endswith("Paris_France")
