@@ -3222,6 +3222,23 @@ def _q_hearst_patterns(spark, sf_dir):
     return taxonomy.hearst_patterns(taxonomy.hearst_sentences_df(spark))
 
 
+def _q_copula_instances(spark, sf_dir):
+    """Copula instance-typing ("X is a/an Y") with negation filtering
+    — the INSTANCE-level complement of Hearst subclass mining."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.copula_instances(taxonomy.copula_sentences_df(spark))
+
+
+def _q_coordination_siblings(spark, sf_dir):
+    """Coordination co-hyponym mining ("X, Y and Z" -> C(k,2) sibling
+    pairs): corroborates shared hypernyms for Hearst's candidates;
+    pair fan-out is per-list k², never a corpus join."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.coordination_siblings(taxonomy.coord_sentences_df(spark))
+
+
 def _q_acronym_pairs(spark, sf_dir):
     """Schwartz-Hearst-style parenthetical acronym-definition mining
     (exact initialism check) — the alias signal that tells the linker
@@ -4411,6 +4428,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gazetteer_mentions": _q_gazetteer_mentions,
         "entity_comention": _q_entity_comention,
         "disambiguate_mentions": _q_disambiguate_mentions,
+        "copula_instances": _q_copula_instances,
+        "coordination_siblings": _q_coordination_siblings,
         "suggest_functional": _q_suggest_functional,
         "suggest_inverse": _q_suggest_inverse,
         "suggest_ranges": _q_suggest_ranges,
@@ -6956,6 +6975,12 @@ ORDER BY subj, cls, rule
     )
     sql["entity_comention"] = taxonomy.comention_edges_sql(
         taxonomy.gazetteer_mentions_sql(taxonomy.gaz_sentences_values())
+    )
+    sql["copula_instances"] = taxonomy.copula_instances_sql(
+        taxonomy.copula_sentences_values()
+    )
+    sql["coordination_siblings"] = taxonomy.coordination_siblings_sql(
+        taxonomy.coord_sentences_values()
     )
     sql["disambiguate_mentions"] = taxonomy.disambiguate_mentions_sql(
         taxonomy.gazetteer_mentions_sql(

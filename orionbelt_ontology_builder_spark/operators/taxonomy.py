@@ -687,3 +687,151 @@ SELECT doc_id, pos, surface, entity, votes, prior FROM (
   FROM scored)
 WHERE rn = 1
 ORDER BY doc_id, pos"""
+
+
+# ---------------------------------------------------------------------------
+# Copula instance typing + coordination siblings — the two regex
+# mining passes that complete Hearst's subclass mining: copulas ("X is
+# a Y") yield INSTANCE-of candidates, coordinations ("X, Y and Z")
+# yield co-hyponym SIBLING sets that corroborate shared parents.
+# Dialect-neutral regexes (char classes + non-capturing groups) so
+# Java regex and RE2 agree, same as HEARST_RULES.
+# ---------------------------------------------------------------------------
+
+COPULA_SENTENCES: list[str] = [
+    "paris is a city of lights",
+    "berlin is a city too",
+    "rex is a dog",
+    "a dog is not a cat entirely",
+    "felix is not a dog at all",
+    "copper is an element",
+    "the whale is a mammal",
+]
+
+
+def copula_sentences_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(COPULA_SENTENCES)],
+        "sent_id int, text string",
+    )
+
+
+def copula_sentences_values() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(COPULA_SENTENCES)
+    )
+    return f"s(sent_id, text) AS (VALUES\n    {rows})"
+
+
+_COPULA_RE = "([a-z]+) is an? ([a-z]+)"
+_COPULA_NEG = "([a-z]+) is not an? ([a-z]+)"
+
+
+def copula_instances(sents: DataFrame) -> DataFrame:
+    """(instance, class_term, support) — "X is a/an Y" instance-typing
+    candidates with negation filtering ("X is not a Y" never
+    extracts); 'the X is a Y' generic-subject rows keep X (the
+    instance/class call is the curator's).  Pure regexp projection +
+    one map-side-combinable count — the instance-level complement of
+    Hearst subclass mining."""
+    hit = sents.select(
+        F.regexp_extract("text", _COPULA_RE, 1).alias("instance"),
+        F.regexp_extract("text", _COPULA_RE, 2).alias("class_term"),
+        F.regexp_extract("text", _COPULA_NEG, 1).alias("neg"),
+    ).filter(
+        (F.col("instance") != "") & (F.col("neg") == "")
+    )
+    return (
+        hit.groupBy("instance", "class_term")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy("instance", "class_term")
+    )
+
+
+def copula_instances_sql(sents_cte: str) -> str:
+    """DuckDB twin — identical regex text."""
+    return f"""
+WITH {sents_cte},
+hit AS (
+  SELECT regexp_extract(text, '{_COPULA_RE}', 1) AS instance,
+         regexp_extract(text, '{_COPULA_RE}', 2) AS class_term,
+         regexp_extract(text, '{_COPULA_NEG}', 1) AS neg
+  FROM s)
+SELECT instance, class_term, count(*)::BIGINT AS support
+FROM hit WHERE instance <> '' AND neg = ''
+GROUP BY 1, 2
+ORDER BY instance, class_term"""
+
+
+COORD_SENTENCES: list[str] = [
+    "cats, dogs and horses need food",
+    "copper, zinc and iron conduct heat",
+    "cats, dogs and wolves hunt mice",
+    "red or green or blue works fine",
+]
+
+
+def coord_sentences_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(COORD_SENTENCES)],
+        "sent_id int, text string",
+    )
+
+
+def coord_sentences_values() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(COORD_SENTENCES)
+    )
+    return f"s(sent_id, text) AS (VALUES\n    {rows})"
+
+
+_COORD_RE = "([a-z]+(?:, [a-z]+)+,? (?:and|or) [a-z]+)"
+
+
+def coordination_siblings(sents: DataFrame) -> DataFrame:
+    """(term_a, term_b, support) — unordered co-hyponym pairs from
+    coordination lists "X, Y(,) and/or Z": every list of k terms
+    yields its C(k,2) pairs, counted across the corpus.  Siblings
+    corroborate shared hypernyms (two terms coordinated often belong
+    under the same parent Hearst proposes).
+
+    Plan: regexp_extract the list span -> split on the connectors ->
+    explode twice WITHIN the (tiny, per-sentence) array — the pair
+    fan-out is per-list k², never a corpus join."""
+    lists_ = sents.select(
+        F.regexp_extract("text", _COORD_RE, 1).alias("span")
+    ).filter(F.col("span") != "")
+    terms = lists_.select(
+        F.split(
+            F.regexp_replace("span", ",? (?:and|or) ", ", "), ", "
+        ).alias("ts")
+    )
+    pairs = terms.select(
+        F.explode("ts").alias("term_a"), F.col("ts")
+    ).select(
+        "term_a", F.explode("ts").alias("term_b")
+    ).filter(F.col("term_a") < F.col("term_b"))
+    return (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy("term_a", "term_b")
+    )
+
+
+def coordination_siblings_sql(sents_cte: str) -> str:
+    """DuckDB twin — same span regex and connector normalization."""
+    return f"""
+WITH {sents_cte},
+spans AS (
+  SELECT regexp_extract(text, '{_COORD_RE}', 1) AS span FROM s),
+terms AS (
+  SELECT string_split(
+    regexp_replace(span, ',? (?:and|or) ', ', ', 'g'), ', ') AS ts
+  FROM spans WHERE span <> ''),
+pairs AS (
+  SELECT a.ta AS term_a, b.tb AS term_b
+  FROM terms, unnest(ts) AS a(ta), unnest(ts) AS b(tb)
+  WHERE a.ta < b.tb)
+SELECT term_a, term_b, count(*)::BIGINT AS support
+FROM pairs GROUP BY 1, 2
+ORDER BY term_a, term_b"""

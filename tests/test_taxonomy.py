@@ -186,3 +186,30 @@ def test_disambiguation_tiebreak_entity_asc(spark):
     r = TX.disambiguate_mentions(m, rel).collect()[0]
     # zero votes, zero prior -> lexicographically first candidate
     assert r["votes"] == 0 and r["entity"].endswith("Paris_France")
+
+
+def test_copula_instances_negation_and_articles(spark):
+    from orionbelt_ontology_builder_spark.operators import taxonomy as TX
+
+    got = {(r["instance"], r["class_term"]): r["support"]
+           for r in TX.copula_instances(
+               TX.copula_sentences_df(spark)).collect()}
+    assert got[("paris", "city")] == 1 and got[("berlin", "city")] == 1
+    assert ("copper", "element") in got      # "is an" article form
+    assert ("whale", "mammal") in got        # generic subject kept
+    # negated copulas never extract
+    assert not any(i == "felix" for i, _ in got)
+    assert ("dog", "cat") not in got
+
+
+def test_coordination_siblings_pairs(spark):
+    from orionbelt_ontology_builder_spark.operators import taxonomy as TX
+
+    got = {(r["term_a"], r["term_b"]): r["support"]
+           for r in TX.coordination_siblings(
+               TX.coord_sentences_df(spark)).collect()}
+    assert got[("cats", "dogs")] == 2        # two supporting lists
+    assert got[("copper", "zinc")] == 1
+    assert got[("dogs", "horses")] == 1 and got[("dogs", "wolves")] == 1
+    # "red or green or blue" has no comma-list prefix -> no pairs
+    assert not any("red" in p for p in got)
