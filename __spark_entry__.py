@@ -383,6 +383,20 @@ def _q_incremental_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixpoint.incremental_closure(closed, delta)
 
 
+def _q_skos_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKOS inter-scheme crosswalk (exact/close/broad/narrow/related
+    matches with both endpoints resolved to their schemes) — what a
+    curator reads before merging vocabularies; the SKOS-native output
+    slot for alignment verdicts."""
+    return views.skos_mappings(FX.fixture_triples(spark, "mappings_om"))
+
+
+def _q_deprecated_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version hygiene: owl:deprecated entities still referenced as
+    objects or still used as predicates — the delete-safety report."""
+    return views.deprecated_usage(FX.fixture_triples(spark, "mappings_om"))
+
+
 def _q_flatten_skosxl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SKOS-XL label flattening: reified skosxl:Label nodes back to
     flat (concept, kind, literal, lang) rows — tagged/untagged
@@ -574,6 +588,18 @@ def _q_paris_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         align.paris_fixture_df(spark, "a"),
         align.paris_fixture_df(spark, "b"),
     )
+
+
+def _q_dedupe_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-graph duplicate detection: PARIS value evidence on the
+    merged two-source graph, diagonal/mirror removed — the sameAs
+    candidate feed for CC canonicalization."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    merged = align.paris_fixture_df(spark, "a").unionByName(
+        align.paris_fixture_df(spark, "b")
+    )
+    return align.dedupe_entities(merged)
 
 
 def _q_property_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,6 +1965,15 @@ def _q_infer_namespace(spark, sf_dir):
 
 def _q_validate_owl(spark, sf_dir):
     return _validated(spark)
+
+
+def _q_mine_shapes(spark, sf_dir):
+    """SHACL shape induction (SheXer-style) over the induced graph:
+    per (class, predicate) usage share -> sh:minCount 1 proposals —
+    mining the shapes the validators then enforce."""
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    return validation.mine_shapes(relational.induce_triples(spark, sf_dir))
 
 
 def _q_validate_literals(spark, sf_dir):
@@ -3964,7 +3999,7 @@ def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "fact_ranking", "void_summary", "suggest_functional",
-    "suggest_ranges", "void_summary_hll",
+    "suggest_ranges", "void_summary_hll", "mine_shapes",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "top_customers",
     "events_running",
@@ -4169,6 +4204,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "void_summary_hll": _q_void_summary_hll,
         "flatten_skosxl": _q_flatten_skosxl,
         "language_coverage": _q_language_coverage,
+        "skos_mappings": _q_skos_mappings,
+        "deprecated_usage": _q_deprecated_usage,
         "induced_individuals_per_class": _q_induced_individuals_per_class,
         "induced_search": _q_induced_search,
         "tpch_q1": _q_tpch_q1,
@@ -4222,6 +4259,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skolemize_axioms": _q_skolemize_axioms,
         "align_ontologies": _q_align_ontologies,
         "paris_matches": _q_paris_matches,
+        "dedupe_entities": _q_dedupe_entities,
         "property_alignment": _q_property_alignment,
         "bgp_match": _q_bgp_match,
         "path_query": _q_path_query,
@@ -4307,6 +4345,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_base_uri": _q_resolve_base_uri,
         "validate_owl": _q_validate_owl,
         "validate_literals": _q_validate_literals,
+        "mine_shapes": _q_mine_shapes,
         "owl_consistency": _q_owl_consistency,
         "validate_skos": _q_validate_skos,
         "reasoning_rdfs": _q_reasoning_rdfs,
@@ -4933,6 +4972,15 @@ FROM triples
     sql["flatten_skosxl"] = (
         "WITH " + FX.fixture_cte("skosxl_om") + "," + views.flatten_skosxl_sql()
     )
+    sql["skos_mappings"] = (
+        "WITH " + FX.fixture_cte("mappings_om") + "," + views.skos_mappings_sql()
+    )
+    sql["deprecated_usage"] = (
+        "WITH "
+        + FX.fixture_cte("mappings_om")
+        + ","
+        + views.deprecated_usage_sql()
+    )
     sql["language_coverage"] = (
         "WITH "
         + FX.fixture_cte("skosxl_om")
@@ -5257,6 +5305,12 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     sql["paris_matches"] = _align.paris_matches_sql(
         _align.paris_fixture_cte("a", "ta"),
         _align.paris_fixture_cte("b", "tb"),
+    )
+    sql["dedupe_entities"] = _align.dedupe_entities_sql(
+        _align.paris_fixture_cte("a", "pa")
+        + ",\n"
+        + _align.paris_fixture_cte("b", "pb")
+        + ",\nta AS (SELECT * FROM pa UNION SELECT * FROM pb)"
     )
     sql["property_alignment"] = _align.property_alignment_sql(
         _align.propalign_fixture_cte("a", "ta"),
@@ -5996,6 +6050,12 @@ SELECT * FROM (
         "WITH "
         + FX.fixture_cte("badlits_om")
         + _validation.validate_literals_sql()
+    )
+    sql["mine_shapes"] = (
+        "WITH "
+        + relational.induce_triples_sql()
+        + ","
+        + _validation.mine_shapes_sql()
     )
     sql["validation_severity"] = (
         "SELECT severity, count(*) AS n FROM (" + validate_owl_sql + ") GROUP BY severity ORDER BY severity"

@@ -424,6 +424,27 @@ SKOSXL_OM: list[tuple] = [
     t_lit(_e("cC"), RDFS.label, "gamma untagged"),
 ]
 
+#: SKOS crosswalk + deprecation-hygiene fixture: two schemes with
+#: exact/close/narrow mappings (one endpoint scheme-less -> NULL), a
+#: deprecated concept still referenced as an object, and a deprecated
+#: predicate still used in live assertions.
+_SKOS_NS_F = "http://www.w3.org/2004/02/skos/core#"
+MAPPINGS_OM: list[tuple] = [
+    t_uri(_e("red"), SKOS.inScheme, _e("Colors")),
+    t_uri(_e("crimson"), SKOS.inScheme, _e("Colors")),
+    t_uri(_e("rouge"), SKOS.inScheme, _e("Couleurs")),
+    t_uri(_e("bleu"), SKOS.inScheme, _e("Couleurs")),
+    t_uri(_e("red"), SKOS.exactMatch, _e("rouge")),
+    t_uri(_e("crimson"), SKOS.closeMatch, _e("rouge")),
+    t_uri(_e("red"), SKOS.narrowMatch, _e("warm")),  # scheme-less end
+    t_lit(_e("oldRed"), "http://www.w3.org/2002/07/owl#deprecated", "true"),
+    t_uri(_e("crimson"), RDFS.seeAlso, _e("oldRed")),  # still referenced
+    t_lit(_e("oldProp"), "http://www.w3.org/2002/07/owl#deprecated", "true"),
+    t_uri(_e("red"), _e("oldProp"), _e("bleu")),  # deprecated pred in use
+    t_lit(_e("retired"), "http://www.w3.org/2002/07/owl#deprecated", "true"),
+    # 'retired' is referenced by nobody -> absent from the report
+]
+
 FIXTURES: dict[str, list[tuple]] = {
     "template_org": TEMPLATE_ORG,
     "populated_om": POPULATED_OM,
@@ -441,6 +462,7 @@ FIXTURES: dict[str, list[tuple]] = {
     "badlits_om": BADLITS_OM,
     "invprops_om": INVPROPS_OM,
     "skosxl_om": SKOSXL_OM,
+    "mappings_om": MAPPINGS_OM,
 }
 
 

@@ -979,3 +979,43 @@ SELECT rank::BIGINT AS rank, {score_col} AS score, {label_col} AS is_match,
   2.0 * tp / (rank + tot.n_pos)::DOUBLE AS f1
 FROM cum CROSS JOIN tot
 ORDER BY rank"""
+
+
+def dedupe_entities(
+    triples: DataFrame,
+    min_score: float = 0.3,
+    max_fact_pairs: int = 1000,
+) -> DataFrame:
+    """(uri_a, uri_b, shared_facts, score) — WITHIN-graph duplicate
+    detection: :func:`paris_matches` of a graph against itself with
+    the diagonal and mirror pairs removed (uri_a < uri_b).  The
+    value-evidence alias detector for a single induced KG — the
+    precursor to emitting owl:sameAs and running the CC
+    canonicalization pass.
+
+    Same scale shape as paris_matches (fact-key bucket joins with the
+    hot-fact cap); the self-join doubles nothing because both sides
+    are the same distinct-fact projection."""
+    out = paris_matches(
+        triples, triples, min_score=min_score, max_fact_pairs=max_fact_pairs
+    )
+    return out.filter(F.col("uri_a") < F.col("uri_b")).orderBy(
+        "uri_a", "uri_b"
+    )
+
+
+def dedupe_entities_sql(
+    cte: str, min_score: float = 0.3, max_fact_pairs: int = 1000
+) -> str:
+    """DuckDB twin — the paris twin on (ta, ta-as-tb) plus the
+    uri_a < uri_b cut."""
+    inner = paris_matches_sql(
+        cte,
+        "tb AS (SELECT * FROM ta)",
+        min_score=min_score,
+        max_fact_pairs=max_fact_pairs,
+    )
+    return f"""
+SELECT * FROM ({inner.strip()})
+WHERE uri_a < uri_b
+ORDER BY uri_a, uri_b"""

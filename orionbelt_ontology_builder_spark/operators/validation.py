@@ -853,3 +853,94 @@ SELECT subj AS subject, pred AS predicate, obj AS value,
 FROM {triples_src}
 WHERE obj_kind = 'literal' AND obj_dt IS NOT NULL AND ({conds})
 ORDER BY subject, predicate, value"""
+
+
+# ---------------------------------------------------------------------------
+# SHACL shape induction (SheXer-style, public literature): mine the
+# property shapes a class's instances actually exhibit — the inverse
+# of shacl_min_max/shacl_value_constraints, which CHECK declared
+# shapes.  Web-induced ontologies rarely come with shapes; mining
+# them from usage gives the validator something to enforce.
+# ---------------------------------------------------------------------------
+
+
+def mine_shapes(
+    triples: DataFrame, min_share: float = 0.9, min_instances: int = 2
+) -> DataFrame:
+    """(cls, pred, n_instances, n_with_pred, share, suggest_min1) —
+    per (class, predicate): how many of the class's instances carry
+    the predicate; ``suggest_min1`` proposes ``sh:minCount 1`` when
+    the share is at least ``min_share`` over at least
+    ``min_instances`` members (support gate).  rdf:type itself is
+    excluded from the property side.
+
+    Scale shape: one class-membership projection + one (instance,
+    pred) distinct projection + one equi-join on the instance id +
+    two keyed aggregates — all map-side combinable; the output is
+    (class x predicate)-vocabulary sized.  Integer-ratio shares."""
+    members = (
+        triples.filter(F.col("pred") == RDF.type)
+        .select(F.col("subj").alias("inst"), F.col("obj").alias("cls"))
+        .distinct()
+    )
+    usage = (
+        triples.filter(F.col("pred") != RDF.type)
+        .select(F.col("subj").alias("inst"), "pred")
+        .distinct()
+    )
+    sizes = members.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_instances")
+    )
+    counts = (
+        members.join(usage, "inst")
+        .groupBy("cls", "pred")
+        .agg(F.count(F.lit(1)).alias("n_with_pred"))
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cls")
+        .select(
+            "cls",
+            "pred",
+            "n_instances",
+            "n_with_pred",
+            (
+                F.col("n_with_pred") / F.col("n_instances").cast("double")
+            ).alias("share"),
+            (
+                (
+                    F.col("n_with_pred")
+                    / F.col("n_instances").cast("double")
+                    >= min_share
+                )
+                & (F.col("n_instances") >= min_instances)
+            ).alias("suggest_min1"),
+        )
+        .orderBy("cls", "pred")
+    )
+
+
+def mine_shapes_sql(
+    triples_src: str = "triples",
+    min_share: float = 0.9,
+    min_instances: int = 2,
+) -> str:
+    """DuckDB twin."""
+    return f"""
+members AS (
+  SELECT DISTINCT subj AS inst, obj AS cls FROM {triples_src}
+  WHERE pred = '{RDF.type}'),
+usage AS (
+  SELECT DISTINCT subj AS inst, pred FROM {triples_src}
+  WHERE pred <> '{RDF.type}'),
+sizes AS (SELECT cls, count(*)::BIGINT AS n_instances
+          FROM members GROUP BY cls),
+counts AS (
+  SELECT m.cls, u.pred, count(*)::BIGINT AS n_with_pred
+  FROM members m JOIN usage u USING (inst)
+  GROUP BY 1, 2)
+SELECT c.cls, c.pred, s.n_instances, c.n_with_pred,
+  c.n_with_pred / s.n_instances::DOUBLE AS share,
+  (c.n_with_pred / s.n_instances::DOUBLE >= {min_share}
+   AND s.n_instances >= {min_instances}) AS suggest_min1
+FROM counts c JOIN sizes s USING (cls)
+ORDER BY cls, pred"""

@@ -2220,3 +2220,174 @@ exact AS (
 SELECT e.section, e.key, e.n_exact, s.hll_est
 FROM exact e JOIN est s USING (section, key)
 ORDER BY section, key"""
+
+
+# ---------------------------------------------------------------------------
+# SKOS mapping crosswalk: the inter-scheme alignment layer
+# (skos:exactMatch / closeMatch / broadMatch / narrowMatch /
+# relatedMatch) rolled up per scheme pair — what a curator reads
+# before merging two vocabularies, and the SKOS-native output slot
+# for align.paris_matches / align_entities verdicts.
+# ---------------------------------------------------------------------------
+
+
+def skos_mappings(triples: DataFrame) -> DataFrame:
+    """(match_type, concept_a, scheme_a, concept_b, scheme_b) — one
+    row per mapping assertion, both endpoints resolved to their
+    skos:inScheme (deterministic min when multi-scheme; NULL when
+    unasserted).  Two broadcast-sized joins on the concept id — the
+    mapping/scheme tables are vocabulary-scale."""
+    from ..model import SKOS
+
+    kinds = {
+        SKOS.exactMatch: "exact",
+        SKOS.closeMatch: "close",
+        SKOS.broadMatch: "broad",
+        SKOS.narrowMatch: "narrow",
+        SKOS.relatedMatch: "related",
+    }
+    kind_expr = None
+    for uri, short in kinds.items():
+        c = F.col("pred") == uri
+        kind_expr = (
+            F.when(c, short) if kind_expr is None else kind_expr.when(c, short)
+        )
+    maps = triples.filter(F.col("pred").isin(list(kinds))).select(
+        kind_expr.alias("match_type"),
+        F.col("subj").alias("concept_a"),
+        F.col("obj").alias("concept_b"),
+    )
+    schemes = (
+        triples.filter(F.col("pred") == SKOS.inScheme)
+        .groupBy(F.col("subj").alias("c"))
+        .agg(F.min("obj").alias("scheme"))
+    )
+    return (
+        maps.join(
+            F.broadcast(
+                schemes.select(
+                    F.col("c").alias("concept_a"),
+                    F.col("scheme").alias("scheme_a"),
+                )
+            ),
+            "concept_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                schemes.select(
+                    F.col("c").alias("concept_b"),
+                    F.col("scheme").alias("scheme_b"),
+                )
+            ),
+            "concept_b",
+            "left",
+        )
+        .select(
+            "match_type", "concept_a", "scheme_a", "concept_b", "scheme_b"
+        )
+        .orderBy("match_type", "concept_a", "concept_b")
+    )
+
+
+def skos_mappings_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin."""
+    from ..model import SKOS
+
+    kinds = {
+        SKOS.exactMatch: "exact",
+        SKOS.closeMatch: "close",
+        SKOS.broadMatch: "broad",
+        SKOS.narrowMatch: "narrow",
+        SKOS.relatedMatch: "related",
+    }
+    whens = " ".join(
+        f"WHEN '{u}' THEN '{s}'" for u, s in kinds.items()
+    )
+    preds = ", ".join(f"'{u}'" for u in kinds)
+    return f"""
+maps AS (
+  SELECT CASE pred {whens} END AS match_type,
+         subj AS concept_a, obj AS concept_b
+  FROM {triples_src} WHERE pred IN ({preds})),
+schemes AS (
+  SELECT subj AS c, min(obj) AS scheme FROM {triples_src}
+  WHERE pred = '{SKOS.inScheme}' GROUP BY subj)
+SELECT m.match_type, m.concept_a, sa.scheme AS scheme_a,
+       m.concept_b, sb.scheme AS scheme_b
+FROM maps m
+LEFT JOIN schemes sa ON m.concept_a = sa.c
+LEFT JOIN schemes sb ON m.concept_b = sb.c
+ORDER BY match_type, concept_a, concept_b"""
+
+
+def deprecated_usage(triples: DataFrame) -> DataFrame:
+    """(deprecated_entity, used_by, pred, n_uses) — owl:deprecated
+    entities that are STILL referenced (as object, or as the predicate
+    of live assertions): the version-hygiene report a curator runs
+    before deleting; references FROM a deprecated entity to itself
+    don't count.
+
+    One pushed filter builds the (tiny) deprecated set; usage is one
+    broadcast semi-probe over objects and predicates."""
+    from ..model import OWL_NS
+
+    dep = (
+        triples.filter(
+            (F.col("pred") == OWL_NS + "deprecated")
+            & (F.lower("obj") == "true")
+        )
+        .select(F.col("subj").alias("d"))
+        .distinct()
+    )
+    as_obj = (
+        triples.filter(F.col("obj_kind") == "uri")
+        .join(F.broadcast(dep), F.col("obj") == F.col("d"))
+        .filter(F.col("subj") != F.col("d"))
+        .groupBy(
+            F.col("d").alias("deprecated_entity"),
+            F.col("subj").alias("used_by"),
+            F.col("pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_uses"))
+    )
+    as_pred = (
+        triples.join(F.broadcast(dep), F.col("pred") == F.col("d"))
+        .filter(F.col("subj") != F.col("d"))
+        .groupBy(
+            F.col("d").alias("deprecated_entity"),
+            F.col("subj").alias("used_by"),
+            F.col("pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_uses"))
+    )
+    return (
+        as_obj.unionByName(as_pred)
+        .groupBy("deprecated_entity", "used_by", "pred")
+        .agg(F.sum("n_uses").alias("n_uses"))
+        .orderBy("deprecated_entity", "used_by", "pred")
+    )
+
+
+def deprecated_usage_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin."""
+    from ..model import OWL_NS
+
+    return f"""
+dep AS (
+  SELECT DISTINCT subj AS d FROM {triples_src}
+  WHERE pred = '{OWL_NS}deprecated' AND lower(obj) = 'true'),
+uses AS (
+  SELECT dep.d AS deprecated_entity, t.subj AS used_by, t.pred,
+         count(*)::BIGINT AS n_uses
+  FROM {triples_src} t JOIN dep ON t.obj = dep.d
+  WHERE t.obj_kind = 'uri' AND t.subj <> dep.d
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT dep.d, t.subj, t.pred, count(*)::BIGINT
+  FROM {triples_src} t JOIN dep ON t.pred = dep.d
+  WHERE t.subj <> dep.d
+  GROUP BY 1, 2, 3)
+SELECT deprecated_entity, used_by, pred, sum(n_uses)::BIGINT AS n_uses
+FROM uses GROUP BY 1, 2, 3
+ORDER BY deprecated_entity, used_by, pred"""

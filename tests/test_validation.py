@@ -224,3 +224,28 @@ def test_decode_reification_both_styles(spark):
     ax1 = rows[FX.BASE + "ax1"]
     assert ax1["style"] == "owl" and ax1["n_annotations"] == 1
     assert ax1["t_pred"].endswith("subClassOf")
+
+
+def test_mine_shapes_share_and_gates(spark):
+    from orionbelt_ontology_builder_spark.model import (
+        RDF, t_lit, t_uri, triples_df,
+    )
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    rows = []
+    for i in range(10):
+        rows.append(t_uri(f"p{i}", RDF.type, "Person"))
+        rows.append(t_lit(f"p{i}", "name", f"n{i}"))
+    for i in range(9):
+        rows.append(t_lit(f"p{i}", "email", f"e{i}"))  # 9/10 = 0.9
+    for i in range(3):
+        rows.append(t_lit(f"p{i}", "nickname", f"nick{i}"))  # 0.3
+    rows.append(t_uri("solo", RDF.type, "Hermit"))
+    rows.append(t_lit("solo", "cave", "deep"))  # support 1 -> gated
+    out = {(r["cls"], r["pred"]): r for r in validation.mine_shapes(
+        triples_df(spark, rows)
+    ).collect()}
+    assert out[("Person", "name")]["suggest_min1"] is True
+    assert out[("Person", "email")]["suggest_min1"] is True  # boundary 0.9
+    assert out[("Person", "nickname")]["suggest_min1"] is False
+    assert out[("Hermit", "cave")]["suggest_min1"] is False  # min_instances

@@ -464,3 +464,36 @@ def test_language_coverage_buckets(spark):
     assert abs(rows["en"]["coverage"] - 2 / 3) < 1e-12
     assert rows["de"]["n_entities"] == 1
     assert rows["(none)"]["n_labels"] == 1
+
+
+def test_skos_mappings_crosswalk(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+
+    rows = views.skos_mappings(
+        FX.fixture_triples(spark, "mappings_om")
+    ).collect()
+    B = FX.BASE
+    got = {(r["match_type"], r["concept_a"], r["concept_b"]):
+           (r["scheme_a"], r["scheme_b"]) for r in rows}
+    assert got[("exact", B + "red", B + "rouge")] == (
+        B + "Colors", B + "Couleurs")
+    assert got[("close", B + "crimson", B + "rouge")][1] == B + "Couleurs"
+    # scheme-less endpoint -> NULL scheme, row still present
+    assert got[("narrow", B + "red", B + "warm")] == (B + "Colors", None)
+
+
+def test_deprecated_usage_report(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+
+    rows = views.deprecated_usage(
+        FX.fixture_triples(spark, "mappings_om")
+    ).collect()
+    B = FX.BASE
+    got = {(r["deprecated_entity"], r["used_by"]): r for r in rows}
+    # referenced as object
+    assert (B + "oldRed", B + "crimson") in got
+    # used as predicate
+    op = got[(B + "oldProp", B + "red")]
+    assert op["pred"] == B + "oldProp" and op["n_uses"] == 1
+    # deprecated but unreferenced -> absent
+    assert not any(d == B + "retired" for d, _ in got)
