@@ -983,7 +983,7 @@ ORDER BY rank"""
 
 def dedupe_entities(
     triples: DataFrame,
-    min_score: float = 0.3,
+    min_score: float = 0.2,
     max_fact_pairs: int = 1000,
 ) -> DataFrame:
     """(uri_a, uri_b, shared_facts, score) — WITHIN-graph duplicate
@@ -995,7 +995,11 @@ def dedupe_entities(
 
     Same scale shape as paris_matches (fact-key bucket joins with the
     hot-fact cap); the self-join doubles nothing because both sides
-    are the same distinct-fact projection."""
+    are the same distinct-fact projection.  NOTE the self-match weight
+    deflation: a fact carried by n entities weighs 1/n² here (each
+    entity sits on both join sides), so a unique duplicated email
+    scores 1/4 per fact, not 1 — hence the lower default gate than
+    the cross-graph matcher."""
     out = paris_matches(
         triples, triples, min_score=min_score, max_fact_pairs=max_fact_pairs
     )
@@ -1005,7 +1009,7 @@ def dedupe_entities(
 
 
 def dedupe_entities_sql(
-    cte: str, min_score: float = 0.3, max_fact_pairs: int = 1000
+    cte: str, min_score: float = 0.2, max_fact_pairs: int = 1000
 ) -> str:
     """DuckDB twin — the paris twin on (ta, ta-as-tb) plus the
     uri_a < uri_b cut."""

@@ -898,3 +898,18 @@ def test_pr_curve_hand_math(spark):
     assert rows[0]["precision"] == 1.0 and rows[0]["recall"] == 0.5
     assert rows[2]["recall"] == 1.0
     assert abs(rows[2]["f1"] - 2 * 2 / (3 + 2)) < 1e-12
+
+
+def test_dedupe_entities_within_graph(spark):
+    from orionbelt_ontology_builder_spark.operators import align
+
+    merged = align.paris_fixture_df(spark, "a").unionByName(
+        align.paris_fixture_df(spark, "b")
+    )
+    got = {(r["uri_a"], r["uri_b"]) for r in
+           align.dedupe_entities(merged).collect()}
+    A, B = "http://a.example.org/", "http://b.example.org/"
+    # the two unique-evidence pairs survive; ordering canonical
+    assert (A + "alice", B + "alice_smith") in got
+    assert (A + "bob", B + "robert") in got
+    assert all(a < b for a, b in got)
