@@ -3878,6 +3878,17 @@ def _q_fs_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align.fs_pair_scores(_fs_pairs(spark, sf_dir), _FS_FIELDS)
 
 
+def _q_linkage_lr_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned linkage scorer: full-batch logistic regression on the
+    per-field agreement vectors (8 unrolled gradient steps, 1-row
+    weight state crossJoined per step — no MLlib, no driver collect)
+    — the learned counterpart of the closed-form Fellegi-Sunter
+    weights."""
+    from orionbelt_ontology_builder_spark.operators import align
+
+    return align.lr_weights(_fs_pairs(spark, sf_dir), _FS_FIELDS)
+
+
 def _q_linkage_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PR threshold sweep over the Fellegi-Sunter pair scores: one
     curve point per score-ranked pair (tp/fp/fn, precision, recall,
@@ -4059,6 +4070,7 @@ _SF_SCALE = {
     "graph_component_sizes", "graph_scc", "graph_assortativity",
     "graph_hyperball", "graph_local_clustering", "graph_modularity",
     "cdc_apply", "fellegi_sunter", "fs_pair_scores", "linkage_pr_curve",
+    "linkage_lr_weights",
     "harmonic_centrality", "prefix_jaccard", "neighbor_mean_embedding",
     "graph_ktruss", "kg_triple_history", "score_calibration",
     "extractor_kappa", "golden_records", "stream_cdc_apply",
@@ -4429,6 +4441,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fellegi_sunter": _q_fellegi_sunter,
         "fs_pair_scores": _q_fs_pair_scores,
         "linkage_pr_curve": _q_linkage_pr_curve,
+        "linkage_lr_weights": _q_linkage_lr_weights,
         "harmonic_centrality": _q_harmonic_centrality,
         "prefix_jaccard": _q_prefix_jaccard,
         "neighbor_mean_embedding": _q_neighbor_mean_embedding,
@@ -6553,6 +6566,9 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     )
     sql["linkage_pr_curve"] = _align.pr_curve_sql(
         _align.fs_pair_scores_sql(_FS_PAIRS_SQL, _FS_FIELDS)
+    )
+    sql["linkage_lr_weights"] = _align.lr_weights_sql(
+        _FS_PAIRS_SQL, _FS_FIELDS
     )
     sql["harmonic_centrality"] = graphstats.harmonic_centrality_sql(
         relational.ENTITY_EDGES_SQL,

@@ -1023,3 +1023,120 @@ def dedupe_entities_sql(
 SELECT * FROM ({inner.strip()})
 WHERE uri_a < uri_b
 ORDER BY uri_a, uri_b"""
+
+
+# ---------------------------------------------------------------------------
+# Learned linkage scoring: batch-gradient logistic regression on the
+# per-field agreement vectors — the LEARNED counterpart of the
+# closed-form Fellegi-Sunter weights (Splink-style EM is the classic
+# unsupervised route; with labeled pairs plain LR is the simplest
+# calibrated scorer).  No MLlib: the trainer is pure DataFrame
+# algebra so the DuckDB twin can unroll it CTE-for-CTE.
+# ---------------------------------------------------------------------------
+
+
+def lr_weights(
+    pairs: DataFrame,
+    fields: list[str],
+    iters: int = 8,
+    lr: float = 0.5,
+) -> DataFrame:
+    """(param, weight) — logistic-regression parameters ('bias' +
+    one row per field) after ``iters`` full-batch gradient steps from
+    a zero init on pairs(is_match, <fields...>).
+
+    Each step is ONE map-side-combinable aggregation computing every
+    gradient component ((sigma(z)-y)·x averaged over pairs); the
+    weight state is a 1-row DataFrame crossJoined into the next
+    step — no driver-side collect, the same loop discipline as
+    pagerank.  Full-batch (not SGD) keeps the math row-order-free up
+    to float-sum association; the driver's %.6g normalization absorbs
+    the last-ulp partition-order wiggle."""
+    n = len(fields)
+    state = pairs.sparkSession.createDataFrame(
+        [tuple([0.0] * (n + 1))],
+        ", ".join(["b double"] + [f"w{i} double" for i in range(n)]),
+    )
+    for _ in range(iters):
+        z = F.col("b") + sum(
+            (F.col(f"w{i}") * F.col(fields[i]) for i in range(n)),
+            start=F.lit(0.0),
+        )
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = sig - F.col("is_match")
+        joined = pairs.crossJoin(F.broadcast(state))
+        grads = joined.agg(
+            F.avg(err).alias("gb"),
+            *[
+                F.avg(err * F.col(fields[i])).alias(f"g{i}")
+                for i in range(n)
+            ],
+            F.first("b").alias("b0"),
+            *[F.first(f"w{i}").alias(f"w0{i}") for i in range(n)],
+        )
+        state = grads.select(
+            (F.col("b0") - F.lit(lr) * F.col("gb")).alias("b"),
+            *[
+                (F.col(f"w0{i}") - F.lit(lr) * F.col(f"g{i}")).alias(f"w{i}")
+                for i in range(n)
+            ],
+        ).localCheckpoint(eager=True)
+    rows = [F.struct(F.lit("bias").alias("param"), F.col("b").alias("weight"))]
+    rows += [
+        F.struct(F.lit(fields[i]).alias("param"), F.col(f"w{i}").alias("weight"))
+        for i in range(n)
+    ]
+    return (
+        state.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.param", "r.weight")
+        .orderBy("param")
+    )
+
+
+def lr_weights_sql(
+    pairs_cte: str,
+    fields: list[str],
+    iters: int = 8,
+    lr: float = 0.5,
+) -> str:
+    """DuckDB twin: the gradient steps unrolled as chained 1-row CTEs
+    with the identical update arithmetic.  ``pairs_cte`` is a WITH
+    body defining ``pairs(is_match, <fields...>)`` (the same fragment
+    fs_weights_sql consumes)."""
+    n = len(fields)
+    zero = ", ".join(["0.0 AS b"] + [f"0.0 AS w{i}" for i in range(n)])
+    rounds = []
+    prev = "s0"
+    for k in range(1, iters + 1):
+        z = " + ".join(
+            [f"{prev}.b"] + [f"{prev}.w{i} * p.{fields[i]}" for i in range(n)]
+        )
+        err = f"(1.0 / (1.0 + exp(-({z}))) - p.is_match)"
+        gsel = ", ".join(
+            [f"avg({err}) AS gb"]
+            + [f"avg({err} * p.{fields[i]}) AS g{i}" for i in range(n)]
+            + [f"any_value({prev}.b) AS b0"]
+            + [f"any_value({prev}.w{i}) AS w0{i}" for i in range(n)]
+        )
+        wsel = ", ".join(
+            [f"b0 - {lr!r} * gb AS b"]
+            + [f"w0{i} - {lr!r} * g{i} AS w{i}" for i in range(n)]
+        )
+        rounds.append(
+            f"g{k} AS (SELECT {gsel} FROM pairs p CROSS JOIN {prev}),\n"
+            f"s{k} AS (SELECT {wsel} FROM g{k})"
+        )
+        prev = f"s{k}"
+    params = " UNION ALL ".join(
+        ["SELECT 'bias' AS param, b AS weight FROM " + prev]
+        + [
+            f"SELECT '{fields[i]}', w{i} FROM {prev}"
+            for i in range(n)
+        ]
+    )
+    return f"""
+WITH {pairs_cte},
+s0 AS (SELECT {zero}),
+{",".join(rounds)}
+SELECT param, weight FROM ({params})
+ORDER BY param"""

@@ -913,3 +913,34 @@ def test_dedupe_entities_within_graph(spark):
     assert (A + "alice", B + "alice_smith") in got
     assert (A + "bob", B + "robert") in got
     assert all(a < b for a, b in got)
+
+
+def test_lr_weights_gradient_replay_and_signs(spark):
+    import math
+
+    from orionbelt_ontology_builder_spark.operators import align
+
+    rows = [(1, 1, 0), (1, 1, 0), (0, 0, 1), (0, 0, 1), (1, 1, 1), (0, 0, 0)]
+    pairs = spark.createDataFrame(rows, "is_match int, agree int, noise int")
+    got = {r["param"]: r["weight"] for r in
+           align.lr_weights(pairs, ["agree", "noise"], iters=5, lr=0.5).collect()}
+
+    # independent pure-Python replay of the identical full-batch steps
+    b, w = 0.0, [0.0, 0.0]
+    for _ in range(5):
+        gb, g = 0.0, [0.0, 0.0]
+        for y, x1, x2 in rows:
+            z = b + w[0] * x1 + w[1] * x2
+            e = 1.0 / (1.0 + math.exp(-z)) - y
+            gb += e
+            g[0] += e * x1
+            g[1] += e * x2
+        n = len(rows)
+        b -= 0.5 * gb / n
+        w = [w[i] - 0.5 * g[i] / n for i in range(2)]
+    assert abs(got["bias"] - b) < 1e-9
+    assert abs(got["agree"] - w[0]) < 1e-9
+    assert abs(got["noise"] - w[1]) < 1e-9
+    # the perfectly-predictive field earns a positive weight; the
+    # uninformative one stays near zero relative to it
+    assert got["agree"] > 0.3 and abs(got["noise"]) < got["agree"]
