@@ -2370,6 +2370,25 @@ def _q_ontology_imports(spark, sf_dir):
 _STAGE_CACHE: dict[tuple, str] = {}
 
 
+def _q_stream_nt_ingest(spark, sf_dir):
+    """Streaming N-Triples ingestion (crawl-follower shape): the
+    populated fixture serialized to an .nt shard directory, drained
+    through readStream.text + the SAME stateless parse_nt codec, to
+    per-(pred, obj_kind) counts; the oracle counts the fixture rows
+    directly, so parity proves codec + stream equivalence."""
+    import tempfile
+
+    from orionbelt_ontology_builder_spark.sources import ntriples as NT
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    key = (id(spark), "nt_ingest")
+    if key not in _STAGE_CACHE:
+        staged = tempfile.mkdtemp(prefix="obelt_nt_")
+        NT.write_nt(FX.fixture_triples(spark, "populated_om"), staged)
+        _STAGE_CACHE[key] = staged
+    return ST.nt_ingest_stream(spark, _STAGE_CACHE[key])
+
+
 def _q_stream_event_counts(spark, sf_dir):
     import tempfile
 
@@ -4313,6 +4332,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_metadata": _q_ontology_metadata,
         "ontology_imports": _q_ontology_imports,
         "stream_event_counts": _q_stream_event_counts,
+        "stream_nt_ingest": _q_stream_nt_ingest,
         "stream_distinct_users": _q_stream_distinct_users,
         "stream_user_totals": _q_stream_user_totals,
         "stream_dedup": _q_stream_dedup,
@@ -5617,6 +5637,13 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type
     from orionbelt_ontology_builder_spark.streaming import ingest as _ing
 
     sql["stream_distinct_users"] = _ing.streaming_distinct_users_oracle()
+    sql["stream_nt_ingest"] = (
+        "WITH "
+        + FX.fixture_cte("populated_om")
+        + """
+SELECT pred, obj_kind, count(*)::BIGINT AS n_triples
+FROM triples GROUP BY 1, 2 ORDER BY pred, obj_kind"""
+    )
     sql["stream_enrich"] = _ing.stream_static_enrich_oracle()
     sql["stream_join_pairs"] = _ing.stream_stream_pairs_oracle()
     sql["stream_sessionize"] = _ing.sessionize_oracle()

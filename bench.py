@@ -314,6 +314,18 @@ def main() -> None:
         "sdtype_infer",
         "incremental_closure",
         "ontology_metrics",
+        "suggest_functional",
+        "suggest_inverse",
+        "suggest_ranges",
+        "mine_shapes",
+        "gazetteer_mentions",
+        "disambiguate_mentions",
+        "egonet_density",
+        "linkage_pr_curve",
+        "linkage_lr_weights",
+        "dedupe_entities",
+        "provenance_roundtrip",
+        "void_summary_hll",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

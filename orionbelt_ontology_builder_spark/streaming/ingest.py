@@ -601,3 +601,48 @@ def stream_cdc_apply(
     from ..operators import temporal
 
     return temporal.cdc_merge(snapshot, spark.table(name))
+
+
+def nt_ingest_stream(spark: SparkSession, nt_dir: str) -> DataFrame:
+    """Streaming N-Triples ingestion: drain a directory of .nt shards
+    through the SAME pure-projection codec batch ingestion uses
+    (``sources.ntriples.parse_nt`` — stateless column expressions, so
+    it applies to a ``readStream.text`` source unchanged), aggregated
+    to per-(pred, obj_kind) triple counts.
+
+    The crawl-follower shape: a fetcher keeps dropping NT shards into
+    the landing directory; the stream picks up each file exactly once
+    (source offsets in the checkpoint), malformed lines are dropped by
+    the codec's full-line gate, and the running counts feed ingestion
+    monitoring.  Returns the drained result (availableNow trigger) —
+    equality with the batch twin over the same directory is the law
+    the tests pin."""
+    from ..sources.ntriples import parse_nt
+
+    stream = spark.readStream.text(nt_dir)
+    parsed = parse_nt(stream, column="value")
+    agg = parsed.groupBy("pred", "obj_kind").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    name = "nt_ingest_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("pred", "obj_kind")
+
+
+def nt_ingest_batch(spark: SparkSession, nt_dir: str) -> DataFrame:
+    """Batch twin of :func:`nt_ingest_stream` — same codec, same agg."""
+    from ..sources.ntriples import parse_nt
+
+    parsed = parse_nt(spark.read.text(nt_dir), column="value")
+    return (
+        parsed.groupBy("pred", "obj_kind")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .orderBy("pred", "obj_kind")
+    )

@@ -190,3 +190,21 @@ def test_stream_cdc_apply_matches_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in T.cdc_apply(snap, chg).collect())
     assert got == want
     assert [g[0] for g in got] == [1, 3, 9]  # 2 deleted
+
+
+def test_nt_ingest_stream_equals_batch(spark, tmp_path):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.sources import ntriples as NT
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    d = str(tmp_path / "nt")
+    NT.write_nt(FX.fixture_triples(spark, "populated_om"), d)
+    # plant one malformed line shard: the codec gate must drop it
+    (tmp_path / "nt" / "junk.txt").write_text(
+        "<http://x> <http://y> .\nnot a triple at all\n"
+    )
+    streamed = {(r["pred"], r["obj_kind"]): r["n_triples"]
+                for r in ST.nt_ingest_stream(spark, d).collect()}
+    batch = {(r["pred"], r["obj_kind"]): r["n_triples"]
+             for r in ST.nt_ingest_batch(spark, d).collect()}
+    assert streamed == batch and len(streamed) > 0
