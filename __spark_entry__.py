@@ -345,6 +345,36 @@ def _q_ontology_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views.ontology_metrics(FX.fixture_triples(spark, "hierarchy_om"))
 
 
+#: property-layer extras for the breaking-changes query: version A
+#: declares hasOwner with domain Dog (a class B removes); version B
+#: re-domains it to Animal (constraint_changed x2) and adds hasAge.
+_BC_EXTRA_A: list[tuple] = [
+    M.t_uri(FX.BASE + "hasOwner", M.RDF.type, M.OWL.ObjectProperty),
+    M.t_uri(FX.BASE + "hasOwner", M.RDFS.domain, FX.BASE + "Dog"),
+    M.t_uri(FX.BASE + "hasOwner", M.RDFS.range, FX.BASE + "Person"),
+]
+_BC_EXTRA_B: list[tuple] = [
+    M.t_uri(FX.BASE + "hasOwner", M.RDF.type, M.OWL.ObjectProperty),
+    M.t_uri(FX.BASE + "hasOwner", M.RDFS.domain, FX.BASE + "Animal"),
+    M.t_uri(FX.BASE + "hasOwner", M.RDFS.range, FX.BASE + "Person"),
+    M.t_uri(FX.BASE + "hasAge", M.RDF.type, M.OWL.DatatypeProperty),
+]
+
+
+def _q_breaking_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-versioning classifier over the a->b schema diff:
+    removals and constraint changes are breaking, declarations added
+    are additive, label churn is patch — the compat review on top of
+    diff_graphs."""
+    a = FX.fixture_triples(spark, "diff_a").unionByName(
+        spark.createDataFrame(_BC_EXTRA_A, M.TRIPLES_SCHEMA)
+    )
+    b = FX.fixture_triples(spark, "diff_b").unionByName(
+        spark.createDataFrame(_BC_EXTRA_B, M.TRIPLES_SCHEMA)
+    )
+    return setops.breaking_changes(a, b)
+
+
 #: hierarchy delta for the incremental-closure query: a two-edge chain
 #: grafted under Role (max 2 delta edges on one path -> 2 fixpoint
 #: rounds), shared verbatim by the Spark query and the DuckDB oracle.
@@ -4236,6 +4266,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_skosxl": _q_flatten_skosxl,
         "language_coverage": _q_language_coverage,
         "skos_mappings": _q_skos_mappings,
+        "breaking_changes": _q_breaking_changes,
         "deprecated_usage": _q_deprecated_usage,
         "induced_individuals_per_class": _q_induced_individuals_per_class,
         "induced_search": _q_induced_search,
@@ -5007,6 +5038,28 @@ FROM triples
     )
     sql["skos_mappings"] = (
         "WITH " + FX.fixture_cte("mappings_om") + "," + views.skos_mappings_sql()
+    )
+
+    def _extra_vals(rows):
+        return ",\n    ".join(
+            "(" + ", ".join(
+                "CAST(NULL AS VARCHAR)" if v is None else "'" + v + "'"
+                for v in row
+            ) + ")"
+            for row in rows
+        )
+
+    sql["breaking_changes"] = setops.breaking_changes_sql(
+        f"""a0(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS
+  (SELECT * FROM {FX.fixture_sql_values("diff_a")}),
+xa(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {_extra_vals(_BC_EXTRA_A)}),
+ta AS (SELECT * FROM a0 UNION ALL SELECT * FROM xa)""",
+        f"""b0(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS
+  (SELECT * FROM {FX.fixture_sql_values("diff_b")}),
+xb(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (VALUES
+    {_extra_vals(_BC_EXTRA_B)}),
+tb AS (SELECT * FROM b0 UNION ALL SELECT * FROM xb)""",
     )
     sql["deprecated_usage"] = (
         "WITH "

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..model import CONFLICT_PREDICATES, TRIPLE_COLS
+from ..model import CONFLICT_PREDICATES, OWL, RDF, RDFS, TRIPLE_COLS
 
 # Merge strategies (reference ontology_manager.py:2112-2172)
 REPLACE = "replace"
@@ -659,3 +659,147 @@ SELECT pred, n_added, n_removed, n_retained,
 FROM per_pred
 ORDER BY pred
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic-versioning change classifier: the compat read on top of
+# diff_graphs.  Ontology consumers break on removals and constraint
+# changes, not on additions — the classifier splits a schema diff
+# into breaking / additive / patch the way API semver reviews do
+# (public practice, e.g. the OBO/ontology-release guidelines).
+# ---------------------------------------------------------------------------
+
+_SCHEMA_TYPES = (
+    OWL.Class,
+    OWL.ObjectProperty,
+    OWL.DatatypeProperty,
+    OWL.AnnotationProperty,
+)
+
+
+def breaking_changes(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(severity, category, resource, detail) — classify the a->b
+    schema diff:
+
+    * breaking: class/property declarations REMOVED, subClassOf edges
+      removed, any rdfs:domain/range row removed or added on a
+      property that exists in BOTH versions (constraint change)
+    * additive: new class/property declarations, new subClassOf edges
+    * patch: label/comment churn
+    * info: anything else
+
+    Scale shape: two distributed ``exceptAll`` passes (the diff), a
+    broadcast membership probe against the (vocabulary-sized) set of
+    surviving subjects, and a CASE classification — no driver
+    materialization."""
+    cols = ["subj", "pred", "obj", "obj_kind"]
+    pa = a.select(cols).distinct()
+    pb = b.select(cols).distinct()
+    removed = pa.exceptAll(pb).withColumn("dirn", F.lit("removed"))
+    added = pb.exceptAll(pa).withColumn("dirn", F.lit("added"))
+    both_subj = (
+        pa.select("subj").distinct().intersect(pb.select("subj").distinct())
+    ).withColumnRenamed("subj", "bs")
+    ch = removed.unionByName(added).join(
+        F.broadcast(both_subj), F.col("subj") == F.col("bs"), "left"
+    )
+    is_decl = (F.col("pred") == RDF.type) & F.col("obj").isin(
+        list(_SCHEMA_TYPES)
+    )
+    is_cls = (F.col("pred") == RDF.type) & (F.col("obj") == OWL.Class)
+    is_sub = F.col("pred") == RDFS.subClassOf
+    is_con = F.col("pred").isin([RDFS.domain, RDFS.range])
+    is_ann = F.col("pred").isin([RDFS.label, RDFS.comment])
+    surviving = F.col("bs").isNotNull()
+    rem = F.col("dirn") == "removed"
+    category = (
+        F.when(is_decl & rem & is_cls, "class_removed")
+        .when(is_decl & rem, "property_removed")
+        .when(is_decl & is_cls, "class_added")
+        .when(is_decl, "property_added")
+        .when(is_sub & rem, "subclass_edge_removed")
+        .when(is_sub, "subclass_edge_added")
+        .when(is_con & surviving, "constraint_changed")
+        .when(is_con, "constraint_on_new_resource")
+        .when(is_ann, "annotation_churn")
+        .otherwise("other_change")
+    )
+    severity = (
+        F.when(
+            category.isin(
+                "class_removed",
+                "property_removed",
+                "subclass_edge_removed",
+                "constraint_changed",
+            ),
+            "breaking",
+        )
+        .when(
+            category.isin(
+                "class_added",
+                "property_added",
+                "subclass_edge_added",
+                "constraint_on_new_resource",
+            ),
+            "additive",
+        )
+        .when(category == "annotation_churn", "patch")
+        .otherwise("info")
+    )
+    return (
+        ch.select(
+            severity.alias("severity"),
+            category.alias("category"),
+            F.col("subj").alias("resource"),
+            F.concat(F.col("dirn"), F.lit(": "), F.col("obj")).alias("detail"),
+        )
+        .orderBy("severity", "category", "resource", "detail")
+    )
+
+
+def breaking_changes_sql(cte_a: str, cte_b: str) -> str:
+    """DuckDB twin; ``cte_a``/``cte_b`` name relations ``ta``/``tb``."""
+    types = ", ".join(f"'{t}'" for t in _SCHEMA_TYPES)
+    return f"""
+WITH {cte_a},
+{cte_b},
+pa AS (SELECT DISTINCT subj, pred, obj, obj_kind FROM ta),
+pb AS (SELECT DISTINCT subj, pred, obj, obj_kind FROM tb),
+ch AS (
+  SELECT *, 'removed' AS dirn FROM (SELECT * FROM pa EXCEPT ALL SELECT * FROM pb)
+  UNION ALL
+  SELECT *, 'added' FROM (SELECT * FROM pb EXCEPT ALL SELECT * FROM pa)),
+survivors AS (
+  SELECT subj AS bs FROM pa INTERSECT SELECT subj FROM pb),
+cat AS (
+  SELECT ch.*, s.bs,
+    CASE
+      WHEN pred = '{RDF.type}' AND obj = '{OWL.Class}' AND dirn = 'removed'
+        THEN 'class_removed'
+      WHEN pred = '{RDF.type}' AND obj IN ({types}) AND dirn = 'removed'
+        THEN 'property_removed'
+      WHEN pred = '{RDF.type}' AND obj = '{OWL.Class}' THEN 'class_added'
+      WHEN pred = '{RDF.type}' AND obj IN ({types}) THEN 'property_added'
+      WHEN pred = '{RDFS.subClassOf}' AND dirn = 'removed'
+        THEN 'subclass_edge_removed'
+      WHEN pred = '{RDFS.subClassOf}' THEN 'subclass_edge_added'
+      WHEN pred IN ('{RDFS.domain}', '{RDFS.range}') AND s.bs IS NOT NULL
+        THEN 'constraint_changed'
+      WHEN pred IN ('{RDFS.domain}', '{RDFS.range}')
+        THEN 'constraint_on_new_resource'
+      WHEN pred IN ('{RDFS.label}', '{RDFS.comment}')
+        THEN 'annotation_churn'
+      ELSE 'other_change'
+    END AS category
+  FROM ch LEFT JOIN survivors s ON ch.subj = s.bs)
+SELECT
+  CASE WHEN category IN ('class_removed', 'property_removed',
+        'subclass_edge_removed', 'constraint_changed') THEN 'breaking'
+       WHEN category IN ('class_added', 'property_added',
+        'subclass_edge_added', 'constraint_on_new_resource')
+        THEN 'additive'
+       WHEN category = 'annotation_churn' THEN 'patch'
+       ELSE 'info' END AS severity,
+  category, subj AS resource, dirn || ': ' || obj AS detail
+FROM cat
+ORDER BY severity, category, resource, detail"""

@@ -229,3 +229,35 @@ def test_triple_churn_classification(spark):
     assert abs(p["churn"] - 1.0) < 1e-12  # (1+1)/2 old triples
     q = out["q"]
     assert (q["n_added"], q["n_removed"], q["n_retained"]) == (0, 1, 0)
+
+
+def test_breaking_changes_classification(spark, diff_a, diff_b):
+    from orionbelt_ontology_builder_spark.fixtures import BASE
+    from orionbelt_ontology_builder_spark.model import (
+        OWL, RDF, RDFS, TRIPLES_SCHEMA, t_uri,
+    )
+    from orionbelt_ontology_builder_spark.operators import setops
+
+    extra_a = spark.createDataFrame([
+        t_uri(BASE + "hasOwner", RDF.type, OWL.ObjectProperty),
+        t_uri(BASE + "hasOwner", RDFS.domain, BASE + "Dog"),
+    ], TRIPLES_SCHEMA)
+    extra_b = spark.createDataFrame([
+        t_uri(BASE + "hasOwner", RDF.type, OWL.ObjectProperty),
+        t_uri(BASE + "hasOwner", RDFS.domain, BASE + "Animal"),
+        t_uri(BASE + "hasAge", RDF.type, OWL.DatatypeProperty),
+    ], TRIPLES_SCHEMA)
+    rows = setops.breaking_changes(
+        diff_a.unionByName(extra_a), diff_b.unionByName(extra_b)
+    ).collect()
+    got = {(r["category"], r["resource"]): r["severity"] for r in rows}
+    assert got[("class_removed", BASE + "Dog")] == "breaking"
+    assert got[("subclass_edge_removed", BASE + "Dog")] == "breaking"
+    assert got[("class_added", BASE + "Cat")] == "additive"
+    assert got[("subclass_edge_added", BASE + "Cat")] == "additive"
+    # hasOwner survives both versions: domain swap = 2 breaking rows
+    cc = [r for r in rows if r["category"] == "constraint_changed"]
+    assert len(cc) == 2 and all(r["severity"] == "breaking" for r in cc)
+    assert got[("property_added", BASE + "hasAge")] == "additive"
+    # label churn on Person is patch-level
+    assert got[("annotation_churn", BASE + "Person")] == "patch"
