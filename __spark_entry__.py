@@ -384,6 +384,16 @@ _CLOSURE_DELTA = [
 ]
 
 
+def _q_dictionary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding collision audit over the induced graph:
+    content-hash term ids (portable md5 60-bit slice) must be
+    collision-free before the integer fact table replaces string
+    shuffle keys — the RDF-3X-style layout lever at 100 TB."""
+    from orionbelt_ontology_builder_spark.plans import dictionary
+
+    return dictionary.encoding_audit(relational.induce_triples(spark, sf_dir))
+
+
 def _q_void_summary_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VoID entity statistics on the 100 TB path: per-class
     void:entities + dataset distinct subjects via the portable
@@ -4059,7 +4069,7 @@ def _q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "fact_ranking", "void_summary", "suggest_functional",
-    "suggest_ranges", "void_summary_hll", "mine_shapes",
+    "suggest_ranges", "void_summary_hll", "mine_shapes", "dictionary_audit",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "top_customers",
     "events_running",
@@ -4263,6 +4273,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "void_summary": _q_void_summary,
         "incremental_closure": _q_incremental_closure,
         "void_summary_hll": _q_void_summary_hll,
+        "dictionary_audit": _q_dictionary_audit,
         "flatten_skosxl": _q_flatten_skosxl,
         "language_coverage": _q_language_coverage,
         "skos_mappings": _q_skos_mappings,
@@ -5032,6 +5043,14 @@ FROM triples
         + relational.induce_triples_sql()
         + ","
         + views.void_summary_hll_sql()
+    )
+    from orionbelt_ontology_builder_spark.plans import dictionary as _dict
+
+    sql["dictionary_audit"] = (
+        "WITH "
+        + relational.induce_triples_sql()
+        + ","
+        + _dict.encoding_audit_sql()
     )
     sql["flatten_skosxl"] = (
         "WITH " + FX.fixture_cte("skosxl_om") + "," + views.flatten_skosxl_sql()

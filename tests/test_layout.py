@@ -142,3 +142,36 @@ def test_compaction_plan_ceil_division(spark):
     # below-target partition still gets (at least) one file
     assert s2["recommended_files"] == 1 and s2["rows_per_file"] == 1
     assert abs(s1["avg_doc_bytes"] - 100.0) < 1e-12
+
+
+# ------------------------------------------------------------------ #
+# dictionary encoding (plans/dictionary.py)
+# ------------------------------------------------------------------ #
+
+
+def test_dictionary_encoding_roundtrip_and_masks(spark):
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark.plans import dictionary as D
+
+    t = FX.fixture_triples(spark, "populated_om")
+    d = D.dictionary(t)
+    enc = D.encode_triples(t)
+    audit = D.encoding_audit(t).collect()[0]
+    assert audit["n_collisions"] == 0
+    assert audit["n_terms"] == d.count()
+    assert audit["n_triples"] == t.count()
+    # decode law: joining encoded subjects back through the dictionary
+    # reproduces the original subject multiset
+    dec = (
+        enc.join(d.select(F.col("id").alias("s_id"),
+                          F.col("term").alias("subj2")), "s_id")
+    )
+    assert dec.count() == t.count()
+    orig = sorted(r["subj"] for r in t.select("subj").collect())
+    back = sorted(r["subj2"] for r in dec.select("subj2").collect())
+    assert orig == back
+    # role masks: a term used as subj and obj carries 1|4
+    masks = {r["term"]: r["role_mask"] for r in d.collect()}
+    person = FX.BASE + "Person"
+    assert masks[person] & 4  # object of rdf:type / subClassOf rows
+    assert any(m & 2 for m in masks.values())  # predicates present
