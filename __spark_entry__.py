@@ -394,6 +394,18 @@ def _q_dictionary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dictionary.encoding_audit(relational.induce_triples(spark, sf_dir))
 
 
+def _q_encoded_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The instance->class->superclass two-hop executed on the
+    INTEGER fact table (8-byte join keys, decode only at the edges);
+    the oracle computes the same relation on strings — parity proves
+    encoded execution."""
+    from orionbelt_ontology_builder_spark.plans import dictionary
+
+    return dictionary.encoded_two_hop(
+        relational.induce_triples(spark, sf_dir)
+    )
+
+
 def _q_void_summary_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VoID entity statistics on the 100 TB path: per-class
     void:entities + dataset distinct subjects via the portable
@@ -4070,6 +4082,7 @@ _SF_SCALE = {
     "induced_hierarchy", "induced_stats", "induced_individuals_per_class",
     "induced_search", "fact_ranking", "void_summary", "suggest_functional",
     "suggest_ranges", "void_summary_hll", "mine_shapes", "dictionary_audit",
+    "encoded_two_hop",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "top_customers",
     "events_running",
@@ -4274,6 +4287,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_closure": _q_incremental_closure,
         "void_summary_hll": _q_void_summary_hll,
         "dictionary_audit": _q_dictionary_audit,
+        "encoded_two_hop": _q_encoded_two_hop,
         "flatten_skosxl": _q_flatten_skosxl,
         "language_coverage": _q_language_coverage,
         "skos_mappings": _q_skos_mappings,
@@ -5051,6 +5065,9 @@ FROM triples
         + relational.induce_triples_sql()
         + ","
         + _dict.encoding_audit_sql()
+    )
+    sql["encoded_two_hop"] = (
+        "WITH " + relational.induce_triples_sql() + _dict.encoded_two_hop_sql()
     )
     sql["flatten_skosxl"] = (
         "WITH " + FX.fixture_cte("skosxl_om") + "," + views.flatten_skosxl_sql()

@@ -326,6 +326,14 @@ def main() -> None:
         "dedupe_entities",
         "provenance_roundtrip",
         "void_summary_hll",
+        "dictionary_audit",
+        "encoded_two_hop",
+        "breaking_changes",
+        "stream_nt_ingest",
+        "copula_instances",
+        "coordination_siblings",
+        "skos_mappings",
+        "mined_axioms",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

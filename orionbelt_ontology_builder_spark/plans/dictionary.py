@@ -112,3 +112,56 @@ SELECT count(*)::BIGINT AS n_terms,
   (count(*) - count(DISTINCT id))::BIGINT AS n_collisions,
   (SELECT count(*)::BIGINT FROM {triples_src}) AS n_triples
 FROM ids"""
+
+
+def encoded_two_hop(triples: DataFrame) -> DataFrame:
+    """(individual, cls, parent) — the instance->class->superclass
+    two-hop JOIN EXECUTED ON INTEGER IDS: triples are dictionary-
+    encoded (pure projection), both hops join on 8-byte ids, and only
+    the final result columns decode back through the (vocabulary-
+    sized, broadcast) dictionary.  The execution-pattern proof for the
+    encoding: the oracle runs the same query on strings, so parity
+    shows the integer path computes the identical relation while its
+    shuffles move fixed-width keys.
+
+    Constants (rdf:type, rdfs:subClassOf) enter as ``term_id(lit(..))``
+    — Catalyst constant-folds the md5, so the scan filter compares
+    against a literal long."""
+    from ..model import RDF, RDFS
+
+    enc = encode_triples(triples)
+    d = dictionary(triples).select("id", "term")
+    typ = enc.filter(F.col("p_id") == term_id(F.lit(RDF.type))).select(
+        F.col("s_id").alias("i_id"), F.col("o_id").alias("c_id")
+    )
+    sub = enc.filter(
+        F.col("p_id") == term_id(F.lit(RDFS.subClassOf))
+    ).select(F.col("s_id").alias("c_id"), F.col("o_id").alias("p2_id"))
+    hop = typ.join(sub, "c_id")
+
+    def dec(df, id_col, out):
+        return df.join(
+            F.broadcast(d.select(F.col("id").alias(id_col),
+                                 F.col("term").alias(out))),
+            id_col,
+        )
+
+    out = dec(dec(dec(hop, "i_id", "individual"), "c_id", "cls"),
+              "p2_id", "parent")
+    return out.select("individual", "cls", "parent").orderBy(
+        "individual", "cls", "parent"
+    )
+
+
+def encoded_two_hop_sql(triples_src: str = "triples") -> str:
+    """DuckDB twin — the SAME relation computed directly on strings
+    (parity proves the encoded path's correctness)."""
+    from ..model import RDF, RDFS
+
+    return f"""
+SELECT t1.subj AS individual, t1.obj AS cls, t2.obj AS parent
+FROM {triples_src} t1
+JOIN {triples_src} t2
+  ON t1.obj = t2.subj AND t2.pred = '{RDFS.subClassOf}'
+WHERE t1.pred = '{RDF.type}'
+ORDER BY individual, cls, parent"""
