@@ -21,10 +21,12 @@ from orionbelt_ontology_builder_spark import model as M
 from orionbelt_ontology_builder_spark.datapipe import (
     curation,
     dedup,
+    geo,
     multimodal,
     similarity,
     textstats,
     tokenizer,
+    unigram,
     urls,
 )
 from orionbelt_ontology_builder_spark.operators import (
@@ -32,6 +34,7 @@ from orionbelt_ontology_builder_spark.operators import (
     fusion,
     graphstats,
     lists,
+    measures,
     mutations,
     profiling,
     setops,
@@ -4215,6 +4218,34 @@ def _q_upper_ontology_stats(spark, sf_dir):
     )
 
 
+def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-family tokenizer vocab pruning (integer-exact Viterbi
+    over a bounded composition table) — the top-down counterpart to
+    ``bpe_merge_pairs``."""
+    return unigram.unigram_vocab(_docs(spark, sf_dir))
+
+
+def _q_geo_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell-blocked planar proximity join over md5-synthesized
+    customer coordinates; the all-pairs oracle doubles as the blocking
+    recall proof."""
+    return geo.grid_proximity_pairs(
+        geo.synth_points(_tbl(spark, sf_dir, "customer"))
+    )
+
+
+def _q_quantity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measurement mentions normalized to SI-base typed literals via a
+    broadcast unit dimension (fixture sentences, VALUES-CTE twin)."""
+    return measures.quantity_mentions(measures.quantity_sentences_df(spark))
+
+
+def _q_temporal_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-interval validity scopes mined from text (fixture
+    sentences) — the valid-time feed for kg_triple_history."""
+    return measures.temporal_scopes(measures.temporal_sentences_df(spark))
+
+
 #: queries that already earned a green driver CORRECTNESS row in r1.
 #: The r1 driver recorded exactly the first 48 registry entries (a run
 #: budget), so r2 orders the registry with the still-unproven queries
@@ -4254,6 +4285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "unigram_vocab": _q_unigram_vocab,
+        "geo_proximity_pairs": _q_geo_proximity,
+        "quantity_mentions": _q_quantity_mentions,
+        "temporal_scopes": _q_temporal_scopes,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4605,6 +4640,15 @@ def oracle_sql() -> dict[str, str]:
     structural_list = ", ".join("'" + p + "'" for p in sorted(M.STRUCTURAL_PREDICATES))
 
     sql: dict[str, str] = {}
+
+    sql["unigram_vocab"] = unigram.unigram_vocab_oracle()
+    sql["geo_proximity_pairs"] = geo.grid_proximity_pairs_oracle()
+    sql["quantity_mentions"] = measures.quantity_mentions_sql(
+        measures.quantity_sentences_values()
+    )
+    sql["temporal_scopes"] = measures.temporal_scopes_sql(
+        measures.temporal_sentences_values()
+    )
 
     sql["stats_populated"] = f"""
 WITH {pop}

@@ -334,6 +334,9 @@ def main() -> None:
         "coordination_siblings",
         "skos_mappings",
         "mined_axioms",
+        # session-16 ops: unigram tokenizer, geo blocking
+        "unigram_vocab",
+        "geo_proximity_pairs",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
