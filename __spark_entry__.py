@@ -4246,6 +4246,41 @@ def _q_temporal_scopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return measures.temporal_scopes(measures.temporal_sentences_df(spark))
 
 
+def _q_open_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open relation-phrase mining (TextRunner/ReVerb family): the
+    token span between two gazetteer mentions becomes the candidate
+    predicate surface — the open-IE complement of the closed pattern
+    extractor."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.open_relations(taxonomy.rel_sentences_df(spark))
+
+
+def _q_pg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-graph (LPG) node projection of the induced graph:
+    rdf:type -> sorted label csv, literal triples -> sorted key=value
+    props — the Neo4j/openCypher-style export surface."""
+    from orionbelt_ontology_builder_spark.operators import pgraph
+
+    return pgraph.pg_nodes(relational.induce_triples(spark, sf_dir))
+
+
+def _q_pg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-graph edge projection (object triples minus rdf:type,
+    predicate local-named)."""
+    from orionbelt_ontology_builder_spark.operators import pgraph
+
+    return pgraph.pg_edges(relational.induce_triples(spark, sf_dir))
+
+
+def _q_amie_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style chain-rule mining p(x,y) ∧ q(y,z) ⇒ r(x,z) with
+    support + PCA confidence over a planted-rule fixture."""
+    from orionbelt_ontology_builder_spark.operators import rulemine
+
+    return rulemine.amie_chain_rules(rulemine.rule_fixture_df(spark))
+
+
 #: queries that already earned a green driver CORRECTNESS row in r1.
 #: The r1 driver recorded exactly the first 48 registry entries (a run
 #: budget), so r2 orders the registry with the still-unproven queries
@@ -4289,6 +4324,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_proximity_pairs": _q_geo_proximity,
         "quantity_mentions": _q_quantity_mentions,
         "temporal_scopes": _q_temporal_scopes,
+        "open_relations": _q_open_relations,
+        "pg_export_nodes": _q_pg_nodes,
+        "pg_export_edges": _q_pg_edges,
+        "amie_rules": _q_amie_rules,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4648,6 +4687,29 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["temporal_scopes"] = measures.temporal_scopes_sql(
         measures.temporal_sentences_values()
+    )
+
+    from orionbelt_ontology_builder_spark.operators import (
+        pgraph,
+        rulemine,
+        taxonomy as _tax,
+    )
+
+    sql["open_relations"] = _tax.open_relations_sql(
+        _tax.rel_sentences_values(),
+        _tax.gazetteer_mentions_sql(_tax.rel_sentences_values()),
+    )
+    sql["pg_export_nodes"] = (
+        "WITH " + relational.induce_triples_sql() + ",\n" + pgraph.pg_nodes_sql()
+    )
+    sql["pg_export_edges"] = (
+        "WITH " + relational.induce_triples_sql() + "\n" + pgraph.pg_edges_sql()
+    )
+    sql["amie_rules"] = (
+        "WITH "
+        + rulemine.rule_fixture_cte()
+        + ",\n"
+        + rulemine.amie_chain_rules_sql()
     )
 
     sql["stats_populated"] = f"""

@@ -334,9 +334,14 @@ def main() -> None:
         "coordination_siblings",
         "skos_mappings",
         "mined_axioms",
-        # session-16 ops: unigram tokenizer, geo blocking
+        # session-16 ops: unigram tokenizer, geo blocking, LPG export,
+        # rule mining, open IE
         "unigram_vocab",
         "geo_proximity_pairs",
+        "pg_export_nodes",
+        "pg_export_edges",
+        "amie_rules",
+        "open_relations",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

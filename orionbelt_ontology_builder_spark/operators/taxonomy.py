@@ -525,6 +525,154 @@ ORDER BY entity_a, entity_b"""
 
 
 # ---------------------------------------------------------------------------
+# Open relation-phrase mining (the TextRunner/ReVerb family, public
+# literature, simplified to surface patterns): the token span BETWEEN
+# two gazetteer mentions becomes the candidate relation phrase — the
+# open-IE complement of the pipeline's closed predicate patterns, and
+# the raw material for a predicate-clustering pass.
+# ---------------------------------------------------------------------------
+
+#: phrases that open with a coordination/article token are noise
+#: ("san francisco AND new york"), not relations — first-token gate.
+_REL_STOP_FIRST = ("and", "or", "the", "a", "an")
+
+REL_SENTENCES: list[str] = [
+    "new york hosted the summit with berlin",
+    "berlin signed a treaty with paris",
+    "berlin signed a treaty with paris again last winter",
+    "paris welcomed delegates from san francisco",
+    "the new york times praised berlin",
+    "san francisco and new york share the same fog",
+    "new york met paris near berlin quickly",
+    "no entities in this sentence at all",
+]
+
+
+def rel_sentences_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(REL_SENTENCES)],
+        "doc_id int, text string",
+    )
+
+
+def rel_sentences_values() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(REL_SENTENCES)
+    )
+    return f"s(doc_id, text) AS (VALUES\n    {rows})"
+
+
+def open_relations(
+    sents: DataFrame,
+    gazetteer: list[tuple[str, str]] | None = None,
+    max_gap: int = 4,
+) -> DataFrame:
+    """(subj, rel_phrase, obj, support) — open-IE relation candidates:
+    for each ordered pair of same-document gazetteer mentions with
+    1..``max_gap`` tokens between them and NO third mention intruding
+    in the gap (leftmost-longest resolution makes mention spans
+    disjoint, so intrusion is a plain position-range test), the gap
+    tokens are the relation phrase; phrases opening with a
+    coordination/article token are dropped; support counts distinct
+    documents.
+
+    Scale shape: mentions are sparse (density-bounded per doc), so the
+    pair join, the intrusion anti-join, and the token-slice join are
+    all per-doc-keyed equi-joins on the mention table — never a
+    corpus-sized fan-out; the slice reads the doc's token array once
+    from the sentence scan."""
+    from ..datapipe.textstats import norm_col, tokens_col
+
+    m = gazetteer_mentions(sents, gazetteer)
+    toks = sents.withColumn("norm", norm_col()).select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    a = m.select(
+        "doc_id",
+        F.col("pos").alias("a_pos"),
+        (F.col("pos") + F.col("n_tokens")).alias("a_end"),
+        F.col("entity").alias("subj"),
+    )
+    b = m.select(
+        "doc_id", F.col("pos").alias("b_pos"), F.col("entity").alias("obj")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .withColumn("gap", F.col("b_pos") - F.col("a_end"))
+        .filter(
+            (F.col("gap") >= 1)
+            & (F.col("gap") <= max_gap)
+            & (F.col("subj") != F.col("obj"))
+        )
+    )
+    intruder = m.select("doc_id", F.col("pos").alias("c_pos"))
+    clean = pairs.join(
+        intruder,
+        (pairs.doc_id == intruder.doc_id)
+        & (intruder.c_pos >= pairs.a_end)
+        & (intruder.c_pos < pairs.b_pos),
+        "left_anti",
+    )
+    phrased = (
+        clean.join(toks, "doc_id")
+        .select(
+            "doc_id", "subj", "obj",
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("a_end") + 1, F.col("gap"))
+            ).alias("rel_phrase"),
+        )
+        .filter(
+            ~F.split(F.col("rel_phrase"), " ")
+            .getItem(0)
+            .isin(*_REL_STOP_FIRST)
+        )
+    )
+    return (
+        phrased.groupBy("subj", "rel_phrase", "obj")
+        .agg(F.count_distinct("doc_id").alias("support"))
+        .orderBy("subj", "rel_phrase", "obj")
+    )
+
+
+def open_relations_sql(
+    sents_cte: str, mentions_sql: str, max_gap: int = 4
+) -> str:
+    """DuckDB twin; ``sents_cte`` defines ``s(doc_id, text)`` (the
+    sentence CTE is needed again for the token-array slice — the inner
+    WITH of ``mentions_sql`` shadows it harmlessly)."""
+    from ..datapipe.textstats import norm_sql, tokens_sql
+
+    stop = ", ".join(f"'{w}'" for w in _REL_STOP_FIRST)
+    return f"""
+WITH {sents_cte},
+m AS ({mentions_sql}),
+tk AS (SELECT doc_id, {tokens_sql(norm_sql())} AS toks FROM s),
+pairs AS (
+  SELECT a.doc_id, a.entity AS subj, b.entity AS obj,
+         a.pos + a.n_tokens AS a_end,
+         b.pos AS b_pos, b.pos - (a.pos + a.n_tokens) AS gap
+  FROM m a JOIN m b ON a.doc_id = b.doc_id
+  WHERE b.pos - (a.pos + a.n_tokens) BETWEEN 1 AND {max_gap}
+    AND a.entity <> b.entity),
+clean AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM m c
+    WHERE c.doc_id = p.doc_id AND c.pos >= p.a_end AND c.pos < p.b_pos)),
+phrased AS (
+  SELECT c.doc_id, c.subj, c.obj,
+         array_to_string(
+           list_slice(t.toks, c.a_end + 1, c.a_end + c.gap), ' ')
+           AS rel_phrase
+  FROM clean c JOIN tk t ON c.doc_id = t.doc_id)
+SELECT subj, rel_phrase, obj, count(DISTINCT doc_id)::BIGINT AS support
+FROM phrased
+WHERE list_extract(string_split(rel_phrase, ' '), 1) NOT IN ({stop})
+GROUP BY 1, 2, 3
+ORDER BY subj, rel_phrase, obj"""
+
+
+# ---------------------------------------------------------------------------
 # Mention disambiguation: when one surface form maps to several KG
 # entities ("paris" -> Paris-France | Paris-Texas), vote per candidate
 # with the KG relatedness of the document's UNAMBIGUOUS mentions

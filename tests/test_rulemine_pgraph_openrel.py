@@ -1,0 +1,108 @@
+"""Unit tests for session-16 KG ops: AMIE chain-rule mining,
+property-graph export projection, open relation-phrase mining.
+(Differential Spark-vs-DuckDB checks ride test_oracle_parity.py.)
+"""
+
+from __future__ import annotations
+
+from orionbelt_ontology_builder_spark import fixtures as FX
+from orionbelt_ontology_builder_spark.operators import (
+    pgraph,
+    rulemine,
+    taxonomy,
+)
+
+
+# --------------------------------------------------------------------- #
+# rule mining
+# --------------------------------------------------------------------- #
+
+
+def test_amie_planted_rule_scores(spark):
+    out = {
+        (r.body_p, r.body_q, r.head_r): (r.support, r.n_pca, r.pca_conf)
+        for r in rulemine.amie_chain_rules(
+            rulemine.rule_fixture_df(spark)
+        ).collect()
+    }
+    kg = "http://kg.example.org/"
+    planted = (kg + "worksFor", kg + "basedIn", kg + "livesIn")
+    # eve is a PCA counter-instance (has a livesIn fact elsewhere);
+    # frank has no livesIn fact -> excluded from the denominator.
+    assert out[planted] == (3, 4, 0.75)
+    # derived geography rule is exact on the confirming trio
+    geo_rule = (kg + "livesIn", kg + "cityIn", kg + "citizenOf")
+    assert out[geo_rule] == (3, 3, 1.0)
+
+
+def test_amie_thresholds_prune(spark):
+    out = rulemine.amie_chain_rules(
+        rulemine.rule_fixture_df(spark), min_conf=0.9
+    ).collect()
+    assert all(r.pca_conf >= 0.9 for r in out)
+    assert len(out) == 1
+
+
+def test_amie_head_not_in_body(spark):
+    for r in rulemine.amie_chain_rules(
+        rulemine.rule_fixture_df(spark), min_support=1, min_conf=0.0
+    ).collect():
+        assert r.head_r not in (r.body_p, r.body_q)
+
+
+# --------------------------------------------------------------------- #
+# property-graph export
+# --------------------------------------------------------------------- #
+
+
+def test_pg_nodes_labels_and_props(spark):
+    t = FX.fixture_triples(spark, "populated_om")
+    rows = {r.node: r for r in pgraph.pg_nodes(t).collect()}
+    alice = rows["http://test.org/ont#alice"]
+    # labels sorted csv; type triples became labels, not edges
+    assert alice.labels_csv == "Employee,NamedIndividual"
+    assert alice.props_csv == "label=Alice"
+    # literal-only node keeps empty labels
+    assert rows["http://test.org/ont#hasName"].labels_csv == "DatatypeProperty"
+    # object-side resources appear as nodes even when never subjects
+    assert "http://www.w3.org/2001/XMLSchema#string" in rows
+
+
+def test_pg_edges_exclude_types(spark):
+    t = FX.fixture_triples(spark, "populated_om")
+    edges = [(r.src, r.rel, r.dst) for r in pgraph.pg_edges(t).collect()]
+    rels = {r for _, r, _ in edges}
+    assert "type" not in rels
+    assert (
+        "http://test.org/ont#Employee",
+        "subClassOf",
+        "http://test.org/ont#Person",
+    ) in edges
+
+
+# --------------------------------------------------------------------- #
+# open relation mining
+# --------------------------------------------------------------------- #
+
+
+def test_open_relations_support_and_filters(spark):
+    out = {
+        (r.subj, r.rel_phrase, r.obj): r.support
+        for r in taxonomy.open_relations(
+            taxonomy.rel_sentences_df(spark)
+        ).collect()
+    }
+    kg = "http://kg.example.org/"
+    # repeated sentence pair -> support 2
+    assert out[(kg + "Berlin", "signed a treaty with", kg + "Paris")] == 2
+    # coordination phrase filtered ("san francisco AND new york")
+    assert not any(p == "and" for _, p, _ in out)
+    # third-mention intrusion excluded: no NYC->Berlin rule through
+    # the sentence "new york met paris near berlin quickly"
+    assert not any(
+        s == kg + "NewYorkCity" and o == kg + "Berlin" and "paris" in p
+        for s, p, o in out
+    )
+    # leftmost-longest: "the new york times praised berlin" binds the
+    # 3-gram NYTimes, not the inner city
+    assert (kg + "NYTimes", "praised", kg + "Berlin") in out
