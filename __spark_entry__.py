@@ -4281,6 +4281,24 @@ def _q_amie_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulemine.amie_chain_rules(rulemine.rule_fixture_df(spark))
 
 
+def _q_rule_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction from mined rules: head facts the rule bodies
+    derive that the KG lacks, carrying rule + confidence — the
+    mine->apply loop closed (like axioms_from_mining for axioms)."""
+    from orionbelt_ontology_builder_spark.operators import rulemine
+
+    return rulemine.rule_predictions(rulemine.rule_fixture_df(spark))
+
+
+def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-independent set digest of the induced graph
+    (XOR of 60-bit md5 row hashes) — the distributed integrity check
+    for snapshot/checkpoint/replica equality."""
+    from orionbelt_ontology_builder_spark.operators import setops
+
+    return setops.graph_digest(relational.induce_triples(spark, sf_dir))
+
+
 #: queries that already earned a green driver CORRECTNESS row in r1.
 #: The r1 driver recorded exactly the first 48 registry entries (a run
 #: budget), so r2 orders the registry with the still-unproven queries
@@ -4328,6 +4346,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pg_export_nodes": _q_pg_nodes,
         "pg_export_edges": _q_pg_edges,
         "amie_rules": _q_amie_rules,
+        "rule_predictions": _q_rule_predictions,
+        "graph_digest": _q_graph_digest,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4710,6 +4730,25 @@ def oracle_sql() -> dict[str, str]:
         + rulemine.rule_fixture_cte()
         + ",\n"
         + rulemine.amie_chain_rules_sql()
+    )
+    sql["rule_predictions"] = (
+        "WITH "
+        + rulemine.rule_fixture_cte()
+        + ",\n"
+        + rulemine.rule_predictions_sql()
+    )
+    # the induced SQL twin carries only the 4 core columns; pad the
+    # NULL lang/dt slots the Spark side always has before digesting
+    sql["graph_digest"] = (
+        "WITH "
+        + relational.induce_triples_sql()
+        + f""",
+t6 AS (SELECT subj, pred, obj, obj_kind,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       CASE WHEN pred = '{relational.BASE}acctbal'
+            THEN '{M.XSD.double}' END AS obj_dt
+       FROM triples),"""
+        + setops.graph_digest_sql("t6")
     )
 
     sql["stats_populated"] = f"""

@@ -342,6 +342,8 @@ def main() -> None:
         "pg_export_edges",
         "amie_rules",
         "open_relations",
+        "rule_predictions",
+        "graph_digest",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -172,6 +172,90 @@ def amie_chain_rules(
     )
 
 
+def rule_predictions(
+    triples: DataFrame, min_support: int = 2, min_conf: float = 0.5
+) -> DataFrame:
+    """(subj, pred, obj, body_p, body_q, pca_conf) — the link-
+    prediction output of the mined rules: head facts the rule bodies
+    derive that the KG does NOT yet assert, carrying the deriving rule
+    and its confidence.  Closes the mine->apply loop the same way
+    ``axioms_from_mining`` closes induce->assert: predictions are
+    triples-shaped and ready for curation review or a confidence-gated
+    merge.
+
+    Plan: re-derive bindings once (same one-shuffle self-join as the
+    miner), broadcast the (tiny) accepted-rule table onto them, and
+    anti-join the existing facts away — prediction volume is bounded
+    by bindings x accepted rules, never corpus x rules."""
+    rules = amie_chain_rules(triples, min_support, min_conf).select(
+        F.col("body_p").alias("p"),
+        F.col("body_q").alias("q"),
+        F.col("head_r").alias("r"),
+        "pca_conf",
+    )
+    edges = (
+        triples.filter(
+            F.col("obj_kind").isin("uri", "bnode")
+            & (F.col("pred") != RDF.type)
+        )
+        .select("subj", "pred", "obj")
+        .distinct()
+        .persist()
+    )
+    a = edges.select(
+        F.col("subj").alias("x"), F.col("pred").alias("p"), F.col("obj").alias("y")
+    )
+    b = edges.select(
+        F.col("subj").alias("y"), F.col("pred").alias("q"), F.col("obj").alias("z")
+    )
+    bindings = (
+        a.join(b, "y")
+        .filter(F.col("x") != F.col("z"))
+        .select("p", "q", "x", "z")
+        .distinct()
+    )
+    derived = bindings.join(F.broadcast(rules), ["p", "q"])
+    existing = edges.select(
+        F.col("subj").alias("x"), F.col("pred").alias("r"), F.col("obj").alias("z")
+    )
+    return (
+        derived.join(existing, ["x", "r", "z"], "left_anti")
+        .select(
+            F.col("x").alias("subj"),
+            F.col("r").alias("pred"),
+            F.col("z").alias("obj"),
+            F.col("p").alias("body_p"),
+            F.col("q").alias("body_q"),
+            "pca_conf",
+        )
+        .orderBy("subj", "pred", "obj", "body_p")
+    )
+
+
+def rule_predictions_sql(
+    triples_cte: str = "triples",
+    min_support: int = 2,
+    min_conf: float = 0.5,
+) -> str:
+    """DuckDB twin: the miner's CTE chain plus the broadcast-apply and
+    the existing-fact anti-join."""
+    mine = amie_chain_rules_sql(triples_cte, min_support, min_conf)
+    # reuse the miner's CTE chain; its final SELECT becomes a CTE here
+    return f"""{mine.split('SELECT sup.p')[0].rstrip()},
+rules AS MATERIALIZED (
+  SELECT sup.p, sup.q, sup.r, support::DOUBLE / n_pca AS pca_conf
+  FROM sup JOIN pca ON sup.p = pca.p AND sup.q = pca.q AND sup.r = pca.r
+  WHERE support >= {min_support}
+    AND support::DOUBLE / n_pca >= {min_conf!r})
+SELECT bi.x AS subj, ru.r AS pred, bi.z AS obj,
+       bi.p AS body_p, bi.q AS body_q, ru.pca_conf
+FROM bindings bi JOIN rules ru ON bi.p = ru.p AND bi.q = ru.q
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges e
+  WHERE e.subj = bi.x AND e.pred = ru.r AND e.obj = bi.z)
+ORDER BY subj, pred, obj, body_p"""
+
+
 def amie_chain_rules_sql(
     triples_cte: str = "triples",
     min_support: int = 2,

@@ -803,3 +803,54 @@ SELECT
   category, subj AS resource, dirn || ': ' || obj AS detail
 FROM cat
 ORDER BY severity, category, resource, detail"""
+
+
+# ---------------------------------------------------------------------------
+# Order-independent graph digest — distributed integrity checking
+# ---------------------------------------------------------------------------
+
+
+def graph_digest(triples: DataFrame) -> DataFrame:
+    """One row ``(n_triples, digest)``: a set digest of the graph —
+    XOR of a 60-bit md5 hash of every distinct triple's canonical row
+    string.  XOR is commutative/associative, so the digest is
+    independent of partitioning, row order, and parallelism: each
+    partition folds locally and the partials combine map-side — the
+    Merkle-style cheap equality check for snapshot/restore, checkpoint
+    resume, replica comparison, and stream-vs-batch law tests (two
+    graphs with equal ``(n_triples, digest)`` match with collision
+    probability ~n^2/2^60).
+
+    The hash is the portable md5-hex idiom (identical in DuckDB), the
+    separator is a control char (chr 1) no term contains, and NULL
+    lang/dt slots fold to '' — same canonicalization both engines."""
+    sep = "\x01"
+    row = F.concat_ws(
+        sep,
+        F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_kind"),
+        F.coalesce(F.col("obj_lang"), F.lit("")),
+        F.coalesce(F.col("obj_dt"), F.lit("")),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (
+        triples.select("subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt")
+        .distinct()
+        .select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.expr("bit_xor(h)").alias("digest"),
+        )
+    )
+
+
+def graph_digest_sql(triples_cte: str = "triples") -> str:
+    """DuckDB twin (identical row canonicalization and 60-bit hash)."""
+    row = (
+        "subj || chr(1) || pred || chr(1) || obj || chr(1) || obj_kind"
+        " || chr(1) || coalesce(obj_lang, '') || chr(1) || coalesce(obj_dt, '')"
+    )
+    return f"""
+d AS (SELECT DISTINCT subj, pred, obj, obj_kind, obj_lang, obj_dt
+      FROM {triples_cte}),
+h AS (SELECT ('0x' || substr(md5({row}), 1, 15))::BIGINT AS h FROM d)
+SELECT count(*)::BIGINT AS n_triples, bit_xor(h)::BIGINT AS digest FROM h"""

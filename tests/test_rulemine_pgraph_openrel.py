@@ -5,6 +5,8 @@ property-graph export projection, open relation-phrase mining.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from orionbelt_ontology_builder_spark import fixtures as FX
 from orionbelt_ontology_builder_spark.operators import (
     pgraph,
@@ -106,3 +108,58 @@ def test_open_relations_support_and_filters(spark):
     # leftmost-longest: "the new york times praised berlin" binds the
     # 3-gram NYTimes, not the inner city
     assert (kg + "NYTimes", "praised", kg + "Berlin") in out
+
+
+# --------------------------------------------------------------------- #
+# rule application (link prediction)
+# --------------------------------------------------------------------- #
+
+
+def test_rule_predictions_fill_gaps_only(spark):
+    preds = rulemine.rule_predictions(rulemine.rule_fixture_df(spark))
+    rows = [(r.subj, r.pred, r.obj, r.pca_conf) for r in preds.collect()]
+    kg = "http://kg.example.org/"
+    # frank has no livesIn fact: the planted rule predicts paris
+    assert (kg + "frank", kg + "livesIn", kg + "paris", 0.75) in rows
+    # no prediction duplicates an existing fact
+    existing = {
+        (t[0], t[1], t[2]) for t in rulemine.RULE_FIXTURE
+    }
+    assert all((s, p, o) not in existing for s, p, o, _ in rows)
+
+
+# --------------------------------------------------------------------- #
+# graph digest
+# --------------------------------------------------------------------- #
+
+
+def test_graph_digest_invariances(spark):
+    from orionbelt_ontology_builder_spark.operators import setops
+
+    t = FX.fixture_triples(spark, "populated_om")
+    base = tuple(setops.graph_digest(t).collect()[0])
+    # partitioning / order invariance
+    assert tuple(setops.graph_digest(t.repartition(13)).collect()[0]) == base
+    assert (
+        tuple(
+            setops.graph_digest(t.orderBy(F.desc("obj"))).collect()[0]
+        )
+        == base
+    )
+    # duplicate rows do not change the SET digest
+    assert (
+        tuple(setops.graph_digest(t.unionByName(t.limit(5))).collect()[0])
+        == base
+    )
+    # any single-triple change moves the digest
+    changed = tuple(
+        setops.graph_digest(
+            t.withColumn(
+                "obj",
+                F.when(F.col("obj") == "Alice", "Alicia").otherwise(
+                    F.col("obj")
+                ),
+            )
+        ).collect()[0]
+    )
+    assert changed[0] == base[0] and changed[1] != base[1]
