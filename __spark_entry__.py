@@ -4290,6 +4290,36 @@ def _q_rule_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulemine.rule_predictions(rulemine.rule_fixture_df(spark))
 
 
+def _q_canonicalize_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XSD canonical lexical forms for integer/decimal/boolean
+    literals ("+007" -> "7", "1.50" -> "1.5") with rewrite-created
+    duplicates collapsed — value-correct set algebra at ingest."""
+    return mutations.canonicalize_literals(
+        mutations.messy_literals_df(spark)
+    ).orderBy("subj", "pred", "obj")
+
+
+def _q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-cut + balance per layout strategy (subject-hash vs
+    hot-salted) over the reversed entity edges — the measured
+    justification for materialize.py's bucketing/salting choices."""
+    from orionbelt_ontology_builder_spark.plans import bucketing
+
+    rev = (
+        relational.induce_entity_edges(spark, sf_dir, include_orders=False)
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bucketing.partition_quality(rev, k=8, hot_degree=10)
+
+
+def _q_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two integer-exact query rankings
+    (coordination level vs total term frequency)."""
+    return textstats.rrf_retrieval(
+        _docs(spark, sf_dir), ["table", "scan", "window"]
+    )
+
+
 def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order/partitioning-independent set digest of the induced graph
     (XOR of 60-bit md5 row hashes) — the distributed integrity check
@@ -4348,6 +4378,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amie_rules": _q_amie_rules,
         "rule_predictions": _q_rule_predictions,
         "graph_digest": _q_graph_digest,
+        "canonicalize_literals": _q_canonicalize_literals,
+        "partition_quality": _q_partition_quality,
+        "rrf_retrieval": _q_rrf_retrieval,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4737,6 +4770,28 @@ def oracle_sql() -> dict[str, str]:
         + ",\n"
         + rulemine.rule_predictions_sql()
     )
+    sql["canonicalize_literals"] = (
+        "WITH "
+        + mutations.messy_literals_cte()
+        + mutations.canonicalize_literals_sql()
+        + "\nORDER BY subj, pred, obj"
+    )
+
+    from orionbelt_ontology_builder_spark.plans import bucketing as _bk
+
+    sql["partition_quality"] = (
+        "WITH "
+        + relational.ENTITY_EDGES_SQL.strip().rstrip()
+        + """,
+rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
+"""
+        + _bk.partition_quality_sql("rev", k=8, hot_degree=10)
+    )
+
+    sql["rrf_retrieval"] = textstats.rrf_retrieval_oracle(
+        ["table", "scan", "window"]
+    )
+
     # the induced SQL twin carries only the 4 core columns; pad the
     # NULL lang/dt slots the Spark side always has before digesting
     sql["graph_digest"] = (

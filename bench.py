@@ -344,6 +344,9 @@ def main() -> None:
         "open_relations",
         "rule_predictions",
         "graph_digest",
+        "canonicalize_literals",
+        "partition_quality",
+        "rrf_retrieval",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

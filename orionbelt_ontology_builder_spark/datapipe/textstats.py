@@ -2161,3 +2161,77 @@ SELECT node AS term, rank AS score FROM ({pr.strip()})
 ORDER BY score DESC, term
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------------ #
+# Reciprocal-rank fusion
+# ------------------------------------------------------------------ #
+
+
+def rrf_retrieval(
+    docs: DataFrame, query_terms: list[str], kconst: int = 60, top: int = 20
+) -> DataFrame:
+    """(doc_id, rank_overlap, rank_tf, rrf_score) — two exact query
+    rankings fused by Reciprocal Rank Fusion (Cormack et al. 2009,
+    public literature): ``rrf = 1/(k+rank_a) + 1/(k+rank_b)``.
+
+    The two base rankings are deliberately INTEGER-exact so ranks are
+    bit-stable across engines (the BM25 float sum is not, see
+    ``bm25_search``): (a) coordination level — distinct query terms
+    hit; (b) total query-term frequency.  They order genuinely
+    differently (a short doc hitting all terms once beats a long doc
+    repeating one term under (a), loses under (b)) — exactly the
+    disagreement RRF exists to reconcile.  The rrf division itself is
+    row-wise IEEE arithmetic on small integers — portable.
+
+    Plan: one postings filter + keyed agg, two vocabulary-sized window
+    ranks over the (small) hit set, top-k via TakeOrdered."""
+    from pyspark.sql import Window
+
+    hits = (
+        _exploded_terms(docs)
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("term").alias("n_hit"),
+            F.count(F.lit(1)).alias("tf_sum"),
+        )
+    )
+    w_a = Window.orderBy(F.desc("n_hit"), "doc_id")
+    w_b = Window.orderBy(F.desc("tf_sum"), "doc_id")
+    ranked = hits.withColumn("rank_overlap", F.row_number().over(w_a)).withColumn(
+        "rank_tf", F.row_number().over(w_b)
+    )
+    rrf = 1.0 / (F.lit(kconst) + F.col("rank_overlap")) + 1.0 / (
+        F.lit(kconst) + F.col("rank_tf")
+    )
+    return (
+        ranked.select("doc_id", "rank_overlap", "rank_tf", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(top)
+    )
+
+
+def rrf_retrieval_oracle(
+    query_terms: list[str], kconst: int = 60, top: int = 20
+) -> str:
+    """DuckDB twin: identical hit agg, window ranks, fusion."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({tokens_sql(norm_sql())}) AS term FROM documents),
+hits AS (
+  SELECT doc_id, count(DISTINCT term)::BIGINT AS n_hit,
+         count(*)::BIGINT AS tf_sum
+  FROM ex WHERE term IN ({terms}) GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY n_hit DESC, doc_id) AS rank_overlap,
+    row_number() OVER (ORDER BY tf_sum DESC, doc_id) AS rank_tf
+  FROM hits)
+SELECT doc_id, rank_overlap, rank_tf,
+       1.0::DOUBLE / ({kconst} + rank_overlap)
+         + 1.0::DOUBLE / ({kconst} + rank_tf) AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id
+LIMIT {top}"""

@@ -1346,3 +1346,163 @@ def axioms_from_mining(
         .dropDuplicates(["subj", "pred", "obj"])
         .orderBy("subj", "pred", "obj")
     )
+
+
+# ---------------------------------------------------------------------------
+# XSD canonical lexical forms — literal normalization
+# ---------------------------------------------------------------------------
+
+
+def _canon_int_expr(lex):
+    """Canonical xsd:integer lexical form (XSD 1.1 canonical mapping,
+    public spec): no '+', no leading zeros, '-0' -> '0'."""
+    neg = lex.startswith("-")
+    digits = F.regexp_replace(F.regexp_replace(lex, "^[+-]", ""), "^0+", "")
+    digits = F.when(digits == "", "0").otherwise(digits)
+    return F.when(neg & (digits != "0"), F.concat(F.lit("-"), digits)).otherwise(
+        digits
+    )
+
+
+def _canon_dec_expr(lex):
+    """Canonical xsd:decimal: required '.', no leading/trailing zeros
+    beyond one guard digit each side, no '+', '-0.0' -> '0.0'."""
+    neg = lex.startswith("-")
+    body = F.regexp_replace(lex, "^[+-]", "")
+    ip = F.when(body.contains("."), F.substring_index(body, ".", 1)).otherwise(body)
+    fp = F.when(body.contains("."), F.substring_index(body, ".", -1)).otherwise(
+        F.lit("")
+    )
+    ip = F.regexp_replace(ip, "^0+", "")
+    ip = F.when(ip == "", "0").otherwise(ip)
+    fp = F.regexp_replace(fp, "0+$", "")
+    fp = F.when(fp == "", "0").otherwise(fp)
+    canon = F.concat(ip, F.lit("."), fp)
+    zero = (ip == "0") & (fp == "0")
+    return F.when(neg & ~zero, F.concat(F.lit("-"), canon)).otherwise(canon)
+
+
+def canonicalize_literals(triples: DataFrame) -> DataFrame:
+    """Rewrite xsd:integer / xsd:decimal / xsd:boolean literals to
+    their XSD canonical lexical forms ("+007" -> "7", "1.50" -> "1.5",
+    "1" -> "true") and collapse duplicates the rewrite creates.
+
+    Web-extracted graphs carry rampant lexical variance for the SAME
+    value; rdflib (the reference substrate) compares literals lexically
+    too, so "01" and "1" silently count as two facts in merges, diffs
+    and conflict detection.  Canonicalizing at ingest makes set algebra
+    value-correct — the literal-level analog of what ``graph.value``
+    determinism does for term picks.  xsd:double is intentionally NOT
+    touched (its canonical form needs float re-rendering, an honest
+    engine-portability hazard; validation flags it instead).
+
+    Pure per-row projection + one distinct — scales as a scan."""
+    is_lit = F.col("obj_kind") == "literal"
+    dt = F.col("obj_dt")
+    lex = F.trim(F.col("obj"))
+    int_ok = lex.rlike("^[+-]?[0-9]+$")
+    dec_ok = lex.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$")
+    new_obj = (
+        F.when(
+            is_lit & (dt == XSD.integer) & int_ok, _canon_int_expr(lex)
+        )
+        .when(is_lit & (dt == XSD.decimal) & dec_ok, _canon_dec_expr(lex))
+        .when(
+            is_lit & (dt == XSD.boolean),
+            F.when(lex.isin("1", "true"), "true")
+            .when(lex.isin("0", "false"), "false")
+            .otherwise(F.col("obj")),
+        )
+        .otherwise(F.col("obj"))
+    )
+    return (
+        triples.withColumn("obj", new_obj)
+        .dropDuplicates(["subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt"])
+    )
+
+
+def canonicalize_literals_sql(triples_cte: str = "triples") -> str:
+    """DuckDB twin (identical regex gates and string surgery)."""
+    lex = "trim(obj)"
+    body = f"regexp_replace({lex}, '^[+-]', '')"
+    neg = f"({lex} LIKE '-%')"
+    i_digits = f"(CASE WHEN regexp_replace({body}, '^0+', '') = '' THEN '0' ELSE regexp_replace({body}, '^0+', '') END)"
+    canon_int = (
+        f"(CASE WHEN {neg} AND {i_digits} <> '0' THEN '-' || {i_digits} "
+        f"ELSE {i_digits} END)"
+    )
+    ip_raw = f"(CASE WHEN {body} LIKE '%.%' THEN string_split({body}, '.')[1] ELSE {body} END)"
+    fp_raw = f"(CASE WHEN {body} LIKE '%.%' THEN string_split({body}, '.')[2] ELSE '' END)"
+    ip = f"(CASE WHEN regexp_replace({ip_raw}, '^0+', '') = '' THEN '0' ELSE regexp_replace({ip_raw}, '^0+', '') END)"
+    fp = f"(CASE WHEN regexp_replace({fp_raw}, '0+$', '') = '' THEN '0' ELSE regexp_replace({fp_raw}, '0+$', '') END)"
+    canon_dec = (
+        f"(CASE WHEN {neg} AND NOT ({ip} = '0' AND {fp} = '0') "
+        f"THEN '-' || {ip} || '.' || {fp} ELSE {ip} || '.' || {fp} END)"
+    )
+    return f"""
+SELECT DISTINCT subj, pred,
+  CASE
+    WHEN obj_kind = 'literal' AND obj_dt = '{XSD.integer}'
+         AND regexp_matches({lex}, '^[+-]?[0-9]+$')
+      THEN {canon_int}
+    WHEN obj_kind = 'literal' AND obj_dt = '{XSD.decimal}'
+         AND regexp_matches({lex}, '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')
+      THEN {canon_dec}
+    WHEN obj_kind = 'literal' AND obj_dt = '{XSD.boolean}'
+      THEN CASE WHEN {lex} IN ('1', 'true') THEN 'true'
+                WHEN {lex} IN ('0', 'false') THEN 'false'
+                ELSE obj END
+    ELSE obj
+  END AS obj,
+  obj_kind, obj_lang, obj_dt
+FROM {triples_cte}"""
+
+
+#: messy-literal fixture for the canonicalization oracle: every branch
+#: (int sign/zeros, decimal guards, boolean aliases, double untouched,
+#: plain strings untouched, a duplicate created BY canonicalization).
+MESSY_LITERALS: list[tuple] = [
+    ("http://t/e1", "http://t/age", "+007", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("http://t/e1", "http://t/age", "7", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("http://t/e2", "http://t/age", "-0", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("http://t/e3", "http://t/price", "1.50", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#decimal"),
+    ("http://t/e4", "http://t/price", "00.10", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#decimal"),
+    ("http://t/e5", "http://t/price", "-0.0", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#decimal"),
+    ("http://t/e6", "http://t/price", ".5", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#decimal"),
+    ("http://t/e7", "http://t/active", "1", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#boolean"),
+    ("http://t/e8", "http://t/active", "false", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#boolean"),
+    ("http://t/e9", "http://t/speed", "1.50", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#double"),
+    ("http://t/e10", "http://t/name", "007", "literal", None, None),
+    ("http://t/e11", "http://t/knows", "http://t/e1", "uri", None, None),
+]
+
+
+def messy_literals_df(spark: SparkSession) -> DataFrame:
+    from ..model import triples_df
+
+    return triples_df(spark, MESSY_LITERALS)
+
+
+def messy_literals_cte(alias: str = "triples") -> str:
+    vals = ",\n    ".join(
+        "("
+        + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else f"'{v}'" for v in r
+        )
+        + ")"
+        for r in MESSY_LITERALS
+    )
+    return (
+        f"{alias}(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS "
+        f"(SELECT * FROM (VALUES\n    {vals}))"
+    )

@@ -163,3 +163,83 @@ def test_graph_digest_invariances(spark):
         ).collect()[0]
     )
     assert changed[0] == base[0] and changed[1] != base[1]
+
+
+# --------------------------------------------------------------------- #
+# literal canonicalization
+# --------------------------------------------------------------------- #
+
+
+def test_canonicalize_literals_branches(spark):
+    from orionbelt_ontology_builder_spark.operators import mutations
+
+    out = mutations.canonicalize_literals(
+        mutations.messy_literals_df(spark)
+    ).collect()
+    objs = {(r.subj, r.obj) for r in out}
+    assert ("http://t/e1", "7") in objs          # +007 and 7 collapse
+    assert len([r for r in out if r.subj == "http://t/e1"]) == 1
+    assert ("http://t/e2", "0") in objs          # -0 -> 0
+    assert ("http://t/e3", "1.5") in objs        # trailing zero
+    assert ("http://t/e4", "0.1") in objs        # leading zeros
+    assert ("http://t/e5", "0.0") in objs        # -0.0 -> 0.0
+    assert ("http://t/e6", "0.5") in objs        # .5 -> 0.5
+    assert ("http://t/e7", "true") in objs       # 1 -> true
+    assert ("http://t/e9", "1.50") in objs       # double untouched
+    assert ("http://t/e10", "007") in objs       # untyped untouched
+
+
+# --------------------------------------------------------------------- #
+# partition quality
+# --------------------------------------------------------------------- #
+
+
+def test_partition_quality_salting_tradeoff(spark):
+    from orionbelt_ontology_builder_spark.plans import bucketing
+
+    # star graph: one hub fanning to 64 leaves + 16 singleton edges
+    rows = [("hub", f"leaf{i}") for i in range(64)] + [
+        (f"s{i}", f"t{i}") for i in range(16)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {
+        r.strategy: r
+        for r in bucketing.partition_quality(
+            edges, k=4, hot_degree=10
+        ).collect()
+    }
+    sh, sa = out["subject_hash"], out["salted_subject"]
+    assert sh.n_edges == sa.n_edges == 80
+    # the hub piles >= its 64 edges on one partition under subject hash
+    assert sh.max_load >= 64
+    # salting spreads the hub: strictly better balance
+    assert sa.skew < sh.skew
+    assert sa.max_load < sh.max_load
+
+
+# --------------------------------------------------------------------- #
+# reciprocal-rank fusion
+# --------------------------------------------------------------------- #
+
+
+def test_rrf_disagreeing_rankings(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table scan window"),            # all 3 terms once
+            (1, "table table table table table"),  # one term, high tf
+            (2, "table scan"),                   # 2 terms
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.rrf_retrieval(
+        docs, ["table", "scan", "window"], kconst=60
+    ).collect()}
+    assert 3 not in out
+    # doc0 wins coordination, doc1 wins tf — fusion puts doc0 first
+    # (rank 1 + rank 2 beats rank 2-or-3 + rank 1)
+    assert out[0].rank_overlap == 1 and out[1].rank_tf == 1
+    best = max(out.values(), key=lambda r: r.rrf_score)
+    assert best.doc_id == 0
