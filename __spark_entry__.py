@@ -4290,6 +4290,15 @@ def _q_rule_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulemine.rule_predictions(rulemine.rule_fixture_df(spark))
 
 
+def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidates: bucket-winner state
+    (associative min -> replay-insensitive, batch-equal) over the
+    staged documents stream."""
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    return ST.stream_near_dedup(spark, _staged_tbl(spark, sf_dir, "documents"))
+
+
 def _q_canonicalize_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XSD canonical lexical forms for integer/decimal/boolean
     literals ("+007" -> "7", "1.50" -> "1.5") with rewrite-created
@@ -4381,6 +4390,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_literals": _q_canonicalize_literals,
         "partition_quality": _q_partition_quality,
         "rrf_retrieval": _q_rrf_retrieval,
+        "stream_near_dedup": _q_stream_near_dedup,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4791,6 +4801,10 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     sql["rrf_retrieval"] = textstats.rrf_retrieval_oracle(
         ["table", "scan", "window"]
     )
+
+    from orionbelt_ontology_builder_spark.streaming import ingest as _ing
+
+    sql["stream_near_dedup"] = _ing.stream_near_dedup_oracle()
 
     # the induced SQL twin carries only the 4 core columns; pad the
     # NULL lang/dt slots the Spark side always has before digesting

@@ -347,6 +347,7 @@ def main() -> None:
         "canonicalize_literals",
         "partition_quality",
         "rrf_retrieval",
+        "stream_near_dedup",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -646,3 +646,149 @@ def nt_ingest_batch(spark: SparkSession, nt_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triples"))
         .orderBy("pred", "obj_kind")
     )
+
+
+# ------------------------------------------------------------------ #
+# streaming MinHash near-dup candidate detection
+# ------------------------------------------------------------------ #
+
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def _projection_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_0..band_{BANDS-1}) — MinHash band hashes as a
+    PURE per-row projection (array exprs, zero aggregations), the
+    stream-safe twin of ``dedup.minhash_signatures``: batch dedup
+    aggregates exploded shingles (one shuffle, codegen-friendly at
+    corpus scale); a stream must not chain that agg before the winner
+    agg (two stateful operators trip the global-watermark correctness
+    check), so here each sig is ``array_min`` over the in-row shingle
+    array.  Higher-order fns are CodegenFallback (CLAUDE.md) but
+    row-local — state cost zero, and the values are bit-identical to
+    the batch path (min over duplicated shingles == min over the
+    distinct set)."""
+    from ..datapipe.dedup import BANDS, MINHASH_K, ROWS, SHINGLE, SLICES
+    from ..datapipe.textstats import norm_col
+
+    n_seeds = (MINHASH_K + SLICES - 1) // SLICES
+    d = docs.withColumn("norm", norm_col()).withColumn(
+        "shv",
+        F.expr(
+            f"transform(sequence(1, greatest(1, length(norm)-{SHINGLE - 1})),"
+            f" i -> substring(norm, i, {SHINGLE}))"
+        ),
+    )
+    for m in range(n_seeds):
+        d = d.withColumn(
+            f"hm{m}", F.expr(f"transform(shv, s -> md5(concat('{m}:', s)))")
+        )
+    for i in range(MINHASH_K):
+        m, off = i // SLICES, 1 + 8 * (i % SLICES)
+        d = d.withColumn(
+            f"sig_{i}",
+            F.expr(f"array_min(transform(hm{m}, h -> substring(h, {off}, 8)))"),
+        )
+    for b in range(BANDS):
+        cols = ", ".join(f"sig_{b * ROWS + r}" for r in range(ROWS))
+        d = d.withColumn(f"band_{b}", F.expr(f"md5(concat({cols}))"))
+    return d.select("doc_id", *[f"band_{b}" for b in range(BANDS)])
+
+
+def stream_near_dedup(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """(doc_id, n_shadowed, all_bands) — documents that share at least
+    one MinHash-LSH band bucket with a lower-id document, detected with
+    STREAMING state: the bucket-winner table ``(band, bucket) ->
+    min(doc_id)``.
+
+    This is near-dup detection as an *ingest-time* concern: the exact-
+    dup twin is ``dedup_events_stream``; here the key is a locality-
+    sensitive band hash, so colliding docs are near-dup CANDIDATES
+    (``n_shadowed`` buckets collide; ``all_bands`` = every band
+    collides — the high-precision tier the batch verify would score
+    first).  min(doc_id) as the winner rule is associative and
+    commutative, so the streaming agg is order/replay-insensitive and
+    the drained state EQUALS the batch twin — the batch-equality law
+    pytest asserts.  State is bounded by the bucket count (Heaps-ish in
+    corpus size), never by stream length; the signature computation is
+    the same whole-stage-codegen projection batch dedup uses (pure
+    per-row exprs — stream-safe, no shuffle before the keyed agg).
+
+    Batch side after the drain: bands are recomputed for the drained
+    corpus (one projection) and joined to the winner table — the same
+    read-side join the HLL register drain does for its estimator."""
+    from ..datapipe.dedup import BANDS, minhash_signatures
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+    sig = _projection_signatures(stream)
+    bands_long = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    winners = bands_long.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("winner")
+    )
+    name = "near_dedup_winners_sink"
+    q = (
+        winners.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wtbl = spark.table(name)
+
+    batch = spark.read.schema(DOCS_SCHEMA).parquet(docs_dir)
+    bl = minhash_signatures(batch).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    return (
+        bl.join(wtbl, ["band_idx", "band_hash"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("winner") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_shadowed")
+        )
+        .filter(F.col("n_shadowed") > 0)
+        .withColumn("all_bands", F.col("n_shadowed") == BANDS)
+        .orderBy("doc_id")
+    )
+
+
+def stream_near_dedup_oracle() -> str:
+    """DuckDB twin over the ``documents`` view: identical signature /
+    band / winner / shadow cascade (batch == drained stream because the
+    winner agg is associative)."""
+    from ..datapipe.dedup import BANDS, _sig_cte_sql
+
+    legs = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_hash FROM b2"
+        for b in range(BANDS)
+    )
+    # b2 pins the signature computation once: DuckDB re-inlines a plain
+    # CTE at every reference site, and the four band legs would each
+    # recompute the md5 signature cascade otherwise (CLAUDE.md trap).
+    return f"""
+WITH {_sig_cte_sql().strip().rstrip()},
+b2 AS MATERIALIZED (SELECT * FROM banded),
+bl AS MATERIALIZED ({legs}),
+winners AS (
+  SELECT band_idx, band_hash, min(doc_id) AS winner
+  FROM bl GROUP BY 1, 2)
+SELECT bl.doc_id,
+       sum(CASE WHEN w.winner < bl.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_shadowed,
+       sum(CASE WHEN w.winner < bl.doc_id THEN 1 ELSE 0 END) = {BANDS}
+         AS all_bands
+FROM bl JOIN winners w USING (band_idx, band_hash)
+GROUP BY bl.doc_id
+HAVING sum(CASE WHEN w.winner < bl.doc_id THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id"""

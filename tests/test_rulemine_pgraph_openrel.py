@@ -243,3 +243,30 @@ def test_rrf_disagreeing_rankings(spark):
     assert out[0].rank_overlap == 1 and out[1].rank_tf == 1
     best = max(out.values(), key=lambda r: r.rrf_score)
     assert best.doc_id == 0
+
+
+# --------------------------------------------------------------------- #
+# streaming near-dedup
+# --------------------------------------------------------------------- #
+
+
+def test_stream_near_dedup_replay_insensitive(spark, tmp_path):
+    from orionbelt_ontology_builder_spark.streaming import ingest as ST
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    once = str(tmp_path / "once")
+    twice = str(tmp_path / "twice")
+    docs.write.mode("overwrite").parquet(once)
+    docs.write.mode("overwrite").parquet(twice)
+    docs.write.mode("append").parquet(twice)
+
+    a = [tuple(r) for r in ST.stream_near_dedup(spark, once).collect()]
+    spark.catalog.dropTempView("near_dedup_winners_sink")
+    b = [tuple(r) for r in ST.stream_near_dedup(spark, twice).collect()]
+    # min(doc_id) winner state is associative/idempotent: replaying the
+    # whole corpus a second time changes nothing
+    assert a == b
+    assert len(a) > 0
+    # shadow counts bounded by the band count
+    from orionbelt_ontology_builder_spark.datapipe.dedup import BANDS
+    assert all(1 <= n <= BANDS for _, n, _ in a)
