@@ -4290,6 +4290,24 @@ def _q_rule_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulemine.rule_predictions(rulemine.rule_fixture_df(spark))
 
 
+def _q_numeric_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDValidate-style numeric fact outliers: Tukey fences per
+    predicate with RANK-picked (interpolation-free, cross-engine
+    exact) quartiles, over a planted-outlier fixture."""
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    return validation.numeric_outliers(validation.outlier_fixture_df(spark))
+
+
+def _q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRAND-style bitext candidate mining: cross-language doc pairs
+    sharing digit/cross-lingual-df anchor tokens — MT-training-data
+    candidate generation via a df-capped inverted-index join."""
+    from orionbelt_ontology_builder_spark.datapipe import bitext
+
+    return bitext.bitext_candidates(bitext.bitext_docs_df(spark))
+
+
 def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH near-dup candidates: bucket-winner state
     (associative min -> replay-insensitive, batch-equal) over the
@@ -4391,6 +4409,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_quality": _q_partition_quality,
         "rrf_retrieval": _q_rrf_retrieval,
         "stream_near_dedup": _q_stream_near_dedup,
+        "numeric_outliers": _q_numeric_outliers,
+        "bitext_candidates": _q_bitext_candidates,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4805,6 +4825,19 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     from orionbelt_ontology_builder_spark.streaming import ingest as _ing
 
     sql["stream_near_dedup"] = _ing.stream_near_dedup_oracle()
+
+    from orionbelt_ontology_builder_spark.datapipe import bitext as _bt
+    from orionbelt_ontology_builder_spark.operators import validation as _val
+
+    sql["numeric_outliers"] = (
+        "WITH "
+        + _val.outlier_fixture_cte()
+        + ","
+        + _val.numeric_outliers_sql()
+    )
+    sql["bitext_candidates"] = _bt.bitext_candidates_sql(
+        _bt.bitext_docs_values()
+    )
 
     # the induced SQL twin carries only the 4 core columns; pad the
     # NULL lang/dt slots the Spark side always has before digesting

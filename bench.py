@@ -348,6 +348,8 @@ def main() -> None:
         "partition_quality",
         "rrf_retrieval",
         "stream_near_dedup",
+        "numeric_outliers",
+        "bitext_candidates",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -944,3 +944,145 @@ SELECT c.cls, c.pred, s.n_instances, c.n_with_pred,
    AND s.n_instances >= {min_instances}) AS suggest_min1
 FROM counts c JOIN sizes s USING (cls)
 ORDER BY cls, pred"""
+
+
+# ---------------------------------------------------------------------------
+# Numeric fact outlier detection (SDValidate family)
+# ---------------------------------------------------------------------------
+
+
+def numeric_outliers(triples: DataFrame, iqr_mult: float = 1.5) -> DataFrame:
+    """(pred, subj, value, q1, q3, fence_lo, fence_hi) — numeric
+    literal facts outside the Tukey fences of their PREDICATE's value
+    distribution (the SDValidate/Paulheim error-detection family,
+    public literature): a population of 9.9e9 is not wrong because
+    schema says xsd:double but because every other ``population`` fact
+    is orders of magnitude smaller.
+
+    Exactness: quartiles are RANK-picked (the value at row_number
+    ceil(n/4) / ceil(3n/4) per predicate, ties by subject) — no
+    interpolation, so Spark and DuckDB select the *same stored
+    double*, and the fence arithmetic is two IEEE ops on identical
+    inputs.  One per-predicate window sort + a broadcast join of the
+    (predicate-count-sized) quartile table back onto the facts."""
+    from pyspark.sql import Window
+
+    num = (
+        triples.filter(
+            (F.col("obj_kind") == "literal")
+            & F.col("obj").rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$")
+        )
+        .select(
+            "pred", "subj", F.col("obj").cast("double").alias("value")
+        )
+        .persist()  # consumers: quartile ranks + the fence probe
+    )
+    w = Window.partitionBy("pred").orderBy("value", "subj")
+    ranked = num.withColumn("rn", F.row_number().over(w))
+    counts = num.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+    qs = (
+        ranked.join(F.broadcast(counts), "pred")
+        .filter(
+            (F.col("rn") == F.ceil(F.col("n") / 4))
+            | (F.col("rn") == F.ceil(F.col("n") * 3 / 4))
+        )
+        .groupBy("pred")
+        .agg(
+            F.min("value").alias("q1"),
+            F.max("value").alias("q3"),
+        )
+        .filter(F.col("q1") != F.col("q3"))  # degenerate distributions skip
+    )
+    lo = F.col("q1") - F.lit(iqr_mult) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(iqr_mult) * (F.col("q3") - F.col("q1"))
+    return (
+        num.join(F.broadcast(qs), "pred")
+        .withColumn("fence_lo", lo)
+        .withColumn("fence_hi", hi)
+        .filter((F.col("value") < F.col("fence_lo")) | (F.col("value") > F.col("fence_hi")))
+        .select("pred", "subj", "value", "q1", "q3", "fence_lo", "fence_hi")
+        .orderBy("pred", "subj")
+    )
+
+
+def numeric_outliers_sql(
+    triples_cte: str = "triples", iqr_mult: float = 1.5
+) -> str:
+    """DuckDB twin: identical rank-picked quartiles and fences."""
+    return f"""
+num AS MATERIALIZED (
+  SELECT pred, subj, obj::DOUBLE AS value FROM {triples_cte}
+  WHERE obj_kind = 'literal'
+    AND regexp_matches(obj, '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY pred ORDER BY value, subj) AS rn
+  FROM num),
+counts AS (SELECT pred, count(*)::BIGINT AS n FROM num GROUP BY pred),
+qs AS (
+  SELECT r.pred, min(r.value) AS q1, max(r.value) AS q3
+  FROM ranked r JOIN counts c ON r.pred = c.pred
+  WHERE r.rn = ceil(c.n / 4.0) OR r.rn = ceil(c.n * 3 / 4.0)
+  GROUP BY r.pred
+  HAVING min(r.value) <> max(r.value))
+SELECT num.pred AS pred, subj, value, q1, q3,
+       q1 - {iqr_mult!r} * (q3 - q1) AS fence_lo,
+       q3 + {iqr_mult!r} * (q3 - q1) AS fence_hi
+FROM num JOIN qs ON num.pred = qs.pred
+WHERE value < q1 - {iqr_mult!r} * (q3 - q1)
+   OR value > q3 + {iqr_mult!r} * (q3 - q1)
+ORDER BY num.pred, subj"""
+
+
+#: planted-outlier fixture: population with a 9.9e9 typo and a
+#: negative, age with an impossible 530, price clean (no outliers),
+#: constant predicate (degenerate, skipped), a non-numeric literal.
+OUTLIER_FIXTURE: list[tuple] = [
+    *[
+        ("http://t/city" + str(i), "http://t/population", str(v), "literal",
+         None, "http://www.w3.org/2001/XMLSchema#integer")
+        for i, v in enumerate(
+            [12000, 15000, 18000, 21000, 25000, 30000, 34000, 40000]
+        )
+    ],
+    ("http://t/cityX", "http://t/population", "9900000000", "literal",
+     None, "http://www.w3.org/2001/XMLSchema#integer"),
+    ("http://t/cityY", "http://t/population", "-500000", "literal",
+     None, "http://www.w3.org/2001/XMLSchema#integer"),
+    *[
+        ("http://t/p" + str(i), "http://t/age", str(v), "literal",
+         None, "http://www.w3.org/2001/XMLSchema#integer")
+        for i, v in enumerate([21, 25, 30, 34, 41, 44, 52, 60])
+    ],
+    ("http://t/pX", "http://t/age", "530", "literal",
+     None, "http://www.w3.org/2001/XMLSchema#integer"),
+    *[
+        ("http://t/i" + str(i), "http://t/price", str(v), "literal",
+         None, "http://www.w3.org/2001/XMLSchema#decimal")
+        for i, v in enumerate([10, 11, 12, 13, 14, 15, 16, 17])
+    ],
+    ("http://t/c1", "http://t/floors", "3", "literal", None, None),
+    ("http://t/c2", "http://t/floors", "3", "literal", None, None),
+    ("http://t/c3", "http://t/name", "acme", "literal", None, None),
+]
+
+
+def outlier_fixture_df(spark):
+    from ..model import triples_df
+
+    return triples_df(spark, OUTLIER_FIXTURE)
+
+
+def outlier_fixture_cte(alias: str = "triples") -> str:
+    vals = ",\n    ".join(
+        "("
+        + ", ".join(
+            "CAST(NULL AS VARCHAR)" if v is None else f"'{v}'" for v in r
+        )
+        + ")"
+        for r in OUTLIER_FIXTURE
+    )
+    return (
+        f"{alias}(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS "
+        f"(SELECT * FROM (VALUES\n    {vals}))"
+    )

@@ -270,3 +270,45 @@ def test_stream_near_dedup_replay_insensitive(spark, tmp_path):
     # shadow counts bounded by the band count
     from orionbelt_ontology_builder_spark.datapipe.dedup import BANDS
     assert all(1 <= n <= BANDS for _, n, _ in a)
+
+
+# --------------------------------------------------------------------- #
+# numeric outliers
+# --------------------------------------------------------------------- #
+
+
+def test_numeric_outliers_planted(spark):
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    out = validation.numeric_outliers(
+        validation.outlier_fixture_df(spark)
+    ).collect()
+    flagged = {(r.pred, r.subj) for r in out}
+    assert ("http://t/population", "http://t/cityX") in flagged  # 9.9e9
+    assert ("http://t/population", "http://t/cityY") in flagged  # -500000
+    assert ("http://t/age", "http://t/pX") in flagged            # 530
+    # clean predicate and degenerate (constant) predicate stay silent
+    assert not any(p == "http://t/price" for p, _ in flagged)
+    assert not any(p == "http://t/floors" for p, _ in flagged)
+    assert len(out) == 3
+
+
+# --------------------------------------------------------------------- #
+# bitext candidates
+# --------------------------------------------------------------------- #
+
+
+def test_bitext_candidates_clusters(spark):
+    from orionbelt_ontology_builder_spark.datapipe import bitext
+
+    out = {
+        (r.doc_a, r.doc_b): (r.lang_a, r.lang_b, r.n_shared)
+        for r in bitext.bitext_candidates(
+            bitext.bitext_docs_df(spark)
+        ).collect()
+    }
+    # the 3-language parallel cluster yields all three cross-lang pairs
+    assert {(0, 1), (0, 2), (1, 2), (5, 6)} == set(out)
+    assert out[(5, 6)] == ("en", "fr", 4)
+    # the single-shared-anchor pair ("mild") stays below min_shared
+    assert (3, 4) not in out
