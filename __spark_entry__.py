@@ -4290,6 +4290,15 @@ def _q_rule_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulemine.rule_predictions(rulemine.rule_fixture_df(spark))
 
 
+def _q_resolve_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based coreference-lite: definite descriptions / pronouns
+    resolve to the nearest preceding type-compatible mention — the
+    stage between spotting and extraction."""
+    from orionbelt_ontology_builder_spark.operators import taxonomy
+
+    return taxonomy.resolve_anaphora(taxonomy.coref_sentences_df(spark))
+
+
 def _q_numeric_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SDValidate-style numeric fact outliers: Tukey fences per
     predicate with RANK-picked (interpolation-free, cross-engine
@@ -4411,6 +4420,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dedup": _q_stream_near_dedup,
         "numeric_outliers": _q_numeric_outliers,
         "bitext_candidates": _q_bitext_candidates,
+        "resolve_anaphora": _q_resolve_anaphora,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4837,6 +4847,21 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     )
     sql["bitext_candidates"] = _bt.bitext_candidates_sql(
         _bt.bitext_docs_values()
+    )
+
+    _trig_vals = (
+        "gaz(surface, entity) AS (VALUES "
+        + ", ".join(
+            f"('{s}', 'need:{t}')" for s, t in _tax.ANAPHOR_TRIGGERS
+        )
+        + ")"
+    )
+    sql["resolve_anaphora"] = _tax.resolve_anaphora_sql(
+        _tax.coref_sentences_values(),
+        _tax.gazetteer_mentions_sql(_tax.coref_sentences_values()),
+        _tax.gazetteer_mentions_sql(
+            _tax.coref_sentences_values(), gaz_values=_trig_vals
+        ),
     )
 
     # the induced SQL twin carries only the 4 core columns; pad the

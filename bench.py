@@ -350,6 +350,7 @@ def main() -> None:
         "stream_near_dedup",
         "numeric_outliers",
         "bitext_candidates",
+        "resolve_anaphora",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -983,3 +983,143 @@ pairs AS (
 SELECT term_a, term_b, count(*)::BIGINT AS support
 FROM pairs GROUP BY 1, 2
 ORDER BY term_a, term_b"""
+
+
+# ---------------------------------------------------------------------------
+# Anaphora resolution (rule-based coreference-lite, the Hobbs/
+# nearest-antecedent family, public literature): definite descriptions
+# and pronouns resolve to the NEAREST PRECEDING type-compatible
+# entity mention — the coreference stage between mention detection and
+# triple extraction (without it, "the company hired 500 workers" is a
+# fact about nobody).
+# ---------------------------------------------------------------------------
+
+#: entity -> coarse type, extending GAZETTEER for compatibility checks.
+ENTITY_TYPES: list[tuple[str, str]] = [
+    ("http://kg.example.org/NewYorkCity", "city"),
+    ("http://kg.example.org/York", "city"),
+    ("http://kg.example.org/SanFrancisco", "city"),
+    ("http://kg.example.org/Paris", "city"),
+    ("http://kg.example.org/Berlin", "city"),
+    ("http://kg.example.org/NYTimes", "org"),
+]
+
+#: anaphor surface -> required antecedent type ('' = any type).
+ANAPHOR_TRIGGERS: list[tuple[str, str]] = [
+    ("the city", "city"),
+    ("the paper", "org"),
+    ("it", ""),
+]
+
+COREF_SENTENCES: list[str] = [
+    "berlin grew quickly and the city built new rails",
+    "the new york times praised paris and the paper sold out",
+    "paris expanded while berlin slept and the city celebrated",
+    "san francisco shone and it glittered at night",
+    "the city stands alone with no antecedent here",
+]
+
+
+def coref_sentences_df(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(COREF_SENTENCES)],
+        "doc_id int, text string",
+    )
+
+
+def coref_sentences_values() -> str:
+    rows = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(COREF_SENTENCES)
+    )
+    return f"s(doc_id, text) AS (VALUES\n    {rows})"
+
+
+def resolve_anaphora(
+    sents: DataFrame,
+    gazetteer: list[tuple[str, str]] | None = None,
+    entity_types: list[tuple[str, str]] | None = None,
+    triggers: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(doc_id, anaphor_pos, anaphor, entity, antecedent_pos) — each
+    anaphor occurrence resolved to the nearest PRECEDING
+    type-compatible entity mention in the same document; unresolvable
+    anaphors are dropped.  Nearest-wins is the deterministic argmax
+    ``max(antecedent pos)`` per anaphor — a min_by-style struct max,
+    no window needed.
+
+    Plan: mentions and anaphor occurrences come from the SAME lead-
+    ladder spotting pass (two broadcast dictionary probes); resolution
+    is one per-doc equi-join bounded by mention density, then a keyed
+    max — never corpus-quadratic."""
+    spark = sents.sparkSession
+    types = spark.createDataFrame(
+        entity_types if entity_types is not None else ENTITY_TYPES,
+        "entity string, etype string",
+    )
+    trig = triggers if triggers is not None else ANAPHOR_TRIGGERS
+    m = gazetteer_mentions(sents, gazetteer).join(
+        F.broadcast(types), "entity"
+    )
+    an = gazetteer_mentions(
+        sents, [(s, f"need:{t}") for s, t in trig]
+    ).select(
+        "doc_id",
+        F.col("pos").alias("anaphor_pos"),
+        F.col("surface").alias("anaphor"),
+        F.regexp_replace("entity", "^need:", "").alias("need_type"),
+    )
+    cand = an.join(
+        m.select(
+            "doc_id",
+            F.col("pos").alias("ante_pos"),
+            "entity",
+            "etype",
+        ),
+        "doc_id",
+    ).filter(
+        (F.col("ante_pos") < F.col("anaphor_pos"))
+        & ((F.col("need_type") == "") | (F.col("need_type") == F.col("etype")))
+    )
+    return (
+        cand.groupBy("doc_id", "anaphor_pos", "anaphor")
+        .agg(
+            F.max(F.struct("ante_pos", "entity")).alias("best")
+        )
+        .select(
+            "doc_id", "anaphor_pos", "anaphor",
+            F.col("best.entity").alias("entity"),
+            F.col("best.ante_pos").alias("antecedent_pos"),
+        )
+        .orderBy("doc_id", "anaphor_pos")
+    )
+
+
+def resolve_anaphora_sql(
+    sents_cte: str,
+    mentions_sql: str,
+    anaphor_mentions_sql: str,
+) -> str:
+    """DuckDB twin: the two spotting passes as CTEs, the same
+    preceding/type filter and struct-max resolution."""
+    type_rows = ", ".join(f"('{e}', '{t}')" for e, t in ENTITY_TYPES)
+    return f"""
+WITH {sents_cte},
+ty(entity, etype) AS (VALUES {type_rows}),
+m AS ({mentions_sql}),
+an AS ({anaphor_mentions_sql}),
+cand AS (
+  SELECT an.doc_id, an.pos AS anaphor_pos, an.surface AS anaphor,
+         regexp_replace(an.entity, '^need:', '') AS need_type,
+         m.pos AS ante_pos, m.entity, ty.etype
+  FROM an
+  JOIN m ON an.doc_id = m.doc_id AND m.pos < an.pos
+  JOIN ty ON m.entity = ty.entity)
+SELECT doc_id, anaphor_pos, anaphor,
+       max(struct_pack(ante_pos := ante_pos, entity := entity)).entity
+         AS entity,
+       max(struct_pack(ante_pos := ante_pos, entity := entity)).ante_pos
+         AS antecedent_pos
+FROM cand
+WHERE need_type = '' OR need_type = etype
+GROUP BY 1, 2, 3
+ORDER BY doc_id, anaphor_pos"""

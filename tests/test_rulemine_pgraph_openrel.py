@@ -312,3 +312,26 @@ def test_bitext_candidates_clusters(spark):
     assert out[(5, 6)] == ("en", "fr", 4)
     # the single-shared-anchor pair ("mild") stays below min_shared
     assert (3, 4) not in out
+
+
+# --------------------------------------------------------------------- #
+# anaphora resolution
+# --------------------------------------------------------------------- #
+
+
+def test_resolve_anaphora_rules(spark):
+    out = {
+        (r.doc_id, r.anaphor): (r.entity, r.antecedent_pos)
+        for r in taxonomy.resolve_anaphora(
+            taxonomy.coref_sentences_df(spark)
+        ).collect()
+    }
+    kg = "http://kg.example.org/"
+    # nearest PRECEDING wins: berlin (later) beats paris in doc 2
+    assert out[(2, "the city")][0] == kg + "Berlin"
+    # type compatibility: "the paper" skips the nearer city mention
+    assert out[(1, "the paper")][0] == kg + "NYTimes"
+    # untyped pronoun takes any antecedent
+    assert out[(3, "it")][0] == kg + "SanFrancisco"
+    # no preceding mention -> dropped
+    assert not any(d == 4 for d, _ in out)
