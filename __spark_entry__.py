@@ -4290,6 +4290,15 @@ def _q_rule_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulemine.rule_predictions(rulemine.rule_fixture_df(spark))
 
 
+def _q_recall_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen) KB-completeness estimate
+    per predicate from two independent extraction runs' overlap."""
+    return profiling.recall_estimate(
+        profiling.capture_fixture_df(spark, "a"),
+        profiling.capture_fixture_df(spark, "b"),
+    )
+
+
 def _q_resolve_anaphora(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based coreference-lite: definite descriptions / pronouns
     resolve to the nearest preceding type-compatible mention — the
@@ -4421,6 +4430,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_outliers": _q_numeric_outliers,
         "bitext_candidates": _q_bitext_candidates,
         "resolve_anaphora": _q_resolve_anaphora,
+        "recall_estimate": _q_recall_estimate,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4856,6 +4866,11 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
         )
         + ")"
     )
+    sql["recall_estimate"] = profiling.recall_estimate_sql(
+        profiling.capture_fixture_cte("a", "a"),
+        profiling.capture_fixture_cte("b", "b"),
+    )
+
     sql["resolve_anaphora"] = _tax.resolve_anaphora_sql(
         _tax.coref_sentences_values(),
         _tax.gazetteer_mentions_sql(_tax.coref_sentences_values()),

@@ -351,6 +351,7 @@ def main() -> None:
         "numeric_outliers",
         "bitext_candidates",
         "resolve_anaphora",
+        "recall_estimate",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

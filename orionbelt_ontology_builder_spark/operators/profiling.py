@@ -1313,3 +1313,122 @@ SELECT t.pred, tot.n_values, t.top_shape,
   END AS suggested_range
 FROM top t JOIN tot USING (pred)
 ORDER BY pred"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction recall estimation (capture-recapture)
+# ---------------------------------------------------------------------------
+
+#: two-extractor fixture: worksFor overlap 2/(3,4) -> N^=6, livesIn
+#: disjoint-free overlap 3/(3,3) -> N^=3 (complete), basedIn seen by
+#: one extractor only (overlap 0 -> estimate undefined, NULL).
+CAPTURE_A: list[tuple[str, str, str]] = [
+    ("alice", "worksFor", "acme"),
+    ("bob", "worksFor", "acme"),
+    ("carol", "worksFor", "globex"),
+    ("alice", "livesIn", "berlin"),
+    ("bob", "livesIn", "berlin"),
+    ("carol", "livesIn", "paris"),
+    ("acme", "basedIn", "berlin"),
+]
+CAPTURE_B: list[tuple[str, str, str]] = [
+    ("alice", "worksFor", "acme"),
+    ("carol", "worksFor", "globex"),
+    ("dave", "worksFor", "initech"),
+    ("eve", "worksFor", "initech"),
+    ("alice", "livesIn", "berlin"),
+    ("bob", "livesIn", "berlin"),
+    ("carol", "livesIn", "paris"),
+]
+
+
+def capture_fixture_df(spark, which: str):
+    rows = CAPTURE_A if which == "a" else CAPTURE_B
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def capture_fixture_cte(which: str, alias: str) -> str:
+    rows = CAPTURE_A if which == "a" else CAPTURE_B
+    vals = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in rows)
+    return f"{alias}(subj, pred, obj) AS (VALUES {vals})"
+
+
+def recall_estimate(ext_a: DataFrame, ext_b: DataFrame) -> DataFrame:
+    """(pred, n_a, n_b, n_both, n_union, est_total, est_recall) —
+    Lincoln-Petersen capture-recapture per predicate over two
+    INDEPENDENT extraction runs (different pattern sets, different
+    crawls): if extractor A catches n_a facts, B catches n_b, and they
+    agree on n_both, the true fact population is estimated at
+    ``n_a * n_b / n_both`` and the union's recall at
+    ``n_union / est_total`` — the standard KB-completeness estimator
+    (Razniewski et al., public literature).  Zero-overlap predicates
+    get NULL estimates (the model needs a recapture).
+
+    Plan: two distinct projections, one full-outer membership join on
+    the fact key, one conditional agg per predicate — the
+    diff_summary plan shape, map-side combinable."""
+    a = ext_a.select("subj", "pred", "obj").distinct().withColumn(
+        "in_a", F.lit(1)
+    )
+    b = ext_b.select("subj", "pred", "obj").distinct().withColumn(
+        "in_b", F.lit(1)
+    )
+    j = a.join(b, ["subj", "pred", "obj"], "full_outer")
+    n_a = F.sum(F.when(F.col("in_a").isNotNull(), 1).otherwise(0))
+    n_b = F.sum(F.when(F.col("in_b").isNotNull(), 1).otherwise(0))
+    n_both = F.sum(
+        F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+        .otherwise(0)
+    )
+    agg = j.groupBy("pred").agg(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_both.alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    est = F.when(
+        F.col("n_both") > 0,
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / F.col("n_both"),
+    )
+    return (
+        agg.withColumn("est_total", est)
+        .withColumn(
+            "est_recall",
+            F.when(
+                F.col("n_both") > 0,
+                F.col("n_union").cast("double") / F.col("est_total"),
+            ),
+        )
+        .orderBy("pred")
+    )
+
+
+def recall_estimate_sql(cte_a: str, cte_b: str) -> str:
+    """DuckDB twin; ``cte_a``/``cte_b`` must define ``a``/``b`` with
+    (subj, pred, obj)."""
+    return f"""
+WITH {cte_a},
+{cte_b},
+da AS (SELECT DISTINCT subj, pred, obj FROM a),
+db AS (SELECT DISTINCT subj, pred, obj FROM b),
+j AS (
+  SELECT coalesce(da.pred, db.pred) AS pred,
+         (da.subj IS NOT NULL)::INT AS in_a,
+         (db.subj IS NOT NULL)::INT AS in_b
+  FROM da FULL OUTER JOIN db
+    ON da.subj = db.subj AND da.pred = db.pred AND da.obj = db.obj),
+agg AS (
+  SELECT pred, sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+         sum(in_a * in_b)::BIGINT AS n_both,
+         count(*)::BIGINT AS n_union
+  FROM j GROUP BY pred)
+SELECT pred, n_a, n_b, n_both, n_union,
+  CASE WHEN n_both > 0
+       THEN n_a::DOUBLE * n_b::DOUBLE / n_both END AS est_total,
+  CASE WHEN n_both > 0
+       THEN n_union::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE / n_both)
+       END AS est_recall
+FROM agg
+ORDER BY pred"""

@@ -335,3 +335,27 @@ def test_resolve_anaphora_rules(spark):
     assert out[(3, "it")][0] == kg + "SanFrancisco"
     # no preceding mention -> dropped
     assert not any(d == 4 for d, _ in out)
+
+
+# --------------------------------------------------------------------- #
+# recall estimation
+# --------------------------------------------------------------------- #
+
+
+def test_recall_estimate_lincoln_petersen(spark):
+    from orionbelt_ontology_builder_spark.operators import profiling
+
+    out = {
+        r.pred: r
+        for r in profiling.recall_estimate(
+            profiling.capture_fixture_df(spark, "a"),
+            profiling.capture_fixture_df(spark, "b"),
+        ).collect()
+    }
+    w = out["worksFor"]
+    assert (w.n_a, w.n_b, w.n_both, w.n_union) == (3, 4, 2, 5)
+    assert w.est_total == 6.0 and abs(w.est_recall - 5 / 6) < 1e-12
+    # full agreement -> complete
+    assert out["livesIn"].est_recall == 1.0
+    # zero overlap -> no estimate
+    assert out["basedIn"].est_total is None
