@@ -4290,6 +4290,53 @@ def _q_rule_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rulemine.rule_predictions(rulemine.rule_fixture_df(spark))
 
 
+_SPARQL_FIXTURE_Q = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+PREFIX ont: <http://test.org/ont#>
+SELECT ?p ?l ?loud WHERE {
+  ?p a owl:NamedIndividual ; rdfs:label ?l .
+  MINUS { ?p a ont:Robot }
+  FILTER ( ?p != ont:ghost )
+  BIND ( upper(?l) AS ?loud )
+}
+ORDER BY ?p
+"""
+
+_SPARQL_INDUCED_Q = """
+# classes under a region, straight from SPARQL text
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+SELECT ?cls ?label WHERE {
+  ?cls a owl:Class ; rdfs:label ?label .
+  OPTIONAL { ?cls rdfs:subClassOf ?parent }
+  FILTER ( ?label != "AFRICA" )
+}
+ORDER BY ?cls
+LIMIT 25
+"""
+
+
+def _q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT text -> parse -> the engine's BGP algebra
+    (pred-lists, MINUS, FILTER, BIND) over the populated fixture."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    return SP.sparql_select(
+        FX.fixture_triples(spark, "populated_om"), _SPARQL_FIXTURE_Q
+    )
+
+
+def _q_sparql_text_induced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text with OPTIONAL/FILTER/LIMIT over the sf-scaled
+    induced graph — the text front end on real data volume."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    return SP.sparql_select(
+        relational.induce_triples(spark, sf_dir), _SPARQL_INDUCED_Q
+    )
+
+
 def _q_recall_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capture-recapture (Lincoln-Petersen) KB-completeness estimate
     per predicate from two independent extraction runs' overlap."""
@@ -4431,6 +4478,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_candidates": _q_bitext_candidates,
         "resolve_anaphora": _q_resolve_anaphora,
         "recall_estimate": _q_recall_estimate,
+        "sparql_text": _q_sparql_text,
+        "sparql_text_induced": _q_sparql_text_induced,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4866,6 +4915,15 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
         )
         + ")"
     )
+    from orionbelt_ontology_builder_spark.operators import sparql as _sp
+
+    sql["sparql_text"] = _sp.sparql_select_sql(
+        "WITH " + FX.fixture_cte("populated_om"), _SPARQL_FIXTURE_Q
+    )
+    sql["sparql_text_induced"] = _sp.sparql_select_sql(
+        "WITH " + relational.induce_triples_sql(), _SPARQL_INDUCED_Q
+    )
+
     sql["recall_estimate"] = profiling.recall_estimate_sql(
         profiling.capture_fixture_cte("a", "a"),
         profiling.capture_fixture_cte("b", "b"),

@@ -352,6 +352,7 @@ def main() -> None:
         "bitext_candidates",
         "resolve_anaphora",
         "recall_estimate",
+        "sparql_text_induced",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -1,0 +1,298 @@
+"""SPARQL text front end — a parser for the SELECT subset the engine's
+query algebra (:mod:`query`) already evaluates, so users bring actual
+SPARQL strings instead of pattern tuples.  Grammar (W3C SPARQL 1.1,
+public spec) subset:
+
+    PREFIX foo: <uri>                      (any number)
+    SELECT ?a ?b | SELECT *                (projection)
+    WHERE { triples . ; ,                  (BGP, predicate/object lists)
+            OPTIONAL { ... }               (left join groups)
+            MINUS { ... }                  (anti join groups)
+            FILTER EXISTS { ... }          (semi join groups)
+            FILTER ( expr )                (common Spark/DuckDB subset)
+            VALUES ?x { ... }              (inline single-var table)
+            BIND ( expr AS ?v ) }          (computed columns)
+    ORDER BY ?x DESC(?y)  LIMIT n  OFFSET n
+
+Terms: ``<uri>``, ``prefix:name`` (expanded), ``a`` (rdf:type),
+``?var``, ``"literal"``, plain numbers/words as literal strings.
+FILTER/BIND expressions are rewritten from SPARQL surface to the
+engine's SQL subset (``?x`` -> ``x``, ``&&`` -> ``AND``, ``||`` ->
+``OR``, ``!=`` -> ``<>``) — anything beyond the shared Spark/DuckDB
+expression subset raises rather than mis-evaluates.
+
+The parser runs driver-side on a query STRING (zero data-plane cost);
+both the Spark evaluation and the DuckDB twin consume the SAME parsed
+structure, so text-level parity reduces to the already-proven algebra
+parity of ``match_bgp`` / ``match_bgp_sql``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from ..model import RDF
+from . import query as Q
+
+__all__ = ["parse_select", "sparql_select", "sparql_select_sql"]
+
+_TOKEN_RX = re.compile(
+    r"<[^>]*>"                      # IRI
+    r"|\"(?:[^\"\\]|\\.)*\""        # string literal
+    r"|\?\w+"                        # variable
+    r"|[{}();,]"                     # structure
+    r"|\.(?=\s|$)"                   # statement dot (not inside tokens)
+    r"|[^\s{}();,]+"                 # bare word / prefixed name / number
+)
+
+_KEYWORDS = {"optional", "minus", "filter", "values", "bind", "exists"}
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN_RX.findall(text)
+
+
+def _expand(term: str, prefixes: dict[str, str]) -> str:
+    if term.startswith("<") and term.endswith(">"):
+        return term[1:-1]
+    if term.startswith("?"):
+        return term
+    if term == "a":
+        return RDF.type
+    if term.startswith('"') and term.endswith('"'):
+        return term[1:-1]
+    if ":" in term:
+        pfx, local = term.split(":", 1)
+        if pfx in prefixes:
+            return prefixes[pfx] + local
+        raise ValueError(f"unknown prefix in term: {term}")
+    return term  # bare literal (number / word)
+
+
+def _filter_to_sql(expr: str, prefixes: dict[str, str]) -> str:
+    """SPARQL expression surface -> the shared Spark/DuckDB SQL
+    subset: variables lose the '?', IRIs / prefixed names / SPARQL
+    string literals become single-quoted SQL strings, && / || / !=
+    become AND / OR / <>."""
+    banned = re.search(
+        r"\b(regex|str|lang|datatype|bound)\s*\(", expr, re.I
+    )
+    if banned:
+        raise ValueError(f"unsupported FILTER function: {banned.group(1)}")
+
+    def tok(m: re.Match) -> str:
+        t = m.group(0)
+        if t.startswith('"'):
+            return "'" + t[1:-1].replace("'", "''") + "'"
+        if t.startswith("<"):
+            return "'" + t[1:-1] + "'"
+        if t.startswith("?"):
+            return t[1:]
+        pfx = t.split(":", 1)[0]
+        if pfx in prefixes:
+            return "'" + prefixes[pfx] + t.split(":", 1)[1] + "'"
+        return t
+
+    out = re.sub(
+        r"\"(?:[^\"\\]|\\.)*\"|<[^>]*>|\?\w+|\w*:[\w/#.~-]+", tok, expr
+    )
+    out = out.replace("&&", " AND ").replace("||", " OR ")
+    out = out.replace("!=", "<>")
+    return out.strip()
+
+
+def _group_block(toks: list[str], i: int) -> tuple[list[str], int]:
+    """Consume a balanced { ... } starting at toks[i] == '{'."""
+    assert toks[i] == "{"
+    depth, j = 0, i
+    while j < len(toks):
+        if toks[j] == "{":
+            depth += 1
+        elif toks[j] == "}":
+            depth -= 1
+            if depth == 0:
+                return toks[i + 1 : j], j + 1
+        j += 1
+    raise ValueError("unbalanced braces in SPARQL body")
+
+
+def _paren_block(toks: list[str], i: int) -> tuple[list[str], int]:
+    assert toks[i] == "("
+    depth, j = 0, i
+    while j < len(toks):
+        if toks[j] == "(":
+            depth += 1
+        elif toks[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return toks[i + 1 : j], j + 1
+        j += 1
+    raise ValueError("unbalanced parens in SPARQL body")
+
+
+def _parse_triples(toks: list[str], prefixes: dict[str, str]) -> list[tuple]:
+    """Triple statements with ';' (same subject) and ',' (same
+    subject+predicate) continuation lists."""
+    pats: list[tuple] = []
+    i, n = 0, len(toks)
+    subj = pred = None
+    state = 0  # 0 expect subj, 1 expect pred, 2 expect obj
+    while i < n:
+        t = toks[i]
+        if t == ".":
+            subj = pred = None
+            state = 0
+        elif t == ";":
+            state = 1
+        elif t == ",":
+            state = 2
+        else:
+            term = _expand(t, prefixes)
+            if state == 0:
+                subj = term
+                state = 1
+            elif state == 1:
+                pred = term
+                state = 2
+            else:
+                pats.append((subj, pred, term))
+                # stay on same (subj, pred) until , ; or .
+                state = 3
+        i += 1
+        if state == 3:
+            state = 0 if i < n and toks[i - 1] == "." else state
+    return pats
+
+
+def _strip_comments(q: str) -> str:
+    """Drop ``# ...`` comments — but '#' inside an IRI (<...#>) or a
+    string literal is content, not a comment."""
+    out_lines = []
+    for line in q.splitlines():
+        in_iri = in_str = False
+        cut = len(line)
+        for i, ch in enumerate(line):
+            if ch == "<" and not in_str:
+                in_iri = True
+            elif ch == ">" and not in_str:
+                in_iri = False
+            elif ch == '"' and not in_iri:
+                in_str = not in_str
+            elif ch == "#" and not in_iri and not in_str:
+                cut = i
+                break
+        out_lines.append(line[:cut])
+    return "\n".join(out_lines)
+
+
+def parse_select(query: str) -> dict:
+    """Parse a SELECT query into the ``match_bgp`` argument dict plus
+    ``project`` (the SELECT list, or None for ``*``)."""
+    q = _strip_comments(query)
+    prefixes = {
+        m.group(1): m.group(2)
+        for m in re.finditer(r"PREFIX\s+(\w*):\s*<([^>]*)>", q, re.I)
+    }
+    q = re.sub(r"PREFIX\s+\w*:\s*<[^>]*>", "", q, flags=re.I)
+    m = re.search(r"SELECT\s+(.+?)\s+WHERE", q, re.I | re.S)
+    if not m:
+        raise ValueError("only SELECT ... WHERE { ... } is supported")
+    sel = m.group(1).split()
+    project = None if sel == ["*"] else [v.lstrip("?") for v in sel]
+
+    body_start = q.index("{", m.end() - 1)
+    toks = _tokens(q[body_start:])
+    body, after = _group_block(toks, 0)
+
+    patterns_toks: list[str] = []
+    optional, minus, exists, filters = [], [], [], []
+    values = None
+    bind: dict[str, str] = {}
+    i = 0
+    while i < len(body):
+        t = body[i]
+        low = t.lower()
+        if low == "optional":
+            grp, i = _group_block(body, i + 1)
+            optional.append(_parse_triples(grp, prefixes))
+        elif low == "minus":
+            grp, i = _group_block(body, i + 1)
+            minus.append(_parse_triples(grp, prefixes))
+        elif low == "filter":
+            if body[i + 1].lower() == "exists":
+                grp, i = _group_block(body, i + 2)
+                exists.append(_parse_triples(grp, prefixes))
+            else:
+                expr_toks, i = _paren_block(body, i + 1)
+                filters.append(_filter_to_sql(" ".join(expr_toks), prefixes))
+        elif low == "values":
+            var = body[i + 1].lstrip("?")
+            grp, i = _group_block(body, i + 2)
+            rows = [[_expand(g, prefixes)] for g in grp]
+            values = ([var], rows)
+        elif low == "bind":
+            expr_toks, i = _paren_block(body, i + 1)
+            joined = " ".join(expr_toks)
+            bm = re.match(r"(.+?)\s+AS\s+\?(\w+)$", joined, re.I)
+            if not bm:
+                raise ValueError("BIND needs (expr AS ?var)")
+            bind[bm.group(2)] = _filter_to_sql(bm.group(1), prefixes)
+        else:
+            patterns_toks.append(t)
+            i += 1
+            continue
+        # block consumers already advanced i
+    patterns = _parse_triples(patterns_toks, prefixes)
+
+    tail = " ".join(toks[after:])
+    order_by = None
+    om = re.search(r"ORDER\s+BY\s+(.+?)(?:LIMIT|OFFSET|$)", tail, re.I | re.S)
+    if om:
+        order_by = []
+        for part in re.findall(r"DESC\s*\(\s*\?(\w+)\s*\)|\?(\w+)", om.group(1), re.I):
+            order_by.append("-" + part[0] if part[0] else part[1])
+    lm = re.search(r"LIMIT\s+(\d+)", tail, re.I)
+    fm = re.search(r"OFFSET\s+(\d+)", tail, re.I)
+    return {
+        "patterns": patterns,
+        "optional": optional or None,
+        "minus": minus or None,
+        "exists": exists or None,
+        "filters": filters or None,
+        "values": values,
+        "bind": bind or None,
+        "order_by": order_by,
+        "limit": int(lm.group(1)) if lm else None,
+        "offset": int(fm.group(1)) if fm else None,
+        "project": project,
+    }
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Evaluate a SPARQL SELECT string over the triples DataFrame."""
+    args = parse_select(query)
+    project = args.pop("project")
+    out = Q.match_bgp(triples, **args)
+    if project:
+        from pyspark.sql import functions as F
+
+        cols = sorted(project)
+        return out.select(*cols).distinct().orderBy(*[F.col(c) for c in cols])
+    return out
+
+
+def sparql_select_sql(with_prefix: str, query: str) -> str:
+    """DuckDB twin built from the SAME parse; ``with_prefix`` is the
+    ``"WITH triples AS (...)"`` header, per the ``match_bgp_sql``
+    convention."""
+    args = parse_select(query)
+    project = args.pop("project")
+    inner = Q.match_bgp_sql(with_prefix, **args)
+    if project:
+        cols = ", ".join(sorted(project))
+        return (
+            f"SELECT DISTINCT {cols} FROM (\n{inner}\n)\nORDER BY {cols}"
+        )
+    return inner

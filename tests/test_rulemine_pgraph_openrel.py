@@ -359,3 +359,61 @@ def test_recall_estimate_lincoln_petersen(spark):
     assert out["livesIn"].est_recall == 1.0
     # zero overlap -> no estimate
     assert out["basedIn"].est_total is None
+
+
+# --------------------------------------------------------------------- #
+# SPARQL text front end
+# --------------------------------------------------------------------- #
+
+
+def test_sparql_parser_features(spark):
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    q = """
+    PREFIX ont: <http://test.org/ont#>   # trailing comment
+    SELECT ?cls WHERE {
+      ?cls a <http://www.w3.org/2002/07/owl#Class> .
+      FILTER ( ?cls != ont:Organization && ?cls != "junk" )
+    } ORDER BY DESC(?cls) LIMIT 2 OFFSET 1
+    """
+    args = SP.parse_select(q)
+    assert args["patterns"] == [
+        ("?cls", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://www.w3.org/2002/07/owl#Class")
+    ]
+    assert args["filters"] == [
+        "cls <> 'http://test.org/ont#Organization'  AND  cls <> 'junk'"
+    ]
+    assert args["order_by"] == ["-cls"]
+    assert args["limit"] == 2 and args["offset"] == 1
+    assert args["project"] == ["cls"]
+
+    t = FX.fixture_triples(spark, "populated_om")
+    rows = [r.cls for r in SP.sparql_select(t, q).collect()]
+    # DESC order, offset 1 of [Person, Employee] remainder
+    assert rows == ["http://test.org/ont#Employee"]
+
+
+def test_sparql_pred_object_lists(spark):
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    PREFIX owl: <http://www.w3.org/2002/07/owl#>
+    SELECT * WHERE { ?p a owl:NamedIndividual ; rdfs:label ?l . }
+    """
+    t = FX.fixture_triples(spark, "populated_om")
+    rows = {(r.p, r.l) for r in SP.sparql_select(t, q).collect()}
+    assert ("http://test.org/ont#alice", "Alice") in rows
+    assert ("http://test.org/ont#acme", "ACME Corp") in rows
+
+
+def test_sparql_unsupported_raises():
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        SP.parse_select("SELECT ?x WHERE { ?x ?p ?o . FILTER(regex(?x, 'a')) }")
+    with _pt.raises(ValueError):
+        SP.parse_select("ASK { ?s ?p ?o }")
