@@ -4317,6 +4317,28 @@ LIMIT 25
 """
 
 
+_SPARQL_AGG_Q = """
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+SELECT ?cls (COUNT(?ind) AS ?n) (MIN(?ind) AS ?first)
+WHERE {
+  ?ind rdf:type ?cls .
+  ?cls rdf:type <http://www.w3.org/2002/07/owl#Class> .
+}
+GROUP BY ?cls
+HAVING ( ?n >= 3 )
+"""
+
+
+def _q_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate SPARQL text (COUNT/MIN + GROUP BY + HAVING) parsed to
+    select_agg over the induced graph."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    return SP.sparql_select(
+        relational.induce_triples(spark, sf_dir), _SPARQL_AGG_Q
+    )
+
+
 def _q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL SELECT text -> parse -> the engine's BGP algebra
     (pred-lists, MINUS, FILTER, BIND) over the populated fixture."""
@@ -4480,6 +4502,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_estimate": _q_recall_estimate,
         "sparql_text": _q_sparql_text,
         "sparql_text_induced": _q_sparql_text_induced,
+        "sparql_text_agg": _q_sparql_text_agg,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4922,6 +4945,9 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     )
     sql["sparql_text_induced"] = _sp.sparql_select_sql(
         "WITH " + relational.induce_triples_sql(), _SPARQL_INDUCED_Q
+    )
+    sql["sparql_text_agg"] = _sp.sparql_select_sql(
+        "WITH " + relational.induce_triples_sql(), _SPARQL_AGG_Q
     )
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(

@@ -353,6 +353,7 @@ def main() -> None:
         "resolve_anaphora",
         "recall_estimate",
         "sparql_text_induced",
+        "sparql_text_agg",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

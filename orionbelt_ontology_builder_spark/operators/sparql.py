@@ -248,13 +248,42 @@ def parse_select(query: str) -> dict:
 
     tail = " ".join(toks[after:])
     order_by = None
-    om = re.search(r"ORDER\s+BY\s+(.+?)(?:LIMIT|OFFSET|$)", tail, re.I | re.S)
+    om = re.search(
+        r"ORDER\s+BY\s+(.+?)(?:LIMIT|OFFSET|$)", tail, re.I | re.S
+    )
     if om:
         order_by = []
         for part in re.findall(r"DESC\s*\(\s*\?(\w+)\s*\)|\?(\w+)", om.group(1), re.I):
             order_by.append("-" + part[0] if part[0] else part[1])
     lm = re.search(r"LIMIT\s+(\d+)", tail, re.I)
     fm = re.search(r"OFFSET\s+(\d+)", tail, re.I)
+
+    if "(" in m.group(1):  # aggregate SELECT list -> GROUP BY path
+        aggs, plain = _parse_agg_select(m.group(1), tail)
+        gm = re.search(
+            r"GROUP\s+BY\s+((?:\?\w+\s*)+)", tail, re.I
+        )
+        if not gm:
+            raise ValueError("aggregate SELECT needs GROUP BY")
+        group_by = [v[1:] for v in re.findall(r"\?\w+", gm.group(1))]
+        hm = re.search(r"HAVING\s*\((.*?)\)", tail, re.I | re.S)
+        if values is not None or bind or order_by or lm or fm:
+            raise ValueError(
+                "VALUES/BIND/ORDER/LIMIT unsupported with aggregates"
+            )
+        if set(plain) - set(group_by):
+            raise ValueError("non-grouped bare variable in SELECT")
+        return {
+            "patterns": patterns,
+            "optional": optional or None,
+            "minus": minus or None,
+            "exists": exists or None,
+            "filters": filters or None,
+            "group_by": group_by,
+            "aggs": aggs,
+            "having": _filter_to_sql(hm.group(1), prefixes) if hm else None,
+        }
+
     return {
         "patterns": patterns,
         "optional": optional or None,
@@ -270,9 +299,43 @@ def parse_select(query: str) -> dict:
     }
 
 
+_AGG_ENTRY_RX = re.compile(
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)"
+    r"\s+AS\s+\?(\w+)\s*\)",
+    re.I,
+)
+
+
+def _parse_agg_select(sel_text: str, tail: str) -> tuple[dict, list]:
+    """Aggregate SELECT list + GROUP BY/HAVING tail -> (aggs, plain
+    vars).  SUM/AVG cast their (string-typed) variable to DOUBLE so
+    both engines aggregate numerically; COUNT/MIN/MAX are
+    string-safe as-is."""
+    aggs: dict[str, str] = {}
+    for m in _AGG_ENTRY_RX.finditer(sel_text):
+        fn, dist, arg, alias = (
+            m.group(1).lower(),
+            "DISTINCT " if m.group(2) else "",
+            m.group(3),
+            m.group(4),
+        )
+        col = "*" if arg == "*" else arg[1:]
+        if fn in ("sum", "avg") and col != "*":
+            col = f"CAST({col} AS DOUBLE)"
+        aggs[alias] = f"{fn}({dist}{col})"
+    plain = [
+        v[1:]
+        for v in re.findall(r"\?\w+", _AGG_ENTRY_RX.sub("", sel_text))
+    ]
+    return aggs, plain
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Evaluate a SPARQL SELECT string over the triples DataFrame."""
+    """Evaluate a SPARQL SELECT string over the triples DataFrame
+    (aggregate SELECT lists route to ``select_agg``)."""
     args = parse_select(query)
+    if "aggs" in args:
+        return Q.select_agg(triples, **args)
     project = args.pop("project")
     out = Q.match_bgp(triples, **args)
     if project:
@@ -288,6 +351,8 @@ def sparql_select_sql(with_prefix: str, query: str) -> str:
     ``"WITH triples AS (...)"`` header, per the ``match_bgp_sql``
     convention."""
     args = parse_select(query)
+    if "aggs" in args:
+        return Q.select_agg_sql(with_prefix, **args)
     project = args.pop("project")
     inner = Q.match_bgp_sql(with_prefix, **args)
     if project:

@@ -417,3 +417,37 @@ def test_sparql_unsupported_raises():
         SP.parse_select("SELECT ?x WHERE { ?x ?p ?o . FILTER(regex(?x, 'a')) }")
     with _pt.raises(ValueError):
         SP.parse_select("ASK { ?s ?p ?o }")
+
+
+def test_sparql_aggregate_path(spark):
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    q = """
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    SELECT ?cls (COUNT(?i) AS ?n)
+    WHERE { ?i rdf:type ?cls . }
+    GROUP BY ?cls
+    HAVING ( ?n >= 2 )
+    """
+    args = SP.parse_select(q)
+    assert args["aggs"] == {"n": "count(i)"}
+    assert args["group_by"] == ["cls"]
+    assert args["having"] == "n >= 2"
+
+    t = FX.fixture_triples(spark, "populated_om")
+    rows = {r.cls: r.n for r in SP.sparql_select(t, q).collect()}
+    # owl:Class has 3 instances (Person, Organization, Employee)
+    assert rows["http://www.w3.org/2002/07/owl#Class"] == 3
+    assert all(n >= 2 for n in rows.values())
+
+
+def test_sparql_agg_rejects_pagination():
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        SP.parse_select(
+            "SELECT (COUNT(?i) AS ?n) WHERE { ?i ?p ?o . } "
+            "GROUP BY ?p LIMIT 3"
+        )
