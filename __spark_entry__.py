@@ -4329,6 +4329,27 @@ HAVING ( ?n >= 3 )
 """
 
 
+_SPARQL_UNION_Q = """
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT * WHERE {
+  { ?cls a owl:Class . ?cls rdfs:label ?name }
+  UNION
+  { ?p a owl:ObjectProperty }
+}
+"""
+
+
+def _q_sparql_text_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION text (independent arm join trees, NULL-padded
+    unbound vars) parsed to match_union over the induced graph."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    return SP.sparql_select(
+        relational.induce_triples(spark, sf_dir), _SPARQL_UNION_Q
+    )
+
+
 def _q_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate SPARQL text (COUNT/MIN + GROUP BY + HAVING) parsed to
     select_agg over the induced graph."""
@@ -4503,6 +4524,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text": _q_sparql_text,
         "sparql_text_induced": _q_sparql_text_induced,
         "sparql_text_agg": _q_sparql_text_agg,
+        "sparql_text_union": _q_sparql_text_union,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4948,6 +4970,9 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     )
     sql["sparql_text_agg"] = _sp.sparql_select_sql(
         "WITH " + relational.induce_triples_sql(), _SPARQL_AGG_Q
+    )
+    sql["sparql_text_union"] = _sp.sparql_select_sql(
+        "WITH " + relational.induce_triples_sql(), _SPARQL_UNION_Q
     )
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(

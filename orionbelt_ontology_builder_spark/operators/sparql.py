@@ -206,6 +206,29 @@ def parse_select(query: str) -> dict:
     toks = _tokens(q[body_start:])
     body, after = _group_block(toks, 0)
 
+    # top-level { g1 } UNION { g2 } [UNION { g3 }] — arm groups only
+    if any(t.lower() == "union" for t in body):
+        groups, i = [], 0
+        while i < len(body):
+            t = body[i]
+            if t == "{":
+                grp, i = _group_block(body, i)
+                groups.append(_parse_triples(grp, prefixes))
+            elif t.lower() == "union":
+                i += 1
+            else:
+                raise ValueError(
+                    "UNION bodies must be brace groups of triples"
+                )
+        tail = " ".join(toks[after:])
+        lm = re.search(r"LIMIT\s+(\d+)", tail, re.I)
+        if project is not None:
+            raise ValueError("UNION supports SELECT * only")
+        return {
+            "union": groups,
+            "limit": int(lm.group(1)) if lm else None,
+        }
+
     patterns_toks: list[str] = []
     optional, minus, exists, filters = [], [], [], []
     values = None
@@ -334,6 +357,8 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a SPARQL SELECT string over the triples DataFrame
     (aggregate SELECT lists route to ``select_agg``)."""
     args = parse_select(query)
+    if "union" in args:
+        return Q.match_union(triples, args["union"], limit=args["limit"])
     if "aggs" in args:
         return Q.select_agg(triples, **args)
     project = args.pop("project")
@@ -351,6 +376,10 @@ def sparql_select_sql(with_prefix: str, query: str) -> str:
     ``"WITH triples AS (...)"`` header, per the ``match_bgp_sql``
     convention."""
     args = parse_select(query)
+    if "union" in args:
+        return Q.match_union_sql(
+            with_prefix, args["union"], limit=args["limit"]
+        )
     if "aggs" in args:
         return Q.select_agg_sql(with_prefix, **args)
     project = args.pop("project")

@@ -451,3 +451,21 @@ def test_sparql_agg_rejects_pagination():
             "SELECT (COUNT(?i) AS ?n) WHERE { ?i ?p ?o . } "
             "GROUP BY ?p LIMIT 3"
         )
+
+
+def test_sparql_union_path(spark):
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    q = """
+    PREFIX owl: <http://www.w3.org/2002/07/owl#>
+    SELECT * WHERE {
+      { ?e a owl:Class }
+      UNION
+      { ?e a owl:ObjectProperty }
+    }
+    """
+    t = FX.fixture_triples(spark, "populated_om")
+    rows = {r.e for r in SP.sparql_select(t, q).collect()}
+    assert "http://test.org/ont#Person" in rows
+    assert "http://test.org/ont#worksFor" in rows
+    assert len(rows) == 4
