@@ -354,6 +354,7 @@ def main() -> None:
         "recall_estimate",
         "sparql_text_induced",
         "sparql_text_agg",
+        "sparql_text_union",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
