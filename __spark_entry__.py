@@ -4329,6 +4329,24 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based license classification from boilerplate cues, fixed
+    precedence (cc0 > cc-by-sa > cc-by > cc > ...) — the filter key
+    for redistribution-safe corpus cuts."""
+    from orionbelt_ontology_builder_spark.datapipe import policy
+
+    return policy.license_detect(policy.policy_docs_df(spark))
+
+
+def _q_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter as auditable data: per-doc hit counts
+    + rate-thresholded keep verdict (rate, not count — long docs must
+    not die to one stray term)."""
+    from orionbelt_ontology_builder_spark.datapipe import policy
+
+    return policy.blocklist_stats(policy.policy_docs_df(spark))
+
+
 _SPARQL_UNION_Q = """
 PREFIX owl: <http://www.w3.org/2002/07/owl#>
 PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
@@ -4525,6 +4543,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_induced": _q_sparql_text_induced,
         "sparql_text_agg": _q_sparql_text_agg,
         "sparql_text_union": _q_sparql_text_union,
+        "license_detect": _q_license_detect,
+        "blocklist_stats": _q_blocklist_stats,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -4973,6 +4993,15 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     )
     sql["sparql_text_union"] = _sp.sparql_select_sql(
         "WITH " + relational.induce_triples_sql(), _SPARQL_UNION_Q
+    )
+
+    from orionbelt_ontology_builder_spark.datapipe import policy as _pol
+
+    sql["license_detect"] = _pol.license_detect_sql(
+        _pol.policy_docs_values()
+    )
+    sql["blocklist_stats"] = _pol.blocklist_stats_sql(
+        _pol.policy_docs_values()
     )
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(

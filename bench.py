@@ -355,6 +355,8 @@ def main() -> None:
         "sparql_text_induced",
         "sparql_text_agg",
         "sparql_text_union",
+        "license_detect",
+        "blocklist_stats",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -469,3 +469,30 @@ def test_sparql_union_path(spark):
     assert "http://test.org/ont#Person" in rows
     assert "http://test.org/ont#worksFor" in rows
     assert len(rows) == 4
+
+
+# --------------------------------------------------------------------- #
+# content policy
+# --------------------------------------------------------------------- #
+
+
+def test_license_precedence(spark):
+    from orionbelt_ontology_builder_spark.datapipe import policy
+
+    out = {r.doc_id: r.license for r in policy.license_detect(
+        policy.policy_docs_df(spark)).collect()}
+    # the sharealike doc also contains the plain cc-by and cc cues —
+    # precedence picks the most specific
+    assert out[1] == "cc-by-sa" and out[2] == "cc-by"
+    assert out[0] == "cc0" and out[4] == "all-rights-reserved"
+    assert out[5] == "unknown"
+
+
+def test_blocklist_rate_threshold(spark):
+    from orionbelt_ontology_builder_spark.datapipe import policy
+
+    out = {r.doc_id: r for r in policy.blocklist_stats(
+        policy.policy_docs_df(spark)).collect()}
+    assert out[7].n_hits == 3 and not out[7].keep      # 27% rate
+    assert out[8].n_hits == 1 and out[8].keep          # 9% < 10%
+    assert all(out[i].keep for i in range(7))
