@@ -4329,6 +4329,13 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_temporal_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin evaluation folds over events: rank-cut time
+    segments, train strictly before test in every fold — the leakage
+    rule hash splits cannot give temporal data."""
+    return temporal.temporal_folds(_tbl(spark, sf_dir, "events"))
+
+
 def _q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule-based license classification from boilerplate cues, fixed
     precedence (cc0 > cc-by-sa > cc-by > cc > ...) — the filter key
@@ -4545,6 +4552,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_union": _q_sparql_text_union,
         "license_detect": _q_license_detect,
         "blocklist_stats": _q_blocklist_stats,
+        "temporal_folds": _q_temporal_folds,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5003,6 +5011,7 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     sql["blocklist_stats"] = _pol.blocklist_stats_sql(
         _pol.policy_docs_values()
     )
+    sql["temporal_folds"] = "WITH " + temporal.temporal_folds_sql()
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(
         profiling.capture_fixture_cte("a", "a"),

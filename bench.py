@@ -357,6 +357,7 @@ def main() -> None:
         "sparql_text_union",
         "license_detect",
         "blocklist_stats",
+        "temporal_folds",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -1361,3 +1361,82 @@ FROM islands
 GROUP BY 1, 2
 ORDER BY {key}, island
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin temporal evaluation folds
+# ---------------------------------------------------------------------------
+
+
+def temporal_folds(events: DataFrame, n_folds: int = 4) -> DataFrame:
+    """(fold, split, n_rows, n_users, min_ts, max_ts) — rolling-origin
+    evaluation folds (the forecasting-eval standard; Tashman 2000,
+    public literature): the time axis is cut into ``n_folds + 1``
+    equal-POPULATION segments by exact rank; fold i trains on segments
+    [0..i] and tests on segment i+1 — every test row is strictly later
+    than all of its train rows, the leakage rule hash-bucket splits
+    cannot give time-series data.
+
+    Exactness: segment of a row = ``(rank - 1) * (n_folds + 1) / n``
+    over ``row_number() ORDER BY ts, event_id`` — pure integer
+    arithmetic, no timestamp quantile interpolation, so both engines
+    cut identically even with heavily tied timestamps.  One window
+    sort + a fold fan-out bounded by n_folds + one keyed agg."""
+    from pyspark.sql import Window
+
+    n = events.count()
+    # floor division explicitly: DuckDB CAST(double AS INT) ROUNDS
+    # while Spark truncates — '//'-style floor on both sides instead
+    seg = F.floor(
+        (F.row_number().over(Window.orderBy("ts", "event_id")) - 1)
+        * (n_folds + 1)
+        / F.lit(n)
+    ).cast("int")
+    segged = events.select("event_id", "ts", "user_id").withColumn(
+        "seg", seg
+    )
+    folds = segged.sparkSession.range(n_folds).select(
+        (F.col("id") + 1).cast("int").alias("fold")
+    )
+    assigned = (
+        segged.crossJoin(F.broadcast(folds))
+        .filter(F.col("seg") <= F.col("fold"))
+        .withColumn(
+            "split",
+            F.when(F.col("seg") == F.col("fold"), "test").otherwise("train"),
+        )
+    )
+    return (
+        assigned.groupBy("fold", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("fold", "split")
+    )
+
+
+def temporal_folds_sql(events_src: str = "events", n_folds: int = 4) -> str:
+    """DuckDB twin: identical rank-segment arithmetic and fold
+    fan-out."""
+    return f"""
+n_cte AS (SELECT count(*)::BIGINT AS n FROM {events_src}),
+segged AS (
+  SELECT event_id, ts, user_id,
+    CAST((row_number() OVER (ORDER BY ts, event_id) - 1)
+         * {n_folds + 1} // (SELECT n FROM n_cte) AS INT) AS seg
+  FROM {events_src}),
+folds AS (SELECT unnest(range(1, {n_folds + 1}))::INT AS fold),
+assigned AS (
+  SELECT s.*, f.fold,
+    CASE WHEN s.seg = f.fold THEN 'test' ELSE 'train' END AS split
+  FROM segged s CROSS JOIN folds f
+  WHERE s.seg <= f.fold)
+SELECT fold, split, count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM assigned
+GROUP BY fold, split
+ORDER BY fold, split"""

@@ -496,3 +496,23 @@ def test_blocklist_rate_threshold(spark):
     assert out[7].n_hits == 3 and not out[7].keep      # 27% rate
     assert out[8].n_hits == 1 and out[8].keep          # 9% < 10%
     assert all(out[i].keep for i in range(7))
+
+
+# --------------------------------------------------------------------- #
+# temporal folds
+# --------------------------------------------------------------------- #
+
+
+def test_temporal_folds_no_leakage(spark):
+    from orionbelt_ontology_builder_spark.operators import temporal
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = {(r.fold, r.split): r for r in
+            temporal.temporal_folds(ev, n_folds=3).collect()}
+    for f in (1, 2, 3):
+        tr, te = rows[(f, "train")], rows[(f, "test")]
+        # every test row strictly later than every train row
+        assert tr.max_ts < te.min_ts
+    # train grows monotonically across folds (rolling origin)
+    assert (rows[(1, "train")].n_rows < rows[(2, "train")].n_rows
+            < rows[(3, "train")].n_rows)
