@@ -4329,6 +4329,16 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_bgp_plan_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BGP join-order advisor: exact per-pattern match counts
+    (one shared scan, never the join), smallest-first order as data."""
+    from orionbelt_ontology_builder_spark.operators import query
+
+    return query.bgp_selectivity_order(
+        relational.induce_triples(spark, sf_dir), _BGP_PATTERNS
+    )
+
+
 def _q_temporal_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin evaluation folds over events: rank-cut time
     segments, train strictly before test in every fold — the leakage
@@ -4553,6 +4563,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": _q_license_detect,
         "blocklist_stats": _q_blocklist_stats,
         "temporal_folds": _q_temporal_folds,
+        "bgp_plan_order": _q_bgp_plan_order,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5875,6 +5886,9 @@ triples AS (SELECT * FROM base UNION ALL SELECT * FROM extra)"""
     from orionbelt_ontology_builder_spark.operators import query as _query
 
     sql["bgp_match"] = _query.match_bgp_sql(_tr, _BGP_PATTERNS)
+    sql["bgp_plan_order"] = _query.bgp_selectivity_order_sql(
+        _tr, _BGP_PATTERNS
+    )
     sql["path_query"] = _query.eval_path_sql(_tr, _PATH_SPEC)
     sql["bgp_optional_filter"] = _query.match_bgp_sql(
         _tr, _OPT_REQUIRED, optional=_OPT_GROUPS, filters=_OPT_FILTERS

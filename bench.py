@@ -358,6 +358,7 @@ def main() -> None:
         "license_detect",
         "blocklist_stats",
         "temporal_folds",
+        "bgp_plan_order",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

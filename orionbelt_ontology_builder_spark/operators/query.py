@@ -961,3 +961,72 @@ FROM triples
 WHERE subj = '{resource}' OR obj = '{resource}'
 ORDER BY subj, pred, obj
 """
+
+
+# --------------------------------------------------------------------------
+# BGP join-order advisor
+# --------------------------------------------------------------------------
+
+
+def bgp_selectivity_order(triples: DataFrame, patterns) -> DataFrame:
+    """(position, subj, pred, obj, est_rows) — the BGP's patterns
+    reordered by EXACT match counts, smallest first: the textbook
+    greedy join-order heuristic (start from the most selective
+    pattern, grow the chain), surfaced as data so a caller reorders
+    its ``match_bgp`` input — or audits why a query is slow — before
+    paying for the join.  ``match_bgp`` itself joins in the given
+    order (documented there: "order your patterns so each one
+    connects"); this operator supplies that order.
+
+    Exactness beats estimation at this granularity: each pattern's
+    binding count is ONE conditional-count aggregate over a single
+    shared scan (a constant-bound slot predicate per pattern — no join
+    is executed, the same never-run-the-join stance as
+    ``join_size_estimate``).  Ties break by pattern text so the order
+    is total."""
+    conds = []
+    for i, pat in enumerate(patterns):
+        c = F.lit(True)
+        for slot_val, col in zip(pat, _SLOTS):
+            if not _is_var(slot_val):
+                c = c & (F.col(col) == slot_val)
+        conds.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"n{i}"))
+    row = triples.agg(*conds).collect()[0]
+    ranked = sorted(
+        (int(row[f"n{i}"]), tuple(p)) for i, p in enumerate(patterns)
+    )
+    spark = triples.sparkSession
+    return spark.createDataFrame(
+        [
+            (pos + 1, p[0], p[1], p[2], n)
+            for pos, (n, p) in enumerate(ranked)
+        ],
+        "position int, subj string, pred string, obj string, est_rows long",
+    )
+
+
+def bgp_selectivity_order_sql(triples_cte: str, patterns) -> str:
+    """DuckDB twin: identical conditional counts, identical
+    (count, pattern-text) ordering."""
+    legs = []
+    for pat in patterns:
+        wheres = [
+            f"{col} = '{v}'"
+            for v, col in zip(pat, _SLOTS)
+            if not _is_var(v)
+        ]
+        cond = " AND ".join(wheres) if wheres else "TRUE"
+        s, p, o = pat
+        legs.append(
+            f"SELECT '{s}' AS subj, '{p}' AS pred, '{o}' AS obj,\n"
+            f"  (SELECT count(*) FROM triples WHERE {cond})::BIGINT"
+            f" AS est_rows"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""{triples_cte},
+est AS ({union})
+SELECT row_number() OVER (ORDER BY est_rows, subj, pred, obj)::INT
+         AS position,
+       subj, pred, obj, est_rows
+FROM est
+ORDER BY position"""

@@ -516,3 +516,24 @@ def test_temporal_folds_no_leakage(spark):
     # train grows monotonically across folds (rolling origin)
     assert (rows[(1, "train")].n_rows < rows[(2, "train")].n_rows
             < rows[(3, "train")].n_rows)
+
+
+# --------------------------------------------------------------------- #
+# BGP plan order
+# --------------------------------------------------------------------- #
+
+
+def test_bgp_plan_order_smallest_first(spark):
+    from orionbelt_ontology_builder_spark.operators import query
+
+    t = FX.fixture_triples(spark, "populated_om")
+    pats = [
+        ("?s", "?p", "?o"),                 # matches everything (20)
+        ("?c", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "?sup"),
+        ("?i", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "?t"),
+    ]
+    rows = query.bgp_selectivity_order(t, pats).collect()
+    counts = [r.est_rows for r in rows]
+    assert counts == sorted(counts)
+    assert rows[0].pred.endswith("subClassOf")   # 1 match, most selective
+    assert rows[-1].est_rows == 20               # the wildcard scan last
