@@ -4329,6 +4329,24 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G^2 keyness between the even- and odd-id document
+    halves — distinctive-vocabulary detection (integer counts, one
+    full-outer term join, row-wise log arithmetic)."""
+    d = _docs(spark, sf_dir)
+    return textstats.keyness_terms(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for mean document length:
+    one corpus pass for all replicates, md5-drawn weights, rank-picked
+    percentile bounds."""
+    return profiling.bootstrap_mean_ci(_docs(spark, sf_dir))
+
+
 def _q_bgp_plan_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy BGP join-order advisor: exact per-pattern match counts
     (one shared scan, never the join), smallest-first order as data."""
@@ -4564,6 +4582,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_stats": _q_blocklist_stats,
         "temporal_folds": _q_temporal_folds,
         "bgp_plan_order": _q_bgp_plan_order,
+        "keyness_terms": _q_keyness_terms,
+        "bootstrap_ci": _q_bootstrap_ci,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5023,6 +5043,11 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
         _pol.policy_docs_values()
     )
     sql["temporal_folds"] = "WITH " + temporal.temporal_folds_sql()
+    sql["keyness_terms"] = textstats.keyness_terms_sql(
+        "da AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+        "db AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
+    )
+    sql["bootstrap_ci"] = "WITH " + profiling.bootstrap_mean_ci_sql()
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(
         profiling.capture_fixture_cte("a", "a"),

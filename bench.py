@@ -359,6 +359,8 @@ def main() -> None:
         "blocklist_stats",
         "temporal_folds",
         "bgp_plan_order",
+        "keyness_terms",
+        "bootstrap_ci",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -2235,3 +2235,101 @@ SELECT doc_id, rank_overlap, rank_tf,
 FROM ranked
 ORDER BY rrf_score DESC, doc_id
 LIMIT {top}"""
+
+
+# ------------------------------------------------------------------ #
+# Keyness (corpus-comparison distinctive terms)
+# ------------------------------------------------------------------ #
+
+
+def keyness_terms(
+    docs_a: DataFrame, docs_b: DataFrame, min_count: int = 5
+) -> DataFrame:
+    """(term, n_a, n_b, e_a, e_b, g2, direction) — Dunning
+    log-likelihood keyness (Dunning 1993, public literature) of every
+    term between two corpora: which vocabulary is DISTINCTIVE of A
+    versus B (domain jargon, register shift, topical drift) — the
+    corpus-linguistics complement of the engine's cross-crawl
+    vocab-drift monitor.
+
+    ``g2 = 2 * (a*ln(a/e_a) + b*ln(b/e_b))`` with expected counts from
+    the pooled rate; zero observed counts contribute 0 (the lim x->0
+    of x ln x).  Counts and the ``min_count`` gate are integers; the
+    ln arithmetic is row-wise on identical doubles, driver-normalized
+    at %.6g.  Plan: one token count agg per side, one full-outer
+    term join, row-wise math — two corpus scans total."""
+    ta = (
+        _exploded_terms(docs_a).groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    tb = (
+        _exploded_terms(docs_b).groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    j = (
+        ta.join(tb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .persist()  # consumers: the totals agg and the scored output
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    out = j.crossJoin(F.broadcast(tot))
+    e_a = (F.col("n_a") + F.col("n_b")) * F.col("ta") / (F.col("ta") + F.col("tb"))
+    e_b = (F.col("n_a") + F.col("n_b")) * F.col("tb") / (F.col("ta") + F.col("tb"))
+    term_a = F.when(
+        F.col("n_a") > 0, F.col("n_a") * F.log(F.col("n_a") / e_a)
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("n_b") > 0, F.col("n_b") * F.log(F.col("n_b") / e_b)
+    ).otherwise(F.lit(0.0))
+    return (
+        out.filter(F.col("n_a") + F.col("n_b") >= min_count)
+        .select(
+            "term", "n_a", "n_b",
+            e_a.alias("e_a"), e_b.alias("e_b"),
+            (2.0 * (term_a + term_b)).alias("g2"),
+            F.when(F.col("n_a") / F.col("ta") >= F.col("n_b") / F.col("tb"), "a")
+            .otherwise("b")
+            .alias("direction"),
+        )
+        .orderBy("term")
+    )
+
+
+def keyness_terms_sql(cte_a: str, cte_b: str, min_count: int = 5) -> str:
+    """DuckDB twin; ``cte_a``/``cte_b`` must define ``da``/``db`` with
+    (doc_id, text)."""
+    ex = lambda src: (  # noqa: E731
+        f"SELECT unnest({tokens_sql(norm_sql())}) AS term FROM {src}"
+    )
+    return f"""
+WITH {cte_a},
+{cte_b},
+ca AS (SELECT term, count(*)::BIGINT AS n_a FROM ({ex('da')})
+       WHERE term <> '' GROUP BY term),
+cb AS (SELECT term, count(*)::BIGINT AS n_b FROM ({ex('db')})
+       WHERE term <> '' GROUP BY term),
+j AS MATERIALIZED (
+  SELECT coalesce(ca.term, cb.term) AS term,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM j)
+SELECT term, n_a, n_b,
+  (n_a + n_b) * ta / (ta + tb) AS e_a,
+  (n_a + n_b) * tb / (ta + tb) AS e_b,
+  2.0::DOUBLE * (
+    (CASE WHEN n_a > 0
+          THEN n_a * ln(n_a / ((n_a + n_b) * ta / (ta + tb)))
+          ELSE 0.0::DOUBLE END)
+    + (CASE WHEN n_b > 0
+            THEN n_b * ln(n_b / ((n_a + n_b) * tb / (ta + tb)))
+            ELSE 0.0::DOUBLE END)) AS g2,
+  CASE WHEN n_a / ta >= n_b / tb THEN 'a' ELSE 'b' END AS direction
+FROM j, tot
+WHERE n_a + n_b >= {min_count}
+ORDER BY term"""

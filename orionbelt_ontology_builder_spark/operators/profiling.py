@@ -1432,3 +1432,127 @@ SELECT pred, n_a, n_b, n_both, n_union,
        END AS est_recall
 FROM agg
 ORDER BY pred"""
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (deterministic replicates)
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) inverse-CDF thresholds for k = 0..4 (else 5) — literal
+#: doubles, identical in both engines.
+_POIS = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+         0.9810118431238462, 0.9963401531726563]
+
+
+def bootstrap_mean_ci(
+    docs: DataFrame, n_reps: int = 40, alpha: float = 0.05
+) -> DataFrame:
+    """(n_docs, mean_len, ci_lo, ci_hi, n_replicates) — percentile
+    Poisson-bootstrap CI for the mean document token length (Efron's
+    bootstrap in its streaming-friendly Poissonized form, public
+    literature: resampling n-out-of-n ~ giving each row an independent
+    Poisson(1) weight — ONE pass over the corpus for ALL replicates,
+    no per-replicate shuffle of the data).
+
+    Determinism: replicate weights come from the md5 inverse-CDF idiom
+    (doc_id x replicate salt -> uniform -> Poisson(1) via fixed
+    thresholds), so both engines draw the SAME resamples; the metric
+    is integer token counts, so every replicate's numerator/denominator
+    is an exact integer pair and the replicate mean is one division.
+    CI bounds are RANK-picked replicate means (ceil(alpha/2*R) /
+    ceil((1-alpha/2)*R)) — no interpolation."""
+    from ..datapipe.textstats import token_counts
+
+    lens = token_counts(docs).select("doc_id", "n_tokens")
+    reps = lens.sparkSession.range(n_reps).select(
+        (F.col("id") + 1).cast("int").alias("rep")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("boot"), "rep", "doc_id")), 1, 8
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = F.lit(len(_POIS))
+    for k in range(len(_POIS) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS[k]), F.lit(k)).otherwise(w)
+    means = (
+        lens.crossJoin(F.broadcast(reps))
+        .select("rep", (w * F.col("n_tokens")).alias("wl"), w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            (F.sum("wl").cast("double") / F.sum("w")).alias("m")
+        )
+    )
+    import math
+
+    from pyspark.sql import Window
+
+    lo_rank = max(1, math.ceil(n_reps * alpha / 2))
+    hi_rank = math.ceil(n_reps * (1 - alpha / 2))
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "rep"))
+    )
+    base = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "mean_len"
+        ),
+    )
+    bounds = ranked.filter(F.col("rn").isin(lo_rank, hi_rank)).agg(
+        F.min("m").alias("ci_lo"), F.max("m").alias("ci_hi")
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "n_docs", "mean_len", "ci_lo", "ci_hi",
+        F.lit(n_reps).alias("n_replicates"),
+    )
+
+
+def bootstrap_mean_ci_sql(
+    docs_src: str = "documents", n_reps: int = 40, alpha: float = 0.05
+) -> str:
+    """DuckDB twin: identical md5 uniforms, thresholds, rank-picked
+    bounds."""
+    import math
+
+    lo_rank = max(1, math.ceil(n_reps * alpha / 2))
+    hi_rank = math.ceil(n_reps * (1 - alpha / 2))
+    from ..datapipe.textstats import norm_sql, tokens_sql
+
+    whens = " ".join(
+        f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POIS)
+    )
+    return f"""
+lens AS MATERIALIZED (
+  SELECT doc_id,
+         len(list_filter({tokens_sql(norm_sql())}, t -> t <> ''))::BIGINT
+           AS n_tokens
+  FROM {docs_src}),
+reps AS (SELECT unnest(range(1, {n_reps + 1}))::INT AS rep),
+draws AS (
+  SELECT rep, n_tokens,
+    ('0x' || substr(md5('boot' || '|' || rep::VARCHAR || '|' ||
+                        doc_id::VARCHAR), 1, 8))::BIGINT
+      / {float(1 << 32)!r} AS u
+  FROM lens CROSS JOIN reps),
+weighted AS (
+  SELECT rep,
+    (CASE {whens} ELSE {len(_POIS)} END) AS w, n_tokens
+  FROM draws),
+means AS (
+  SELECT rep, sum(w * n_tokens)::DOUBLE / sum(w) AS m
+  FROM weighted GROUP BY rep),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, rep) AS rn FROM means),
+bounds AS (
+  SELECT min(m) AS ci_lo, max(m) AS ci_hi FROM ranked
+  WHERE rn IN ({lo_rank}, {hi_rank})),
+base AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::DOUBLE / count(*) AS mean_len
+  FROM lens)
+SELECT n_docs, mean_len, ci_lo, ci_hi, {n_reps} AS n_replicates
+FROM base CROSS JOIN bounds"""

@@ -537,3 +537,35 @@ def test_bgp_plan_order_smallest_first(spark):
     assert counts == sorted(counts)
     assert rows[0].pred.endswith("subClassOf")   # 1 match, most selective
     assert rows[-1].est_rows == 20               # the wildcard scan last
+
+
+# --------------------------------------------------------------------- #
+# keyness + bootstrap
+# --------------------------------------------------------------------- #
+
+
+def test_keyness_distinctive_terms(spark):
+    from orionbelt_ontology_builder_spark.datapipe import textstats
+
+    a = spark.createDataFrame(
+        [(i, "quantum flux quantum drive") for i in range(10)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, "harvest grain harvest mill") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in textstats.keyness_terms(a, b).collect()}
+    assert out["quantum"].direction == "a" and out["quantum"].g2 > 10
+    assert out["harvest"].direction == "b" and out["harvest"].g2 > 10
+    assert out["quantum"].n_b == 0
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    from orionbelt_ontology_builder_spark.operators import profiling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = profiling.bootstrap_mean_ci(docs).collect()[0]
+    assert r.ci_lo <= r.mean_len <= r.ci_hi
+    assert r.ci_hi - r.ci_lo < r.mean_len  # nondegenerate, sane width
+    assert r.n_replicates == 40
