@@ -4329,6 +4329,15 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_motif_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed triangles vs the configuration-model null (degree-
+    moment expectation) over the lineitem tri-partite slice — a
+    calibrated baseline for the egonet/k-truss anomaly detectors."""
+    return graphstats.motif_significance(
+        relational.induce_lineitem_edges(spark, sf_dir)
+    )
+
+
 def _q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning G^2 keyness between the even- and odd-id document
     halves — distinctive-vocabulary detection (integer counts, one
@@ -4584,6 +4593,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_plan_order": _q_bgp_plan_order,
         "keyness_terms": _q_keyness_terms,
         "bootstrap_ci": _q_bootstrap_ci,
+        "motif_significance": _q_motif_significance,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5048,6 +5058,9 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
         "db AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)",
     )
     sql["bootstrap_ci"] = "WITH " + profiling.bootstrap_mean_ci_sql()
+    sql["motif_significance"] = graphstats.motif_significance_sql(
+        relational.lineitem_edges_sql()
+    )
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(
         profiling.capture_fixture_cte("a", "a"),

@@ -361,6 +361,7 @@ def main() -> None:
         "bgp_plan_order",
         "keyness_terms",
         "bootstrap_ci",
+        "motif_significance",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -2803,3 +2803,83 @@ SELECT d.node, d.degree, coalesce(t.n_tri, 0)::BIGINT AS n_tri,
    AND d.degree >= {min_degree}) AS is_linkfarm
 FROM deg d LEFT JOIN tri t USING (node)
 ORDER BY d.node"""
+
+
+# ---------------------------------------------------------------------------
+# Motif significance vs the configuration-model null
+# ---------------------------------------------------------------------------
+
+
+def motif_significance(edges: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_edges, observed_triangles,
+    expected_triangles, excess_ratio) — observed triangle count
+    against the configuration-model expectation
+    ``E[T] ~ (Σ d(d-1))^3 / (6 · (2m)^3)`` (Newman's null-model
+    estimate from degree moments, public literature): a KG whose
+    triangles sit far ABOVE the degree-preserving null has genuine
+    community/corroboration structure; a link-farm injection shows up
+    as excess the null can't explain, complementing the absolute
+    egonet/k-truss detectors with a calibrated baseline.
+
+    Exactness: both moments are integer aggregates (Σd, Σd(d-1)); the
+    expectation is a single arithmetic expression over exact BIGINTs
+    cast once to double; observed triangles come from the existing
+    degree-ordered closure join.  Cost: triangle_count + one degree
+    agg."""
+    und = _und(edges)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    moments = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("sum_d"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("sum_dd1"),
+    )
+    tri = triangle_count(edges).select(
+        F.col("n_triangles").alias("observed_triangles")
+    )
+    expected = (
+        F.pow(F.col("sum_dd1").cast("double"), 3.0)
+        / (6.0 * F.pow(F.col("sum_d").cast("double"), 3.0))
+    )
+    return (
+        moments.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            (F.col("sum_d") / 2).cast("long").alias("n_edges"),
+            "observed_triangles",
+            expected.alias("expected_triangles"),
+            (
+                F.col("observed_triangles").cast("double") / expected
+            ).alias("excess_ratio"),
+        )
+    )
+
+
+def motif_significance_sql(edges_cte: str) -> str:
+    """DuckDB twin: identical undirected canonicalization, moments,
+    and closure-join triangle count."""
+    return f"""
+WITH {edges_cte.strip()},
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS MATERIALIZED (SELECT a, count(*)::BIGINT AS d FROM sym GROUP BY a),
+moments AS (
+  SELECT count(*)::BIGINT AS n_nodes, sum(d)::BIGINT AS sum_d,
+         sum(d * (d - 1))::BIGINT AS sum_dd1
+  FROM deg),
+tri AS (
+  SELECT count(*)::BIGINT AS observed_triangles
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3
+    ON e3.a = e1.a AND e3.b = e2.b)
+SELECT n_nodes, sum_d // 2 AS n_edges, observed_triangles,
+  pow(sum_dd1::DOUBLE, 3.0) / (6.0::DOUBLE * pow(sum_d::DOUBLE, 3.0))
+    AS expected_triangles,
+  observed_triangles::DOUBLE
+    / (pow(sum_dd1::DOUBLE, 3.0)
+       / (6.0::DOUBLE * pow(sum_d::DOUBLE, 3.0))) AS excess_ratio
+FROM moments CROSS JOIN tri"""

@@ -569,3 +569,26 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert r.ci_lo <= r.mean_len <= r.ci_hi
     assert r.ci_hi - r.ci_lo < r.mean_len  # nondegenerate, sane width
     assert r.n_replicates == 40
+
+
+# --------------------------------------------------------------------- #
+# motif significance
+# --------------------------------------------------------------------- #
+
+
+def test_motif_significance_null_model(spark):
+    from orionbelt_ontology_builder_spark.operators import graphstats
+
+    # a 4-clique: 4 triangles observed, far above the null
+    clique = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    edges = spark.createDataFrame(clique, "src string, dst string")
+    r = graphstats.motif_significance(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.observed_triangles) == (4, 6, 4)
+    assert r.excess_ratio > 1.0
+
+    # a star: zero triangles, expectation positive -> ratio 0
+    star = [("hub", f"s{i}") for i in range(6)]
+    r2 = graphstats.motif_significance(
+        spark.createDataFrame(star, "src string, dst string")
+    ).collect()[0]
+    assert r2.observed_triangles == 0 and r2.excess_ratio == 0.0
