@@ -4329,6 +4329,15 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-lite record parsing as line-parallel algebra (ISO 28500
+    subset): one window pass assembles records, headers stop at the
+    first blank line, payload re-concatenates order-stably."""
+    from orionbelt_ontology_builder_spark.sources import warc
+
+    return warc.parse_warc_lines(warc.warc_fixture_df(spark))
+
+
 def _q_motif_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed triangles vs the configuration-model null (degree-
     moment expectation) over the lineitem tri-partite slice — a
@@ -4594,6 +4603,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_terms": _q_keyness_terms,
         "bootstrap_ci": _q_bootstrap_ci,
         "motif_significance": _q_motif_significance,
+        "warc_records": _q_warc_records,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5060,6 +5070,12 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     sql["bootstrap_ci"] = "WITH " + profiling.bootstrap_mean_ci_sql()
     sql["motif_significance"] = graphstats.motif_significance_sql(
         relational.lineitem_edges_sql()
+    )
+
+    from orionbelt_ontology_builder_spark.sources import warc as _warc
+
+    sql["warc_records"] = _warc.parse_warc_lines_sql(
+        _warc.warc_fixture_values()
     )
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(

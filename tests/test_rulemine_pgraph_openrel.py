@@ -592,3 +592,25 @@ def test_motif_significance_null_model(spark):
         spark.createDataFrame(star, "src string, dst string")
     ).collect()[0]
     assert r2.observed_triangles == 0 and r2.excess_ratio == 0.0
+
+
+# --------------------------------------------------------------------- #
+# WARC parsing
+# --------------------------------------------------------------------- #
+
+
+def test_warc_record_assembly(spark):
+    from orionbelt_ontology_builder_spark.sources import warc
+
+    rows = {r.rec_id: r for r in warc.parse_warc_lines(
+        warc.warc_fixture_df(spark)).collect()}
+    assert len(rows) == 3
+    a = rows[1]
+    assert a.uri == "http://example.org/a"
+    assert a.payload == "hello world\nsecond line of a"
+    # a colon line AFTER the blank separator is payload, not a header
+    b = rows[2]
+    assert b.payload.startswith("payload with colon")
+    assert b.warc_date == "2024-02-02T12:30:00Z"
+    # warcinfo record has no target URI
+    assert rows[3].uri is None and rows[3].warc_type == "warcinfo"
