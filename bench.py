@@ -362,6 +362,7 @@ def main() -> None:
         "keyness_terms",
         "bootstrap_ci",
         "motif_significance",
+        "warc_records",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
