@@ -4329,6 +4329,17 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_web_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables unrolling: embedded HTML tables -> (row_key, header,
+    value) facts — positional cell/header matching, row keyed by its
+    first cell."""
+    from orionbelt_ontology_builder_spark.sources import webtables
+
+    return webtables.extract_web_tables(
+        webtables.webtable_fixture_df(spark)
+    )
+
+
 def _q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite record parsing as line-parallel algebra (ISO 28500
     subset): one window pass assembles records, headers stop at the
@@ -4604,6 +4615,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": _q_bootstrap_ci,
         "motif_significance": _q_motif_significance,
         "warc_records": _q_warc_records,
+        "web_tables": _q_web_tables,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5076,6 +5088,12 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
 
     sql["warc_records"] = _warc.parse_warc_lines_sql(
         _warc.warc_fixture_values()
+    )
+
+    from orionbelt_ontology_builder_spark.sources import webtables as _wt
+
+    sql["web_tables"] = _wt.extract_web_tables_sql(
+        _wt.webtable_fixture_values()
     )
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(

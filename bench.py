@@ -363,6 +363,7 @@ def main() -> None:
         "bootstrap_ci",
         "motif_significance",
         "warc_records",
+        "web_tables",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -1,0 +1,126 @@
+"""HTML table extraction — the WebTables program (Cafarella et al.,
+VLDB 2008, public literature): relational tables embedded in web pages
+are the single richest structured-fact source a crawl offers, and
+their (row entity, column header, cell value) unrolling is exactly a
+triple table.
+
+Parser scope (regex-grammar subset, dialect-neutral so Spark's Java
+regex and DuckDB's RE2 agree): one ``<table>`` per document,
+``<tr>`` rows containing ``<th>`` or ``<td>`` cells, no colspan/
+rowspan/nesting (such tables parse cell-wise; spans are a documented
+non-goal — the reference decoder for the messy web is an Arrow UDF
+behind the same output contract).  The first row's ``<th>`` cells are
+the column headers; each later row becomes facts keyed by its first
+cell: ``(row_key, header_j, cell_j)``.
+
+Plan shape: rows via ``regexp_extract_all`` + positional explode,
+cells the same one level down — pure projection fan-out bounded by
+table size, then one (doc, row) - (doc, header) positional equi-join;
+no shuffle before the final sort.  Corpus-scale cost is linear in
+cell count, the same shape as the gazetteer n-gram pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "extract_web_tables",
+    "extract_web_tables_sql",
+    "webtable_fixture_df",
+    "webtable_fixture_values",
+]
+
+_ROW_RX = "<tr[^>]*>(.*?)</tr>"
+_CELL_RX = "<t[hd][^>]*>(.*?)</t[hd]>"
+
+#: two documents with one table each: a 3-column entity table and a
+#: 2-column table with messy whitespace + an attribute-carrying <td>.
+WEBTABLE_DOCS: list[tuple[int, str]] = [
+    (0,
+     "<html><body><p>intro</p><table>"
+     "<tr><th>city</th><th>country</th><th>population</th></tr>"
+     "<tr><td>berlin</td><td>germany</td><td>3600000</td></tr>"
+     "<tr><td>paris</td><td>france</td><td>2100000</td></tr>"
+     "</table></body></html>"),
+    (1,
+     "<html><table>"
+     "<tr><th>company</th><th>founded</th></tr>"
+     "<tr><td class=x>acme</td><td> 1999 </td></tr>"
+     "</table><p>footer</p></html>"),
+]
+
+
+def webtable_fixture_df(spark) -> DataFrame:
+    return spark.createDataFrame(WEBTABLE_DOCS, "doc_id long, html string")
+
+
+def webtable_fixture_values() -> str:
+    rows = ",\n    ".join(f"({i}, '{h}')" for i, h in WEBTABLE_DOCS)
+    return f"d(doc_id, html) AS (VALUES\n    {rows})"
+
+
+def extract_web_tables(docs: DataFrame) -> DataFrame:
+    """(doc_id, row_key, header, value) — WebTables unrolling of
+    ``docs(doc_id, html)``: header row = row 0, each data row keyed by
+    its first cell, cells matched positionally to headers (ragged
+    tails drop — a cell with no header carries no predicate); values
+    are whitespace-trimmed."""
+    rows = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(f"regexp_extract_all(html, '{_ROW_RX}', 1)"))
+        .alias("row_idx", "row_html"),
+    )
+    cells = rows.select(
+        "doc_id", "row_idx",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(row_html, '{_CELL_RX}', 1)")
+        ).alias("col_idx", "cell"),
+    ).withColumn("cell", F.trim("cell"))
+    headers = cells.filter(F.col("row_idx") == 0).select(
+        "doc_id",
+        F.col("col_idx").alias("h_idx"),
+        F.col("cell").alias("header"),
+    )
+    keys = cells.filter(
+        (F.col("row_idx") > 0) & (F.col("col_idx") == 0)
+    ).select("doc_id", "row_idx", F.col("cell").alias("row_key"))
+    return (
+        cells.filter((F.col("row_idx") > 0) & (F.col("col_idx") > 0))
+        .join(headers, "doc_id")
+        .filter(F.col("col_idx") == F.col("h_idx"))
+        .join(keys, ["doc_id", "row_idx"])
+        .select("doc_id", "row_key", "header", F.col("cell").alias("value"))
+        .orderBy("doc_id", "row_key", "header")
+    )
+
+
+def extract_web_tables_sql(docs_cte: str) -> str:
+    """DuckDB twin; ``docs_cte`` must define ``d(doc_id, html)``."""
+    return f"""
+WITH {docs_cte.strip()},
+rows_ AS (
+  SELECT doc_id,
+    unnest(range(len(regexp_extract_all(html, '{_ROW_RX}', 1))))
+      AS row_idx,
+    unnest(regexp_extract_all(html, '{_ROW_RX}', 1)) AS row_html
+  FROM d),
+cells AS MATERIALIZED (
+  SELECT doc_id, row_idx,
+    unnest(range(len(regexp_extract_all(row_html, '{_CELL_RX}', 1))))
+      AS col_idx,
+    trim(unnest(regexp_extract_all(row_html, '{_CELL_RX}', 1))) AS cell
+  FROM rows_),
+headers AS (
+  SELECT doc_id, col_idx AS h_idx, cell AS header
+  FROM cells WHERE row_idx = 0),
+keys_ AS (
+  SELECT doc_id, row_idx, cell AS row_key
+  FROM cells WHERE row_idx > 0 AND col_idx = 0)
+SELECT c.doc_id, k.row_key, h.header, c.cell AS value
+FROM cells c
+JOIN headers h ON c.doc_id = h.doc_id AND c.col_idx = h.h_idx
+JOIN keys_ k ON c.doc_id = k.doc_id AND c.row_idx = k.row_idx
+WHERE c.row_idx > 0 AND c.col_idx > 0
+ORDER BY c.doc_id, k.row_key, h.header"""

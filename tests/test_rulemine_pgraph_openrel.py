@@ -614,3 +614,26 @@ def test_warc_record_assembly(spark):
     assert b.warc_date == "2024-02-02T12:30:00Z"
     # warcinfo record has no target URI
     assert rows[3].uri is None and rows[3].warc_type == "warcinfo"
+
+
+# --------------------------------------------------------------------- #
+# web tables
+# --------------------------------------------------------------------- #
+
+
+def test_web_tables_unrolling(spark):
+    from orionbelt_ontology_builder_spark.sources import webtables
+
+    rows = {
+        (r.doc_id, r.row_key, r.header): r.value
+        for r in webtables.extract_web_tables(
+            webtables.webtable_fixture_df(spark)
+        ).collect()
+    }
+    assert rows[(0, "berlin", "population")] == "3600000"
+    assert rows[(0, "paris", "country")] == "france"
+    # attribute-carrying <td> and whitespace both handled
+    assert rows[(1, "acme", "founded")] == "1999"
+    # the key column itself emits no (key, key) fact
+    assert (0, "berlin", "city") not in rows
+    assert len(rows) == 5
