@@ -4329,6 +4329,14 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_jsonld_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD islands pulled from HTML (distributed regex
+    projection) and decoded through the engine's JSON-LD codec."""
+    from orionbelt_ontology_builder_spark.sources import webtables
+
+    return webtables.extract_jsonld_islands(webtables.ld_docs_df(spark))
+
+
 def _q_web_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebTables unrolling: embedded HTML tables -> (row_key, header,
     value) facts — positional cell/header matching, row keyed by its
@@ -4616,6 +4624,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_significance": _q_motif_significance,
         "warc_records": _q_warc_records,
         "web_tables": _q_web_tables,
+        "jsonld_islands": _q_jsonld_islands,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5094,6 +5103,9 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
 
     sql["web_tables"] = _wt.extract_web_tables_sql(
         _wt.webtable_fixture_values()
+    )
+    sql["jsonld_islands"] = _wt.extract_jsonld_islands_sql(
+        _wt.ld_docs_values()
     )
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(

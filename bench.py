@@ -364,6 +364,7 @@ def main() -> None:
         "motif_significance",
         "warc_records",
         "web_tables",
+        "jsonld_islands",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "extract_jsonld_islands",
+    "extract_jsonld_islands_sql",
+    "ld_docs_df",
+    "ld_docs_values",
     "extract_web_tables",
     "extract_web_tables_sql",
     "webtable_fixture_df",
@@ -124,3 +128,109 @@ JOIN headers h ON c.doc_id = h.doc_id AND c.col_idx = h.h_idx
 JOIN keys_ k ON c.doc_id = k.doc_id AND c.row_idx = k.row_idx
 WHERE c.row_idx > 0 AND c.col_idx > 0
 ORDER BY c.doc_id, k.row_key, h.header"""
+
+
+# --------------------------------------------------------------------- #
+# schema.org JSON-LD script extraction from HTML
+# --------------------------------------------------------------------- #
+
+#: '[+]' instead of an escaped plus: Spark SQL string literals consume
+#: backslashes while DuckDB keeps them — a char class needs neither.
+_LD_RX = '<script type="application/ld[+]json">(.*?)</script>'
+
+#: two pages embedding schema.org JSON-LD islands (the dominant
+#: structured-data carrier on the real web), one with two islands.
+LD_DOCS: list[tuple[int, str]] = [
+    (0,
+     '<html><head><script type="application/ld+json">'
+     '{"@id": "http://ex.org/acme", "@type": "http://schema.org/Organization",'
+     ' "http://schema.org/name": "Acme Corp"}'
+     "</script></head><body>x</body></html>"),
+    (1,
+     '<html><script type="application/ld+json">'
+     '{"@id": "http://ex.org/berlin", "@type": "http://schema.org/City"}'
+     '</script><p>mid</p><script type="application/ld+json">'
+     '{"@id": "http://ex.org/alice", "http://schema.org/worksFor":'
+     ' {"@id": "http://ex.org/acme"}}'
+     "</script></html>"),
+]
+
+
+def ld_docs_df(spark):
+    return spark.createDataFrame(LD_DOCS, "doc_id long, html string")
+
+
+def extract_jsonld_islands(docs) -> "DataFrame":
+    """(doc_id, subj, pred, obj, obj_kind, obj_lang, obj_dt) — every
+    schema.org JSON-LD island in the HTML parsed through the engine's
+    JSON-LD codec (``parsers.parse_jsonld``), island extraction as a
+    native ``regexp_extract_all`` projection.
+
+    The island PULL is distributed (a projection over the page scan);
+    the JSON decode itself runs through the driver-side codec here
+    (UI-sized fixture contract, same stance as the Turtle/XML
+    parsers) — the corpus-scale path noted in SURVEY §2.12 wraps the
+    SAME ``parse_jsonld`` in an Arrow ``mapInPandas`` batch without
+    changing the output contract."""
+    from .parsers import parse_jsonld
+
+    rows = []
+    for doc_id, island in (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(html, '{_LD_RX}', 1)")
+            ).alias("island"),
+        ).collect()
+    ):
+        for t in parse_jsonld(island):
+            rows.append((doc_id, *t))
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "doc_id long, subj string, pred string, obj string,"
+        " obj_kind string, obj_lang string, obj_dt string",
+    ).orderBy("doc_id", "subj", "pred", "obj")
+
+
+def extract_jsonld_islands_sql(docs_cte: str) -> str:
+    """DuckDB twin: the same island regex, islands decoded with
+    DuckDB's native JSON functions for the fixture's flat-object
+    subset (@id/@type/IRI-keyed values; nested @id objects become uri
+    objects, strings become literals)."""
+    return f"""
+WITH {docs_cte.strip()},
+islands AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '{_LD_RX}', 1)) AS js
+  FROM d),
+kv AS (
+  SELECT doc_id, js,
+    json_extract_string(js, '$."@id"') AS subj,
+    unnest(json_keys(js::JSON)) AS k
+  FROM islands)
+SELECT doc_id, subj,
+  CASE WHEN k = '@type'
+       THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+       ELSE k END AS pred,
+  CASE
+    WHEN k = '@type' THEN json_extract_string(js, '$."@type"')
+    WHEN json_type(js::JSON, '$."' || k || '"') = 'OBJECT'
+      THEN json_extract_string(js, '$."' || k || '"."@id"')
+    ELSE json_extract_string(js, '$."' || k || '"')
+  END AS obj,
+  CASE
+    WHEN k = '@type' THEN 'uri'
+    WHEN json_type(js::JSON, '$."' || k || '"') = 'OBJECT' THEN 'uri'
+    ELSE 'literal'
+  END AS obj_kind,
+  CAST(NULL AS VARCHAR) AS obj_lang,
+  CAST(NULL AS VARCHAR) AS obj_dt
+FROM kv
+WHERE k NOT IN ('@id')
+ORDER BY doc_id, subj, pred, obj"""
+
+
+def ld_docs_values() -> str:
+    rows = ",\n    ".join(
+        "({}, '{}')".format(i, h.replace("'", "''")) for i, h in LD_DOCS
+    )
+    return f"d(doc_id, html) AS (VALUES\n    {rows})"

@@ -637,3 +637,23 @@ def test_web_tables_unrolling(spark):
     # the key column itself emits no (key, key) fact
     assert (0, "berlin", "city") not in rows
     assert len(rows) == 5
+
+
+def test_jsonld_islands(spark):
+    from orionbelt_ontology_builder_spark.sources import webtables
+
+    rows = {
+        (r.doc_id, r.subj, r.pred): (r.obj, r.obj_kind)
+        for r in webtables.extract_jsonld_islands(
+            webtables.ld_docs_df(spark)
+        ).collect()
+    }
+    t = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert rows[(0, "http://ex.org/acme", t)] == (
+        "http://schema.org/Organization", "uri")
+    assert rows[(0, "http://ex.org/acme", "http://schema.org/name")] == (
+        "Acme Corp", "literal")
+    # second island on the same page parsed too; nested @id -> uri
+    assert rows[(1, "http://ex.org/alice",
+                 "http://schema.org/worksFor")] == (
+        "http://ex.org/acme", "uri")
