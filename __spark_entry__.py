@@ -4329,6 +4329,14 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_hreflang_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared alternate-language page links (hreflang) — the
+    publisher-asserted alignment seeding bitext candidate mining."""
+    from orionbelt_ontology_builder_spark.sources import webtables
+
+    return webtables.extract_hreflang(webtables.hreflang_docs_df(spark))
+
+
 def _q_jsonld_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """schema.org JSON-LD islands pulled from HTML (distributed regex
     projection) and decoded through the engine's JSON-LD codec."""
@@ -4625,6 +4633,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": _q_warc_records,
         "web_tables": _q_web_tables,
         "jsonld_islands": _q_jsonld_islands,
+        "hreflang_links": _q_hreflang_links,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5106,6 +5115,9 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     )
     sql["jsonld_islands"] = _wt.extract_jsonld_islands_sql(
         _wt.ld_docs_values()
+    )
+    sql["hreflang_links"] = _wt.extract_hreflang_sql(
+        _wt.hreflang_docs_values()
     )
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(

@@ -234,3 +234,91 @@ def ld_docs_values() -> str:
         "({}, '{}')".format(i, h.replace("'", "''")) for i, h in LD_DOCS
     )
     return f"d(doc_id, html) AS (VALUES\n    {rows})"
+
+
+# --------------------------------------------------------------------- #
+# hreflang alternate-language links
+# --------------------------------------------------------------------- #
+
+#: attribute order varies in the wild; both orders are matched with
+#: one alternation (char-class regex, dialect-neutral).
+_HREFLANG_RX = (
+    '<link rel="alternate" hreflang="([a-z-]+)" href="([^"]*)"'
+    '|<link rel="alternate" href="([^"]*)" hreflang="([a-z-]+)"'
+)
+
+HREFLANG_DOCS: list[tuple[str, str]] = [
+    ("http://ex.org/en/page",
+     '<html><head>'
+     '<link rel="alternate" hreflang="de" href="http://ex.org/de/page">'
+     '<link rel="alternate" hreflang="fr" href="http://ex.org/fr/page">'
+     '<link rel="alternate" href="http://ex.org/es/page" hreflang="es">'
+     '<link rel="stylesheet" href="http://ex.org/style.css">'
+     "</head></html>"),
+    ("http://ex.org/solo",
+     "<html><head><title>no alternates</title></head></html>"),
+]
+
+
+def hreflang_docs_df(spark):
+    return spark.createDataFrame(HREFLANG_DOCS, "url string, html string")
+
+
+def hreflang_docs_values() -> str:
+    rows = ",\n    ".join(f"('{u}', '{h}')" for u, h in HREFLANG_DOCS)
+    return f"d(url, html) AS (VALUES\n    {rows})"
+
+
+def extract_hreflang(docs) -> "DataFrame":
+    """(url, lang, alt_url) — declared alternate-language versions of
+    each page: the publisher-asserted page alignment that seeds bitext
+    candidate mining BEFORE any content comparison (the STRAND
+    link-structure signal).  Both attribute orders matched; non-
+    alternate links ignored.  Pure regexp_extract_all projection +
+    positional zip — one page scan."""
+    langs = F.expr(
+        f"regexp_extract_all(html, '{_HREFLANG_RX}', 1)"
+    )
+    hrefs = F.expr(
+        f"regexp_extract_all(html, '{_HREFLANG_RX}', 2)"
+    )
+    hrefs2 = F.expr(
+        f"regexp_extract_all(html, '{_HREFLANG_RX}', 3)"
+    )
+    langs2 = F.expr(
+        f"regexp_extract_all(html, '{_HREFLANG_RX}', 4)"
+    )
+    z = F.arrays_zip(
+        F.concat(langs, langs2).alias("lang"),
+        F.concat(hrefs, hrefs2).alias("href"),
+    )
+    return (
+        docs.select("url", F.explode(z).alias("m"))
+        .select(
+            "url",
+            F.col("m.lang").alias("lang"),
+            F.col("m.href").alias("alt_url"),
+        )
+        .filter((F.col("lang") != "") & (F.col("alt_url") != ""))
+        .orderBy("url", "lang")
+    )
+
+
+def extract_hreflang_sql(docs_cte: str) -> str:
+    """DuckDB twin: same regex, same group-wise zip (each match fills
+    either groups 1+2 or 3+4; the empty half drops in the filter)."""
+    return f"""
+WITH {docs_cte.strip()},
+m AS (
+  SELECT url,
+    unnest(regexp_extract_all(html, '{_HREFLANG_RX}', 1)) AS l1,
+    unnest(regexp_extract_all(html, '{_HREFLANG_RX}', 2)) AS h1,
+    unnest(regexp_extract_all(html, '{_HREFLANG_RX}', 3)) AS h2,
+    unnest(regexp_extract_all(html, '{_HREFLANG_RX}', 4)) AS l2
+  FROM d)
+SELECT url,
+       CASE WHEN l1 <> '' THEN l1 ELSE l2 END AS lang,
+       CASE WHEN l1 <> '' THEN h1 ELSE h2 END AS alt_url
+FROM m
+WHERE (l1 <> '' AND h1 <> '') OR (l2 <> '' AND h2 <> '')
+ORDER BY url, lang"""

@@ -657,3 +657,13 @@ def test_jsonld_islands(spark):
     assert rows[(1, "http://ex.org/alice",
                  "http://schema.org/worksFor")] == (
         "http://ex.org/acme", "uri")
+
+
+def test_hreflang_both_attribute_orders(spark):
+    from orionbelt_ontology_builder_spark.sources import webtables
+
+    rows = {(r.lang, r.alt_url) for r in webtables.extract_hreflang(
+        webtables.hreflang_docs_df(spark)).collect()}
+    assert ("de", "http://ex.org/de/page") in rows
+    assert ("es", "http://ex.org/es/page") in rows  # reversed attrs
+    assert len(rows) == 3                           # stylesheet ignored
