@@ -365,6 +365,7 @@ def main() -> None:
         "warc_records",
         "web_tables",
         "jsonld_islands",
+        "hreflang_links",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
