@@ -4329,6 +4329,15 @@ HAVING ( ?n >= 3 )
 """
 
 
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (event_type, day) quasi-identifier:
+    under-k user groups reported as re-identification risks — the
+    pre-release privacy gate for event corpora."""
+    from orionbelt_ontology_builder_spark.datapipe import policy
+
+    return policy.k_anonymity_report(_tbl(spark, sf_dir, "events"))
+
+
 def _q_hreflang_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared alternate-language page links (hreflang) — the
     publisher-asserted alignment seeding bitext candidate mining."""
@@ -4634,6 +4643,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_tables": _q_web_tables,
         "jsonld_islands": _q_jsonld_islands,
         "hreflang_links": _q_hreflang_links,
+        "k_anonymity": _q_k_anonymity,
         "stats_populated": _q_stats,
         "classes_view": _q_classes,
         "class_hierarchy": _q_class_hierarchy,
@@ -5119,6 +5129,7 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     sql["hreflang_links"] = _wt.extract_hreflang_sql(
         _wt.hreflang_docs_values()
     )
+    sql["k_anonymity"] = _pol.k_anonymity_report_sql()
 
     sql["recall_estimate"] = profiling.recall_estimate_sql(
         profiling.capture_fixture_cte("a", "a"),

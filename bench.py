@@ -366,6 +366,7 @@ def main() -> None:
         "web_tables",
         "jsonld_islands",
         "hreflang_links",
+        "k_anonymity",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

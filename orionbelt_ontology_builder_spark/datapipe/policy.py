@@ -153,3 +153,44 @@ SELECT doc_id, n_tokens, n_hits,
        n_hits::DOUBLE / n_tokens <= {max_rate!r} AS keep
 FROM counts
 ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------- #
+# k-anonymity reporting
+# --------------------------------------------------------------------- #
+
+
+def k_anonymity_report(events: DataFrame, k: int = 5) -> DataFrame:
+    """(event_type, day, n_users, n_rows, at_risk) — k-anonymity audit
+    (Sweeney 2002, public literature) over the release-shaped
+    quasi-identifier (event_type, event day): a QI group backed by
+    fewer than ``k`` distinct users re-identifies its members by
+    intersection with any outside knowledge of the attribute pair —
+    the standard pre-release gate for event/log corpora.  Reported,
+    not silently suppressed (the release decision needs the list).
+
+    One keyed agg with map-side partials; the distinct-user count
+    shuffles (QI, user) once — at corpus scale swap in the HLL
+    register path (``sketches.hll_register_parts``) exactly as
+    void_summary_hll does for entity counts."""
+    day = F.to_date("ts").cast("string")
+    return (
+        events.groupBy(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("at_risk", F.col("n_users") < k)
+        .orderBy("event_type", "day")
+    )
+
+
+def k_anonymity_report_sql(events_src: str = "events", k: int = 5) -> str:
+    return f"""
+SELECT event_type, CAST(ts AS DATE)::VARCHAR AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id) < {k} AS at_risk
+FROM {events_src}
+GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY event_type, day"""

@@ -667,3 +667,28 @@ def test_hreflang_both_attribute_orders(spark):
     assert ("de", "http://ex.org/de/page") in rows
     assert ("es", "http://ex.org/es/page") in rows  # reversed attrs
     assert len(rows) == 3                           # stylesheet ignored
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from orionbelt_ontology_builder_spark.datapipe import policy
+
+    import datetime as dt
+
+    rows = [
+        # 6 users on day 1 (safe), 2 users on day 2 (at risk)
+        *[(i, dt.datetime(2024, 1, 1, 10), i, "view", 1.0, "{}")
+          for i in range(6)],
+        (100, dt.datetime(2024, 1, 2, 10), 1, "view", 1.0, "{}"),
+        (101, dt.datetime(2024, 1, 2, 11), 2, "view", 1.0, "{}"),
+        (102, dt.datetime(2024, 1, 2, 12), 1, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {(r.event_type, r.day): r for r in
+           policy.k_anonymity_report(ev, k=5).collect()}
+    assert not out[("view", "2024-01-01")].at_risk
+    risky = out[("view", "2024-01-02")]
+    assert risky.at_risk and risky.n_users == 2 and risky.n_rows == 3
