@@ -166,30 +166,51 @@ def extract_jsonld_islands(docs) -> "DataFrame":
     JSON-LD codec (``parsers.parse_jsonld``), island extraction as a
     native ``regexp_extract_all`` projection.
 
-    The island PULL is distributed (a projection over the page scan);
-    the JSON decode itself runs through the driver-side codec here
-    (UI-sized fixture contract, same stance as the Turtle/XML
-    parsers) — the corpus-scale path noted in SURVEY §2.12 wraps the
-    SAME ``parse_jsonld`` in an Arrow ``mapInPandas`` batch without
-    changing the output contract."""
+    Fully distributed: the island PULL is a native
+    ``regexp_extract_all`` projection over the page scan, and the JSON
+    decode wraps the engine's ``parse_jsonld`` codec in an Arrow
+    ``mapInPandas`` batch — no driver-side materialization anywhere in
+    the plan, so the corpus path is the fixture path.  An island that
+    fails to parse (malformed JSON in the wild) contributes zero rows
+    rather than failing the batch."""
+    from ..session import ship_package
     from .parsers import parse_jsonld
 
-    rows = []
-    for doc_id, island in (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"regexp_extract_all(html, '{_LD_RX}', 1)")
-            ).alias("island"),
-        ).collect()
-    ):
-        for t in parse_jsonld(island):
-            rows.append((doc_id, *t))
-    return docs.sparkSession.createDataFrame(
-        rows,
+    ship_package(docs.sparkSession)
+    schema = (
         "doc_id long, subj string, pred string, obj string,"
-        " obj_kind string, obj_lang string, obj_dt string",
-    ).orderBy("doc_id", "subj", "pred", "obj")
+        " obj_kind string, obj_lang string, obj_dt string"
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, island in zip(pdf["doc_id"], pdf["island"]):
+                try:
+                    triples = parse_jsonld(island)
+                except Exception:
+                    continue
+                for t in triples:
+                    out.append((int(doc_id), *t))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "subj", "pred", "obj",
+                    "obj_kind", "obj_lang", "obj_dt",
+                ],
+            )
+
+    islands = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(html, '{_LD_RX}', 1)")
+        ).alias("island"),
+    )
+    return islands.mapInPandas(decode, schema).orderBy(
+        "doc_id", "subj", "pred", "obj"
+    )
 
 
 def extract_jsonld_islands_sql(docs_cte: str) -> str:

@@ -612,8 +612,48 @@ def test_warc_record_assembly(spark):
     b = rows[2]
     assert b.payload.startswith("payload with colon")
     assert b.warc_date == "2024-02-02T12:30:00Z"
-    # warcinfo record has no target URI
-    assert rows[3].uri is None and rows[3].warc_type == "warcinfo"
+    # warcinfo record has no target URI — NULL-free contract: ''
+    assert rows[3].uri == "" and rows[3].warc_type == "warcinfo"
+    # every output cell is non-NULL (driver hash robustness)
+    for r in rows.values():
+        assert None not in r.asDict().values()
+
+
+def test_warc_per_file_record_ids(spark):
+    from orionbelt_ontology_builder_spark.sources import warc
+
+    out = warc.parse_warc_lines(
+        warc.warc_multifile_fixture_df(spark)
+    ).collect()
+    by_key = {(r.path, r.rec_id): r for r in out}
+    assert len(out) == 3
+    # record ids restart at 1 in the second file
+    assert ("crawl-00000.warc", 1) in by_key
+    assert ("crawl-00001.warc", 1) in by_key
+    assert ("crawl-00001.warc", 2) in by_key
+    # no record leaks across the file edge: file 0 record keeps its
+    # full payload, file 1's first record parses independently
+    assert (
+        by_key[("crawl-00000.warc", 1)].payload
+        == "hello world\nsecond line of a"
+    )
+    assert (
+        by_key[("crawl-00001.warc", 1)].uri == "http://example.org/b"
+    )
+
+
+def test_warc_window_is_partitioned(spark):
+    """The plan must not contain a single-partition global sort: the
+    window partitions by path."""
+    from orionbelt_ontology_builder_spark.sources import warc
+
+    plan = warc.parse_warc_lines(
+        warc.warc_fixture_df(spark)
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for mline in re.findall(r"Window .*", plan):
+        assert "path" in mline  # partition spec present
 
 
 # --------------------------------------------------------------------- #
@@ -657,6 +697,38 @@ def test_jsonld_islands(spark):
     assert rows[(1, "http://ex.org/alice",
                  "http://schema.org/worksFor")] == (
         "http://ex.org/acme", "uri")
+
+
+def test_jsonld_islands_is_distributed(spark):
+    """The decode runs inside the plan (MapInPandas), never via a
+    driver-side collect + createDataFrame round-trip."""
+    from orionbelt_ontology_builder_spark.sources import webtables
+
+    df = webtables.extract_jsonld_islands(webtables.ld_docs_df(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # the only local-collection scan is the 2-row INPUT fixture; a
+    # collect()-then-parallelize decode would instead scan a local
+    # collection already carrying the OUTPUT columns (subj/pred/...)
+    import re
+
+    for scan in re.findall(r"Scan ExistingRDD\[[^\]]*\]", plan):
+        assert "subj" not in scan and "pred" not in scan
+
+
+def test_jsonld_islands_skips_malformed(spark):
+    from orionbelt_ontology_builder_spark.sources import webtables
+
+    docs = spark.createDataFrame(
+        [(7,
+          '<html><script type="application/ld+json">{not json'
+          '</script><script type="application/ld+json">'
+          '{"@id": "http://ex.org/ok", "@type": "http://schema.org/Thing"}'
+          "</script></html>")],
+        "doc_id long, html string",
+    )
+    rows = webtables.extract_jsonld_islands(docs).collect()
+    assert len(rows) == 1 and rows[0].subj == "http://ex.org/ok"
 
 
 def test_hreflang_both_attribute_orders(spark):
