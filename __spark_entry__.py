@@ -3034,8 +3034,30 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return similarity.brute_topk(_embs(spark, sf_dir), dim=EMB_DIM)
 
 
+def _n_parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count straight from the parquet footer metadata — no Spark
+    job.  Exactly what a real deployment reads from table stats (an
+    Iceberg snapshot's record count) before sizing the IVF quantizer."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
-    return similarity.ivf_topk(_embs(spark, sf_dir), dim=EMB_DIM)
+    return similarity.ivf_topk(
+        _embs(spark, sf_dir),
+        dim=EMB_DIM,
+        n_total=_n_parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 def _q_ann_recall(spark, sf_dir):

@@ -131,7 +131,10 @@ def n_centroids_for(n: int) -> int:
 
 
 def strided_centroids(
-    embeddings: DataFrame, n_centroids: int, dim: int | None = None
+    embeddings: DataFrame,
+    n_centroids: int,
+    dim: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """(centroid_id 0..k-1, c_emb, c_nrm): vectors whose vec_id falls on
     an even stride — deterministic, identically computable in SQL (the
@@ -139,9 +142,12 @@ def strided_centroids(
     shuffle), and an unbiased spread when ids are uncorrelated with
     embedding space.  Production seeding refines this with
     ``kmeans_centroids``; the assignment joins downstream are identical
-    either way."""
+    either way.  Pass ``n`` (the corpus count) when the caller already
+    knows it — every count here is a blocking Spark job, and callers
+    like ``ivf_topk`` otherwise pay it twice per invocation."""
     e = _with_norm(embeddings, dim)
-    n = embeddings.count()
+    if n is None:
+        n = embeddings.count()
     stride = max(1, n // n_centroids)
     return (
         e.filter(
@@ -194,7 +200,7 @@ def kmeans_centroids(
         sample_fraction = min(1.0, (50 * n_centroids) / max(1, n))
     m = max(1, int(1 / sample_fraction))
     sample = _with_norm(embeddings, dim).filter(F.col("vec_id") % m == 0)
-    cents = strided_centroids(embeddings, n_centroids, dim)
+    cents = strided_centroids(embeddings, n_centroids, dim, n=n)
     for _ in range(iters):
         assigned = (
             sample.crossJoin(F.broadcast(cents))
@@ -258,8 +264,20 @@ def ivf_assign(
     single-probe case the argmax is ONE aggregation with map-side
     partials (max over (cos, -centroid_id) structs — identical
     ordering to the window's cos DESC, centroid_id ASC) instead of a
-    sort-based window shuffle."""
+    sort-based window shuffle.  (A plan-literal quantizer variant was
+    measured 4-5x SLOWER here: Catalyst re-evaluates the big literal
+    array through interpreted higher-order lambdas per row.)
+
+    The BNLJ preserves the stream side's partitioning, and its scoring
+    projection is interpreted (CPU-bound): a corpus that arrives in
+    fewer partitions than the cluster has slots (one small parquet
+    file) would serialize the whole n*k fold through those few tasks —
+    fan it out first.  At real scale the scan already yields >= slots
+    partitions and this is a no-op (no shuffle added)."""
     e = _with_norm(embeddings, dim)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
     scored = (
         e.crossJoin(F.broadcast(centroids))
         .withColumn(
@@ -311,21 +329,30 @@ def ivf_topk(
     nprobe: int = NPROBE,
     centroids: DataFrame | None = None,
     dim: int | None = None,
+    n_total: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): ANN via IVF probing.
 
     Query probes its ``nprobe`` closest centroids; candidates = vectors
     assigned to those lists; exact cosine + top-k within candidates.
+    Callers that already know the corpus size (parquet footer metadata,
+    a cached table stat) pass ``n_total`` and no blocking count job
+    runs at all.
     """
     e = _with_norm(embeddings, dim)
     if centroids is None:
         if n_centroids is None:
-            n_centroids = n_centroids_for(embeddings.count())
-        # checkpoint only self-built centroids (both BNLJ passes below
-        # reuse them); a caller-provided table is already materialized
-        centroids = strided_centroids(embeddings, n_centroids, dim).localCheckpoint(
-            eager=True
-        )
+            if n_total is None:
+                n_total = embeddings.count()
+            n_centroids = n_centroids_for(n_total)
+        # the ONE corpus count above is reused for the stride (r2 paid
+        # the count twice plus an eager checkpoint job per call); the
+        # lazy checkpoint materializes the k-row table inside the first
+        # consuming job instead of a separate blocking job, and both
+        # broadcast passes below reuse the cached blocks.
+        centroids = strided_centroids(
+            embeddings, n_centroids, dim, n=n_total
+        ).localCheckpoint(eager=False)
     assign = ivf_assign(embeddings, centroids, a_probe=1, dim=dim)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -356,11 +383,13 @@ def ivf_topk(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "centroid_id")
     )
+    # no dedup shuffle needed: the corpus assignment is single-probe
+    # (each vector lives in exactly ONE inverted list), so a (query,
+    # vec) pair can only be generated once even with nprobe > 1
     cands = (
         qprobe.join(assign, "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
-        .distinct()
     )
     scored = cands.join(F.broadcast(q), "query_id").join(e, "vec_id").withColumn(
         "cos",
@@ -400,13 +429,15 @@ def ivf_cosine_pairs(
     """
     e = _with_norm(embeddings, dim)
     if centroids is None:
+        n_total = None
         if n_centroids is None:
-            n_centroids = n_centroids_for(embeddings.count())
-        centroids = strided_centroids(embeddings, n_centroids, dim)
+            n_total = embeddings.count()
+            n_centroids = n_centroids_for(n_total)
+        centroids = strided_centroids(embeddings, n_centroids, dim, n=n_total)
     # Materialize the (vec_id, centroid_id) assignment before the
     # self-join: both join sides reuse it, so without this the whole
-    # BNLJ+window assignment lineage executes twice.  At corpus scale
-    # this materialization IS the inverted-list table write (stored
+    # assignment lineage executes twice.  At corpus scale this
+    # materialization IS the inverted-list table write (stored
     # partitioned by centroid_id -> partition-pruned, shuffle-free
     # per-list self-joins).
     assign = ivf_assign(
