@@ -3095,6 +3095,15 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_image_stats(spark, sf_dir):
+    """REAL image decode in the plan: synthesized binary P6 PPMs
+    (JVM-side chained-md5 pixels) decoded by the pure-NumPy codec
+    inside mapInPandas, then per-image pixel statistics."""
+    return multimodal.decode_image_stats(
+        multimodal.synthesize_ppm_media(_docs(spark, sf_dir))
+    )
+
+
 def _q_media_frames(spark, sf_dir):
     return multimodal.sample_frames(
         multimodal.synthesize_media(_docs(spark, sf_dir))
@@ -4155,7 +4164,8 @@ _SF_SCALE = {
     "distmult_rank", "nb_lang_confusion", "dsir_select",
     "ann_cosine_topk", "ann_ivf_topk", "ann_recall", "mutual_nn_pairs",
     "sq8_stats", "label_centroids", "embedding_covariance",
-    "media_features", "media_frames", "decontaminate", "pack_sequences",
+    "media_features", "media_frames", "media_image_stats",
+    "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "weighted_sample", "grouped_split", "mixture_weights",
     "domain_quality", "cluster_representatives",
@@ -4904,6 +4914,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": _q_label_centroids,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_image_stats": _q_media_image_stats,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "quality_funnel": _q_quality_funnel,
@@ -7199,6 +7210,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["label_centroids"] = similarity.label_centroids_oracle()
     sql["media_features"] = multimodal.extract_features_oracle()
     sql["media_frames"] = multimodal.sample_frames_oracle()
+    sql["media_image_stats"] = multimodal.decode_image_stats_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()
     sql["pack_sequences"] = curation.pack_sequences_oracle()
     sql["quality_funnel"] = curation.quality_funnel_oracle()

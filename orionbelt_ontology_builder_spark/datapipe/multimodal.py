@@ -7,13 +7,14 @@ JVM never interprets them, and all decode / feature-extraction runs in
 Arrow-batched ``mapInPandas`` stages (zero-copy-ish byte transfer, no
 per-row Python).
 
-The actual image/audio codecs are NOT in this container, so the decode
-step is STUBBED behind a deterministic fake (``FAKEIMG0`` container
-format below) plus a clearly-marked ``NotImplementedError`` path for
-real codecs.  The Spark-side plumbing — schema, batch shape, UDF
-signatures, per-frame explode — is real and oracle-tested: the fake
-container is byte-deterministic from the document text, so DuckDB can
-recompute every extracted feature (md5 over the same byte string).
+The default decode path is REAL: a pure-NumPy codec for the
+uncompressed public formats (binary PPM/PGM, 24-bpp BMP) with
+encode/decode round-trip laws, driven by ``decode_image_stats`` inside
+``mapInPandas``.  Compressed codecs (PNG/JPEG/GIF/WEBP) require
+Pillow, which this container does not ship — those raise
+``NotImplementedError`` honestly.  A deterministic fake container
+(``FAKEIMG0``) additionally exercises the plumbing with
+DuckDB-recomputable features (md5 over the same byte string).
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -82,21 +84,129 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes) -> object:
-    """Real-codec decode — STUB.
+def encode_ppm(pixels) -> bytes:
+    """Binary PPM (P6, maxval 255) encoder — pure NumPy, no codec
+    libraries.  ``pixels`` is (h, w, 3) uint8."""
+    import numpy as np
 
-    The container has no image libraries; a deployment with Pillow
-    plugs in here.  The Spark plumbing around this function (batching,
-    schema, explode) is what the engine owns and tests.
-    """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - intentional stub
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("P6 PPM is RGB; got %d channels" % c)
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_bmp(pixels) -> bytes:
+    """Uncompressed 24-bpp Windows BMP encoder (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding, BGR byte order) — pure NumPy."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("24-bpp BMP is RGB; got %d channels" % c)
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    bgr = px[:, :, ::-1]  # BMP stores BGR
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[y].tobytes() + b"\x00" * pad
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def _decode_pnm(blob: bytes):
+    """P6 (RGB) / P5 (gray) binary PNM decode: whitespace-separated
+    header tokens (comments supported), then raw samples."""
+    import numpy as np
+
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":  # comment to end of line
+            while i < len(blob) and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(blob[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only 8-bit PNM supported (maxval 255)")
+    channels = 3 if blob[:2] == b"P6" else 1
+    need = w * h * channels
+    body = np.frombuffer(blob, dtype=np.uint8, count=need, offset=i)
+    arr = body.reshape(h, w, channels)
+    if channels == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def _decode_bmp(blob: bytes):
+    """Uncompressed 24-bpp BITMAPINFOHEADER BMP decode (top-down or
+    bottom-up), pure NumPy."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size = struct.unpack_from("<I", blob, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bpp BMP supported")
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = []
+    for y in range(h):
+        off = data_off + y * stride
+        rows.append(
+            np.frombuffer(blob, dtype=np.uint8, count=row_bytes, offset=off)
+            .reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        )
+    if h_signed > 0:  # bottom-up storage
+        rows.reverse()
+    return np.stack(rows)
+
+
+def decode_image(blob: bytes):
+    """Decode an image blob to an (h, w, 3) uint8 NumPy array.
+
+    Default path is REAL: uncompressed PPM (P6) / PGM (P5) / 24-bpp BMP
+    decode in pure NumPy — public byte formats, no codec libraries.
+    Compressed codecs (PNG/JPEG/GIF/WEBP) need Pillow, which this
+    container does not ship; they raise ``NotImplementedError``
+    honestly rather than faking pixels."""
+    blob = bytes(blob)
+    if blob[:2] in (b"P6", b"P5"):
+        return _decode_pnm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:4] == b"\x89PNG" or blob[:2] == b"\xff\xd8" or blob[:4] in (
+        b"GIF8",
+        b"RIFF",
+    ):
         raise NotImplementedError(
-            "image decode requires Pillow; container ships without codecs "
-            "(deterministic fake features via extract_features instead)"
-        ) from exc
-    raise NotImplementedError("real-codec path not wired in this build")
+            "compressed codecs (PNG/JPEG/GIF/WEBP) require Pillow; "
+            "container ships without codecs"
+        )
+    raise ValueError("unrecognized image container")
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -168,6 +278,102 @@ def sample_frames(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
     return media.select("doc_id", "blob").mapInPandas(
         batches, FRAMES_SCHEMA
     ).orderBy("doc_id", "frame_idx")
+
+
+PPM_W = 8
+PPM_H = 8  # 8x8 RGB = 192 samples = 6 chained md5 hex digests
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("px_mean", DoubleType()),
+        StructField("px_md5", StringType()),
+    ]
+)
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): REAL binary P6 PPM images, built JVM-side.
+
+    Pixel samples are the ASCII codes of 6 chained md5 hex digests of
+    the document text (192 chars = 8*8*3 samples) — pure projections
+    (CLAUDE.md: md5 outside aggs), byte-deterministic, and ASCII-only,
+    so DuckDB recomputes every decoded statistic from the identical
+    construction without ever touching a blob."""
+    hs = [F.md5(F.encode(F.col("text"), "utf-8"))]
+    for _ in range(5):
+        hs.append(F.md5(F.encode(hs[-1], "utf-8")))
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n"), F.concat(*hs)),
+            "utf-8",
+        ).alias("blob"),
+    )
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, px_sum, px_mean, px_md5): REAL image
+    decode in the plan — ``decode_image`` (pure-NumPy PPM/BMP codec)
+    inside mapInPandas, then per-image statistics over the pixel
+    array.  The shape a CLIP-style embedder stage takes: bytes in,
+    fixed-width features out, no shuffle."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)  # decode_image pickles by module ref
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "px_sum": [], "px_mean": [], "px_md5": [],
+        }
+        for pdf in it:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_image(bytes(blob))
+                s = int(arr.sum())
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["px_sum"].append(s)
+                out["px_mean"].append(s / float(arr.size))
+                out["px_md5"].append(
+                    hashlib.md5(arr.tobytes()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", "blob")
+        .mapInPandas(batches, IMAGE_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def decode_image_stats_oracle() -> str:
+    """DuckDB twin: the decoded pixel array of a synthesized PPM IS the
+    192-char chained-md5 payload, so width/height are the fixed header,
+    px_md5 is md5(payload), and the sum/mean unnest ascii codes."""
+    n = PPM_W * PPM_H * 3
+    return f"""
+WITH pay AS (
+  SELECT doc_id,
+    md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+      || md5(md5(md5(md5(text))))
+      || md5(md5(md5(md5(md5(text)))))
+      || md5(md5(md5(md5(md5(md5(text)))))) AS payload
+  FROM documents),
+s AS (
+  SELECT doc_id, payload,
+         sum(ascii(substr(payload, g.i, 1)))::BIGINT AS px_sum
+  FROM pay, generate_series(1, {n}) AS g(i)
+  GROUP BY doc_id, payload)
+SELECT doc_id, {PPM_W}::INT AS width, {PPM_H}::INT AS height,
+       px_sum, px_sum / ({n}.0::DOUBLE) AS px_mean,
+       md5(payload) AS px_md5
+FROM s ORDER BY doc_id
+"""
 
 
 def sample_frames_oracle(n_frames: int = N_FRAMES) -> str:

@@ -188,9 +188,55 @@ def test_media_frames_cover_payload(docs):
     assert all(r["frame_idx"] < multimodal.N_FRAMES for r in frames)
 
 
-def test_decode_image_is_marked_stub():
+def test_decode_image_compressed_codecs_still_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jfif")
+
+
+def test_ppm_bmp_codec_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (5, 3)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ppm = multimodal.decode_image(multimodal.encode_ppm(px))
+        assert (ppm == px).all() and ppm.shape == (h, w, 3)
+        # BMP exercises row padding (w=5 -> 15-byte rows pad to 16)
+        bmp = multimodal.decode_image(multimodal.encode_bmp(px))
+        assert (bmp == px).all() and bmp.shape == (h, w, 3)
+
+
+def test_pnm_gray_and_comments():
+    import numpy as np
+
+    g = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    blob = b"P5\n# a comment\n3 2\n255\n" + g.tobytes()
+    arr = multimodal.decode_image(blob)
+    assert arr.shape == (2, 3, 3)
+    assert (arr[:, :, 0] == g[:, :, 0]).all()
+    assert (arr[:, :, 1] == arr[:, :, 0]).all()  # gray replicated
+
+
+def test_decode_image_stats_real_decode(docs):
+    import hashlib as _hl
+
+    media = multimodal.synthesize_ppm_media(docs)
+    stats = {r["doc_id"]: r for r in
+             multimodal.decode_image_stats(media).collect()}
+    row0 = docs.filter(F.col("doc_id") == 0).first()
+    # recompute the chained-md5 payload the pixels come from
+    h = _hl.md5(row0["text"].encode()).hexdigest()
+    payload = h
+    for _ in range(5):
+        h = _hl.md5(h.encode()).hexdigest()
+        payload += h
+    s = stats[0]
+    assert (s["width"], s["height"]) == (multimodal.PPM_W, multimodal.PPM_H)
+    assert s["px_sum"] == sum(payload.encode())
+    assert s["px_md5"] == _hl.md5(payload.encode()).hexdigest()
+    assert s["px_mean"] == s["px_sum"] / (multimodal.PPM_W * multimodal.PPM_H * 3)
 
 
 # ------------------------------------------------------------------ #
