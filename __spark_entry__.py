@@ -2155,6 +2155,89 @@ def _q_reasoning_owlrl(spark, sf_dir):
     )
 
 
+def _q_reasoning_owlrl_reference(spark, sf_dir):
+    """INDEPENDENT differential for the owl-rl profile (VERDICT r2 #6):
+    the same fixture and reasoner as ``reasoning_owlrl``, but checked
+    against a literal, hand-derived expected closure (see
+    ``_owlrl_reference_oracle``) instead of the algorithm-unrolled CTE
+    — the oracle encodes the W3C OWL 2 RL rule table applied by hand,
+    so it would catch a rule-transcription error that a same-algorithm
+    twin reproduces on both engines."""
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    t = spark.createDataFrame(_OWLRL_OM, M.TRIPLES_SCHEMA)
+    expanded, _n = reasoning.apply_reasoning(t, profile="owl-rl")
+    return expanded.select("subj", "pred", "obj", "obj_kind").orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+#: Hand-derived OWL 2 RL closure of ``_OWLRL_OM`` — derived from the
+#: W3C "OWL 2 Profiles" rule table (public spec, §4.3), rule names
+#: annotated per inferred triple.  owlrl-the-library is not installable
+#: in this sandbox, so the independent semantics source is the spec
+#: itself, applied by hand; deliberate deviations from owlrl's full
+#: materialization (both documented in operators/reasoning.py): eq-ref
+#: reflexive sameAs only for members of an asserted sameAs clique (not
+#: every node), and of the scm-* schema rules only the
+#: equivalence-symmetry twins (scm-eqc2/scm-eqp2) are materialized.
+def _owlrl_reference_expected() -> list[tuple[str, str, str, str]]:
+    B = FX.BASE
+    O, R_, RS = M.OWL, M.RDF, M.RDFS
+    sch = [
+        # -- the 13 asserted triples ---------------------------------
+        (B + "Person", R_.type, O.Class),
+        (B + "Employee", R_.type, O.Class),
+        (B + "Staff", R_.type, O.Class),
+        (B + "Employee", RS.subClassOf, B + "Person"),
+        (B + "Employee", O.equivalentClass, B + "Staff"),
+        (B + "worksFor", R_.type, O.ObjectProperty),
+        (B + "worksFor", RS.domain, B + "Person"),
+        (B + "worksFor", RS.range, B + "Organization"),
+        (B + "worksFor", O.equivalentProperty, B + "employedBy"),
+        (B + "alice", R_.type, B + "Employee"),
+        (B + "alice", B + "worksFor", B + "acme"),
+        (B + "alice", O.sameAs, B + "al"),
+        (B + "al", O.sameAs, B + "alicia"),
+        # -- schema symmetry (scm-eqc2 / scm-eqp2) -------------------
+        (B + "Staff", O.equivalentClass, B + "Employee"),
+        (B + "employedBy", O.equivalentProperty, B + "worksFor"),
+        # -- prp-rng on alice worksFor acme --------------------------
+        (B + "acme", R_.type, B + "Organization"),
+    ]
+    # sameAs clique {alice, al, alicia}: eq-sym + eq-trans close every
+    # ordered pair; eq-ref adds the clique reflexives; eq-rep-s copies
+    # every instance fact across the clique; cax-sco (Employee subClassOf
+    # Person), cax-eqc1 (Employee eq Staff) and prp-eqp1 (worksFor eq
+    # employedBy) then fire per member.
+    clique = [B + "alice", B + "al", B + "alicia"]
+    for x in clique:
+        for y in clique:
+            sch.append((x, O.sameAs, y))
+        sch.extend(
+            [
+                (x, R_.type, B + "Employee"),   # eq-rep-s
+                (x, R_.type, B + "Staff"),      # cax-eqc1
+                (x, R_.type, B + "Person"),     # cax-sco + prp-dom
+                (x, B + "worksFor", B + "acme"),     # eq-rep-s
+                (x, B + "employedBy", B + "acme"),   # prp-eqp1
+            ]
+        )
+    return sorted(set((s, p, o, "uri") for (s, p, o) in sch))
+
+
+def _owlrl_reference_oracle() -> str:
+    rows = ",\n    ".join(
+        f"('{s}', '{p}', '{o}', '{k}')"
+        for (s, p, o, k) in _owlrl_reference_expected()
+    )
+    return f"""
+SELECT subj, pred, obj, obj_kind
+FROM (VALUES
+    {rows}) AS exp(subj, pred, obj, obj_kind)
+ORDER BY subj, pred, obj"""
+
+
 #: owl-rl identity/hasValue rule fixture: a functional property with two
 #: objects (prp-fp), an inverse-functional literal key shared by two
 #: subjects (prp-ifp), and a hasValue restriction reached via rdfs9
@@ -4860,6 +4943,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_skos": _q_validate_skos,
         "reasoning_rdfs": _q_reasoning_rdfs,
         "reasoning_owlrl": _q_reasoning_owlrl,
+        "reasoning_owlrl_reference": _q_reasoning_owlrl_reference,
         "reasoning_chain": _q_reasoning_chain,
         "reasoning_fp_hv": _q_reasoning_fp_hv,
         "restriction_add_delete": _q_restriction_add_delete,
@@ -7043,6 +7127,10 @@ ORDER BY subj, pred, obj
     )
     func_p = M.OWL.FunctionalProperty
     ifunc_p = M.OWL.InverseFunctionalProperty
+    # Independent differential: hand-derived W3C rule-table closure as
+    # literal VALUES — NOT an unrolled transcription of the algorithm.
+    sql["reasoning_owlrl_reference"] = _owlrl_reference_oracle()
+
     onprop_p = M.OWL.onProperty
     hasval_p = M.OWL.hasValue
     # Staged mirror of apply_reasoning(profile="owl-rl") on the fp/ifp/

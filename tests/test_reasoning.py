@@ -411,3 +411,22 @@ def test_sdtype_min_score_gate(spark):
     # the 0.5-ambiguous u4 falls below a 0.6 gate; unanimous ones stay
     assert FX.BASE + "u4" not in out
     assert FX.BASE + "u1" in out and FX.BASE + "u2" in out
+
+
+def test_owlrl_closure_matches_hand_derived_rule_table(spark):
+    """Independent semantic differential (round-3): the owl-rl profile's
+    full closure over the equivalence/sameAs fixture must equal the
+    EXPECTED set hand-derived from the W3C OWL 2 RL rule table (spec
+    §4.3), not merely agree with the repo's own rule transcription."""
+    import __spark_entry__ as E
+    from orionbelt_ontology_builder_spark.operators import reasoning
+
+    t = spark.createDataFrame(E._OWLRL_OM, E.M.TRIPLES_SCHEMA)
+    expanded, n_inferred = reasoning.apply_reasoning(t, profile="owl-rl")
+    got = sorted(
+        (r.subj, r.pred, r.obj, r.obj_kind)
+        for r in expanded.select("subj", "pred", "obj", "obj_kind").collect()
+    )
+    want = E._owlrl_reference_expected()
+    assert got == want
+    assert n_inferred == len(want) - len(E._OWLRL_OM)
