@@ -2732,6 +2732,46 @@ def _q_jsonld_roundtrip(spark, sf_dir):
     return _codec_roundtrip(spark, "jsonld")
 
 
+#: N3-only surface (sources/parsers.py _N3Parser): '=' (owl:sameAs),
+#: 'has <p>' forward and 'is <p> of' inverse predicate markers, and a
+#: '!' path step (fresh bnode _:gen1 — parsed as a separate document,
+#: so the gensym counter is deterministic).
+_N3_EXTRA = """
+@prefix ex: <http://test.org/ont#> .
+ex:al = ex:alice .
+ex:acme has ex:employs ex:alice .
+ex:alice is ex:employs of ex:acmeCorp .
+ex:bob!ex:mother a ex:Woman .
+"""
+
+_N3_EXTRA_EXPECTED = [
+    ("http://test.org/ont#al", "http://www.w3.org/2002/07/owl#sameAs",
+     "http://test.org/ont#alice", "uri", None, None),
+    ("http://test.org/ont#acme", "http://test.org/ont#employs",
+     "http://test.org/ont#alice", "uri", None, None),
+    ("http://test.org/ont#acmeCorp", "http://test.org/ont#employs",
+     "http://test.org/ont#alice", "uri", None, None),
+    ("http://test.org/ont#bob", "http://test.org/ont#mother",
+     "_:gen1", "bnode", None, None),
+    ("_:gen1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://test.org/ont#Woman", "uri", None, None),
+]
+
+
+def _q_n3_roundtrip(spark, sf_dir):
+    """format='n3' is a real parser, not a Turtle alias: the axioms
+    fixture round-trips through it (N3 is a Turtle superset), and an
+    N3-only document (=, has, is..of, ! path) parses to its expected
+    triples."""
+    from orionbelt_ontology_builder_spark.sources import parsers as PAR
+    from orionbelt_ontology_builder_spark.sources import serializers as SER
+
+    rows = [tuple(r) for r in FX.FIXTURES["axioms_om"]]
+    base = PAR.parse(spark, SER.to_turtle(rows), "n3")
+    extra = PAR.parse(spark, _N3_EXTRA, "n3")
+    return base.unionByName(extra).distinct()
+
+
 _PREFIXES_CUR = [("ex", "http://example.org/a#"), ("foaf", "http://xmlns.com/foaf/0.1/")]
 _PREFIXES_INC = [("ex", "http://example.org/b#"), ("foaf", "http://xmlns.com/foaf/0.1/")]
 
@@ -4903,6 +4943,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nt_roundtrip": _q_nt_roundtrip,
         "nq_roundtrip": _q_nq_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
+        "n3_roundtrip": _q_n3_roundtrip,
         "rdfxml_roundtrip": _q_rdfxml_roundtrip,
         "jsonld_roundtrip": _q_jsonld_roundtrip,
         "prefix_conflicts": _q_prefix_conflicts,
@@ -6435,6 +6476,19 @@ FROM triples
     sql["turtle_roundtrip"] = roundtrip_identity
     sql["rdfxml_roundtrip"] = roundtrip_identity
     sql["jsonld_roundtrip"] = roundtrip_identity
+    n3_extra_vals = ",\n    ".join(
+        "('{}', '{}', '{}', '{}', NULL, NULL)".format(s, p, o, k)
+        for (s, p, o, k, _l, _d) in _N3_EXTRA_EXPECTED
+    )
+    sql["n3_roundtrip"] = f"""
+WITH {ax}
+SELECT DISTINCT subj, pred, obj, obj_kind, obj_lang, obj_dt FROM triples
+UNION
+SELECT subj, pred, obj, obj_kind,
+       obj_lang::VARCHAR, obj_dt::VARCHAR
+FROM (VALUES
+    {n3_extra_vals}) v(subj, pred, obj, obj_kind, obj_lang, obj_dt)
+"""
 
     cur_vals = ", ".join(f"('{p}', '{n}')" for p, n in _PREFIXES_CUR)
     inc_vals = ", ".join(f"('{p}', '{n}')" for p, n in _PREFIXES_INC)

@@ -46,8 +46,10 @@ def parse(spark: SparkSession, text: str, fmt: str) -> DataFrame:
     """Format-dispatched parse -> triples DataFrame (the reference's
     extension map, ``app.py:2223-2232``)."""
     fmt = fmt.lower().lstrip(".")
-    if fmt in ("ttl", "turtle", "n3"):
+    if fmt in ("ttl", "turtle"):
         rows = parse_turtle(text)
+    elif fmt == "n3":
+        rows = parse_n3(text)
     elif fmt in ("xml", "rdf", "owl", "rdfxml"):
         rows = parse_rdfxml(text)
     elif fmt in ("jsonld", "json-ld", "json"):
@@ -71,11 +73,12 @@ def parse(spark: SparkSession, text: str, fmt: str) -> DataFrame:
 _TOKEN = re.compile(
     r"""
       (?P<comment>\#[^\n]*)
+    | (?P<dtmark>\^\^)
+    | (?P<n3punct>=>|<=|[{}!^=])
     | (?P<iri><[^>]*>)
     | (?P<triple_str>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<str>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
-    | (?P<dtmark>\^\^)
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<punct>[;,.\[\]()])
     | (?P<bnode>_:[\w.-]+)
@@ -115,7 +118,15 @@ def _unescape_str(s: str) -> str:
     return "".join(out)
 
 
+#: owl:sameAs — the N3 ``=`` operator's meaning (public N3 spec §"equality")
+_OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
 class _TurtleParser:
+    #: N3-only surface accepted when True (``_N3Parser``); plain Turtle
+    #: rejects those tokens with the normal parse errors.
+    n3 = False
+
     def __init__(self, text: str):
         self.toks: list[tuple[str, str]] = []
         for m in _TOKEN.finditer(text):
@@ -169,6 +180,12 @@ class _TurtleParser:
                 self.base = self._iri(iri)
                 if self.peek() and self.peek()[1] == ".":
                     self.next()
+            elif self.n3 and low in ("@forall", "@forsome"):
+                raise NotImplementedError(
+                    f"N3 quantification ({v}) is not supported: this "
+                    "engine ingests ontology documents, not N3 rule "
+                    "programs (use plain triples)"
+                )
             else:
                 self.triples_block()
         return self.rows
@@ -182,13 +199,38 @@ class _TurtleParser:
     def predicate_object_list(self, subj: str) -> None:
         while True:
             k, v = self.peek()
+            inverted = False
             if v == "a":
                 self.next()
                 pred = RDF_TYPE
+            elif self.n3 and v == "=":
+                # N3 equality operator: x = y  means  x owl:sameAs y
+                self.next()
+                pred = _OWL_SAMEAS
+            elif self.n3 and v in ("=>", "<="):
+                raise NotImplementedError(
+                    "N3 implication ({...} => {...} / log:implies) is "
+                    "not supported: this engine ingests ontology "
+                    "documents, not N3 rule programs"
+                )
+            elif self.n3 and k == "kw" and v == "has":
+                # 'has <pred>' — explicit forward predicate marker
+                self.next()
+                pred = self.resolve_iri_token()
+            elif self.n3 and k == "kw" and v == "is":
+                # 'is <pred> of' — inverse predicate: obj pred subj
+                self.next()
+                pred = self.resolve_iri_token()
+                _, of = self.next()
+                if of != "of":
+                    raise ValueError(
+                        f"expected 'of' after 'is <pred>', got {of!r}"
+                    )
+                inverted = True
             else:
                 pred = self.resolve_iri_token()
             while True:
-                self.object_item(subj, pred)
+                self.object_item(subj, pred, inverted)
                 if self.peek() and self.peek()[1] == ",":
                     self.next()
                     continue
@@ -201,12 +243,29 @@ class _TurtleParser:
                 continue
             return
 
-    def object_item(self, subj: str, pred: str) -> None:
+    def object_item(
+        self, subj: str, pred: str, inverted: bool = False
+    ) -> None:
         obj, kind, lang, dt = self.term()
-        self.rows.append((subj, pred, obj, kind, lang, dt))
+        if inverted:
+            if kind == "literal":
+                raise ValueError(
+                    "'is <pred> of <term>' needs a node term: a literal "
+                    "cannot be a triple subject"
+                )
+            s_kind = "bnode" if subj.startswith("_:") else "uri"
+            self.rows.append((obj, pred, subj, s_kind, None, None))
+        else:
+            self.rows.append((subj, pred, obj, kind, lang, dt))
 
     def node(self, as_subject: bool = False) -> str:
         k, v = self.peek()
+        if self.n3 and v == "{":
+            raise NotImplementedError(
+                "N3 formulae / implication rules ({ ... }) are not "
+                "supported: this engine ingests ontology documents, "
+                "not N3 rule programs"
+            )
         if v == "[":
             self.next()
             bn = self.new_bnode()
@@ -219,7 +278,10 @@ class _TurtleParser:
         if k == "bnode":
             self.next()
             return v
-        return self.resolve_iri_token()
+        n = self.resolve_iri_token()
+        if self.n3:
+            n = self._n3_path(n, "uri")[0]
+        return n
 
     def collection(self) -> str:
         self.expect_punct("(")
@@ -243,12 +305,17 @@ class _TurtleParser:
 
     def term(self) -> tuple[str, str, Optional[str], Optional[str]]:
         k, v = self.peek()
+        if self.n3 and v == "{":
+            raise NotImplementedError(
+                "N3 formulae ({ ... }) are not supported: this engine "
+                "ingests ontology documents, not N3 rule programs"
+            )
         if v in ("[", "("):
             n = self.node()
-            return n, ("uri" if n == RDF_NIL else "bnode"), None, None
+            return self._n3_path(n, "uri" if n == RDF_NIL else "bnode")
         if k == "bnode":
             self.next()
-            return v, "bnode", None, None
+            return self._n3_path(v, "bnode")
         if k in ("str", "triple_str"):
             self.next()
             raw = v[3:-3] if k == "triple_str" else v[1:-1]
@@ -271,7 +338,24 @@ class _TurtleParser:
             self.next()
             return v, "literal", None, XSD.boolean
         iri = self.resolve_iri_token()
-        return iri, "uri", None, None
+        return self._n3_path(iri, "uri")
+
+    def _n3_path(
+        self, node: str, kind: str
+    ) -> tuple[str, str, Optional[str], Optional[str]]:
+        """N3 path operators on a node term: ``x!p`` denotes the value
+        of p of x (fresh bnode v with x p v), ``x^p`` denotes a subject
+        having p x (fresh bnode v with v p x); chainable."""
+        while self.n3 and self.peek() and self.peek()[1] in ("!", "^"):
+            _, op = self.next()
+            pred = self.resolve_iri_token()
+            bn = self.new_bnode()
+            if op == "!":
+                self.rows.append((node, pred, bn, "bnode", None, None))
+            else:
+                self.rows.append((bn, pred, node, kind, None, None))
+            node, kind = bn, "bnode"
+        return node, kind, None, None
 
     def resolve_iri_token(self) -> str:
         k, v = self.next()
@@ -293,6 +377,24 @@ class _TurtleParser:
 
 def parse_turtle(text: str) -> list[Row6]:
     return _TurtleParser(text).parse()
+
+
+class _N3Parser(_TurtleParser):
+    n3 = True
+
+
+def parse_n3(text: str) -> list[Row6]:
+    """Notation3 (public W3C team submission): the Turtle surface plus
+    the N3-only tokens rdflib accepts in ontology documents — ``=``
+    (owl:sameAs), ``has <p>`` / ``is <p> of`` predicate markers, and
+    ``!`` / ``^`` path expressions (each step materializes a fresh
+    bnode triple).  Rule-program constructs — formulae ``{ }``,
+    implication ``=>`` / ``<=``, quantifiers ``@forAll`` /
+    ``@forSome`` — raise ``NotImplementedError`` with a clear message
+    instead of silently mis-parsing (the reference feeds ``format=
+    "n3"`` to rdflib, ontology_manager.py:2000-2012; ontology files in
+    the wild use the document subset)."""
+    return _N3Parser(text).parse()
 
 
 # ------------------------------------------------------------------ #

@@ -160,3 +160,59 @@ def test_jsonld_prefixes_edge_cases():
         '"ex": "https://e.org/"}}'
     )
     assert got == [("(default)", "http://d.org/"), ("ex", "https://e.org/")]
+
+
+# ------------------------------------------------------------------ #
+# N3 (real parser, not a Turtle alias)
+# ------------------------------------------------------------------ #
+
+N3_DOC = """
+@prefix ex: <http://x.org/> .
+ex:a = ex:b .
+ex:c has ex:p ex:d .
+ex:d is ex:p of ex:e .
+ex:f!ex:g a ex:H .
+ex:i^ex:j ex:k ex:l .
+"""
+
+
+def test_n3_equality_has_is_of_and_paths():
+    rows = set(PAR.parse_n3(N3_DOC))
+    X = "http://x.org/"
+    OWL_SAME = "http://www.w3.org/2002/07/owl#sameAs"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert (X + "a", OWL_SAME, X + "b", "uri", None, None) in rows
+    assert (X + "c", X + "p", X + "d", "uri", None, None) in rows
+    # 'is p of' inverts: e p d
+    assert (X + "e", X + "p", X + "d", "uri", None, None) in rows
+    # forward path: f g _:gen1 . _:gen1 a H
+    assert (X + "f", X + "g", "_:gen1", "bnode", None, None) in rows
+    assert ("_:gen1", RDF_T, X + "H", "uri", None, None) in rows
+    # backward path as subject: _:gen2 j i . _:gen2 k l
+    assert ("_:gen2", X + "j", X + "i", "uri", None, None) in rows
+    assert ("_:gen2", X + "k", X + "l", "uri", None, None) in rows
+
+
+def test_n3_parses_full_turtle_subset():
+    rows = [tuple(r) for r in FX.FIXTURES["axioms_om"]]
+    assert sorted(set(PAR.parse_n3(SER.to_turtle(rows)))) == sorted(set(rows))
+
+
+@pytest.mark.parametrize(
+    "doc,msg",
+    [
+        ("@forAll <http://x.org/v> .", "quantification"),
+        ("@forSome <http://x.org/v> .", "quantification"),
+        ("{ <http://a> <http://b> <http://c> } => "
+         "{ <http://a> <http://d> <http://c> } .", "implication"),
+        ("<http://a> <= <http://b> .", "implication"),
+    ],
+)
+def test_n3_rule_constructs_rejected_clearly(doc, msg):
+    with pytest.raises(NotImplementedError, match=msg):
+        PAR.parse_n3(doc)
+
+
+def test_turtle_mode_still_rejects_n3_tokens():
+    with pytest.raises(ValueError):
+        PAR.parse_turtle("<http://a> = <http://b> .")
