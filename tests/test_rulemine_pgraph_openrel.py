@@ -245,6 +245,41 @@ def test_rrf_disagreeing_rankings(spark):
     assert best.doc_id == 0
 
 
+def test_rrf_plan_has_no_global_window(spark):
+    """VERDICT r2 #8: base lists are pre-capped with TakeOrdered and
+    exact ranks recovered by a counting join — no single-partition
+    global window rank anywhere in the plan."""
+    from orionbelt_ontology_builder_spark.datapipe import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "table scan"), (1, "scan window")], "doc_id long, text string"
+    )
+    df = textstats.rrf_retrieval(docs, ["table", "scan", "window"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_rrf_rank_exactness_beyond_cap(spark):
+    """The count-join ranks equal global row_number ranks even when the
+    hit set is larger than anything the caps would keep for a tiny
+    top: every reported rank is the doc's true global rank."""
+    from orionbelt_ontology_builder_spark.datapipe import textstats
+
+    # 150 docs all hit 'term' with distinct tf -> hit set > m_cap for
+    # top=1 (m_cap = 2 + 2*1 = 4 with kconst=2)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["term"] * (i + 1))) for i in range(150)],
+        "doc_id long, text string",
+    )
+    out = textstats.rrf_retrieval(docs, ["term"], kconst=2, top=3).collect()
+    # every doc hits once distinct -> rank_overlap is doc_id order;
+    # tf descends with doc_id -> doc 149 is tf rank 1
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].rank_overlap == 1 and by_id[0].rank_tf == 150
+    assert by_id[149].rank_tf == 1 and by_id[149].rank_overlap == 150
+
+
 # --------------------------------------------------------------------- #
 # streaming near-dedup
 # --------------------------------------------------------------------- #
