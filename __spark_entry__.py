@@ -2466,12 +2466,27 @@ def _q_snapshot_undo(spark, sf_dir):
 _VIZ_CACHE: dict[int, DataFrame] = {}
 
 
+#: parallel-edge fixture rows: cPar1/cPar2 carry THREE edges between
+#: one unordered endpoint pair (broader + related both directions) —
+#: exercises the fan-out rank (reference app.py:3404-3419).
+_VIZ_PARALLEL_EXTRA: list[tuple] = [
+    M.t_uri(FX.BASE + "cPar1", M.RDF.type, M.SKOS.Concept),
+    M.t_uri(FX.BASE + "cPar2", M.RDF.type, M.SKOS.Concept),
+    M.t_uri(FX.BASE + "cPar1", M.SKOS.broader, FX.BASE + "cPar2"),
+    M.t_uri(FX.BASE + "cPar1", M.SKOS.related, FX.BASE + "cPar2"),
+    M.t_uri(FX.BASE + "cPar2", M.SKOS.related, FX.BASE + "cPar1"),
+]
+
+
 def _viz_fixture(spark):
     key = id(spark)
     if key not in _VIZ_CACHE:
         _VIZ_CACHE[key] = (
             FX.fixture_triples(spark, "axioms_om")
             .unionByName(FX.fixture_triples(spark, "skos_om"))
+            .unionByName(
+                spark.createDataFrame(_VIZ_PARALLEL_EXTRA, M.TRIPLES_SCHEMA)
+            )
             .localCheckpoint(eager=True)
         )
     return _VIZ_CACHE[key]
@@ -6322,9 +6337,15 @@ ORDER BY user_id, session_idx
     # nt_roundtrip: serialize -> parse must be the identity on the
     # fixture, so the oracle is simply the fixture rows themselves
     # -- app-level views (§2.10) -------------------------------------- #
+    viz_parallel_vals = ",\n    ".join(
+        "('{}', '{}', '{}', '{}', NULL, NULL)".format(s, p, o, k)
+        for (s, p, o, k, _l, _d) in _VIZ_PARALLEL_EXTRA
+    )
     viz_cte = f"""triples(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS (
   SELECT * FROM {FX.fixture_sql_values("axioms_om")}
-  UNION ALL SELECT * FROM {FX.fixture_sql_values("skos_om")})"""
+  UNION ALL SELECT * FROM {FX.fixture_sql_values("skos_om")}
+  UNION ALL SELECT * FROM (VALUES
+    {viz_parallel_vals}) vpe(subj, pred, obj, obj_kind, obj_lang, obj_dt))"""
 
     opt_parts = "\n  UNION ALL\n  ".join(
         f"""SELECT t.subj AS uri, {_ln('t.subj')} AS name, lbl.label,
@@ -6375,19 +6396,35 @@ nodes AS (
   SELECT DISTINCT subj AS id FROM triples
   WHERE pred='{RDF_TYPE}'
     AND obj IN ('{OWL_CLASS}', '{M.OWL.NamedIndividual}', '{M.SKOS.Concept}')
-    AND subj NOT LIKE '\\_:%' ESCAPE '\\')
-SELECT DISTINCT * FROM (
-  SELECT subj AS src, obj AS dst, 'subClassOf' AS kind FROM triples
-  WHERE pred='{SUB}'
-  UNION ALL
-  SELECT subj, obj, 'type' FROM triples
-  WHERE pred='{RDF_TYPE}' AND obj NOT LIKE 'http://www.w3.org/%'
-  UNION ALL
-  SELECT subj, obj, 'broader' FROM triples WHERE pred='{M.SKOS.broader}'
-  UNION ALL
-  SELECT subj, obj, 'related' FROM triples WHERE pred='{M.SKOS.related}'
-)
-WHERE src IN (SELECT id FROM nodes) AND dst IN (SELECT id FROM nodes)
+    AND subj NOT LIKE '\\_:%' ESCAPE '\\'),
+e AS (
+  SELECT DISTINCT * FROM (
+    SELECT subj AS src, obj AS dst, 'subClassOf' AS kind FROM triples
+    WHERE pred='{SUB}'
+    UNION ALL
+    SELECT subj, obj, 'type' FROM triples
+    WHERE pred='{RDF_TYPE}' AND obj NOT LIKE 'http://www.w3.org/%'
+    UNION ALL
+    SELECT subj, obj, 'broader' FROM triples WHERE pred='{M.SKOS.broader}'
+    UNION ALL
+    SELECT subj, obj, 'related' FROM triples WHERE pred='{M.SKOS.related}'
+  )
+  WHERE src IN (SELECT id FROM nodes) AND dst IN (SELECT id FROM nodes)),
+f AS (
+  SELECT src, dst, kind,
+    (row_number() OVER (PARTITION BY least(src, dst), greatest(src, dst)
+                        ORDER BY kind, src, dst) - 1)::INT AS fan_idx,
+    count(*) OVER (PARTITION BY least(src, dst), greatest(src, dst))
+      AS fan_n
+  FROM e)
+SELECT src, dst, kind, fan_idx,
+  CASE WHEN fan_n < 2 THEN ''
+       WHEN fan_idx % 2 = 1 THEN 'curvedCCW'
+       ELSE 'curvedCW' END AS fan_curve,
+  CASE WHEN fan_n < 2 THEN 0.0::DOUBLE
+       WHEN fan_idx = 0 THEN 0.2::DOUBLE
+       ELSE 0.2::DOUBLE * ((fan_idx + 1) // 2) END AS fan_roundness
+FROM f
 """
 
     sql["class_tree"] = f"""

@@ -952,9 +952,17 @@ def viz_nodes(triples: DataFrame, max_per_layer: int = 500) -> DataFrame:
 
 
 def viz_edges(triples: DataFrame, max_per_layer: int = 500) -> DataFrame:
-    """(src, dst, kind) edge table: subClassOf / rdf:type / broader edges
-    whose BOTH endpoints are visible nodes (reference ``app.py:3123-3129``
-    both-ends rule)."""
+    """(src, dst, kind, fan_idx, fan_curve, fan_roundness) edge table:
+    subClassOf / rdf:type / broader edges whose BOTH endpoints are
+    visible nodes (reference ``app.py:3123-3129`` both-ends rule).
+
+    Parallel-edge fan-out (reference ``app.py:3404-3419``): edges are
+    grouped by UNORDERED endpoint pair; within a group of 2+ the i-th
+    edge (deterministic kind/src/dst order) alternates curvedCW /
+    curvedCCW with roundness 0.2 * ((i+1)//2) (0.2 for i=0) so
+    parallel edges don't overlap; singleton groups render straight
+    (fan_curve '').  The rank window partitions by the endpoint pair —
+    fan-out-sized groups, never a global sort."""
     nodes = viz_nodes(triples, max_per_layer).select(F.col("id"))
     def both_ends(df):
         return (
@@ -987,9 +995,30 @@ def viz_edges(triples: DataFrame, max_per_layer: int = 500) -> DataFrame:
             F.lit("related").alias("kind"),
         )
     )
+    from pyspark.sql import Window
+
+    edges = sub.unionByName(typ).unionByName(brd).unionByName(rel).distinct()
+    pair_a = F.least("src", "dst")
+    pair_b = F.greatest("src", "dst")
+    w_rank = Window.partitionBy(pair_a, pair_b).orderBy("kind", "src", "dst")
+    w_cnt = Window.partitionBy(pair_a, pair_b)
+    edges = edges.withColumn(
+        "fan_idx", (F.row_number().over(w_rank) - 1).cast("int")
+    ).withColumn("fan_n", F.count(F.lit(1)).over(w_cnt))
     return (
-        sub.unionByName(typ).unionByName(brd).unionByName(rel)
-        .distinct()
+        edges.select(
+            "src", "dst", "kind", "fan_idx",
+            F.when(F.col("fan_n") < 2, "")
+            .when(F.col("fan_idx") % 2 == 1, "curvedCCW")
+            .otherwise("curvedCW")
+            .alias("fan_curve"),
+            F.when(F.col("fan_n") < 2, F.lit(0.0))
+            .when(F.col("fan_idx") == 0, F.lit(0.2))
+            .otherwise(
+                F.lit(0.2) * F.floor((F.col("fan_idx") + 1) / F.lit(2))
+            )
+            .alias("fan_roundness"),
+        )
         .orderBy("kind", "src", "dst")
     )
 

@@ -497,3 +497,38 @@ def test_deprecated_usage_report(spark):
     assert op["pred"] == B + "oldProp" and op["n_uses"] == 1
     # deprecated but unreferenced -> absent
     assert not any(d == B + "retired" for d, _ in got)
+
+
+def test_viz_edges_parallel_fanout(spark):
+    """Reference app.py:3404-3419: parallel edges between one unordered
+    node pair alternate curvedCW/curvedCCW with growing roundness;
+    singleton pairs render straight."""
+    from orionbelt_ontology_builder_spark import fixtures as FX
+    from orionbelt_ontology_builder_spark import model as M
+    from orionbelt_ontology_builder_spark.operators import views
+
+    B = FX.BASE
+    t = spark.createDataFrame(
+        [
+            M.t_uri(B + "x", M.RDF.type, M.SKOS.Concept),
+            M.t_uri(B + "y", M.RDF.type, M.SKOS.Concept),
+            M.t_uri(B + "z", M.RDF.type, M.SKOS.Concept),
+            M.t_uri(B + "x", M.SKOS.broader, B + "y"),
+            M.t_uri(B + "x", M.SKOS.related, B + "y"),
+            M.t_uri(B + "y", M.SKOS.related, B + "x"),
+            M.t_uri(B + "z", M.SKOS.broader, B + "y"),  # singleton pair
+        ],
+        M.TRIPLES_SCHEMA,
+    )
+    rows = {(r.src, r.dst, r.kind): r for r in views.viz_edges(t).collect()}
+    # order within the x-y group: kind asc, src, dst ->
+    #   (x,y,broader)=0, (x,y,related)=1, (y,x,related)=2
+    e0 = rows[(B + "x", B + "y", "broader")]
+    e1 = rows[(B + "x", B + "y", "related")]
+    e2 = rows[(B + "y", B + "x", "related")]
+    assert (e0.fan_idx, e0.fan_curve, e0.fan_roundness) == (0, "curvedCW", 0.2)
+    assert (e1.fan_idx, e1.fan_curve, e1.fan_roundness) == (1, "curvedCCW", 0.2)
+    assert (e2.fan_idx, e2.fan_curve) == (2, "curvedCW")
+    assert abs(e2.fan_roundness - 0.2) < 1e-15
+    s = rows[(B + "z", B + "y", "broader")]
+    assert (s.fan_idx, s.fan_curve, s.fan_roundness) == (0, "", 0.0)
