@@ -67,7 +67,7 @@ def _unit(col: Column, salt: str) -> Column:
 def _unit_sql(expr: str, salt: str) -> str:
     return (
         f"('0x' || substr(md5('{salt}' || {expr}::VARCHAR), 1, 8))::BIGINT"
-        f" / {_SCALE!r}"
+        f" / {_SCALE!r}::DOUBLE"
     )
 
 
@@ -84,8 +84,8 @@ def _synth_sql() -> str:
     return f"""
 pts AS (
   SELECT c_custkey::BIGINT AS id,
-         {_unit_sql('c_custkey', 'geo-x-')} * {X_SPAN!r} AS x,
-         {_unit_sql('c_custkey', 'geo-y-')} * {Y_SPAN!r} AS y
+         {_unit_sql('c_custkey', 'geo-x-')} * {X_SPAN!r}::DOUBLE AS x,
+         {_unit_sql('c_custkey', 'geo-y-')} * {Y_SPAN!r}::DOUBLE AS y
   FROM customer)"""
 
 
@@ -144,6 +144,6 @@ SELECT a.id AS id_a, b.id AS id_b,
        (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
 FROM pts a JOIN pts b ON a.id < b.id
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
-      <= {radius!r} * {radius!r}
+      <= ({radius!r}::DOUBLE * {radius!r}::DOUBLE)
 ORDER BY id_a, id_b
 """

@@ -237,11 +237,10 @@ def rule_predictions_sql(
     min_support: int = 2,
     min_conf: float = 0.5,
 ) -> str:
-    """DuckDB twin: the miner's CTE chain plus the broadcast-apply and
-    the existing-fact anti-join."""
-    mine = amie_chain_rules_sql(triples_cte, min_support, min_conf)
-    # reuse the miner's CTE chain; its final SELECT becomes a CTE here
-    return f"""{mine.split('SELECT sup.p')[0].rstrip()},
+    """DuckDB twin: the miner's CTE chain (shared helper, no string
+    surgery on rendered SQL) plus the broadcast-apply and the
+    existing-fact anti-join."""
+    return f"""{_amie_ctes(triples_cte)},
 rules AS MATERIALIZED (
   SELECT sup.p, sup.q, sup.r, support::DOUBLE / n_pca AS pca_conf
   FROM sup JOIN pca ON sup.p = pca.p AND sup.q = pca.q AND sup.r = pca.r
@@ -256,13 +255,11 @@ WHERE NOT EXISTS (
 ORDER BY subj, pred, obj, body_p"""
 
 
-def amie_chain_rules_sql(
-    triples_cte: str = "triples",
-    min_support: int = 2,
-    min_conf: float = 0.1,
-) -> str:
-    """DuckDB twin over a 6-column ``triples`` relation; identical
-    binding/support/PCA cascade."""
+def _amie_ctes(triples_cte: str = "triples") -> str:
+    """The miner's shared CTE chain (edges -> bindings -> sup -> pca),
+    composed by BOTH ``amie_chain_rules_sql`` and
+    ``rule_predictions_sql`` — one definition, so a cosmetic edit here
+    cannot silently desynchronize the prediction oracle."""
     return f"""
 edges AS MATERIALIZED (
   SELECT DISTINCT subj, pred, obj FROM {triples_cte}
@@ -281,7 +278,17 @@ pca AS (
   SELECT bi.p, bi.q, sp.r, count(*)::BIGINT AS n_pca
   FROM bindings bi JOIN sp ON bi.x = sp.x
   WHERE sp.r <> bi.p AND sp.r <> bi.q
-  GROUP BY 1, 2, 3)
+  GROUP BY 1, 2, 3)"""
+
+
+def amie_chain_rules_sql(
+    triples_cte: str = "triples",
+    min_support: int = 2,
+    min_conf: float = 0.1,
+) -> str:
+    """DuckDB twin over a 6-column ``triples`` relation; identical
+    binding/support/PCA cascade."""
+    return f"""{_amie_ctes(triples_cte)}
 SELECT sup.p AS body_p, sup.q AS body_q, sup.r AS head_r,
        support, n_pca,
        support::DOUBLE / n_pca AS pca_conf

@@ -156,13 +156,15 @@ def _parse_triples(toks: list[str], prefixes: dict[str, str]) -> list[tuple]:
             elif state == 1:
                 pred = term
                 state = 2
-            else:
+            elif state == 2:
                 pats.append((subj, pred, term))
-                # stay on same (subj, pred) until , ; or .
+                # a separator (',' ';' '.') must follow an object
                 state = 3
+            else:
+                raise ValueError(
+                    f"expected '.', ';' or ',' after object, got {t!r}"
+                )
         i += 1
-        if state == 3:
-            state = 0 if i < n and toks[i - 1] == "." else state
     return pats
 
 
@@ -289,7 +291,13 @@ def parse_select(query: str) -> dict:
         if not gm:
             raise ValueError("aggregate SELECT needs GROUP BY")
         group_by = [v[1:] for v in re.findall(r"\?\w+", gm.group(1))]
-        hm = re.search(r"HAVING\s*\((.*?)\)", tail, re.I | re.S)
+        # HAVING body via balanced-paren scan — a non-greedy regex would
+        # truncate nested parens like ((?n >= 3) && (?m < 2))
+        having = None
+        hm = re.search(r"HAVING\s*\(", tail, re.I)
+        if hm:
+            expr_toks, _ = _paren_block(_tokens(tail[hm.end() - 1:]), 0)
+            having = _filter_to_sql(" ".join(expr_toks), prefixes)
         if values is not None or bind or order_by or lm or fm:
             raise ValueError(
                 "VALUES/BIND/ORDER/LIMIT unsupported with aggregates"
@@ -304,7 +312,7 @@ def parse_select(query: str) -> dict:
             "filters": filters or None,
             "group_by": group_by,
             "aggs": aggs,
-            "having": _filter_to_sql(hm.group(1), prefixes) if hm else None,
+            "having": having,
         }
 
     return {
@@ -353,28 +361,59 @@ def _parse_agg_select(sel_text: str, tail: str) -> tuple[dict, list]:
     return aggs, plain
 
 
+def _check_projected_order(project: list, order_by) -> None:
+    """SPARQL allows ORDER BY over non-projected variables; this
+    engine's set-semantics projection drops them before the sort, so
+    honoring such an ORDER BY is impossible — raise instead of
+    silently mis-sorting (module contract)."""
+    missing = [
+        o.lstrip("-") for o in (order_by or []) if o.lstrip("-") not in project
+    ]
+    if missing:
+        raise ValueError(
+            "ORDER BY variable(s) not in the SELECT projection: "
+            f"{missing} (projection is applied first)"
+        )
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a SPARQL SELECT string over the triples DataFrame
-    (aggregate SELECT lists route to ``select_agg``)."""
+    (aggregate SELECT lists route to ``select_agg``).
+
+    The engine evaluates under SET semantics throughout (``match_bgp``
+    is DISTINCT; a projected SELECT list deduplicates the projected
+    tuples — the documented deviation from SPARQL's default bag
+    semantics).  With a projection: project -> DISTINCT -> ORDER BY
+    (the query's spec, remaining columns appended so the order stays
+    total) -> OFFSET -> LIMIT, so LIMIT n returns n distinct projected
+    rows and a DESC sort is honored."""
     args = parse_select(query)
     if "union" in args:
         return Q.match_union(triples, args["union"], limit=args["limit"])
     if "aggs" in args:
         return Q.select_agg(triples, **args)
     project = args.pop("project")
-    out = Q.match_bgp(triples, **args)
-    if project:
-        from pyspark.sql import functions as F
-
-        cols = sorted(project)
-        return out.select(*cols).distinct().orderBy(*[F.col(c) for c in cols])
-    return out
+    if not project:
+        return Q.match_bgp(triples, **args)
+    order_by = args.pop("order_by")
+    limit = args.pop("limit")
+    offset = args.pop("offset")
+    _check_projected_order(project, order_by)
+    cols = sorted(project)
+    out = Q.match_bgp(triples, **args).select(*cols).distinct()
+    keyed, _ = Q._order_exprs(cols, order_by)
+    out = out.orderBy(*keyed)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit) if limit is not None else out
 
 
 def sparql_select_sql(with_prefix: str, query: str) -> str:
     """DuckDB twin built from the SAME parse; ``with_prefix`` is the
     ``"WITH triples AS (...)"`` header, per the ``match_bgp_sql``
-    convention."""
+    convention.  Projection semantics mirror :func:`sparql_select`:
+    project -> DISTINCT -> ORDER BY spec (+ fill columns) -> LIMIT /
+    OFFSET."""
     args = parse_select(query)
     if "union" in args:
         return Q.match_union_sql(
@@ -383,10 +422,26 @@ def sparql_select_sql(with_prefix: str, query: str) -> str:
     if "aggs" in args:
         return Q.select_agg_sql(with_prefix, **args)
     project = args.pop("project")
+    if not project:
+        return Q.match_bgp_sql(with_prefix, **args)
+    order_by = args.pop("order_by")
+    limit = args.pop("limit")
+    offset = args.pop("offset")
+    _check_projected_order(project, order_by)
     inner = Q.match_bgp_sql(with_prefix, **args)
-    if project:
-        cols = ", ".join(sorted(project))
-        return (
-            f"SELECT DISTINCT {cols} FROM (\n{inner}\n)\nORDER BY {cols}"
-        )
-    return inner
+    cols_sorted = sorted(project)
+    cols = ", ".join(cols_sorted)
+    if order_by:
+        keyed = [
+            (f"{o[1:]} DESC" if o.startswith("-") else o) for o in order_by
+        ]
+        named = {o.lstrip("-") for o in order_by}
+        order = ", ".join(keyed + [c for c in cols_sorted if c not in named])
+    else:
+        order = cols
+    lim = f"\nLIMIT {limit}" if limit is not None else ""
+    if offset:
+        lim += f"\nOFFSET {offset}"
+    return (
+        f"SELECT DISTINCT {cols} FROM (\n{inner}\n)\nORDER BY {order}{lim}"
+    )

@@ -488,6 +488,58 @@ def test_sparql_agg_rejects_pagination():
         )
 
 
+def test_sparql_nested_having_parens(spark):
+    """ADVICE r2: HAVING bodies with nested parens must extract whole
+    (balanced-paren scan, not a non-greedy regex)."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    q = """
+    SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o . }
+    GROUP BY ?p HAVING ((?n >= 2) && (?n < 100))
+    """
+    args = SP.parse_select(q)
+    assert args["having"] == "( n >= 2 )  AND  ( n < 100 )"
+    t = FX.fixture_triples(spark, "populated_om")
+    rows = SP.sparql_select(t, q).collect()
+    assert rows and all(2 <= r.n < 100 for r in rows)
+
+
+def test_sparql_missing_separator_raises():
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    import pytest as _pt
+
+    # two objects without ',' between them used to silently behave as
+    # a comma list (ADVICE r2)
+    with _pt.raises(ValueError, match="after object"):
+        SP.parse_select(
+            "SELECT * WHERE { ?s <http://p.org/p> ?a ?b . }"
+        )
+
+
+def test_sparql_projection_order_semantics(spark):
+    """ADVICE r2 (medium): with a projection the parsed ORDER BY
+    (incl. DESC) is honored after projection, and LIMIT n returns n
+    distinct projected rows; ORDER BY over a non-projected variable
+    raises instead of silently re-sorting."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    import pytest as _pt
+
+    t = FX.fixture_triples(spark, "populated_om")
+    q = """
+    SELECT ?cls WHERE { ?cls a <http://www.w3.org/2002/07/owl#Class> . }
+    ORDER BY DESC(?cls) LIMIT 2
+    """
+    rows = [r.cls for r in SP.sparql_select(t, q).collect()]
+    assert len(rows) == 2 and rows == sorted(rows, reverse=True)
+    with _pt.raises(ValueError, match="not in the SELECT projection"):
+        SP.sparql_select(
+            t,
+            "SELECT ?s WHERE { ?s ?p ?o . } ORDER BY ?o",
+        )
+
+
 def test_sparql_union_path(spark):
     from orionbelt_ontology_builder_spark.operators import sparql as SP
 
