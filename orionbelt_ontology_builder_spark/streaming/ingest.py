@@ -34,6 +34,32 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+#: shuffle width for STATEFUL drains.  A streaming aggregation opens
+#: one state-store instance per shuffle partition and pays its
+#: open/commit on every micro-batch; unlike batch shuffles this width
+#: is also FROZEN into the checkpoint, so production streams size it
+#: deliberately rather than inheriting the batch session default
+#: (measured here: 64 -> 8 partitions cuts a one-batch availableNow
+#: drain ~40% with state of a few thousand keys).
+STATE_PARTITIONS = 8
+
+
+class _state_width:
+    """Temporarily pin spark.sql.shuffle.partitions while a stateful
+    streaming query STARTS (the width is captured at start time);
+    restores the session value afterwards."""
+
+    def __init__(self, spark: SparkSession, n: int = STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
 
 def incremental_extraction(
     spark: SparkSession,
@@ -657,100 +683,114 @@ DOCS_SCHEMA = (
 )
 
 
-def _projection_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_0..band_{BANDS-1}) — MinHash band hashes as a
-    PURE per-row projection (array exprs, zero aggregations), the
-    stream-safe twin of ``dedup.minhash_signatures``: batch dedup
-    aggregates exploded shingles (one shuffle, codegen-friendly at
-    corpus scale); a stream must not chain that agg before the winner
-    agg (two stateful operators trip the global-watermark correctness
-    check), so here each sig is ``array_min`` over the in-row shingle
-    array.  Higher-order fns are CodegenFallback (CLAUDE.md) but
-    row-local — state cost zero, and the values are bit-identical to
-    the batch path (min over duplicated shingles == min over the
-    distinct set)."""
+def stream_near_dedup(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """(doc_id, n_shadowed, all_bands) — documents that share at least
+    one MinHash-LSH band bucket with a lower-id document: MinHash
+    signatures computed AT INGEST with streaming state, banding and
+    bucket-winner reduction on the drained signature table.
+
+    This is near-dup detection as an *ingest-time* concern: the exact-
+    dup twin is ``dedup_events_stream``; colliding docs are near-dup
+    CANDIDATES (``n_shadowed`` buckets collide; ``all_bands`` = every
+    band collides — the high-precision tier the batch verify would
+    score first).
+
+    Stream plan (r3 rework): shingles are EXPLODED statelessly, the
+    n_seeds md5 hashes are plain whole-stage-codegen projections, and
+    ONE stateful aggregation folds the per-doc signature minima
+    (min is associative/commutative/idempotent, so the drain is
+    order- and replay-insensitive — the law tests assert both).  The
+    previous shape computed signatures as per-row higher-order-function
+    projections: CodegenFallback, and CollapseProject re-inlined the
+    per-seed md5 transform into every signature — a measured 4x
+    interpreted-md5 blowup (~10 s/drain at sf0.1 vs ~2 s for this
+    plan).  Only one stateful operator exists either way (the
+    global-watermark multi-agg restriction).  State here is the
+    per-doc signature row — exactly the table this stage exists to
+    materialize (like ``stream_dedup``'s seen-set); a production
+    endless stream emits it append-mode to the signature store and
+    ages it with the store's retention, while the bounded bucket-winner
+    state lives in the read-side reduction below.
+
+    Read side after the drain: band hashes (BANDS md5s over the 12
+    signature columns), bucket winners via min(doc_id), and the shadow
+    join — the same read-side reduction the HLL register drain does
+    for its estimator.  Values are bit-identical to batch
+    ``minhash_signatures`` (min over duplicated shingles == min over
+    the distinct set), so the DuckDB twin is unchanged."""
     from ..datapipe.dedup import BANDS, MINHASH_K, ROWS, SHINGLE, SLICES
     from ..datapipe.textstats import norm_col
 
     n_seeds = (MINHASH_K + SLICES - 1) // SLICES
-    d = docs.withColumn("norm", norm_col()).withColumn(
-        "shv",
-        F.expr(
-            f"transform(sequence(1, greatest(1, length(norm)-{SHINGLE - 1})),"
-            f" i -> substring(norm, i, {SHINGLE}))"
-        ),
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+    # fan the (small) doc rows out BEFORE the explode+md5 stage — the
+    # same stateless repartition batch minhash_signatures does: a
+    # single landing file otherwise serializes the whole digest
+    # computation through one task
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        stream.repartition(par)
+        .withColumn("norm", norm_col())
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(1,"
+                    f" length(norm)-{SHINGLE - 1})),"
+                    f" i -> substring(norm, i, {SHINGLE}))"
+                )
+            ).alias("s"),
+        )
     )
     for m in range(n_seeds):
-        d = d.withColumn(
-            f"hm{m}", F.expr(f"transform(shv, s -> md5(concat('{m}:', s)))")
+        sh = sh.withColumn(
+            f"h{m}", F.md5(F.concat(F.lit(f"{m}:"), F.col("s")))
         )
-    for i in range(MINHASH_K):
-        m, off = i // SLICES, 1 + 8 * (i % SLICES)
-        d = d.withColumn(
-            f"sig_{i}",
-            F.expr(f"array_min(transform(hm{m}, h -> substring(h, {off}, 8)))"),
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(
+                    F.col(f"h{i // SLICES}"), 1 + 8 * (i % SLICES), 8
+                )
+            ).alias(f"sig_{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    name = "near_dedup_sigs_sink"
+    with _state_width(spark):
+        q = (
+            sigs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-    for b in range(BANDS):
-        cols = ", ".join(f"sig_{b * ROWS + r}" for r in range(ROWS))
-        d = d.withColumn(f"band_{b}", F.expr(f"md5(concat({cols}))"))
-    return d.select("doc_id", *[f"band_{b}" for b in range(BANDS)])
+        q.awaitTermination()
+    stbl = spark.table(name)
 
-
-def stream_near_dedup(spark: SparkSession, docs_dir: str) -> DataFrame:
-    """(doc_id, n_shadowed, all_bands) — documents that share at least
-    one MinHash-LSH band bucket with a lower-id document, detected with
-    STREAMING state: the bucket-winner table ``(band, bucket) ->
-    min(doc_id)``.
-
-    This is near-dup detection as an *ingest-time* concern: the exact-
-    dup twin is ``dedup_events_stream``; here the key is a locality-
-    sensitive band hash, so colliding docs are near-dup CANDIDATES
-    (``n_shadowed`` buckets collide; ``all_bands`` = every band
-    collides — the high-precision tier the batch verify would score
-    first).  min(doc_id) as the winner rule is associative and
-    commutative, so the streaming agg is order/replay-insensitive and
-    the drained state EQUALS the batch twin — the batch-equality law
-    pytest asserts.  State is bounded by the bucket count (Heaps-ish in
-    corpus size), never by stream length; the signature computation is
-    the same whole-stage-codegen projection batch dedup uses (pure
-    per-row exprs — stream-safe, no shuffle before the keyed agg).
-
-    Batch side after the drain: bands are recomputed for the drained
-    corpus (one projection) and joined to the winner table — the same
-    read-side join the HLL register drain does for its estimator."""
-    from ..datapipe.dedup import BANDS, minhash_signatures
-
-    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
-    sig = _projection_signatures(stream)
-    bands_long = sig.select(
+    bl = stbl.select(
         "doc_id",
         F.posexplode(
-            F.array(*[F.col(f"band_{b}") for b in range(BANDS)])
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.col(f"sig_{b * ROWS + r}")
+                                for r in range(ROWS)
+                            ]
+                        )
+                    )
+                    for b in range(BANDS)
+                ]
+            )
         ).alias("band_idx", "band_hash"),
     )
-    winners = bands_long.groupBy("band_idx", "band_hash").agg(
+    winners = bl.groupBy("band_idx", "band_hash").agg(
         F.min("doc_id").alias("winner")
     )
-    name = "near_dedup_winners_sink"
-    q = (
-        winners.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    wtbl = spark.table(name)
-
-    batch = spark.read.schema(DOCS_SCHEMA).parquet(docs_dir)
-    bl = minhash_signatures(batch).select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"band_{b}") for b in range(BANDS)])
-        ).alias("band_idx", "band_hash"),
-    )
     return (
-        bl.join(wtbl, ["band_idx", "band_hash"])
+        bl.join(winners, ["band_idx", "band_hash"])
         .groupBy("doc_id")
         .agg(
             F.sum(

@@ -296,7 +296,7 @@ def test_stream_near_dedup_replay_insensitive(spark, tmp_path):
     docs.write.mode("append").parquet(twice)
 
     a = [tuple(r) for r in ST.stream_near_dedup(spark, once).collect()]
-    spark.catalog.dropTempView("near_dedup_winners_sink")
+    spark.catalog.dropTempView("near_dedup_sigs_sink")
     b = [tuple(r) for r in ST.stream_near_dedup(spark, twice).collect()]
     # min(doc_id) winner state is associative/idempotent: replaying the
     # whole corpus a second time changes nothing
