@@ -3242,6 +3242,16 @@ def _q_media_image_stats(spark, sf_dir):
     )
 
 
+def _q_media_audio_stats(spark, sf_dir):
+    """REAL audio decode in the plan: synthesized RIFF/WAVE 16-bit PCM
+    blobs (JVM-side header + unhex(chained md5) samples) decoded by
+    the pure-struct/NumPy WAV codec inside mapInPandas, then integer
+    per-clip statistics."""
+    return multimodal.decode_audio_stats(
+        multimodal.synthesize_wav_media(_docs(spark, sf_dir))
+    )
+
+
 def _q_media_frames(spark, sf_dir):
     return multimodal.sample_frames(
         multimodal.synthesize_media(_docs(spark, sf_dir))
@@ -4303,6 +4313,7 @@ _SF_SCALE = {
     "ann_cosine_topk", "ann_ivf_topk", "ann_recall", "mutual_nn_pairs",
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "media_image_stats",
+    "media_audio_stats",
     "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "weighted_sample", "grouped_split", "mixture_weights",
@@ -5055,6 +5066,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_image_stats": _q_media_image_stats,
+        "media_audio_stats": _q_media_audio_stats,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
         "quality_funnel": _q_quality_funnel,
@@ -7390,6 +7402,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["media_features"] = multimodal.extract_features_oracle()
     sql["media_frames"] = multimodal.sample_frames_oracle()
     sql["media_image_stats"] = multimodal.decode_image_stats_oracle()
+    sql["media_audio_stats"] = multimodal.decode_audio_stats_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()
     sql["pack_sequences"] = curation.pack_sequences_oracle()
     sql["quality_funnel"] = curation.quality_funnel_oracle()

@@ -253,6 +253,186 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ #
+# audio: RIFF/WAVE PCM codec (pure struct/NumPy — public byte format)
+# ------------------------------------------------------------------ #
+
+WAV_RATE = 8000      # synthesized fixture sample rate
+WAV_N_BYTES = 64     # 4 chained md5 digests -> 32 int16 mono samples
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("s_min", IntegerType()),
+        StructField("s_max", IntegerType()),
+        StructField("s_sum", LongType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = WAV_RATE) -> bytes:
+    """Canonical 44-byte-header RIFF/WAVE, 16-bit PCM.  ``samples`` is
+    (n,) int16 mono or (n, channels) int16."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    channels = 1 if s.ndim == 1 else s.shape[1]
+    data = s.tobytes()
+    byte_rate = sample_rate * channels * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate,
+            channels * 2, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(blob: bytes):
+    """Decode RIFF/WAVE 16-bit PCM -> (samples int16 ndarray of shape
+    (n,) or (n, channels), sample_rate).  Walks chunks properly, so
+    files with extra chunks (LIST/fact) decode too; compressed formats
+    raise."""
+    import struct
+
+    import numpy as np
+
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate = fmt[0], fmt[1], fmt[2]
+    bits = fmt[5]
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            "only uncompressed 16-bit PCM WAV supported"
+        )
+    s = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        s = s.reshape(-1, channels)
+    return s, rate
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): REAL RIFF/WAVE PCM blobs built JVM-side — the
+    44-byte canonical header (fixed: payload size is constant) plus
+    ``unhex`` of 4 chained md5 digests of the text = 32 little-endian
+    int16 mono samples at 8 kHz.  Deterministic and arithmetic-only,
+    so DuckDB recomputes every decoded statistic from the hex
+    construction without touching a blob."""
+    import struct
+
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + WAV_N_BYTES)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", WAV_N_BYTES)
+    )
+    hs = [F.md5(F.encode(F.col("text"), "utf-8"))]
+    for _ in range(3):
+        hs.append(F.md5(F.encode(hs[-1], "utf-8")))
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(hdr), F.unhex(F.concat(*hs))).alias("blob"),
+    )
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, sample_rate, n_channels, n_samples, s_min, s_max,
+    s_sum, pcm_md5): REAL WAV decode inside mapInPandas, then integer
+    per-clip statistics (bit-stable across engines) — the shape a
+    whisper-style featurizer stage takes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "doc_id": [], "sample_rate": [], "n_channels": [],
+            "n_samples": [], "s_min": [], "s_max": [], "s_sum": [],
+            "pcm_md5": [],
+        }
+        for pdf in it:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                s, rate = decode_wav(bytes(blob))
+                flat = s.reshape(-1)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(1 if s.ndim == 1 else s.shape[1])
+                out["n_samples"].append(
+                    len(s) if s.ndim == 1 else s.shape[0]
+                )
+                out["s_min"].append(int(flat.min()))
+                out["s_max"].append(int(flat.max()))
+                out["s_sum"].append(int(flat.sum(dtype="int64")))
+                # md5 over the lowercase hex of the PCM bytes (not the
+                # raw bytes): DuckDB's md5 is VARCHAR-typed, and the
+                # hex round-trip still binds every decoded byte
+                out["pcm_md5"].append(
+                    hashlib.md5(
+                        flat.astype("<i2").tobytes().hex().encode()
+                    ).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", "blob")
+        .mapInPandas(batches, AUDIO_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def decode_audio_stats_oracle() -> str:
+    """DuckDB twin: the PCM payload of a synthesized WAV IS unhex of
+    the 4-chain md5 hex, so each little-endian int16 sample is plain
+    hex arithmetic (lo byte + 256*hi byte, two's complement), and
+    pcm_md5 is md5 over the payload's lowercase hex (VARCHAR on both
+    engines; the Spark side re-hexes the decoded bytes)."""
+    n = WAV_N_BYTES // 2
+    return f"""
+WITH pay AS (
+  SELECT doc_id,
+    md5(text) || md5(md5(text)) || md5(md5(md5(text)))
+      || md5(md5(md5(md5(text)))) AS hexs
+  FROM documents),
+s AS (
+  SELECT doc_id, hexs,
+    ('0x' || substr(hexs, 4 * g.i + 1, 2))::BIGINT
+      + 256 * ('0x' || substr(hexs, 4 * g.i + 3, 2))::BIGINT AS raw
+  FROM pay, generate_series(0, {n - 1}) AS g(i)),
+v AS (
+  SELECT doc_id, hexs, raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS val
+  FROM s)
+SELECT doc_id, {WAV_RATE}::INT AS sample_rate, 1::INT AS n_channels,
+       {n}::INT AS n_samples,
+       min(val)::INT AS s_min, max(val)::INT AS s_max,
+       sum(val)::BIGINT AS s_sum,
+       md5(hexs) AS pcm_md5
+FROM v GROUP BY doc_id, hexs ORDER BY doc_id
+"""
+
+
 def sample_frames(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
     """(doc_id, frame_idx, frame_len, frame_md5): video-frame-sampling
     stub — splits the payload into n_frames contiguous chunks and

@@ -219,6 +219,56 @@ def test_pnm_gray_and_comments():
     assert (arr[:, :, 1] == arr[:, :, 0]).all()  # gray replicated
 
 
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32768, size=37, dtype=np.int16)
+    s, rate = multimodal.decode_wav(multimodal.encode_wav(mono, 16000))
+    assert rate == 16000 and (s == mono).all()
+    stereo = rng.integers(-32768, 32768, size=(10, 2), dtype=np.int16)
+    s2, _ = multimodal.decode_wav(multimodal.encode_wav(stereo))
+    assert s2.shape == (10, 2) and (s2 == stereo).all()
+    # extra chunk between fmt and data still decodes (chunk walk)
+    blob = multimodal.encode_wav(mono)
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = blob[:36] + extra + blob[36:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    s3, _ = multimodal.decode_wav(patched)
+    assert (s3 == mono).all()
+    with pytest.raises(NotImplementedError):
+        # audio_format 85 (MP3) rejected honestly
+        bad = bytearray(multimodal.encode_wav(mono))
+        bad[20] = 85
+        multimodal.decode_wav(bytes(bad))
+
+
+def test_decode_audio_stats_real_decode(docs):
+    import hashlib as _hl
+
+    media = multimodal.synthesize_wav_media(docs)
+    stats = {r["doc_id"]: r for r in
+             multimodal.decode_audio_stats(media).collect()}
+    row0 = docs.filter(F.col("doc_id") == 0).first()
+    h = _hl.md5(row0["text"].encode()).hexdigest()
+    hexs = h
+    for _ in range(3):
+        h = _hl.md5(h.encode()).hexdigest()
+        hexs += h
+    import numpy as np
+
+    samples = np.frombuffer(bytes.fromhex(hexs), dtype="<i2")
+    s = stats[0]
+    assert (s["sample_rate"], s["n_channels"], s["n_samples"]) == (
+        multimodal.WAV_RATE, 1, multimodal.WAV_N_BYTES // 2)
+    assert s["s_sum"] == int(samples.sum(dtype="int64"))
+    assert s["s_min"] == int(samples.min())
+    assert s["s_max"] == int(samples.max())
+    assert s["pcm_md5"] == _hl.md5(hexs.encode()).hexdigest()
+
+
 def test_decode_image_stats_real_decode(docs):
     import hashlib as _hl
 
