@@ -4546,6 +4546,25 @@ def _q_web_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt parsing as line-parallel algebra: per-host
+    running-count window groups consecutive User-agent lines, rules
+    fan out to every agent of their group, Sitemap rows are
+    host-global.  Feeds datapipe.urls.url_rules_filter."""
+    from orionbelt_ontology_builder_spark.sources import crawlmeta
+
+    return crawlmeta.parse_robots(crawlmeta.robots_fixture_df(spark))
+
+
+def _q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemaps.org urlset extraction: one <url> block per row via
+    regexp_extract_all + explode, optional lastmod/priority NULL-free
+    ('' when absent)."""
+    from orionbelt_ontology_builder_spark.sources import crawlmeta
+
+    return crawlmeta.parse_sitemap(crawlmeta.sitemap_fixture_df(spark))
+
+
 def _q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite record parsing as line-parallel algebra (ISO 28500
     subset): one window pass assembles records, headers stop at the
@@ -4821,6 +4840,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": _q_bootstrap_ci,
         "motif_significance": _q_motif_significance,
         "warc_records": _q_warc_records,
+        "robots_rules": _q_robots_rules,
+        "sitemap_urls": _q_sitemap_urls,
         "web_tables": _q_web_tables,
         "jsonld_islands": _q_jsonld_islands,
         "hreflang_links": _q_hreflang_links,
@@ -5299,6 +5320,10 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
 
     from orionbelt_ontology_builder_spark.sources import warc as _warc
 
+    from orionbelt_ontology_builder_spark.sources import crawlmeta as _cm
+
+    sql["robots_rules"] = _cm.parse_robots_sql(_cm.robots_fixture_values())
+    sql["sitemap_urls"] = _cm.parse_sitemap_sql(_cm.sitemap_fixture_values())
     sql["warc_records"] = _warc.parse_warc_lines_sql(
         _warc.warc_fixture_values()
     )

@@ -729,6 +729,39 @@ def test_warc_per_file_record_ids(spark):
     )
 
 
+def test_robots_grouping_semantics(spark):
+    from orionbelt_ontology_builder_spark.sources import crawlmeta
+
+    rows = crawlmeta.parse_robots(
+        crawlmeta.robots_fixture_df(spark)
+    ).collect()
+    by = {(r.host, r.user_agent, r.directive): r.value for r in rows}
+    # wildcard group rules
+    assert by[("ex.org", "*", "disallow")] == "/private/"
+    assert by[("ex.org", "*", "allow")] == "/private/press/"
+    assert by[("ex.org", "*", "crawl-delay")] == "2"
+    # consecutive User-agent lines share ONE group: both bots get the
+    # same Disallow
+    assert by[("ex.org", "trainingbot", "disallow")] == "/"
+    assert by[("ex.org", "otherbot", "disallow")] == "/"
+    # sitemap is host-global (NULL agent)
+    assert by[("ex.org", None, "sitemap")] == "https://ex.org/sitemap.xml"
+    # empty Disallow (allow-all idiom) survives as an empty value
+    assert by[("open.site", "*", "disallow")] == ""
+
+
+def test_sitemap_optional_fields(spark):
+    from orionbelt_ontology_builder_spark.sources import crawlmeta
+
+    rows = {r.url: r for r in crawlmeta.parse_sitemap(
+        crawlmeta.sitemap_fixture_df(spark)).collect()}
+    assert rows["https://ex.org/"].lastmod == "2024-01-01"
+    assert rows["https://ex.org/"].priority == "1.0"
+    assert rows["https://ex.org/a"].priority == ""      # absent -> ''
+    assert rows["https://ex.org/b"].lastmod == ""
+    assert rows["https://open.site/x"].sitemap == "https://open.site/sm.xml"
+
+
 def test_warc_window_is_partitioned(spark):
     """The plan must not contain a single-partition global sort: the
     window partitions by path."""
