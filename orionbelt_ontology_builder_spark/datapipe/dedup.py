@@ -1255,7 +1255,7 @@ def sparse_cosine_pairs(
     )
     kept = tf.join(df_tbl, "g")
     # kept feeds BOTH the norm agg and both join sides: persist so the
-    # explode + df-prune subtree runs once (CLAUDE.md multi-consumer rule)
+    # explode + df-prune subtree runs once (the engineering notes multi-consumer rule)
     kept = kept.persist()
     nrm = kept.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nn"))
     a, b = kept.alias("a"), kept.alias("b")

@@ -480,7 +480,7 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
 
     Pixel samples are the ASCII codes of 6 chained md5 hex digests of
     the document text (192 chars = 8*8*3 samples) — pure projections
-    (CLAUDE.md: md5 outside aggs), byte-deterministic, and ASCII-only,
+    (the engineering notes: md5 outside aggs), byte-deterministic, and ASCII-only,
     so DuckDB recomputes every decoded statistic from the identical
     construction without ever touching a blob."""
     hs = [F.md5(F.encode(F.col("text"), "utf-8"))]

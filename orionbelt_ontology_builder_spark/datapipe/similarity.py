@@ -566,7 +566,7 @@ def sq8_stats(embeddings: DataFrame) -> DataFrame:
 
     Engine-portable arithmetic: elements cast to DOUBLE first,
     ``floor(x + 0.5)`` instead of ``round`` (Spark/DuckDB half-rules
-    differ — CLAUDE.md), zero vectors guarded via ``nullif(scale, 0)``
+    differ — the engineering notes), zero vectors guarded via ``nullif(scale, 0)``
     with a coalesce-to-0 reconstruction.  Pure per-row projection —
     no shuffle, embarrassingly parallel at any scale (higher-order
     exprs are CodegenFallback, but this is a scan projection, not a

@@ -93,7 +93,7 @@ def truth_discovery_sql(claims_cte: str, iters: int = TD_ITERS) -> str:
     """DuckDB twin: the identical rounds unrolled as chained CTEs.
     ``claims_cte`` must define ``claims(source, item, value)``; it is
     re-wrapped distinct + MATERIALIZED (DuckDB re-inlines a CTE at
-    every reference site — see CLAUDE.md)."""
+    every reference site — see the engineering notes)."""
     parts = [
         claims_cte.strip(),
         "c AS MATERIALIZED (SELECT DISTINCT source, item, value FROM claims)",

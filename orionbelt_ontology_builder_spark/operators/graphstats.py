@@ -354,7 +354,7 @@ def bfs_hops_sql(
     re-wrapped as ``em AS MATERIALIZED`` because DuckDB re-inlines a
     CTE at EVERY reference site — the recursive step would otherwise
     re-execute the (possibly join-heavy) edge derivation once per
-    iteration (see CLAUDE.md).  ``seeds_sql`` must select a ``node``
+    iteration (see BENCH.md engineering notes).  ``seeds_sql`` must select a ``node``
     column and should read from ``em``."""
     # DuckDB allows ONE reference to the recursive CTE in the step, so
     # 'undirected' doubles em instead of UNIONing two walk joins
@@ -440,7 +440,7 @@ def label_propagation_sql(edges_cte: str, iters: int = 4) -> str:
     ``max(struct_pack(cnt, label)).label`` — identical (count, label)
     lexicographic max as the Spark struct max.  ``edges_cte`` must
     define ``edges(src, dst)``; every round CTE is MATERIALIZED
-    (DuckDB re-inlines CTEs per reference site — see CLAUDE.md)."""
+    (DuckDB re-inlines CTEs per reference site — see the engineering notes)."""
     rounds, prev = _lpa_round_ctes(iters)
     return f"""
 WITH {edges_cte.strip()},
@@ -1352,7 +1352,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
     distributed moment aggregation — no pair materialization beyond
     the edge list itself)."""
     # und feeds 4 consumers and deg joins twice: materialize once
-    # (the CLAUDE.md multi-consumer-aggregation rule)
+    # (the the engineering notes multi-consumer-aggregation rule)
     und = _und(edges).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("node"))
@@ -1847,7 +1847,7 @@ def wl_colors(edges: DataFrame, iters: int = 2) -> DataFrame:
 
     Scale shape: per round ONE node-keyed aggregation over the doubled
     direction-tagged adjacency (sorted-list agg, then md5 as a
-    PROJECTION after the agg — CLAUDE.md rule) + a left join back for
+    PROJECTION after the agg — the engineering notes rule) + a left join back for
     isolated-from / sink nodes; O(iters) shuffles on the same key."""
     e = edges.select("src", "dst").distinct()
     adj = (
@@ -2548,7 +2548,7 @@ def betweenness_approx_sql(
     """DuckDB twin: identical md5 seed sample, forward layers and
     backward accumulation unrolled as chained CTEs (every layer CTE
     MATERIALIZED — read by the next layer, the reached union and the
-    backward pass; see CLAUDE.md on DuckDB CTE re-inlining)."""
+    backward pass; see the engineering notes on DuckDB CTE re-inlining)."""
     D = max_depth
     parts = [
         edges_cte.strip(),

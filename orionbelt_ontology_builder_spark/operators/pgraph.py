@@ -20,7 +20,7 @@ Scale shape: nodes are one union + one groupBy on the resource key
 projection — both partition by the same subject key the edge tables
 already use, so the export rides the existing bucketing.  The
 aggregation strings are precomputed projections; only sort+join runs
-inside the agg (CLAUDE.md ObjectHashAggregate note).
+inside the agg (the engineering notes ObjectHashAggregate note).
 """
 
 from __future__ import annotations

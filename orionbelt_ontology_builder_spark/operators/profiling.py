@@ -268,7 +268,7 @@ def predicate_cooccurrence(triples: DataFrame) -> DataFrame:
 
     Scale shape: distinct (subj, pred) first (two-phase, map-side
     combine) and ``persist()`` — it feeds BOTH sides of the self-join
-    (multi-consumer recompute trap, see CLAUDE.md).  The self-join is
+    (multi-consumer recompute trap, see the engineering notes).  The self-join is
     keyed on subj; per-subject distinct predicates are bounded by the
     vocabulary, so the pair blowup per subject is a small constant and
     no key is data-skewed.  Final agg lands on vocab² keys."""
@@ -296,7 +296,7 @@ def predicate_cooccurrence(triples: DataFrame) -> DataFrame:
 
 def predicate_cooccurrence_sql(triples_cte: str) -> str:
     """DuckDB twin.  The shared ``sp`` CTE is MATERIALIZED — DuckDB
-    re-inlines plain CTEs at every reference site (CLAUDE.md)."""
+    re-inlines plain CTEs at every reference site (the engineering notes)."""
     return f"""{triples_cte},
 sp AS MATERIALIZED (SELECT DISTINCT subj, pred FROM triples)
 SELECT a.pred AS pred_a, b.pred AS pred_b,

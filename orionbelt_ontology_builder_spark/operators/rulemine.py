@@ -110,7 +110,7 @@ def amie_chain_rules(
     atom) are excluded, as are reflexive bindings (x = z)."""
     # edges feeds both body atoms, the head probe, and the PCA pairs;
     # bindings feeds support and PCA — persist both or each consumer
-    # recomputes the whole subtree (CLAUDE.md multi-consumer trap).
+    # recomputes the whole subtree (the engineering notes multi-consumer trap).
     edges = (
         triples.filter(
             F.col("obj_kind").isin("uri", "bnode")

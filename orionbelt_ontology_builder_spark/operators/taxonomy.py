@@ -271,7 +271,7 @@ def acronym_pairs(sents: DataFrame) -> DataFrame:
 
     Pure projection chain (regexp_extract -> split/slice/transform ->
     filter) until the final map-side-combinable support count; the
-    higher-order fns are CodegenFallback (CLAUDE.md) but stay
+    higher-order fns are CodegenFallback (the engineering notes) but stay
     JVM-side and run on match rows only."""
     words = F.split(F.col("phrase"), " ")
     k = F.length(F.col("acro"))

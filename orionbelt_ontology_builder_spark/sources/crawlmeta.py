@@ -29,7 +29,7 @@ __all__ = [
 
 # one directive per line: "Field: value" with optional whitespace and
 # trailing comments; char-class regex (no backslash escapes) so Spark
-# and DuckDB read the identical pattern (CLAUDE-notes)
+# and DuckDB read the identical pattern (engineering notes)
 _DIRECTIVE_RX = "^[ ]*([A-Za-z-]+)[ ]*:[ ]*([^#]*)"
 
 #: two hosts: a two-group file (wildcard group + a specific bot with

@@ -815,7 +815,7 @@ def stream_near_dedup_oracle() -> str:
     )
     # b2 pins the signature computation once: DuckDB re-inlines a plain
     # CTE at every reference site, and the four band legs would each
-    # recompute the md5 signature cascade otherwise (CLAUDE.md trap).
+    # recompute the md5 signature cascade otherwise (the engineering notes trap).
     return f"""
 WITH {_sig_cte_sql().strip().rstrip()},
 b2 AS MATERIALIZED (SELECT * FROM banded),
