@@ -114,3 +114,17 @@ def test_rdfxml_roundtrip_property(rows):
         return
     got = PAR.parse_rdfxml(SER.to_rdfxml(rows))
     assert sorted(set(got), key=_k) == sorted(set(rows), key=_k)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(triple(), min_size=1, max_size=8))
+def test_n3_is_turtle_superset_property(rows):
+    """For ANY serialized Turtle document, the N3 parser and the Turtle
+    parser produce identical triples — N3 is a strict superset, so the
+    shared surface must agree exactly (round-3 law for the real N3
+    parser that replaced the silent alias)."""
+    rows = list({r for r in rows})
+    text = SER.to_turtle(rows)
+    assert sorted(set(PAR.parse_n3(text)), key=_k) == sorted(
+        set(PAR.parse_turtle(text)), key=_k
+    )
