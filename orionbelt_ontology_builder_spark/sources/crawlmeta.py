@@ -72,7 +72,8 @@ def parse_robots(files: DataFrame) -> DataFrame:
     ``User-agent`` lines open a group; following ``Allow`` /
     ``Disallow`` / ``Crawl-delay`` rows belong to EVERY agent of that
     group (the one-row-per-agent fan-out below); ``Sitemap`` is
-    host-global per the spec and carries a NULL agent.  Comments and
+    host-global per the spec and carries an empty agent (NULL-free
+    output contract, the WARC lesson).  Comments and
     blank lines drop.
 
     Plan: lines via ``posexplode(split(body))``, group assembly is a
@@ -126,7 +127,7 @@ def parse_robots(files: DataFrame) -> DataFrame:
     sitemaps = marked.filter(F.col("field") == "sitemap").select(
         "host",
         F.lit(0).alias("group_id"),
-        F.lit(None).cast("string").alias("user_agent"),
+        F.lit("").alias("user_agent"),  # NULL-free contract (r2 lesson)
         F.lit("sitemap").alias("directive"),
         "value",
     )
@@ -170,7 +171,7 @@ SELECT host, group_id, user_agent, directive, value FROM (
          r2.value
   FROM rules r2 JOIN agents a USING (host, group_id)
   UNION ALL
-  SELECT host, 0, NULL, 'sitemap', value FROM marked
+  SELECT host, 0, '', 'sitemap', value FROM marked
   WHERE field = 'sitemap')
 ORDER BY host, group_id, user_agent, directive, value"""
 

@@ -744,8 +744,8 @@ def test_robots_grouping_semantics(spark):
     # same Disallow
     assert by[("ex.org", "trainingbot", "disallow")] == "/"
     assert by[("ex.org", "otherbot", "disallow")] == "/"
-    # sitemap is host-global (NULL agent)
-    assert by[("ex.org", None, "sitemap")] == "https://ex.org/sitemap.xml"
+    # sitemap is host-global (empty agent - NULL-free contract)
+    assert by[("ex.org", "", "sitemap")] == "https://ex.org/sitemap.xml"
     # empty Disallow (allow-all idiom) survives as an empty value
     assert by[("open.site", "*", "disallow")] == ""
 
