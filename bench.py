@@ -378,8 +378,11 @@ def main() -> None:
         # round 3 additions
         "n3_roundtrip",
         "media_image_stats",
+        "media_audio_stats",
         "reasoning_owlrl_reference",
         "viz_edges",
+        "robots_rules",
+        "sitemap_urls",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is
