@@ -4677,6 +4677,61 @@ def _q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPARQL_ASK_Q = """
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+PREFIX ont: <http://test.org/ont#>
+ASK {
+  ?p a owl:NamedIndividual ; a ont:Employee .
+  FILTER ( ?p != ont:ghost )
+}
+"""
+
+_SPARQL_CONSTRUCT_Q = """
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+PREFIX ont: <http://test.org/ont#>
+CONSTRUCT {
+  ?p a ont:Agent .
+  ?p ont:provenance "construct_text" .
+}
+WHERE { ?p a owl:NamedIndividual . }
+"""
+
+_SPARQL_DESCRIBE_Q = """
+PREFIX ont: <http://test.org/ont#>
+DESCRIBE ont:alice
+"""
+
+
+def _q_sparql_text_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK text form: body grammar shared with SELECT (rewrite +
+    reuse), evaluated by query.ask's early-out existence plan."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    return SP.sparql_ask(
+        FX.fixture_triples(spark, "populated_om"), _SPARQL_ASK_Q
+    )
+
+
+def _q_sparql_text_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT text form: template block parsed with surface-token
+    kind classification, body via the shared BGP parse, materialized
+    by query.construct."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    return SP.sparql_construct(
+        FX.fixture_triples(spark, "populated_om"), _SPARQL_CONSTRUCT_Q
+    )
+
+
+def _q_sparql_text_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE text form -> concise-bounded-description-lite slice."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    return SP.sparql_describe(
+        FX.fixture_triples(spark, "populated_om"), _SPARQL_DESCRIBE_Q
+    )
+
+
 def _q_sparql_text_induced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL text with OPTIONAL/FILTER/LIMIT over the sf-scaled
     induced graph — the text front end on real data volume."""
@@ -4829,6 +4884,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_anaphora": _q_resolve_anaphora,
         "recall_estimate": _q_recall_estimate,
         "sparql_text": _q_sparql_text,
+        "sparql_text_ask": _q_sparql_text_ask,
+        "sparql_text_construct": _q_sparql_text_construct,
+        "sparql_text_describe": _q_sparql_text_describe,
         "sparql_text_induced": _q_sparql_text_induced,
         "sparql_text_agg": _q_sparql_text_agg,
         "sparql_text_union": _q_sparql_text_union,
@@ -5289,6 +5347,15 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
 
     sql["sparql_text"] = _sp.sparql_select_sql(
         "WITH " + FX.fixture_cte("populated_om"), _SPARQL_FIXTURE_Q
+    )
+    sql["sparql_text_ask"] = _sp.sparql_ask_sql(
+        "WITH " + FX.fixture_cte("populated_om"), _SPARQL_ASK_Q
+    )
+    sql["sparql_text_construct"] = _sp.sparql_construct_sql(
+        "WITH " + FX.fixture_cte("populated_om"), _SPARQL_CONSTRUCT_Q
+    )
+    sql["sparql_text_describe"] = _sp.sparql_describe_sql(
+        "WITH " + FX.fixture_cte("populated_om"), _SPARQL_DESCRIBE_Q
     )
     sql["sparql_text_induced"] = _sp.sparql_select_sql(
         "WITH " + relational.induce_triples_sql(), _SPARQL_INDUCED_Q

@@ -36,7 +36,17 @@ from pyspark.sql import DataFrame
 from ..model import RDF
 from . import query as Q
 
-__all__ = ["parse_select", "sparql_select", "sparql_select_sql"]
+__all__ = [
+    "parse_select",
+    "sparql_select",
+    "sparql_select_sql",
+    "sparql_ask",
+    "sparql_ask_sql",
+    "sparql_construct",
+    "sparql_construct_sql",
+    "sparql_describe",
+    "sparql_describe_sql",
+]
 
 _TOKEN_RX = re.compile(
     r"<[^>]*>"                      # IRI
@@ -445,3 +455,164 @@ def sparql_select_sql(with_prefix: str, query: str) -> str:
     return (
         f"SELECT DISTINCT {cols} FROM (\n{inner}\n)\nORDER BY {order}{lim}"
     )
+
+
+# --------------------------------------------------------------------- #
+# ASK / CONSTRUCT / DESCRIBE text forms (round 3)
+# --------------------------------------------------------------------- #
+
+
+def _rewrite_to_select(query: str, keyword: str) -> str:
+    """Reuse the SELECT parser for ASK/CONSTRUCT bodies by rewriting
+    the query head; the body grammar (triples, OPTIONAL, MINUS,
+    FILTER, ...) is identical by spec."""
+    out, n = re.subn(
+        rf"\b{keyword}\b", "SELECT * WHERE", query, count=1, flags=re.I
+    )
+    if n != 1:
+        raise ValueError(f"not a {keyword} query")
+    return out
+
+
+def sparql_ask(triples: DataFrame, query: str) -> DataFrame:
+    """``ASK { ... }`` -> one row ``(exists_flag int)``.  The body
+    accepts the SELECT subset's group patterns (triples / OPTIONAL /
+    MINUS / FILTER); solution modifiers and VALUES/BIND are
+    meaningless for ASK and raise."""
+    args = parse_select(_rewrite_to_select(query, "ASK"))
+    if "union" in args or "aggs" in args:
+        raise ValueError("ASK supports plain group patterns only")
+    for key in ("values", "bind", "order_by", "limit", "offset"):
+        if args.get(key):
+            raise ValueError(f"{key} is not valid in an ASK query")
+    if args.get("exists"):
+        raise ValueError("FILTER EXISTS unsupported in the ASK subset")
+    return Q.ask(
+        triples,
+        args["patterns"],
+        optional=args["optional"],
+        filters=args["filters"],
+        minus=args["minus"],
+    )
+
+
+def sparql_ask_sql(with_prefix: str, query: str) -> str:
+    """DuckDB twin of :func:`sparql_ask` from the SAME parse."""
+    args = parse_select(_rewrite_to_select(query, "ASK"))
+    return Q.ask_sql(
+        with_prefix,
+        args["patterns"],
+        optional=args["optional"],
+        filters=args["filters"],
+        minus=args["minus"],
+    )
+
+
+def _parse_template(toks: list[str], prefixes: dict[str, str]) -> list[tuple]:
+    """CONSTRUCT template block -> (s, p, o, obj_kind) entries; object
+    kind is classified from the surface token (quoted string / bare
+    number -> literal, otherwise uri).  Variable slots keep their
+    ``?var`` form for ``query.construct``; a variable OBJECT is
+    emitted as ``uri`` — the engine's documented construct subset
+    (bindings carry term strings, not kinds)."""
+    out: list[tuple] = []
+    subj = pred = None
+    state = 0
+    for t in toks:
+        if t == ".":
+            subj = pred = None
+            state = 0
+        elif t == ";":
+            state = 1
+        elif t == ",":
+            state = 2
+        else:
+            keep_var = t.startswith("?")
+            term = t if keep_var else _expand(t, prefixes)
+            if state == 0:
+                subj = term
+                state = 1
+            elif state == 1:
+                pred = term
+                state = 2
+            elif state == 2:
+                kind = (
+                    "literal"
+                    if t.startswith('"')
+                    or re.fullmatch(r"[+-]?\d+(\.\d+)?", t)
+                    else "uri"
+                )
+                out.append((subj, pred, term, kind))
+                state = 3
+            else:
+                raise ValueError(
+                    f"expected '.', ';' or ',' after template object, got {t!r}"
+                )
+    if not out:
+        raise ValueError("empty CONSTRUCT template")
+    return out
+
+
+def _parse_construct(query: str) -> tuple[list[tuple], dict]:
+    q = _strip_comments(query)
+    prefixes = {
+        m.group(1): m.group(2)
+        for m in re.finditer(r"PREFIX\s+(\w*):\s*<([^>]*)>", q, re.I)
+    }
+    m = re.search(r"CONSTRUCT\s*\{", q, re.I)
+    if not m:
+        raise ValueError("not a CONSTRUCT query")
+    toks = _tokens(q[q.index("{", m.end() - 1):])
+    tmpl_toks, after = _group_block(toks, 0)
+    template = _parse_template(tmpl_toks, prefixes)
+    # body: hand the WHERE group to the SELECT parser
+    rest = q[: m.start()] + "SELECT * " + " ".join(toks[after:])
+    args = parse_select(rest)
+    if any(
+        args.get(k)
+        for k in ("optional", "minus", "exists", "filters", "values",
+                  "bind", "order_by", "limit", "offset")
+    ):
+        raise ValueError(
+            "CONSTRUCT subset: plain BGP body only (no OPTIONAL/MINUS/"
+            "FILTER/VALUES/BIND/solution modifiers)"
+        )
+    return template, args
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """``CONSTRUCT { template } WHERE { bgp }`` -> distinct instantiated
+    triples (subj, pred, obj, obj_kind), via ``query.construct``."""
+    template, args = _parse_construct(query)
+    return Q.construct(triples, args["patterns"], template)
+
+
+def sparql_construct_sql(triples_cte: str, query: str) -> str:
+    """DuckDB twin from the SAME parse."""
+    template, args = _parse_construct(query)
+    return Q.construct_sql(triples_cte, args["patterns"], template)
+
+
+def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+    """``DESCRIBE <resource>`` (or prefixed name) -> the resource's
+    concise-bounded-description-lite slice."""
+    return Q.describe(triples, _parse_describe(query))
+
+
+def _parse_describe(query: str) -> str:
+    q = _strip_comments(query)
+    prefixes = {
+        m.group(1): m.group(2)
+        for m in re.finditer(r"PREFIX\s+(\w*):\s*<([^>]*)>", q, re.I)
+    }
+    m = re.search(r"DESCRIBE\s+(\S+)", q, re.I)
+    if not m:
+        raise ValueError("not a DESCRIBE query")
+    term = _expand(m.group(1), prefixes)
+    if term.startswith("?"):
+        raise ValueError("DESCRIBE subset takes a concrete resource")
+    return term
+
+
+def sparql_describe_sql(with_prefix: str, query: str) -> str:
+    return Q.describe_sql(with_prefix, _parse_describe(query))

@@ -540,6 +540,45 @@ def test_sparql_projection_order_semantics(spark):
         )
 
 
+def test_sparql_ask_construct_describe(spark):
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    import pytest as _pt
+
+    t = FX.fixture_triples(spark, "populated_om")
+    B = "http://test.org/ont#"
+    # ASK true / false + filter grammar shared with SELECT
+    assert SP.sparql_ask(
+        t, "ASK { ?p a <http://test.org/ont#Employee> . }"
+    ).collect()[0][0] == 1
+    assert SP.sparql_ask(
+        t, "ASK { ?p a <http://test.org/ont#Robot> . }"
+    ).collect()[0][0] == 0
+    with _pt.raises(ValueError):
+        SP.sparql_ask(t, "ASK { ?s ?p ?o . } LIMIT 3")
+    # CONSTRUCT: template kinds classified from surface tokens
+    rows = {
+        (r.subj, r.pred, r.obj, r.obj_kind)
+        for r in SP.sparql_construct(
+            t,
+            "PREFIX owl: <http://www.w3.org/2002/07/owl#>\n"
+            "PREFIX ont: <http://test.org/ont#>\n"
+            'CONSTRUCT { ?p a ont:Agent . ?p ont:src "txt" . }\n'
+            "WHERE { ?p a owl:NamedIndividual . }",
+        ).collect()
+    }
+    rdf_t = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert (B + "alice", rdf_t, B + "Agent", "uri") in rows
+    assert (B + "alice", B + "src", "txt", "literal") in rows
+    # DESCRIBE: subject- and object-side triples of the resource
+    drows = {(r.subj, r.pred, r.obj) for r in SP.sparql_describe(
+        t, "PREFIX ont: <http://test.org/ont#>\nDESCRIBE ont:alice"
+    ).collect()}
+    assert any(s == B + "alice" for s, _, _ in drows)
+    with _pt.raises(ValueError):
+        SP.sparql_describe(t, "DESCRIBE ?x")
+
+
 def test_sparql_union_path(spark):
     from orionbelt_ontology_builder_spark.operators import sparql as SP
 
