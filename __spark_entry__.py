@@ -4285,6 +4285,7 @@ _SF_SCALE = {
     "construct_rule", "latest_wins",
     "bgp_optional_filter", "bgp_minus", "bgp_aggregate",
     "bgp_values_limit", "path_query_star", "bgp_ask", "describe_resource",
+    "sparql_text_path",
     "bgp_paginate", "path_query_neg", "path_query_bounded",
     "construct_delta", "kg_negative_samples",
     "triple_churn",
@@ -4701,6 +4702,24 @@ PREFIX ont: <http://test.org/ont#>
 DESCRIBE ont:alice
 """
 
+#: every individual with every strict class ancestor — the same
+#: semantics as _PATH_SPEC, but arriving as SPARQL 1.1 path TEXT
+_SPARQL_PATH_Q = """
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?i ?anc WHERE { ?i a/rdfs:subClassOf+ ?anc . }
+"""
+
+
+def _q_sparql_text_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path text form over the induced graph: sequence +
+    transitive-closure operators parsed from SPARQL 1.1 syntax into
+    query.eval_path (doubling fixpoint for '+')."""
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    return SP.sparql_path(
+        relational.induce_triples(spark, sf_dir), _SPARQL_PATH_Q
+    )
+
 
 def _q_sparql_text_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASK text form: body grammar shared with SELECT (rewrite +
@@ -4887,6 +4906,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_ask": _q_sparql_text_ask,
         "sparql_text_construct": _q_sparql_text_construct,
         "sparql_text_describe": _q_sparql_text_describe,
+        "sparql_text_path": _q_sparql_text_path,
         "sparql_text_induced": _q_sparql_text_induced,
         "sparql_text_agg": _q_sparql_text_agg,
         "sparql_text_union": _q_sparql_text_union,
@@ -5356,6 +5376,9 @@ rev AS (SELECT dst AS src, src AS dst FROM edges WHERE src NOT LIKE 'o:%'),
     )
     sql["sparql_text_describe"] = _sp.sparql_describe_sql(
         "WITH " + FX.fixture_cte("populated_om"), _SPARQL_DESCRIBE_Q
+    )
+    sql["sparql_text_path"] = _sp.sparql_path_sql(
+        "WITH " + relational.induce_triples_sql(), _SPARQL_PATH_Q
     )
     sql["sparql_text_induced"] = _sp.sparql_select_sql(
         "WITH " + relational.induce_triples_sql(), _SPARQL_INDUCED_Q

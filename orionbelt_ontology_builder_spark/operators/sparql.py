@@ -46,6 +46,8 @@ __all__ = [
     "sparql_construct_sql",
     "sparql_describe",
     "sparql_describe_sql",
+    "sparql_path",
+    "sparql_path_sql",
 ]
 
 _TOKEN_RX = re.compile(
@@ -76,6 +78,14 @@ def _expand(term: str, prefixes: dict[str, str]) -> str:
     if ":" in term:
         pfx, local = term.split(":", 1)
         if pfx in prefixes:
+            if re.search(r"[/|+*?^{]", local):
+                # path operators can't appear in a prefixed local name;
+                # without this guard "ont:a/ont:b+" would silently
+                # expand into a plausible-looking garbage IRI
+                raise ValueError(
+                    f"property-path expression {term!r}: evaluate via "
+                    "sparql_path"
+                )
             return prefixes[pfx] + local
         raise ValueError(f"unknown prefix in term: {term}")
     return term  # bare literal (number / word)
@@ -616,3 +626,168 @@ def _parse_describe(query: str) -> str:
 
 def sparql_describe_sql(with_prefix: str, query: str) -> str:
     return Q.describe_sql(with_prefix, _parse_describe(query))
+
+
+# --------------------------------------------------------------------- #
+# property-path text form (round 3)
+# --------------------------------------------------------------------- #
+
+
+def _parse_path_elem(part: str, prefixes: dict[str, str]) -> str:
+    """One path element: ``[^]term[+*?]`` or ``term{n[,m]}`` -> the
+    ``query.eval_path`` step string (operators re-attached around the
+    expanded IRI)."""
+    m = re.match(r"^(\^?)(.*?)([+*?]|\{\d+(?:,\d+)?\})?$", part)
+    inv, core, suffix = m.group(1), m.group(2), m.group(3) or ""
+    if not core:
+        raise ValueError(f"empty path element in {part!r}")
+    return inv + _expand_path_core(core, prefixes) + suffix
+
+
+def _expand_path_core(core: str, prefixes: dict[str, str]) -> str:
+    if core == "a":
+        return RDF.type
+    if core.startswith("<") and core.endswith(">"):
+        return core[1:-1]
+    pfx, _, local = core.partition(":")
+    if pfx in prefixes:
+        return prefixes[pfx] + local
+    raise ValueError(f"unknown prefix in path element: {core}")
+
+
+def _parse_path_token(tok: str, prefixes: dict[str, str]) -> list:
+    """A whitespace-free path token -> ``eval_path`` spec: ``/`` splits
+    sequence steps; within a step, ``!a|b`` is a negated property set,
+    ``a|b`` an alternation, and each element takes ``^`` / ``+`` /
+    ``*`` / ``?`` / ``{n,m}`` operators.  (Parenthesized groups are
+    out of subset and raise at tokenization — parens are structure
+    tokens, so they never reach here.)"""
+    steps: list = []
+    for part in tok.split("/"):
+        if part.startswith("!"):
+            steps.append(
+                "!" + "|".join(
+                    _expand_path_core(p, prefixes)
+                    for p in part[1:].split("|")
+                )
+            )
+        elif "|" in part:
+            steps.append(
+                [_parse_path_elem(p, prefixes) for p in part.split("|")]
+            )
+        else:
+            steps.append(_parse_path_elem(part, prefixes))
+    return steps
+
+
+def _parse_path_query(query: str) -> tuple[list, list[tuple[str, str]]]:
+    """``SELECT ?s ?o WHERE { ?s <path-expr> ?o . }`` -> (path spec,
+    [(endpoint_token, out_column)]).  Exactly ONE pattern; endpoints
+    may be variables (projected under their names) or constants
+    (filtered, not projected)."""
+    q = _strip_comments(query)
+    prefixes = {
+        m.group(1): m.group(2)
+        for m in re.finditer(r"PREFIX\s+(\w*):\s*<([^>]*)>", q, re.I)
+    }
+    q = re.sub(r"PREFIX\s+\w*:\s*<[^>]*>", "", q, flags=re.I)
+    m = re.search(r"SELECT\s+(.+?)\s+WHERE", q, re.I | re.S)
+    if not m:
+        raise ValueError("property-path subset: SELECT ... WHERE { ... }")
+    toks_all = _tokens(q[q.index("{", m.end() - 1):])
+    body, after = _group_block(toks_all, 0)
+    # re-attach bounded-repetition braces the tokenizer split off:
+    # "x:p{2,3}" tokenizes as 'x:p' '{' '2,3'... '}' — merge back
+    merged: list[str] = []
+    i = 0
+    while i < len(body):
+        t = body[i]
+        if (
+            i + 1 < len(body)
+            and body[i + 1] == "{"
+            and t not in (".", ";", ",")
+        ):
+            j = i + 2
+            inner: list[str] = []
+            while j < len(body) and body[j] != "}":
+                inner.append(body[j])
+                j += 1
+            merged.append(t + "{" + "".join(inner) + "}")
+            i = j + 1
+        else:
+            merged.append(t)
+            i += 1
+    body = merged
+    terms = [t for t in body if t != "."]
+    if len(terms) != 3:
+        raise ValueError(
+            "property-path subset: exactly one '?s <path> ?o' pattern"
+        )
+    s_tok, p_tok, o_tok = terms
+    if not re.search(r"[/|+*?^{!]", p_tok):
+        raise ValueError(
+            "no path operator in predicate — use sparql_select"
+        )
+    if " ".join(_tokens(q[q.index("{", m.end() - 1):])[after:]).strip():
+        raise ValueError(
+            "property-path subset: no solution modifiers"
+        )
+    spec = _parse_path_token(p_tok, prefixes)
+    sel = m.group(1).split()
+    endpoints = []
+    for tok, col in ((s_tok, "src"), (o_tok, "dst")):
+        if tok.startswith("?"):
+            endpoints.append((tok, col))
+        else:
+            endpoints.append((_expand(tok, prefixes), col))
+    want = [t for t, _ in endpoints if t.startswith("?")]
+    if sel != ["*"] and sel != want:
+        raise ValueError(
+            f"SELECT list must be {' '.join(want) or '(empty)'} "
+            "for this pattern"
+        )
+    return spec, endpoints
+
+
+def sparql_path(triples: DataFrame, query: str) -> DataFrame:
+    """SPARQL 1.1 property-path text form over the single-pattern
+    subset: sequences ``p1/p2``, closures ``+ * ?``, inverse ``^``,
+    alternation ``p1|p2``, negated sets ``!p1|p2`` and bounded
+    repetition ``p{n,m}`` — mapped onto ``query.eval_path`` (closures
+    via the O(log D) doubling fixpoint; each step a predicate-sliced
+    pushed-down scan)."""
+    from pyspark.sql import functions as F
+
+    spec, endpoints = _parse_path_query(query)
+    out = Q.eval_path(triples, spec)
+    cols = []
+    for tok, col in endpoints:
+        if tok.startswith("?"):
+            cols.append(F.col(col).alias(tok[1:]))
+        else:
+            out = out.filter(F.col(col) == tok)
+    names = [tok[1:] for tok, _ in endpoints if tok.startswith("?")]
+    if not names:
+        raise ValueError(
+            "property-path subset: at least one endpoint variable"
+        )
+    return out.select(*cols).distinct().orderBy(*names)
+
+
+def sparql_path_sql(with_prefix: str, query: str) -> str:
+    """DuckDB twin from the SAME parse (eval_path_sql wrapped as a
+    subquery with the endpoint projection/filters)."""
+    spec, endpoints = _parse_path_query(query)
+    inner = Q.eval_path_sql(with_prefix, spec)
+    sel, where = [], []
+    for tok, col in endpoints:
+        if tok.startswith("?"):
+            sel.append(f"{col} AS {tok[1:]}")
+        else:
+            where.append(f"{col} = '{tok}'")
+    cols = ", ".join(tok[1:] for tok, _ in endpoints if tok.startswith("?"))
+    w = ("WHERE " + " AND ".join(where) + "\n") if where else ""
+    return (
+        f"SELECT DISTINCT {', '.join(sel)} FROM (\n{inner}\n)\n{w}"
+        f"ORDER BY {cols}"
+    )

@@ -579,6 +579,56 @@ def test_sparql_ask_construct_describe(spark):
         SP.sparql_describe(t, "DESCRIBE ?x")
 
 
+def test_sparql_path_text_forms(spark):
+    from orionbelt_ontology_builder_spark.operators import sparql as SP
+
+    import pytest as _pt
+
+    B = "http://x.org/"
+    t = spark.createDataFrame(
+        [
+            (B + "a", B + "p", B + "b", "uri", None, None),
+            (B + "b", B + "p", B + "c", "uri", None, None),
+            (B + "c", B + "q", B + "d", "uri", None, None),
+            (B + "e", B + "r", B + "a", "uri", None, None),
+        ],
+        "subj string, pred string, obj string, obj_kind string,"
+        " obj_lang string, obj_dt string",
+    )
+    pre = "PREFIX x: <http://x.org/>\n"
+
+    def run(q):
+        return {tuple(r) for r in SP.sparql_path(t, pre + q).collect()}
+
+    # transitive closure
+    assert run("SELECT ?s ?o WHERE { ?s x:p+ ?o . }") == {
+        (B + "a", B + "b"), (B + "a", B + "c"),
+        (B + "b", B + "c"),
+    }
+    # sequence with constant subject endpoint
+    assert run("SELECT ?o WHERE { x:a x:p/x:p/x:q ?o . }") == {
+        (B + "d",)
+    }
+    # inverse + alternation
+    assert run("SELECT ?s ?o WHERE { ?s ^x:r|x:q ?o . }") == {
+        (B + "a", B + "e"), (B + "c", B + "d")
+    }
+    # negated property set
+    assert run("SELECT ?s ?o WHERE { ?s !x:p|x:q ?o . }") == {
+        (B + "e", B + "a")
+    }
+    # bounded repetition
+    assert run("SELECT ?s ?o WHERE { ?s x:p{2} ?o . }") == {
+        (B + "a", B + "c")
+    }
+    # guards: plain predicate routes to sparql_select; paths inside
+    # sparql_select raise instead of mis-expanding
+    with _pt.raises(ValueError, match="use sparql_select"):
+        SP.sparql_path(t, pre + "SELECT ?s ?o WHERE { ?s x:p ?o . }")
+    with _pt.raises(ValueError, match="sparql_path"):
+        SP.sparql_select(t, pre + "SELECT ?s ?o WHERE { ?s x:p+ ?o . }")
+
+
 def test_sparql_union_path(spark):
     from orionbelt_ontology_builder_spark.operators import sparql as SP
 
