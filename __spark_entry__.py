@@ -6883,13 +6883,13 @@ WITH {pop},
 touch AS (SELECT * FROM triples
           WHERE subj='{PERSON}' OR obj='{PERSON}' OR pred='{PERSON}')
 SELECT
-  sum(CASE WHEN pred='{SUB}' AND obj='{PERSON}' THEN 1 ELSE 0 END) AS subclasses,
-  sum(CASE WHEN pred='{RDF_TYPE}' AND obj='{PERSON}' THEN 1 ELSE 0 END) AS instances,
-  sum(CASE WHEN pred='{M.RDFS.domain}' AND obj='{PERSON}' THEN 1 ELSE 0 END) AS domain_of,
-  sum(CASE WHEN pred='{M.RDFS.range}' AND obj='{PERSON}' THEN 1 ELSE 0 END) AS range_of,
-  sum(CASE WHEN subj='{PERSON}' THEN 1 ELSE 0 END) AS direct_triples,
-  sum(CASE WHEN obj='{PERSON}' AND subj<>'{PERSON}' THEN 1 ELSE 0 END) AS inbound_references,
-  sum(CASE WHEN pred='{PERSON}' THEN 1 ELSE 0 END) AS as_predicate,
+  sum(CASE WHEN pred='{SUB}' AND obj='{PERSON}' THEN 1 ELSE 0 END)::BIGINT AS subclasses,
+  sum(CASE WHEN pred='{RDF_TYPE}' AND obj='{PERSON}' THEN 1 ELSE 0 END)::BIGINT AS instances,
+  sum(CASE WHEN pred='{M.RDFS.domain}' AND obj='{PERSON}' THEN 1 ELSE 0 END)::BIGINT AS domain_of,
+  sum(CASE WHEN pred='{M.RDFS.range}' AND obj='{PERSON}' THEN 1 ELSE 0 END)::BIGINT AS range_of,
+  sum(CASE WHEN subj='{PERSON}' THEN 1 ELSE 0 END)::BIGINT AS direct_triples,
+  sum(CASE WHEN obj='{PERSON}' AND subj<>'{PERSON}' THEN 1 ELSE 0 END)::BIGINT AS inbound_references,
+  sum(CASE WHEN pred='{PERSON}' THEN 1 ELSE 0 END)::BIGINT AS as_predicate,
   count(*) AS total_affected
 FROM touch
 """

@@ -557,7 +557,7 @@ UNION ALL
 SELECT 4, 'decontaminate',
   (SELECT count(*) FROM s3),
   (SELECT count(*) FROM s4),
-  (SELECT coalesce(sum(c), 0) FROM dhits)
+  (SELECT coalesce(sum(c), 0) FROM dhits)::BIGINT
 UNION ALL
 SELECT 5, 'pack',
   (SELECT count(*) FROM s4),

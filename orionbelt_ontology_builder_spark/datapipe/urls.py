@@ -171,7 +171,7 @@ WITH t AS (
     CASE WHEN {norm_sql()} = '' THEN 0
          ELSE len({tokens_sql(norm_sql())}) END AS n_toks
   FROM documents)
-SELECT source, count(*) AS n_docs, sum(n_toks) AS total_tokens,
+SELECT source, count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens,
        avg(n_chars::DOUBLE) AS avg_chars
 FROM t GROUP BY source ORDER BY source
 """

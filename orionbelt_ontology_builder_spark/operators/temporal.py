@@ -886,8 +886,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY {on} ORDER BY {ts}, {tiebreak})
 ),
 runs AS (
-  SELECT *, sum(chg) OVER (PARTITION BY {on} ORDER BY {ts}, {tiebreak}
-                           ROWS UNBOUNDED PRECEDING) AS version
+  SELECT *, (sum(chg) OVER (PARTITION BY {on} ORDER BY {ts}, {tiebreak}
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS version
   FROM flagged
 ),
 iv AS (

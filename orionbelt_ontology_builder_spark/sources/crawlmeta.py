@@ -152,10 +152,10 @@ lines AS MATERIALIZED (
   WHERE lower(regexp_extract(ln, '{_DIRECTIVE_RX}', 1)) <> ''),
 marked AS MATERIALIZED (
   SELECT *,
-    sum(CASE WHEN field = 'user-agent'
+    (sum(CASE WHEN field = 'user-agent'
               AND (prev_field IS NULL OR prev_field <> 'user-agent')
              THEN 1 ELSE 0 END)
-      OVER (PARTITION BY host ORDER BY line_no) AS group_id
+      OVER (PARTITION BY host ORDER BY line_no))::BIGINT AS group_id
   FROM (
     SELECT *, lag(field) OVER (PARTITION BY host ORDER BY line_no)
       AS prev_field

@@ -170,8 +170,8 @@ def parse_warc_lines_sql(lines_cte: str) -> str:
     return f"""
 WITH {lines_cte.strip()},
 marked AS MATERIALIZED (
-  SELECT *, sum(CASE WHEN line = 'WARC/1.0' THEN 1 ELSE 0 END)
-    OVER (PARTITION BY path ORDER BY line_no) AS rec_id
+  SELECT *, (sum(CASE WHEN line = 'WARC/1.0' THEN 1 ELSE 0 END)
+    OVER (PARTITION BY path ORDER BY line_no))::BIGINT AS rec_id
   FROM w
   QUALIFY rec_id > 0),
 blanks AS (
