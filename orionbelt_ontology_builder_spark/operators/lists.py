@@ -19,10 +19,28 @@ from pyspark.sql import functions as F
 from ..model import OWL, RDF
 
 
-def unroll_lists(triples: DataFrame, max_len: int = 32) -> DataFrame:
+#: cons-cell count above which the `rest` slice stops being broadcast:
+#: ~1M (cell, next) string pairs is tens of MB serialized — at or past
+#: the comfortable executor broadcast budget.  Ontology axiom lists sit
+#: orders of magnitude below this; the guard exists for pathological
+#: graphs that encode bulk data as RDF collections.
+BROADCAST_LIST_CELLS = 1_000_000
+
+
+def unroll_lists(
+    triples: DataFrame,
+    max_len: int = 32,
+    broadcast_rests: bool | None = None,
+) -> DataFrame:
     """(head, pos, item) for every rdf:first/rdf:rest list in the graph.
 
     ``head`` is the first cons cell's node id; positions are 0-based.
+
+    ``broadcast_rests``: True forces the broadcast hop join (the axiom-
+    list fast path), False forces a co-partitioned shuffle join (the
+    100x-scale path — the persisted `rest` slice shuffles ONCE and every
+    hop reuses its partitioning), None probes the cell count with a
+    bounded ``limit().count()`` and picks.
     """
     firsts = triples.filter(F.col("pred") == RDF.first).select(
         F.col("subj").alias("cell"), F.col("obj").alias("item")
@@ -30,6 +48,16 @@ def unroll_lists(triples: DataFrame, max_len: int = 32) -> DataFrame:
     rests = triples.filter(F.col("pred") == RDF.rest).select(
         F.col("subj").alias("cell"), F.col("obj").alias("next")
     )
+    if broadcast_rests is None:
+        broadcast_rests = (
+            rests.limit(BROADCAST_LIST_CELLS + 1).count()
+            <= BROADCAST_LIST_CELLS
+        )
+    if broadcast_rests:
+        rests_j = F.broadcast(rests)
+    else:
+        n_part = triples.sparkSession.sparkContext.defaultParallelism
+        rests_j = rests.repartition(n_part, "cell").persist()
     # walk: start at every cell, then follow `rest` pointers, tagging
     # position.  Each round's frontier takes a LAZY localCheckpoint:
     # round k then builds on round k-1's materialized blocks instead
@@ -45,7 +73,7 @@ def unroll_lists(triples: DataFrame, max_len: int = 32) -> DataFrame:
     out = frontier
     for _ in range(max_len - 1):
         frontier = (
-            frontier.join(F.broadcast(rests), "cell")
+            frontier.join(rests_j, "cell")
             .filter(F.col("next") != RDF.nil)
             .select(
                 "head",

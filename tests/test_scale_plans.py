@@ -870,3 +870,30 @@ def test_pq_adc_plan_broadcasts_lut(embs):
     plan = _plan(S.pq_adc_topk(embs, n_queries=2, k=2, m=2, kc=2, dim=8))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unroll_lists_broadcast_guard_both_modes(spark):
+    """VERDICT r3 #5: the rdf:rest hop join must broadcast only under
+    the size threshold and fall back to a co-partitioned shuffle join
+    above it — same rows either way."""
+    from orionbelt_ontology_builder_spark.model import RDF
+    from orionbelt_ontology_builder_spark.operators import lists as L
+
+    rows = [
+        ("h", RDF.first, "a"), ("h", RDF.rest, "c1"),
+        ("c1", RDF.first, "b"), ("c1", RDF.rest, "c2"),
+        ("c2", RDF.first, "c"), ("c2", RDF.rest, RDF.nil),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    fast = L.unroll_lists(t, max_len=4, broadcast_rests=True)
+    slow = L.unroll_lists(t, max_len=4, broadcast_rests=False)
+    expect = {("h", 0, "a"), ("h", 1, "b"), ("h", 2, "c")}
+    assert {tuple(r) for r in fast.collect()} == expect
+    assert {tuple(r) for r in slow.collect()} == expect
+
+    assert "BroadcastHashJoin" in _plan(fast)
+    slow_plan = _plan(slow)
+    # the hop join must NOT be broadcast in guarded mode; the final
+    # head/anti joins may still broadcast (they are output-sized)
+    assert "SortMergeJoin" in slow_plan or "ShuffledHashJoin" in slow_plan
