@@ -3235,11 +3235,15 @@ def _q_media_features(spark, sf_dir):
 
 def _q_media_image_stats(spark, sf_dir):
     """REAL image decode in the plan: synthesized binary P6 PPMs
-    (JVM-side chained-md5 pixels) decoded by the pure-NumPy codec
-    inside mapInPandas, then per-image pixel statistics."""
-    return multimodal.decode_image_stats(
-        multimodal.synthesize_ppm_media(_docs(spark, sf_dir))
+    (JVM-side chained-md5 pixels) plus real PNGs of the same payload
+    (zlib-deflated, filter-cycled scanlines) decoded by the pure-NumPy
+    codecs inside mapInPandas, then per-image pixel statistics.  PNG
+    rows carry doc_id + 1000000."""
+    docs = _docs(spark, sf_dir)
+    media = multimodal.synthesize_ppm_media(docs).unionByName(
+        multimodal.synthesize_png_media(docs, doc_id_offset=1_000_000)
     )
+    return multimodal.decode_image_stats(media)
 
 
 def _q_media_audio_stats(spark, sf_dir):

@@ -185,12 +185,180 @@ def _decode_bmp(blob: bytes):
     return np.stack(rows)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, row_filters: bool = True) -> bytes:
+    """Minimal real PNG writer: 8-bit RGB, non-interlaced, zlib level 6.
+
+    ``row_filters=True`` cycles scanline filters 0..4 (None / Sub / Up /
+    Average / Paeth) so round-trip tests exercise every unfilter path;
+    False writes all-None filters."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_png writes RGB; got %d channels" % c)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = px[y]
+        ft = (y % 5) if row_filters else 0
+        left = np.zeros_like(row)
+        left[1:] = row[:-1]
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            enc = row - left
+        elif ft == 2:  # Up
+            enc = row - prev
+        elif ft == 3:  # Average
+            upleft = np.zeros_like(prev)
+            upleft[1:] = prev[:-1]
+            enc = row - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            upleft = np.zeros_like(prev)
+            upleft[1:] = prev[:-1]
+            enc = row - _paeth(left, prev, upleft)
+        raw.append(ft)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left, up, upleft):
+    """Vectorized Paeth predictor (PNG spec section 9, public)."""
+    import numpy as np
+
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = upleft.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _decode_png(blob: bytes):
+    """Pure stdlib-zlib + NumPy PNG decode: 8-bit, non-interlaced,
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA); all five scanline filters.  Alpha is dropped, gray and
+    palette expand to RGB, so every container yields (h, w, 3) uint8
+    like the other codecs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "PNG variant unsupported (need 8-bit, non-interlaced)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError("bad PNG color type %d" % ctype)
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = line + prev
+        else:
+            rec = line
+            if ft == 1:  # Sub: sequential in x
+                for x in range(bpp, stride):
+                    rec[x] = (int(rec[x]) + int(rec[x - bpp])) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    left = rec[x - bpp] if x >= bpp else 0
+                    rec[x] = (rec[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(stride):
+                    a = int(rec[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (rec[x] + pred) & 0xFF
+            else:
+                raise ValueError("bad PNG filter %d" % ft)
+        out[y] = rec
+        prev = out[y]
+    px = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    return px
+
+
 def decode_image(blob: bytes):
     """Decode an image blob to an (h, w, 3) uint8 NumPy array.
 
-    Default path is REAL: uncompressed PPM (P6) / PGM (P5) / 24-bpp BMP
-    decode in pure NumPy — public byte formats, no codec libraries.
-    Compressed codecs (PNG/JPEG/GIF/WEBP) need Pillow, which this
+    REAL paths: uncompressed PPM (P6) / PGM (P5) / 24-bpp BMP, and PNG
+    (stdlib zlib inflate + NumPy unfilter — 8-bit gray/RGB/palette/
+    alpha, all five scanline filters) — public byte formats, no codec
+    libraries.  JPEG/GIF/WEBP entropy coders need Pillow, which this
     container does not ship; they raise ``NotImplementedError``
     honestly rather than faking pixels."""
     blob = bytes(blob)
@@ -198,12 +366,11 @@ def decode_image(blob: bytes):
         return _decode_pnm(blob)
     if blob[:2] == b"BM":
         return _decode_bmp(blob)
-    if blob[:4] == b"\x89PNG" or blob[:2] == b"\xff\xd8" or blob[:4] in (
-        b"GIF8",
-        b"RIFF",
-    ):
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
+    if blob[:2] == b"\xff\xd8" or blob[:4] in (b"GIF8", b"RIFF"):
         raise NotImplementedError(
-            "compressed codecs (PNG/JPEG/GIF/WEBP) require Pillow; "
+            "JPEG/GIF/WEBP entropy decode requires Pillow; "
             "container ships without codecs"
         )
     raise ValueError("unrecognized image container")
@@ -495,6 +662,47 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_png_media(docs: DataFrame, doc_id_offset: int = 0) -> DataFrame:
+    """(doc_id, blob): REAL PNGs carrying the SAME chained-md5 ASCII
+    payload pixels as :func:`synthesize_ppm_media` — so the DuckDB
+    oracle arithmetic recomputes the decoded statistics unchanged while
+    the Spark side exercises the full inflate + unfilter path (the
+    encoder cycles all five scanline filters).  PNG needs zlib, so the
+    build runs on the Arrow path (mapInPandas), not JVM exprs."""
+    import numpy as np
+
+    from ..session import ship_package
+
+    ship_package(docs.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _md5_chain_payload(str(text))
+                px = np.frombuffer(
+                    payload.encode("ascii"), dtype=np.uint8
+                ).reshape(PPM_H, PPM_W, 3)
+                ids.append(int(doc_id) + doc_id_offset)
+                blobs.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, blob binary"
+    )
+
+
+def _md5_chain_payload(text: str) -> str:
+    """6 chained md5 hex digests of ``text`` — 192 ASCII chars, the
+    shared pixel payload of the PPM and PNG syntheses."""
+    hs = []
+    cur = text
+    for _ in range(6):
+        cur = hashlib.md5(cur.encode("utf-8")).hexdigest()
+        hs.append(cur)
+    return "".join(hs)
+
+
 def decode_image_stats(media: DataFrame) -> DataFrame:
     """(doc_id, width, height, px_sum, px_mean, px_md5): REAL image
     decode in the plan — ``decode_image`` (pure-NumPy PPM/BMP codec)
@@ -531,10 +739,13 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stats_oracle() -> str:
-    """DuckDB twin: the decoded pixel array of a synthesized PPM IS the
-    192-char chained-md5 payload, so width/height are the fixed header,
-    px_md5 is md5(payload), and the sum/mean unnest ascii codes."""
+def decode_image_stats_oracle(png_offset: int = 1_000_000) -> str:
+    """DuckDB twin: the decoded pixel array of a synthesized PPM — and
+    of the PNG twin carrying doc_id + ``png_offset`` — IS the 192-char
+    chained-md5 payload, so width/height are the fixed header, px_md5
+    is md5(payload), and the sum/mean unnest ascii codes.  The PNG rows
+    recompute from the identical arithmetic: a hash match there proves
+    the inflate + unfilter path reconstructs the exact bytes."""
     n = PPM_W * PPM_H * 3
     return f"""
 WITH pay AS (
@@ -544,10 +755,14 @@ WITH pay AS (
       || md5(md5(md5(md5(md5(text)))))
       || md5(md5(md5(md5(md5(md5(text)))))) AS payload
   FROM documents),
+pay2 AS (
+  SELECT doc_id, payload FROM pay
+  UNION ALL
+  SELECT doc_id + {png_offset}, payload FROM pay),
 s AS (
   SELECT doc_id, payload,
          sum(ascii(substr(payload, g.i, 1)))::BIGINT AS px_sum
-  FROM pay, generate_series(1, {n}) AS g(i)
+  FROM pay2, generate_series(1, {n}) AS g(i)
   GROUP BY doc_id, payload)
 SELECT doc_id, {PPM_W}::INT AS width, {PPM_H}::INT AS height,
        px_sum, px_sum / ({n}.0::DOUBLE) AS px_mean,

@@ -188,24 +188,71 @@ def test_media_frames_cover_payload(docs):
     assert all(r["frame_idx"] < multimodal.N_FRAMES for r in frames)
 
 
-def test_decode_image_compressed_codecs_still_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_decode_image_entropy_codecs_still_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jfif")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a.....")
 
 
-def test_ppm_bmp_codec_roundtrip():
+def test_ppm_bmp_png_codec_roundtrip():
     import numpy as np
 
     rng = np.random.default_rng(7)
-    for h, w in [(1, 1), (3, 5), (8, 8), (5, 3)]:
+    for h, w in [(1, 1), (3, 5), (8, 8), (5, 3), (7, 2)]:
         px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         ppm = multimodal.decode_image(multimodal.encode_ppm(px))
         assert (ppm == px).all() and ppm.shape == (h, w, 3)
         # BMP exercises row padding (w=5 -> 15-byte rows pad to 16)
         bmp = multimodal.decode_image(multimodal.encode_bmp(px))
         assert (bmp == px).all() and bmp.shape == (h, w, 3)
+        # PNG round-trip: h >= 5 exercises all five scanline filters
+        png = multimodal.decode_image(multimodal.encode_png(px))
+        assert (png == px).all() and png.shape == (h, w, 3)
+        flat = multimodal.decode_image(
+            multimodal.encode_png(px, row_filters=False)
+        )
+        assert (flat == px).all()
+
+
+def test_png_gray_palette_alpha_variants():
+    """Hand-built non-RGB PNGs: gray (type 0), palette (3), gray+alpha
+    (4), RGBA (6) all decode to (h, w, 3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, ctype, raw_rows, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        out = multimodal._PNG_SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        out += chunk(b"IDAT", zlib.compress(raw_rows)) + chunk(b"IEND", b"")
+        return out
+
+    # gray 2x2: filter 0 rows
+    g = build(2, 2, 0, b"\x00\x0a\x14\x00\x1e\x28")
+    arr = multimodal.decode_image(g)
+    assert arr.shape == (2, 2, 3) and arr[0, 0, 0] == 10 and (
+        arr[:, :, 1] == arr[:, :, 0]
+    ).all()
+    # palette 2x1: indices 1, 0
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    p = build(2, 1, 3, b"\x00\x01\x00", plte)
+    arr = multimodal.decode_image(p)
+    assert arr.tolist() == [[[0, 255, 0], [255, 0, 0]]]
+    # gray+alpha 1x1 and RGBA 1x1: alpha dropped
+    ga = build(1, 1, 4, b"\x00\x07\x80")
+    assert multimodal.decode_image(ga).tolist() == [[[7, 7, 7]]]
+    rgba = build(1, 1, 6, b"\x00\x01\x02\x03\x80")
+    assert multimodal.decode_image(rgba).tolist() == [[[1, 2, 3]]]
 
 
 def test_pnm_gray_and_comments():
