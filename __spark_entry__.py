@@ -3235,15 +3235,22 @@ def _q_media_features(spark, sf_dir):
 
 def _q_media_image_stats(spark, sf_dir):
     """REAL image decode in the plan: synthesized binary P6 PPMs
-    (JVM-side chained-md5 pixels) plus real PNGs of the same payload
-    (zlib-deflated, filter-cycled scanlines) decoded by the pure-NumPy
-    codecs inside mapInPandas, then per-image pixel statistics.  PNG
-    rows carry doc_id + 1000000."""
-    docs = _docs(spark, sf_dir)
-    media = multimodal.synthesize_ppm_media(docs).unionByName(
-        multimodal.synthesize_png_media(docs, doc_id_offset=1_000_000)
+    (JVM-side chained-md5 pixels) decoded by the pure-NumPy codec
+    inside mapInPandas, then per-image pixel statistics."""
+    return multimodal.decode_image_stats(
+        multimodal.synthesize_ppm_media(_docs(spark, sf_dir))
     )
-    return multimodal.decode_image_stats(media)
+
+
+def _q_media_png_stats(spark, sf_dir):
+    """REAL PNG decode in the plan: zlib-deflated, filter-cycled
+    scanlines carrying the same chained-md5 payload, pushed through the
+    stdlib-zlib + NumPy unfilter codec inside mapInPandas.  The DuckDB
+    oracle recomputes every statistic from the payload arithmetic, so a
+    hash match proves the inflate + unfilter path byte-for-byte."""
+    return multimodal.decode_image_stats(
+        multimodal.synthesize_png_media(_docs(spark, sf_dir))
+    )
 
 
 def _q_media_audio_stats(spark, sf_dir):
@@ -4318,7 +4325,7 @@ _SF_SCALE = {
     "ann_cosine_topk", "ann_ivf_topk", "ann_recall", "mutual_nn_pairs",
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "media_image_stats",
-    "media_audio_stats",
+    "media_audio_stats", "media_png_stats",
     "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "weighted_sample", "grouped_split", "mixture_weights",
@@ -4856,7 +4863,7 @@ _PRIORITY = [
     "page_text_extract", "warc_records", "robots_rules",
     "scd2_intervals", "kg_triple_history", "delete_impact",
     "source_mix", "curation_pipeline", "compression_ratio",
-    "upper_ontology_stats",
+    "upper_ontology_stats", "media_png_stats",
 ]
 
 
@@ -5185,6 +5192,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_image_stats": _q_media_image_stats,
+        "media_png_stats": _q_media_png_stats,
         "media_audio_stats": _q_media_audio_stats,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
@@ -7537,6 +7545,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["media_features"] = multimodal.extract_features_oracle()
     sql["media_frames"] = multimodal.sample_frames_oracle()
     sql["media_image_stats"] = multimodal.decode_image_stats_oracle()
+    sql["media_png_stats"] = multimodal.decode_image_stats_oracle()
     sql["media_audio_stats"] = multimodal.decode_audio_stats_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()
     sql["pack_sequences"] = curation.pack_sequences_oracle()

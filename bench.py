@@ -383,6 +383,8 @@ def main() -> None:
         "viz_edges",
         "robots_rules",
         "sitemap_urls",
+        # round 4 additions
+        "media_png_stats",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

@@ -739,13 +739,13 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_stats_oracle(png_offset: int = 1_000_000) -> str:
-    """DuckDB twin: the decoded pixel array of a synthesized PPM — and
-    of the PNG twin carrying doc_id + ``png_offset`` — IS the 192-char
+def decode_image_stats_oracle() -> str:
+    """DuckDB twin: the decoded pixel array of a synthesized PPM — or
+    of the PNG twin built from the same payload — IS the 192-char
     chained-md5 payload, so width/height are the fixed header, px_md5
-    is md5(payload), and the sum/mean unnest ascii codes.  The PNG rows
-    recompute from the identical arithmetic: a hash match there proves
-    the inflate + unfilter path reconstructs the exact bytes."""
+    is md5(payload), and the sum/mean unnest ascii codes.  For the PNG
+    query a hash match proves the inflate + unfilter path reconstructs
+    the exact bytes (identical oracle, different Spark-side codec)."""
     n = PPM_W * PPM_H * 3
     return f"""
 WITH pay AS (
@@ -755,14 +755,10 @@ WITH pay AS (
       || md5(md5(md5(md5(md5(text)))))
       || md5(md5(md5(md5(md5(md5(text)))))) AS payload
   FROM documents),
-pay2 AS (
-  SELECT doc_id, payload FROM pay
-  UNION ALL
-  SELECT doc_id + {png_offset}, payload FROM pay),
 s AS (
   SELECT doc_id, payload,
          sum(ascii(substr(payload, g.i, 1)))::BIGINT AS px_sum
-  FROM pay2, generate_series(1, {n}) AS g(i)
+  FROM pay, generate_series(1, {n}) AS g(i)
   GROUP BY doc_id, payload)
 SELECT doc_id, {PPM_W}::INT AS width, {PPM_H}::INT AS height,
        px_sum, px_sum / ({n}.0::DOUBLE) AS px_mean,
