@@ -387,7 +387,7 @@ def curate_corpus(
     )
 
     # -- stage 2: near-dup cluster removal (keep cluster keeper) ------
-    clusters = dedup_clusters(s1, jaccard_threshold).persist()
+    clusters = dedup_clusters(s1, jaccard_threshold, ordered=False).persist()
     losers = clusters.filter(F.col("doc_id") != F.col("keeper_doc_id")).select(
         "doc_id"
     )
@@ -424,31 +424,43 @@ def curate_corpus(
     def cnt(df, alias):
         return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
 
-    def stage(i, name, din, dout, aux):
-        return (
-            cnt(din, "docs_in")
-            .crossJoin(cnt(dout, "docs_out"))
-            .crossJoin(aux)
-            .select(
-                F.lit(i).alias("stage"),
-                F.lit(name).alias("name"),
-                "docs_in",
-                "docs_out",
-                F.col("aux").cast("long").alias("aux"),
-            )
+    # ONE count aggregate per frame (stage n's docs_out IS stage n+1's
+    # docs_in — the naive per-stage pair recomputes every interior
+    # count twice), crossJoined with the five aux aggregates into a
+    # single 1-row frame.  Eager checkpoint: the row is consumed by
+    # five projection branches below, and an unpersisted multi-consumer
+    # aggregate would re-run its whole subtree per branch (the
+    # CTE-reuse trap in the engineering notes).
+    wide = (
+        cnt(docs, "c0")
+        .crossJoin(cnt(s1, "c1"))
+        .crossJoin(cnt(s2, "c2"))
+        .crossJoin(cnt(s3, "c3"))
+        .crossJoin(cnt(s4, "c4"))
+        .crossJoin(aux1.select(F.col("aux").cast("long").alias("a1")))
+        .crossJoin(aux2.select(F.col("aux").cast("long").alias("a2")))
+        .crossJoin(aux3.select(F.col("aux").cast("long").alias("a3")))
+        .crossJoin(aux4.select(F.col("aux").cast("long").alias("a4")))
+        .crossJoin(aux5.select(F.col("aux").cast("long").alias("a5")))
+        .localCheckpoint(eager=True)
+    )
+
+    def srow(i, name, din, dout, aux):
+        return wide.select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.col(din).alias("docs_in"),
+            F.col(dout).alias("docs_out"),
+            F.col(aux).alias("aux"),
         )
 
     metrics = (
-        stage(1, "exact_dedup", docs, s1, aux1)
-        .unionByName(stage(2, "near_dup", s1, s2, aux2))
-        .unionByName(stage(3, "quality", s2, s3, aux3))
-        .unionByName(stage(4, "decontaminate", s3, s4, aux4))
-        .unionByName(stage(5, "pack", s4, s4, aux5))
+        srow(1, "exact_dedup", "c0", "c1", "a1")
+        .unionByName(srow(2, "near_dup", "c1", "c2", "a2"))
+        .unionByName(srow(3, "quality", "c2", "c3", "a3"))
+        .unionByName(srow(4, "decontaminate", "c3", "c4", "a4"))
+        .unionByName(srow(5, "pack", "c4", "c4", "a5"))
         .orderBy("stage")
-        # Materialize the 5 funnel rows now: this forces every stage
-        # count through the persisted frames exactly once, after which
-        # the intermediates can be dropped from executor storage.
-        .localCheckpoint(eager=True)
     )
     for df in (s1, clusters, s2, s3):
         df.unpersist()

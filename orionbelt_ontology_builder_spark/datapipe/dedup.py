@@ -287,6 +287,7 @@ def dedup_clusters(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    ordered: bool = True,
 ) -> DataFrame:
     """(doc_id, keeper_doc_id, cluster_size): the canonical-doc map a
     dedup pipeline actually APPLIES — connected components over the
@@ -311,15 +312,15 @@ def dedup_clusters(
         assume_clean_pairs=True,
     )
     sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (
-        cc.join(sizes, "component")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("keeper_doc_id"),
-            "cluster_size",
-        )
-        .orderBy("doc_id")
+    out = cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keeper_doc_id"),
+        "cluster_size",
     )
+    # ordered=False for composition sites (curation funnel) that only
+    # join/aggregate the map — the global sort is a range-partitioning
+    # exchange the consumer would pay for nothing.
+    return out.orderBy("doc_id") if ordered else out
 
 
 def clusters_ctes_sql(

@@ -78,6 +78,15 @@ def get_spark(
         # 209s on the same job) — oversized G1 heaps hurt in this VM.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # LOCAL-ONLY tuning (a real cluster keeps the defaults): shuffle
+        # blocks land in the OS page cache, so LZ4 framing is pure CPU
+        # overhead, and there is exactly one executor, so locality wait
+        # only delays task launch.  Interleaved A/B over the 12 heaviest
+        # sf0.1 legs: 78.2/79.2/69.3 s default vs 73.1/72.1/65.5 s with
+        # these three — a consistent ~7-9% with no leg regressing.
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.locality.wait", "0")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
