@@ -19,12 +19,43 @@ from pyspark.sql import functions as F
 from ..model import OWL, RDF
 
 
-#: cons-cell count above which the `rest` slice stops being broadcast:
-#: ~1M (cell, next) string pairs is tens of MB serialized — at or past
-#: the comfortable executor broadcast budget.  Ontology axiom lists sit
-#: orders of magnitude below this; the guard exists for pathological
-#: graphs that encode bulk data as RDF collections.
+#: estimated `rest`-slice bytes above which it stops being broadcast —
+#: past the comfortable executor broadcast budget.  Ontology axiom
+#: lists sit orders of magnitude below this; the guard exists for
+#: pathological graphs that encode bulk data as RDF collections.
+BROADCAST_LIST_BYTES = 64 << 20
+
+#: cons-cell count cap for the fallback probe (~1M (cell, next) string
+#: pairs is tens of MB serialized).
 BROADCAST_LIST_CELLS = 1_000_000
+
+#: Catalyst propagates Long.MaxValue-ish products through joins/unions
+#: when a leaf has no real statistics; estimates past this are treated
+#: as "unknown", not "huge".
+_STATS_TRUSTED_MAX = 1 << 50
+
+#: probe memo keyed by the slice's semantic plan hash — the same
+#: fixture/graph decoded twice in one session probes once.
+_PROBE_MEMO: dict[int, bool] = {}
+
+
+def _auto_broadcast(rests: DataFrame) -> bool:
+    """Size the `rest` slice without scanning it when possible (see
+    ``unroll_lists`` docstring for the full policy)."""
+    try:
+        qe = rests._jdf.queryExecution()
+        est = int(qe.optimizedPlan().stats().sizeInBytes())
+        if est < _STATS_TRUSTED_MAX:
+            return est <= BROADCAST_LIST_BYTES
+        key = qe.analyzed().semanticHash()
+    except Exception:
+        return True  # no JVM plan access -> axiom-scale default
+    if key not in _PROBE_MEMO:
+        _PROBE_MEMO[key] = (
+            rests.limit(BROADCAST_LIST_CELLS + 1).count()
+            <= BROADCAST_LIST_CELLS
+        )
+    return _PROBE_MEMO[key]
 
 
 def unroll_lists(
@@ -39,8 +70,14 @@ def unroll_lists(
     ``broadcast_rests``: True forces the broadcast hop join (the axiom-
     list fast path), False forces a co-partitioned shuffle join (the
     100x-scale path — the persisted `rest` slice shuffles ONCE and every
-    hop reuses its partitioning), None probes the cell count with a
-    bounded ``limit().count()`` and picks.
+    hop reuses its partitioning), None auto-decides: first from the
+    Catalyst size-in-bytes estimate when it is real (parquet footers /
+    cached relations — the signal ``autoBroadcastJoinThreshold`` reads,
+    no job), so a bulk-data list graph read from files lands on the
+    shuffle path without ever being scanned; when Catalyst only has its
+    Long.MaxValue default (mid-pipeline fixtures), a bounded
+    ``limit().count()`` probe runs once per semantic plan (memoized for
+    the session).
     """
     firsts = triples.filter(F.col("pred") == RDF.first).select(
         F.col("subj").alias("cell"), F.col("obj").alias("item")
@@ -49,10 +86,7 @@ def unroll_lists(
         F.col("subj").alias("cell"), F.col("obj").alias("next")
     )
     if broadcast_rests is None:
-        broadcast_rests = (
-            rests.limit(BROADCAST_LIST_CELLS + 1).count()
-            <= BROADCAST_LIST_CELLS
-        )
+        broadcast_rests = _auto_broadcast(rests)
     if broadcast_rests:
         rests_j = F.broadcast(rests)
     else:
