@@ -8163,9 +8163,12 @@ ORDER BY subj, cls, rule
     sql["page_text_extract"] = KGO.page_text_extract_sql(_KG_PAGES)
 
     # zlib lengths computed at build time by plain Python over the same
-    # parquet the driver's view reads (DuckDB has no zlib scalar);
-    # rows-only fallback when the canonical sf0.01 dir is unreadable.
-    _cr = textstats.compression_ratio_oracle("/root/testdata/sf0.01")
+    # parquet the driver's view reads (DuckDB has no zlib scalar),
+    # content-keyed so the one string covers the driver's sf0.01 gate
+    # and the sf0.001 parity tests; rows-only fallback when unreadable.
+    _cr = textstats.compression_ratio_oracle(
+        ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    )
     if _cr is not None:
         sql["compression_ratio"] = _cr
 

@@ -1470,40 +1470,47 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
     )
 
 
-def compression_ratio_oracle(sf_dir: str) -> str | None:
+def compression_ratio_oracle(sf_dirs: list[str]) -> str | None:
     """DuckDB twin of :func:`compression_ratio`.  DuckDB has no zlib
     scalar, so the deterministic per-doc compressed length is computed
     HERE, at oracle-build time, by plain Python over the same parquet
     the driver's ``documents`` view reads (an independent single-node
     implementation of the contract vs the Arrow/mapInPandas path), and
-    embedded as a VALUES join; ``n_bytes``/``ratio`` are re-derived in
-    SQL from the view's text.  ``oracle_sql()`` runs fresh inside every
-    driver round, so the embedded lengths always describe the same file
-    content the view serves.  Returns None (rows-only fallback) when
-    the parquet is unreadable."""
+    embedded as a VALUES table keyed by ``md5(text)`` — content-keyed,
+    so ONE oracle string serves every scale whose texts were sampled
+    (the driver's sf0.01 gate and the sf0.001 parity tests).
+    ``oracle_sql()`` runs fresh inside every driver round, so the
+    embedded lengths always describe the same file content the view
+    serves.  Returns None (rows-only fallback) when no parquet is
+    readable."""
+    import hashlib
     import zlib
 
-    try:
-        import duckdb
+    pairs: dict[str, int] = {}
+    for sf_dir in sf_dirs:
+        try:
+            import duckdb
 
-        rows = duckdb.connect().execute(
-            "SELECT doc_id, coalesce(text, '') FROM "
-            f"'{sf_dir}/documents.parquet' ORDER BY doc_id"
-        ).fetchall()
-    except Exception:
+            rows = duckdb.connect().execute(
+                "SELECT coalesce(text, '') FROM "
+                f"'{sf_dir}/documents.parquet'"
+            ).fetchall()
+        except Exception:
+            continue
+        for (t,) in rows:
+            b = t.encode("utf-8")
+            pairs[hashlib.md5(b).hexdigest()] = len(zlib.compress(b, 6))
+    if not pairs:
         return None
-    vals = ", ".join(
-        f"({did}, {len(zlib.compress(t.encode('utf-8'), 6))})"
-        for did, t in rows
-    )
+    vals = ", ".join(f"('{h}', {n})" for h, n in sorted(pairs.items()))
     return f"""
-WITH z(doc_id, n_compressed) AS (VALUES {vals})
+WITH z(h, n_compressed) AS (VALUES {vals})
 SELECT d.doc_id,
   octet_length(encode(coalesce(d.text, ''))) ::BIGINT AS n_bytes,
   z.n_compressed::BIGINT AS n_compressed,
   z.n_compressed / greatest(
     octet_length(encode(coalesce(d.text, ''))), 1)::DOUBLE AS ratio
-FROM documents d JOIN z USING (doc_id)
+FROM documents d JOIN z ON md5(coalesce(d.text, '')) = z.h
 ORDER BY doc_id"""
 
 
