@@ -78,14 +78,22 @@ def get_spark(
         # 209s on the same job) — oversized G1 heaps hurt in this VM.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # LOCAL-ONLY tuning (a real cluster keeps the defaults): shuffle
-        # blocks land in the OS page cache, so LZ4 framing is pure CPU
-        # overhead, and there is exactly one executor, so locality wait
-        # only delays task launch.  Interleaved A/B over the 12 heaviest
-        # sf0.1 legs: 78.2/79.2/69.3 s default vs 73.1/72.1/65.5 s with
-        # these three — a consistent ~7-9% with no leg regressing.
-        .config("spark.shuffle.compress", "false")
-        .config("spark.shuffle.spill.compress", "false")
+        # Shuffle compression stays at the Spark default (ON): an A/B
+        # at 2M pages / local[8] measured 53.9 s compressed vs 70.1 s
+        # uncompressed — at real shuffle volumes the LZ4 CPU buys back
+        # multiples in I/O, here and on any cluster.  (An earlier
+        # tiny-leg suite win from disabling it did not replicate across
+        # host-noise windows; env knob kept for measurement only.)
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
+        )
+        # single executor in local mode — locality levels don't exist,
+        # so any wait only delays task launch
         .config("spark.locality.wait", "0")
     )
     spark = builder.getOrCreate()
