@@ -29,33 +29,88 @@ BROADCAST_LIST_BYTES = 64 << 20
 #: pairs is tens of MB serialized).
 BROADCAST_LIST_CELLS = 1_000_000
 
+#: cons-cell count at or under which the whole walk runs on the driver
+#: (one collect of two tiny slices instead of max_len probe-bounded
+#: join rounds — the iterative plan's FIXED job overhead is ~5 s at
+#: fixture scale for 9 cells; the driver walk is ~0.2 s).  Ontology
+#: axiom lists live 3 orders of magnitude under this; the same
+#: driver-scale altitude as chain definitions, which downstream
+#: reasoning collects anyway.
+DRIVER_WALK_CELLS = 10_000
+
 #: Catalyst propagates Long.MaxValue-ish products through joins/unions
 #: when a leaf has no real statistics; estimates past this are treated
 #: as "unknown", not "huge".
 _STATS_TRUSTED_MAX = 1 << 50
 
-#: probe memo keyed by the slice's semantic plan hash — the same
-#: fixture/graph decoded twice in one session probes once.
-_PROBE_MEMO: dict[int, bool] = {}
+#: bounded-count memo keyed by the slice's semantic plan hash — the
+#: same fixture/graph decoded twice in one session probes once.  Values
+#: are min(count, BROADCAST_LIST_CELLS + 1).
+_PROBE_MEMO: dict[int, int] = {}
 
 
-def _auto_broadcast(rests: DataFrame) -> bool:
-    """Size the `rest` slice without scanning it when possible (see
-    ``unroll_lists`` docstring for the full policy)."""
+def _bounded_cells(rests: DataFrame) -> int | None:
+    """min(cell count, cap + 1) via a memoized bounded probe; None when
+    the JVM plan is unreachable."""
     try:
-        qe = rests._jdf.queryExecution()
-        est = int(qe.optimizedPlan().stats().sizeInBytes())
-        if est < _STATS_TRUSTED_MAX:
-            return est <= BROADCAST_LIST_BYTES
-        key = qe.analyzed().semanticHash()
+        key = rests._jdf.queryExecution().analyzed().semanticHash()
     except Exception:
-        return True  # no JVM plan access -> axiom-scale default
+        return None
     if key not in _PROBE_MEMO:
-        _PROBE_MEMO[key] = (
-            rests.limit(BROADCAST_LIST_CELLS + 1).count()
-            <= BROADCAST_LIST_CELLS
-        )
+        _PROBE_MEMO[key] = rests.limit(BROADCAST_LIST_CELLS + 1).count()
     return _PROBE_MEMO[key]
+
+
+def _trusted_bytes(rests: DataFrame) -> int | None:
+    """Catalyst size estimate when real (parquet footers / cached
+    relations — the signal ``autoBroadcastJoinThreshold`` reads, no
+    job); None when it is the Long.MaxValue join-product default."""
+    try:
+        est = int(
+            rests._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    return est if est < _STATS_TRUSTED_MAX else None
+
+
+def _walk_on_driver(
+    firsts: DataFrame, rests: DataFrame, max_len: int
+) -> DataFrame:
+    """Collect the two slices and replay the hop-join semantics in
+    Python: same frontier rule (every first-cell starts a walk, rest
+    pointers followed to nil or ``max_len``), same inner-join fan-out
+    on malformed duplicate first/rest edges, same non-head filter."""
+    from collections import defaultdict
+
+    spark = firsts.sparkSession
+    items = defaultdict(list)
+    for r in firsts.collect():
+        items[r["cell"]].append(r["item"])
+    nexts = defaultdict(list)
+    targets = set()
+    for r in rests.collect():
+        nexts[r["cell"]].append(r["next"])
+        targets.add(r["next"])
+    rows = []
+    for head in items:
+        if head in targets:  # not a true head
+            continue
+        frontier = [head]
+        for pos in range(max_len):
+            nxt = []
+            for cell in frontier:
+                for it in items.get(cell, ()):
+                    rows.append((head, pos, it))
+                for t in nexts.get(cell, ()):
+                    if t != RDF.nil:
+                        nxt.append(t)
+            if not nxt or pos == max_len - 1:
+                break
+            frontier = nxt
+    return spark.createDataFrame(
+        rows, "head string, pos int, item string"
+    )
 
 
 def unroll_lists(
@@ -70,14 +125,16 @@ def unroll_lists(
     ``broadcast_rests``: True forces the broadcast hop join (the axiom-
     list fast path), False forces a co-partitioned shuffle join (the
     100x-scale path — the persisted `rest` slice shuffles ONCE and every
-    hop reuses its partitioning), None auto-decides: first from the
-    Catalyst size-in-bytes estimate when it is real (parquet footers /
-    cached relations — the signal ``autoBroadcastJoinThreshold`` reads,
-    no job), so a bulk-data list graph read from files lands on the
-    shuffle path without ever being scanned; when Catalyst only has its
-    Long.MaxValue default (mid-pipeline fixtures), a bounded
-    ``limit().count()`` probe runs once per semantic plan (memoized for
-    the session).
+    hop reuses its partitioning), None auto-decides in three tiers:
+    a Catalyst size estimate, when real (parquet footers / cached
+    relations — no job), sends bulk-data list graphs straight to the
+    shuffle path without a scan; otherwise a bounded ``limit().count()``
+    probe (memoized per semantic plan) picks the tier — and slices of
+    at most :data:`DRIVER_WALK_CELLS` cells skip the iterative plan
+    entirely for a driver-side walk (axiom lists are driver-scale by
+    the same argument that lets downstream reasoning collect chain
+    definitions; the iterative plan's fixed per-round job overhead
+    dwarfs 10k cells of Python).
     """
     firsts = triples.filter(F.col("pred") == RDF.first).select(
         F.col("subj").alias("cell"), F.col("obj").alias("item")
@@ -86,7 +143,17 @@ def unroll_lists(
         F.col("subj").alias("cell"), F.col("obj").alias("next")
     )
     if broadcast_rests is None:
-        broadcast_rests = _auto_broadcast(rests)
+        tb = _trusted_bytes(rests)
+        if tb is not None and tb > BROADCAST_LIST_BYTES:
+            broadcast_rests = False
+        else:
+            n = _bounded_cells(rests)
+            if n is None:
+                broadcast_rests = True  # no JVM plan access
+            elif n <= DRIVER_WALK_CELLS:
+                return _walk_on_driver(firsts, rests, max_len)
+            else:
+                broadcast_rests = n <= BROADCAST_LIST_CELLS
     if broadcast_rests:
         rests_j = F.broadcast(rests)
     else:
