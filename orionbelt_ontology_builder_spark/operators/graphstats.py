@@ -134,18 +134,18 @@ def pagerank(
     # round's dangling anti-join: checkpoint both once so the per-round
     # plans start from materialized tables instead of re-running the
     # distinct-union / edge aggregation shuffles each iteration.
-    nodes = _nodes(edges).localCheckpoint(eager=True)
+    nodes = _nodes(edges).localCheckpoint(eager=False)
     n = nodes.count()
     out_d = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # edges pre-joined with source out-degree: reused every iteration
     ej = (
         edges.join(
             out_d.select(F.col("node").alias("src"), "out_deg"), "src"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
@@ -169,7 +169,7 @@ def pagerank(
                     * (F.coalesce("c", F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.orderBy("node")
 
@@ -985,8 +985,8 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     collect (the ``pagerank`` dangling-mass pattern).  Per iteration:
     two edge⋈score joins + two key-partitioned sums; eager checkpoint
     truncates each round's lineage."""
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    nodes = _nodes(e).localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = _nodes(e).localCheckpoint(eager=False)
     h = nodes.select("node", F.lit(1.0).alias("hub"))
     a = None
     for _ in range(iters):
@@ -1023,7 +1023,7 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
                 "node",
                 (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("hub"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         nodes.join(h, "node").join(a, "node")
@@ -1416,8 +1416,8 @@ def hyperball_reach(edges: DataFrame, t: int = 3) -> DataFrame:
     column here is the fixture-scale truth harness), HyperBall is
     O(n * m) flat.  Estimator identical to sketches.hll_distinct
     (integer harmonic sum, linear-counting small-range branch)."""
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    nodes = _nodes(e).localCheckpoint(eager=True)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = _nodes(e).localCheckpoint(eager=False)
     h = F.md5(F.col("seen"))
     w = F.conv(F.substring(h, 2, 6), 16, 10).cast("long")
     rho = (
@@ -1440,7 +1440,7 @@ def hyperball_reach(edges: DataFrame, t: int = 3) -> DataFrame:
                 ).select(F.col("src").alias("node"), "seen")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         regs = (
             regs.unionByName(
@@ -1451,7 +1451,7 @@ def hyperball_reach(edges: DataFrame, t: int = 3) -> DataFrame:
             )
             .groupBy("node", "bucket")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     exact = ball.groupBy("node").agg(
         F.countDistinct("seen").alias("exact_reach")
@@ -2122,7 +2122,7 @@ def node2vec_walks(
         .withColumn(
             "out_deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     und = dedges.select(
         F.least("src", "dst").alias("ua"), F.greatest("src", "dst").alias("ub")
@@ -2154,7 +2154,7 @@ def node2vec_walks(
             F.col("dst").alias("cur"),
         )
     )
-    frontier = pick1.localCheckpoint(eager=True)
+    frontier = pick1.localCheckpoint(eager=False)
     out = out.unionByName(
         frontier.select(
             "walk_id", F.lit(1).alias("step"), F.col("cur").alias("node")
@@ -2219,7 +2219,7 @@ def node2vec_walks(
                 F.col("x").alias("cur"),
             )
         )
-        frontier = picked.localCheckpoint(eager=True)
+        frontier = picked.localCheckpoint(eager=False)
         out = out.unionByName(
             frontier.select(
                 "walk_id", F.lit(s).alias("step"), F.col("cur").alias("node")
