@@ -283,3 +283,44 @@ def test_host_reciprocity_bounds(spark, pages_df):
     for r in rows:
         assert 0 <= r["n_reciprocal"] <= r["n_out_hosts"] or r["n_out_hosts"] == 0
         assert 0.0 <= r["reciprocity"] <= 1.0
+
+
+def test_numeric_suffix_guard_blocks_containment_merges(spark):
+    """BENCH r4: at 400k entities the false-merge mode is digit-suffix
+    containment ('...Trans18479' vs '...Trans184794', shingle Jaccard
+    0.90-0.96) — no threshold separates it.  The guard must (a) still
+    link every alias variant of one entity (identical normalized
+    strings) and (b) never link mentions whose trailing digit runs
+    differ, even at J >= 0.9."""
+    from orionbelt_ontology_builder_spark.pipeline import linking as L
+
+    mentions = spark.createDataFrame(
+        [
+            # entity 18479: three alias surface forms
+            ("EmberMillsTrans18479",),
+            ("Ember MillsTrans18479",),
+            ("EmberMillsTrans-18479",),
+            # entity 184794: containment trap (J ~0.94 vs the above)
+            ("EmberMillsTrans184794",),
+            ("Ember MillsTrans184794",),
+            ("EmberMillsTrans-184794",),
+        ],
+        "mention string",
+    )
+    pairs = L.verified_same_as(mentions, jaccard_threshold=0.9).collect()
+    sfx = lambda m: m.replace(" ", "").replace("-", "")[-6:]
+    cross = [r for r in pairs if sfx(r["m1"]) != sfx(r["m2"])]
+    assert cross == [], f"containment pairs leaked: {cross}"
+    # every same-entity alias pair linked (3 aliases -> 3 pairs each)
+    import itertools
+
+    linked = {(r["m1"], r["m2"]) for r in pairs}
+    for ent in ("18479", "184794"):
+        forms = sorted(m for (m,) in mentions.collect() if m.endswith(ent))
+        for a, b in itertools.combinations(forms, 2):
+            assert (a, b) in linked or (b, a) in linked, (a, b)
+    # guard off reproduces the trap (documents WHY the guard exists)
+    raw = L.verified_same_as(
+        mentions, jaccard_threshold=0.9, numeric_suffix_guard=False
+    ).collect()
+    assert any(sfx(r["m1"]) != sfx(r["m2"]) for r in raw)
