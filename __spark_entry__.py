@@ -4858,13 +4858,10 @@ def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: queries whose oracle was ADDED or FIXED this round — they need a
 #: fresh driver row regardless of sampling history, so they go first.
-_PRIORITY = [
-    "kg_edges", "kg_canonical_map", "kg_class_hierarchy",
-    "page_text_extract", "warc_records", "robots_rules",
-    "scd2_intervals", "kg_triple_history", "delete_impact",
-    "source_mix", "curation_pipeline", "compression_ratio",
-    "upper_ontology_stats", "media_png_stats",
-]
+#: Self-retiring: a name drops out of the priority slot automatically
+#: once a driver CORRECTNESS file records it green (see queries()), so
+#: stale entries can never waste window slots across rounds.
+_PRIORITY: list[str] = []
 
 
 def _driver_seen() -> set[str]:
@@ -4899,9 +4896,9 @@ def _driver_seen() -> set[str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _queries_raw()
-    seen = _driver_seen() - set(_PRIORITY)
-    pri = [n for n in _PRIORITY if n in q]
-    unseen = [n for n in q if n not in seen and n not in _PRIORITY]
+    seen = _driver_seen()
+    pri = [n for n in _PRIORITY if n in q and n not in seen]
+    unseen = [n for n in q if n not in seen and n not in pri]
     green = [n for n in q if n in seen]
     return {
         name: (_wide(q[name]) if name in _SF_SCALE else _tiny(q[name]))
@@ -8164,23 +8161,52 @@ ORDER BY subj, cls, rule
 
     # zlib lengths computed at build time by plain Python over the same
     # parquet the driver's view reads (DuckDB has no zlib scalar),
-    # content-keyed so the one string covers the driver's sf0.01 gate
-    # and the sf0.001 parity tests; rows-only fallback when unreadable.
-    _cr = textstats.compression_ratio_oracle(
-        ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    # content-keyed over EVERY sf dir present (plus $SPARK_GRAFT_SF_DIR)
+    # so the one string covers whatever scale the driver serves;
+    # rows-only fallback when no parquet is readable.
+    import glob as _glob
+    import os
+
+    _cr_dirs = sorted(
+        {
+            *(
+                os.path.dirname(p)
+                for p in _glob.glob("/root/testdata/sf*/documents.parquet")
+            ),
+            *filter(None, [os.environ.get("SPARK_GRAFT_SF_DIR")]),
+        }
     )
+    _cr = textstats.compression_ratio_oracle(_cr_dirs)
     if _cr is not None:
         sql["compression_ratio"] = _cr
 
     # golden stats of the frozen gist modules (required + default):
     # classes/object_properties/data_properties/individuals/restrictions
     # independently confirmed by regex declaration counts over the raw
-    # Turtle (177/66/50/0/109); total_triples pinned as the regression
-    # value of the parse.
-    sql["upper_ontology_stats"] = """
+    # Turtle (177/66/50/0/109); total_triples derived at oracle-build
+    # time by the INDEPENDENT separator-counting statement counter
+    # (sources/stmtcount.py — no shared code with the Turtle parser),
+    # falling back to the 3409 regression pin if the samples are
+    # unreadable in the driver environment.
+    try:
+        from orionbelt_ontology_builder_spark import templates as _T
+        from orionbelt_ontology_builder_spark.sources import (
+            stmtcount as _SC,
+        )
+
+        _gist_total = sum(
+            _SC.count_turtle_statements(
+                _T.load_upper_ontology_module(_m)
+            )
+            for _m in _T.UPPER_ONTOLOGIES[0]["modules"]
+            if _m.get("required") or _m.get("default")
+        )
+    except OSError:
+        _gist_total = 3409
+    sql["upper_ontology_stats"] = f"""
 SELECT 177::BIGINT AS classes, 66::BIGINT AS object_properties,
        50::BIGINT AS data_properties, 0::BIGINT AS individuals,
        109::BIGINT AS restrictions, 0::BIGINT AS concept_schemes,
-       0::BIGINT AS concepts, 3409::BIGINT AS total_triples"""
+       0::BIGINT AS concepts, {_gist_total}::BIGINT AS total_triples"""
 
     return sql

@@ -73,14 +73,14 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     built JVM-side (encode/concat, no Python), so the binary column is
     a real Tungsten binary, not a Python artifact.
     """
-    blob = F.concat(
-        F.lit(HEADER), F.encode(F.col("text"), "utf-8")
-    ).alias("blob")
+    # NULL text reads as '' (matches the oracles' coalesce(text, ''))
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    blob = F.concat(F.lit(HEADER), F.encode(txt, "utf-8")).alias("blob")
     return docs.select(
         "doc_id",
         blob,
         F.lit("image/x-fake").alias("mime"),
-        (F.length(F.col("text")) + len(HEADER)).alias("n_bytes"),
+        (F.length(txt) + len(HEADER)).alias("n_bytes"),
     )
 
 
@@ -413,9 +413,9 @@ def extract_features_oracle() -> str:
     h = HEADER.decode()
     return f"""
 SELECT doc_id,
-  len(text) + {len(HEADER)} AS n_bytes,
+  len(coalesce(text, '')) + {len(HEADER)} AS n_bytes,
   1 AS header_ok,
-  md5('{h}' || text) AS content_md5
+  md5('{h}' || coalesce(text, '')) AS content_md5
 FROM documents ORDER BY doc_id
 """
 
@@ -519,7 +519,7 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
         + b"data"
         + struct.pack("<I", WAV_N_BYTES)
     )
-    hs = [F.md5(F.encode(F.col("text"), "utf-8"))]
+    hs = [F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))]
     for _ in range(3):
         hs.append(F.md5(F.encode(hs[-1], "utf-8")))
     return docs.select(
@@ -580,8 +580,8 @@ def decode_audio_stats_oracle() -> str:
     return f"""
 WITH pay AS (
   SELECT doc_id,
-    md5(text) || md5(md5(text)) || md5(md5(md5(text)))
-      || md5(md5(md5(md5(text)))) AS hexs
+    md5(coalesce(text, '')) || md5(md5(coalesce(text, ''))) || md5(md5(md5(coalesce(text, ''))))
+      || md5(md5(md5(md5(coalesce(text, ''))))) AS hexs
   FROM documents),
 s AS (
   SELECT doc_id, hexs,
@@ -650,7 +650,7 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
     (the engineering notes: md5 outside aggs), byte-deterministic, and ASCII-only,
     so DuckDB recomputes every decoded statistic from the identical
     construction without ever touching a blob."""
-    hs = [F.md5(F.encode(F.col("text"), "utf-8"))]
+    hs = [F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))]
     for _ in range(5):
         hs.append(F.md5(F.encode(hs[-1], "utf-8")))
     return docs.select(
@@ -679,7 +679,9 @@ def synthesize_png_media(docs: DataFrame, doc_id_offset: int = 0) -> DataFrame:
         for pdf in it:
             ids, blobs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = _md5_chain_payload(str(text))
+                payload = _md5_chain_payload(
+                    text if isinstance(text, str) else ""
+                )
                 px = np.frombuffer(
                     payload.encode("ascii"), dtype=np.uint8
                 ).reshape(PPM_H, PPM_W, 3)
@@ -750,10 +752,10 @@ def decode_image_stats_oracle() -> str:
     return f"""
 WITH pay AS (
   SELECT doc_id,
-    md5(text) || md5(md5(text)) || md5(md5(md5(text)))
-      || md5(md5(md5(md5(text))))
-      || md5(md5(md5(md5(md5(text)))))
-      || md5(md5(md5(md5(md5(md5(text)))))) AS payload
+    md5(coalesce(text, '')) || md5(md5(coalesce(text, ''))) || md5(md5(md5(coalesce(text, ''))))
+      || md5(md5(md5(md5(coalesce(text, '')))))
+      || md5(md5(md5(md5(md5(coalesce(text, ''))))))
+      || md5(md5(md5(md5(md5(md5(coalesce(text, ''))))))) AS payload
   FROM documents),
 s AS (
   SELECT doc_id, payload,
@@ -770,8 +772,9 @@ FROM s ORDER BY doc_id
 def sample_frames_oracle(n_frames: int = N_FRAMES) -> str:
     """DuckDB twin of the chunking arithmetic over the ASCII payload."""
     return f"""
-WITH d AS (SELECT doc_id, text, len(text) AS n,
-                  greatest(1, len(text) // {n_frames}) AS step
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                  len(coalesce(text, '')) AS n,
+                  greatest(1, len(coalesce(text, '')) // {n_frames}) AS step
            FROM documents),
 f AS (
   SELECT doc_id, j AS frame_idx,

@@ -45,8 +45,13 @@ _STATS_TRUSTED_MAX = 1 << 50
 
 #: bounded-count memo keyed by the slice's semantic plan hash — the
 #: same fixture/graph decoded twice in one session probes once.  Values
-#: are min(count, BROADCAST_LIST_CELLS + 1).
+#: are min(count, BROADCAST_LIST_CELLS + 1).  Capped (FIFO) so a long
+#: session over many distinct graphs can't grow it unboundedly; a
+#: same-plan-hash graph whose underlying files were rewritten in-session
+#: re-probes after eviction (staleness accepted inside the cap — the
+#: memo only routes a tier choice, never a result).
 _PROBE_MEMO: dict[int, int] = {}
+_PROBE_MEMO_MAX = 256
 
 
 def _bounded_cells(rests: DataFrame) -> int | None:
@@ -57,6 +62,8 @@ def _bounded_cells(rests: DataFrame) -> int | None:
     except Exception:
         return None
     if key not in _PROBE_MEMO:
+        while len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
+            _PROBE_MEMO.pop(next(iter(_PROBE_MEMO)))
         _PROBE_MEMO[key] = rests.limit(BROADCAST_LIST_CELLS + 1).count()
     return _PROBE_MEMO[key]
 
@@ -158,7 +165,13 @@ def unroll_lists(
         rests_j = F.broadcast(rests)
     else:
         n_part = triples.sparkSession.sparkContext.defaultParallelism
-        rests_j = rests.repartition(n_part, "cell").persist()
+        # lazy localCheckpoint, not persist(): same one-shuffle reuse
+        # across hops, but the blocks drop with the reference via the
+        # ContextCleaner instead of leaking in the cache manager across
+        # repeated unroll_lists calls in one session.
+        rests_j = rests.repartition(n_part, "cell").localCheckpoint(
+            eager=False
+        )
     # walk: start at every cell, then follow `rest` pointers, tagging
     # position.  Each round's frontier takes a LAZY localCheckpoint:
     # round k then builds on round k-1's materialized blocks instead

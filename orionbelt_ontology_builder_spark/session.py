@@ -64,8 +64,11 @@ def get_spark(
         # lets the scheduler rebalance — the standard 2-3 tasks/core
         # guidance, and measurably better scaling on shared hosts
         shuffle_partitions = max(2 * cpus, 8)
+    # SPARK_GRAFT_MASTER lets spark-submit runs point this builder at a
+    # real cluster; local-mode-only tunings below are gated on it.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -92,10 +95,12 @@ def get_spark(
             "spark.shuffle.spill.compress",
             os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
         )
-        # single executor in local mode — locality levels don't exist,
-        # so any wait only delays task launch
-        .config("spark.locality.wait", "0")
     )
+    if master.startswith("local"):
+        # single executor in local mode — locality levels don't exist,
+        # so any wait only delays task launch.  On a real cluster the
+        # default wait preserves data-local scheduling; don't zero it.
+        builder = builder.config("spark.locality.wait", "0")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -88,3 +88,42 @@ def test_roundtrip_exact(spark, fname):
                      (SER.to_jsonld, PAR.parse_jsonld)]:
         back = par(ser(rows))
         assert sorted(set(back)) == sorted(set(rows))
+
+
+@pytest.mark.parametrize(
+    "fname",
+    [
+        "geography-thesaurus.ttl",
+        "prov-o.ttl",
+        "gist/gistCore14.1.0.ttl",
+        "gist/gistRdfsAnnotations14.1.0.ttl",
+        "gist/gistSubClassAssertions14.1.0.ttl",
+        "gist/gistMediaTypes14.1.0.ttl",
+    ],
+)
+def test_statement_counter_matches_parser(spark, fname):
+    """The independent separator-counting statement counter
+    (sources/stmtcount.py) agrees with the Turtle parser's triple count
+    on every sample Turtle file — the cross-check that keeps the
+    upper_ontology_stats oracle's total_triples column from being
+    self-certified by the parser it grades."""
+    from orionbelt_ontology_builder_spark.sources import stmtcount as SC
+
+    text = open(os.path.join(SAMPLES, fname), encoding="utf-8").read()
+    independent = SC.count_turtle_statements(text)
+    parsed = PAR.parse(spark, text, "ttl").count()
+    assert independent == parsed
+
+
+def test_gist_total_triples_derivation():
+    """oracle_sql()'s upper_ontology_stats total_triples equals the
+    independent counter's sum over required+default gist modules."""
+    from orionbelt_ontology_builder_spark import templates as T
+    from orionbelt_ontology_builder_spark.sources import stmtcount as SC
+
+    total = sum(
+        SC.count_turtle_statements(T.load_upper_ontology_module(m))
+        for m in T.UPPER_ONTOLOGIES[0]["modules"]
+        if m.get("required") or m.get("default")
+    )
+    assert total == 3409  # the parser-independent regression value
