@@ -324,3 +324,69 @@ def test_numeric_suffix_guard_blocks_containment_merges(spark):
         mentions, jaccard_threshold=0.9, numeric_suffix_guard=False
     ).collect()
     assert any(sfx(r["m1"]) != sfx(r["m2"]) for r in raw)
+
+
+def test_suffix_guard_agreement_across_normalization_classes(spark):
+    """Property sweep (VERDICT r4 #8): the guard's zero-recall argument
+    is 'true alias variants normalize to the IDENTICAL string, so their
+    trailing digit runs agree'.  That argument depends on the
+    normalizer: exhaustively mutate alias surfaces through every
+    documented normalization class — separator insertion (space /
+    hyphen / dot, each boundary position) and case flips — and assert,
+    against the Spark-side guard expression itself, that (a) all
+    variants of one surface normalize identically and (b) the guard key
+    (trailing digit run of the normalized surface) agrees across them,
+    including surfaces with INTERNAL digit runs, which must not leak
+    into the key.  The containment fixture rides along: distinct digit
+    suffixes must yield distinct guard keys."""
+    import itertools
+
+    stems = [
+        ("EmberMillsTrans", "18479"),
+        ("EmberMillsTrans", "184794"),   # containment counterpart
+        ("Mk2VariantCorp", "0042"),      # internal digit run
+        ("Delta9Gamma7Works", "7"),      # multiple internal runs
+        ("PlainStem", "900001"),
+    ]
+    rows = []
+    for ent, (stem, sfx) in enumerate(stems):
+        base = stem + sfx
+        variants = {base}
+        # separator classes at every insertion boundary
+        for sep, pos in itertools.product(" -.", range(1, len(base))):
+            variants.add(base[:pos] + sep + base[pos:])
+        # case-flip classes (normalizer lowercases)
+        variants.add(base.upper())
+        variants.add(base.lower())
+        variants.add(
+            "".join(
+                c.upper() if i % 2 else c.lower()
+                for i, c in enumerate(base)
+            )
+        )
+        rows += [(ent, v) for v in sorted(variants)]
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "ent int, mention string")
+    norm = F.translate(F.lower(F.col("mention")), " -.", "")
+    key = F.regexp_extract(norm, "([0-9]+)$", 1)  # the guard expression
+    got = (
+        df.groupBy("ent")
+        .agg(
+            F.countDistinct(norm).alias("n_norm"),
+            F.countDistinct(key).alias("n_key"),
+            F.min(key).alias("key"),
+        )
+        .orderBy("ent")
+        .collect()
+    )
+    for r in got:
+        assert r["n_norm"] == 1, f"normalizer split entity {r['ent']}"
+        assert r["n_key"] == 1, f"guard key split entity {r['ent']}"
+    keys = {r["ent"]: r["key"] for r in got}
+    # trailing-run semantics: internal digit runs stay out of the key
+    assert keys[2] == "0042" and keys[3] == "7"
+    # containment pair separated by the guard key
+    assert keys[0] == "18479" and keys[1] == "184794"
+    assert keys[0] != keys[1]
