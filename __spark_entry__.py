@@ -3253,6 +3253,19 @@ def _q_media_png_stats(spark, sf_dir):
     )
 
 
+def _q_media_jpeg_stats(spark, sf_dir):
+    """REAL baseline-JPEG decode in the plan: Annex-K Huffman entropy
+    decode + dequant + float64 IDCT (datapipe/jpegcodec.py) inside
+    mapInPandas over synthesized constant-block JPEGs carrying the
+    chained-md5 payload.  Constant blocks + all-ones quant make the
+    lossy codec bit-exact, so the DuckDB oracle recomputes every
+    decoded statistic from the payload arithmetic — a hash match
+    proves the full entropy-decode + IDCT path."""
+    return multimodal.decode_jpeg_block_stats(
+        multimodal.synthesize_jpeg_media(_docs(spark, sf_dir))
+    )
+
+
 def _q_media_audio_stats(spark, sf_dir):
     """REAL audio decode in the plan: synthesized RIFF/WAVE 16-bit PCM
     blobs (JVM-side header + unhex(chained md5) samples) decoded by
@@ -4325,7 +4338,7 @@ _SF_SCALE = {
     "ann_cosine_topk", "ann_ivf_topk", "ann_recall", "mutual_nn_pairs",
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "media_image_stats",
-    "media_audio_stats", "media_png_stats",
+    "media_audio_stats", "media_png_stats", "media_jpeg_stats",
     "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "weighted_sample", "grouped_split", "mixture_weights",
@@ -4861,7 +4874,7 @@ def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Self-retiring: a name drops out of the priority slot automatically
 #: once a driver CORRECTNESS file records it green (see queries()), so
 #: stale entries can never waste window slots across rounds.
-_PRIORITY: list[str] = []
+_PRIORITY: list[str] = ["media_jpeg_stats"]
 
 
 def _driver_seen() -> set[str]:
@@ -5190,6 +5203,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "media_image_stats": _q_media_image_stats,
         "media_png_stats": _q_media_png_stats,
+        "media_jpeg_stats": _q_media_jpeg_stats,
         "media_audio_stats": _q_media_audio_stats,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
@@ -7543,6 +7557,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["media_frames"] = multimodal.sample_frames_oracle()
     sql["media_image_stats"] = multimodal.decode_image_stats_oracle()
     sql["media_png_stats"] = multimodal.decode_image_stats_oracle()
+    sql["media_jpeg_stats"] = multimodal.decode_jpeg_block_stats_oracle()
     sql["media_audio_stats"] = multimodal.decode_audio_stats_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()
     sql["pack_sequences"] = curation.pack_sequences_oracle()

@@ -385,6 +385,8 @@ def main() -> None:
         "sitemap_urls",
         # round 4 additions
         "media_png_stats",
+        # round 5 additions
+        "media_jpeg_stats",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

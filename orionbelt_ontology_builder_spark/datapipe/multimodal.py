@@ -8,13 +8,16 @@ Arrow-batched ``mapInPandas`` stages (zero-copy-ish byte transfer, no
 per-row Python).
 
 The default decode path is REAL: a pure-NumPy codec for the
-uncompressed public formats (binary PPM/PGM, 24-bpp BMP) with
-encode/decode round-trip laws, driven by ``decode_image_stats`` inside
-``mapInPandas``.  Compressed codecs (PNG/JPEG/GIF/WEBP) require
-Pillow, which this container does not ship — those raise
-``NotImplementedError`` honestly.  A deterministic fake container
-(``FAKEIMG0``) additionally exercises the plumbing with
-DuckDB-recomputable features (md5 over the same byte string).
+uncompressed public formats (binary PPM/PGM, 24-bpp BMP), PNG
+(stdlib-zlib inflate + all five unfilters) and sequential-baseline
+grayscale JPEG (:mod:`.jpegcodec`: Annex-K Huffman, zigzag RLE,
+dequant, float64 IDCT), with encode/decode round-trip laws, driven by
+``decode_image_stats`` / ``decode_jpeg_block_stats`` inside
+``mapInPandas``.  GIF/WEBP entropy coders require Pillow, which this
+container does not ship — those raise ``NotImplementedError``
+honestly.  A deterministic fake container (``FAKEIMG0``) additionally
+exercises the plumbing with DuckDB-recomputable features (md5 over the
+same byte string).
 """
 
 from __future__ import annotations
@@ -355,10 +358,12 @@ def _decode_png(blob: bytes):
 def decode_image(blob: bytes):
     """Decode an image blob to an (h, w, 3) uint8 NumPy array.
 
-    REAL paths: uncompressed PPM (P6) / PGM (P5) / 24-bpp BMP, and PNG
+    REAL paths: uncompressed PPM (P6) / PGM (P5) / 24-bpp BMP, PNG
     (stdlib zlib inflate + NumPy unfilter — 8-bit gray/RGB/palette/
-    alpha, all five scanline filters) — public byte formats, no codec
-    libraries.  JPEG/GIF/WEBP entropy coders need Pillow, which this
+    alpha, all five scanline filters), and sequential-baseline
+    grayscale JPEG (:mod:`.jpegcodec` — Annex-K Huffman + dequant +
+    float64 IDCT; gray replicates to RGB) — public byte formats, no
+    codec libraries.  GIF/WEBP entropy coders need Pillow, which this
     container does not ship; they raise ``NotImplementedError``
     honestly rather than faking pixels."""
     blob = bytes(blob)
@@ -368,9 +373,16 @@ def decode_image(blob: bytes):
         return _decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
-    if blob[:2] == b"\xff\xd8" or blob[:4] in (b"GIF8", b"RIFF"):
+    if blob[:2] == b"\xff\xd8":
+        import numpy as np
+
+        from . import jpegcodec
+
+        gray = jpegcodec.decode_jpeg_gray(blob)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    if blob[:4] in (b"GIF8", b"RIFF"):
         raise NotImplementedError(
-            "JPEG/GIF/WEBP entropy decode requires Pillow; "
+            "GIF/WEBP entropy decode requires Pillow; "
             "container ships without codecs"
         )
     raise ValueError("unrecognized image container")
@@ -692,6 +704,127 @@ def synthesize_png_media(docs: DataFrame, doc_id_offset: int = 0) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         batches, "doc_id long, blob binary"
     )
+
+
+#: JPEG synthesis geometry: 16x12 = 192 blocks of 8x8, one CONSTANT
+#: block per payload char -> 128x96 grayscale.  Constant blocks with an
+#: all-ones quant table make baseline JPEG bit-exact (DC = 8*(v-128),
+#: an exact multiple of 8; every AC coefficient rounds to 0), so the
+#: DuckDB oracle recomputes decoded statistics from the payload alone.
+JPEG_BLOCKS_W = 16
+JPEG_BLOCKS_H = 12
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): REAL sequential-baseline JPEGs whose 192
+    constant 8x8 blocks carry the chained-md5 ASCII payload (block
+    raster order == payload order).  Runs on the Arrow path — entropy
+    coding is per-doc CPU work no SQL builtin expresses."""
+    import numpy as np
+
+    from ..session import ship_package
+
+    from . import jpegcodec
+
+    ship_package(docs.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _md5_chain_payload(
+                    text if isinstance(text, str) else ""
+                )
+                vals = np.frombuffer(
+                    payload.encode("ascii"), dtype=np.uint8
+                ).reshape(JPEG_BLOCKS_H, JPEG_BLOCKS_W)
+                img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+                ids.append(int(doc_id))
+                blobs.append(jpegcodec.encode_jpeg_gray(img))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, blob binary"
+    )
+
+
+def decode_jpeg_block_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, px_sum, px_mean, block_md5): full
+    baseline-JPEG decode (Huffman -> dequant -> IDCT) inside
+    ``mapInPandas``, then whole-image statistics plus a block-raster
+    digest of the per-block means.  ``px_sum`` binds every decoded
+    pixel (all three replicated channels); ``block_md5`` binds the
+    block structure — for the synthesized constant-block media it
+    equals md5 of the generating payload, which is what the DuckDB
+    oracle recomputes from text."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "px_sum": [], "px_mean": [], "block_md5": [],
+        }
+        for pdf in it:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_image(bytes(blob))
+                h, w = arr.shape[0], arr.shape[1]
+                ch = arr[:, :, 0]
+                means = (
+                    ch.reshape(h // 8, 8, w // 8, 8)
+                    .mean(axis=(1, 3))
+                    .round()
+                    .astype("uint8")
+                )
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(arr.sum()))
+                out["px_mean"].append(int(arr.sum()) / float(arr.size))
+                out["block_md5"].append(
+                    hashlib.md5(means.tobytes()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", "blob")
+        .mapInPandas(
+            batches,
+            "doc_id long, width int, height int, px_sum long, "
+            "px_mean double, block_md5 string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decode_jpeg_block_stats_oracle() -> str:
+    """DuckDB twin: each payload char fills one constant 8x8 block in a
+    128x96 grayscale JPEG replicated to 3 channels, so px_sum is
+    64*3*sum(ascii), and the block-mean raster IS the payload."""
+    n = JPEG_BLOCKS_W * JPEG_BLOCKS_H               # 192 payload chars
+    px = n * 64 * 3                                 # total samples
+    return f"""
+WITH pay AS (
+  SELECT doc_id,
+    md5(coalesce(text, '')) || md5(md5(coalesce(text, '')))
+      || md5(md5(md5(coalesce(text, ''))))
+      || md5(md5(md5(md5(coalesce(text, '')))))
+      || md5(md5(md5(md5(md5(coalesce(text, ''))))))
+      || md5(md5(md5(md5(md5(md5(coalesce(text, ''))))))) AS payload
+  FROM documents),
+s AS (
+  SELECT doc_id, payload,
+         sum(ascii(substr(payload, g.i, 1)))::BIGINT AS a
+  FROM pay, generate_series(1, {n}) AS g(i)
+  GROUP BY doc_id, payload)
+SELECT doc_id, {JPEG_BLOCKS_W * 8}::INT AS width,
+       {JPEG_BLOCKS_H * 8}::INT AS height,
+       (a * 192)::BIGINT AS px_sum,
+       a * 192 / ({px}.0::DOUBLE) AS px_mean,
+       md5(payload) AS block_md5
+FROM s ORDER BY doc_id
+"""
 
 
 def _md5_chain_payload(text: str) -> str:

@@ -189,7 +189,10 @@ def test_media_frames_cover_payload(docs):
 
 
 def test_decode_image_entropy_codecs_still_stubbed():
-    with pytest.raises(NotImplementedError):
+    # GIF/WEBP stay honestly rejected (no Pillow in the container);
+    # JPEG is now a real baseline decoder — truncated input is a
+    # malformed-stream error, not a capability gap
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jfif")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"GIF89a.....")
@@ -2045,3 +2048,89 @@ def test_textrank_k_limit_and_tiebreak(spark):
     rows = TS.textrank_keywords(docs, k=3).collect()
     assert len(rows) == 3
     assert [r["term"] for r in rows] == ["alpha", "beta", "delta"]
+
+
+# ------------------------------------------------------------------ #
+# JPEG baseline codec (r5)
+# ------------------------------------------------------------------ #
+
+
+def test_jpeg_codec_roundtrips():
+    """Pure-NumPy baseline JPEG: constant 8x8 blocks with the all-ones
+    quant table round-trip BIT-EXACT (DC-only, exact multiples of 8);
+    arbitrary pixels bound by coefficient rounding; a real quant table
+    stays within quantization error on smooth content."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_spark.datapipe import jpegcodec as J
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, size=(12, 16))
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    assert np.array_equal(J.decode_jpeg_gray(J.encode_jpeg_gray(img)), img)
+
+    img2 = rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+    got = J.decode_jpeg_gray(J.encode_jpeg_gray(img2))
+    assert np.abs(got.astype(int) - img2.astype(int)).max() <= 1
+
+    qt = np.clip(np.arange(64) // 4 + 1, 1, 32)
+    x = np.linspace(0, 255, 64)
+    img3 = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    got3 = J.decode_jpeg_gray(J.encode_jpeg_gray(img3, qt))
+    assert np.abs(got3.astype(int) - img3.astype(int)).max() <= 2
+
+    # dispatch: decode_image expands grayscale to identical RGB planes
+    rgb = multimodal.decode_image(J.encode_jpeg_gray(img))
+    assert rgb.shape == (96, 128, 3)
+    assert np.array_equal(rgb[:, :, 0], img)
+    assert np.array_equal(rgb[:, :, 1], img)
+
+    # marker framing
+    blob = J.encode_jpeg_gray(img)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+
+
+def test_jpeg_unsupported_features_named():
+    import struct
+
+    import numpy as np
+
+    from orionbelt_ontology_builder_spark.datapipe import jpegcodec as J
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    blob = bytearray(J.encode_jpeg_gray(img))
+    # flip SOF0 (FFC0) to SOF2 (FFC2 progressive)
+    i = bytes(blob).index(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        J.decode_jpeg_gray(bytes(blob))
+    # 3-component SOF rejected
+    blob2 = bytearray(J.encode_jpeg_gray(img))
+    i = bytes(blob2).index(b"\xff\xc0")
+    blob2[i + 9] = 3  # Nf
+    with pytest.raises(NotImplementedError, match="single-component"):
+        J.decode_jpeg_gray(bytes(blob2))
+    # odd dims rejected by the encoder
+    with pytest.raises(ValueError):
+        J.encode_jpeg_gray(np.zeros((10, 8), dtype=np.uint8))
+
+
+def test_decode_jpeg_block_stats_real_decode(docs):
+    """Full Huffman+IDCT decode inside mapInPandas: stats equal the
+    payload arithmetic the DuckDB oracle recomputes."""
+    import hashlib as _hl
+
+    media = multimodal.synthesize_jpeg_media(docs)
+    stats = {r["doc_id"]: r for r in
+             multimodal.decode_jpeg_block_stats(media).collect()}
+    row0 = docs.filter(F.col("doc_id") == 0).first()
+    h = _hl.md5(row0["text"].encode()).hexdigest()
+    payload = h
+    for _ in range(5):
+        h = _hl.md5(h.encode()).hexdigest()
+        payload += h
+    s = stats[0]
+    assert (s["width"], s["height"]) == (128, 96)
+    assert s["px_sum"] == 192 * sum(payload.encode())
+    assert s["px_mean"] == s["px_sum"] / (128 * 96 * 3)
+    assert s["block_md5"] == _hl.md5(payload.encode()).hexdigest()
