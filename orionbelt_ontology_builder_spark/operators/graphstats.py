@@ -555,39 +555,40 @@ def modularity(edges: DataFrame, iters: int = 3) -> DataFrame:
 
 
 def modularity_sql(edges_cte: str, iters: int = 3) -> str:
-    """DuckDB twin: the identical LPA rounds (shared CTE chain) followed
-    by the same degree/community/intra aggregations; the q_contrib
-    expression tree matches the Spark side term-for-term so the doubles
-    are bit-stable."""
+    """DuckDB oracle from the INDEPENDENTLY-derived adjacency-sum form
+    of Newman modularity, Q = (1/2m)·Σ_ij [A_ij − k_i·k_j/2m]·δ(c_i,c_j)
+    (Newman 2004 eq. 2) — NOT a transcription of the Spark expression
+    tree: there is no degree table and no per-node aggregation here.
+    Over the doubled (symmetrized) edge list, d_c is simply the COUNT
+    of directed edges whose source lies in c, and the intra term is the
+    count of directed edges with both ends in c (= 2·e_c), so
+    q_contrib = intra_directed/2m − (d_c/2m)².  The two routes agree
+    bit-stably: 2e/2m and e/m are the same IEEE division (power-of-two
+    scaling is exact), and d_c/2m divides the same operands either way.
+    Only the community labels replay the LPA rounds — they ARE the
+    algorithm's definitional output."""
     rounds, prev = _lpa_round_ctes(iters)
     return f"""
 WITH {edges_cte.strip()},
 {_LPA_BASE_CTES}
 {rounds},
 lab AS MATERIALIZED (SELECT node, label FROM {prev}),
-tot AS (SELECT count(*)::DOUBLE AS m_d FROM und),
-deg AS (
-  SELECT node, count(*) AS deg
-  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
-  GROUP BY node),
+dbl AS (SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und),
+tot AS (SELECT count(*)::DOUBLE AS two_m FROM dbl),
+ends AS MATERIALIZED (
+  SELECT ls.label AS cs, lt.label AS ct
+  FROM dbl JOIN lab ls ON dbl.s = ls.node JOIN lab lt ON dbl.t = lt.node),
 comm AS (
-  SELECT l.label, count(*)::BIGINT AS n_nodes,
-         sum(d.deg)::BIGINT AS degree_sum
-  FROM deg d JOIN lab l ON d.node = l.node
-  GROUP BY l.label),
-intra AS (
-  SELECT la.label, count(*)::BIGINT AS intra_edges
-  FROM und u
-  JOIN lab la ON u.a = la.node
-  JOIN lab lb ON u.b = lb.node
-  WHERE la.label = lb.label
-  GROUP BY la.label)
-SELECT c.label, c.n_nodes, c.degree_sum,
-  coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
-  coalesce(i.intra_edges, 0) / t.m_d
-    - (c.degree_sum / (2.0 * t.m_d)) * (c.degree_sum / (2.0 * t.m_d))
-    AS q_contrib
-FROM comm c LEFT JOIN intra i ON c.label = i.label CROSS JOIN tot t
+  SELECT cs AS label,
+         count(*)::BIGINT AS degree_sum,
+         (count(*) FILTER (WHERE cs = ct))::BIGINT AS intra_directed
+  FROM ends GROUP BY cs),
+sizes AS (SELECT label, count(*)::BIGINT AS n_nodes FROM lab GROUP BY label)
+SELECT c.label, z.n_nodes, c.degree_sum,
+  (c.intra_directed / 2)::BIGINT AS intra_edges,
+  c.intra_directed / t.two_m
+    - (c.degree_sum / t.two_m) * (c.degree_sum / t.two_m) AS q_contrib
+FROM comm c JOIN sizes z ON c.label = z.label CROSS JOIN tot t
 ORDER BY c.label
 """
 
@@ -1375,7 +1376,20 @@ def assortativity(edges: DataFrame) -> DataFrame:
 
 
 def assortativity_sql(edges_cte: str) -> str:
-    """DuckDB twin; ``edges_cte`` must define ``edges(src, dst)``."""
+    """DuckDB oracle from Newman's 2002 EXPLICIT closed form (eq. 4),
+    independently derived — NOT the Spark route (corr() over the
+    doubled edge list):
+
+        r = [M⁻¹·Σ xy − (M⁻¹·Σ ½(x+y))²]
+          / [M⁻¹·Σ ½(x²+y²) − (M⁻¹·Σ ½(x+y))²]
+
+    with (x, y) the endpoint total-degrees of each UNDIRECTED edge
+    counted once (no symmetrization, no correlation aggregate).  The
+    two derivations agree because doubling the edges makes the x and y
+    marginals identical, collapsing Pearson's corr to exactly these
+    moments; integer sums feed the formula, so the only float steps are
+    the final divisions.  ``edges_cte`` must define
+    ``edges(src, dst)``."""
     return f"""
 WITH {edges_cte.strip()},
 und AS (
@@ -1385,12 +1399,17 @@ deg AS (
   SELECT node, count(*)::BIGINT AS deg FROM (
     SELECT a AS node FROM und UNION ALL SELECT b FROM und)
   GROUP BY node),
-sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
-pairs AS (
-  SELECT da.deg AS x, db.deg AS y
-  FROM sym JOIN deg da ON sym.a = da.node JOIN deg db ON sym.b = db.node)
-SELECT (count(*) / 2)::BIGINT AS n_edges, corr(x, y) AS assortativity
-FROM pairs
+mom AS (
+  SELECT count(*)::BIGINT AS m,
+         sum(da.deg * db.deg)::BIGINT AS sxy,
+         sum(da.deg + db.deg)::BIGINT AS s1,
+         sum(da.deg * da.deg + db.deg * db.deg)::BIGINT AS s2
+  FROM und JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node)
+SELECT m AS n_edges,
+  (sxy / (1.0::DOUBLE * m) - (s1 / (2.0::DOUBLE * m)) * (s1 / (2.0::DOUBLE * m)))
+  / (s2 / (2.0::DOUBLE * m) - (s1 / (2.0::DOUBLE * m)) * (s1 / (2.0::DOUBLE * m)))
+  AS assortativity
+FROM mom
 """
 
 
