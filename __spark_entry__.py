@@ -2773,6 +2773,69 @@ _N3_EXTRA_EXPECTED = [
 ]
 
 
+#: N3 formula/implication fixture — r5 scope decision: `{...}` graph
+#: terms and => / <= ARE supported via the documented reified
+#: log:Formula encoding (sources/parsers.py formula()); quantifiers
+#: stay permanently rejected (no faithful flat-triple encoding).
+_N3_FORMULAE = """
+@prefix : <http://example.org/n3#> .
+{ :socrates a :Man . } => { :socrates a :Mortal . } .
+:ax <= :grounds .
+{ :w :p :x ; :q "2" . } a :Evidence .
+"""
+
+_RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_LOGNS = "http://www.w3.org/2000/10/swap/log#"
+_EXN3 = "http://example.org/n3#"
+
+
+def _reified(f, st, s, s_kind, p, o, kind, lang=None, dt=None):
+    """The 5 encoding rows of one formula-member statement — written
+    out from the documented encoding rules, not captured output."""
+    return [
+        (f, _LOGNS + "includes", st, "bnode", None, None),
+        (st, _RDFNS + "type", _RDFNS + "Statement", "uri", None, None),
+        (st, _RDFNS + "subject", s, s_kind, None, None),
+        (st, _RDFNS + "predicate", p, "uri", None, None),
+        (st, _RDFNS + "object", o, kind, lang, dt),
+    ]
+
+
+#: hand-derived from the encoding rules + the parser's deterministic
+#: left-to-right _:genN counter (formula node first, then one statement
+#: bnode per member, in source order)
+_N3_FORMULAE_EXPECTED = (
+    [("_:gen1", _RDFNS + "type", _LOGNS + "Formula", "uri", None, None)]
+    + _reified("_:gen1", "_:gen2",
+               _EXN3 + "socrates", "uri", _RDFNS + "type",
+               _EXN3 + "Man", "uri")
+    + [("_:gen3", _RDFNS + "type", _LOGNS + "Formula", "uri", None, None)]
+    + _reified("_:gen3", "_:gen4",
+               _EXN3 + "socrates", "uri", _RDFNS + "type",
+               _EXN3 + "Mortal", "uri")
+    + [("_:gen1", _LOGNS + "implies", "_:gen3", "bnode", None, None),
+       (_EXN3 + "grounds", _LOGNS + "implies", _EXN3 + "ax",
+        "uri", None, None),
+       ("_:gen5", _RDFNS + "type", _LOGNS + "Formula", "uri", None, None)]
+    + _reified("_:gen5", "_:gen6",
+               _EXN3 + "w", "uri", _EXN3 + "p", _EXN3 + "x", "uri")
+    + _reified("_:gen5", "_:gen7",
+               _EXN3 + "w", "uri", _EXN3 + "q", "2", "literal")
+    + [("_:gen5", _RDFNS + "type", _EXN3 + "Evidence", "uri", None, None)]
+)
+
+
+def _q_n3_formulae(spark, sf_dir):
+    """N3 formula terms `{...}` and => / <= implications parse into the
+    documented reified log:Formula encoding (r5 scope decision; ref
+    analogue: rdflib's N3 QuotedGraph contexts, ontology_manager.py
+    load path).  Oracle = the encoding rows hand-derived from the
+    rules, NOT captured parser output."""
+    from orionbelt_ontology_builder_spark.sources import parsers as PAR
+
+    return PAR.parse(spark, _N3_FORMULAE, "n3")
+
+
 def _q_n3_roundtrip(spark, sf_dir):
     """format='n3' is a real parser, not a Turtle alias: the axioms
     fixture round-trips through it (N3 is a Turtle superset), and an
@@ -4874,7 +4937,7 @@ def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Self-retiring: a name drops out of the priority slot automatically
 #: once a driver CORRECTNESS file records it green (see queries()), so
 #: stale entries can never waste window slots across rounds.
-_PRIORITY: list[str] = ["media_jpeg_stats"]
+_PRIORITY: list[str] = ["media_jpeg_stats", "n3_formulae"]
 
 
 def _driver_seen() -> set[str]:
@@ -5106,6 +5169,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nq_roundtrip": _q_nq_roundtrip,
         "turtle_roundtrip": _q_turtle_roundtrip,
         "n3_roundtrip": _q_n3_roundtrip,
+        "n3_formulae": _q_n3_formulae,
         "rdfxml_roundtrip": _q_rdfxml_roundtrip,
         "jsonld_roundtrip": _q_jsonld_roundtrip,
         "prefix_conflicts": _q_prefix_conflicts,
@@ -6691,6 +6755,17 @@ SELECT subj, pred, obj, obj_kind,
        obj_lang::VARCHAR, obj_dt::VARCHAR
 FROM (VALUES
     {n3_extra_vals}) v(subj, pred, obj, obj_kind, obj_lang, obj_dt)
+"""
+
+    n3_formulae_vals = ",\n    ".join(
+        "('{}', '{}', '{}', '{}', NULL, NULL)".format(s, p, o, k)
+        for (s, p, o, k, _l, _d) in _N3_FORMULAE_EXPECTED
+    )
+    sql["n3_formulae"] = f"""
+SELECT subj, pred, obj, obj_kind,
+       obj_lang::VARCHAR AS obj_lang, obj_dt::VARCHAR AS obj_dt
+FROM (VALUES
+    {n3_formulae_vals}) v(subj, pred, obj, obj_kind, obj_lang, obj_dt)
 """
 
     cur_vals = ", ".join(f"('{p}', '{n}')" for p, n in _PREFIXES_CUR)

@@ -121,6 +121,23 @@ def _unescape_str(s: str) -> str:
 #: owl:sameAs — the N3 ``=`` operator's meaning (public N3 spec §"equality")
 _OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
+#: SWAP log vocabulary (public, w3.org/2000/10/swap/log) — used by the
+#: documented N3-formula triple encoding (see ``_N3Parser.formula``).
+_LOG_NS = "http://www.w3.org/2000/10/swap/log#"
+_LOG_FORMULA = _LOG_NS + "Formula"
+_LOG_IMPLIES = _LOG_NS + "implies"
+_LOG_INCLUDES = _LOG_NS + "includes"
+_RDF_STATEMENT = RDF_NS + "Statement"
+_RDF_SUBJECT = RDF_NS + "subject"
+_RDF_PREDICATE = RDF_NS + "predicate"
+_RDF_OBJECT = RDF_NS + "object"
+
+#: rows that ARE part of a formula's reification encoding — never
+#: re-reified when a formula nests inside another formula.
+_REIFY_PREDS = frozenset(
+    {_LOG_INCLUDES, _RDF_SUBJECT, _RDF_PREDICATE, _RDF_OBJECT}
+)
+
 
 class _TurtleParser:
     #: N3-only surface accepted when True (``_N3Parser``); plain Turtle
@@ -182,9 +199,12 @@ class _TurtleParser:
                     self.next()
             elif self.n3 and low in ("@forall", "@forsome"):
                 raise NotImplementedError(
-                    f"N3 quantification ({v}) is not supported: this "
-                    "engine ingests ontology documents, not N3 rule "
-                    "programs (use plain triples)"
+                    f"N3 quantification ({v}) is permanently out of "
+                    "scope (decision r5, SURVEY.md §2.1): quantified "
+                    "variables have no faithful flat-triple encoding. "
+                    "Formula terms {{ ... }} and => / <= implications "
+                    "ARE supported (reified log:Formula encoding, see "
+                    "formula())."
                 )
             else:
                 self.triples_block()
@@ -207,12 +227,15 @@ class _TurtleParser:
                 # N3 equality operator: x = y  means  x owl:sameAs y
                 self.next()
                 pred = _OWL_SAMEAS
-            elif self.n3 and v in ("=>", "<="):
-                raise NotImplementedError(
-                    "N3 implication ({...} => {...} / log:implies) is "
-                    "not supported: this engine ingests ontology "
-                    "documents, not N3 rule programs"
-                )
+            elif self.n3 and v == "=>":
+                # {A} => {B}  is sugar for  A log:implies B
+                self.next()
+                pred = _LOG_IMPLIES
+            elif self.n3 and v == "<=":
+                # A <= B  is sugar for  B log:implies A
+                self.next()
+                pred = _LOG_IMPLIES
+                inverted = True
             elif self.n3 and k == "kw" and v == "has":
                 # 'has <pred>' — explicit forward predicate marker
                 self.next()
@@ -261,11 +284,7 @@ class _TurtleParser:
     def node(self, as_subject: bool = False) -> str:
         k, v = self.peek()
         if self.n3 and v == "{":
-            raise NotImplementedError(
-                "N3 formulae / implication rules ({ ... }) are not "
-                "supported: this engine ingests ontology documents, "
-                "not N3 rule programs"
-            )
+            return self.formula()
         if v == "[":
             self.next()
             bn = self.new_bnode()
@@ -282,6 +301,64 @@ class _TurtleParser:
         if self.n3:
             n = self._n3_path(n, "uri")[0]
         return n
+
+    def formula(self) -> str:
+        """N3 formula term ``{ ... }`` -> deterministic triple encoding
+        (the engine's documented canonicalization — a flat triple store
+        has no quoted-graph contexts, so formula contents are stored as
+        standard RDF reification membership):
+
+        * the formula is a bnode ``f`` with ``f rdf:type log:Formula``;
+        * every statement inside it (including the structural
+          rdf:first/rest rows of inner collections and the
+          property-list rows of inner bnodes) becomes a reified
+          ``rdf:Statement`` bnode ``st`` with the usual
+          rdf:subject/predicate/object, linked ``f log:includes st``;
+        * nested formulae keep their own encoding verbatim (encoding
+          rows are never re-reified); the inner formula node appears as
+          the rdf:object of an outer statement.
+
+        ``{A} => {B}`` / ``<=`` then parse as ordinary triples with
+        predicate ``log:implies`` (SWAP log vocabulary).  This is a
+        LOAD-TIME one-way canonicalization: exports serialize the
+        encoding triples, not ``{ }`` syntax — same as exporting
+        rdflib formula contexts through a plain-triple format.
+        Quantifiers (@forAll/@forSome) remain out of scope — see the
+        parse() error message and SURVEY.md §2.1."""
+        self.expect_punct("{")
+        f = self.new_bnode()
+        self.rows.append((f, RDF_TYPE, _LOG_FORMULA, "uri", None, None))
+        while self.peek() and self.peek()[1] != "}":
+            start = len(self.rows)
+            subj = self.node(as_subject=True)
+            self.predicate_object_list(subj)
+            if self.peek() and self.peek()[1] == ".":
+                self.next()
+            inner = self.rows[start:]
+            del self.rows[start:]
+            for (s, p, o, kind, lang, dt) in inner:
+                if p in _REIFY_PREDS or (
+                    p == RDF_TYPE and o in (_RDF_STATEMENT, _LOG_FORMULA)
+                ):
+                    self.rows.append((s, p, o, kind, lang, dt))
+                    continue
+                st = self.new_bnode()
+                self.rows.append(
+                    (f, _LOG_INCLUDES, st, "bnode", None, None)
+                )
+                self.rows.append(
+                    (st, RDF_TYPE, _RDF_STATEMENT, "uri", None, None)
+                )
+                s_kind = "bnode" if s.startswith("_:") else "uri"
+                self.rows.append(
+                    (st, _RDF_SUBJECT, s, s_kind, None, None)
+                )
+                self.rows.append(
+                    (st, _RDF_PREDICATE, p, "uri", None, None)
+                )
+                self.rows.append((st, _RDF_OBJECT, o, kind, lang, dt))
+        self.expect_punct("}")
+        return f
 
     def collection(self) -> str:
         self.expect_punct("(")
@@ -306,10 +383,7 @@ class _TurtleParser:
     def term(self) -> tuple[str, str, Optional[str], Optional[str]]:
         k, v = self.peek()
         if self.n3 and v == "{":
-            raise NotImplementedError(
-                "N3 formulae ({ ... }) are not supported: this engine "
-                "ingests ontology documents, not N3 rule programs"
-            )
+            return (self.formula(), "bnode", None, None)
         if v in ("[", "("):
             n = self.node()
             return self._n3_path(n, "uri" if n == RDF_NIL else "bnode")

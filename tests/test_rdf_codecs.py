@@ -203,14 +203,40 @@ def test_n3_parses_full_turtle_subset():
     [
         ("@forAll <http://x.org/v> .", "quantification"),
         ("@forSome <http://x.org/v> .", "quantification"),
-        ("{ <http://a> <http://b> <http://c> } => "
-         "{ <http://a> <http://d> <http://c> } .", "implication"),
-        ("<http://a> <= <http://b> .", "implication"),
     ],
 )
-def test_n3_rule_constructs_rejected_clearly(doc, msg):
+def test_n3_quantifiers_rejected_clearly(doc, msg):
+    """r5 scope decision: quantifiers stay permanently rejected (no
+    faithful flat-triple encoding); the error names the decision."""
     with pytest.raises(NotImplementedError, match=msg):
         PAR.parse_n3(doc)
+
+
+LOG = "http://www.w3.org/2000/10/swap/log#"
+
+
+def test_n3_formula_terms_encode_as_reified_statements():
+    """r5: `{...}` terms and => / <= implications load as the
+    documented reified log:Formula encoding."""
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = PAR.parse_n3(
+        "{ <http://a> <http://b> <http://c> . } => "
+        "{ <http://a> <http://d> <http://c> . } ."
+    )
+    assert ("_:gen1", RDF_T, LOG + "Formula", "uri", None, None) in rows
+    assert ("_:gen3", RDF_T, LOG + "Formula", "uri", None, None) in rows
+    assert ("_:gen1", LOG + "implies", "_:gen3", "bnode", None, None) in rows
+    # antecedent statement fully reified under the antecedent formula
+    assert ("_:gen1", LOG + "includes", "_:gen2", "bnode", None, None) in rows
+    R = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert ("_:gen2", R + "subject", "http://a", "uri", None, None) in rows
+    assert ("_:gen2", R + "predicate", "http://b", "uri", None, None) in rows
+    assert ("_:gen2", R + "object", "http://c", "uri", None, None) in rows
+    # <= inverts: B log:implies A
+    rows2 = PAR.parse_n3("<http://a> <= <http://b> .")
+    assert rows2 == [
+        ("http://b", LOG + "implies", "http://a", "uri", None, None)
+    ]
 
 
 def test_turtle_mode_still_rejects_n3_tokens():
