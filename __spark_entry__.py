@@ -80,11 +80,18 @@ def _csv(expr: str) -> str:
 #: not the work, dominates the wall clock).  sf-data queries keep the
 #: session default.  Runtime conf only — plan shapes are unchanged.
 _TINY_SHUFFLE = "2"
+#: AQE for fixture-scale legs (env-overridable for A/B measurement)
+_TINY_AQE = __import__("os").environ.get("SPARK_GRAFT_TINY_AQE", "false")
 
 
 def _tiny(fn):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", _TINY_SHUFFLE)
+        # fixture-scale legs: AQE's per-stage re-planning is pure
+        # latency at 2 shuffle partitions over tens of rows (there is
+        # nothing to re-plan) — measured A/B in BENCH.md r5.  The
+        # at-scale (_wide / pipeline / bench) paths keep AQE on.
+        spark.conf.set("spark.sql.adaptive.enabled", _TINY_AQE)
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "q")
@@ -94,6 +101,7 @@ def _tiny(fn):
 def _wide(fn, n: str = "8"):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", n)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "q")

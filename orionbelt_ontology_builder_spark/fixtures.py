@@ -467,7 +467,9 @@ FIXTURES: dict[str, list[tuple]] = {
 
 
 def fixture_triples(spark: SparkSession, name: str) -> DataFrame:
-    return spark.createDataFrame(FIXTURES[name], TRIPLES_SCHEMA)
+    from .model import local_df
+
+    return local_df(spark, FIXTURES[name], TRIPLES_SCHEMA)
 
 
 def _sql_str(v: str | None) -> str:

@@ -307,6 +307,32 @@ TRIPLES_SCHEMA = T.StructType(
 
 TRIPLE_COLS = [f.name for f in TRIPLES_SCHEMA.fields]
 
+
+def local_df(spark, rows, schema, rows_per_slice: int = 50_000):
+    """``createDataFrame`` for DRIVER-LOCAL row lists with a data-sized
+    slice count.  PySpark's default path parallelizes any local list
+    into ``defaultParallelism`` slices (32 here), so a chain of tiny
+    ontology frames unions into hundreds of near-empty tasks — one
+    fixture mutation chain measured a 224-task / 7.4 s checkpoint that
+    is 7 tasks / <1 s with sized slices.  Driver-local data is by
+    definition small (fixtures, parsed ontology documents, axiom
+    payloads); bulk paths read parquet/NT and never come through
+    here."""
+    import os
+
+    rows = list(rows)
+    floor = int(os.environ.get("ORIONBELT_LOCAL_SLICES", "4"))
+    n = max(
+        min(floor, spark.sparkContext.defaultParallelism),
+        min(
+            len(rows) // rows_per_slice + 1,
+            spark.sparkContext.defaultParallelism,
+        ),
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema
+    )
+
 PREFIXES_SCHEMA = T.StructType(
     [
         T.StructField("prefix", T.StringType(), False),

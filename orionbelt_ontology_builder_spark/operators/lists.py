@@ -115,9 +115,9 @@ def _walk_on_driver(
             if not nxt or pos == max_len - 1:
                 break
             frontier = nxt
-    return spark.createDataFrame(
-        rows, "head string, pos int, item string"
-    )
+    from ..model import local_df
+
+    return local_df(spark, rows, "head string, pos int, item string")
 
 
 def unroll_lists(

@@ -31,7 +31,9 @@ from ..model import (
 
 
 def _rows(spark: SparkSession, rows: list[tuple]) -> DataFrame:
-    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    from ..model import local_df
+
+    return local_df(spark, rows, TRIPLES_SCHEMA)
 
 
 def add_triples(triples: DataFrame, new_rows: DataFrame) -> DataFrame:
