@@ -743,8 +743,17 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 blobs.append(jpegcodec.encode_jpeg_gray(img))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
-    return docs.select("doc_id", "text").mapInPandas(
-        batches, "doc_id long, blob binary"
+    # entropy coding is CPU-heavy per-doc Python: spread the scan's
+    # (often single-file, single-partition) layout across cores BEFORE
+    # the Arrow stage, or the whole corpus encodes on one task — the
+    # engineering notes' repartition-before-CPU-stage law.  The decode
+    # stage downstream inherits this partitioning with no extra
+    # shuffle.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_part)
+        .mapInPandas(batches, "doc_id long, blob binary")
     )
 
 
