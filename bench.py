@@ -387,6 +387,7 @@ def main() -> None:
         "media_png_stats",
         # round 5 additions
         "media_jpeg_stats",
+        "media_gif_stats",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

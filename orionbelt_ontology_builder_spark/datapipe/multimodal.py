@@ -380,9 +380,13 @@ def decode_image(blob: bytes):
 
         gray = jpegcodec.decode_jpeg_gray(blob)
         return np.repeat(gray[:, :, None], 3, axis=2)
-    if blob[:4] in (b"GIF8", b"RIFF"):
+    if blob[:4] == b"GIF8":
+        from . import gifcodec
+
+        return gifcodec.decode_gif(blob)
+    if blob[:4] == b"RIFF":
         raise NotImplementedError(
-            "GIF/WEBP entropy decode requires Pillow; "
+            "WEBP entropy decode requires Pillow; "
             "container ships without codecs"
         )
     raise ValueError("unrecognized image container")
@@ -832,6 +836,101 @@ SELECT doc_id, {JPEG_BLOCKS_W * 8}::INT AS width,
        (a * 192)::BIGINT AS px_sum,
        a * 192 / ({px}.0::DOUBLE) AS px_mean,
        md5(payload) AS block_md5
+FROM s ORDER BY doc_id
+"""
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): REAL GIF89a blobs — real LZW compression over
+    the 192-char chained-md5 payload laid out as a 16x12 grayscale
+    image (identity palette).  GIF is lossless, so the decoded
+    channel-0 bytes ARE the payload, PPM/PNG-style."""
+    import numpy as np
+
+    from ..session import ship_package
+
+    from . import gifcodec
+
+    ship_package(docs.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _md5_chain_payload(
+                    text if isinstance(text, str) else ""
+                )
+                img = np.frombuffer(
+                    payload.encode("ascii"), dtype=np.uint8
+                ).reshape(JPEG_BLOCKS_H, JPEG_BLOCKS_W)
+                ids.append(int(doc_id))
+                blobs.append(gifcodec.encode_gif_gray(img))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, blob binary"
+    )
+
+
+def decode_gif_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, px_sum, px_mean, px_md5): full LZW +
+    palette decode inside ``mapInPandas``.  ``px_sum``/``px_mean``
+    cover all three (palette-replicated) channels; ``px_md5`` digests
+    the channel-0 bytes — for the synthesized media that is exactly
+    md5 of the generating payload, which the DuckDB oracle recomputes
+    from text."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "px_sum": [], "px_mean": [], "px_md5": [],
+        }
+        for pdf in it:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_image(bytes(blob))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["px_sum"].append(int(arr.sum()))
+                out["px_mean"].append(int(arr.sum()) / float(arr.size))
+                out["px_md5"].append(
+                    hashlib.md5(arr[:, :, 0].tobytes()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", "blob")
+        .mapInPandas(batches, IMAGE_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def decode_gif_stats_oracle() -> str:
+    """DuckDB twin: the decoded channel-0 bytes of a synthesized GIF
+    ARE the 192-char payload (lossless LZW, identity palette), and the
+    identity palette replicates each byte across 3 channels."""
+    n = JPEG_BLOCKS_W * JPEG_BLOCKS_H
+    return f"""
+WITH pay AS (
+  SELECT doc_id,
+    md5(coalesce(text, '')) || md5(md5(coalesce(text, '')))
+      || md5(md5(md5(coalesce(text, ''))))
+      || md5(md5(md5(md5(coalesce(text, '')))))
+      || md5(md5(md5(md5(md5(coalesce(text, ''))))))
+      || md5(md5(md5(md5(md5(md5(coalesce(text, ''))))))) AS payload
+  FROM documents),
+s AS (
+  SELECT doc_id, payload,
+         sum(ascii(substr(payload, g.i, 1)))::BIGINT AS a
+  FROM pay, generate_series(1, {n}) AS g(i)
+  GROUP BY doc_id, payload)
+SELECT doc_id, {JPEG_BLOCKS_W}::INT AS width, {JPEG_BLOCKS_H}::INT AS height,
+       (a * 3)::BIGINT AS px_sum,
+       a * 3 / ({n * 3}.0::DOUBLE) AS px_mean,
+       md5(payload) AS px_md5
 FROM s ORDER BY doc_id
 """
 

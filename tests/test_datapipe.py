@@ -189,13 +189,15 @@ def test_media_frames_cover_payload(docs):
 
 
 def test_decode_image_entropy_codecs_still_stubbed():
-    # GIF/WEBP stay honestly rejected (no Pillow in the container);
-    # JPEG is now a real baseline decoder — truncated input is a
+    # WEBP stays honestly rejected (no Pillow in the container);
+    # JPEG and GIF are now real decoders — truncated input is a
     # malformed-stream error, not a capability gap
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jfif")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"GIF89a.....")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF....WEBPVP8 ")
 
 
 def test_ppm_bmp_png_codec_roundtrip():
@@ -2134,3 +2136,53 @@ def test_decode_jpeg_block_stats_real_decode(docs):
     assert s["px_sum"] == 192 * sum(payload.encode())
     assert s["px_mean"] == s["px_sum"] / (128 * 96 * 3)
     assert s["block_md5"] == _hl.md5(payload.encode()).hexdigest()
+
+
+def test_gif_codec_roundtrips():
+    """Real LZW (variable width, dict growth, 12-bit cap, overflow
+    resets) + GIF89a container: lossless round-trips on random and
+    repetitive images; dispatch expands via the identity palette."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_spark.datapipe import gifcodec as G
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (12, 16), (33, 7), (64, 64)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        rgb = multimodal.decode_image(G.encode_gif_gray(img))
+        assert rgb.shape == (h, w, 3)
+        assert np.array_equal(rgb[:, :, 0], img)
+        assert np.array_equal(rgb[:, :, 2], img)
+    # LZW edge cases: empty, single, dict-overflow on repetitive data
+    for data, mcs in [(b"", 2), (b"\x01", 2),
+                      (b"abcabcabd" * 20000, 8)]:
+        assert G.lzw_decode(G.lzw_encode(data, mcs), mcs) == data
+    # real compression on repetitive input (not the fixed-width trick)
+    rep = b"xyxyxyxyxy" * 5000
+    assert len(G.lzw_encode(rep, 8)) < len(rep) // 10
+    # interlace honestly rejected
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(G.encode_gif_gray(img))
+    idesc = 6 + 7 + 768  # header + screen descriptor + 256-entry GCT
+    assert blob[idesc] == 0x2C
+    blob[idesc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        G.decode_gif(bytes(blob))
+
+
+def test_decode_gif_stats_real_decode(docs):
+    import hashlib as _hl
+
+    media = multimodal.synthesize_gif_media(docs)
+    stats = {r["doc_id"]: r for r in
+             multimodal.decode_gif_stats(media).collect()}
+    row0 = docs.filter(F.col("doc_id") == 0).first()
+    h = _hl.md5(row0["text"].encode()).hexdigest()
+    payload = h
+    for _ in range(5):
+        h = _hl.md5(h.encode()).hexdigest()
+        payload += h
+    s = stats[0]
+    assert (s["width"], s["height"]) == (16, 12)
+    assert s["px_sum"] == 3 * sum(payload.encode())
+    assert s["px_md5"] == _hl.md5(payload.encode()).hexdigest()
