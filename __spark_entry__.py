@@ -3349,6 +3349,17 @@ def _q_media_gif_stats(spark, sf_dir):
     )
 
 
+def _q_media_adpcm_stats(spark, sf_dir):
+    """REAL IMA-ADPCM decode in the plan: the adaptive predictor/step
+    state machine (datapipe/adpcmcodec.py, published IMA tables) runs
+    inside mapInPandas over fmt-0x11 WAV blobs whose nibble stream is
+    the chained-md5 payload; the DuckDB oracle replays the state
+    machine with a native RECURSIVE CTE."""
+    return multimodal.decode_audio_stats(
+        multimodal.synthesize_adpcm_media(_docs(spark, sf_dir))
+    )
+
+
 def _q_media_audio_stats(spark, sf_dir):
     """REAL audio decode in the plan: synthesized RIFF/WAVE 16-bit PCM
     blobs (JVM-side header + unhex(chained md5) samples) decoded by
@@ -4422,7 +4433,7 @@ _SF_SCALE = {
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "media_image_stats",
     "media_audio_stats", "media_png_stats", "media_jpeg_stats",
-    "media_gif_stats",
+    "media_gif_stats", "media_adpcm_stats",
     "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "weighted_sample", "grouped_split", "mixture_weights",
@@ -4958,7 +4969,10 @@ def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Self-retiring: a name drops out of the priority slot automatically
 #: once a driver CORRECTNESS file records it green (see queries()), so
 #: stale entries can never waste window slots across rounds.
-_PRIORITY: list[str] = ["media_jpeg_stats", "n3_formulae", "media_gif_stats"]
+_PRIORITY: list[str] = [
+    "media_jpeg_stats", "n3_formulae", "media_gif_stats",
+    "media_adpcm_stats",
+]
 
 
 def _driver_seen() -> set[str]:
@@ -5290,6 +5304,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_stats": _q_media_png_stats,
         "media_jpeg_stats": _q_media_jpeg_stats,
         "media_gif_stats": _q_media_gif_stats,
+        "media_adpcm_stats": _q_media_adpcm_stats,
         "media_audio_stats": _q_media_audio_stats,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
@@ -7656,6 +7671,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["media_png_stats"] = multimodal.decode_image_stats_oracle()
     sql["media_jpeg_stats"] = multimodal.decode_jpeg_block_stats_oracle()
     sql["media_gif_stats"] = multimodal.decode_gif_stats_oracle()
+    sql["media_adpcm_stats"] = multimodal.decode_adpcm_stats_oracle()
     sql["media_audio_stats"] = multimodal.decode_audio_stats_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()
     sql["pack_sequences"] = curation.pack_sequences_oracle()

@@ -388,6 +388,7 @@ def main() -> None:
         # round 5 additions
         "media_jpeg_stats",
         "media_gif_stats",
+        "media_adpcm_stats",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

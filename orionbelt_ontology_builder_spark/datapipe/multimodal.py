@@ -508,9 +508,13 @@ def decode_wav(blob: bytes):
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, rate = fmt[0], fmt[1], fmt[2]
     bits = fmt[5]
+    if audio_format == 0x11:
+        from . import adpcmcodec
+
+        return adpcmcodec.decode_wav_adpcm(fmt, data), rate
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            "only uncompressed 16-bit PCM WAV supported"
+            "only 16-bit PCM and IMA-ADPCM (0x11) WAV supported"
         )
     s = np.frombuffer(data, dtype="<i2")
     if channels > 1:
@@ -837,6 +841,96 @@ SELECT doc_id, {JPEG_BLOCKS_W * 8}::INT AS width,
        a * 192 / ({px}.0::DOUBLE) AS px_mean,
        md5(payload) AS block_md5
 FROM s ORDER BY doc_id
+"""
+
+
+def synthesize_adpcm_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): RIFF/WAVE fmt-0x11 (IMA ADPCM) blobs whose
+    compressed nibble stream IS the 192-byte chained-md5 payload
+    (initial predictor 0, step index 0) — decode runs the real
+    adaptive state machine, and a DuckDB RECURSIVE CTE replays it
+    integer-for-integer."""
+    from ..session import ship_package
+
+    from . import adpcmcodec
+
+    ship_package(docs.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _md5_chain_payload(
+                    text if isinstance(text, str) else ""
+                )
+                ids.append(int(doc_id))
+                blobs.append(
+                    adpcmcodec.encode_wav_adpcm(payload.encode("ascii"))
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, blob binary"
+    )
+
+
+def decode_adpcm_stats_oracle() -> str:
+    """DuckDB twin of ``decode_audio_stats`` over the ADPCM synthesis:
+    a RECURSIVE CTE replays the published IMA update rule (step table,
+    index-adjust table, clamps) nibble-by-nibble over the payload —
+    native recursive semantics, not a transcription of the NumPy
+    decoder's shape."""
+    from .adpcmcodec import INDEX_TABLE, STEP_TABLE
+
+    steps = "[" + ", ".join(str(v) for v in STEP_TABLE) + "]"
+    idxs = "[" + ", ".join(str(v) for v in INDEX_TABLE) + "]"
+    n_nib = PPM_W * PPM_H * 3 * 2  # 192 payload bytes -> 384 nibbles
+    return f"""
+WITH RECURSIVE pay AS (
+  SELECT doc_id,
+    md5(coalesce(text, '')) || md5(md5(coalesce(text, '')))
+      || md5(md5(md5(coalesce(text, ''))))
+      || md5(md5(md5(md5(coalesce(text, '')))))
+      || md5(md5(md5(md5(md5(coalesce(text, ''))))))
+      || md5(md5(md5(md5(md5(md5(coalesce(text, ''))))))) AS payload
+  FROM documents),
+walk AS (
+  SELECT doc_id, payload, 0 AS k, 0::BIGINT AS pred, 0::BIGINT AS idx
+  FROM pay
+  UNION ALL
+  SELECT doc_id, payload, k,
+    CASE WHEN (nib & 8) > 0 THEN greatest(pred - delta, -32768)
+         ELSE least(pred + delta, 32767) END,
+    greatest(0::BIGINT, least(88::BIGINT,
+      idx + list_extract({idxs}, (nib % 8) + 1)))
+  FROM (
+    SELECT doc_id, payload, k + 1 AS k, pred, idx, nib,
+      (step // 8)
+        + CASE WHEN (nib & 4) > 0 THEN step ELSE 0 END
+        + CASE WHEN (nib & 2) > 0 THEN step // 2 ELSE 0 END
+        + CASE WHEN (nib & 1) > 0 THEN step // 4 ELSE 0 END AS delta
+    FROM (
+      SELECT *, list_extract({steps}, idx + 1) AS step,
+        CASE WHEN (k % 2) = 0
+             THEN ascii(substr(payload, k // 2 + 1, 1)) % 16
+             ELSE ascii(substr(payload, k // 2 + 1, 1)) // 16
+        END AS nib
+      FROM walk WHERE k < {n_nib}))),
+hexed AS (
+  SELECT doc_id, k, pred,
+    printf('%04x', ((pred % 65536) + 65536) % 65536) AS be
+  FROM walk),
+agg AS (
+  SELECT doc_id,
+    count(*)::INT AS n_samples,
+    min(pred)::INT AS s_min, max(pred)::INT AS s_max,
+    sum(pred)::BIGINT AS s_sum,
+    md5(string_agg(substr(be, 3, 2) || substr(be, 1, 2), ''
+                   ORDER BY k)) AS pcm_md5
+  FROM hexed GROUP BY doc_id)
+SELECT doc_id, 8000::INT AS sample_rate, 1::INT AS n_channels,
+       n_samples, s_min, s_max, s_sum, pcm_md5
+FROM agg ORDER BY doc_id
 """
 
 

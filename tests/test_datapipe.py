@@ -2186,3 +2186,64 @@ def test_decode_gif_stats_real_decode(docs):
     assert (s["width"], s["height"]) == (16, 12)
     assert s["px_sum"] == 3 * sum(payload.encode())
     assert s["px_md5"] == _hl.md5(payload.encode()).hexdigest()
+
+
+def test_adpcm_codec_roundtrips():
+    """IMA ADPCM: the real encoder tracks a smooth signal within
+    adaptive-quantizer error; arbitrary nibble streams decode
+    deterministically through the WAV fmt-0x11 container dispatch;
+    stereo honestly rejected."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_spark.datapipe import adpcmcodec as A
+
+    rng = np.random.default_rng(3)
+    nb = bytes(rng.integers(0, 256, size=192, dtype=np.uint8))
+    s = A.decode_nibbles(A.nibbles_of(nb))
+    wav = A.encode_wav_adpcm(nb)
+    s2, rate = multimodal.decode_wav(wav)
+    assert np.array_equal(s, s2) and rate == 8000 and len(s2) == 385
+
+    t = np.arange(400)
+    sig = (3000 * np.sin(t / 10)).astype(np.int16)
+    packed, pred, idx = A.encode_samples(sig)
+    dec = A.decode_nibbles(A.nibbles_of(packed), pred, idx)[: len(sig)]
+    err = np.abs(dec.astype(int) - sig.astype(int))
+    # ADPCM is lossy; bounded by the adaptive step (slope-overload
+    # transients at onset, small steady-state error)
+    assert err.max() < 1500 and err.mean() < 60
+    assert dec[0] == sig[0]  # predictor seeds exactly
+
+    import struct
+    stereo = bytearray(wav)
+    i = wav.index(b"fmt ")
+    struct.pack_into("<H", stereo, i + 10, 2)  # channels = 2
+    with pytest.raises(NotImplementedError, match="stereo"):
+        multimodal.decode_wav(bytes(stereo))
+
+
+def test_decode_adpcm_stats_matches_state_machine(docs):
+    """Spark decode of the ADPCM synthesis equals a plain-Python replay
+    of the published update rule (the same numbers the DuckDB
+    recursive-CTE oracle reproduces)."""
+    import hashlib as _hl
+
+    from orionbelt_ontology_builder_spark.datapipe import adpcmcodec as A
+
+    media = multimodal.synthesize_adpcm_media(docs)
+    stats = {r["doc_id"]: r for r in
+             multimodal.decode_audio_stats(media).collect()}
+    row0 = docs.filter(F.col("doc_id") == 0).first()
+    h = _hl.md5(row0["text"].encode()).hexdigest()
+    payload = h
+    for _ in range(5):
+        h = _hl.md5(h.encode()).hexdigest()
+        payload += h
+    ref = A.decode_nibbles(A.nibbles_of(payload.encode("ascii")))
+    s = stats[0]
+    assert s["n_samples"] == 385 == len(ref)
+    assert s["s_min"] == int(ref.min()) and s["s_max"] == int(ref.max())
+    assert s["s_sum"] == int(ref.sum(dtype="int64"))
+    assert s["pcm_md5"] == _hl.md5(
+        ref.astype("<i2").tobytes().hex().encode()
+    ).hexdigest()
