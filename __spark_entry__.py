@@ -3349,6 +3349,21 @@ def _q_media_gif_stats(spark, sf_dir):
     )
 
 
+def _q_media_webp_stats(spark, sf_dir):
+    """REAL lossless-WebP decode in the plan: VP8L canonical prefix
+    codes (code-length-coded storage, simple codes) + LZ77 backward
+    references (datapipe/webpcodec.py — the encoder side is a real
+    entropy coder: package-merge length-limited Huffman + greedy
+    longest-match LZ77) inside mapInPandas over synthesized WebPs
+    carrying the chained-md5 payload.  VP8L is lossless, so the DuckDB
+    oracle recomputes every decoded statistic from the payload
+    arithmetic — a hash match proves the full prefix-decode + copy
+    path."""
+    return multimodal.decode_webp_stats(
+        multimodal.synthesize_webp_media(_docs(spark, sf_dir))
+    )
+
+
 def _q_media_adpcm_stats(spark, sf_dir):
     """REAL IMA-ADPCM decode in the plan: the adaptive predictor/step
     state machine (datapipe/adpcmcodec.py, published IMA tables) runs
@@ -4433,7 +4448,7 @@ _SF_SCALE = {
     "sq8_stats", "label_centroids", "embedding_covariance",
     "media_features", "media_frames", "media_image_stats",
     "media_audio_stats", "media_png_stats", "media_jpeg_stats",
-    "media_gif_stats", "media_adpcm_stats",
+    "media_gif_stats", "media_adpcm_stats", "media_webp_stats",
     "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "weighted_sample", "grouped_split", "mixture_weights",
@@ -4971,7 +4986,7 @@ def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: stale entries can never waste window slots across rounds.
 _PRIORITY: list[str] = [
     "media_jpeg_stats", "n3_formulae", "media_gif_stats",
-    "media_adpcm_stats",
+    "media_adpcm_stats", "media_webp_stats",
 ]
 
 
@@ -5304,6 +5319,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_stats": _q_media_png_stats,
         "media_jpeg_stats": _q_media_jpeg_stats,
         "media_gif_stats": _q_media_gif_stats,
+        "media_webp_stats": _q_media_webp_stats,
         "media_adpcm_stats": _q_media_adpcm_stats,
         "media_audio_stats": _q_media_audio_stats,
         "decontaminate": _q_decontaminate,
@@ -7671,6 +7687,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["media_png_stats"] = multimodal.decode_image_stats_oracle()
     sql["media_jpeg_stats"] = multimodal.decode_jpeg_block_stats_oracle()
     sql["media_gif_stats"] = multimodal.decode_gif_stats_oracle()
+    sql["media_webp_stats"] = multimodal.decode_webp_stats_oracle()
     sql["media_adpcm_stats"] = multimodal.decode_adpcm_stats_oracle()
     sql["media_audio_stats"] = multimodal.decode_audio_stats_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()

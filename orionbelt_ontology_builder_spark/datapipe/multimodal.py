@@ -13,9 +13,11 @@ uncompressed public formats (binary PPM/PGM, 24-bpp BMP), PNG
 grayscale JPEG (:mod:`.jpegcodec`: Annex-K Huffman, zigzag RLE,
 dequant, float64 IDCT), with encode/decode round-trip laws, driven by
 ``decode_image_stats`` / ``decode_jpeg_block_stats`` inside
-``mapInPandas``.  GIF/WEBP entropy coders require Pillow, which this
-container does not ship — those raise ``NotImplementedError``
-honestly.  A deterministic fake container (``FAKEIMG0``) additionally
+``mapInPandas``.  GIF89a (LZW, :mod:`.gifcodec`) and lossless WebP
+(VP8L prefix codes + LZ77, :mod:`.webpcodec`) also decode for real;
+only the lossy VP8/WEBM and MP3 entropy coders raise
+``NotImplementedError`` honestly.  A deterministic fake container
+(``FAKEIMG0``) additionally
 exercises the plumbing with DuckDB-recomputable features (md5 over the
 same byte string).
 """
@@ -362,10 +364,12 @@ def decode_image(blob: bytes):
     (stdlib zlib inflate + NumPy unfilter — 8-bit gray/RGB/palette/
     alpha, all five scanline filters), and sequential-baseline
     grayscale JPEG (:mod:`.jpegcodec` — Annex-K Huffman + dequant +
-    float64 IDCT; gray replicates to RGB) — public byte formats, no
-    codec libraries.  GIF/WEBP entropy coders need Pillow, which this
-    container does not ship; they raise ``NotImplementedError``
-    honestly rather than faking pixels."""
+    float64 IDCT; gray replicates to RGB), GIF (real LZW,
+    :mod:`.gifcodec`) and lossless WebP (VP8L prefix codes + LZ77,
+    :mod:`.webpcodec`) — public byte formats, no codec libraries.
+    Lossy VP8/VP8X WebP needs libwebp, which this container does not
+    ship; it raises ``NotImplementedError`` honestly rather than
+    faking pixels."""
     blob = bytes(blob)
     if blob[:2] in (b"P6", b"P5"):
         return _decode_pnm(blob)
@@ -384,11 +388,10 @@ def decode_image(blob: bytes):
         from . import gifcodec
 
         return gifcodec.decode_gif(blob)
-    if blob[:4] == b"RIFF":
-        raise NotImplementedError(
-            "WEBP entropy decode requires Pillow; "
-            "container ships without codecs"
-        )
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from . import webpcodec
+
+        return webpcodec.decode_webp(blob)
     raise ValueError("unrecognized image container")
 
 
@@ -1027,6 +1030,86 @@ SELECT doc_id, {JPEG_BLOCKS_W}::INT AS width, {JPEG_BLOCKS_H}::INT AS height,
        md5(payload) AS px_md5
 FROM s ORDER BY doc_id
 """
+
+
+def synthesize_webp_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): REAL lossless-WebP blobs — length-limited
+    canonical prefix codes + LZ77 over the 192-char chained-md5
+    payload laid out as a 16x12 grayscale image (opaque ARGB with
+    r = g = b).  VP8L is lossless, so the decoded channel bytes ARE
+    the payload, GIF/PPM/PNG-style."""
+    import numpy as np
+
+    from ..session import ship_package
+
+    from . import webpcodec
+
+    ship_package(docs.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _md5_chain_payload(
+                    text if isinstance(text, str) else ""
+                )
+                img = np.frombuffer(
+                    payload.encode("ascii"), dtype=np.uint8
+                ).reshape(JPEG_BLOCKS_H, JPEG_BLOCKS_W)
+                ids.append(int(doc_id))
+                blobs.append(webpcodec.encode_webp_gray(img))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    # prefix-code construction + LZ77 is CPU-heavy per-doc Python:
+    # spread the (often single-file) scan before the Arrow stage, per
+    # the repartition-before-CPU-stage law; decode inherits the layout.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_part)
+        .mapInPandas(batches, "doc_id long, blob binary")
+    )
+
+
+def decode_webp_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, px_sum, px_mean, px_md5): full VP8L
+    prefix-code + LZ77 decode inside ``mapInPandas``; ``px_md5``
+    digests the channel-0 bytes, which for the synthesized media is
+    exactly md5 of the generating payload — the DuckDB oracle
+    recomputes it from text."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [],
+            "px_sum": [], "px_mean": [], "px_md5": [],
+        }
+        for pdf in it:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_image(bytes(blob))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["px_sum"].append(int(arr.sum()))
+                out["px_mean"].append(int(arr.sum()) / float(arr.size))
+                out["px_md5"].append(
+                    hashlib.md5(arr[:, :, 0].tobytes()).hexdigest()
+                )
+        yield pd.DataFrame(out)
+
+    return (
+        media.select("doc_id", "blob")
+        .mapInPandas(batches, IMAGE_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def decode_webp_stats_oracle() -> str:
+    """DuckDB twin: identical to the GIF one — lossless codec, gray
+    replicated across 3 channels, channel-0 bytes == the payload."""
+    return decode_gif_stats_oracle()
 
 
 def _md5_chain_payload(text: str) -> str:

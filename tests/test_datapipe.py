@@ -189,15 +189,18 @@ def test_media_frames_cover_payload(docs):
 
 
 def test_decode_image_entropy_codecs_still_stubbed():
-    # WEBP stays honestly rejected (no Pillow in the container);
-    # JPEG and GIF are now real decoders — truncated input is a
-    # malformed-stream error, not a capability gap
+    # JPEG, GIF and lossless WebP are real decoders — truncated input
+    # is a malformed-stream error, not a capability gap; only lossy
+    # VP8 WebP stays honestly rejected (needs libwebp)
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jfif")
     with pytest.raises(ValueError):
         multimodal.decode_image(b"GIF89a.....")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"RIFF....WEBPVP8L")
+    lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\0" * 12
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"RIFF....WEBPVP8 ")
+        multimodal.decode_image(lossy)
 
 
 def test_ppm_bmp_png_codec_roundtrip():
@@ -2176,6 +2179,76 @@ def test_decode_gif_stats_real_decode(docs):
     media = multimodal.synthesize_gif_media(docs)
     stats = {r["doc_id"]: r for r in
              multimodal.decode_gif_stats(media).collect()}
+    row0 = docs.filter(F.col("doc_id") == 0).first()
+    h = _hl.md5(row0["text"].encode()).hexdigest()
+    payload = h
+    for _ in range(5):
+        h = _hl.md5(h.encode()).hexdigest()
+        payload += h
+    s = stats[0]
+    assert (s["width"], s["height"]) == (16, 12)
+    assert s["px_sum"] == 3 * sum(payload.encode())
+    assert s["px_md5"] == _hl.md5(payload.encode()).hexdigest()
+
+
+def test_webp_codec_roundtrips():
+    """Real VP8L: length-limited canonical prefix codes (package-merge,
+    Kraft-exact), code-length-coded + simple storage, greedy LZ77 with
+    overlap — lossless round-trips on random, repetitive and constant
+    images through the RIFF container and the decode_image dispatch;
+    out-of-scope features rejected by name."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_spark.datapipe import webpcodec as W
+
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (12, 16), (33, 7), (64, 64)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        rgb = multimodal.decode_image(W.encode_webp_gray(img))
+        assert rgb.shape == (h, w, 3)
+        assert np.array_equal(rgb[:, :, 0], img)
+        assert np.array_equal(rgb[:, :, 2], img)
+    # LZ77-heavy inputs: few symbols, long runs, overlap copies
+    for img in [
+        np.zeros((40, 40), dtype=np.uint8),
+        np.tile(np.array([3, 7], dtype=np.uint8), (25, 30)),
+        rng.integers(0, 3, size=(50, 50)).astype(np.uint8),
+    ]:
+        blob = W.encode_webp_gray(img)
+        assert np.array_equal(W.decode_webp(blob)[:, :, 1], img)
+    # real compression on repetitive input
+    rep = np.tile(np.arange(20, dtype=np.uint8), (40, 10))
+    assert len(W.encode_webp_gray(rep)) < rep.size // 10
+    # full 4-channel ARGB path
+    argb = rng.integers(0, 256, size=(9, 11, 4), dtype=np.uint8)
+    out = W.decode_webp(W.encode_webp_lossless(argb))
+    assert np.array_equal(out, argb[:, :, 1:])
+    # package-merge: Kraft-exact, depth-limited, on adversarial freqs
+    freqs = [1] + [2**i for i in range(12)] + [0, 5, 5]
+    for limit in (7, 15):
+        L = W.limited_code_lengths(freqs, limit)
+        used = [x for x in L if x]
+        assert max(used) <= limit
+        assert abs(sum(2.0**-x for x in used) - 1.0) < 1e-12
+    # out-of-scope bits rejected by name (transform flag, lossy VP8)
+    blob = bytearray(W.encode_webp_gray(np.zeros((4, 4), dtype=np.uint8)))
+    assert blob[20] == 0x2F  # RIFF(12) + VP8L chunk header(8) -> sig
+    # after the signature: 14w + 14h + 1 alpha + 3 version = 32 bits,
+    # so the transform-present bit is bit 0 of bitstream byte 4
+    blob[21 + 4] |= 0x01
+    with pytest.raises(NotImplementedError, match="transform"):
+        W.decode_webp(bytes(blob))
+    lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\0" * 12
+    with pytest.raises(NotImplementedError, match="VP8"):
+        W.decode_webp(lossy)
+
+
+def test_decode_webp_stats_real_decode(docs):
+    import hashlib as _hl
+
+    media = multimodal.synthesize_webp_media(docs)
+    stats = {r["doc_id"]: r for r in
+             multimodal.decode_webp_stats(media).collect()}
     row0 = docs.filter(F.col("doc_id") == 0).first()
     h = _hl.md5(row0["text"].encode()).hexdigest()
     payload = h
