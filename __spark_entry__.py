@@ -3364,6 +3364,27 @@ def _q_media_webp_stats(spark, sf_dir):
     )
 
 
+def _q_media_mulaw_stats(spark, sf_dir):
+    """REAL G.711 μ-law decode in the plan (datapipe/g711codec.py —
+    ITU-T G.711, Sun-g711 16-bit linearization; encoder is an exact
+    nearest-level quantizer) inside mapInPandas over fmt-7 WAV blobs
+    whose codeword stream is the chained-md5 payload.  G.711 decode is
+    a stateless closed form, so the DuckDB oracle is NATIVE per-byte
+    arithmetic — the strongest oracle class in the media family."""
+    return multimodal.decode_audio_stats(
+        multimodal.synthesize_g711_media(_docs(spark, sf_dir), "mulaw")
+    )
+
+
+def _q_media_alaw_stats(spark, sf_dir):
+    """REAL G.711 A-law decode in the plan — see media_mulaw_stats;
+    the A-law segment formula (xor 0x55, segment shifts, sign-set
+    positive) replayed natively by the DuckDB oracle."""
+    return multimodal.decode_audio_stats(
+        multimodal.synthesize_g711_media(_docs(spark, sf_dir), "alaw")
+    )
+
+
 def _q_media_adpcm_stats(spark, sf_dir):
     """REAL IMA-ADPCM decode in the plan: the adaptive predictor/step
     state machine (datapipe/adpcmcodec.py, published IMA tables) runs
@@ -4449,6 +4470,7 @@ _SF_SCALE = {
     "media_features", "media_frames", "media_image_stats",
     "media_audio_stats", "media_png_stats", "media_jpeg_stats",
     "media_gif_stats", "media_adpcm_stats", "media_webp_stats",
+    "media_mulaw_stats", "media_alaw_stats",
     "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "weighted_sample", "grouped_split", "mixture_weights",
@@ -4986,7 +5008,8 @@ def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: stale entries can never waste window slots across rounds.
 _PRIORITY: list[str] = [
     "media_jpeg_stats", "n3_formulae", "media_gif_stats",
-    "media_adpcm_stats", "media_webp_stats",
+    "media_adpcm_stats", "media_webp_stats", "media_mulaw_stats",
+    "media_alaw_stats",
 ]
 
 
@@ -5320,6 +5343,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_stats": _q_media_jpeg_stats,
         "media_gif_stats": _q_media_gif_stats,
         "media_webp_stats": _q_media_webp_stats,
+        "media_mulaw_stats": _q_media_mulaw_stats,
+        "media_alaw_stats": _q_media_alaw_stats,
         "media_adpcm_stats": _q_media_adpcm_stats,
         "media_audio_stats": _q_media_audio_stats,
         "decontaminate": _q_decontaminate,
@@ -7688,6 +7713,8 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["media_jpeg_stats"] = multimodal.decode_jpeg_block_stats_oracle()
     sql["media_gif_stats"] = multimodal.decode_gif_stats_oracle()
     sql["media_webp_stats"] = multimodal.decode_webp_stats_oracle()
+    sql["media_mulaw_stats"] = multimodal.decode_g711_stats_oracle("mulaw")
+    sql["media_alaw_stats"] = multimodal.decode_g711_stats_oracle("alaw")
     sql["media_adpcm_stats"] = multimodal.decode_adpcm_stats_oracle()
     sql["media_audio_stats"] = multimodal.decode_audio_stats_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()

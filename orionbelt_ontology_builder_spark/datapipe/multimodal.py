@@ -515,9 +515,17 @@ def decode_wav(blob: bytes):
         from . import adpcmcodec
 
         return adpcmcodec.decode_wav_adpcm(fmt, data), rate
+    if audio_format in (6, 7):  # G.711 A-law / μ-law, 8 bits/sample
+        from . import g711codec
+
+        s = g711codec.decode_g711(data, "mulaw" if audio_format == 7 else "alaw")
+        if channels > 1:
+            s = s.reshape(-1, channels)
+        return s, rate
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            "only 16-bit PCM and IMA-ADPCM (0x11) WAV supported"
+            "only 16-bit PCM, IMA-ADPCM (0x11) and G.711 (6/7) WAV "
+            "supported"
         )
     s = np.frombuffer(data, dtype="<i2")
     if channels > 1:
@@ -934,6 +942,95 @@ agg AS (
 SELECT doc_id, 8000::INT AS sample_rate, 1::INT AS n_channels,
        n_samples, s_min, s_max, s_sum, pcm_md5
 FROM agg ORDER BY doc_id
+"""
+
+
+def synthesize_g711_media(docs: DataFrame, law: str) -> DataFrame:
+    """(doc_id, blob): RIFF/WAVE G.711 blobs (fmt 7 = μ-law, 6 =
+    A-law) whose 8-bit codeword stream IS the 192-byte chained-md5
+    payload.  G.711 decode is a stateless per-byte closed form, so the
+    DuckDB oracle replays it in NATIVE per-row arithmetic — no
+    recursion, no transcription of the decoder's shape."""
+    from ..session import ship_package
+
+    from . import g711codec
+
+    ship_package(docs.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _md5_chain_payload(
+                    text if isinstance(text, str) else ""
+                )
+                ids.append(int(doc_id))
+                blobs.append(
+                    g711codec.encode_wav_g711(payload.encode("ascii"), law)
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, blob binary"
+    )
+
+
+def decode_g711_stats_oracle(law: str) -> str:
+    """DuckDB oracle for ``decode_audio_stats`` over the G.711
+    synthesis — the ITU-T G.711 decode formula written directly in
+    per-byte SQL arithmetic (16-bit scale, Sun-g711 linearization):
+
+    - μ-law: ``u = 255 - code``; ``t = ((u%16)*8 + 132) << ((u//16)%8)``;
+      sample = ``132 - t`` if the sign bit of ``u`` is set else
+      ``t - 132``.
+    - A-law: ``a = xor(code, 85)``; ``t = (a%16)*16``; segment 0 adds
+      8, higher segments add 264 and shift by ``seg - 1``; sign bit
+      SET means positive.
+    """
+    n = PPM_W * PPM_H * 3  # 192 payload bytes = codewords
+    if law == "mulaw":
+        sample = """
+      CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END"""
+        pre = """
+    SELECT doc_id, k, u,
+      ((u % 16) * 8 + 132)::BIGINT << ((u // 16) % 8) AS t
+    FROM (SELECT doc_id, g.i AS k,
+                 255 - ascii(substr(payload, g.i, 1)) AS u
+          FROM pay, generate_series(1, {n}) AS g(i))"""
+    else:
+        sample = """
+      CASE WHEN a >= 128 THEN mag ELSE -mag END"""
+        pre = """
+    SELECT doc_id, k, a,
+      CASE WHEN ((a // 16) % 8) = 0 THEN (a % 16) * 16 + 8
+           ELSE ((a % 16) * 16 + 264)::BIGINT << (((a // 16) % 8) - 1)
+      END AS mag
+    FROM (SELECT doc_id, g.i AS k,
+                 xor(ascii(substr(payload, g.i, 1)), 85) AS a
+          FROM pay, generate_series(1, {n}) AS g(i))"""
+    return f"""
+WITH pay AS (
+  SELECT doc_id,
+    md5(coalesce(text, '')) || md5(md5(coalesce(text, '')))
+      || md5(md5(md5(coalesce(text, ''))))
+      || md5(md5(md5(md5(coalesce(text, '')))))
+      || md5(md5(md5(md5(md5(coalesce(text, ''))))))
+      || md5(md5(md5(md5(md5(md5(coalesce(text, ''))))))) AS payload
+  FROM documents),
+dec AS (
+  SELECT doc_id, k, ({sample.strip()}) AS s
+  FROM ({pre.format(n=n)})),
+hexed AS (
+  SELECT doc_id, k, s,
+    printf('%04x', ((s % 65536) + 65536) % 65536) AS be
+  FROM dec)
+SELECT doc_id, 8000::INT AS sample_rate, 1::INT AS n_channels,
+       count(*)::INT AS n_samples,
+       min(s)::INT AS s_min, max(s)::INT AS s_max,
+       sum(s)::BIGINT AS s_sum,
+       md5(string_agg(substr(be, 3, 2) || substr(be, 1, 2), ''
+                      ORDER BY k)) AS pcm_md5
+FROM hexed GROUP BY doc_id ORDER BY doc_id
 """
 
 

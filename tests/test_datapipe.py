@@ -2261,6 +2261,39 @@ def test_decode_webp_stats_real_decode(docs):
     assert s["px_md5"] == _hl.md5(payload.encode()).hexdigest()
 
 
+def test_g711_codec_roundtrips():
+    """G.711: published level ranges (±32124 μ-law / ±32256 A-law),
+    exact nearest-level quantization (checked against brute force),
+    level-identity round-trips, and WAV fmt-6/7 container dispatch."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_spark.datapipe import g711codec as G
+
+    assert int(G.MULAW_TABLE.max()) == 32124
+    assert int(G.ALAW_TABLE.max()) == 32256
+    rng = np.random.default_rng(17)
+    s = rng.integers(-32768, 32768, size=1500).astype(np.int16)
+    for law, table in [("mulaw", G.MULAW_TABLE), ("alaw", G.ALAW_TABLE)]:
+        # every representable level round-trips exactly
+        levels = table.astype(np.int16)
+        assert np.array_equal(
+            G.decode_g711(G.encode_g711(levels, law), law), levels
+        )
+        # nearest-level optimality vs brute force
+        t64 = table.astype(np.int64)
+        got = G.decode_g711(G.encode_g711(s, law), law).astype(np.int64)
+        best = np.min(
+            np.abs(t64[None, :] - s[:, None].astype(np.int64)), axis=1
+        )
+        assert np.array_equal(np.abs(got - s.astype(np.int64)), best)
+        # container dispatch: codewords through decode_wav
+        codes = rng.integers(0, 256, size=64).astype(np.uint8).tobytes()
+        wav = G.encode_wav_g711(codes, law)
+        samples, rate = multimodal.decode_wav(wav)
+        assert rate == 8000
+        assert np.array_equal(samples, G.decode_g711(codes, law))
+
+
 def test_adpcm_codec_roundtrips():
     """IMA ADPCM: the real encoder tracks a smooth signal within
     adaptive-quantizer error; arbitrary nibble streams decode
