@@ -3385,6 +3385,18 @@ def _q_media_alaw_stats(spark, sf_dir):
     )
 
 
+def _q_media_flac_stats(spark, sf_dir):
+    """REAL FLAC decode in the plan (datapipe/flaccodec.py — frame
+    sync, CRC-8/CRC-16 verified, constant/verbatim/fixed/LPC
+    subframes, partitioned Rice residuals; the encoder is a real
+    fixed-predictor + Rice compressor and half the corpus ships LPC
+    subframes) inside mapInPandas.  Lossless, so the DuckDB oracle is
+    native per-byte arithmetic over the payload."""
+    return multimodal.decode_audio_stats(
+        multimodal.synthesize_flac_media(_docs(spark, sf_dir))
+    )
+
+
 def _q_media_adpcm_stats(spark, sf_dir):
     """REAL IMA-ADPCM decode in the plan: the adaptive predictor/step
     state machine (datapipe/adpcmcodec.py, published IMA tables) runs
@@ -4470,7 +4482,7 @@ _SF_SCALE = {
     "media_features", "media_frames", "media_image_stats",
     "media_audio_stats", "media_png_stats", "media_jpeg_stats",
     "media_gif_stats", "media_adpcm_stats", "media_webp_stats",
-    "media_mulaw_stats", "media_alaw_stats",
+    "media_mulaw_stats", "media_alaw_stats", "media_flac_stats",
     "decontaminate", "pack_sequences",
     "quality_funnel", "curation_pipeline", "corpus_split", "quota_sample",
     "weighted_sample", "grouped_split", "mixture_weights",
@@ -5009,7 +5021,7 @@ def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY: list[str] = [
     "media_jpeg_stats", "n3_formulae", "media_gif_stats",
     "media_adpcm_stats", "media_webp_stats", "media_mulaw_stats",
-    "media_alaw_stats",
+    "media_alaw_stats", "media_flac_stats",
 ]
 
 
@@ -5345,6 +5357,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_webp_stats": _q_media_webp_stats,
         "media_mulaw_stats": _q_media_mulaw_stats,
         "media_alaw_stats": _q_media_alaw_stats,
+        "media_flac_stats": _q_media_flac_stats,
         "media_adpcm_stats": _q_media_adpcm_stats,
         "media_audio_stats": _q_media_audio_stats,
         "decontaminate": _q_decontaminate,
@@ -7715,6 +7728,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["media_webp_stats"] = multimodal.decode_webp_stats_oracle()
     sql["media_mulaw_stats"] = multimodal.decode_g711_stats_oracle("mulaw")
     sql["media_alaw_stats"] = multimodal.decode_g711_stats_oracle("alaw")
+    sql["media_flac_stats"] = multimodal.decode_flac_stats_oracle()
     sql["media_adpcm_stats"] = multimodal.decode_adpcm_stats_oracle()
     sql["media_audio_stats"] = multimodal.decode_audio_stats_oracle()
     sql["decontaminate"] = curation.decontaminate_oracle()

