@@ -128,3 +128,77 @@ def test_n3_is_turtle_superset_property(rows):
     assert sorted(set(PAR.parse_n3(text)), key=_k) == sorted(
         set(PAR.parse_turtle(text)), key=_k
     )
+
+
+# ------------------------------------------------------------------ #
+# media codecs: lossless round-trip properties over adversarial inputs
+# ------------------------------------------------------------------ #
+
+import numpy as np
+
+_dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@st.composite
+def gray_image(draw):
+    h, w = draw(_dims)
+    # mix structured (low-cardinality, LZ-friendly) and full-range
+    # pixels so both the literal and backward-reference paths run
+    card = draw(st.sampled_from([2, 4, 256]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, card, size=(h, w)).astype(np.uint8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(gray_image())
+def test_gif_roundtrip_property(img):
+    from orionbelt_ontology_builder_spark.datapipe import gifcodec as G
+
+    out = G.decode_gif(G.encode_gif_gray(img))
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 1], img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(gray_image())
+def test_webp_roundtrip_property(img):
+    from orionbelt_ontology_builder_spark.datapipe import webpcodec as W
+
+    out = W.decode_webp(W.encode_webp_gray(img))
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 2], img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(1, 600),
+    st.sampled_from([2, 16, 65536]),
+    st.booleans(),
+)
+def test_flac_roundtrip_property(seed, n, spread, lpc):
+    from orionbelt_ontology_builder_spark.datapipe import flaccodec as FL
+
+    rng = np.random.default_rng(seed)
+    s = (
+        rng.integers(-(spread // 2) - 1, spread // 2 + 1, size=n)
+        .cumsum()
+        .clip(-32768, 32767)
+        .astype(np.int16)
+    )
+    out, rate = FL.decode_flac(FL.encode_flac_mono16(s, lpc_frame=lpc))
+    assert rate == 8000
+    assert np.array_equal(out, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.sampled_from(["mulaw", "alaw"]))
+def test_g711_codeword_roundtrip_property(codes, law):
+    """decode is a bijection onto levels; encode(decode(c)) re-decodes
+    to the same level for EVERY codeword (incl. the duplicate zeros)."""
+    from orionbelt_ontology_builder_spark.datapipe import g711codec as G
+
+    lvl = G.decode_g711(codes, law)
+    again = G.decode_g711(G.encode_g711(lvl, law), law)
+    assert np.array_equal(lvl, again)
