@@ -3116,6 +3116,14 @@ def _q_c4_span_dedup(spark, sf_dir):
     return dedup.c4_span_dedup(_docs(spark, sf_dir))
 
 
+def _q_dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr maximal duplicated spans (Lee et al. 2022) via
+    k-gram seeding + per-doc gaps-and-islands merge — the suffix-array
+    memorization-removal pass, distributed (see
+    dedup.exact_substr_spans for the scale shape)."""
+    return dedup.exact_substr_spans(_docs(spark, sf_dir))
+
+
 def _q_dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_band_pairs(_docs(spark, sf_dir))
 
@@ -4468,6 +4476,7 @@ _SF_SCALE = {
     "text_token_counts",
     "text_quality", "text_repetition", "bpe_token_counts", "source_mix",
     "lang_id", "doc_fingerprint", "dedup_exact", "c4_span_dedup",
+    "dedup_exact_substr",
     "dedup_containment",
     "dedup_minhash_pairs", "dedup_clusters", "bcubed_linkage",
     "dedup_ngram_jaccard",
@@ -5021,7 +5030,7 @@ def _q_graph_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY: list[str] = [
     "media_jpeg_stats", "n3_formulae", "media_gif_stats",
     "media_adpcm_stats", "media_webp_stats", "media_mulaw_stats",
-    "media_alaw_stats", "media_flac_stats",
+    "media_alaw_stats", "media_flac_stats", "dedup_exact_substr",
 ]
 
 
@@ -5321,6 +5330,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "c4_span_dedup": _q_c4_span_dedup,
+        "dedup_exact_substr": _q_dedup_exact_substr,
         "dedup_containment": _q_dedup_containment,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -7673,6 +7683,7 @@ WHERE subj NOT IN ('{emp}', '{acme}')
     sql["doc_fingerprint"] = textstats.fingerprints_oracle()
     sql["dedup_exact"] = dedup.exact_dedup_oracle()
     sql["c4_span_dedup"] = dedup.c4_span_dedup_oracle()
+    sql["dedup_exact_substr"] = dedup.exact_substr_oracle()
     sql["dedup_containment"] = dedup.containment_pairs_oracle()
     sql["dedup_minhash_pairs"] = dedup.minhash_band_pairs_oracle()
     sql["dedup_clusters"] = dedup.dedup_clusters_oracle()

@@ -2047,3 +2047,113 @@ SELECT nn.n_items,
   2.0 * (pre.sp / nn.n_items) * (rec.sr / nn.n_items)
     / (pre.sp / nn.n_items + rec.sr / nn.n_items) AS bcubed_f1
 FROM nn CROSS JOIN pre CROSS JOIN rec"""
+
+
+# ------------------------------------------------------------------ #
+# ExactSubstr duplicated-span detection (Lee et al. 2022)
+# ------------------------------------------------------------------ #
+
+
+def exact_substr_spans(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, n_spans, dup_tokens, longest_span) — the suffix-array
+    ExactSubstr dedup of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022, public literature), re-expressed
+    as the k-gram-seeded Spark variant: a substring duplicated
+    anywhere in the corpus and spanning >= k tokens contains a
+    duplicated token k-gram at every offset, so the duplicated-k-gram
+    positions of a document, merged wherever their k-windows overlap
+    (gap <= k), are exactly the maximal duplicated spans >= k tokens.
+
+    Scale shape (the suffix array is the single-node tool; this is the
+    distributed equivalent):
+
+    * k-gram hashes are one codegen md5 projection over an exploded
+      window slice — the corpus text itself is never shuffled, only
+      ``(gram_md5, doc_id, pos)``;
+    * the global duplicate-gram set is a map-side-combinable
+      count>1 aggregation, re-joined by semi-join (Bloom-prunable);
+    * span merging is a per-document window (gaps-and-islands on
+      position with gap threshold k) — key-partitioned by doc_id,
+      never global.
+
+    Distinct from ``c4_span_dedup`` (fixed sentence spans) and
+    ``passage_dup`` (fixed-length passages): spans here are MAXIMAL
+    and cross arbitrary boundaries, the property that made ExactSubstr
+    the standard memorization-removal pass."""
+    sc = docs.sparkSession.sparkContext
+    toks = (
+        docs.select("doc_id", norm_col().alias("norm"))
+        .repartition(sc.defaultParallelism)  # HOF projection is CPU-heavy
+        .select("doc_id", tokens_col("norm").alias("toks"))
+    )
+    grams = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {k}), "
+                    f"(x, i) -> array_join(slice(toks, i + 1, {k}), ' '))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", F.md5("gram").alias("g"))
+        .persist()  # consumed by the count agg AND the semi-join
+    )
+    dup = grams.groupBy("g").count().filter(F.col("count") > 1).select("g")
+    hits = grams.join(dup, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn("lp", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("lp").isNull() | (F.col("pos") - F.col("lp") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + k).alias("span_toks"))
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_toks").alias("dup_tokens"),
+            F.max("span_toks").alias("longest_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def exact_substr_oracle(k: int = 8) -> str:
+    """DuckDB twin: identical k-gram seeding + gaps-and-islands merge
+    in native window SQL over the shared normalization."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql(norm_sql())} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - {k})) AS pos
+  FROM t WHERE len(toks) >= {k}),
+gr AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(toks[pos + 1 : pos + {k}], ' ')) AS g
+  FROM pos),
+dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+hits AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+    sum(CASE WHEN lp IS NULL OR pos - lp > {k} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+        FROM hits)),
+spans AS (
+  SELECT doc_id, island, max(pos) - min(pos) + {k} AS span_toks
+  FROM isl GROUP BY doc_id, island)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(span_toks)::BIGINT AS dup_tokens,
+       max(span_toks)::BIGINT AS longest_span
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""

@@ -2261,6 +2261,25 @@ def test_decode_webp_stats_real_decode(docs):
     assert s["px_md5"] == _hl.md5(payload.encode()).hexdigest()
 
 
+def test_exact_substr_spans(docs):
+    """ExactSubstr k-gram seeding: full duplicates get one maximal
+    span covering the whole doc; a one-word edit splits coverage at
+    the edited token (positions whose k-window crosses it are unique);
+    unrelated docs produce no rows."""
+    out = {r["doc_id"]: r for r in
+           dedup.exact_substr_spans(docs, k=8).collect()}
+    # docs 0 and 1 are identical after normalization: 24 shared tokens
+    for d in (0, 1):
+        assert out[d]["n_spans"] == 1
+        assert out[d]["dup_tokens"] == 24
+        assert out[d]["longest_span"] == 24
+    # doc 2 differs at token index 7 ("lazy" -> "sleepy"): only k-gram
+    # starts 8..16 avoid it -> one maximal span of 16 tokens
+    assert out[2]["n_spans"] == 1
+    assert out[2]["dup_tokens"] == 16
+    assert 3 not in out and 4 not in out
+
+
 def test_flac_codec_roundtrips():
     """Real FLAC: fixed-predictor + partitioned-Rice encoder, decoder
     with constant/verbatim/fixed/LPC subframes and verified CRC-8 /
