@@ -16,6 +16,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.fixture(autouse=True)
+def _engine_default_conf(spark):
+    """Plan-shape assertions assume the engine defaults.  The driver's
+    ``_tiny`` query wrapper (exercised by test_oracle_parity in the
+    same session-scoped SparkSession) pins AQE off + 2 shuffle
+    partitions for fixture legs; without this reset, whichever wrapper
+    ran last decides whether runtime stats can convert a small-side
+    SortMergeJoin to broadcast here (order-dependent flake, seen on
+    test_unroll_lists_broadcast_guard_both_modes)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    yield
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     base = (
