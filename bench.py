@@ -389,6 +389,11 @@ def main() -> None:
         "media_jpeg_stats",
         "media_gif_stats",
         "media_adpcm_stats",
+        "media_webp_stats",
+        "media_mulaw_stats",
+        "media_alaw_stats",
+        "media_flac_stats",
+        "dedup_exact_substr",
     ]
     # best-of-2 per query: the sandbox host shows ±25-30% run-to-run
     # noise (BENCH.md envelope); queries are deterministic, so min is

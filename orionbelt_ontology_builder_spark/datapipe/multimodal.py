@@ -1078,8 +1078,15 @@ def synthesize_flac_media(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
-    return docs.select("doc_id", "text").mapInPandas(
-        batches, "doc_id long, blob binary"
+    # the per-sample Python bit-writer is CPU-heavy: spread the
+    # (often single-file) scan before the Arrow stage, per the
+    # repartition-before-CPU-stage law; decode inherits the layout
+    # (measured 7.2 s single-task -> ~1 s spread at sf0.1).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(n_part)
+        .mapInPandas(batches, "doc_id long, blob binary")
     )
 
 
