@@ -54,3 +54,29 @@ def test_no_hugeint_or_decimal_oracle_columns():
         "driver-hash-unsafe oracle columns (cast to ::BIGINT/::DOUBLE): "
         f"{bad}"
     )
+
+
+def test_driver_window_ordering_contract():
+    """queries() must order never-driver-seen names first (the driver
+    samples a fixed window from the front; a green query re-verified
+    is a wasted slot — VERDICT r4 #1), with _PRIORITY names (new/fixed
+    oracles) ahead of the rest until a driver round records them
+    green, and every name present exactly once."""
+    import __spark_entry__ as E
+
+    raw = E._queries_raw()
+    ordered = list(E.queries())
+    assert sorted(ordered) == sorted(raw)
+    seen = E._driver_seen()
+    pri = [n for n in E._PRIORITY if n in raw and n not in seen]
+    assert ordered[: len(pri)] == pri
+    unseen = [n for n in ordered if n not in seen]
+    # all unseen names come before all seen names
+    last_unseen = max(ordered.index(n) for n in unseen) if unseen else -1
+    first_seen = min(
+        (ordered.index(n) for n in ordered if n in seen), default=len(ordered)
+    )
+    assert last_unseen < first_seen
+    # every query has an oracle (or is a documented rows-only entry)
+    sql = E.oracle_sql()
+    assert set(sql) <= set(raw)
