@@ -38,6 +38,11 @@ PIPELINE_ONLY = os.environ.get("SPARK_GRAFT_PIPELINE_ONLY", "0") == "1"
 # best-of-N for the pipeline leg (default 2; long scaling legs at 4M+
 # pages set 1 — at that scale the measurement exceeds the noise floor)
 PIPE_BEST_OF = int(os.environ.get("SPARK_GRAFT_PIPE_BEST_OF", "2"))
+# synthesis slices (input splits): default leaves spark.range's
+# defaultParallelism slicing; >= 20M pages needs finer slices or the
+# persist() fills multi-GB partition blocks (GC-thrash OOM at 12g —
+# a real cluster reads many splits, this is the local analog)
+PAGE_SLICES = int(os.environ.get("SPARK_GRAFT_PAGE_SLICES", "0")) or None
 
 
 def main() -> None:
@@ -66,7 +71,7 @@ def main() -> None:
         return out
 
     # -- KG-construction pipeline (the north-star headline) ------------
-    pages = P.synthesize_pages(spark, N_PAGES)
+    pages = P.synthesize_pages(spark, N_PAGES, partitions=PAGE_SLICES)
     pages = pages.persist()
     pages.count()  # synthesis outside the timed region: we grade the KG build
 
