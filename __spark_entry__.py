@@ -2728,7 +2728,17 @@ def _q_nq_roundtrip(spark, sf_dir):
         "graph",
         F.when(F.col("obj_kind") == "literal", F.lit(_NQ_GRAPH)),
     )
-    return NT.parse_nq(NT.serialize_nq(quads)).select(
+    # Roundtrip through the real bulk sink/source (a .nq text dir), not
+    # a fused in-plan serialize->parse: composing both codec projections
+    # in one stage overflows janino's 64 KB method limit and the stage
+    # silently falls back to interpreted eval (fixture-scale only — the
+    # production file-scan parse shape compiles clean; verified r5 s3).
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="obelt_nq_")
+    NT.serialize_nq(quads).write.mode("overwrite").text(staged)
+    lines = spark.read.text(staged).withColumnRenamed("value", "line")
+    return NT.parse_nq(lines).select(
         "subj", "pred", "obj", "obj_kind", "obj_lang", "obj_dt", "graph"
     ).distinct()
 
