@@ -2030,6 +2030,18 @@ def _q_validate_owl(spark, sf_dir):
     return _validated(spark)
 
 
+def _q_owl_rl_profile(spark, sf_dir):
+    """OWL 2 RL profile conformance (schema-level): class-expression
+    constructs in positions the RL grammar forbids — the axioms a
+    rule reasoner (reference: owlrl) silently ignores.  clsexpr_om
+    carries four genuine violations (someValuesFrom + minCardinality
+    in superclass position, a union + disjoint-union class
+    definition) and one allowed intersection definition."""
+    from orionbelt_ontology_builder_spark.operators import validation
+
+    return validation.owl_rl_profile(FX.fixture_triples(spark, "clsexpr_om"))
+
+
 def _q_mine_shapes(spark, sf_dir):
     """SHACL shape induction (SheXer-style) over the induced graph:
     per (class, predicate) usage share -> sh:minCount 1 proposals —
@@ -5308,6 +5320,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_namespace": _q_infer_namespace,
         "resolve_base_uri": _q_resolve_base_uri,
         "validate_owl": _q_validate_owl,
+        "owl_rl_profile": _q_owl_rl_profile,
         "validate_literals": _q_validate_literals,
         "mine_shapes": _q_mine_shapes,
         "owl_consistency": _q_owl_consistency,
@@ -7294,6 +7307,12 @@ SELECT * FROM (
         "WITH "
         + FX.fixture_cte("badlits_om")
         + _validation.validate_literals_sql()
+    )
+    sql["owl_rl_profile"] = (
+        "WITH "
+        + FX.fixture_cte("clsexpr_om")
+        + ","
+        + _validation.owl_rl_profile_sql()
     )
     sql["mine_shapes"] = (
         "WITH "

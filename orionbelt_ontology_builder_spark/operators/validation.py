@@ -1086,3 +1086,194 @@ def outlier_fixture_cte(alias: str = "triples") -> str:
         f"{alias}(subj, pred, obj, obj_kind, obj_lang, obj_dt) AS "
         f"(SELECT * FROM (VALUES\n    {vals}))"
     )
+
+
+# ---------------------------------------------------------------------------
+# OWL 2 RL profile conformance (schema-level): which class-expression
+# constructs appear in positions the RL grammar does not allow.
+# Complements owl_consistency (data-level false-rules): this checker
+# explains *why a rule-based reasoner will silently ignore an axiom*
+# (it is outside the profile) before any instance data is touched.
+# Reference analogue: the workbench runs owlrl (RL semantics) —
+# ``ontology_manager.py`` apply_reasoning — which simply has no rules
+# for non-RL constructs; surfacing them as rows is the batch form of
+# Protégé-style profile validation.  Allowance table transcribed from
+# the public OWL 2 Profiles spec (§5.2 grammar: subClassExpression /
+# superClassExpression / equivClassExpression).
+# ---------------------------------------------------------------------------
+
+#: construct predicate -> canonical construct label (qualified
+#: cardinalities normalize onto their unqualified family).
+_RL_CONSTRUCT_PREDS: list[tuple[str, str]] = [
+    (OWL.unionOf, "unionOf"),
+    (OWL.intersectionOf, "intersectionOf"),
+    (OWL.complementOf, "complementOf"),
+    (OWL.oneOf, "oneOf"),
+    (OWL.someValuesFrom, "someValuesFrom"),
+    (OWL.allValuesFrom, "allValuesFrom"),
+    (OWL.hasValue, "hasValue"),
+    (OWL.minCardinality, "minCardinality"),
+    (OWL.minQualifiedCardinality, "minCardinality"),
+    (OWL.maxCardinality, "maxCardinality"),
+    (OWL.maxQualifiedCardinality, "maxCardinality"),
+    (OWL.cardinality, "cardinality"),
+    (OWL.qualifiedCardinality, "cardinality"),
+    (OWL.disjointUnionOf, "disjointUnionOf"),
+]
+_RL_MAX_PREDS = [OWL.maxCardinality, OWL.maxQualifiedCardinality]
+
+#: (position -> allowed constructs).  superClassExpression positions
+#: (subclass_rhs / domain / range) allow maxCardinality only with
+#: value 0 or 1 — values >= 2 are normalized to 'maxCardinality_ge2'
+#: before this lookup, so the table itself stays value-free.
+_RL_ALLOWED: dict[str, frozenset[str]] = {
+    "subclass_lhs": frozenset(
+        {"intersectionOf", "unionOf", "oneOf", "someValuesFrom", "hasValue"}
+    ),
+    "subclass_rhs": frozenset(
+        {"intersectionOf", "complementOf", "allValuesFrom", "hasValue",
+         "maxCardinality"}
+    ),
+    "domain": frozenset(
+        {"intersectionOf", "complementOf", "allValuesFrom", "hasValue",
+         "maxCardinality"}
+    ),
+    "range": frozenset(
+        {"intersectionOf", "complementOf", "allValuesFrom", "hasValue",
+         "maxCardinality"}
+    ),
+    "equivalent": frozenset({"intersectionOf", "hasValue"}),
+    "class_definition": frozenset({"intersectionOf", "hasValue"}),
+}
+
+
+def owl_rl_profile(triples: DataFrame) -> DataFrame:
+    """(node, construct, position, issue) — one row per class-expression
+    construct sitting in a position the OWL 2 RL grammar forbids.
+
+    Positions: ``subclass_lhs``/``subclass_rhs`` (the two sides of
+    rdfs:subClassOf), ``equivalent`` (either side of
+    owl:equivalentClass), ``domain``/``range`` (superclass positions),
+    and ``class_definition`` (a NAMED class carrying a direct
+    owl:unionOf / oneOf / ... — sugar for an equivalence, so it takes
+    the equivalence grammar).
+
+    Scale shape: the construct classification is one filtered
+    projection; positions are filtered projections unioned; the check
+    is one equi-join on the expression node against a class-vocabulary-
+    sized side (broadcast at corpus scale) plus a constant-folded
+    allowance predicate — no closure, no windows."""
+    all_preds = [p for p, _ in _RL_CONSTRUCT_PREDS]
+    label = None
+    for p, name in _RL_CONSTRUCT_PREDS:
+        cond = F.when(F.col("pred") == p, F.lit(name))
+        label = cond if label is None else label.when(F.col("pred") == p, F.lit(name))
+    construct = F.when(
+        F.col("pred").isin(_RL_MAX_PREDS)
+        & (F.col("obj").cast("int") >= 2),
+        F.lit("maxCardinality_ge2"),
+    ).otherwise(label)
+    cons = (
+        triples.filter(F.col("pred").isin(all_preds))
+        .select(F.col("subj").alias("node"), construct.alias("construct"))
+        .distinct()
+    )
+
+    sub = triples.filter(F.col("pred") == RDFS.subClassOf)
+    eq = triples.filter(F.col("pred") == OWL.equivalentClass)
+    dom = triples.filter(F.col("pred") == RDFS.domain)
+    rng = triples.filter(F.col("pred") == RDFS.range)
+
+    def _pos(df, col, name):
+        return df.select(
+            F.col(col).alias("node"), F.lit(name).alias("position")
+        )
+
+    pos = (
+        _pos(sub, "subj", "subclass_lhs")
+        .unionByName(_pos(sub, "obj", "subclass_rhs"))
+        .unionByName(_pos(eq, "subj", "equivalent"))
+        .unionByName(_pos(eq, "obj", "equivalent"))
+        .unionByName(_pos(dom, "obj", "domain"))
+        .unionByName(_pos(rng, "obj", "range"))
+        .unionByName(
+            cons.filter(F.substring("node", 1, 2) != "_:").select(
+                "node", F.lit("class_definition").alias("position")
+            )
+        )
+        .distinct()
+    )
+
+    allowed = F.lit(False)
+    for p, cs in _RL_ALLOWED.items():
+        allowed = allowed | (
+            (F.col("position") == p) & F.col("construct").isin(list(cs))
+        )
+    return (
+        cons.join(pos, "node")
+        .filter(~allowed)
+        .select("node", "construct", "position")
+        .distinct()
+        .withColumn(
+            "issue",
+            F.concat(
+                F.lit("owl-rl: "),
+                F.col("construct"),
+                F.lit(" not allowed in "),
+                F.col("position"),
+            ),
+        )
+        .orderBy("node", "construct", "position")
+    )
+
+
+def owl_rl_profile_sql(triples_src: str = "triples") -> str:
+    """DuckDB oracle.  The allowance table is rendered as an explicit
+    (position, construct) VALUES relation transcribed from the spec
+    grammar — an anti-join against it, not a mirror of the Spark
+    boolean chain."""
+    label = " ".join(
+        f"WHEN pred = '{p}' THEN '{name}'"
+        for p, name in _RL_CONSTRUCT_PREDS
+    )
+    maxp = ", ".join(f"'{p}'" for p in _RL_MAX_PREDS)
+    allp = ", ".join(f"'{p}'" for p, _ in _RL_CONSTRUCT_PREDS)
+    allow = ",\n    ".join(
+        f"('{pos}', '{c}')"
+        for pos, cs in sorted(_RL_ALLOWED.items())
+        for c in sorted(cs)
+    )
+    return f"""
+cons AS (
+  SELECT DISTINCT subj AS node,
+    CASE WHEN pred IN ({maxp}) AND TRY_CAST(obj AS INTEGER) >= 2
+         THEN 'maxCardinality_ge2'
+         ELSE CASE {label} END END AS construct
+  FROM {triples_src} WHERE pred IN ({allp})),
+pos AS (
+  SELECT DISTINCT node, position FROM (
+    SELECT subj AS node, 'subclass_lhs' AS position FROM {triples_src}
+      WHERE pred = '{RDFS.subClassOf}'
+    UNION ALL SELECT obj, 'subclass_rhs' FROM {triples_src}
+      WHERE pred = '{RDFS.subClassOf}'
+    UNION ALL SELECT subj, 'equivalent' FROM {triples_src}
+      WHERE pred = '{OWL.equivalentClass}'
+    UNION ALL SELECT obj, 'equivalent' FROM {triples_src}
+      WHERE pred = '{OWL.equivalentClass}'
+    UNION ALL SELECT obj, 'domain' FROM {triples_src}
+      WHERE pred = '{RDFS.domain}'
+    UNION ALL SELECT obj, 'range' FROM {triples_src}
+      WHERE pred = '{RDFS.range}'
+    UNION ALL SELECT node, 'class_definition' FROM cons
+      WHERE substr(node, 1, 2) <> '_:')),
+rl_allow(position, construct) AS (VALUES
+    {allow}),
+viol AS (
+  SELECT DISTINCT c.node, c.construct, p.position
+  FROM cons c JOIN pos p USING (node)
+  WHERE NOT EXISTS (SELECT 1 FROM rl_allow a
+                    WHERE a.position = p.position
+                      AND a.construct = c.construct))
+SELECT node, construct, position,
+       'owl-rl: ' || construct || ' not allowed in ' || position AS issue
+FROM viol ORDER BY node, construct, position"""

@@ -249,3 +249,71 @@ def test_mine_shapes_share_and_gates(spark):
     assert out[("Person", "email")]["suggest_min1"] is True  # boundary 0.9
     assert out[("Person", "nickname")]["suggest_min1"] is False
     assert out[("Hermit", "cave")]["suggest_min1"] is False  # min_instances
+
+
+# ------------------------------------------------------------------ #
+# OWL 2 RL profile conformance
+# ------------------------------------------------------------------ #
+
+
+def _rl_rows(spark, extra):
+    from orionbelt_ontology_builder_spark.model import local_df
+
+    df = validation.owl_rl_profile(local_df(spark, extra, TRIPLES_SCHEMA))
+    return {(r["node"], r["construct"], r["position"]) for r in df.collect()}
+
+
+def test_owl_rl_profile_fixture_findings(spark):
+    df = validation.owl_rl_profile(fixture_triples(spark, "clsexpr_om"))
+    got = {(r["node"], r["construct"], r["position"]) for r in df.collect()}
+    assert got == {
+        ("_:r1", "someValuesFrom", "subclass_rhs"),
+        ("_:r2", "minCardinality", "subclass_rhs"),
+        (BASE + "Agent", "unionOf", "class_definition"),
+        (BASE + "Agent", "disjointUnionOf", "class_definition"),
+    }
+
+
+def test_owl_rl_profile_lhs_somevalues_allowed(spark):
+    # the SAME restriction construct is legal on the subclass LHS
+    rows = [
+        t_uri("_:s1", RDF.type, OWL.Restriction),
+        t_uri("_:s1", OWL.onProperty, BASE + "p"),
+        t_uri("_:s1", OWL.someValuesFrom, BASE + "C"),
+        t_uri("_:s1", RDFS.subClassOf, BASE + "D"),
+    ]
+    assert _rl_rows(spark, rows) == set()
+
+
+def test_owl_rl_profile_max_cardinality_value_split(spark):
+    from orionbelt_ontology_builder_spark.model import XSD, t_bnode
+
+    rows = [
+        t_lit("_:m1", OWL.maxCardinality, "1", dt=XSD.nonNegativeInteger),
+        t_bnode(BASE + "A", RDFS.subClassOf, "_:m1"),
+        t_lit("_:m2", OWL.maxQualifiedCardinality, "2",
+              dt=XSD.nonNegativeInteger),
+        t_bnode(BASE + "B", RDFS.subClassOf, "_:m2"),
+    ]
+    got = _rl_rows(spark, rows)
+    assert got == {("_:m2", "maxCardinality_ge2", "subclass_rhs")}
+
+
+def test_owl_rl_profile_complement_side_split(spark):
+    # complementOf: legal as a superclass, illegal as a subclass LHS
+    # and inside an equivalence
+    from orionbelt_ontology_builder_spark.model import t_bnode
+
+    rows = [
+        t_uri("_:c1", OWL.complementOf, BASE + "C"),
+        t_bnode(BASE + "A", RDFS.subClassOf, "_:c1"),
+        t_uri("_:c2", OWL.complementOf, BASE + "C"),
+        t_uri("_:c2", RDFS.subClassOf, BASE + "D"),
+        t_uri("_:c3", OWL.complementOf, BASE + "C"),
+        t_bnode(BASE + "E", OWL.equivalentClass, "_:c3"),
+    ]
+    got = _rl_rows(spark, rows)
+    assert got == {
+        ("_:c2", "complementOf", "subclass_lhs"),
+        ("_:c3", "complementOf", "equivalent"),
+    }
