@@ -2943,6 +2943,28 @@ def _q_kg_class_hierarchy(spark, sf_dir):
     return _kg(spark)["class_hierarchy"].orderBy("child", "parent")
 
 
+def _q_kg_incremental_edges(spark, sf_dir):
+    """O(delta) crawl refresh: build on the first 800 pages, fold the
+    last 200 in via incremental_update (delta LSH restricted to fresh
+    mentions + incremental CC + affected-only edge re-rewrite), return
+    the applied edge view.  The oracle is the INDEPENDENT full-corpus
+    DuckDB re-derivation (kg_edges_sql over all 1000 pages) — the
+    incremental == full-rebuild law checked against an oracle that
+    never saw the incremental algorithm."""
+    from orionbelt_ontology_builder_spark.pipeline import run as R
+
+    pages = _pages(spark)
+    pid = F.regexp_extract("url", "/page/([0-9]+)$", 1).cast("int")
+    old = R.build_kg(pages.filter(pid < 800))
+    inc = R.incremental_update(
+        old["raw_triples"], old["canonical_map"], pages.filter(pid >= 800)
+    )
+    return (
+        inc["edges"].select("subj", "pred", "obj").distinct()
+        .orderBy("subj", "pred", "obj")
+    )
+
+
 def _q_page_text_extract(spark, sf_dir):
     from orionbelt_ontology_builder_spark.pipeline import extract as X
 
@@ -5292,6 +5314,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_canonical_map": _q_kg_canonical_map,
         "kg_class_hierarchy": _q_kg_class_hierarchy,
+        "kg_incremental_edges": _q_kg_incremental_edges,
         "page_text_extract": _q_page_text_extract,
         "host_link_graph": _q_host_link_graph,
         "host_rank": _q_host_rank,
@@ -8382,6 +8405,7 @@ ORDER BY subj, cls, rule
     from orionbelt_ontology_builder_spark.pipeline import oracle as KGO
 
     sql["kg_edges"] = KGO.kg_edges_sql(_KG_PAGES)
+    sql["kg_incremental_edges"] = KGO.kg_edges_sql(_KG_PAGES)
     sql["kg_canonical_map"] = KGO.kg_canonical_map_sql(_KG_PAGES)
     sql["kg_class_hierarchy"] = KGO.kg_class_hierarchy_sql(_KG_PAGES)
     sql["page_text_extract"] = KGO.page_text_extract_sql(_KG_PAGES)

@@ -390,3 +390,53 @@ def test_suffix_guard_agreement_across_normalization_classes(spark):
     # containment pair separated by the guard key
     assert keys[0] == "18479" and keys[1] == "184794"
     assert keys[0] != keys[1]
+
+
+# ------------------------------------------------------------------ #
+# incremental update (O(delta) crawl refresh)
+# ------------------------------------------------------------------ #
+
+
+def _edge_rows(df):
+    return sorted(
+        (r["subj"], r["pred"], r["obj"])
+        for r in df.select("subj", "pred", "obj").collect()
+    )
+
+
+def test_incremental_update_equals_full_rebuild(spark):
+    pages = P.synthesize_pages(spark, 400).cache()
+    # split on the page id in the url, not row order (deterministic)
+    pid = F.regexp_extract("url", "/page/([0-9]+)$", 1).cast("int")
+    base = pages.filter(pid < 300)
+    delta_pages = pages.filter(pid >= 300)
+    assert base.count() + delta_pages.count() == 400
+
+    full = R.build_kg(pages)
+    old = R.build_kg(base)
+    inc = R.incremental_update(old["raw_triples"], old["canonical_map"], delta_pages)
+
+    assert _edge_rows(inc["edges"]) == _edge_rows(full["edges"])
+    got_map = sorted(
+        (r["mention"], r["canonical"]) for r in inc["canonical_map"].collect()
+    )
+    want_map = sorted(
+        (r["mention"], r["canonical"]) for r in full["canonical_map"].collect()
+    )
+    assert got_map == want_map
+
+
+def test_incremental_update_delta_contract(spark):
+    pages = P.synthesize_pages(spark, 400).cache()
+    pid = F.regexp_extract("url", "/page/([0-9]+)$", 1).cast("int")
+    base, delta_pages = pages.filter(pid < 300), pages.filter(pid >= 300)
+    old = R.build_kg(base)
+    inc = R.incremental_update(old["raw_triples"], old["canonical_map"], delta_pages)
+    # applying the delta contract to the OLD edge table reproduces the
+    # applied view: old edges minus the retired (affected) rows' old
+    # rewrites, plus edges_delta
+    retired = R.rewrite_edges(inc["raw_affected_old"], old["canonical_map"])
+    applied = (
+        old["edges"].exceptAll(retired).unionByName(inc["edges_delta"])
+    )
+    assert _edge_rows(applied) == _edge_rows(inc["edges"])
