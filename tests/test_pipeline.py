@@ -440,3 +440,35 @@ def test_incremental_update_delta_contract(spark):
         old["edges"].exceptAll(retired).unionByName(inc["edges_delta"])
     )
     assert _edge_rows(applied) == _edge_rows(inc["edges"])
+
+
+def test_lsh_candidate_pairs_delta_law(spark):
+    """delta pairs == full self-join pairs restricted to >=1 fresh side
+    (same banding, same bucket cap computed over the FULL table)."""
+    from orionbelt_ontology_builder_spark.pipeline.linking import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_delta,
+        mention_signatures,
+    )
+
+    pages = P.synthesize_pages(spark, 300).cache()
+    kg_raw = R.build_kg(pages)["raw_triples"]
+    mentions = (
+        kg_raw.select(F.col("subj_surface").alias("mention"))
+        .unionByName(kg_raw.select(F.col("obj_surface").alias("mention")))
+        .distinct()
+    )
+    fresh = mentions.filter(F.md5("mention").substr(1, 1) < "4")
+    sigs = mention_signatures(mentions).localCheckpoint(eager=False)
+    full = {
+        (r["m1"], r["m2"])
+        for r in lsh_candidate_pairs(sigs, bands=4, rows_per_band=6).collect()
+    }
+    fresh_set = {r["mention"] for r in fresh.collect()}
+    want = {p for p in full if p[0] in fresh_set or p[1] in fresh_set}
+    got = {
+        (r["m1"], r["m2"])
+        for r in lsh_candidate_pairs_delta(sigs, fresh).collect()
+    }
+    assert got == want
+    assert want  # the split actually exercises the delta path
